@@ -1,13 +1,157 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Core
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. core query engine -------------------------------------------
+    "q1_pricing_summary" -> ((s, d) =>
+      Core.q1PricingSummary(t(s, d, "lineitem"))),
+    "q3_shipping_priority" -> ((s, d) =>
+      Core.q3ShippingPriority(t(s, d, "customer"), t(s, d, "orders"),
+        t(s, d, "lineitem"))),
+    "q5_region_revenue" -> ((s, d) =>
+      Core.q5RegionRevenue(t(s, d, "region"), t(s, d, "nation"),
+        t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "orders"),
+        t(s, d, "lineitem"))),
+    "q_top_customers_per_nation" -> ((s, d) =>
+      Core.topCustomersPerNation(t(s, d, "customer"), t(s, d, "nation"))),
+    "q_running_revenue" -> ((s, d) =>
+      Core.runningRevenue(t(s, d, "orders"))),
+    "q_orders_enriched" -> ((s, d) =>
+      Core.ordersEnriched(t(s, d, "events"), t(s, d, "customer"),
+        t(s, d, "nation"))),
+    "time_range_scan" -> ((s, d) =>
+      Core.timeRangeScan(t(s, d, "events"),
+        "2024-01-10 05:37:00", "2024-01-25 17:02:00")),
+    "latest_event_per_user" -> ((s, d) =>
+      Core.latestEventPerUser(t(s, d, "events"))),
+    "rollup_hourly" -> ((s, d) => Core.rollup(t(s, d, "events"), "hour")),
+    "rollup_daily" -> ((s, d) => Core.rollup(t(s, d, "events"), "day")),
+    "batch_interval_stats" -> ((s, d) =>
+      Core.batchIntervalStats(t(s, d, "events"),
+        startMs = 1704067200000L, // 2024-01-01T00:00:00Z
+        endMs = 1706745600000L,   // 2024-02-01T00:00:00Z
+        intervalMs = 6L * 3600 * 1000))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        | epoch_ms(o_orderdate) AS o_orderdate_ms
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_top_customers_per_nation" ->
+      """SELECT n_name, rnk, c_custkey, c_name, c_acctbal FROM (
+        | SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |                     ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer) c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+    "q_running_revenue" ->
+      """WITH daily AS (
+        | SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |        SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS d
+        | FROM orders GROUP BY 1)
+        |SELECT order_date, CAST(d AS DOUBLE) AS daily_revenue,
+        | CAST(SUM(d) OVER (ORDER BY order_date
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_revenue
+        |FROM daily ORDER BY order_date""".stripMargin,
+    "q_orders_enriched" ->
+      """SELECT n_name, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |LEFT JOIN customer ON user_id = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, event_type
+        |ORDER BY n_name, event_type""".stripMargin,
+    "time_range_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= date_trunc('hour', TIMESTAMP '2024-01-10 05:37:00')
+        |  AND ts <  date_trunc('hour', TIMESTAMP '2024-01-25 17:02:00')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        | FROM events) e
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "rollup_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value, MAX(value) AS max_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rollup_daily" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value, MAX(value) AS max_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "batch_interval_stats" ->
+      """SELECT CAST(FLOOR((epoch_ms(ts) - 1704067200000) / 21600000.0) AS BIGINT)
+        |   AS interval_id,
+        | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | CAST(FLOOR((epoch_ms(ts) - 1704067200000) / 21600000.0) AS BIGINT)
+        |   * 21600000 + 1704067200000 AS interval_start_ms
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) < 1706745600000
+        |GROUP BY 1, 5 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core analytics queries (SURVEY.md §2 A-series).
+  *
+  * These re-express, Spark-first, the scan/agg/join/rollup semantics the
+  * reference's TSDB pipeline implies (TsdbBulkload.java:81-155 rollups &
+  * latest-version cells, TsdbScanner.java:16-53 whole-hour time-range
+  * scans, HBaseRowDataLookupFunction.java point-GET lookup joins,
+  * HBaseController.java:199-227 interval-batched jobs).
+  *
+  * Determinism rules (SURVEY.md §5): money aggregates go through exact
+  * DECIMAL so float summation order can never flip the driver's hash
+  * compare; `events.ts` (ns parquet) is only ever surfaced as epoch
+  * millis / hour buckets; every top-N has a full tiebreaker.
+  */
+object Core {
+
+  /** Exact decimal sum surfaced as double: summation-order independent. */
+  private def dsum(c: Column, prec: Int = 18, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast("double")
+
+  /** events.ts is read as long nanos (see [[graft.Tables]]); epoch millis
+    * via exact integer division.
+    */
+  private def tsMs: Column = expr("ts DIV 1000000")
+
+  private def parseUtcMs(s: String): Long =
+    java.time.LocalDateTime
+      .parse(s, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  /** A1: full-scan aggregation (TPC-H Q1 shape). Map-side partial agg. */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame = {
+    val disc  = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc, 28, 4).as("sum_disc_price"),
+        dsum(charge, 28, 6).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A2: filtered 3-way join + agg + deterministic top-N. Dim side of the
+    * join (filtered customers) stays broadcastable at any scale factor.
+    */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    val cut = to_timestamp(lit("1998-03-15"))
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cut)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cut)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 28, 4)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** A3: 6-way star join; all dimension tables broadcast. */
+  def q5RegionRevenue(region: DataFrame, nation: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01"))
+    val hi = to_timestamp(lit("1998-01-01"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 28, 4)
+        .as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** A4: window top-N per group with full tiebreakers. */
+  def topCustomersPerNation(customer: DataFrame, nation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  /** A5: running (cumulative) revenue by order date; the cumulative sum
+    * stays in exact DECIMAL until the final cast.
+    */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("d"))
+    val w = Window.orderBy(col("order_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("order_date"), col("d").cast("double").as("daily_revenue"),
+        sum(col("d")).over(w).cast("double").as("running_revenue"))
+      .orderBy(col("order_date"))
+  }
+
+  /** A6: lookup join (HBaseRowDataLookupFunction semantics): point-GET of
+    * dimension rows by key -> broadcast hash join, LEFT so missed GETs
+    * surface as nulls exactly like the connector's null row mode.
+    */
+  def ordersEnriched(events: DataFrame, customer: DataFrame,
+                     nation: DataFrame): DataFrame = {
+    events
+      .join(broadcast(customer), col("user_id") === col("c_custkey"), "left")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_name"), col("event_type"))
+  }
+
+  /** A7: TsdbScanner.buildScan semantics: scan rows whose rowkey time
+    * falls in [floor(start,1h), floor(end,1h)) -- expressed as a plain
+    * timestamp predicate that pushes down to the parquet scan instead of
+    * the reference's FuzzyRowFilter byte gymnastics
+    * (TsdbScanner.java:16-53).
+    */
+  def timeRangeScan(events: DataFrame, startTs: String, endTs: String): DataFrame = {
+    val hourMs = 3600L * 1000
+    val loMs = parseUtcMs(startTs); val hiMs = parseUtcMs(endTs)
+    // whole-hour pinning, then a raw-column predicate so parquet min/max
+    // row-group pruning applies (the scan-side analogue of FuzzyRowFilter)
+    val loNs = (loMs - loMs % hourMs) * 1000000L
+    val hiNs = (hiMs - hiMs % hourMs) * 1000000L
+    events
+      .filter(col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A8: HBase keeps the latest cell version per (rowkey, qualifier); the
+    * bulkload picks values[last] per qualifier (TsdbBulkload.java:135-137).
+    * Same semantics per user here, with a total order (ts ms, event_id).
+    */
+  def latestEventPerUser(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(tsMs.desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), tsMs.as("ts_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A9/A10: OpenTSDB rollup tables = pre-aggregated series at a coarser
+    * granularity (TsdbBulkload rollup route). One shuffle, partial aggs.
+    */
+  def rollup(events: DataFrame, granularity: String): DataFrame = {
+    val gMs = granularity match {
+      case "hour" => 3600000L
+      case "day"  => 86400000L
+      case other  => throw new IllegalArgumentException(other)
+    }
+    events
+      .groupBy(
+        expr(s"((ts DIV 1000000) DIV $gMs) * $gMs").as("bucket_ms"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+  }
+
+  /** A11: HBaseController.batchBulkload splits [start,end) into
+    * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
+    * split is a bucketing expression inside ONE job -- no per-interval
+    * job submission.
+    */
+  def batchIntervalStats(events: DataFrame, startMs: Long, endMs: Long,
+                         intervalMs: Long): DataFrame = {
+    val ms = tsMs
+    events
+      .filter(ms >= startMs && ms < endMs)
+      .groupBy(floor((ms - lit(startMs)) / lit(intervalMs)).as("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .withColumn("interval_start_ms",
+        (col("interval_id") * lit(intervalMs) + lit(startMs)))
+      .orderBy(col("interval_id"))
+  }
+}
