@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Core
+import graft.queries.{Core, HModel}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -43,7 +43,15 @@ object SparkEntry {
       Core.batchIntervalStats(t(s, d, "events"),
         startMs = 1704067200000L, // 2024-01-01T00:00:00Z
         endMs = 1706745600000L,   // 2024-02-01T00:00:00Z
-        intervalMs = 6L * 3600 * 1000))
+        intervalMs = 6L * 3600 * 1000)),
+    // ---- B. HBase data model & bulkload ---------------------------------
+    "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
+    "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
+    "cells_pivot" -> ((s, d) => HModel.cellsPivot(t(s, d, "orders"))),
+    "salt_distribution" -> ((s, d) =>
+      HModel.saltDistribution(t(s, d, "events"), buckets = 16)),
+    "bulkload_plan" -> ((s, d) =>
+      HModel.bulkloadPlan(t(s, d, "events"), buckets = 16))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +160,45 @@ object SparkEntry {
         |   * 21600000 + 1704067200000 AS interval_start_ms
         |FROM events
         |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) < 1706745600000
-        |GROUP BY 1, 5 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 5 ORDER BY 1""".stripMargin,
+    "rowkey_encode" ->
+      """SELECT c_custkey,
+        | lpad(to_hex(c_custkey), 16, '0') AS rk_hex,
+        | lpad(to_hex(c_custkey), 16, '0') || hex(c_name) AS rk_composite_hex
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "cells_extract" ->
+      """SELECT * FROM (
+        | SELECT lpad(to_hex(o_orderkey),16,'0') AS rk_hex, 'f' AS family,
+        |        'custkey' AS qualifier,
+        |        lpad(to_hex(o_custkey),16,'0') AS value_hex FROM orders
+        | UNION ALL
+        | SELECT lpad(to_hex(o_orderkey),16,'0'), 'f', 'priority',
+        |        hex(o_orderpriority) FROM orders
+        | UNION ALL
+        | SELECT lpad(to_hex(o_orderkey),16,'0'), 'f', 'status',
+        |        hex(o_orderstatus) FROM orders)
+        |ORDER BY rk_hex, qualifier""".stripMargin,
+    "cells_pivot" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "salt_distribution" ->
+      s"""WITH h AS (SELECT user_id,
+         | ${HModel.arraysHashCodeSql("user_id")} AS hc FROM events)
+         |SELECT abs(hc % 16) AS bucket, COUNT(*) AS n_rows,
+         |       COUNT(DISTINCT user_id) AS n_keys
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bulkload_plan" ->
+      s"""WITH h AS (SELECT user_id, event_id,
+         |  (epoch_ms(ts) // 3600000) * 3600 AS hour_sec,
+         |  ${HModel.arraysHashCodeSql("user_id")} AS hc FROM events),
+         |k AS (SELECT abs(hc % 16) AS bucket, hour_sec,
+         |  lpad(to_hex(abs(hc % 16)),4,'0') || lpad(to_hex(hour_sec),8,'0') ||
+         |  lpad(to_hex(user_id),16,'0') || lpad(to_hex(event_id),16,'0')
+         |    AS key_hex
+         | FROM h)
+         |SELECT bucket, COUNT(*) AS n_cells,
+         |       COUNT(DISTINCT hour_sec) AS n_hours,
+         |       MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex
+         |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+/** Byte-level codec with HBase `Bytes` semantics (big-endian, bit-compatible
+  * with the reference's serde — HBaseSerde.java:280-463, HBaseTypeUtils.java):
+  * long/int/short big-endian; double/float via IEEE bits; boolean as a
+  * single 0xFF/0x00 byte; decimal as 4-byte scale + unscaled big-int bytes;
+  * string as UTF-8.
+  *
+  * All methods are static so Catalyst codegen can call them directly from
+  * generated Java (see the expressions in [[HbExpressions]]).
+  */
+object BytesCodec {
+
+  // ---- encoders ---------------------------------------------------------
+  def encodeLong(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 7; var x = v
+    while (i >= 0) { b(i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+    b
+  }
+
+  def encodeInt(v: Int): Array[Byte] = {
+    val b = new Array[Byte](4)
+    var i = 3; var x = v
+    while (i >= 0) { b(i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+    b
+  }
+
+  def encodeShort(v: Short): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  def encodeByte(v: Byte): Array[Byte] = Array(v)
+
+  def encodeDouble(v: Double): Array[Byte] =
+    encodeLong(java.lang.Double.doubleToLongBits(v))
+
+  def encodeFloat(v: Float): Array[Byte] =
+    encodeInt(java.lang.Float.floatToIntBits(v))
+
+  /** HBase Bytes.toBytes(boolean): {-1} for true, {0} for false. */
+  def encodeBoolean(v: Boolean): Array[Byte] =
+    Array(if (v) (-1).toByte else 0.toByte)
+
+  /** HBase Bytes.toBytes(BigDecimal): 4-byte scale + unscaled bytes. */
+  def encodeDecimal(v: java.math.BigDecimal): Array[Byte] = {
+    val unscaled = v.unscaledValue.toByteArray
+    encodeInt(v.scale) ++ unscaled
+  }
+
+  // ---- decoders ---------------------------------------------------------
+  def decodeLong(b: Array[Byte]): Long = {
+    require(b.length == 8, s"expected 8 bytes, got ${b.length}")
+    var x = 0L; var i = 0
+    while (i < 8) { x = (x << 8) | (b(i) & 0xffL); i += 1 }
+    x
+  }
+
+  def decodeInt(b: Array[Byte]): Int = {
+    require(b.length == 4, s"expected 4 bytes, got ${b.length}")
+    var x = 0; var i = 0
+    while (i < 4) { x = (x << 8) | (b(i) & 0xff); i += 1 }
+    x
+  }
+
+  def decodeShort(b: Array[Byte]): Short = {
+    require(b.length == 2, s"expected 2 bytes, got ${b.length}")
+    (((b(0) & 0xff) << 8) | (b(1) & 0xff)).toShort
+  }
+
+  def decodeByte(b: Array[Byte]): Byte = b(0)
+
+  def decodeDouble(b: Array[Byte]): Double =
+    java.lang.Double.longBitsToDouble(decodeLong(b))
+
+  def decodeFloat(b: Array[Byte]): Float =
+    java.lang.Float.intBitsToFloat(decodeInt(b))
+
+  def decodeBoolean(b: Array[Byte]): Boolean = b(0) != 0
+
+  def decodeDecimal(b: Array[Byte]): java.math.BigDecimal = {
+    val scale = decodeInt(java.util.Arrays.copyOfRange(b, 0, 4))
+    val unscaled = new java.math.BigInteger(
+      java.util.Arrays.copyOfRange(b, 4, b.length))
+    new java.math.BigDecimal(unscaled, scale)
+  }
+
+  /** java.util.Arrays.hashCode(byte[]) — exact parity with the reference's
+    * salt computation (TsdbBulkload.java:94).
+    */
+  def javaArraysHashCode(b: Array[Byte]): Int = {
+    var h = 1; var i = 0
+    while (i < b.length) { h = 31 * h + b(i); i += 1 }
+    h
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+import graft.functions.hb
+import graft.model.{HColumn, HTableSchema}
+import graft.operators.{BulkLoad, Cells, Salt}
+
+/** HBase data-model queries (SURVEY.md §2 B-series): the reference's core
+  * rowkey/cell/salt/bulkload semantics, surfaced as oracle-checkable
+  * DataFrames.
+  */
+object HModel {
+
+  /** Cell mapping used for the orders table in B2/B3. */
+  val ordersSchema: HTableSchema = HTableSchema(
+    rowKey = Seq("o_orderkey"),
+    columns = Seq(
+      HColumn("f", "custkey", "o_custkey", LongType),
+      HColumn("f", "priority", "o_orderpriority", StringType),
+      HColumn("f", "status", "o_orderstatus", StringType)))
+
+  /** B1: typed field → big-endian rowkey (HBaseSerde.createFieldEncoder),
+    * surfaced as hex so DuckDB can reproduce it arithmetically.
+    */
+  def rowkeyEncode(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey"),
+      hex(hb.encode(col("c_custkey"))).as("rk_hex"),
+      hex(concat(hb.encode(col("c_custkey")), hb.encode(col("c_name"))))
+        .as("rk_composite_hex"))
+      .orderBy(col("c_custkey"))
+
+  /** B2: wide row → cell stream (createPutMutation semantics). */
+  def cellsExtract(orders: DataFrame): DataFrame =
+    Cells.toCells(orders, ordersSchema)
+      .select(hex(col("rowkey")).as("rk_hex"), col("family"),
+        col("qualifier"), hex(col("value")).as("value_hex"))
+      .orderBy(col("rk_hex"), col("qualifier"))
+
+  /** B3: cells → wide row (convertToRow semantics): encode out, decode
+    * back, and the result must equal a plain projection of the source.
+    */
+  def cellsPivot(orders: DataFrame): DataFrame = {
+    val cells = Cells.toCells(orders, ordersSchema)
+    Cells.fromCells(cells, ordersSchema)
+      .select(
+        hb.decode(col("rowkey"), LongType).as("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B4: salt-bucket histogram with exact reference parity
+    * (abs(Arrays.hashCode(rowkey)) % buckets, TsdbBulkload.java:90-98).
+    */
+  def saltDistribution(events: DataFrame, buckets: Int): DataFrame =
+    events
+      .groupBy(Salt.bucket(hb.encode(col("user_id")), buckets).cast("long")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_keys"))
+      .orderBy(col("bucket"))
+
+  /** B5: the HFile plan: salt + range-sort a cell stream, then report per
+    * bucket the cell count, distinct hour prefixes, and the key range —
+    * the file-roll boundaries of HadoopOutputFormat2.java:88-100.
+    */
+  def bulkloadPlan(events: DataFrame, buckets: Int): DataFrame = {
+    val cells = events.select(
+      col("user_id"),
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"),
+      lit("value").as("qualifier"),
+      hb.encode(col("value")).as("value"),
+      expr("(ts DIV 1000000000 DIV 3600) * 3600").cast("int").as("hour_sec"))
+    val prepared = BulkLoad.prepare(cells, buckets, numPartitions = 32,
+      saltBase = Some(hb.encode(col("user_id"))),
+      epochSec = Some(col("hour_sec")))
+    prepared
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("hour_sec")).as("n_hours"),
+        min(hex(col("salted_key"))).as("min_key_hex"),
+        max(hex(col("salted_key"))).as("max_key_hex"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB closed form of java.util.Arrays.hashCode over the 8 big-endian
+    * bytes of a non-negative BIGINT column: h = 31^8 + Σ 31^(7-i)·sbyte_i,
+    * wrapped to int32. Shared by the B4/B5 oracles.
+    */
+  def arraysHashCodeSql(col: String): String = {
+    val terms = (0 until 8).map { i =>
+      val shift = 8 * (7 - i)
+      val p = math.pow(31, 7 - i).toLong
+      val b = s"(($col >> $shift) & 255)"
+      s"$p * ($b - (CASE WHEN $b > 127 THEN 256 ELSE 0 END))"
+    }.mkString(" + ")
+    // 31^8 = 852891037441; wrap int64 -> int32 two's complement
+    s"(((852891037441 + $terms + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)"
+  }
+}
