@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core, HModel}
+import graft.queries.{Core, HModel, Pipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -51,7 +51,33 @@ object SparkEntry {
     "salt_distribution" -> ((s, d) =>
       HModel.saltDistribution(t(s, d, "events"), buckets = 16)),
     "bulkload_plan" -> ((s, d) =>
-      HModel.bulkloadPlan(t(s, d, "events"), buckets = 16))
+      HModel.bulkloadPlan(t(s, d, "events"), buckets = 16)),
+    // ---- C. deduplication -----------------------------------------------
+    "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
+    "dedup_exact_normalized" -> ((s, d) =>
+      Pipeline.dedupExactNormalized(t(s, d, "documents"))),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Pipeline.dedupMinhashLsh(t(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => Pipeline.dedupSimhash(t(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Pipeline.dedupNgramJaccard(t(s, d, "documents"))),
+    "dedup_embedding" -> ((s, d) =>
+      Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
+    // ---- D. similarity search -------------------------------------------
+    "knn_bruteforce" -> ((s, d) =>
+      Pipeline.knnBruteforce(t(s, d, "embeddings"))),
+    "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
+    "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
+    // ---- E. text analysis -----------------------------------------------
+    "text_stats" -> ((s, d) => Pipeline.textStats(t(s, d, "documents"))),
+    "text_quality" -> ((s, d) => Pipeline.textQuality(t(s, d, "documents"))),
+    "text_langid" -> ((s, d) => Pipeline.textLangId(t(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) =>
+      Pipeline.textFingerprint(t(s, d, "documents"))),
+    "text_rolling_fp" -> ((s, d) =>
+      Pipeline.textRollingFp(t(s, d, "documents"))),
+    // ---- F. multimodal --------------------------------------------------
+    "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,6 +225,90 @@ object SparkEntry {
          |SELECT bucket, COUNT(*) AS n_cells,
          |       COUNT(DISTINCT hour_sec) AS n_hours,
          |       MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex
-         |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact_normalized" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> qe[i]::DOUBLE * embedding[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS c
+        | FROM q, embeddings WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |   AS n_bpe_tokens,
+        | length(text) AS n_chars,
+        | len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+        | len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+        | length(text) - length(replace(text, ' ', '')) AS n_spaces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+        |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',
+        |    'is','on','for')))::DOUBLE / len(ws) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE
+        |    / length(text)::DOUBLE AS punct_ratio,
+        |  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
+        |    AS len_score
+        | FROM q)
+        |SELECT doc_id, round(diversity, 6) AS diversity,
+        | round(stop_ratio, 6) AS stop_ratio,
+        | round(punct_ratio, 6) AS punct_ratio,
+        | round(len_score * 0.25 + diversity * 0.25
+        |   + least(stop_ratio * 4, 1.0) * 0.25
+        |   + greatest(1.0 - punct_ratio * 10, 0.0) * 0.25, 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, w -> w IN ('der','die','und','das','nicht','ist'))) AS h_de,
+        |  len(list_filter(ws, w -> w IN ('the','a','and','of','is','to'))) AS h_en,
+        |  len(list_filter(ws, w -> w IN ('el','los','las','que','y','es'))) AS h_es,
+        |  len(list_filter(ws, w -> w IN ('le','les','une','et','est','dans'))) AS h_fr,
+        |  len(list_filter(ws, w -> w IN ('的','了','是','在','我','有'))) AS h_zh
+        | FROM q),
+        |p AS (SELECT doc_id, lang, h_de + h_en + h_es + h_fr + h_zh AS n_marker_hits,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'unknown'
+        |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+        |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        | FROM h)
+        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match,
+        | n_marker_hits
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(text)) AS n_distinct,
+        | COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm_manifest" ->
+      """SELECT doc_id,
+        | (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+        | strlen(text) AS size_bytes,
+        | md5(text) AS content_id
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for dedup/fingerprint hashing — codegen'd
+  * calls into [[TextHashes]] static kernels, so MinHash/SimHash stay
+  * inside whole-stage codegen (no Scala UDF boxing in the hot path).
+  */
+private[graft] trait ArrayOfLongInput extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got $other")
+  }
+}
+
+/** `perms`-permutation MinHash signature of an ARRAY<BIGINT> hash set. */
+case class MinHashSig(child: Expression, perms: Int) extends ArrayOfLongInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSig(input.asInstanceOf[ArrayData], perms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.minhashSig($c, $perms)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash (per-bit majority vote) of an ARRAY<BIGINT> hash set. */
+case class SimHash64(child: Expression) extends ArrayOfLongInput {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+private[graft] trait StringInput extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got $other")
+  }
+}
+
+/** Whole-content 64-bit polynomial (Rabin–Karp) fingerprint. */
+case class RollingFp(child: Expression) extends StringInput {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.rollingFp(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.rollingFp($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+}
+
+/** Min mixed hash over all `window`-byte rolling windows (winnowing). */
+case class RollingWindowMin(child: Expression, window: Int) extends StringInput {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.rollingWindowMin(input.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.rollingWindowMin($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowMin =
+    copy(child = newChild)
+}
+
+/** Column-API entry points. */
+object txt {
+  def minhash(hashes: Column, perms: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), perms))
+  def simhash(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+  def rollingFp(s: Column): Column =
+    ColumnBridge.column(RollingFp(ColumnBridge.expression(s)))
+  def rollingWindowMin(s: Column, window: Int): Column =
+    ColumnBridge.column(RollingWindowMin(ColumnBridge.expression(s), window))
+}

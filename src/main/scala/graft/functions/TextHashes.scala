@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernels for the dedup/fingerprint expressions. Kept as
+  * plain static methods so [[TextExpressions]] can call them from
+  * generated code (one virtual-call-free invocation per row inside
+  * whole-stage codegen).
+  *
+  * All constants are public-domain mixers (SplitMix64 / MurmurHash3
+  * finalizer); nothing here derives from the reference implementation.
+  */
+object TextHashes {
+
+  /** Upper bound on MinHash permutations (seed table size). */
+  val MaxPerms = 512
+
+  /** SplitMix64 step — used to derive one independent seed per MinHash
+    * permutation from the permutation index.
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val seeds: Array[Long] = Array.tabulate(MaxPerms)(j => splitmix64(j.toLong))
+
+  /** MurmurHash3 64-bit finalizer: full-avalanche bijective mixer. */
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** MinHash signature over a set of element hashes: one pass over the
+    * array, `perms` simulated permutations (hash XOR per-perm seed put
+    * through an avalanche mixer — a standard permutation family).
+    * Empty input yields Long.MaxValue per slot (the identity of min).
+    */
+  def minhashSig(hashes: ArrayData, perms: Int): ArrayData = {
+    require(perms > 0 && perms <= MaxPerms, s"perms must be in [1,$MaxPerms]")
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < perms) {
+        val v = fmix64(h ^ seeds(j))
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over a set of feature hashes: per-bit majority vote
+    * (bit set iff strictly more features have it set than clear).
+    */
+  def simhash64(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private val PolyBase = 1000003L // polynomial base (prime, fits a mult)
+
+  /** Whole-content 64-bit polynomial fingerprint over UTF-8 bytes:
+    * h = Σ b_i · B^(n-1-i) mod 2^64 (Rabin–Karp style).
+    */
+  def rollingFp(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * PolyBase + (bytes(i) & 0xFF)
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing-style selection: minimum fmix64-mixed hash over all
+    * `w`-byte rolling windows (true O(n) roll: enter/exit via the
+    * precomputed B^(w-1) factor). Documents shorter than `w` fall back
+    * to the whole-content fingerprint. The mixer decorrelates the raw
+    * polynomial value so "min" is uniform over windows.
+    */
+  def rollingWindowMin(s: UTF8String, w: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length < w) return fmix64(rollingFp(s))
+    var pw = 1L // B^(w-1)
+    var i = 0
+    while (i < w - 1) { pw *= PolyBase; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * PolyBase + (bytes(i) & 0xFF); i += 1 }
+    var best = fmix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - w) & 0xFF) * pw) * PolyBase + (bytes(i) & 0xFF)
+      val m = fmix64(h)
+      if (m < best) best = m
+      i += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.txt
+
+/** Deduplication suite (SURVEY.md §2 C-series): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine — the operators a
+  * large-scale training-data pipeline runs over a documents table.
+  *
+  * Scale posture (100 TB): every near-dup path is
+  * signature → band-bucket groupBy → candidate pairs → verify,
+  * so the only shuffles are keyed on band buckets and pair ids;
+  * there is never an O(n²) crossjoin. Bucket sizes are capped
+  * (`maxBucket`) so a degenerate key (e.g. the empty document) cannot
+  * produce a quadratic pair explosion on one task.
+  */
+object Dedup {
+
+  // ---- shingling -------------------------------------------------------
+
+  /** Distinct `k`-word shingles of a text column (ARRAY<STRING>). */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    val starts = sequence(lit(1), n - (k - 1)) // 1-based start positions
+    val sh = transform(starts, i => concat_ws(" ", slice(words, i, lit(k))))
+    when(n >= k, array_distinct(sh)).otherwise(array())
+  }
+
+  /** Distinct shingle hash set (ARRAY<BIGINT>), xxhash64 per shingle. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact dedup by content fingerprint: one hash-groupBy (map-side
+    * partial min/count), keeps the minimum id per fingerprint.
+    */
+  def exact(docs: DataFrame, idCol: String, fp: Column): DataFrame =
+    docs
+      .groupBy(fp.as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Case/whitespace-normalized content key. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  // ---- LSH banding machinery ------------------------------------------
+
+  /** All unordered pairs (a &lt; b) from an ascending-sorted array, as
+    * ARRAY&lt;STRUCT&lt;a,b&gt;&gt; — pure expression, no UDF.
+    */
+  private def pairsOf(arr: Column): Column = {
+    val n = size(arr)
+    flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(slice(arr, i + 1, n), b =>
+        struct(get(arr, i - 1).as("a"), b.as("b")))))
+  }
+
+  /** Banded-LSH candidate pairs over a signature column: explode each
+    * row into (band, band-hash) keys, group, and emit pairs per bucket.
+    * Buckets larger than `maxBucket` are dropped (degenerate keys).
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
+                        bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = 1000): DataFrame = {
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bkey")))
+    sigs
+      .select(col(idCol), explode(bandKeys).as("bk"))
+      .groupBy(col("bk.band"), col("bk.bkey"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Candidate pairs joined back to per-id payloads: (a, b, pa, pb). */
+  private def joinPayload(cand: DataFrame, payload: DataFrame,
+                          idCol: String, payloadCol: String): DataFrame =
+    cand
+      .join(payload.select(col(idCol).as("a"), col(payloadCol).as("pa")), "a")
+      .join(payload.select(col(idCol).as("b"), col(payloadCol).as("pb")), "b")
+
+  /** Exact Jaccard over two hash-set columns. */
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    inter.cast("double") / (size(sa) + size(sb) - inter)
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** MinHash+LSH near-dup pairs, verified by exact shingle Jaccard.
+    * `perms` must equal `bands * rowsPerBand`.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, perms: Int = 128, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+    val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
+    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
+    joinPayload(cand, sh, idCol, "sh")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        jaccard(col("pa"), col("pb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH candidates with their exact n-gram Jaccard, unthresholded —
+    * the verification-path view (SURVEY C5).
+    */
+  def ngramJaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 3, perms: Int = 128,
+                             bands: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+    val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
+    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
+    joinPayload(cand, sh, idCol, "sh")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        size(array_intersect(col("pa"), col("pb"))).cast("long").as("n_common"),
+        jaccard(col("pa"), col("pb")).as("jaccard"))
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`,
+    * blocked on 4×16-bit bands (any shared band ⇒ candidate; with
+    * maxHamming ≤ 3 < 4 bands, a true near-dup pair must share at
+    * least one full band — no recall loss, pigeonhole).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      graft.functions.txt.simhash(shingleHashes(col(textCol), k)).as("sig"))
+    val bandKeys = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("bkey"))
+    }: _*)
+    val banded = sigs
+      .select(col(idCol), explode(bandKeys).as("bk"))
+      .groupBy(col("bk.band"), col("bk.bkey"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    banded
+      .join(sigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+  }
+
+  // ---- embedding near-dup ---------------------------------------------
+
+  /** Deterministic gaussian hyperplanes (Box–Muller over SplitMix-free
+    * scala.util.Random(seed) — driver-side constants, broadcast as
+    * literals into the plan).
+    */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(vec: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(vec, typedLit(plane.toSeq), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane sign-bucket per band: `planesPerBand` sign bits
+    * packed into a long.
+    */
+  private def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking,
+    * verified by exact cosine ≥ `threshold`. `bands` independent bucket
+    * tables of `planesPerBand` bits each.
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double = 0.4,
+                       bands: Int = 4, planesPerBand: Int = 8,
+                       seed: Long = 7L, maxBucket: Int = 2000): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val withVec = emb.select(col(idCol), vd.as("v"))
+    val all = hyperplanes(bands * planesPerBand, dim, seed)
+    val bandCols = (0 until bands).map { b =>
+      val planes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
+      struct(lit(b).as("band"), signBucket(col("v"), planes).as("bkey"))
+    }
+    val cand = withVec
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .groupBy(col("bk.band"), col("bk.bkey"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    cand
+      .join(withVec.select(col(idCol).as("a"), col("v").as("va")), "a")
+      .join(withVec.select(col(idCol).as("b"), col("v").as("vb")), "b")
+      .withColumn("cosine", Knn.cosineD(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
+  }
+}

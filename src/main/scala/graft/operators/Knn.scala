@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY.md §2 D-series): exact brute-force top-k
+  * as the correctness baseline; random-hyperplane LSH and IVF cell
+  * probing as the scale paths.
+  *
+  * Scale posture: the query set is the small side and is always
+  * broadcast; the corpus is never collected. Brute force is
+  * O(|corpus|·|queries|) map work with no shuffle until the final
+  * per-query top-k; LSH/IVF first cut the corpus to matching buckets /
+  * probed cells so the per-query work is a small fraction of the
+  * corpus — that fraction is the recall/cost dial.
+  */
+object Knn {
+
+  /** Sequential-fold dot product over two ARRAY<DOUBLE> columns — the
+    * fold order matches a plain left-to-right sum so results are
+    * reproducible bit-for-bit.
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity over ARRAY<DOUBLE> columns. */
+  def cosineD(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Float embedding column cast to ARRAY<DOUBLE> (do all math in
+    * double: deterministic, and matches the DuckDB oracle's ::DOUBLE[]).
+    */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors of each query vector (self excluded).
+    * Queries are broadcast; the only shuffle is the per-query window.
+    */
+  def bruteForce(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH ANN: corpus and queries are bucketed by
+    * `bands` independent sign-bit keys; a candidate is any corpus
+    * vector sharing ≥1 bucket with the query; exact cosine re-ranks
+    * the candidates. Recall (vs [[bruteForce]]) rises with `bands`
+    * and falls with `planesPerBand` — asserted in the spec.
+    */
+  def lsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+          vecCol: String, dim: Int, k: Int, bands: Int = 8,
+          planesPerBand: Int = 6, seed: Long = 7L): DataFrame = {
+    val planes = Dedup.hyperplanes(bands * planesPerBand, dim, seed)
+    def keyed(df: DataFrame, id: String, v: String) = {
+      val vd = asDouble(col(vecCol))
+      val bandCols = (0 until bands).map { b =>
+        val slice = planes.slice(b * planesPerBand, (b + 1) * planesPerBand)
+        struct(lit(b).as("band"), signBucket(vd, slice).as("bkey"))
+      }
+      df.select(col(idCol).as(id), vd.as(v),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col(id), col(v), col("bk.band"), col("bk.bkey"))
+    }
+    val c = keyed(corpus, "neighbor_id", "cv")
+    val q = broadcast(keyed(queries, "query_id", "qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(q, Seq("band", "bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  private def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(aggregate(zip_with(vec, typedLit(p.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** IVF-style ANN: a deterministic coarse codebook (every `stride`-th
+    * corpus vector), each corpus vector assigned to its nearest
+    * centroid cell, each query probing its `nProbe` nearest cells.
+    * At scale the assign step is a broadcast map (codebook ≪ corpus)
+    * and the search only scans probed cells.
+    */
+  def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
+          vecCol: String, k: Int, stride: Int = 50,
+          nProbe: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val centroids = broadcast(
+      corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
+    // assign: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("csim").desc, col("cell_id"))
+    val cells = c.join(centroids)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("cell_id"), col("neighbor_id"), col("cv"))
+    // probe: nProbe nearest cells per query
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell_id"))
+    val probes = broadcast(q.join(centroids)
+      .withColumn("qsim", cosineD(col("qv"), col("centroid")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.join(probes, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

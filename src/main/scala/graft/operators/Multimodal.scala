@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY.md §2 F-series): media payloads
+  * as opaque BINARY columns with typed metadata, plus the
+  * batch-decode/feature-extract plumbing a training pipeline hangs off
+  * them.
+  *
+  * The container has no image/audio codecs, so [[decodeFeatures]]'s
+  * decoder is a clearly-marked deterministic stub — the Spark-side
+  * contract (schema, batching, partition preservation) is real and
+  * tested, and swapping the stub for a JNI/codec call changes nothing
+  * upstream.
+  */
+object Multimodal {
+
+  /** Modality assignment used by the manifest (doc_id mod 3). */
+  private val Kinds = Seq("image", "audio", "video")
+
+  /** F1: manifest over payload columns: byte size, content id, kind,
+    * per-kind sizing stats derivable by any reader of the same bytes.
+    */
+  def manifest(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8") // stand-in binary payload
+    docs.select(
+      col(idCol),
+      element_at(typedLit(Kinds), (pmod(col(idCol), lit(3)) + 1).cast("int"))
+        .as("kind"),
+      octet_length(payload).cast("long").as("size_bytes"),
+      md5(payload).as("content_id"))
+  }
+
+  /** Feature row produced per media payload by the decode stub. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Batch size handed to the decoder (real codecs amortize per-batch
+    * setup — model load, GPU transfer — across this many payloads).
+    */
+  val DecodeBatchSize = 64
+
+  /** F2: mapPartitions batch decode → feature pipeline. Input must have
+    * (doc_id LONG, kind STRING, payload BINARY). Partitioning is
+    * preserved (no shuffle); each partition is processed in
+    * [[DecodeBatchSize]] groups.
+    *
+    * STUB: `decodeBatch` fabricates deterministic dimensions/features
+    * from the payload bytes instead of invoking a codec.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "kind", "payload").rdd
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch => decodeBatch(batch) }
+      }
+    spark.createDataFrame(rdd, FeatureSchema)
+  }
+
+  /** Deterministic decode STUB — replace with a real codec binding.
+    * Dimensions and features are pure functions of the payload bytes,
+    * so tests can assert exact values.
+    */
+  private def decodeBatch(batch: Seq[Row]): Seq[Row] = batch.map { r =>
+    val id = r.getLong(0)
+    val kind = r.getString(1)
+    val payload = r.getAs[Array[Byte]](2)
+    val h = graft.functions.BytesCodec.javaArraysHashCode(payload)
+    val width = 64 + math.floorMod(h, 64)
+    val height = 64 + math.floorMod(h >> 8, 64)
+    val frames = if (kind == "video") 1 + math.floorMod(h >> 16, 30) else 1
+    val feats = Array.tabulate(8) { i =>
+      math.floorMod(h.toLong * (i + 1), 1000L) / 1000.0
+    }
+    Row(id, kind, width, height, frames, feats.toSeq)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.txt
+
+/** Text analysis (SURVEY.md §2 E-series): token/char stats, quality
+  * scoring, language ID, content fingerprints. All pure per-row
+  * expression work (whole-stage codegen; zero shuffles except the
+  * stated aggregations), so it streams at scan speed on any corpus
+  * size.
+  *
+  * Determinism: every formula below is written with the identical
+  * operation tree as its DuckDB oracle (same division order, integer
+  * scores for argmax tie-breaks), so hash-compares can't drift.
+  */
+object TextOps {
+
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single other
+    * non-space chars — the standard byte-pair pre-split shape.
+    */
+  val BpeTokenRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** E1: per-doc token/char-class statistics. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    docs.select(
+      col(idCol),
+      size(words(t)).cast("long").as("n_tokens"),
+      size(regexp_extract_all(t, lit(BpeTokenRe), lit(0))).cast("long")
+        .as("n_bpe_tokens"),
+      nChars.cast("long").as("n_chars"),
+      size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+        .as("n_punct"),
+      size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long")
+        .as("n_digits"),
+      (nChars - length(regexp_replace(t, " ", ""))).cast("long")
+        .as("n_spaces"))
+  }
+
+  /** Small English stopword set used by quality scoring (shared with
+    * the oracle SQL verbatim).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** E2: heuristic quality score in [0,1]:
+    * 0.25·length-in-range + 0.25·lexical-diversity + 0.25·stopword
+    * presence + 0.25·(1 − punctuation excess). Components exposed for
+    * inspection/filtering.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nTok = size(ws).cast("double")
+    val lenScore = when(length(t).between(100, 2000), lit(1.0))
+      .otherwise(lit(0.5))
+    val diversity = size(array_distinct(ws)).cast("double") / nTok
+    val stopRatio =
+      size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") / nTok
+    val stopScore = least(stopRatio * 4, lit(1.0))
+    val punctRatio =
+      size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+        length(t).cast("double")
+    val punctScore = greatest(lit(1.0) - punctRatio * 10, lit(0.0))
+    docs.select(
+      col(idCol),
+      round(diversity, 6).as("diversity"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(lenScore * 0.25 + diversity * 0.25 + stopScore * 0.25 +
+        punctScore * 0.25, 6).as("quality"))
+  }
+
+  /** Marker stopwords per language (tiny, public, deterministic). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "es" -> Seq("el", "los", "las", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est", "dans"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有"))
+
+  /** E3: n-gram/stopword-hit language ID. Integer hit counts (no float
+    * compare); argmax with a fixed priority order on ties; zero hits →
+    * "unknown". Compared against the labeled `lang` column.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             labelCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val hits = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ws, w => w.isin(markers: _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // first lang (in LangMarkers order) reaching the max hit count
+    val pred = hits.reverse.foldLeft(lit("unknown")) {
+      case (acc, (lang, h)) => when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    docs.select(
+      col(idCol), col(labelCol).as("lang"),
+      pred.as("pred_lang"),
+      (pred === col(labelCol)).as("is_match"),
+      hits.map(_._2).reduce(_ + _).cast("long").as("n_marker_hits"))
+  }
+
+  /** E4: content fingerprint + per-source duplicate statistics. */
+  def fingerprintStats(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame =
+    docs
+      .select(col(sourceCol), md5(col(textCol)).as("fp"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
+
+  /** E5: 64-bit polynomial rolling-hash fingerprints (whole-content +
+    * winnowing window-min) via the codegen'd [[graft.functions.txt]]
+    * expressions.
+    */
+  def rollingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 16): DataFrame =
+    docs.select(
+      col(idCol),
+      txt.rollingFp(col(textCol)).as("fp64"),
+      txt.rollingWindowMin(col(textCol), window).as("winnow_fp64"))
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Knn, Multimodal, TextOps}
+
+/** Training-data pipeline queries (SURVEY.md §2 C/D/E/F series) over the
+  * `documents` and `embeddings` tables. Thin deterministic wrappers
+  * around the operator modules: fixed parameters, full ordering, and
+  * column names matching the DuckDB oracles.
+  */
+object Pipeline {
+
+  val EmbeddingDim = 64
+
+  // ---- C. dedup --------------------------------------------------------
+
+  /** C1: exact dedup by md5 content fingerprint. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    Dedup.exact(documents, "doc_id", md5(col("text")))
+      .orderBy("fp")
+
+  /** C2: exact dedup after case/whitespace normalization. */
+  def dedupExactNormalized(documents: DataFrame): DataFrame =
+    Dedup.exact(documents, "doc_id", md5(Dedup.normalized(col("text"))))
+      .orderBy("fp")
+
+  /** C3: MinHash(128) + 16-band LSH, verified Jaccard ≥ 0.7. */
+  def dedupMinhashLsh(documents: DataFrame): DataFrame =
+    Dedup.minhashLsh(documents, "doc_id", "text",
+        k = 3, perms = 128, bands = 16, threshold = 0.7)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  /** C4: 64-bit SimHash near-dup pairs, Hamming ≤ 3. */
+  def dedupSimhash(documents: DataFrame): DataFrame =
+    Dedup.simhashPairs(documents, "doc_id", "text", k = 3, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** C5: exact 3-shingle Jaccard over the LSH candidate set. */
+  def dedupNgramJaccard(documents: DataFrame): DataFrame =
+    Dedup.ngramJaccardCandidates(documents, "doc_id", "text",
+        k = 3, perms = 128, bands = 16)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  /** C6: embedding-cosine near-dup pairs (θ ≥ 0.4 — the synthetic
+    * embeddings top out near cosine 0.51) via hyperplane LSH blocking.
+    */
+  def dedupEmbedding(embeddings: DataFrame): DataFrame =
+    Dedup.embeddingNearDup(embeddings, "vec_id", "embedding",
+        dim = EmbeddingDim, threshold = 0.4, bands = 4, planesPerBand = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("vec_a", "vec_b")
+
+  // ---- D. similarity search -------------------------------------------
+
+  private def querySet(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") < 10)
+
+  /** D1: exact top-5 cosine neighbors for queries vec_id < 10. */
+  def knnBruteforce(embeddings: DataFrame): DataFrame =
+    Knn.bruteForce(embeddings, querySet(embeddings), "vec_id", "embedding", k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
+  /** D2: hyperplane-LSH ANN, same queries (recall vs D1 in the spec). */
+  def knnLsh(embeddings: DataFrame): DataFrame =
+    Knn.lsh(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = EmbeddingDim, k = 5, bands = 8, planesPerBand = 6)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
+  /** D3: IVF cell-probe ANN, same queries. */
+  def knnIvf(embeddings: DataFrame): DataFrame =
+    Knn.ivf(embeddings, querySet(embeddings), "vec_id", "embedding",
+        k = 5, stride = 50, nProbe = 3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
+  // ---- E. text analysis -----------------------------------------------
+
+  def textStats(documents: DataFrame): DataFrame =
+    TextOps.stats(documents, "doc_id", "text").orderBy("doc_id")
+
+  def textQuality(documents: DataFrame): DataFrame =
+    TextOps.quality(documents, "doc_id", "text").orderBy("doc_id")
+
+  def textLangId(documents: DataFrame): DataFrame =
+    TextOps.langId(documents, "doc_id", "text", "lang").orderBy("doc_id")
+
+  def textFingerprint(documents: DataFrame): DataFrame =
+    TextOps.fingerprintStats(documents, "doc_id", "text", "source")
+      .orderBy("source")
+
+  def textRollingFp(documents: DataFrame): DataFrame =
+    TextOps.rollingFingerprints(documents, "doc_id", "text", window = 16)
+      .orderBy("doc_id")
+
+  // ---- F. multimodal ---------------------------------------------------
+
+  def mmManifest(documents: DataFrame): DataFrame =
+    Multimodal.manifest(documents, "doc_id", "text").orderBy("doc_id")
+}

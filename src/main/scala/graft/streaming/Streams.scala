@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surfaces (SURVEY.md §2 G-series) — the role the
+  * reference delegates to its Flink runtime, re-expressed on Spark's
+  * incremental engine. Batch and streaming share the same expression
+  * trees, so a pipeline validated in batch runs incrementally
+  * unchanged.
+  *
+  * Scale posture: every stateful op is bounded by a watermark so state
+  * store size is O(keys within the lateness horizon), not O(stream).
+  */
+object Streams {
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** G1: incremental OpenTSDB-style rollup — event-time window agg with
+    * watermarked late-data handling. `events` must carry
+    * (event_ts TIMESTAMP, event_type STRING, value DOUBLE). Emits the
+    * same per-(bucket, type) aggregate row shape as the batch
+    * [[graft.queries.Core.rollup]].
+    */
+  def rollupStream(events: DataFrame, granularity: String,
+                   lateness: String = "1 hour"): DataFrame = {
+    val win = granularity match {
+      case "hour" => "1 hour"
+      case "day"  => "1 day"
+      case other  => throw new IllegalArgumentException(other)
+    }
+    events
+      .withWatermark("event_ts", lateness)
+      .groupBy(window(col("event_ts"), win), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("min_value"), col("max_value"))
+  }
+
+  /** G2: streaming exact dedup on a content fingerprint; state expires
+    * with the watermark instead of growing forever.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String,
+                  lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** G3: upsert mutation stream (the reference's buffered Put/Delete
+    * sink, HBaseSerde.java:119-173): each micro-batch is converted to a
+    * cell-mutation stream and handed to `flush` in rowkey order —
+    * foreachBatch keeps the sink pluggable (JDBC, HBase, files).
+    */
+  def upsertStream(rows: DataFrame, schema: graft.model.HTableSchema,
+                   flush: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val cells = graft.operators.Cells.toCells(batch.toDF(), schema)
+        flush(cells.orderBy("rowkey", "family", "qualifier"), epochId)
+      }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents")
+
+  test("shingles: k-word windows, distinct, short docs -> empty") {
+    val out = Seq("a b c d", "a b", "x x x x x")
+      .toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("exact dedup groups identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", md5(col("text")))
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exactly the true near-dup pairs (vs brute force)") {
+    val found = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 3, perms = 128, bands = 16, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over all pairs at the same threshold
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val truth = sh.as("x").join(sh.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        (size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+          (size($"x.sh") + size($"y.sh") -
+            size(array_intersect($"x.sh", $"y.sh")))).as("j"))
+      .filter($"j" >= 0.7)
+      .select($"x.doc_id", $"y.doc_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test data should contain seeded near-dups")
+    assert(found == truth) // 128 perms / 16 bands: no misses at j>=0.9 data
+  }
+
+  test("simhash pairs are symmetric-free, hamming-bounded, and real dups") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("embedding near-dup pairs verified above threshold") {
+    val emb = sf("embeddings")
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.4).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = sf("embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("brute force: k rows per query, self excluded, cosine descending") {
+    val out = Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length == 50)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      assert(!sorted.exists(_.getAs[Long]("neighbor_id") == q))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(1)
+      .select(Knn.cosineD(Knn.asDouble(col("embedding")),
+        Knn.asDouble(col("embedding"))).as("c"))
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("LSH and IVF beat random-candidate recall vs brute force") {
+    val bf = pairs(Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5))
+    val lsh = pairs(Knn.lsh(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5))
+    val ivf = pairs(Knn.ivf(emb, queries, "vec_id", "embedding", k = 5))
+    val lshRecall = (bf & lsh).size.toDouble / bf.size
+    val ivfRecall = (bf & ivf).size.toDouble / bf.size
+    // the synthetic corpus has no strong neighbors (max cos ~0.5), so the
+    // bar is: far better than scanning a random same-size candidate set
+    // (expected recall ~= scanned fraction: LSH ~12%, IVF ~20%)
+    assert(lshRecall >= 0.2, s"lsh recall $lshRecall")
+    assert(ivfRecall >= 0.3, s"ivf recall $ivfRecall")
+  }
+
+  test("IVF scans only probed cells") {
+    val out = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5,
+      stride = 50, nProbe = 3)
+    assert(out.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+  }
+}
