@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.model.HTableSchema
+
+/** RowKind-driven upsert/delete mutation stream (SURVEY.md §2 B8) — the
+  * reference's buffered sink semantics (HBaseSerde.java:119-173:
+  * createPutMutation / createDeleteMutation, flush sizing per
+  * HBaseWriteOptions).
+  *
+  * Insert/update rows explode into one PUT cell per mapped column;
+  * delete rows collapse to a single row-delete marker. Flush batching
+  * happens per partition with a bounded buffer, so sink memory is
+  * O(maxMutations), not O(partition).
+  */
+object Mutations {
+
+  val OpPut = "PUT"
+  val OpDelete = "DELETE"
+
+  /** Wide rows + a row-kind column ("I"/"U" upsert, "D" delete) →
+    * mutation stream (rowkey, op, family, qualifier, value).
+    */
+  def toMutations(df: DataFrame, schema: HTableSchema,
+                  rowKindCol: String = "row_kind"): DataFrame = {
+    val kind = upper(col(rowKindCol))
+    val puts = Cells.toCells(
+        df.filter(kind.isin("I", "U")).drop(rowKindCol), schema)
+      .select(col("rowkey"), lit(OpPut).as("op"), col("family"),
+        col("qualifier"), col("value"))
+    val deletes = df.filter(kind === "D")
+      .select(Cells.rowKey(schema).as("rowkey"), lit(OpDelete).as("op"),
+        lit(null: String).as("family"), lit(null: String).as("qualifier"),
+        lit(null: Array[Byte]).as("value"))
+    puts.unionByName(deletes)
+  }
+
+  /** Deliver the mutation stream to `flush` in rowkey-sorted batches of
+    * at most `maxMutations` per call (the reference's
+    * bufferFlushMaxMutations), partition-parallel. `flush` runs on
+    * executors and must be serializable.
+    */
+  def flushBatches(mutations: DataFrame, maxMutations: Int)
+                  (flush: Seq[Row] => Unit): Unit =
+    mutations
+      .sortWithinPartitions(col("rowkey"), col("family"), col("qualifier"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        rows.grouped(maxMutations).foreach(g => flush(g))
+      }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.hb
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class BulkLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cellStream = {
+    val events = sf("events")
+    events.select(
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"),
+      lit("value").as("qualifier"),
+      hb.encode(col("value")).as("value"),
+      expr("(ts DIV 1000000000 DIV 3600) * 3600").cast("int").as("hour_sec"),
+      col("user_id"))
+  }
+
+  test("end-to-end write: per-bucket files hold sorted, non-overlapping runs") {
+    val out = Files.createTempDirectory("bulkload").toString
+    val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8,
+      saltBase = Some(hb.encode(col("user_id"))),
+      epochSec = Some(col("hour_sec")))
+    BulkLoad.write(prepared, out)
+
+    // layout: bucket=N directories
+    val bucketDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+    assert(bucketDirs.nonEmpty)
+
+    // within every physical file the salted keys must be sorted (the
+    // HFile append invariant), and whole-file key ranges within a bucket
+    // must not overlap (non-overlapping sorted runs)
+    import org.apache.spark.sql.Row
+    bucketDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val ranges = files.map { f =>
+        val keys = spark.read.parquet(f.getAbsolutePath)
+          .select(hex(col("salted_key"))).as[String].collect()
+        assert(keys.toSeq == keys.toSeq.sorted, s"unsorted run in $f")
+        (keys.head, keys.last)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, aHi), (bLo, _)) => assert(aHi <= bLo, "overlapping runs")
+        case _ =>
+      }
+    }
+
+    // every input cell survives with its bucket = reference salt
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == cellStream.count())
+  }
+
+  test("prepare plan: range exchange + in-partition sort, no global sort") {
+    val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8)
+    val plan = prepared.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"))
+    // Sort must be local (global=false ⇒ printed as "Sort [...], false")
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"), plan)
+  }
+}
