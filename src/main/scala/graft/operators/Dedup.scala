@@ -28,9 +28,12 @@ object Dedup {
     when(n >= k, array_distinct(sh)).otherwise(array())
   }
 
-  /** Distinct shingle hash set (ARRAY<BIGINT>), xxhash64 per shingle. */
+  /** Distinct shingle hash set (ARRAY<BIGINT>) — the native one-pass
+    * kernel (no per-shingle string allocation; see
+    * [[graft.functions.TextHashes.wordShingleHashes]]).
+    */
   def shingleHashes(text: Column, k: Int): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    txt.wordShingleHashes(text, k)
 
   // ---- exact dedup -----------------------------------------------------
 
@@ -169,18 +172,6 @@ object Dedup {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def dotLit(vec: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(vec, typedLit(plane.toSeq), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Random-hyperplane sign-bucket per band: `planesPerBand` sign bits
-    * packed into a long.
-    */
-  private def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking,
     * verified by exact cosine ≥ `threshold`. `bands` independent bucket
     * tables of `planesPerBand` bits each.
@@ -192,13 +183,11 @@ object Dedup {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val withVec = emb.select(col(idCol), vd.as("v"))
     val all = hyperplanes(bands * planesPerBand, dim, seed)
-    val bandCols = (0 until bands).map { b =>
-      val planes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
-      struct(lit(b).as("band"), signBucket(col("v"), planes).as("bkey"))
-    }
     val cand = withVec
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .groupBy(col("bk.band"), col("bk.bkey"))
+      .select(col(idCol),
+        posexplode(graft.functions.vec.hyperplaneBuckets(col("v"), all,
+          planesPerBand)).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsOf(col("ids"))).as("p"))

@@ -61,35 +61,29 @@ object Knn {
           vecCol: String, dim: Int, k: Int, bands: Int = 8,
           planesPerBand: Int = 6, seed: Long = 7L): DataFrame = {
     val planes = Dedup.hyperplanes(bands * planesPerBand, dim, seed)
-    def keyed(df: DataFrame, id: String, v: String) = {
-      val vd = asDouble(col(vecCol))
-      val bandCols = (0 until bands).map { b =>
-        val slice = planes.slice(b * planesPerBand, (b + 1) * planesPerBand)
-        struct(lit(b).as("band"), signBucket(vd, slice).as("bkey"))
-      }
-      df.select(col(idCol).as(id), vd.as(v),
-          explode(array(bandCols: _*)).as("bk"))
-        .select(col(id), col(v), col("bk.band"), col("bk.bkey"))
-    }
-    val c = keyed(corpus, "neighbor_id", "cv")
-    val q = broadcast(keyed(queries, "query_id", "qv"))
+    // band keys only — vectors stay out of the exploded/deduped stream
+    def keyed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+          posexplode(graft.functions.vec.hyperplaneBuckets(
+            asDouble(col(vecCol)), planes, planesPerBand)))
+        .toDF(id, "band", "bkey")
+    val candIds = keyed(corpus, "neighbor_id")
+      .join(broadcast(keyed(queries, "query_id")), Seq("band", "bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct() // a pair can collide in several bands
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(q, Seq("band", "bkey"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct() // a pair can collide in several bands
+    candIds.join(c, "neighbor_id").join(q, "query_id")
       .withColumn("cosine", cosineD(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
-
-  private def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(aggregate(zip_with(vec, typedLit(p.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** IVF-style ANN: a deterministic coarse codebook (every `stride`-th
     * corpus vector), each corpus vector assigned to its nearest
