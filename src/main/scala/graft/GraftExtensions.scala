@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** SQL surface for the graft expressions: register via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * [[GraftSession.builder]]) and the kernels become plain SQL functions:
+  *
+  * {{{
+  *   SELECT graft_minhash(graft_shingle_hashes(text, 3), 128) FROM docs
+  * }}}
+  *
+  * Everything stays codegen'd — these are the same native expressions
+  * the Column API uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FnDef = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  val all: Seq[FnDef] = Seq(
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, k) - distinct k-word-shingle hash set"),
+      (args: Seq[Expression]) =>
+        WordShingleHashes(args(0), intArg(args(1), "graft_shingle_hashes"))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, perms) - MinHash signature of a hash set"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), intArg(args(1), "graft_minhash"))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(hashes) - 64-bit SimHash of a hash set"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_rolling_fp"),
+      info("graft_rolling_fp",
+        "graft_rolling_fp(text) - 64-bit polynomial content fingerprint"),
+      (args: Seq[Expression]) => RollingFp(args(0))),
+    (FunctionIdentifier("graft_winnow_fp"),
+      info("graft_winnow_fp",
+        "graft_winnow_fp(text, window) - min rolling-window fingerprint"),
+      (args: Seq[Expression]) =>
+        RollingWindowMin(args(0), intArg(args(1), "graft_winnow_fp"))),
+    (FunctionIdentifier("graft_hb_encode"),
+      info("graft_hb_encode",
+        "graft_hb_encode(field) - HBase big-endian bytes of a typed field"),
+      (args: Seq[Expression]) => HbEncode(args(0))),
+    (FunctionIdentifier("graft_salt_bucket"),
+      info("graft_salt_bucket",
+        "graft_salt_bucket(bytes) - reference-parity Arrays.hashCode"),
+      (args: Seq[Expression]) => ArraysHashCode(args(0))))
+
+  /** Imperative registration into an existing session (the extensions
+    * config only applies when a new session is instantiated).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** Session factory with the engine's scale defaults baked in. */
+object GraftSession {
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}
