@@ -11,6 +11,26 @@ import org.apache.spark.sql.types._
 /** Static vector kernels + expressions for the ANN/near-dup operators. */
 object VecHashes {
 
+  /** Cosine similarity, one fused pass; all three accumulators are
+    * plain sequential sums (reproducible, oracle-parity).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** All random-hyperplane band keys of a vector in one pass:
     * out(b) = packed sign bits of planes [b·planesPerBand, (b+1)·ppb).
     */
@@ -30,6 +50,34 @@ object VecHashes {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+}
+
+/** Binary-expression input check shared by the vector ops. */
+private[graft] trait DoubleArrayPair extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<DOUBLE>, got $other")
+    }
+}
+
+/** Fused cosine similarity of two ARRAY<DOUBLE> columns: one pass, no
+  * intermediate arrays (the zip_with/aggregate composition allocates a
+  * products array per row). Accumulation is sequential left-to-right,
+  * matching a plain fold — and the DuckDB oracle's list_sum — bit for
+  * bit.
+  */
+case class CosineSim(left: Expression, right: Expression) extends DoubleArrayPair {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecHashes.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecHashes.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
 }
 
 /** ARRAY<DOUBLE> → per-band hyperplane sign-bucket keys (ARRAY<BIGINT>,
@@ -62,4 +110,7 @@ object vec {
                         planesPerBand: Int): Column =
     ColumnBridge.column(
       HyperplaneBuckets(ColumnBridge.expression(v), planes, planesPerBand))
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -24,9 +24,12 @@ object Knn {
   def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity over ARRAY<DOUBLE> columns. */
+  /** Cosine similarity over ARRAY<DOUBLE> columns — fused native kernel
+    * (one pass, no intermediate product array), same sequential
+    * accumulation order as the fold form.
+    */
   def cosineD(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    graft.functions.vec.cosine(a, b)
 
   /** Float embedding column cast to ARRAY<DOUBLE> (do all math in
     * double: deterministic, and matches the DuckDB oracle's ::DOUBLE[]).
