@@ -44,6 +44,8 @@ object SparkEntry {
         startMs = 1704067200000L, // 2024-01-01T00:00:00Z
         endMs = 1706745600000L,   // 2024-02-01T00:00:00Z
         intervalMs = 6L * 3600 * 1000)),
+    "q_asof_latest_order" -> ((s, d) =>
+      Core.asofLatestOrder(t(s, d, "events"), t(s, d, "orders"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -187,6 +189,15 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) < 1706745600000
         |GROUP BY 1, 5 ORDER BY 1""".stripMargin,
+    "q_asof_latest_order" ->
+      """WITH r AS (SELECT o_custkey, epoch_ms(o_orderdate) AS order_ms,
+        |            MAX(o_orderkey) AS last_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT l.event_id, l.user_id, l.ts_ms, r.order_ms, r.last_orderkey
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_ms >= r.order_ms
+        |ORDER BY l.event_id""".stripMargin,
     "rowkey_encode" ->
       """SELECT c_custkey,
         | lpad(to_hex(c_custkey), 16, '0') AS rk_hex,

@@ -197,6 +197,25 @@ object Core {
       .orderBy(col("bucket_ms"), col("event_type"))
   }
 
+  /** A12: point-in-time lookup (as-of join): each event gets the user's
+    * latest order at/before the event — the versioned-cell GET
+    * (`Get.setTimeRange`) semantics of the reference's lookup path, as
+    * a single-shuffle union+window plan (see
+    * [[graft.operators.AsOfJoin]]).
+    */
+  def asofLatestOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+    val right = orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+        col("last_orderkey"))
+    val left = events.select(col("event_id"), col("user_id"), tsMs.as("ts_ms"))
+    graft.operators.AsOfJoin
+      .asOf(left, "user_id", "ts_ms", right, "o_custkey", "order_ms")
+      .orderBy(col("event_id"))
+  }
+
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
     * split is a bucketing expression inside ONE job -- no per-interval
