@@ -46,6 +46,8 @@ object SparkEntry {
         intervalMs = 6L * 3600 * 1000)),
     "q_asof_latest_order" -> ((s, d) =>
       Core.asofLatestOrder(t(s, d, "events"), t(s, d, "orders"))),
+    "q_range_window_stats" -> ((s, d) =>
+      Core.rangeWindowStats(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -198,6 +200,16 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.o_custkey AND l.ts_ms >= r.order_ms
         |ORDER BY l.event_id""".stripMargin,
+    "q_range_window_stats" ->
+      """WITH p AS (SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |iv AS (SELECT event_id AS window_id,
+        |        epoch_ms(ts) - epoch_ms(ts) % 3600000 AS start_ms,
+        |        epoch_ms(ts) - epoch_ms(ts) % 3600000 + 21600000 AS end_ms
+        |       FROM events WHERE event_id % 997 = 0)
+        |SELECT window_id, start_ms, end_ms, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM iv JOIN p ON p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "rowkey_encode" ->
       """SELECT c_custkey,
         | lpad(to_hex(c_custkey), 16, '0') AS rk_hex,

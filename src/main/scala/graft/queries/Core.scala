@@ -216,6 +216,25 @@ object Core {
       .orderBy(col("event_id"))
   }
 
+  /** A13: range-containment join with no equi key: per 6-hour
+    * maintenance window (anchored at every 997th event's hour), the
+    * events falling inside it — bucketed to a hash join instead of a
+    * nested loop (see [[graft.operators.RangeJoin]]).
+    */
+  def rangeWindowStats(events: DataFrame): DataFrame = {
+    val pts = events.select(col("event_id"), tsMs.as("ts_ms"), col("value"))
+    val hourStart = tsMs - (tsMs % lit(3600000L))
+    val iv = events
+      .filter(pmod(col("event_id"), lit(997)) === 0)
+      .select(col("event_id").as("window_id"), hourStart.as("start_ms"),
+        (hourStart + lit(6L * 3600000L)).as("end_ms"))
+    graft.operators.RangeJoin
+      .bucketed(pts, "ts_ms", iv, "start_ms", "end_ms", bucketMs = 3600000L)
+      .groupBy(col("window_id"), col("start_ms"), col("end_ms"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
     * split is a bucketing expression inside ONE job -- no per-interval
