@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
+
+/** Typed event record for the stateful streaming operators. */
+case class EventRec(user_id: Long, ts_ms: Long, event_id: Long, value: Double)
 
 /** Structured Streaming surfaces (SURVEY.md §2 G-series) — the role the
   * reference delegates to its Flink runtime, re-expressed on Spark's
@@ -54,6 +57,36 @@ object Streams {
       .withColumn("fp", md5(col("text")))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** G4: streaming enrichment lookup join — the reference's
+    * HBaseRowDataLookupFunction role (point-GET a dimension row per
+    * stream record): a stream-static LEFT join with the dimension
+    * broadcast each micro-batch, missed lookups surfacing as nulls
+    * (the connector's null-row mode).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   joinExpr: Column): DataFrame =
+    events.join(broadcast(dim), joinExpr, "left")
+
+  /** G5: incremental latest-version-per-key (HBase keeps the newest
+    * cell version; A8's batch semantics) via mapGroupsWithState —
+    * custom per-key state, one [[EventRec]] per user, emitting the
+    * running newest event whenever a user sees new data. State is
+    * O(distinct keys), independent of stream length.
+    */
+  def latestPerUserStream(events: Dataset[EventRec]): Dataset[EventRec] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val evEnc = Encoders.product[EventRec]
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EventRec, EventRec](GroupStateTimeout.NoTimeout) {
+        (_, batch, state) =>
+          val newest = (batch ++ state.getOption.iterator)
+            .maxBy(e => (e.ts_ms, e.event_id))
+          state.update(newest)
+          newest
+      }
+  }
 
   /** G3: upsert mutation stream (the reference's buffered Put/Delete
     * sink, HBaseSerde.java:119-173): each micro-batch is converted to a

@@ -62,6 +62,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lookup join enriches from a static dim, null on miss") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val q = Streams.enrichStream(events, dim,
+        org.apache.spark.sql.functions.col("user_id") ===
+          org.apache.spark.sql.functions.col("cust_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").orderBy("user_id")
+        .select("user_id", "tier").as[(Long, Option[String])].collect()
+      assert(out.toSeq == Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("stateful latest-per-user keeps the newest event across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val q = Streams.latestPerUserStream(input.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    try {
+      input.addData(EventRec(1L, 100L, 1L, 1.0), EventRec(1L, 200L, 2L, 2.0),
+        EventRec(2L, 50L, 3L, 3.0))
+      q.processAllAvailable()
+      // second batch: older event for user 1 must NOT displace state;
+      // newer event for user 2 must
+      input.addData(EventRec(1L, 150L, 4L, 4.0), EventRec(2L, 60L, 5L, 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("latest_out").as[EventRec].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(e => (e.ts_ms, e.event_id)) }
+      assert(latest(1L) == EventRec(1L, 200L, 2L, 2.0))
+      assert(latest(2L) == EventRec(2L, 60L, 5L, 5.0))
+      // the update-mode emission for batch 2 must keep user 1 at ts 200
+      val batch2User1 = spark.table("latest_out").as[EventRec].collect()
+        .filter(e => e.user_id == 1L)
+      assert(batch2User1.forall(_.ts_ms <= 200L))
+      assert(batch2User1.exists(_.ts_ms == 200L))
+    } finally q.stop()
+  }
+
   test("upsert stream flushes sorted cell mutations per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val schema = HTableSchema(
