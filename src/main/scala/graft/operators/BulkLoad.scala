@@ -75,4 +75,40 @@ object BulkLoad {
       .partitionBy("bucket")
       .mode("overwrite")
       .parquet(path)
+
+  /** Per-file stats of a written bulk output — the HFile info-block
+    * analogue: (bucket, file, n_cells, min/max key). Input to
+    * [[regionPlan]].
+    */
+  def manifest(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("bucket"), input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(hex(col("salted_key"))).as("min_key_hex"),
+        max(hex(col("salted_key"))).as("max_key_hex"))
+
+  /** Greedy region assignment over the manifest: pack files (already
+    * sorted, non-overlapping within a bucket) into regions of
+    * ~`targetCells` each — the reference's pre-split-table sizing and
+    * merge-small-regions admin ops (HBaseManager.java) re-expressed as
+    * a pure plan. The manifest is tiny (one row per file), so the
+    * single-window cumulative sum is driver-scale work regardless of
+    * data volume.
+    */
+  def regionPlan(manifest: DataFrame, targetCells: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket"), col("min_key_hex"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .withColumn("_cum", sum(col("n_cells")).over(w))
+      .withColumn("region_id",
+        floor((col("_cum") - col("n_cells")) / targetCells))
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_cells")).as("n_cells"),
+        min(col("min_key_hex")).as("start_key_hex"),
+        max(col("max_key_hex")).as("end_key_hex"))
+      .orderBy(col("region_id"))
+  }
 }

@@ -89,11 +89,13 @@ object Dedup {
       .join(payload.select(col(idCol).as("a"), col(payloadCol).as("pa")), "a")
       .join(payload.select(col(idCol).as("b"), col(payloadCol).as("pb")), "b")
 
-  /** Exact Jaccard over two hash-set columns. */
-  private def jaccard(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb))
-    inter.cast("double") / (size(sa) + size(sb) - inter)
-  }
+  /** (n_common, jaccard) over two hash-set columns, intersection
+    * computed once via an intermediate column.
+    */
+  private def withJaccard(df: DataFrame): DataFrame =
+    df.withColumn("_inter", size(array_intersect(col("pa"), col("pb"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("pa")) + size(col("pb")) - col("_inter")))
 
   // ---- MinHash + LSH ---------------------------------------------------
 
@@ -107,9 +109,8 @@ object Dedup {
     val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
     val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
     val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
-    joinPayload(cand, sh, idCol, "sh")
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        jaccard(col("pa"), col("pb")).as("jaccard"))
+    withJaccard(joinPayload(cand, sh, idCol, "sh"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -122,10 +123,9 @@ object Dedup {
     val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
     val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
     val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
-    joinPayload(cand, sh, idCol, "sh")
+    withJaccard(joinPayload(cand, sh, idCol, "sh"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        size(array_intersect(col("pa"), col("pb"))).cast("long").as("n_common"),
-        jaccard(col("pa"), col("pb")).as("jaccard"))
+        col("_inter").cast("long").as("n_common"), col("jaccard"))
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -56,6 +56,30 @@ class BulkLoadSpec extends SparkSpec {
     assert(readBack.count() == cellStream.count())
   }
 
+  test("manifest + region plan: full coverage, bounded regions, ordered keys") {
+    val out = Files.createTempDirectory("bulkload_plan").toString
+    val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8,
+      saltBase = Some(hb.encode(col("user_id"))),
+      epochSec = Some(col("hour_sec")))
+    BulkLoad.write(prepared, out)
+    val m = BulkLoad.manifest(spark, out)
+    val total = cellStream.count()
+    assert(m.agg(sum(col("n_cells"))).head().getLong(0) == total)
+
+    val target = total / 4
+    val plan = BulkLoad.regionPlan(m, target).collect()
+    assert(plan.map(_.getAs[Long]("n_cells")).sum == total)
+    // greedy packing: every region except possibly the last is filled
+    // to at least the target minus one file's worth
+    val maxFile = m.agg(max(col("n_cells"))).head().getLong(0)
+    plan.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_cells") >= target - maxFile)
+    }
+    // region ids are contiguous from 0
+    assert(plan.map(_.getAs[Long]("region_id")).toSeq ==
+      (0L until plan.length).toSeq)
+  }
+
   test("prepare plan: range exchange + in-partition sort, no global sort") {
     val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8)
     val plan = prepared.queryExecution.executedPlan.toString
