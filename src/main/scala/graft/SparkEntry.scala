@@ -48,6 +48,7 @@ object SparkEntry {
       Core.asofLatestOrder(t(s, d, "events"), t(s, d, "orders"))),
     "q_range_window_stats" -> ((s, d) =>
       Core.rangeWindowStats(t(s, d, "events"))),
+    "q_session_stats" -> ((s, d) => Core.sessionStats(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -210,6 +211,20 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM iv JOIN p ON p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |b AS (SELECT user_id, event_id, ts_ms,
+        |  CASE WHEN lag(ts_ms) OVER w IS NULL
+        |         OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS br
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT user_id, ts_ms,
+        |  CAST(SUM(br) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        | FROM b)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        | MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+        | MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rowkey_encode" ->
       """SELECT c_custkey,
         | lpad(to_hex(c_custkey), 16, '0') AS rk_hex,

@@ -235,6 +235,15 @@ object Core {
       .orderBy(col("window_id"))
   }
 
+  /** A14: gap-based sessionization (30-min gap) with per-session stats
+    * — see [[graft.operators.Sessionize]].
+    */
+  def sessionStats(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    graft.operators.Sessionize
+      .stats(events.select(col("user_id"), col("event_id"), tsMs.as("ts_ms")),
+        "user_id", "ts_ms", "event_id", gapMs)
+      .orderBy(col("user_id"), col("session_idx"))
+
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
     * split is a bucketing expression inside ONE job -- no per-interval
