@@ -49,6 +49,8 @@ object SparkEntry {
     "q_range_window_stats" -> ((s, d) =>
       Core.rangeWindowStats(t(s, d, "events"))),
     "q_session_stats" -> ((s, d) => Core.sessionStats(t(s, d, "events"))),
+    "rollup_percentiles" -> ((s, d) =>
+      Core.rollupPercentiles(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -225,6 +227,13 @@ object SparkEntry {
         | MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
         | MAX(ts_ms) - MIN(ts_ms) AS duration_ms
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rollup_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.95), 6) AS p95,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "rowkey_encode" ->
       """SELECT c_custkey,
         | lpad(to_hex(c_custkey), 16, '0') AS rk_hex,

@@ -244,6 +244,21 @@ object Core {
         "user_id", "ts_ms", "event_id", gapMs)
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** A15: exact per-type value percentiles (interpolated, matching
+    * DuckDB quantile_cont bit-for-bit). Exact percentile buffers each
+    * group; at 100 TB swap `percentile` for `approx_percentile`
+    * (t-digest, mergeable partials) — same call shape.
+    */
+  def rollupPercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
     * split is a bucketing expression inside ONE job -- no per-interval
