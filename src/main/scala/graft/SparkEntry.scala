@@ -83,6 +83,7 @@ object SparkEntry {
       Pipeline.textFingerprint(t(s, d, "documents"))),
     "text_rolling_fp" -> ((s, d) =>
       Pipeline.textRollingFp(t(s, d, "documents"))),
+    "text_top_terms" -> ((s, d) => Pipeline.textTopTerms(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
@@ -351,6 +352,20 @@ object SparkEntry {
         | COUNT(DISTINCT md5(text)) AS n_distinct,
         | COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_top_terms" ->
+      """WITH w AS (SELECT source,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        | FROM documents),
+        |tf AS (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dfx AS (SELECT word, COUNT(DISTINCT source) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT source) AS ns FROM documents),
+        |x AS (SELECT tf.source, tf.word, tf.tf, dfx.df,
+        |  tf.tf * (ln((n.ns + 1) / (dfx.df + 1.0)) + 1.0) AS tfidf
+        | FROM tf, dfx, n WHERE tf.word = dfx.word),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY tfidf DESC, word) AS rnk FROM x)
+        |SELECT source, rnk, word, tf, df, round(tfidf, 6) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
     "mm_manifest" ->
       """SELECT doc_id,
         | (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,

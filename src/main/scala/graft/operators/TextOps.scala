@@ -115,6 +115,31 @@ object TextOps {
         countDistinct(col("fp")).as("n_distinct"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
 
+  /** E6: top TF-IDF terms per source. All-expression: explode → two
+    * keyed aggs (term frequency per source, document frequency per
+    * term) → broadcast-joined idf → per-source window top-k. The only
+    * wide rows are the per-(source, word) counts — never the raw text.
+    */
+  def topTermsPerSource(docs: DataFrame, sourceCol: String, textCol: String,
+                        k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(sourceCol).as("source"),
+      explode(words(col(textCol))).as("word"))
+    val tf = w.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("word").agg(countDistinct(col("source")).as("df"))
+    val n = docs.agg(countDistinct(col(sourceCol)).as("ns"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(broadcast(dfx), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("ns") + lit(1)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("word"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
   /** E5: 64-bit polynomial rolling-hash fingerprints (whole-content +
     * winnowing window-min) via the codegen'd [[graft.functions.txt]]
     * expressions.

@@ -93,6 +93,10 @@ object Pipeline {
     TextOps.fingerprintStats(documents, "doc_id", "text", "source")
       .orderBy("source")
 
+  def textTopTerms(documents: DataFrame): DataFrame =
+    TextOps.topTermsPerSource(documents, "source", "text", k = 3)
+      .orderBy("source", "rnk")
+
   def textRollingFp(documents: DataFrame): DataFrame =
     TextOps.rollingFingerprints(documents, "doc_id", "text", window = 16)
       .orderBy("doc_id")
