@@ -32,7 +32,7 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   val all: Seq[FnDef] = Seq(
     (FunctionIdentifier("graft_shingle_hashes"),

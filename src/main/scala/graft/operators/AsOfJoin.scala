@@ -20,12 +20,19 @@ import org.apache.spark.sql.types.StructType
   *
   * Right rows must be unique per (key, ts) — pre-aggregate ties first,
   * or the fill picks an arbitrary one.
+  *
+  * Output = all left columns + right payload columns; a right payload
+  * column whose name collides with a left column is emitted as
+  * `right_<name>` so the result never contains ambiguous duplicates.
   */
 object AsOfJoin {
 
   def asOf(left: DataFrame, leftKey: String, leftTs: String,
            right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
     val rPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val lCols = left.columns.toSet
+    val rOutName: String => String =
+      c => if (lCols.contains(c)) s"right_$c" else c
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields.filter(f => rPayloadCols.contains(f.name)))
     val lPrep = left.select(
@@ -47,7 +54,7 @@ object AsOfJoin {
       .withColumn("_fill", last(col("_right"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     val outCols = left.columns.map(c => col(s"_left.$c").as(c)).toSeq ++
-      rPayloadCols.map(c => col(s"_fill.$c").as(c))
+      rPayloadCols.map(c => col(s"_fill.$c").as(rOutName(c)))
     filled.select(outCols: _*)
   }
 }

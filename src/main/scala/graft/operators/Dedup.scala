@@ -131,18 +131,28 @@ object Dedup {
   // ---- SimHash ---------------------------------------------------------
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`,
-    * blocked on 4×16-bit bands (any shared band ⇒ candidate; with
-    * maxHamming ≤ 3 < 4 bands, a true near-dup pair must share at
-    * least one full band — no recall loss, pigeonhole).
+    * blocked on `maxHamming + 1` bit-bands of the 64-bit signature (any
+    * shared band ⇒ candidate). With `b = maxHamming + 1` bands, a pair
+    * within Hamming `maxHamming` has at most `maxHamming` differing
+    * bits spread over `b` bands, so by pigeonhole at least one band is
+    * identical — full recall at every `maxHamming`, not just ≤ 3. Band
+    * widths split 64 bits as evenly as possible (e.g. maxHamming=3 →
+    * the classic 4×16-bit blocking).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBands = maxHamming + 1
     val sigs = docs.select(col(idCol),
       graft.functions.txt.simhash(shingleHashes(col(textCol), k)).as("sig"))
-    val bandKeys = array((0 until 4).map { b =>
+    // band b covers bits [offsets(b), offsets(b+1)): widths 64/n rounded
+    val offsets = (0 to nBands).map(b => b * 64 / nBands)
+    val bandKeys = array((0 until nBands).map { b =>
+      val width = offsets(b + 1) - offsets(b)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+        shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
           .as("bkey"))
     }: _*)
     val banded = sigs

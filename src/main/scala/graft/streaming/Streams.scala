@@ -42,10 +42,11 @@ object Streams {
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"),
         min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
+        max(col("value")).as("max_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n_events"), col("sum_value"),
-        col("min_value"), col("max_value"))
+        col("min_value"), col("max_value"), col("avg_value"))
   }
 
   /** G2: streaming exact dedup on a content fingerprint; state expires

@@ -32,6 +32,16 @@ class AsOfJoinSpec extends SparkSpec {
       ("C", 50L, None, None)))          // key with no right rows
   }
 
+  test("right payload columns colliding with left names get right_ prefix") {
+    // right side also calls its timestamp column "tts" (and carries "px")
+    val rightClash = quotes.withColumnRenamed("qts", "tts")
+    val out = AsOfJoin.asOf(trades, "sym", "tts", rightClash, "sym", "tts")
+    assert(out.columns.toSeq == Seq("sym", "tts", "right_tts", "px"))
+    val row = out.orderBy("sym", "tts").filter("tts = 25").collect().head
+    assert(row.getLong(1) == 25L && row.getLong(2) == 20L &&
+      row.getDouble(3) == 2.0)
+  }
+
   test("plan: one shuffle on the key, no crossjoin") {
     val out = AsOfJoin.asOf(trades, "sym", "tts", quotes, "sym", "qts")
     val plan = out.queryExecution.executedPlan.toString

@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash maxHamming >= 4 derives enough bands for full recall") {
+    // ground truth: all pairs within hamming <= 7 by brute force
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.txt.simhash(Dedup.shingleHashes(col("text"), 3)).as("sig"))
+    val truth = sigs.as("x").join(sigs.as("y"), $"x.doc_id" < $"y.doc_id")
+      .withColumn("h", expr("bit_count(x.sig ^ y.sig)"))
+      .filter($"h" <= 7)
+      .select($"x.doc_id", $"y.doc_id").as[(Long, Long)].collect().toSet
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(found == truth, s"banding lost ${(truth -- found).size} true pairs")
+    assert(truth.nonEmpty)
+  }
+
   test("embedding near-dup pairs verified above threshold") {
     val emb = sf("embeddings")
     val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding",

@@ -28,6 +28,25 @@ class RangeJoinSpec extends SparkSpec {
       (4L, 10L), (4L, 12L), (5L, 12L), (6L, 12L)))
   }
 
+  test("degenerate intervals (end <= start) are dropped, not exploded") {
+    val bad = Seq((20L, 500L, 500L), (21L, 300L, 100L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.bucketed(points, "ts", intervals.unionAll(bad),
+      "lo", "hi", bucketMs = 64)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // identical to the result without the degenerate intervals
+    assert(out.forall(_._2 < 20L) && out.size == 8)
+  }
+
+  test("an interval wider than the bucket cap fails loudly") {
+    val wide = Seq((30L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.bucketed(points, "ts", wide, "lo", "hi",
+        bucketMs = 1, maxBucketsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("RangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("RangeJoin")))
+  }
+
   test("plan: equi hash join on bucket, no nested loop") {
     val out = RangeJoin.bucketed(points, "ts", intervals, "lo", "hi", 64)
     val plan = out.queryExecution.executedPlan.toString

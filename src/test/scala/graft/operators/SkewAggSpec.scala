@@ -51,4 +51,11 @@ class SkewAggSpec extends SparkSpec {
       assert(r.getAs[Long]("fp") != 0L)
     assert(r.getAs[String]("enc") == "000000000000002A")
   }
+
+  test("DESCRIBE FUNCTION shows usage text for graft_* functions") {
+    graft.GraftExtensions.register(spark)
+    val desc = spark.sql("DESCRIBE FUNCTION graft_minhash")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("MinHash signature"), desc)
+  }
 }
