@@ -13,15 +13,24 @@ object Bench {
     // warm the session (JIT, codegen paths, shuffle machinery) so the
     // first timed query doesn't absorb startup cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // min of 2 runs per query: reports steady-state throughput instead
-    // of whichever run absorbed a GC pause / JIT recompile
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // median of 3 runs per query (per-run times logged to stderr):
+    // robust to one-off GC pauses / JIT recompiles in either direction,
+    // unlike min-of-2 which is at the mercy of two samples
+    // optional comma-separated filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=dedup_minhash_lsh,dedup_simhash
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      Console.err.println(
+        f"bench $name runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      name -> times.sorted.apply(1)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -88,4 +88,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIME is feature-gated in Spark 4.1; the serde supports it
+      // (reference sql.Time parity, HBaseTypeUtils.java:72)
+      .config("spark.sql.timeType.enabled", "true")
 }

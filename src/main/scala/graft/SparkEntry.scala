@@ -59,6 +59,12 @@ object SparkEntry {
       HModel.saltDistribution(t(s, d, "events"), buckets = 16)),
     "bulkload_plan" -> ((s, d) =>
       HModel.bulkloadPlan(t(s, d, "events"), buckets = 16)),
+    "fuzzy_scan" -> ((s, d) =>
+      HModel.fuzzyScan(t(s, d, "events"),
+        "2024-01-10 05:37:00", "2024-01-25 17:02:00",
+        hoursOfDay = Seq(3, 15))),
+    "cells_versions" -> ((s, d) =>
+      HModel.cellsVersions(t(s, d, "events"), n = 3)),
     // ---- C. deduplication -----------------------------------------------
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
@@ -274,6 +280,25 @@ object SparkEntry {
          |       COUNT(DISTINCT hour_sec) AS n_hours,
          |       MIN(key_hex) AS min_key_hex, MAX(key_hex) AS max_key_hex
          |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "fuzzy_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= date_trunc('hour', TIMESTAMP '2024-01-10 05:37:00')
+        |  AND ts <  date_trunc('hour', TIMESTAMP '2024-01-25 17:02:00')
+        |  AND ((epoch_ms(ts) // 1000 // 3600) % 24) IN (3, 15)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "cells_versions" ->
+      """WITH c AS (SELECT lpad(to_hex(user_id),16,'0') AS rk_hex,
+        |  'm' AS family, event_type AS qualifier, epoch_ms(ts) AS ts_ms,
+        |  value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rk_hex, family,
+        |  qualifier ORDER BY ts_ms DESC, value DESC) AS version_rank
+        | FROM c)
+        |SELECT rk_hex, family, qualifier, version_rank, ts_ms, value
+        |FROM r WHERE version_rank <= 3
+        |ORDER BY rk_hex, qualifier, version_rank""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -92,4 +92,28 @@ object BytesCodec {
     while (i < b.length) { h = 31 * h + b(i); i += 1 }
     h
   }
+
+  /** HBase FuzzyRowFilter predicate (the filter TsdbScanner.java:16-53
+    * builds): a row matches if ANY (pattern, mask) pair matches, where a
+    * mask byte of 0 means "row byte must equal the pattern byte" and any
+    * nonzero mask byte is a wildcard. Rows shorter than the pattern
+    * never match. Static so Catalyst codegen calls it directly.
+    */
+  def fuzzyMatch(row: Array[Byte], patterns: Array[Array[Byte]],
+                 masks: Array[Array[Byte]]): Boolean = {
+    var p = 0
+    while (p < patterns.length) {
+      val pat = patterns(p); val mask = masks(p)
+      if (row.length >= pat.length) {
+        var i = 0; var ok = true
+        while (ok && i < pat.length) {
+          if (mask(i) == 0 && row(i) != pat(i)) ok = false
+          i += 1
+        }
+        if (ok) return true
+      }
+      p += 1
+    }
+    false
+  }
 }

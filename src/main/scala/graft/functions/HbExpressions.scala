@@ -35,6 +35,12 @@ private[graft] object Codec {
     case TimestampType | TimestampNTZType =>
       (c => s"$C.encodeLong(java.lang.Math.floorDiv($c, 1000L))",
        v => BytesCodec.encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000L)))
+    // Spark TIME is nanos-of-day; the reference's sql.Time case stores
+    // 8-byte long millis (HBaseTypeUtils.java:72, case 11). Floor nanos
+    // -> millis-of-day.
+    case _: TimeType =>
+      (c => s"$C.encodeLong(java.lang.Math.floorDiv($c, 1000000L))",
+       v => BytesCodec.encodeLong(Math.floorDiv(v.asInstanceOf[Long], 1000000L)))
     case d: DecimalType =>
       (c => s"$C.encodeDecimal($c.toJavaBigDecimal())",
        v => BytesCodec.encodeDecimal(
@@ -56,6 +62,9 @@ private[graft] object Codec {
     case TimestampType | TimestampNTZType =>
       (c => s"java.lang.Math.multiplyExact($C.decodeLong($c), 1000L)",
        b => Math.multiplyExact(BytesCodec.decodeLong(b), 1000L))
+    case _: TimeType =>
+      (c => s"java.lang.Math.multiplyExact($C.decodeLong($c), 1000000L)",
+       b => Math.multiplyExact(BytesCodec.decodeLong(b), 1000000L))
     case d: DecimalType =>
       (c => s"org.apache.spark.sql.types.Decimal.apply($C.decodeDecimal($c), ${d.precision}, ${d.scale})",
        b => org.apache.spark.sql.types.Decimal(BytesCodec.decodeDecimal(b), d.precision, d.scale))
@@ -111,6 +120,46 @@ case class ArraysHashCode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** HBase FuzzyRowFilter over a BINARY rowkey column: true when the key
+  * matches ANY (pattern, mask) pair — mask byte 0 pins the pattern byte,
+  * nonzero is a wildcard (TsdbScanner.java:16-53 pins the 4 time bytes
+  * at offset 3 and wildcards the 3 metric-id bytes). The pair list is a
+  * plan-time constant, embedded in generated code as a reference object,
+  * so the match runs inside whole-stage codegen with zero per-row
+  * allocation.
+  *
+  * Scale note: like HBase's server-side filter this is a post-scan
+  * predicate — it cannot prune parquet row groups by itself. Pair it
+  * with a coarse pushed-down range predicate covering the patterns'
+  * span (the analogue of Scan.setStartRow/setStopRow around a
+  * FuzzyRowFilter).
+  */
+case class FuzzyRowMatch(child: Expression,
+                         pairs: Seq[(Seq[Byte], Seq[Byte])])
+    extends UnaryExpression {
+  require(pairs.nonEmpty, "fuzzyRowMatch needs at least one (pattern, mask) pair")
+  require(pairs.forall(p => p._1.length == p._2.length),
+    "each fuzzy pattern and its mask must have equal length")
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("fuzzyRowMatch expects BINARY input")
+  @transient private lazy val patterns: Array[Array[Byte]] =
+    pairs.map(_._1.toArray).toArray
+  @transient private lazy val masks: Array[Array[Byte]] =
+    pairs.map(_._2.toArray).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    BytesCodec.fuzzyMatch(input.asInstanceOf[Array[Byte]], patterns, masks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("fuzzyPatterns", patterns, "byte[][]")
+    val m = ctx.addReferenceObj("fuzzyMasks", masks, "byte[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BytesCodec.fuzzyMatch($c, $p, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FuzzyRowMatch =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the codec expressions. */
 object hb {
   def encode(c: Column): Column =
@@ -119,4 +168,10 @@ object hb {
     ColumnBridge.column(HbDecode(ColumnBridge.expression(c), dt))
   def arraysHashCode(c: Column): Column =
     ColumnBridge.column(ArraysHashCode(ColumnBridge.expression(c)))
+  /** FuzzyRowFilter match over (pattern, mask) byte pairs; mask 0 = must
+    * match, nonzero = wildcard.
+    */
+  def fuzzyRowMatch(c: Column, pairs: Seq[(Array[Byte], Array[Byte])]): Column =
+    ColumnBridge.column(FuzzyRowMatch(ColumnBridge.expression(c),
+      pairs.map(p => (p._1.toSeq, p._2.toSeq))))
 }

@@ -22,17 +22,26 @@ import org.apache.spark.sql.types.StructType
   * or the fill picks an arbitrary one.
   *
   * Output = all left columns + right payload columns; a right payload
-  * column whose name collides with a left column is emitted as
-  * `right_<name>` so the result never contains ambiguous duplicates.
+  * column whose name collides with a left column (or with an
+  * already-assigned output name) is prefixed `right_` repeatedly until
+  * unique, so the result never contains ambiguous duplicates.
   */
 object AsOfJoin {
 
   def asOf(left: DataFrame, leftKey: String, leftTs: String,
            right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
     val rPayloadCols = right.columns.filterNot(_ == rightKey).toSeq
-    val lCols = left.columns.toSet
-    val rOutName: String => String =
-      c => if (lCols.contains(c)) s"right_$c" else c
+    // prefix until the name is absent from BOTH the left columns and the
+    // output names assigned so far (left may itself contain right_<name>,
+    // and the right side may carry both x and right_x)
+    val usedNames = scala.collection.mutable.Set(left.columns.toSeq: _*)
+    val rOutNames = rPayloadCols.map { c =>
+      var n = c
+      while (usedNames.contains(n)) n = s"right_$n"
+      usedNames += n
+      n
+    }
+    val rOutName: Map[String, String] = rPayloadCols.zip(rOutNames).toMap
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields.filter(f => rPayloadCols.contains(f.name)))
     val lPrep = left.select(

@@ -74,4 +74,23 @@ object Cells {
       .groupBy(col("rowkey"), col("family"), col("qualifier"))
       .agg(max_by(col("value"), col("ts")).as("value"),
         max(col("ts")).as("ts"))
+
+  /** Last `n` versions per (rowkey, family, qualifier), newest first —
+    * the general form of the reference's versions map
+    * (TsdbBulkload.java:120-155 explodes family → qualifier → versions;
+    * HBase VERSIONS=n retention). Output adds `version_rank`
+    * (1 = newest). A rank window over the cell key (high cardinality,
+    * so partitions stay small and the shuffle is well spread); pass
+    * `tieBreak` columns to totally order versions whose `ts` collide,
+    * otherwise ties are broken arbitrarily.
+    */
+  def lastVersions(cellsWithTs: DataFrame, n: Int,
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("rowkey"), col("family"), col("qualifier"))
+      .orderBy(col("ts").desc +: tieBreak: _*)
+    cellsWithTs
+      .withColumn("version_rank", row_number().over(w).cast("long"))
+      .filter(col("version_rank") <= n)
+  }
 }

@@ -82,12 +82,25 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs joined back to per-id payloads: (a, b, pa, pb). */
+  /** Candidate pairs joined back to per-id payloads: (a, b, pa, pb).
+    * One payload join, not two: each pair explodes into its member ids,
+    * the payload stream is joined ONCE, and the pair reassembles by
+    * (a, b) — so the payload expression tree (the shingling kernel)
+    * is evaluated once per document rather than once per join side.
+    */
   private def joinPayload(cand: DataFrame, payload: DataFrame,
                           idCol: String, payloadCol: String): DataFrame =
     cand
-      .join(payload.select(col(idCol).as("a"), col(payloadCol).as("pa")), "a")
-      .join(payload.select(col(idCol).as("b"), col(payloadCol).as("pb")), "b")
+      .select(col("a"), col("b"),
+        explode(array(col("a"), col("b"))).as("_id"))
+      .join(payload.select(col(idCol).as("_id"), col(payloadCol).as("_p")),
+        "_id")
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("_id") === col("a"), col("_p")), ignoreNulls = true)
+          .as("pa"),
+        first(when(col("_id") === col("b"), col("_p")), ignoreNulls = true)
+          .as("pb"))
 
   /** (n_common, jaccard) over two hash-set columns, intersection
     * computed once via an intermediate column.
@@ -99,34 +112,50 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
+  /** Shared MinHash banding + exact-Jaccard verification: the shingle
+    * hash sets feed three plan branches (the signature and both sides
+    * of the verification join), so without caching the shingling kernel
+    * — the most expensive step — runs 3× per document. With
+    * `cacheShingles` (the default) the `(id, shingles)` projection is
+    * persisted MEMORY_AND_DISK and computed once; the cache is
+    * LRU-evictable and sized O(corpus shingle sets) ≪ the exploded
+    * band stream. Pass `cacheShingles = false` for one-shot runs where
+    * executor memory is tighter than CPU, or `spark.catalog.clearCache()`
+    * to drop it afterwards.
+    */
+  private def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, perms: Int, bands: Int,
+                               cacheShingles: Boolean): DataFrame = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    val shPlan = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+    val sh = if (cacheShingles)
+      shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shPlan
+    val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
+    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
+    withJaccard(joinPayload(cand, sh, idCol, "sh"))
+  }
+
   /** MinHash+LSH near-dup pairs, verified by exact shingle Jaccard.
     * `perms` must equal `bands * rowsPerBand`.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, perms: Int = 128, bands: Int = 16,
-                 threshold: Double = 0.7): DataFrame = {
-    require(perms % bands == 0, "perms must be divisible by bands")
-    val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-    val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
-    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
-    withJaccard(joinPayload(cand, sh, idCol, "sh"))
+                 threshold: Double = 0.7,
+                 cacheShingles: Boolean = true): DataFrame =
+    lshVerifiedPairs(docs, idCol, textCol, k, perms, bands, cacheShingles)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** LSH candidates with their exact n-gram Jaccard, unthresholded —
     * the verification-path view (SURVEY C5).
     */
   def ngramJaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
-                             k: Int = 3, perms: Int = 128,
-                             bands: Int = 16): DataFrame = {
-    val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-    val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
-    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
-    withJaccard(joinPayload(cand, sh, idCol, "sh"))
+                             k: Int = 3, perms: Int = 128, bands: Int = 16,
+                             cacheShingles: Boolean = true): DataFrame =
+    lshVerifiedPairs(docs, idCol, textCol, k, perms, bands, cacheShingles)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("_inter").cast("long").as("n_common"), col("jaccard"))
-  }
 
   // ---- SimHash ---------------------------------------------------------
 
@@ -135,9 +164,18 @@ object Dedup {
     * shared band ⇒ candidate). With `b = maxHamming + 1` bands, a pair
     * within Hamming `maxHamming` has at most `maxHamming` differing
     * bits spread over `b` bands, so by pigeonhole at least one band is
-    * identical — full recall at every `maxHamming`, not just ≤ 3. Band
-    * widths split 64 bits as evenly as possible (e.g. maxHamming=3 →
-    * the classic 4×16-bit blocking).
+    * identical — full recall *before* the bucket cap, at every
+    * `maxHamming`, not just ≤ 3. Band widths split 64 bits as evenly as
+    * possible (e.g. maxHamming=3 → the classic 4×16-bit blocking).
+    *
+    * Caveat: buckets larger than `maxBucket` are dropped, so realized
+    * recall is subject to the cap — and at large `maxHamming` the bands
+    * get narrow (maxHamming=31 ⇒ 2-bit bands ⇒ at most 4 buckets per
+    * band), which concentrates the corpus into few giant buckets that
+    * the cap then discards. Keep `maxHamming` modest (≤ ~8) or raise
+    * `maxBucket` deliberately; pair dropping is silent by design (the
+    * degenerate-key guard), so audit bucket sizes first if recall
+    * matters more than cost.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, maxHamming: Int = 3,
@@ -155,17 +193,20 @@ object Dedup {
         shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
           .as("bkey"))
     }: _*)
-    val banded = sigs
-      .select(col(idCol), explode(bandKeys).as("bk"))
+    // the signature is 8 bytes, so it rides through the banding shuffle
+    // (collect_list of (id, sig) structs) instead of being re-joined —
+    // the SimHash kernel is evaluated exactly once per document and the
+    // verification is join-free
+    sigs
+      .select(col(idCol).as("_m_id"), col("sig"), explode(bandKeys).as("bk"))
       .groupBy(col("bk.band"), col("bk.bkey"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sort_array(collect_list(struct(col("_m_id").as("id"), col("sig"))))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(col("p.a.id").as("a"), col("p.b.id").as("b"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .distinct()
-    banded
-      .join(sigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
-      .join(sigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))

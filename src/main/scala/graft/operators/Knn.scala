@@ -91,8 +91,9 @@ object Knn {
   /** IVF-style ANN: a deterministic coarse codebook (every `stride`-th
     * corpus vector), each corpus vector assigned to its nearest
     * centroid cell, each query probing its `nProbe` nearest cells.
-    * At scale the assign step is a broadcast map (codebook ≪ corpus)
-    * and the search only scans probed cells.
+    * At scale the assign step is a broadcast map + partial-aggregating
+    * argmax (codebook ≪ corpus; no n×|codebook| shuffle) and the search
+    * only scans probed cells.
     */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
           vecCol: String, k: Int, stride: Int = 50,
@@ -102,14 +103,18 @@ object Knn {
     val centroids = broadcast(
       corpus.filter(pmod(col(idCol), lit(stride)) === 0)
         .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
-    // assign: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("csim").desc, col("cell_id"))
+    // assign: nearest centroid per corpus vector as an argmax AGGREGATION
+    // (max_by is partial-aggregatable, so the broadcast-NLJ'd n×C rows
+    // reduce map-side to one row per vector — the n×C stream is never
+    // shuffled, unlike a row_number window which would materialize and
+    // sort it; ties on csim break toward the smallest cell_id)
     val cells = c.join(centroids)
       .withColumn("csim", cosineD(col("cv"), col("centroid")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("cell_id"), col("neighbor_id"), col("cv"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cell_id"), col("cv")),
+        struct(col("csim"), -col("cell_id"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("neighbor_id"),
+        col("best.cv").as("cv"))
     // probe: nProbe nearest cells per query
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))

@@ -28,7 +28,7 @@ object Core {
     */
   private def tsMs: Column = expr("ts DIV 1000000")
 
-  private def parseUtcMs(s: String): Long =
+  private[queries] def parseUtcMs(s: String): Long =
     java.time.LocalDateTime
       .parse(s, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
@@ -161,19 +161,23 @@ object Core {
 
   /** A8: HBase keeps the latest cell version per (rowkey, qualifier); the
     * bulkload picks values[last] per qualifier (TsdbBulkload.java:135-137).
-    * Same semantics per user here, with a total order (ts ms, event_id).
+    * Same semantics per user here, with a total order (ts ms, event_id) —
+    * expressed as a `max_by` aggregation rather than a row_number window
+    * so map-side partial aggregation collapses each partition to one
+    * candidate per user before the shuffle (a window would shuffle and
+    * sort every event).
     */
-  def latestEventPerUser(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(tsMs.desc, col("event_id").desc)
+  def latestEventPerUser(events: DataFrame): DataFrame =
     events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), tsMs.as("ts_ms"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value"),
+          tsMs.as("ts_ms")),
+        struct(tsMs, col("event_id"))).as("e"))
+      .select(col("user_id"), col("e.event_id").as("event_id"),
+        col("e.event_type").as("event_type"), col("e.value").as("value"),
+        col("e.ts_ms").as("ts_ms"))
       .orderBy(col("user_id"))
-  }
 
   /** A9/A10: OpenTSDB rollup tables = pre-aggregated series at a coarser
     * granularity (TsdbBulkload rollup route). One shuffle, partial aggs.
@@ -244,20 +248,29 @@ object Core {
         "user_id", "ts_ms", "event_id", gapMs)
       .orderBy(col("user_id"), col("session_idx"))
 
-  /** A15: exact per-type value percentiles (interpolated, matching
-    * DuckDB quantile_cont bit-for-bit). Exact percentile buffers each
-    * group; at 100 TB swap `percentile` for `approx_percentile`
-    * (t-digest, mergeable partials) — same call shape.
+  /** A15: per-type value percentiles. `exact = true` (the oracle mode)
+    * uses interpolated `percentile`, matching DuckDB quantile_cont
+    * bit-for-bit — it buffers every group value in executor memory, so
+    * it is only safe when groups are modest. `exact = false` is the
+    * 100 TB path: `approx_percentile` keeps a bounded mergeable sketch
+    * per group (map-side partials, no per-value buffering); `accuracy`
+    * trades sketch size for error ≈ 1/accuracy (spec asserts ≤1%
+    * relative vs exact at test scale).
     */
-  def rollupPercentiles(events: DataFrame): DataFrame =
+  def rollupPercentiles(events: DataFrame, exact: Boolean = true,
+                        accuracy: Int = 10000): DataFrame = {
+    val pct: Double => Column =
+      if (exact) p => expr(s"percentile(value, $p)")
+      else p => expr(s"approx_percentile(value, $p, $accuracy)").cast("double")
     events
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        round(pct(0.5), 6).as("p50"),
+        round(pct(0.9), 6).as("p90"),
+        round(pct(0.95), 6).as("p95"),
+        round(pct(0.99), 6).as("p99"))
       .orderBy(col("event_type"))
+  }
 
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the

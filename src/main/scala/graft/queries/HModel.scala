@@ -88,6 +88,69 @@ object HModel {
       .orderBy(col("bucket"))
   }
 
+  /** B10: multi-version cell stream with VERSIONS=n retention — the
+    * reference explodes `family → qualifier → versions` and keeps the
+    * newest (TsdbBulkload.java:120-155); this keeps the last `n` per
+    * cell via [[Cells.lastVersions]]. Events become a versioned cell
+    * stream keyed (user rowkey, family m, qualifier = event type);
+    * ties in ts break on value DESC so the oracle can reproduce the
+    * order.
+    */
+  def cellsVersions(events: DataFrame, n: Int = 3): DataFrame = {
+    val cells = events.select(
+      hb.encode(col("user_id")).as("rowkey"),
+      lit("m").as("family"),
+      col("event_type").as("qualifier"),
+      expr("ts DIV 1000000").as("ts"),
+      col("value"))
+    Cells.lastVersions(cells, n, tieBreak = Seq(col("value").desc))
+      .select(hex(col("rowkey")).as("rk_hex"), col("family"),
+        col("qualifier"), col("version_rank"), col("ts").as("ts_ms"),
+        col("value"))
+      .orderBy(col("rk_hex"), col("qualifier"), col("version_rank"))
+  }
+
+  /** B9: general fuzzy-rowkey scan — the reference's FuzzyRowFilter
+    * (TsdbScanner.java:16-53) in full generality. TSDB-layout rowkey =
+    * metric(3B, low bytes of user_id) + time-sec(4B) + event-id(8B);
+    * one (pattern, mask) pair per selected whole hour, the 3 metric
+    * bytes wildcarded and the 4 time bytes pinned (mask {1,1,1,0,0,0,0},
+    * exactly the reference's 7-byte filter), OR'd across pairs by
+    * [[graft.functions.FuzzyRowMatch]].
+    *
+    * `hoursOfDay` selects non-contiguous hour-of-day slices across
+    * [floor(start,1h), floor(end,1h)) — a shape a plain range predicate
+    * cannot express, so the byte matcher is load-bearing. A coarse raw-ts
+    * range predicate covering the whole pattern span is still pushed to
+    * the parquet scan for row-group pruning (the Scan.setStartRow/
+    * setStopRow analogue around HBase's server-side filter).
+    */
+  def fuzzyScan(events: DataFrame, startTs: String, endTs: String,
+                hoursOfDay: Seq[Int]): DataFrame = {
+    import graft.functions.BytesCodec
+    val hourMs = 3600L * 1000
+    val loMs = Core.parseUtcMs(startTs); val hiMs = Core.parseUtcMs(endTs)
+    val loSec = (loMs - loMs % hourMs) / 1000
+    val hiSec = (hiMs - hiMs % hourMs) / 1000
+    val mask = Array[Byte](1, 1, 1, 0, 0, 0, 0)
+    val pairs = (loSec until hiSec by 3600L)
+      .filter(h => hoursOfDay.contains(((h / 3600) % 24).toInt))
+      .map(h => (Array[Byte](0, 0, 0) ++ BytesCodec.encodeInt(h.toInt), mask))
+    val rowkey = concat(
+      substring(hb.encode(col("user_id")), 6, 3),
+      hb.encode(expr("(ts DIV 1000000000 DIV 3600) * 3600").cast("int")),
+      hb.encode(col("event_id")))
+    events
+      .filter(col("ts") >= lit(loSec * 1000000000L) &&
+        col("ts") < lit(hiSec * 1000000000L))
+      .filter(hb.fuzzyRowMatch(rowkey, pairs))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** DuckDB closed form of java.util.Arrays.hashCode over the 8 big-endian
     * bytes of a non-negative BIGINT column: h = 31^8 + Σ 31^(7-i)·sbyte_i,
     * wrapped to int32. Shared by the B4/B5 oracles.

@@ -27,6 +27,12 @@ object Streams {
     * (event_ts TIMESTAMP, event_type STRING, value DOUBLE). Emits the
     * same per-(bucket, type) aggregate row shape as the batch
     * [[graft.queries.Core.rollup]].
+    *
+    * Note: the aggregate's output/state schema includes `avg_value`
+    * (added after the first release); a query restarted from a
+    * checkpoint written before that change fails with a state-schema
+    * incompatibility — discard the old checkpoint or point the restarted
+    * query at a fresh `checkpointLocation`.
     */
   def rollupStream(events: DataFrame, granularity: String,
                    lateness: String = "1 hour"): DataFrame = {

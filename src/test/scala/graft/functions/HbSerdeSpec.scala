@@ -36,8 +36,17 @@ class HbSerdeSpec extends SparkSpec {
       Date.valueOf("2024-02-29"))
     val ts = Timestamp.valueOf("2024-01-15 10:30:00.123")
     assert(roundTrip(TimestampType, ts) == ts) // ms precision preserved
+    // sql.Time parity (HBaseTypeUtils.java:72 case 11): millis-of-day
+    // as an 8-byte long
+    val t = java.time.LocalTime.parse("10:30:00.123")
+    assert(roundTrip(TimeType(), t) == t)
     assert(roundTrip(DecimalType(18, 4), new JBigDecimal("12345.6789")) ==
       new JBigDecimal("12345.6789"))
+  }
+
+  test("time-of-day sub-millisecond precision floors (reference stores ms)") {
+    val t = java.time.LocalTime.parse("23:59:59.123456")
+    assert(roundTrip(TimeType(), t) == java.time.LocalTime.parse("23:59:59.123"))
   }
 
   test("timestamp sub-millisecond precision floors (HBase stores ms)") {

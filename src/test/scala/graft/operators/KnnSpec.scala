@@ -49,6 +49,19 @@ class KnnSpec extends SparkSpec {
     assert(ivfRecall >= 0.3, s"ivf recall $ivfRecall")
   }
 
+  test("IVF assign step is a partial aggregation, not a window sort") {
+    val plan = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    // exactly two Window nodes survive: the query-side probe top-nProbe
+    // (over the tiny broadcast query set) and the final per-query top-k;
+    // the corpus-side assign must be a partial/final aggregate pair so
+    // the n×|codebook| stream is reduced map-side, never shuffled
+    assert("Window \\[row_number".r.findAllIn(plan).size == 2,
+      "corpus assign should not be a Window")
+    assert(plan.contains("partial_max_by"),
+      "assign should partial-aggregate with max_by")
+  }
+
   test("IVF scans only probed cells") {
     val out = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5,
       stride = 50, nProbe = 3)

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Core-query scale-path checks not covered by the DuckDB oracle. */
+class CoreSpec extends SparkSpec {
+
+  test("rollupPercentiles approx mode is rank-accurate within 1%") {
+    // approx_percentile guarantees a value whose RANK is within
+    // 1/accuracy of the requested quantile (it returns an actual sample,
+    // not an interpolation, so value-space tolerance is meaningless when
+    // samples are sparse) — assert the rank guarantee with 100× headroom
+    val events = sf("events")
+    val approx = Core.rollupPercentiles(events, exact = false).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val valuesByType = events.selectExpr("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted
+      }
+    assert(approx.keySet == valuesByType.keySet)
+    val ps = Seq(0.5, 0.9, 0.95, 0.99)
+    approx.foreach { case (tpe, vals) =>
+      val sorted = valuesByType(tpe)
+      ps.zip(vals).foreach { case (p, a) =>
+        val rank = sorted.count(_ <= a).toDouble / sorted.length
+        assert(math.abs(rank - p) <= 0.01,
+          s"$tpe p$p approx=$a has rank $rank")
+      }
+    }
+  }
+
+  test("rollupPercentiles approx mode keeps counts and schema") {
+    val out = Core.rollupPercentiles(sf("events"), exact = false)
+    assert(out.columns.toSeq ==
+      Seq("event_type", "n_events", "p50", "p90", "p95", "p99"))
+    assert(out.collect().map(_.getLong(1)).sum == sf("events").count())
+  }
+
+  test("latestEventPerUser picks the (ts, event_id)-max event per user") {
+    val events = sf("events")
+    val out = Core.latestEventPerUser(events).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // cross-check one user against a driver-side reduction
+    val u = out.head.getLong(0)
+    val expected = events.filter(s"user_id = $u")
+      .selectExpr("event_id", "event_type", "value", "ts DIV 1000000 AS ts_ms")
+      .collect()
+      .maxBy(r => (r.getLong(3), r.getLong(0)))
+    val got = out.find(_.getLong(0) == u).get
+    assert(got.getLong(1) == expected.getLong(0))
+    assert(got.getLong(4) == expected.getLong(3))
+  }
+}
