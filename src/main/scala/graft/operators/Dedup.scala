@@ -229,7 +229,7 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double = 0.4,
-                       bands: Int = 4, planesPerBand: Int = 8,
+                       bands: Int = 12, planesPerBand: Int = 6,
                        seed: Long = 7L, maxBucket: Int = 2000): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val withVec = emb.select(col(idCol), vd.as("v"))

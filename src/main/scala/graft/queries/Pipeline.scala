@@ -46,10 +46,13 @@ object Pipeline {
 
   /** C6: embedding-cosine near-dup pairs (θ ≥ 0.4 — the synthetic
     * embeddings top out near cosine 0.51) via hyperplane LSH blocking.
+    * 12 bands × 6 planes: recall ~0.62–0.68 vs brute-force truth
+    * (spec-asserted ≥ 0.5) at lower cost than the old 4×8 blocking,
+    * which recalled only ~0.14.
     */
   def dedupEmbedding(embeddings: DataFrame): DataFrame =
     Dedup.embeddingNearDup(embeddings, "vec_id", "embedding",
-        dim = EmbeddingDim, threshold = 0.4, bands = 4, planesPerBand = 8)
+        dim = EmbeddingDim, threshold = 0.4, bands = 12, planesPerBand = 6)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("vec_a", "vec_b")
 
@@ -64,10 +67,13 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
-  /** D2: hyperplane-LSH ANN, same queries (recall vs D1 in the spec). */
+  /** D2: hyperplane-LSH ANN, same queries (recall vs D1 ≥ 0.5 in the
+    * spec; 32 bands × 6 planes measures 0.88 at sf0.001, 0.90 at
+    * sf0.01).
+    */
   def knnLsh(embeddings: DataFrame): DataFrame =
     Knn.lsh(embeddings, querySet(embeddings), "vec_id", "embedding",
-        dim = EmbeddingDim, k = 5, bands = 8, planesPerBand = 6)
+        dim = EmbeddingDim, k = 5, bands = 32, planesPerBand = 6)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 

@@ -76,4 +76,23 @@ class DedupSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
   }
+
+  test("embedding near-dup recall >= 0.5 vs brute-force truth") {
+    val emb = sf("embeddings")
+    val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val vd = emb.select(col("vec_id"), graft.operators.Knn
+      .asDouble(col("embedding")).as("v"))
+    val truth = vd.as("x").join(vd.as("y"), $"x.vec_id" < $"y.vec_id")
+      .withColumn("c", Knn.cosineD($"x.v", $"y.v"))
+      .filter($"c" >= 0.4)
+      .select($"x.vec_id", $"y.vec_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    // LSH precision is exact (pairs are cosine-verified); recall with
+    // 12 bands × 6 planes measures 0.62 at sf0.001, 0.68 at sf0.01
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall $recall (${found.size}/${truth.size})")
+    assert((found -- truth).isEmpty, "no false positives after verification")
+  }
 }

@@ -42,10 +42,11 @@ class KnnSpec extends SparkSpec {
     val ivf = pairs(Knn.ivf(emb, queries, "vec_id", "embedding", k = 5))
     val lshRecall = (bf & lsh).size.toDouble / bf.size
     val ivfRecall = (bf & ivf).size.toDouble / bf.size
-    // the synthetic corpus has no strong neighbors (max cos ~0.5), so the
-    // bar is: far better than scanning a random same-size candidate set
-    // (expected recall ~= scanned fraction: LSH ~12%, IVF ~20%)
-    assert(lshRecall >= 0.2, s"lsh recall $lshRecall")
+    // the synthetic corpus has no strong neighbors (max cos ~0.5) — the
+    // hardest case for LSH. 32 bands × 6 planes measures 0.88 here
+    // (0.90 at sf0.01); floor at 0.5 per the review criterion, with
+    // headroom because the hyperplanes are seed-deterministic
+    assert(lshRecall >= 0.5, s"lsh recall $lshRecall")
     assert(ivfRecall >= 0.3, s"ivf recall $ivfRecall")
   }
 
