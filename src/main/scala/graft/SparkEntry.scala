@@ -76,6 +76,13 @@ object SparkEntry {
       Pipeline.dedupNgramJaccard(t(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
+    "dedup_clusters" -> ((s, d) =>
+      Pipeline.dedupClusters(t(s, d, "documents"))),
+    "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
+    "sample_stratified" -> ((s, d) =>
+      Pipeline.sampleStratified(t(s, d, "documents"))),
+    "graph_components" -> ((s, d) =>
+      Pipeline.graphComponents(t(s, d, "lineitem"))),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
@@ -306,6 +313,35 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "split_assign" ->
+      s"""SELECT doc_id, lang, source,
+        | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+        |        < '${operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+        |      WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+        |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR || ':7'), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '${operators.Sampling.hexThreshold(0.5)}'
+        |            WHEN 'zh' THEN '${operators.Sampling.hexThreshold(0.25)}'
+        |            ELSE '${operators.Sampling.hexThreshold(0.1)}' END
+        |ORDER BY doc_id""".stripMargin,
+    "graph_components" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |reach(node, peer) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+        |SELECT node AS part_id, MIN(peer) AS component_id
+        |FROM reach GROUP BY node ORDER BY part_id""".stripMargin,
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Knn, Multimodal, TextOps}
+import graft.operators.{Dedup, GraphOps, Knn, Multimodal, Sampling, TextOps}
 
 /** Training-data pipeline queries (SURVEY.md §2 C/D/E/F series) over the
   * `documents` and `embeddings` tables. Thin deterministic wrappers
@@ -55,6 +55,57 @@ object Pipeline {
         dim = EmbeddingDim, threshold = 0.4, bands = 12, planesPerBand = 6)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("vec_a", "vec_b")
+
+  /** C7: dup clusters = connected components over the verified MinHash
+    * pair set, so transitively-linked near-dups (A~B, B~C) collapse to
+    * one cluster even when A~C was never emitted. `cluster_id` is the
+    * minimum doc_id in the cluster — the canonical survivor under
+    * keep-lowest-id dedup policy.
+    */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashLsh(documents, "doc_id", "text",
+      k = 3, perms = 128, bands = 16, threshold = 0.7)
+    GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** C8: deterministic 80/10/10 train/val/test split keyed on
+    * md5(doc_id, seed) — reproducible across engines and runs.
+    */
+  def splitAssign(documents: DataFrame): DataFrame =
+    Sampling.deterministicSplit(documents, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+      .select("doc_id", "lang", "source", "split")
+      .orderBy("doc_id")
+
+  /** C8b: per-language stratified sample (en 50%, zh 25%, rest 10%),
+    * deterministic in (doc_id, seed).
+    */
+  def sampleStratified(documents: DataFrame): DataFrame =
+    Sampling.stratifiedSample(documents, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), default = 0.1, seed = 7L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** C9 (oracle graph for C7's operator): connected components of the
+    * high-quantity co-purchase graph — parts linked when one order
+    * takes ≥48 units of both. Multi-hop (components up to ~10 parts
+    * span many orders at sf0.01), so it exercises the transitive
+    * closure, and the edge set is plain SQL so DuckDB can replay it
+    * with a recursive CTE.
+    */
+  def graphComponents(lineitem: DataFrame): DataFrame = {
+    val picked = lineitem.filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey")
+    val edges = picked.as("a").join(picked.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    GraphOps.connectedComponents(edges, "src", "dst")
+      .select(col("node").as("part_id"), col("component").as("component_id"))
+      .orderBy("part_id")
+  }
 
   // ---- D. similarity search -------------------------------------------
 
