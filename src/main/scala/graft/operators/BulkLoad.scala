@@ -1,8 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.hb
+import graft.sources.{HFile, HFileReader, HFileWriter}
+
+/** One row per cell read back from an HFile by [[BulkLoad.readHFiles]]. */
+case class HFileCellRow(file: String, bucket: Int, rowkey: Array[Byte],
+                        family: String, qualifier: String, ts: Long,
+                        value: Array[Byte])
 
 /** TSDB-style rowkey salting (TsdbBulkload.java:81-114,167-173).
   *
@@ -75,6 +81,107 @@ object BulkLoad {
       .partitionBy("bucket")
       .mode("overwrite")
       .parquet(path)
+
+  /** Writes the prepared cell stream as real HFile v2 binaries — the
+    * reference's actual output format (HadoopOutputFormat2.java:85-100),
+    * re-expressed without hbase jars via [[graft.sources.HFile]].
+    *
+    * Each range partition streams its rows through one [[HFileWriter]]
+    * at a time, rolling to a new file whenever the bucket changes —
+    * the same roll-on-salt-prefix-change rule as the reference's
+    * `writeRecord` — so every emitted file holds one bucket's
+    * contiguous, fully-sorted key range with non-overlapping files per
+    * bucket (the LoadIncrementalHFiles invariant). Memory per task is
+    * one 64 KiB block; IO goes through the Hadoop FileSystem API, so
+    * `path` may be any supported scheme at cluster scale.
+    *
+    * Duplicate full cell keys (same rowkey+family+qualifier+ts) are
+    * rejected by the writer; collapse versions first with
+    * [[Cells.latestVersion]] / [[Cells.lastVersions]] if the stream can
+    * carry them.
+    */
+  def writeHFiles(prepared: DataFrame, path: String,
+                  tsCol: Option[String] = None,
+                  blockSize: Int = HFile.DefaultBlockSize): Unit = {
+    val spark = prepared.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsRoot = root.getFileSystem(hconf)
+    if (fsRoot.exists(root)) fsRoot.delete(root, true)
+    fsRoot.mkdirs(root)
+
+    val ts = tsCol.map(col(_).cast("long")).getOrElse(lit(0L))
+    val rows = prepared.select(col("bucket").cast("int"),
+      col("salted_key").cast("binary"), col("family").cast("string"),
+      col("qualifier").cast("string"), ts.as("ts"),
+      col("value").cast("binary"))
+
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var bucket = Int.MinValue
+        var seq = 0
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var writer: HFileWriter = null
+        def roll(b: Int): Unit = {
+          if (writer != null) { writer.finish(); out.close() }
+          val f = new org.apache.hadoop.fs.Path(path,
+            f"bucket=$b%d/part-$pid%05d-$seq%03d.hfile")
+          seq += 1
+          out = fs.create(f, true)
+          writer = new HFileWriter(out, blockSize)
+          bucket = b
+        }
+        it.foreach { r =>
+          val b = r.getInt(0)
+          if (b != bucket) roll(b)
+          writer.append(HFile.HCell(r.getAs[Array[Byte]](1),
+            r.getString(2).getBytes("UTF-8"),
+            r.getString(3).getBytes("UTF-8"),
+            r.getLong(4), r.getAs[Array[Byte]](5)))
+        }
+        if (writer != null) { writer.finish(); out.close() }
+      }
+    }
+  }
+
+  /** Distributed scan of a [[writeHFiles]] directory back into a cell
+    * DataFrame. One executor thread streams one file block-at-a-time
+    * (O(block) memory) with every structural check from
+    * [[graft.sources.HFileReader]] active, so a scan doubles as an
+    * integrity audit of the bulk output.
+    */
+  def readHFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/*.hfile"))
+      .map(_.getPath.toString).toSeq
+    val par = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par).flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val len = fsx.getFileStatus(p).getLen
+      val in = fsx.open(p)
+      val rr = new HFileReader.RandomRead {
+        def length: Long = len
+        def readFully(pos: Long, n: Int): Array[Byte] = {
+          val buf = new Array[Byte](n)
+          in.readFully(pos, buf)
+          buf
+        }
+        override def close(): Unit = in.close()
+      }
+      val bucket = "bucket=(-?\\d+)".r.findFirstMatchIn(f)
+        .map(_.group(1).toInt).getOrElse(-1)
+      HFileReader.scan(rr).map(c => HFileCellRow(f, bucket, c.rowkey,
+        new String(c.family, "UTF-8"), new String(c.qualifier, "UTF-8"),
+        c.ts, c.value))
+    }.toDF()
+  }
 
   /** Per-file stats of a written bulk output — the HFile info-block
     * analogue: (bucket, file, n_cells, min/max key). Input to

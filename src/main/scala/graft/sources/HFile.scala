@@ -1,0 +1,384 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, OutputStream}
+import java.nio.ByteBuffer
+import java.util.zip.CRC32C
+
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch HFile (version 2) binary writer + validating reader.
+  *
+  * The reference's namesake feature is bulk-loading HBase by writing
+  * HFiles directly (HadoopOutputFormat2.java:85-100 delegates to HBase's
+  * `HFileOutputFormat2`, rolling a new file whenever the 2-byte salt
+  * prefix changes). This build has no hbase jars, so the on-disk format
+  * is reimplemented here from the public format description — the HBase
+  * book's "HFile format (version 2)" appendix and the format comments in
+  * HBase's `HFileBlock`/`FixedFileTrailer`/`KeyValue` sources. Layout:
+  *
+  * {{{
+  *  [data block]*                      "scanned" section
+  *  [root data index block]            "load-on-open" section
+  *  [file info block]
+  *  [fixed-size trailer]
+  * }}}
+  *
+  * Every block carries the v2 33-byte header
+  * `magic(8) | onDiskSizeWithoutHeader(i32) | uncompressedSizeWithoutHeader(i32)
+  *  | prevBlockOffset(i64) | checksumType(u8) | bytesPerChecksum(i32)
+  *  | onDiskDataSizeWithHeader(i32)`
+  * followed by the payload and one CRC32C word per 16 KiB chunk of
+  * header+payload (HBase minor version ≥ 1 checksum scheme). Cells are
+  * classic KeyValues:
+  * `keyLen(i32) valueLen(i32) | rowLen(i16) row famLen(u8) family
+  *  qualifier ts(i64) type(u8) | value`
+  * in CellComparator order (row, family, qualifier asc; timestamp desc).
+  * The file info block and the trailer serialize their protobuf messages
+  * (`FileInfoProto`, `FileTrailerProto` from HBase's HFile.proto) with a
+  * `PBUF` magic + varint length prefix, hand-encoded below — no protobuf
+  * dependency. The trailer region is a fixed [[HFile.TrailerSize]] bytes
+  * whose last 4 bytes pack `major | minor << 24`.
+  *
+  * Interop caveats, called out rather than hidden: compression NONE only,
+  * no bloom blocks, no cell tags / mvcc ids (v3 features), single-level
+  * data index (fine until a file's index outgrows one block — roughly
+  * millions of 64 KiB blocks), and HBase's trailer region size varies by
+  * minor version where this writer always reserves [[HFile.TrailerSize]].
+  * Those are the knobs to revisit against a live cluster; every structural
+  * invariant that CAN be checked without hbase jars is enforced by
+  * [[HFile.validate]] and round-trip tested.
+  */
+object HFile {
+
+  val BlockMagicData = "DATABLK*".getBytes("UTF-8")
+  val BlockMagicRootIndex = "IDXROOT2".getBytes("UTF-8")
+  val BlockMagicFileInfo = "FILEINF2".getBytes("UTF-8")
+  val TrailerMagic = "TRABLK\"$".getBytes("UTF-8")
+  val PbMagic = "PBUF".getBytes("UTF-8")
+
+  val HeaderSize = 33
+  val TrailerSize = 4096
+  val BytesPerChecksum = 16384
+  val ChecksumTypeCrc32c: Byte = 2
+  val MajorVersion = 2
+  val MinorVersion = 3
+  val KeyTypePut: Byte = 4
+  val DefaultBlockSize = 64 * 1024
+
+  /** One cell as stored: `rowkey` is the full (salted) binary row key. */
+  case class HCell(rowkey: Array[Byte], family: Array[Byte],
+                   qualifier: Array[Byte], ts: Long, value: Array[Byte])
+
+  /** The serialized cell key (the "key" in KeyValue terms):
+    * `rowLen(i16) row famLen(u8) family qualifier ts(i64) type(u8)`.
+    */
+  def serializeKey(c: HCell): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2 + c.rowkey.length + 1 + c.family.length +
+      c.qualifier.length + 8 + 1)
+    buf.putShort(c.rowkey.length.toShort)
+    buf.put(c.rowkey)
+    buf.put(c.family.length.toByte)
+    buf.put(c.family)
+    buf.put(c.qualifier)
+    buf.putLong(c.ts)
+    buf.put(KeyTypePut)
+    buf.array()
+  }
+
+  /** CellComparator order: row, family, qualifier ascending (unsigned
+    * byte-lexicographic), then timestamp descending.
+    */
+  def compareCells(a: HCell, b: HCell): Int = {
+    var c = java.util.Arrays.compareUnsigned(a.rowkey, b.rowkey)
+    if (c == 0) c = java.util.Arrays.compareUnsigned(a.family, b.family)
+    if (c == 0) c = java.util.Arrays.compareUnsigned(a.qualifier, b.qualifier)
+    if (c == 0) c = java.lang.Long.compare(b.ts, a.ts) // newer first
+    c
+  }
+
+  // ---- protobuf (LEB128) helpers ---------------------------------------
+
+  private[sources] def writeVarint(out: OutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private[sources] def varintField(out: OutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, (field << 3) | 0) // wire type 0
+    writeVarint(out, v)
+  }
+
+  private[sources] def bytesField(out: OutputStream, field: Int,
+                         b: Array[Byte]): Unit = {
+    writeVarint(out, (field << 3) | 2) // wire type 2
+    writeVarint(out, b.length)
+    out.write(b)
+  }
+
+  private[sources] class ProtoReader(buf: Array[Byte], var pos: Int,
+                                     val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0; var v = 0L
+      var b = 0x80
+      while ((b & 0x80) != 0) {
+        require(pos < end, "varint ran off buffer")
+        b = buf(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      }
+      v
+    }
+    /** (fieldNo, value-or-null-bytes): wire 0 → (f, Left(v)), wire 2 →
+      * (f, Right(bytes)).
+      */
+    def readField(): (Int, Either[Long, Array[Byte]]) = {
+      val tag = readVarint()
+      val field = (tag >> 3).toInt
+      (tag & 7) match {
+        case 0 => (field, Left(readVarint()))
+        case 2 =>
+          val len = readVarint().toInt
+          require(pos + len <= end, "length-delimited field ran off buffer")
+          val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+          pos += len
+          (field, Right(b))
+        case w => throw new IllegalStateException(s"unsupported wire type $w")
+      }
+    }
+  }
+
+  // ---- Hadoop WritableUtils vint (used for index keys) -----------------
+
+  private[sources] def writeHadoopVLong(out: DataOutputStream, i: Long): Unit = {
+    if (i >= -112 && i <= 127) { out.writeByte(i.toInt); return }
+    var len = -112
+    var v = i
+    if (v < 0) { v ^= -1L; len = -120 }
+    var tmp = v
+    while (tmp != 0) { tmp >>>= 8; len -= 1 }
+    out.writeByte(len)
+    val n = if (len < -120) -(len + 120) else -(len + 112)
+    var idx = n
+    while (idx != 0) {
+      val shift = (idx - 1) * 8
+      out.writeByte(((v >>> shift) & 0xff).toInt)
+      idx -= 1
+    }
+  }
+
+  private[sources] def readHadoopVLong(buf: ByteBuffer): Long = {
+    val first = buf.get().toInt
+    if (first >= -112) return first.toLong
+    val negative = first < -120
+    val n = if (negative) -(first + 120) else -(first + 112)
+    var v = 0L
+    (0 until n).foreach(_ => v = (v << 8) | (buf.get() & 0xffL))
+    if (negative) v ^ -1L else v
+  }
+
+  // ---- file stats (validate() output) ----------------------------------
+
+  case class FileStats(nDataBlocks: Int, nCells: Long, nIndexEntries: Int,
+                       fileInfo: Map[String, Array[Byte]],
+                       firstKeyHex: String, lastKeyHex: String)
+}
+
+/** Streaming single-file writer. Not thread-safe; call [[append]] in
+  * strictly increasing cell order, then [[finish]]. Memory is O(block
+  * size + one index entry per block).
+  */
+class HFileWriter(out: OutputStream,
+                  blockSize: Int = HFile.DefaultBlockSize) {
+  import HFile._
+
+  private val cellBuf = new ByteArrayOutputStream(blockSize + 8192)
+  private val cellOut = new DataOutputStream(cellBuf)
+  private var offset = 0L
+  private var prevBlockOffset = -1L
+  private var blockFirstCell: HCell = null
+  private var lastCell: HCell = null
+  private var blockCells = 0L
+
+  private case class IndexEntry(offset: Long, onDiskSizeWithHeader: Int,
+                                firstKey: Array[Byte])
+  private val index = ArrayBuffer[IndexEntry]()
+  private var entryCount = 0L
+  private var totalKeyLen = 0L
+  private var totalValueLen = 0L
+  private var totalUncompressedBytes = 0L
+  private var firstDataBlockOffset = -1L
+  private var lastDataBlockOffset = -1L
+  private var finished = false
+
+  def append(cell: HCell): Unit = {
+    require(!finished, "writer already finished")
+    require(lastCell == null || compareCells(lastCell, cell) < 0,
+      s"cells must be strictly increasing; got ${hexKey(cell)} after ${hexKey(lastCell)}")
+    if (cellBuf.size() >= blockSize) flushDataBlock()
+    if (blockFirstCell == null) blockFirstCell = cell
+    val key = serializeKey(cell)
+    cellOut.writeInt(key.length)
+    cellOut.writeInt(cell.value.length)
+    cellOut.write(key)
+    cellOut.write(cell.value)
+    totalKeyLen += key.length
+    totalValueLen += cell.value.length
+    entryCount += 1
+    blockCells += 1
+    lastCell = cell
+  }
+
+  /** Writes index + file info + trailer. The stream is flushed but not
+    * closed (callers own it).
+    */
+  def finish(): Unit = {
+    require(!finished, "writer already finished")
+    if (cellBuf.size() > 0) flushDataBlock()
+    val loadOnOpenOffset = offset
+    writeBlock(BlockMagicRootIndex, rootIndexPayload())
+    val fileInfoOffset = offset
+    writeBlock(BlockMagicFileInfo, fileInfoPayload())
+    writeTrailer(loadOnOpenOffset, fileInfoOffset)
+    out.flush()
+    finished = true
+  }
+
+  private def hexKey(c: HCell): String =
+    if (c == null) "<none>"
+    else c.rowkey.map(b => f"$b%02x").mkString +
+      "/" + new String(c.family, "UTF-8") +
+      ":" + new String(c.qualifier, "UTF-8") + "/" + c.ts
+
+  private def flushDataBlock(): Unit = {
+    val payload = cellBuf.toByteArray
+    val at = offset
+    val onDisk = writeBlock(BlockMagicData, payload)
+    if (firstDataBlockOffset < 0) firstDataBlockOffset = at
+    lastDataBlockOffset = at
+    index += IndexEntry(at, onDisk, serializeKey(blockFirstCell))
+    cellBuf.reset()
+    blockFirstCell = null
+    blockCells = 0
+  }
+
+  /** v2 block: 33-byte header + payload + CRC32C per 16 KiB chunk of
+    * header+payload. Returns on-disk size incl. header and checksums.
+    */
+  private def writeBlock(magic: Array[Byte], payload: Array[Byte]): Int = {
+    val nChunks = (HeaderSize + payload.length + BytesPerChecksum - 1) /
+      BytesPerChecksum
+    val checksumLen = 4 * nChunks
+    val header = ByteBuffer.allocate(HeaderSize)
+    header.put(magic)
+    header.putInt(payload.length + checksumLen) // onDiskSizeWithoutHeader
+    header.putInt(payload.length)               // uncompressedSizeWithoutHeader
+    header.putLong(prevBlockOffset)
+    header.put(ChecksumTypeCrc32c)
+    header.putInt(BytesPerChecksum)
+    header.putInt(HeaderSize + payload.length)  // onDiskDataSizeWithHeader
+    val headerBytes = header.array()
+
+    val checksummed = new Array[Byte](HeaderSize + payload.length)
+    System.arraycopy(headerBytes, 0, checksummed, 0, HeaderSize)
+    System.arraycopy(payload, 0, checksummed, HeaderSize, payload.length)
+    val checks = ByteBuffer.allocate(checksumLen)
+    var pos = 0
+    while (pos < checksummed.length) {
+      val n = math.min(BytesPerChecksum, checksummed.length - pos)
+      val crc = new CRC32C()
+      crc.update(checksummed, pos, n)
+      checks.putInt(crc.getValue.toInt)
+      pos += n
+    }
+
+    out.write(checksummed)
+    out.write(checks.array())
+    prevBlockOffset = offset
+    val onDiskWithHeader = HeaderSize + payload.length + checksumLen
+    totalUncompressedBytes += HeaderSize + payload.length
+    offset += onDiskWithHeader
+    onDiskWithHeader
+  }
+
+  /** Root (single-level) index: per data block
+    * `offset(i64) onDiskSizeWithHeader(i32) vint(keyLen) firstKey`.
+    */
+  private def rootIndexPayload(): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(baos)
+    index.foreach { e =>
+      d.writeLong(e.offset)
+      d.writeInt(e.onDiskSizeWithHeader)
+      writeHadoopVLong(d, e.firstKey.length.toLong)
+      d.write(e.firstKey)
+    }
+    baos.toByteArray
+  }
+
+  /** `PBUF` + varint-length-prefixed FileInfoProto
+    * (`repeated BytesBytesPair map_entry = 1`).
+    */
+  private def fileInfoPayload(): Array[Byte] = {
+    def i32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    val entries = Seq(
+      "hfile.LASTKEY" ->
+        (if (lastCell == null) Array.emptyByteArray else serializeKey(lastCell)),
+      "hfile.AVG_KEY_LEN" ->
+        i32(if (entryCount == 0) 0 else (totalKeyLen / entryCount).toInt),
+      "hfile.AVG_VALUE_LEN" ->
+        i32(if (entryCount == 0) 0 else (totalValueLen / entryCount).toInt))
+    val proto = new ByteArrayOutputStream()
+    entries.foreach { case (k, v) =>
+      val pair = new ByteArrayOutputStream()
+      bytesField(pair, 1, k.getBytes("UTF-8"))
+      bytesField(pair, 2, v)
+      bytesField(proto, 1, pair.toByteArray)
+    }
+    val baos = new ByteArrayOutputStream()
+    baos.write(PbMagic)
+    writeVarint(baos, proto.size())
+    proto.writeTo(baos)
+    baos.toByteArray
+  }
+
+  /** Fixed-size trailer region: magic + `PBUF` + varint-prefixed
+    * FileTrailerProto, zero-padded so the region is exactly
+    * [[HFile.TrailerSize]] bytes and ends with `major | minor << 24`.
+    */
+  private def writeTrailer(loadOnOpenOffset: Long,
+                           fileInfoOffset: Long): Unit = {
+    val proto = new ByteArrayOutputStream()
+    varintField(proto, 1, fileInfoOffset)
+    varintField(proto, 2, loadOnOpenOffset)
+    varintField(proto, 3, totalUncompressedBytes) // uncompressed_data_index_size stand-in
+    varintField(proto, 4, totalUncompressedBytes)
+    varintField(proto, 5, index.size.toLong)      // data_index_count
+    varintField(proto, 6, 0L)                     // meta_index_count
+    varintField(proto, 7, entryCount)
+    varintField(proto, 8, 1L)                     // num_data_index_levels
+    varintField(proto, 9,
+      if (firstDataBlockOffset < 0) 0 else firstDataBlockOffset)
+    varintField(proto, 10,
+      if (lastDataBlockOffset < 0) 0 else lastDataBlockOffset)
+    bytesField(proto, 11,
+      "org.apache.hadoop.hbase.CellComparator".getBytes("UTF-8"))
+    varintField(proto, 12, 2L)                    // compression codec NONE
+
+    val region = ByteBuffer.allocate(TrailerSize)
+    region.put(TrailerMagic)
+    region.put(PbMagic)
+    val protoBytes = proto.toByteArray
+    val lenPrefix = new ByteArrayOutputStream()
+    writeVarint(lenPrefix, protoBytes.length.toLong)
+    region.put(lenPrefix.toByteArray)
+    region.put(protoBytes)
+    region.position(TrailerSize - 4)
+    region.putInt(MajorVersion | (MinorVersion << 24))
+    out.write(region.array())
+    offset += TrailerSize
+  }
+}

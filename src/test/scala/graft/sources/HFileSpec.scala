@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import graft.SparkSpec
+import graft.functions.hb
+import graft.operators.BulkLoad
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class HFileSpec extends SparkSpec {
+  import spark.implicits._
+  import HFile._
+
+  private def cell(row: String, qual: String, ts: Long = 0L,
+                   value: String = "v"): HCell =
+    HCell(row.getBytes("UTF-8"), "f".getBytes("UTF-8"),
+      qual.getBytes("UTF-8"), ts, value.getBytes("UTF-8"))
+
+  private def writeToBytes(cells: Seq[HCell],
+                           blockSize: Int = 256): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, blockSize)
+    cells.foreach(w.append)
+    w.finish()
+    baos.toByteArray
+  }
+
+  private val manyCells =
+    (0 until 500).map(i => cell(f"row$i%05d", "q", ts = 7L, value = "x" * 20))
+
+  test("round-trip: cells -> bytes -> cells, multi-block") {
+    val bytes = writeToBytes(manyCells)
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.size == manyCells.size)
+    back.zip(manyCells).foreach { case (a, b) =>
+      assert(a.rowkey.sameElements(b.rowkey) &&
+        a.family.sameElements(b.family) &&
+        a.qualifier.sameElements(b.qualifier) &&
+        a.ts == b.ts && a.value.sameElements(b.value))
+    }
+  }
+
+  test("structure: magics, trailer, index entries all verify") {
+    val bytes = writeToBytes(manyCells)
+    // first block is a data block
+    assert(bytes.slice(0, 8).sameElements(BlockMagicData))
+    // trailer magic and packed version at fixed offsets from the end
+    assert(bytes.slice(bytes.length - TrailerSize,
+      bytes.length - TrailerSize + 8).sameElements(TrailerMagic))
+    val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
+    assert(t.majorVersion == 2 && t.minorVersion == 3)
+    assert(t.entryCount == 500 && t.numDataIndexLevels == 1)
+    assert(t.comparator.contains("CellComparator"))
+    // full audit: block count > 1 (small blocks), index matches blocks
+    val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+    assert(stats.nDataBlocks > 1)
+    assert(stats.nIndexEntries == stats.nDataBlocks)
+    assert(stats.nCells == 500)
+    assert(stats.fileInfo.contains("hfile.LASTKEY"))
+    assert(t.dataIndexCount == stats.nDataBlocks)
+  }
+
+  test("writer rejects out-of-order and duplicate keys") {
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos)
+    w.append(cell("b", "q"))
+    intercept[IllegalArgumentException](w.append(cell("a", "q")))
+    intercept[IllegalArgumentException](w.append(cell("b", "q")))
+    // same row, later qualifier is fine; newer ts sorts first within a cell
+    w.append(cell("b", "r", ts = 9))
+    intercept[IllegalArgumentException](w.append(cell("b", "r", ts = 10)))
+    w.append(cell("b", "r", ts = 3))
+  }
+
+  test("any corrupted byte fails the checksum or a structural check") {
+    val bytes = writeToBytes(manyCells)
+    val corrupt = bytes.clone()
+    corrupt(200) = (corrupt(200) ^ 0x5a).toByte // inside first data block
+    val err = intercept[IllegalArgumentException] {
+      HFileReader.scan(new HFileReader.BytesRead(corrupt)).toSeq
+    }
+    assert(err.getMessage.contains("CRC32C") ||
+      err.getMessage.contains("requirement"))
+  }
+
+  test("empty file: valid trailer, zero cells") {
+    val bytes = writeToBytes(Seq.empty)
+    assert(HFileReader.scan(new HFileReader.BytesRead(bytes)).isEmpty)
+    val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
+    assert(t.entryCount == 0 && t.dataIndexCount == 0)
+  }
+
+  test("end-to-end: prepare -> writeHFiles -> readHFiles round-trips") {
+    val events = sf("events")
+    val cells = events.select(
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"),
+      lit("value").as("qualifier"),
+      hb.encode(col("value")).as("value"),
+      expr("(ts DIV 1000000000 DIV 3600) * 3600").cast("int").as("hour_sec"),
+      col("user_id"))
+    val prepared = BulkLoad.prepare(cells, buckets = 4, numPartitions = 4,
+      saltBase = Some(hb.encode(col("user_id"))),
+      epochSec = Some(col("hour_sec")))
+    val out = Files.createTempDirectory("hfiles").toString
+    BulkLoad.writeHFiles(prepared, out, tsCol = Some("hour_sec"),
+      blockSize = 1024) // small blocks -> multi-block files
+    val back = BulkLoad.readHFiles(spark, out)
+
+    assert(back.count() == cells.count())
+    // exact cell-level equality, including the directory bucket
+    val a = prepared.select(col("bucket"), hex(col("salted_key")).as("k"),
+      col("family"), col("qualifier"), col("hour_sec").cast("long").as("ts"),
+      hex(col("value")).as("v"))
+    val b = back.select(col("bucket"), hex(col("rowkey")).as("k"),
+      col("family"), col("qualifier"), col("ts"), hex(col("value")).as("v"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+
+    // per-bucket files are non-overlapping sorted runs (scan() enforces
+    // in-file order; here check cross-file ranges inside each bucket)
+    val ranges = back.groupBy("bucket", "file")
+      .agg(min(hex(col("rowkey"))).as("lo"), max(hex(col("rowkey"))).as("hi"))
+      .orderBy("bucket", "lo")
+      .collect()
+    ranges.groupBy(_.getInt(0)).values.foreach { fs =>
+      fs.sortBy(_.getAs[String]("lo")).sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[String]("hi") <= y.getAs[String]("lo"),
+            "overlapping hfiles within bucket")
+        case _ =>
+      }
+    }
+  }
+}
