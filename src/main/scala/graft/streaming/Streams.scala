@@ -95,6 +95,25 @@ object Streams {
       }
   }
 
+  /** G6: incremental gap sessionization (A14's batch semantics via
+    * [[graft.queries.Core.sessionStats]], made streaming) with
+    * `session_window`: events within `gap` of each other merge into one
+    * growing per-user session; the watermark closes sessions, emits
+    * their final aggregate, and evicts their state — so the state store
+    * holds only sessions still open inside the lateness horizon.
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_ts", lateness)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+
   /** G3: upsert mutation stream (the reference's buffered Put/Delete
     * sink, HBaseSerde.java:119-173): each micro-batch is converted to a
     * cell-mutation stream and handed to `flush` in rowkey order —

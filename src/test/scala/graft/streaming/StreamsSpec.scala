@@ -39,6 +39,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within gap and close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_ts", "user_id", "value")
+    val q = Streams.sessionStream(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1704067200000L
+      val min = 60 * 1000L
+      input.addData(
+        (ts(t0), 1L, 1.0), (ts(t0 + 10 * min), 1L, 2.0), // one session
+        (ts(t0 + 120 * min), 1L, 5.0),                   // second session
+        (ts(t0), 2L, 7.0))
+      q.processAllAvailable()
+      // sessions emit only once the watermark passes their close
+      input.addData((ts(t0 + 600 * min), 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .orderBy("user_id", "session_start_ms").collect()
+      assert(out.length == 3) // marker's own session still open
+      assert(out(0).getAs[Long]("user_id") == 1L)
+      assert(out(0).getAs[Long]("n_events") == 2)      // gap-merged
+      assert(out(0).getAs[Double]("sum_value") == 3.0)
+      assert(out(0).getAs[Long]("session_start_ms") == t0)
+      assert(out(0).getAs[Long]("session_end_ms") == t0 + 40 * min)
+      assert(out(1).getAs[Long]("n_events") == 1)      // past the gap
+      assert(out(1).getAs[Long]("session_start_ms") == t0 + 120 * min)
+      assert(out(2).getAs[Long]("user_id") == 2L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
