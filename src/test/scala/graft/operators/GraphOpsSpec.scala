@@ -5,15 +5,20 @@ import graft.SparkSpec
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def labels(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+  private def labels(edges: Seq[(Long, Long)],
+                     maxLocalEdges: Long = 2000000L): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+        maxLocalEdges = maxLocalEdges)
       .as[(Long, Long)].collect().toMap
 
   test("chain graph collapses to one component (multi-hop closure)") {
-    // 1-2, 2-3, ..., 9-10: diameter 9, needs transitive closure
-    val out = labels((1L to 9L).map(i => (i, i + 1)))
-    assert(out.keySet == (1L to 10L).toSet)
-    assert(out.values.toSet == Set(1L))
+    // 1-2, 2-3, ..., 9-10: diameter 9, needs transitive closure;
+    // exercised on BOTH the distributed star path and the local endgame
+    Seq(0L, 2000000L).foreach { threshold =>
+      val out = labels((1L to 9L).map(i => (i, i + 1)), threshold)
+      assert(out.keySet == (1L to 10L).toSet)
+      assert(out.values.toSet == Set(1L))
+    }
   }
 
   test("disjoint cliques + bridge merge into one, others stay apart") {
@@ -50,6 +55,7 @@ class GraphOpsSpec extends SparkSpec {
       val byRoot = nodes.groupBy(find)
       byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
     }
-    assert(labels(edges) == expected)
+    assert(labels(edges) == expected)                    // local endgame
+    assert(labels(edges, maxLocalEdges = 0L) == expected) // star rounds
   }
 }
