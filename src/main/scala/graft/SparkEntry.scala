@@ -51,6 +51,7 @@ object SparkEntry {
     "q_session_stats" -> ((s, d) => Core.sessionStats(t(s, d, "events"))),
     "rollup_percentiles" -> ((s, d) =>
       Core.rollupPercentiles(t(s, d, "events"))),
+    "rollup_distinct" -> ((s, d) => Core.rollupDistinct(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -83,6 +84,7 @@ object SparkEntry {
       Pipeline.sampleStratified(t(s, d, "documents"))),
     "graph_components" -> ((s, d) =>
       Pipeline.graphComponents(t(s, d, "lineitem"))),
+    "corpus_curate" -> ((s, d) => Pipeline.corpusCurate(t(s, d, "documents"))),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
@@ -328,6 +330,39 @@ object SparkEntry {
         |            WHEN 'zh' THEN '${operators.Sampling.hexThreshold(0.25)}'
         |            ELSE '${operators.Sampling.hexThreshold(0.1)}' END
         |ORDER BY doc_id""".stripMargin,
+    "rollup_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "corpus_curate" ->
+      s"""WITH q AS (SELECT doc_id, lang, text,
+        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, lang, text,
+        |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+        |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',
+        |    'is','on','for')))::DOUBLE / len(ws) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+        |    / length(text)::DOUBLE AS punct_ratio,
+        |  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
+        |    AS len_score
+        | FROM q),
+        |s AS (SELECT doc_id, lang, text,
+        |  round(len_score * 0.25 + diversity * 0.25
+        |    + least(stop_ratio * 4, 1.0) * 0.25
+        |    + greatest(1.0 - punct_ratio * 10, 0.0) * 0.25, 6) AS quality
+        | FROM c),
+        |f AS (SELECT *,
+        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        | FROM s WHERE quality >= 0.7),
+        |k AS (SELECT doc_id, lang, quality,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, lang, quality,
+        | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+        |        < '${operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+        |      WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+        |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE
         |pairs AS (

@@ -47,13 +47,10 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
-  /** E2: heuristic quality score in [0,1]:
-    * 0.25·length-in-range + 0.25·lexical-diversity + 0.25·stopword
-    * presence + 0.25·(1 − punctuation excess). Components exposed for
-    * inspection/filtering.
+  /** (diversity, stop_ratio, punct_ratio, rounded quality) component
+    * expressions — one pass over the token array, usable inline.
     */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  private def qualityParts(t: Column): (Column, Column, Column, Column) = {
     val ws = words(t)
     val nTok = size(ws).cast("double")
     val lenScore = when(length(t).between(100, 2000), lit(1.0))
@@ -66,13 +63,30 @@ object TextOps {
       size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
         length(t).cast("double")
     val punctScore = greatest(lit(1.0) - punctRatio * 10, lit(0.0))
+    (diversity, stopRatio, punctRatio,
+      round(lenScore * 0.25 + diversity * 0.25 + stopScore * 0.25 +
+        punctScore * 0.25, 6))
+  }
+
+  /** The composite quality score as a single inline Column — lets
+    * filters fuse scoring into a scan with no intermediate DataFrame
+    * (used by the corpus-curation pipeline).
+    */
+  def qualityScore(t: Column): Column = qualityParts(t)._4
+
+  /** E2: heuristic quality score in [0,1]:
+    * 0.25·length-in-range + 0.25·lexical-diversity + 0.25·stopword
+    * presence + 0.25·(1 − punctuation excess). Components exposed for
+    * inspection/filtering.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (diversity, stopRatio, punctRatio, q) = qualityParts(col(textCol))
     docs.select(
       col(idCol),
       round(diversity, 6).as("diversity"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(lenScore * 0.25 + diversity * 0.25 + stopScore * 0.25 +
-        punctScore * 0.25, 6).as("quality"))
+      q.as("quality"))
   }
 
   /** Marker stopwords per language (tiny, public, deterministic). */

@@ -272,6 +272,25 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** A16: distinct-cardinality rollup. `exact = true` (the oracle mode)
+    * runs `count(distinct)` — Catalyst expands it to a two-phase
+    * aggregate whose first shuffle carries every (type, user) pair.
+    * `exact = false` is the 100 TB path: `approx_count_distinct`
+    * (HyperLogLog++) keeps an O(1)-size mergeable sketch per group, one
+    * map-side-combined shuffle total; `rsd` is the target relative
+    * standard deviation (spec asserts ≤5% observed error vs exact).
+    */
+  def rollupDistinct(events: DataFrame, exact: Boolean = true,
+                     rsd: Double = 0.01): DataFrame = {
+    val nUsers =
+      if (exact) countDistinct(col("user_id"))
+      else approx_count_distinct(col("user_id"), rsd)
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), nUsers.as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
     * split is a bucketing expression inside ONE job -- no per-interval

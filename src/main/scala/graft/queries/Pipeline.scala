@@ -88,6 +88,28 @@ object Pipeline {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** C10: end-to-end corpus curation — the composed pipeline a
+    * training-data run executes: quality-score inline at the scan
+    * (no intermediate join), keep docs ≥ 0.7, collapse normalized
+    * exact dups to the min-id canonical via one `min_by` aggregation
+    * (map-side partial, single shuffle on the fingerprint), then
+    * deterministic 80/10/10 split. Every stage is an operator already
+    * oracle-checked in isolation; this entry verifies the composition.
+    */
+  def corpusCurate(documents: DataFrame): DataFrame = {
+    val survivors = documents
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.7)
+      .groupBy(md5(Dedup.normalized(col("text"))).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("quality")),
+        col("doc_id")).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"),
+        col("c.quality").as("quality"))
+    Sampling.deterministicSplit(survivors, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+      .orderBy("doc_id")
+  }
+
   /** C9 (oracle graph for C7's operator): connected components of the
     * high-quantity co-purchase graph — parts linked when one order
     * takes ≥48 units of both. Multi-hop (components up to ~10 parts

@@ -39,6 +39,19 @@ class CoreSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(1)).sum == sf("events").count())
   }
 
+  test("rollupDistinct approx (HLL++) is within 5% of exact") {
+    val events = sf("events")
+    val exact = Core.rollupDistinct(events).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Core.rollupDistinct(events, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (tpe, n) =>
+      val a = approx(tpe)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$tpe exact=$n approx=$a")
+    }
+  }
+
   test("latestEventPerUser picks the (ts, event_id)-max event per user") {
     val events = sf("events")
     val out = Core.latestEventPerUser(events).collect()
