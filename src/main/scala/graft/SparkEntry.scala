@@ -66,6 +66,7 @@ object SparkEntry {
         hoursOfDay = Seq(3, 15))),
     "cells_versions" -> ((s, d) =>
       HModel.cellsVersions(t(s, d, "events"), n = 3)),
+    "zorder_layout" -> ((s, d) => HModel.zorderLayout(t(s, d, "events"))),
     // ---- C. deduplication -----------------------------------------------
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
@@ -308,6 +309,17 @@ object SparkEntry {
         |SELECT rk_hex, family, qualifier, version_rank, ts_ms, value
         |FROM r WHERE version_rank <= 3
         |ORDER BY rk_hex, qualifier, version_rank""".stripMargin,
+    "zorder_layout" ->
+      """WITH h AS (SELECT user_id,
+        |  epoch_ms(ts) // 1000 // 3600 AS epoch_hour FROM events),
+        |z AS (SELECT user_id, epoch_hour,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    (((user_id >> i) & 1) << (2*i + 1))
+        |      + (((epoch_hour >> i) & 1) << (2*i)))) AS BIGINT) AS z
+        | FROM h)
+        |SELECT user_id, epoch_hour, z, COUNT(*) AS n_events
+        |FROM z GROUP BY user_id, epoch_hour, z
+        |ORDER BY z LIMIT 100""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -151,6 +151,26 @@ object HModel {
       .orderBy(col("event_type"))
   }
 
+  /** B12: Z-order (Morton) layout key — interleave(user_id, epoch_hour)
+    * via the codegen [[graft.functions.zo.zorder]] kernel, then the
+    * per-(user, hour) cell counts in curve order. Sorting a bulk load on
+    * `z` clusters rows close in BOTH dimensions into contiguous key
+    * ranges, so user-range × time-range scans prune to a bounded set of
+    * regions/row-groups — where the plain `(user, hour)` concatenation
+    * (B5) prunes only on the leading column. The oracle recomputes the
+    * interleave arithmetically per bit.
+    */
+  def zorderLayout(events: DataFrame, limit: Int = 100): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("ts DIV 1000000000 DIV 3600").as("epoch_hour"))
+      .withColumn("z",
+        graft.functions.zo.zorder(col("user_id"), col("epoch_hour")))
+      .groupBy("user_id", "epoch_hour", "z")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("z")
+      .limit(limit)
+
   /** DuckDB closed form of java.util.Arrays.hashCode over the 8 big-endian
     * bytes of a non-negative BIGINT column: h = 31^8 + Σ 31^(7-i)·sbyte_i,
     * wrapped to int32. Shared by the B4/B5 oracles.
