@@ -86,6 +86,7 @@ object SparkEntry {
     "graph_components" -> ((s, d) =>
       Pipeline.graphComponents(t(s, d, "lineitem"))),
     "corpus_curate" -> ((s, d) => Pipeline.corpusCurate(t(s, d, "documents"))),
+    "seq_packing" -> ((s, d) => Pipeline.seqPacking(t(s, d, "documents"))),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
@@ -375,6 +376,17 @@ object SparkEntry {
         |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        | start_tok // 2048 AS seq_id, start_tok % 2048 AS offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE
         |pairs AS (

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training data (SURVEY.md §2 C11): the
+  * standard concat-then-chunk scheme — documents are laid out
+  * back-to-back in a deterministic order and cut into fixed
+  * `budget`-token training sequences, so each doc gets
+  * `(seq_id, offset)` coordinates and sequences have zero padding
+  * waste (docs may span a boundary, as in GPT-style packing).
+  *
+  * The layout is a global exclusive prefix sum of token counts. A
+  * naive `Window.orderBy(id)` without partitioning funnels the corpus
+  * through ONE task — the classic scale-killer — so this implements
+  * the two-phase distributed scan: range-partition by id, sum each
+  * partition (map-side, parallel), prefix-scan the tiny per-partition
+  * totals on the driver (one row per partition), then broadcast the
+  * offsets and finish with a per-partition window (parallel again).
+  * Total cost: one range exchange + one window, both fully parallel;
+  * driver state is O(partitions), independent of corpus size.
+  */
+object Packing {
+
+  /** Adds `start_tok` (exclusive global prefix sum of `tokensCol` in
+    * `idCol` order), `seq_id` and `offset` for `budget`-token
+    * sequences. Output columns: idCol, tokensCol, start_tok, seq_id,
+    * offset.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.select(col(idCol), col(tokensCol).cast("long"))
+      .repartitionByRange(n, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin partitioning: sums and window must see the same pids
+
+    // phase 1: per-partition totals — numPartitions rows to the driver.
+    // RangePartitioning assigns ascending key ranges to ascending
+    // partition ids, so the prefix scan runs in _pid order.
+    val inOrder = ranged.groupBy("_pid")
+      .agg(sum(col(tokensCol)).as("_t"))
+      .collect()
+      .sortBy(_.getAs[Int]("_pid"))
+    val offsets = inOrder.scanLeft(0L)(_ + _.getAs[Long]("_t")).init
+    val offsetMap = inOrder.map(_.getAs[Int]("_pid")).zip(offsets).toMap
+
+    // phase 2: per-partition exclusive cumsum + broadcast offset
+    val mapExpr = map(offsetMap.toSeq.flatMap {
+      case (p, o) => Seq(lit(p), lit(o))
+    }: _*)
+    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("start_tok",
+        element_at(mapExpr, col("_pid")) +
+          coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_tok") / budget))
+      .withColumn("offset", col("start_tok") % budget)
+      .drop("_pid")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, GraphOps, Knn, Multimodal, Sampling, TextOps}
+import graft.operators.{Dedup, GraphOps, Knn, Multimodal, Packing, Sampling, TextOps}
 
 /** Training-data pipeline queries (SURVEY.md §2 C/D/E/F series) over the
   * `documents` and `embeddings` tables. Thin deterministic wrappers
@@ -109,6 +109,19 @@ object Pipeline {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
       .orderBy("doc_id")
   }
+
+  /** C11: GPT-style sequence packing — docs laid back-to-back in doc_id
+    * order and cut into 2048-token training sequences via the
+    * distributed two-phase prefix sum in [[Packing.packSequences]]
+    * (range partition → parallel partials → O(partitions) driver scan →
+    * parallel finish; no global single-task window).
+    */
+  def seqPacking(documents: DataFrame, budget: Long = 2048L): DataFrame =
+    Packing.packSequences(
+      documents.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget)
+      .orderBy("doc_id")
 
   /** C9 (oracle graph for C7's operator): connected components of the
     * high-quantity co-purchase graph — parts linked when one order

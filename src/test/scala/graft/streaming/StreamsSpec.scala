@@ -140,6 +140,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert stream composes with the HFile sink (G3 -> B11)") {
+    implicit val sqlCtx = spark.sqlContext
+    val schema = HTableSchema(
+      rowKey = Seq("id"),
+      columns = Seq(HColumn("f", "v", "v", LongType)))
+    val input = MemoryStream[(Long, Long)]
+    val rows = input.toDF().toDF("id", "v")
+    val outDir = java.nio.file.Files.createTempDirectory("stream_hfiles")
+    // each micro-batch becomes one salted, sorted HFile directory
+    val q = Streams.upsertStream(rows, schema,
+      (cells: DataFrame, epoch: Long) => {
+        val prepared = graft.operators.BulkLoad.prepare(
+          cells, buckets = 2, numPartitions = 2)
+        graft.operators.BulkLoad.writeHFiles(prepared,
+          s"$outDir/epoch=$epoch")
+      }).start()
+    try {
+      input.addData((2L, 20L), (1L, 10L), (5L, 50L))
+      q.processAllAvailable()
+      val dirs = new java.io.File(outDir.toString).listFiles()
+        .filter(_.getName.startsWith("epoch="))
+      assert(dirs.nonEmpty)
+      val total = dirs.map { d =>
+        graft.operators.BulkLoad.readHFiles(spark, d.getAbsolutePath).count()
+      }.sum
+      assert(total == 3) // every upsert survives as a validated HFile cell
+    } finally q.stop()
+  }
+
   test("upsert stream flushes sorted cell mutations per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val schema = HTableSchema(
