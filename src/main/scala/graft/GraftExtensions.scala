@@ -65,7 +65,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_salt_bucket"),
       info("graft_salt_bucket",
         "graft_salt_bucket(bytes) - reference-parity Arrays.hashCode"),
-      (args: Seq[Expression]) => ArraysHashCode(args(0))))
+      (args: Seq[Expression]) => ArraysHashCode(args(0))),
+    (FunctionIdentifier("graft_zorder"),
+      info("graft_zorder",
+        "graft_zorder(a, b) - 64-bit Z-order (Morton) interleave of two BIGINTs"),
+      (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
 
   /** Imperative registration into an existing session (the extensions
     * config only applies when a new session is instantiated).

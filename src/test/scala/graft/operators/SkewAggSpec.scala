@@ -44,12 +44,14 @@ class SkewAggSpec extends SparkSpec {
         """SELECT graft_simhash(graft_shingle_hashes('a b c d e', 3)) AS sh,
           |       size(graft_minhash(graft_shingle_hashes('a b c d e', 3), 32)) AS n,
           |       graft_rolling_fp('abc') AS fp,
-          |       hex(graft_hb_encode(42L)) AS enc
+          |       hex(graft_hb_encode(42L)) AS enc,
+          |       graft_zorder(3L, 0L) AS z
           |""".stripMargin).head()
       assert(r.getAs[Long]("sh") != 0L)
       assert(r.getAs[Int]("n") == 32)
       assert(r.getAs[Long]("fp") != 0L)
     assert(r.getAs[String]("enc") == "000000000000002A")
+    assert(r.getAs[Long]("z") == 10L)
   }
 
   test("DESCRIBE FUNCTION shows usage text for graft_* functions") {
