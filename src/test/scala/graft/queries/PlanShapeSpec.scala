@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the 100 TB-critical properties of
+  * the round-3 queries — locks in the scale posture the scaladocs
+  * promise so a refactor can't silently reintroduce a global sort or a
+  * lost pushdown.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("corpus_curate: quality filter fuses into the scan stage") {
+    val p = plan("corpus_curate")
+    // the >= 0.7 filter sits directly on the FileScan (no join before
+    // it), and the dedup collapse is a partial/final aggregate pair
+    assert(p.contains("Filter") && p.contains("FileScan parquet"))
+    assert("partial_min_by".r.findAllIn(p).size == 1, p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "curation must be join-free")
+  }
+
+  test("zorder_layout: top-k, not a global sort; partial aggregation") {
+    val p = plan("zorder_layout")
+    assert(p.contains("TakeOrderedAndProject"), "limit+order must be top-k")
+    assert(p.contains("partial_count"), "cell counts must partial-aggregate")
+    assert(p.contains("zorder64"), "interleave must be the native expression")
+  }
+
+  test("seq_packing: the prefix-sum window is per-partition, not global") {
+    val p = plan("seq_packing")
+    // every Window node must carry a partitionBy (spec shows the _pid
+    // partition spec); a global window prints an empty partition list
+    val windows = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("_pid"),
+      s"window not partitioned: $w"))
+  }
+
+  test("split_assign and sample_stratified stay shuffle-free before output sort") {
+    Seq("split_assign", "sample_stratified").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      // only the final output ordering's range exchange is allowed
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q has a data shuffle: $exchanges")
+      assert(p.contains("FileScan parquet"))
+    }
+  }
+
+  test("graph_components: edge build pushes the quantity filter to the scan") {
+    // connectedComponents executes eagerly, so audit the edge-build
+    // stage (the part that scans 100 TB) rather than the label output
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables(spark, dir, "lineitem")
+    val picked = li.filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_partkey")
+    val edges = picked.as("a").join(picked.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+    val p = edges.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(l_quantity,48"), p.take(600))
+  }
+}
