@@ -103,7 +103,7 @@ object Knn {
     */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
           vecCol: String, k: Int, stride: Int = 50,
-          nProbe: Int = 3): DataFrame = {
+          nProbe: Int = 5): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val centroids = broadcast(

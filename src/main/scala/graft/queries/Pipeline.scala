@@ -163,10 +163,13 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
-  /** D3: IVF cell-probe ANN, same queries. */
+  /** D3: IVF cell-probe ANN, same queries. nProbe = 5 of the ~n/50
+    * cells scans ~5% of the corpus for recall 0.74–0.76 vs brute force
+    * at sf0.001/sf0.01 (spec floor 0.5).
+    */
   def knnIvf(embeddings: DataFrame): DataFrame =
     Knn.ivf(embeddings, querySet(embeddings), "vec_id", "embedding",
-        k = 5, stride = 50, nProbe = 3)
+        k = 5, stride = 50, nProbe = 5)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 

@@ -47,7 +47,8 @@ class KnnSpec extends SparkSpec {
     // (0.90 at sf0.01); floor at 0.5 per the review criterion, with
     // headroom because the hyperplanes are seed-deterministic
     assert(lshRecall >= 0.5, s"lsh recall $lshRecall")
-    assert(ivfRecall >= 0.3, s"ivf recall $ivfRecall")
+    // nProbe=5 of ~n/50 cells measures 0.74 at sf0.001, 0.76 at sf0.01
+    assert(ivfRecall >= 0.5, s"ivf recall $ivfRecall")
   }
 
   test("IVF assign step is a partial aggregation, not a window sort") {
