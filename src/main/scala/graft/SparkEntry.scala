@@ -52,6 +52,7 @@ object SparkEntry {
     "rollup_percentiles" -> ((s, d) =>
       Core.rollupPercentiles(t(s, d, "events"))),
     "rollup_distinct" -> ((s, d) => Core.rollupDistinct(t(s, d, "events"))),
+    "rollup_fill" -> ((s, d) => Core.rollupFill(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -347,6 +348,23 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rollup_fill" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_ms(ts) // 1000 // 3600 AS h, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS raw_sum
+        | FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi
+        | FROM b GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
+        | FROM span),
+        |j AS (SELECT s.event_type, s.h,
+        |  COALESCE(b.n_events, 0) AS n_events,
+        |  b.n_events IS NULL AS is_gap, b.raw_sum
+        | FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h)
+        |SELECT event_type, h * 3600000 AS bucket_ms, n_events, is_gap,
+        | last_value(raw_sum IGNORE NULLS) OVER
+        |  (PARTITION BY event_type ORDER BY h) AS sum_value
+        |FROM j ORDER BY event_type, bucket_ms""".stripMargin,
     "corpus_curate" ->
       s"""WITH q AS (SELECT doc_id, lang, text,
         |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),

@@ -291,6 +291,41 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** A17: gap-filled hourly downsample — OpenTSDB's downsample fill
+    * policies over the A9 rollup. Hours with no events appear with
+    * `n_events = 0`, `is_gap = true`, and `sum_value` carried forward
+    * from the previous non-empty hour (PREVIOUS fill; the first hours
+    * of a series can still be null if the series starts with a gap —
+    * it never does here since spans start at each type's first event).
+    *
+    * Scale shape: the raw stream first reduces to one row per
+    * (type, hour) via a partial-aggregating groupBy; the spine
+    * (`sequence` + explode) and the carry-forward window then operate
+    * on O(types × hours) rollup rows — bounded by the time span, not
+    * the event count — so the per-type window partition holds e.g.
+    * ~88k rows for a decade of hours regardless of data volume.
+    */
+  def rollupFill(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr("ts DIV 1000000 DIV 3600000") // epoch hour, integer math
+    val b = events
+      .groupBy(col("event_type"), h.as("h"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("raw_sum"))
+    val spine = b.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        (col("h") * 3600000L).as("bucket_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (col("n_events").isNull).as("is_gap"),
+        last(col("raw_sum"), ignoreNulls = true).over(w).as("sum_value"))
+      .orderBy(col("event_type"), col("bucket_ms"))
+  }
+
   /** A11: HBaseController.batchBulkload splits [start,end) into
     * timeInterval-sized jobs (HBaseController.java:199-227). In Spark the
     * split is a bucketing expression inside ONE job -- no per-interval
