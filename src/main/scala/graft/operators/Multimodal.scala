@@ -65,6 +65,23 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
+  /** F3: frame sampling — one row per kept frame of each video at a
+    * fixed `stride`, the standard pre-processing shape for video
+    * training data. Pure narrow plumbing (`sequence` + explode), so it
+    * fuses with the scan; the row count amplifies by ~n_frames/stride,
+    * so callers repartition AFTER sampling if a heavy per-frame stage
+    * follows (doc'd here rather than auto-repartitioned — the right
+    * partition count depends on that stage, not on this one).
+    * Frame decode follows the same stub rule as [[decodeFeatures]].
+    */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    features.filter(col("kind") === "video")
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+  }
+
   /** Deterministic decode STUB — replace with a real codec binding.
     * Dimensions and features are pure functions of the payload bytes,
     * so tests can assert exact values.

@@ -63,11 +63,18 @@ object HFile {
   val MajorVersion = 2
   val MinorVersion = 3
   val KeyTypePut: Byte = 4
+  val KeyTypeDelete: Byte = 8
+  val KeyTypeDeleteColumn: Byte = 12
+  val KeyTypeDeleteFamily: Byte = 14
   val DefaultBlockSize = 64 * 1024
 
-  /** One cell as stored: `rowkey` is the full (salted) binary row key. */
+  /** One cell as stored: `rowkey` is the full (salted) binary row key;
+    * `keyType` is the KeyValue type byte (Put or a Delete marker —
+    * bulk-loadable like HBase's own delete-marker HFiles).
+    */
   case class HCell(rowkey: Array[Byte], family: Array[Byte],
-                   qualifier: Array[Byte], ts: Long, value: Array[Byte])
+                   qualifier: Array[Byte], ts: Long, value: Array[Byte],
+                   keyType: Byte = KeyTypePut)
 
   /** The serialized cell key (the "key" in KeyValue terms):
     * `rowLen(i16) row famLen(u8) family qualifier ts(i64) type(u8)`.
@@ -81,18 +88,20 @@ object HFile {
     buf.put(c.family)
     buf.put(c.qualifier)
     buf.putLong(c.ts)
-    buf.put(KeyTypePut)
+    buf.put(c.keyType)
     buf.array()
   }
 
   /** CellComparator order: row, family, qualifier ascending (unsigned
-    * byte-lexicographic), then timestamp descending.
+    * byte-lexicographic), then timestamp descending, then type byte
+    * descending (delete markers sort before puts at the same ts).
     */
   def compareCells(a: HCell, b: HCell): Int = {
     var c = java.util.Arrays.compareUnsigned(a.rowkey, b.rowkey)
     if (c == 0) c = java.util.Arrays.compareUnsigned(a.family, b.family)
     if (c == 0) c = java.util.Arrays.compareUnsigned(a.qualifier, b.qualifier)
     if (c == 0) c = java.lang.Long.compare(b.ts, a.ts) // newer first
+    if (c == 0) c = java.lang.Integer.compare(b.keyType & 0xff, a.keyType & 0xff)
     c
   }
 

@@ -138,9 +138,11 @@ object HFileReader {
         val qualifier = new Array[Byte](qualLen); buf.get(qualifier)
         val ts = buf.getLong
         val typ = buf.get()
-        require(typ == KeyTypePut, s"unexpected key type $typ")
+        require(typ == KeyTypePut || typ == KeyTypeDelete ||
+          typ == KeyTypeDeleteColumn || typ == KeyTypeDeleteFamily,
+          s"unexpected key type $typ")
         val value = new Array[Byte](valueLen); buf.get(value)
-        HCell(rowkey, family, qualifier, ts, value)
+        HCell(rowkey, family, qualifier, ts, value, typ)
       }
     }
 

@@ -21,6 +21,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("content_id").length == 32))
   }
 
+  test("sampleFrames: stride-spaced frame rows per video, videos only") {
+    val feats = Multimodal.decodeFeatures(media)
+    val frames = Multimodal.sampleFrames(feats, stride = 4).collect()
+    val videos = feats.filter($"kind" === "video")
+      .select("doc_id", "n_frames").as[(Long, Int)].collect().toMap
+    assert(frames.nonEmpty)
+    // every row is a video doc with an in-range, stride-aligned index
+    frames.foreach { r =>
+      val (id, idx) = (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))
+      assert(videos.contains(id))
+      assert(idx % 4 == 0 && idx >= 0 && idx < videos(id))
+    }
+    // count per video = ceil(n_frames / stride)
+    val perDoc = frames.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    perDoc.foreach { case (id, n) =>
+      assert(n == (videos(id) + 3) / 4, s"doc $id")
+    }
+    assert(perDoc.size == videos.size)
+  }
+
   test("decodeFeatures: schema, determinism, no shuffle, full coverage") {
     val n = media.count()
     val out = Multimodal.decodeFeatures(media)

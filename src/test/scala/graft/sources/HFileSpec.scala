@@ -74,6 +74,18 @@ class HFileSpec extends SparkSpec {
     w.append(cell("b", "r", ts = 3))
   }
 
+  test("delete markers round-trip and sort before puts at the same ts") {
+    val del = HCell("a".getBytes, "f".getBytes, "q".getBytes, 5L,
+      Array.emptyByteArray, KeyTypeDelete)
+    val put = HCell("a".getBytes, "f".getBytes, "q".getBytes, 5L,
+      "v".getBytes, KeyTypePut)
+    assert(compareCells(del, put) < 0) // marker first, like HBase
+    val bytes = writeToBytes(Seq(del, put))
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.map(_.keyType) == Seq(KeyTypeDelete, KeyTypePut))
+    assert(back.head.value.isEmpty)
+  }
+
   test("any corrupted byte fails the checksum or a structural check") {
     val bytes = writeToBytes(manyCells)
     val corrupt = bytes.clone()
