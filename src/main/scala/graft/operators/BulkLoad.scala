@@ -8,7 +8,7 @@ import graft.sources.{HFile, HFileReader, HFileWriter}
 /** One row per cell read back from an HFile by [[BulkLoad.readHFiles]]. */
 case class HFileCellRow(file: String, bucket: Int, rowkey: Array[Byte],
                         family: String, qualifier: String, ts: Long,
-                        value: Array[Byte])
+                        value: Array[Byte], key_type: Int)
 
 /** TSDB-style rowkey salting (TsdbBulkload.java:81-114,167-173).
   *
@@ -102,6 +102,7 @@ object BulkLoad {
     */
   def writeHFiles(prepared: DataFrame, path: String,
                   tsCol: Option[String] = None,
+                  typeCol: Option[String] = None,
                   blockSize: Int = HFile.DefaultBlockSize): Unit = {
     val spark = prepared.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -111,10 +112,12 @@ object BulkLoad {
     fsRoot.mkdirs(root)
 
     val ts = tsCol.map(col(_).cast("long")).getOrElse(lit(0L))
+    val typ = typeCol.map(col(_).cast("int"))
+      .getOrElse(lit(HFile.KeyTypePut.toInt))
     val rows = prepared.select(col("bucket").cast("int"),
       col("salted_key").cast("binary"), col("family").cast("string"),
       col("qualifier").cast("string"), ts.as("ts"),
-      col("value").cast("binary"))
+      col("value").cast("binary"), typ.as("key_type"))
 
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
@@ -140,7 +143,8 @@ object BulkLoad {
           writer.append(HFile.HCell(r.getAs[Array[Byte]](1),
             r.getString(2).getBytes("UTF-8"),
             r.getString(3).getBytes("UTF-8"),
-            r.getLong(4), r.getAs[Array[Byte]](5)))
+            r.getLong(4), r.getAs[Array[Byte]](5),
+            r.getInt(6).toByte))
         }
         if (writer != null) { writer.finish(); out.close() }
       }
@@ -179,7 +183,7 @@ object BulkLoad {
         .map(_.group(1).toInt).getOrElse(-1)
       HFileReader.scan(rr).map(c => HFileCellRow(f, bucket, c.rowkey,
         new String(c.family, "UTF-8"), new String(c.qualifier, "UTF-8"),
-        c.ts, c.value))
+        c.ts, c.value, c.keyType.toInt))
     }.toDF()
   }
 

@@ -36,6 +36,25 @@ object Mutations {
     puts.unionByName(deletes)
   }
 
+  /** Mutation stream → HFile-writable typed cell stream (composes B8
+    * with B11): PUT cells pass through as Put-typed cells; a row DELETE
+    * becomes one DeleteFamily marker per schema family — HBase's
+    * row-delete representation — with empty qualifier/value, so the
+    * whole upsert/delete stream can be bulk-loaded as delete-marker
+    * HFiles instead of issued as online mutations.
+    */
+  def toTypedCells(mutations: DataFrame, schema: HTableSchema): DataFrame = {
+    val puts = mutations.filter(col("op") === OpPut)
+      .select(col("rowkey"), col("family"), col("qualifier"), col("value"),
+        lit(graft.sources.HFile.KeyTypePut.toInt).as("key_type"))
+    val deletes = mutations.filter(col("op") === OpDelete)
+      .select(col("rowkey"), explode(typedLit(schema.families)).as("family"),
+        lit("").as("qualifier"),
+        lit(Array.emptyByteArray).as("value"),
+        lit(graft.sources.HFile.KeyTypeDeleteFamily.toInt).as("key_type"))
+    puts.unionByName(deletes)
+  }
+
   /** Deliver the mutation stream to `flush` in rowkey-sorted batches of
     * at most `maxMutations` per call (the reference's
     * bufferFlushMaxMutations), partition-parallel. `flush` runs on

@@ -33,6 +33,30 @@ class MutationsSpec extends SparkSpec {
       graft.functions.BytesCodec.encodeLong(3L).toSeq)
   }
 
+  test("typed cells bulk-load as delete-marker HFiles (B8 -> B11)") {
+    // collapse to the latest mutation per key first — the HFile writer
+    // rejects duplicate full cell keys by design (same id twice at the
+    // same ts is a version conflict the stream must resolve upstream)
+    val latest = rows.groupBy("id")
+      .agg(max_by(struct(col("name"), col("score"), col("row_kind")),
+        col("name")).as("m"))
+      .select(col("id"), col("m.name"), col("m.score"), col("m.row_kind"))
+    val typed = Mutations.toTypedCells(Mutations.toMutations(latest, schema),
+      schema)
+    val prepared = BulkLoad.prepare(typed, buckets = 2, numPartitions = 2)
+    val out = java.nio.file.Files.createTempDirectory("mut_hfiles").toString
+    BulkLoad.writeHFiles(prepared, out, typeCol = Some("key_type"))
+    val back = BulkLoad.readHFiles(spark, out)
+    // 2 surviving upsert keys x 2 columns = 4 puts; 1 delete row x 1
+    // family marker
+    assert(back.filter($"key_type" === 4).count() == 4)
+    val markers = back.filter($"key_type" === 14).collect()
+    assert(markers.length == 1)
+    assert(markers.head.getAs[String]("family") == "f")
+    assert(markers.head.getAs[String]("qualifier").isEmpty)
+    assert(markers.head.getAs[Array[Byte]]("value").isEmpty)
+  }
+
   test("flush batches respect maxMutations and rowkey order") {
     val m = Mutations.toMutations(rows.repartition(1), schema)
     MutationsSpec.clear()
