@@ -95,10 +95,18 @@ object BulkLoad {
     * one 64 KiB block; IO goes through the Hadoop FileSystem API, so
     * `path` may be any supported scheme at cluster scale.
     *
-    * Duplicate full cell keys (same rowkey+family+qualifier+ts) are
-    * rejected by the writer; collapse versions first with
-    * [[Cells.latestVersion]] / [[Cells.lastVersions]] if the stream can
-    * carry them.
+    * Multi-version streams are re-sorted here with `ts` descending and
+    * type descending inside each cell (the CellComparator order the
+    * writer enforces); exact duplicate full cell keys are still
+    * rejected — collapse them first with [[Cells.latestVersion]] /
+    * [[Cells.lastVersions]].
+    *
+    * Output is task-committed: each task writes to an attempt-unique
+    * temp file under `_inprogress/` and renames into place when the
+    * file is complete, so a failed or speculative duplicate attempt
+    * never interleaves bytes into a final file (first finished rename
+    * wins; output is deterministic, so the winner's bytes equal the
+    * loser's). The driver clears `_inprogress/` after the job.
     */
   def writeHFiles(prepared: DataFrame, path: String,
                   tsCol: Option[String] = None,
@@ -110,6 +118,14 @@ object BulkLoad {
     val fsRoot = root.getFileSystem(hconf)
     if (fsRoot.exists(root)) fsRoot.delete(root, true)
     fsRoot.mkdirs(root)
+    // executors must see the session's Hadoop settings (credentials,
+    // fs.defaultFS, ...) — a bare `new Configuration()` would not
+    val confMap = spark.sparkContext.broadcast {
+      val m = scala.collection.mutable.Map[String, String]()
+      val it = hconf.iterator()
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
+      m.toMap
+    }
 
     val ts = tsCol.map(col(_).cast("long")).getOrElse(lit(0L))
     val typ = typeCol.map(col(_).cast("int"))
@@ -118,22 +134,41 @@ object BulkLoad {
       col("salted_key").cast("binary"), col("family").cast("string"),
       col("qualifier").cast("string"), ts.as("ts"),
       col("value").cast("binary"), typ.as("key_type"))
+      // equal (bucket, key, family, qualifier) tuples always land in one
+      // range partition, so this local sort fixes version order globally
+      .sortWithinPartitions(col("bucket"), col("salted_key"), col("family"),
+        col("qualifier"), col("ts").desc, col("key_type").desc)
 
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val tc = org.apache.spark.TaskContext.get()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => conf.set(k, v) }
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
         var bucket = Int.MinValue
         var seq = 0
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         var writer: HFileWriter = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var dest: org.apache.hadoop.fs.Path = null
+        def commitCurrent(): Unit = if (writer != null) {
+          writer.finish(); out.close()
+          fs.mkdirs(dest.getParent)
+          // first completed attempt wins; losers hold identical bytes
+          if (!fs.rename(tmp, dest) && !fs.exists(dest))
+            throw new java.io.IOException(s"could not commit $dest")
+          writer = null
+        }
         def roll(b: Int): Unit = {
-          if (writer != null) { writer.finish(); out.close() }
-          val f = new org.apache.hadoop.fs.Path(path,
+          commitCurrent()
+          dest = new org.apache.hadoop.fs.Path(path,
             f"bucket=$b%d/part-$pid%05d-$seq%03d.hfile")
+          tmp = new org.apache.hadoop.fs.Path(path,
+            f"_inprogress/attempt-$attempt%d-part-$pid%05d-$seq%03d.hfile")
           seq += 1
-          out = fs.create(f, true)
+          out = fs.create(tmp, true)
           writer = new HFileWriter(out, blockSize)
           bucket = b
         }
@@ -146,9 +181,11 @@ object BulkLoad {
             r.getLong(4), r.getAs[Array[Byte]](5),
             r.getInt(6).toByte))
         }
-        if (writer != null) { writer.finish(); out.close() }
+        commitCurrent()
       }
     }
+    fsRoot.delete(new org.apache.hadoop.fs.Path(root, "_inprogress"), true)
+    confMap.destroy()
   }
 
   /** Distributed scan of a [[writeHFiles]] directory back into a cell
@@ -160,14 +197,27 @@ object BulkLoad {
   def readHFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/*.hfile"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    // globStatus returns null (not empty) when the base path is absent
+    val files = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/*.hfile")))
+      .getOrElse(Array.empty)
       .map(_.getPath.toString).toSeq
+    require(files.nonEmpty, s"no HFiles found under $path")
+    val confMap = spark.sparkContext.broadcast {
+      val m = scala.collection.mutable.Map[String, String]()
+      val it = hconf.iterator()
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
+      m.toMap
+    }
     val par = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par).flatMap { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.value.foreach { case (k, v) => conf.set(k, v) }
+      val fsx = p.getFileSystem(conf)
       val len = fsx.getFileStatus(p).getLen
       val in = fsx.open(p)
       val rr = new HFileReader.RandomRead {

@@ -57,16 +57,24 @@ object GraphOps {
     var round = 0
     var fp = fingerprint(e)
     while (!converged && fp._1 > maxLocalEdges && round < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nfp = fingerprint(next)
+      // previous round's localCheckpoint blocks are reclaimed by the
+      // ContextCleaner once the old Dataset is unreachable (Dataset
+      // .unpersist would be a no-op on checkpoint blocks); on a real
+      // cluster prefer reliable checkpoint() per the scaladoc
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val nfp = fingerprint(e)
       converged = nfp == fp
       fp = nfp
-      e.unpersist()
-      e = next
       round += 1
     }
 
     if (!converged && fp._1 <= maxLocalEdges) return finishLocally(e)
+    // never silently label an unconverged edge set: components would be
+    // split into multiple ids with no error
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(${fp._1} edges left, maxLocalEdges=$maxLocalEdges); raise " +
+        "maxIter or maxLocalEdges")
 
     // converged edge set is a union of stars (node -> component min);
     // label roots as themselves and min-agg so a not-fully-converged

@@ -76,7 +76,9 @@ object Multimodal {
     */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, "stride must be positive")
-    features.filter(col("kind") === "video")
+    // n_frames = 0 (corrupt/empty media) yields zero rows, not an
+    // illegal sequence(0, -1) error
+    features.filter(col("kind") === "video" && col("n_frames") > 0)
       .select(col("doc_id"), col("width"), col("height"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))

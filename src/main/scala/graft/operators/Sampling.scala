@@ -35,11 +35,15 @@ object Sampling {
 
   /** `floor(p * 65536)` as a zero-padded hex literal — the exact
     * threshold a uniform 4-hex-char key is compared against. Public so
-    * oracle SQL can embed the identical literal.
+    * oracle SQL can embed the identical literal. `p = 1.0` returns
+    * `"g"`, which sorts after every hex string, so a keep-everything
+    * fraction really keeps the `ffff`-prefixed rows too (a `"ffff"`
+    * threshold would silently drop 1 in 65536).
     */
   def hexThreshold(p: Double): String = {
     require(p >= 0 && p <= 1, s"fraction $p out of [0,1]")
-    f"${math.min(Space - 1, math.floor(p * Space).toLong)}%04x"
+    val t = math.floor(p * Space).toLong
+    if (t >= Space) "g" else f"$t%04x"
   }
 
   /** The salted uniform hash key: first 4 hex chars of

@@ -225,6 +225,13 @@ class HFileWriter(out: OutputStream,
 
   def append(cell: HCell): Unit = {
     require(!finished, "writer already finished")
+    // the serialized key stores rowLen as i16 and famLen as u8 — longer
+    // inputs would silently wrap into a corrupt (or plausible-but-wrong)
+    // key, so reject them here
+    require(cell.rowkey.length <= Short.MaxValue,
+      s"rowkey too long: ${cell.rowkey.length} > ${Short.MaxValue}")
+    require(cell.family.length <= 255,
+      s"family too long: ${cell.family.length} > 255")
     require(lastCell == null || compareCells(lastCell, cell) < 0,
       s"cells must be strictly increasing; got ${hexKey(cell)} after ${hexKey(lastCell)}")
     if (cellBuf.size() >= blockSize) flushDataBlock()

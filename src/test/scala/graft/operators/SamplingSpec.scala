@@ -12,7 +12,9 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hexThreshold(0.0) == "0000")
     assert(Sampling.hexThreshold(0.5) == "8000")
     assert(Sampling.hexThreshold(0.8) == "cccc")
-    assert(Sampling.hexThreshold(1.0) == "ffff")
+    // 1.0 must sort after every hex key, including "ffff..." prefixes
+    assert(Sampling.hexThreshold(1.0) == "g")
+    assert("ffff" < Sampling.hexThreshold(1.0))
   }
 
   test("split covers every row, is deterministic, and tracks weights") {
