@@ -22,20 +22,29 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // a failed query must never be timed as a (fast) success — that
+    // would make a broken round bench BETTER; report failures instead
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val results = selected.flatMap { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            Console.err.println(s"bench $name FAILED: ${e.getMessage}")
+            false
+        }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
       Console.err.println(
-        f"bench $name runs=${times.map(t => f"$t%.3f").mkString(",")}")
-      name -> times.sorted.apply(1)
+        f"bench $name runs=${times.map(t => f"${t._2}%.3f").mkString(",")}")
+      if (times.forall(_._1)) Some(name -> times.map(_._2).sorted.apply(1))
+      else { failed += name; None }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,7 +49,11 @@ object AsOfJoin {
       lit(1).as("_side"),
       struct(left.columns.map(col).toSeq: _*).as("_left"),
       lit(null).cast(rType).as("_right"))
-    val rPrep = right.select(
+    // SQL join semantics: a NULL key matches nothing — dropping NULL-key
+    // right rows up front means NULL-key left rows (which share the NULL
+    // window partition) see no fill and emit null payload, exactly like
+    // DuckDB's ASOF JOIN, instead of matching each other
+    val rPrep = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("_k"), col(rightTs).cast("long").as("_ts"),
       lit(0).as("_side"),
       lit(null).cast(lType).as("_left"),

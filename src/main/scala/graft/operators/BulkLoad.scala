@@ -113,19 +113,11 @@ object BulkLoad {
                   typeCol: Option[String] = None,
                   blockSize: Int = HFile.DefaultBlockSize): Unit = {
     val spark = prepared.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
-    val fsRoot = root.getFileSystem(hconf)
+    val fsRoot = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fsRoot.exists(root)) fsRoot.delete(root, true)
     fsRoot.mkdirs(root)
-    // executors must see the session's Hadoop settings (credentials,
-    // fs.defaultFS, ...) — a bare `new Configuration()` would not
-    val confMap = spark.sparkContext.broadcast {
-      val m = scala.collection.mutable.Map[String, String]()
-      val it = hconf.iterator()
-      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
-      m.toMap
-    }
+    val confMap = broadcastHadoopConf(spark)
 
     val ts = tsCol.map(col(_).cast("long")).getOrElse(lit(0L))
     val typ = typeCol.map(col(_).cast("int"))
@@ -139,53 +131,81 @@ object BulkLoad {
       .sortWithinPartitions(col("bucket"), col("salted_key"), col("family"),
         col("qualifier"), col("ts").desc, col("key_type").desc)
 
-    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-      if (it.hasNext) {
-        val tc = org.apache.spark.TaskContext.get()
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confMap.value.foreach { case (k, v) => conf.set(k, v) }
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        val pid = tc.partitionId()
-        val attempt = tc.taskAttemptId()
-        var bucket = Int.MinValue
-        var seq = 0
-        var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        var writer: HFileWriter = null
-        var tmp: org.apache.hadoop.fs.Path = null
-        var dest: org.apache.hadoop.fs.Path = null
-        def commitCurrent(): Unit = if (writer != null) {
-          writer.finish(); out.close()
-          fs.mkdirs(dest.getParent)
-          // first completed attempt wins; losers hold identical bytes
-          if (!fs.rename(tmp, dest) && !fs.exists(dest))
-            throw new java.io.IOException(s"could not commit $dest")
-          writer = null
-        }
-        def roll(b: Int): Unit = {
+    try {
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(hadoopConfOf(confMap.value))
+          val pid = tc.partitionId()
+          val attempt = tc.taskAttemptId()
+          var bucket = Int.MinValue
+          var seq = 0
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var writer: HFileWriter = null
+          var tmp: org.apache.hadoop.fs.Path = null
+          var dest: org.apache.hadoop.fs.Path = null
+          def commitCurrent(): Unit = if (writer != null) {
+            writer.finish(); out.close()
+            fs.mkdirs(dest.getParent)
+            // first completed attempt wins; losers hold identical bytes,
+            // so an existing dest means success — just drop our temp
+            if (!fs.rename(tmp, dest)) {
+              if (!fs.exists(dest))
+                throw new java.io.IOException(s"could not commit $dest")
+              fs.delete(tmp, false)
+            }
+            writer = null
+          }
+          def roll(b: Int): Unit = {
+            commitCurrent()
+            dest = new org.apache.hadoop.fs.Path(path,
+              f"bucket=$b%d/part-$pid%05d-$seq%03d.hfile")
+            tmp = new org.apache.hadoop.fs.Path(path,
+              f"_inprogress/attempt-$attempt%d-part-$pid%05d-$seq%03d.hfile")
+            seq += 1
+            out = fs.create(tmp, true)
+            writer = new HFileWriter(out, blockSize)
+            bucket = b
+          }
+          it.foreach { r =>
+            val b = r.getInt(0)
+            if (b != bucket) roll(b)
+            writer.append(HFile.HCell(r.getAs[Array[Byte]](1),
+              r.getString(2).getBytes("UTF-8"),
+              r.getString(3).getBytes("UTF-8"),
+              r.getLong(4), r.getAs[Array[Byte]](5),
+              r.getInt(6).toByte))
+          }
           commitCurrent()
-          dest = new org.apache.hadoop.fs.Path(path,
-            f"bucket=$b%d/part-$pid%05d-$seq%03d.hfile")
-          tmp = new org.apache.hadoop.fs.Path(path,
-            f"_inprogress/attempt-$attempt%d-part-$pid%05d-$seq%03d.hfile")
-          seq += 1
-          out = fs.create(tmp, true)
-          writer = new HFileWriter(out, blockSize)
-          bucket = b
         }
-        it.foreach { r =>
-          val b = r.getInt(0)
-          if (b != bucket) roll(b)
-          writer.append(HFile.HCell(r.getAs[Array[Byte]](1),
-            r.getString(2).getBytes("UTF-8"),
-            r.getString(3).getBytes("UTF-8"),
-            r.getLong(4), r.getAs[Array[Byte]](5),
-            r.getInt(6).toByte))
-        }
-        commitCurrent()
       }
+    } finally {
+      // always clear temp files — a failed job must not leave attempt
+      // files for readHFiles to trip over (its glob also excludes them)
+      fsRoot.delete(new org.apache.hadoop.fs.Path(root, "_inprogress"), true)
+      confMap.destroy()
     }
-    fsRoot.delete(new org.apache.hadoop.fs.Path(root, "_inprogress"), true)
-    confMap.destroy()
+  }
+
+  /** The session's Hadoop settings as a broadcastable map — executors
+    * must see credentials / fs.defaultFS etc.; a bare
+    * `new Configuration()` on an executor would not.
+    */
+  private def broadcastHadoopConf(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val m = scala.collection.mutable.Map[String, String]()
+    val it = hconf.iterator()
+    while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
+    spark.sparkContext.broadcast(m.toMap)
+  }
+
+  private def hadoopConfOf(m: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => conf.set(k, v) }
+    conf
   }
 
   /** Distributed scan of a [[writeHFiles]] directory back into a cell
@@ -199,25 +219,19 @@ object BulkLoad {
     val root = new org.apache.hadoop.fs.Path(path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hconf)
-    // globStatus returns null (not empty) when the base path is absent
+    // bucket=* (not */) so leftover _inprogress attempt files are never
+    // read back as data; globStatus returns null when the path is absent
     val files = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(root, "*/*.hfile")))
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
       .map(_.getPath.toString).toSeq
     require(files.nonEmpty, s"no HFiles found under $path")
-    val confMap = spark.sparkContext.broadcast {
-      val m = scala.collection.mutable.Map[String, String]()
-      val it = hconf.iterator()
-      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
-      m.toMap
-    }
+    val confMap = broadcastHadoopConf(spark)
     val par = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par).flatMap { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      val conf = new org.apache.hadoop.conf.Configuration(false)
-      confMap.value.foreach { case (k, v) => conf.set(k, v) }
-      val fsx = p.getFileSystem(conf)
+      val fsx = p.getFileSystem(hadoopConfOf(confMap.value))
       val len = fsx.getFileStatus(p).getLen
       val in = fsx.open(p)
       val rr = new HFileReader.RandomRead {

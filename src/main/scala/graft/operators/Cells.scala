@@ -36,15 +36,18 @@ object Cells {
     concat(schema.rowKey.map(s => hb.encode(col(s))): _*)
 
   /** Wide DataFrame → cell stream (rowkey, family, qualifier, value). */
-  def toCells(df: DataFrame, schema: HTableSchema): DataFrame = {
+  def toCells(df: DataFrame, schema: HTableSchema,
+              carry: Seq[String] = Nil): DataFrame = {
     val cellStructs = schema.columns.map { hc =>
       struct(
         lit(hc.family).as("family"),
         lit(hc.qualifier).as("qualifier"),
         encodeNullable(hc, schema.nullLiteral).as("value"))
     }
-    df.select(rowKey(schema).as("rowkey"), explode(array(cellStructs: _*)).as("c"))
-      .select(col("rowkey"), col("c.family"), col("c.qualifier"), col("c.value"))
+    df.select(rowKey(schema).as("rowkey") +: carry.map(col) :+
+        explode(array(cellStructs: _*)).as("c"): _*)
+      .select(col("rowkey") +: carry.map(col) :+ col("c.family") :+
+        col("c.qualifier") :+ col("c.value"): _*)
   }
 
   /** Cell stream → wide DataFrame with the schema's types restored.

@@ -106,8 +106,18 @@ object Knn {
           nProbe: Int = 5): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
+    // anchor the systematic sample at the corpus' minimum id-residue so
+    // the codebook is never empty (ids 1..49 with stride 50 would pick
+    // zero centroids if the anchor were hardcoded to residue 0)
+    val anchorRow = corpus
+      .agg(min(pmod(col(idCol), lit(stride.toLong))).as("m")).head()
+    if (anchorRow.isNullAt(0)) // empty corpus -> empty, correctly-shaped
+      return queries.select(col(idCol).as("query_id")).limit(0)
+        .withColumn("rank", lit(0L)).withColumn("neighbor_id", lit(0L))
+        .withColumn("cosine", lit(0.0))
+    val anchorMod = anchorRow.getLong(0)
     val centroids = broadcast(
-      corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      corpus.filter(pmod(col(idCol), lit(stride.toLong)) === anchorMod)
         .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
     // assign: nearest centroid per corpus vector as an argmax AGGREGATION
     // (max_by is partial-aggregatable, so the broadcast-NLJ'd n×C rows

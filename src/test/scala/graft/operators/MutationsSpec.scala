@@ -41,11 +41,14 @@ class MutationsSpec extends SparkSpec {
       .agg(max_by(struct(col("name"), col("score"), col("row_kind")),
         col("name")).as("m"))
       .select(col("id"), col("m.name"), col("m.score"), col("m.row_kind"))
-    val typed = Mutations.toTypedCells(Mutations.toMutations(latest, schema),
-      schema)
+      .withColumn("event_ms", col("id") * 1000L + 7L)
+    val typed = Mutations.toTypedCells(
+      Mutations.toMutations(latest, schema, tsCol = Some("event_ms")),
+      schema, tsCol = Some("event_ms"))
     val prepared = BulkLoad.prepare(typed, buckets = 2, numPartitions = 2)
     val out = java.nio.file.Files.createTempDirectory("mut_hfiles").toString
-    BulkLoad.writeHFiles(prepared, out, typeCol = Some("key_type"))
+    BulkLoad.writeHFiles(prepared, out, tsCol = Some("event_ms"),
+      typeCol = Some("key_type"))
     val back = BulkLoad.readHFiles(spark, out)
     // 2 surviving upsert keys x 2 columns = 4 puts; 1 delete row x 1
     // family marker
@@ -55,6 +58,10 @@ class MutationsSpec extends SparkSpec {
     assert(markers.head.getAs[String]("family") == "f")
     assert(markers.head.getAs[String]("qualifier").isEmpty)
     assert(markers.head.getAs[Array[Byte]]("value").isEmpty)
+    // real event time survives onto the marker (ts=0 would mask nothing)
+    assert(markers.head.getAs[Long]("ts") == 3007L)
+    assert(back.filter($"key_type" === 4).collect()
+      .forall(_.getAs[Long]("ts") > 0L))
   }
 
   test("flush batches respect maxMutations and rowkey order") {
