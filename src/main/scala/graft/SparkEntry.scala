@@ -53,6 +53,8 @@ object SparkEntry {
       Core.rollupPercentiles(t(s, d, "events"))),
     "rollup_distinct" -> ((s, d) => Core.rollupDistinct(t(s, d, "events"))),
     "rollup_fill" -> ((s, d) => Core.rollupFill(t(s, d, "events"))),
+    "rollup_merge" -> ((s, d) =>
+      Core.rollupMerge(Core.rollup(t(s, d, "events"), "hour"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -197,6 +199,13 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rollup_daily" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value, MAX(value) AS max_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rollup_merge" -> // daily FROM hourly must equal daily FROM raw
       """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,

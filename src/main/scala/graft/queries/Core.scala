@@ -272,6 +272,31 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** A18: coarser rollup FROM the finer rollup — OpenTSDB's rollup-table
+    * cascade (hourly table feeds the daily table) and the reason
+    * pre-aggregation works at 100 TB: the daily pass re-aggregates
+    * O(types × hours) hourly rows instead of re-scanning the raw
+    * stream. Counts add, sums add (through exact DECIMAL so the result
+    * is bit-identical to a from-raw daily rollup — asserted by the
+    * oracle), min/max fold, and avg is recomputed from the merged
+    * sum/count (never averaged-of-averages).
+    */
+  def rollupMerge(hourly: DataFrame): DataFrame = {
+    val mergedSum = sum(col("sum_value").cast(DecimalType(18, 4)))
+      .cast("double")
+    hourly
+      .groupBy(
+        expr("(bucket_ms DIV 86400000) * 86400000").as("bucket_ms"),
+        col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        mergedSum.as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        (mergedSum / sum(col("n_events"))).as("avg_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+  }
+
   /** A16: distinct-cardinality rollup. `exact = true` (the oracle mode)
     * runs `count(distinct)` — Catalyst expands it to a two-phase
     * aggregate whose first shuffle carries every (type, user) pair.
