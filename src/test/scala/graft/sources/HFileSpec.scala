@@ -104,6 +104,41 @@ class HFileSpec extends SparkSpec {
     assert(t.entryCount == 0 && t.dataIndexCount == 0)
   }
 
+  test("randomized cells round-trip: binary keys, empty values, " +
+      "high bytes, long qualifiers") {
+    // deterministic pseudo-random corpus hitting the encoding edges:
+    // 0x00/0xff rowkey bytes (unsigned ordering), empty values, empty
+    // and 300-byte qualifiers, negative-as-unsigned byte patterns
+    val rnd = new scala.util.Random(7)
+    val cells = (0 until 300).map { i =>
+      val rk = Array.fill(1 + rnd.nextInt(12))(rnd.nextInt(256).toByte)
+      val qual = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => "q" * 300
+        case _ => s"q${rnd.nextInt(10)}"
+      }
+      val value =
+        if (rnd.nextBoolean()) Array.emptyByteArray
+        else Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      HCell(rk, "f".getBytes, qual.getBytes, rnd.nextInt(1000).toLong, value)
+    }
+    val sorted = cells.sortWith(compareCells(_, _) < 0)
+      // drop exact key duplicates (writer rejects them by design)
+      .foldLeft(Vector.empty[HCell]) { (acc, c) =>
+        if (acc.nonEmpty && compareCells(acc.last, c) == 0) acc else acc :+ c
+      }
+    val bytes = writeToBytes(sorted, blockSize = 512)
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.size == sorted.size)
+    back.zip(sorted).foreach { case (a, b) =>
+      assert(a.rowkey.sameElements(b.rowkey) && a.ts == b.ts &&
+        a.qualifier.sameElements(b.qualifier) &&
+        a.value.sameElements(b.value))
+    }
+    val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+    assert(stats.nCells == sorted.size && stats.nDataBlocks > 1)
+  }
+
   test("multi-version cell streams write in ts-descending order") {
     // same (rowkey, family, qualifier) with several timestamps, fed in
     // arbitrary order: writeHFiles must re-sort versions newest-first
