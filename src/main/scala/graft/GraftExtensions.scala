@@ -69,7 +69,21 @@ object GraftExtensions {
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",
         "graft_zorder(a, b) - 64-bit Z-order (Morton) interleave of two BIGINTs"),
-      (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        // first 2-arg builder in this list: the 1-arg registrations fail
+        // naturally on args(0) misuse, but here a wrong arity must be a
+        // proper AnalysisException, not an IndexOutOfBoundsException
+        if (args.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_zorder`",
+              "expectedNum" -> "2",
+              "actualNum" -> args.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            cause = None)
+        ZOrder64(args(0), args(1))
+      }))
 
   /** Imperative registration into an existing session (the extensions
     * config only applies when a new session is instantiated).

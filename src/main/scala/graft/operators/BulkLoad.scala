@@ -82,7 +82,7 @@ object BulkLoad {
       .mode("overwrite")
       .parquet(path)
 
-  /** Writes the prepared cell stream as real HFile v2 binaries — the
+  /** Writes the prepared cell stream as real HFile v3 binaries — the
     * reference's actual output format (HadoopOutputFormat2.java:85-100),
     * re-expressed without hbase jars via [[graft.sources.HFile]].
     *

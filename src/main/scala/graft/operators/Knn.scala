@@ -110,11 +110,17 @@ object Knn {
     // the codebook is never empty (ids 1..49 with stride 50 would pick
     // zero centroids if the anchor were hardcoded to residue 0)
     val anchorRow = corpus
-      .agg(min(pmod(col(idCol), lit(stride.toLong))).as("m")).head()
-    if (anchorRow.isNullAt(0)) // empty corpus -> empty, correctly-shaped
-      return queries.select(col(idCol).as("query_id")).limit(0)
-        .withColumn("rank", lit(0L)).withColumn("neighbor_id", lit(0L))
-        .withColumn("cosine", lit(0.0))
+      .agg(min(pmod(col(idCol).cast("long"), lit(stride.toLong))).as("m"))
+      .head()
+    if (anchorRow.isNullAt(0)) // empty corpus -> empty, correctly-shaped:
+      // same column order and types as the normal path (neighbor_id
+      // keeps the corpus id type, whatever it is)
+      return queries.limit(0).select(col(idCol).as("query_id"))
+        .withColumn("rank", lit(0L))
+        .crossJoin(corpus.limit(0).select(col(idCol).as("neighbor_id")))
+        .withColumn("cosine", lit(null).cast("double")) // nullable, like cosineD's
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"))
     val anchorMod = anchorRow.getLong(0)
     val centroids = broadcast(
       corpus.filter(pmod(col(idCol), lit(stride.toLong)) === anchorMod)

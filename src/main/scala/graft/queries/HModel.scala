@@ -140,10 +140,15 @@ object HModel {
       substring(hb.encode(col("user_id")), 6, 3),
       hb.encode(expr("(ts DIV 1000000000 DIV 3600) * 3600").cast("int")),
       hb.encode(col("event_id")))
+    // no selected hours in [start, end) — e.g. a sub-hour span or a
+    // disjoint hoursOfDay — is the natural empty scan, not a plan error
+    // (FuzzyRowMatch itself requires a non-empty pair list)
+    val rowMatch =
+      if (pairs.isEmpty) lit(false) else hb.fuzzyRowMatch(rowkey, pairs)
     events
       .filter(col("ts") >= lit(loSec * 1000000000L) &&
         col("ts") < lit(hiSec * 1000000000L))
-      .filter(hb.fuzzyRowMatch(rowkey, pairs))
+      .filter(rowMatch)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))

@@ -6,24 +6,27 @@ import java.util.zip.CRC32C
 
 import scala.collection.mutable.ArrayBuffer
 
-/** From-scratch HFile (version 2) binary writer + validating reader.
+/** From-scratch HFile (version 3) binary writer + validating reader.
   *
   * The reference's namesake feature is bulk-loading HBase by writing
   * HFiles directly (HadoopOutputFormat2.java:85-100 delegates to HBase's
   * `HFileOutputFormat2`, rolling a new file whenever the 2-byte salt
   * prefix changes). This build has no hbase jars, so the on-disk format
   * is reimplemented here from the public format description — the HBase
-  * book's "HFile format (version 2)" appendix and the format comments in
-  * HBase's `HFileBlock`/`FixedFileTrailer`/`KeyValue` sources. Layout:
+  * book's "HFile format" appendix and the format comments in HBase's
+  * `HFileBlock`/`FixedFileTrailer`/`KeyValue` sources. Version 3 is what
+  * every HBase 1.0+ cluster writes, and its fixed trailer region really
+  * is [[HFile.TrailerSize]] = 4096 bytes (v2's was 212). Layout:
   *
   * {{{
   *  [data block]*                      "scanned" section
   *  [root data index block]            "load-on-open" section
+  *  [root meta index block]            (empty — no meta blocks written)
   *  [file info block]
   *  [fixed-size trailer]
   * }}}
   *
-  * Every block carries the v2 33-byte header
+  * Every block carries the v2+ 33-byte header
   * `magic(8) | onDiskSizeWithoutHeader(i32) | uncompressedSizeWithoutHeader(i32)
   *  | prevBlockOffset(i64) | checksumType(u8) | bytesPerChecksum(i32)
   *  | onDiskDataSizeWithHeader(i32)`
@@ -40,11 +43,12 @@ import scala.collection.mutable.ArrayBuffer
   * whose last 4 bytes pack `major | minor << 24`.
   *
   * Interop caveats, called out rather than hidden: compression NONE only,
-  * no bloom blocks, no cell tags / mvcc ids (v3 features), single-level
-  * data index (fine until a file's index outgrows one block — roughly
-  * millions of 64 KiB blocks), and HBase's trailer region size varies by
-  * minor version where this writer always reserves [[HFile.TrailerSize]].
-  * Those are the knobs to revisit against a live cluster; every structural
+  * no bloom blocks, no cell tags and no mvcc ids — legal in v3, whose
+  * readers switch those on only when the file info carries MAX_TAGS_LEN /
+  * KEY_VALUE_VERSION keys (omitted here), so cells keep the classic
+  * KeyValue layout — and a single-level data index (fine until a file's
+  * index outgrows one block — roughly millions of 64 KiB blocks). Those
+  * are the knobs to revisit against a live cluster; every structural
   * invariant that CAN be checked without hbase jars is enforced by
   * [[HFile.validate]] and round-trip tested.
   */
@@ -60,7 +64,7 @@ object HFile {
   val TrailerSize = 4096
   val BytesPerChecksum = 16384
   val ChecksumTypeCrc32c: Byte = 2
-  val MajorVersion = 2
+  val MajorVersion = 3
   val MinorVersion = 3
   val KeyTypePut: Byte = 4
   val KeyTypeDelete: Byte = 8
@@ -256,6 +260,9 @@ class HFileWriter(out: OutputStream,
     if (cellBuf.size() > 0) flushDataBlock()
     val loadOnOpenOffset = offset
     writeBlock(BlockMagicRootIndex, rootIndexPayload())
+    // empty root META index — HBase's load-on-open section always carries
+    // one even when no meta blocks were written (meta_index_count = 0)
+    writeBlock(BlockMagicRootIndex, Array.emptyByteArray)
     val fileInfoOffset = offset
     writeBlock(BlockMagicFileInfo, fileInfoPayload())
     writeTrailer(loadOnOpenOffset, fileInfoOffset)
@@ -381,7 +388,7 @@ class HFileWriter(out: OutputStream,
     varintField(proto, 10,
       if (lastDataBlockOffset < 0) 0 else lastDataBlockOffset)
     bytesField(proto, 11,
-      "org.apache.hadoop.hbase.CellComparator".getBytes("UTF-8"))
+      "org.apache.hadoop.hbase.CellComparatorImpl".getBytes("UTF-8"))
     varintField(proto, 12, 2L)                    // compression codec NONE
 
     val region = ByteBuffer.allocate(TrailerSize)

@@ -248,8 +248,16 @@ object HFileReader {
     }
     require(nIdx == nBlocks, s"$nIdx index entries for $nBlocks blocks")
 
+    // root META index block (always present, empty — no meta blocks)
+    val metaOffset = trailer.loadOnOpenOffset + idx.onDiskSizeWithHeader
+    val metaIdx = readBlock(r, metaOffset, trailer.loadOnOpenOffset)
+    require(metaIdx.magic.sameElements(BlockMagicRootIndex),
+      "missing root meta index")
+    require(metaIdx.payload.isEmpty,
+      s"meta index lists ${metaIdx.payload.length} payload bytes but no meta blocks are written")
+
     // file info block
-    val fi = readBlock(r, trailer.fileInfoOffset, trailer.loadOnOpenOffset)
+    val fi = readBlock(r, trailer.fileInfoOffset, metaOffset)
     require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
     require(fi.payload.slice(0, PbMagic.length).sameElements(PbMagic),
       "file info lacks PBUF magic")

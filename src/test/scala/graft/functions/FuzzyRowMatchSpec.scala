@@ -44,6 +44,24 @@ class FuzzyRowMatchSpec extends SparkSpec {
     assert(got == Seq(1L, 257L))
   }
 
+  test("fuzzyScan with no selected hours is the natural empty scan") {
+    val events = sf("events")
+    // hour slots that never intersect the span, and a sub-hour span:
+    // both produce zero (pattern, mask) pairs — must yield an empty
+    // frame, not a plan-time IllegalArgumentException
+    val disjoint = graft.queries.HModel.fuzzyScan(events,
+      "2024-01-10 05:37:00", "2024-01-25 17:02:00", hoursOfDay = Seq.empty)
+    assert(disjoint.count() == 0)
+    val subHour = graft.queries.HModel.fuzzyScan(events,
+      "2024-01-10 05:10:00", "2024-01-10 05:20:00",
+      hoursOfDay = (0 until 24))
+    assert(subHour.count() == 0)
+    // schema matches the non-degenerate query's
+    val normal = graft.queries.HModel.fuzzyScan(events,
+      "2024-01-10 05:37:00", "2024-01-25 17:02:00", hoursOfDay = Seq(3, 15))
+    assert(disjoint.schema == normal.schema)
+  }
+
   test("expression rejects non-binary input and empty pair lists") {
     val df = Seq(1L).toDF("id")
     intercept[Exception] {

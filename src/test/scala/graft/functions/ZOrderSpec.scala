@@ -26,6 +26,17 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("graft_zorder SQL arity errors are AnalysisExceptions") {
+    graft.GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_zorder(1L)").collect()
+    }
+    assert(e.getMessage.contains("graft_zorder"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_zorder(1L, 2L, 3L)").collect()
+    }
+  }
+
   test("column API runs in codegen and matches the kernel") {
     val df = Seq((3L, 5L), (100L, 473000L), (0L, 0L)).toDF("a", "b")
       .withColumn("z", zo.zorder($"a", $"b"))

@@ -70,4 +70,23 @@ class KnnSpec extends SparkSpec {
     assert(out.groupBy("query_id").count().as[(Long, Long)].collect()
       .forall(_._2 == 5))
   }
+
+  test("IVF with int-typed ids: works, and empty corpus keeps the schema") {
+    import spark.implicits._
+    val intCorpus = (1 to 40)
+      .map(i => (i, Seq.tabulate(8)(d => ((i * 7 + d) % 5).toFloat)))
+      .toDF("id", "emb")
+    val intQueries = intCorpus.limit(2)
+    // non-empty path: the anchor aggregate must read back as long even
+    // though pmod over an int id column is int-typed pre-cast
+    val out = Knn.ivf(intCorpus, intQueries, "id", "emb", k = 3, stride = 10)
+    assert(out.count() > 0)
+    assert(out.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // empty path: same column order and types as the non-empty plan
+    val empty = Knn.ivf(intCorpus.filter($"id" < 0), intQueries,
+      "id", "emb", k = 3, stride = 10)
+    assert(empty.count() == 0)
+    assert(empty.schema == out.schema)
+  }
 }

@@ -50,7 +50,7 @@ class HFileSpec extends SparkSpec {
     assert(bytes.slice(bytes.length - TrailerSize,
       bytes.length - TrailerSize + 8).sameElements(TrailerMagic))
     val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
-    assert(t.majorVersion == 2 && t.minorVersion == 3)
+    assert(t.majorVersion == 3 && t.minorVersion == 3)
     assert(t.entryCount == 500 && t.numDataIndexLevels == 1)
     assert(t.comparator.contains("CellComparator"))
     // full audit: block count > 1 (small blocks), index matches blocks
