@@ -81,6 +81,12 @@ object HFileReader {
   private case class Block(offset: Long, magic: Array[Byte],
                            payload: Array[Byte], onDiskSizeWithHeader: Int)
 
+  /** Sentinel for [[readBlock]]: skip the prev-offset chain check (random
+    * access into the load-on-open section, where the previous block's
+    * offset isn't known without walking the whole file).
+    */
+  private val AnyPrevOffset = Long.MinValue
+
   /** Reads + fully verifies one block at `pos` (magic, checksums, header
     * size fields, prev-offset chain).
     */
@@ -97,7 +103,7 @@ object HFileReader {
     val onDiskDataSizeWithHeader = hb.getInt
     require(checksumType == ChecksumTypeCrc32c,
       s"unsupported checksum type $checksumType")
-    require(prevOffset == expectPrevOffset,
+    require(expectPrevOffset == AnyPrevOffset || prevOffset == expectPrevOffset,
       s"broken prev-block chain at $pos: $prevOffset != $expectPrevOffset")
     require(onDiskDataSizeWithHeader == HeaderSize + uncompressedSize,
       s"header size fields disagree at $pos")
@@ -191,6 +197,62 @@ object HFileReader {
     }
   }
 
+  /** Parses a file-info block payload (`PBUF` + varint-prefixed
+    * FileInfoProto) into its key → bytes map.
+    */
+  private def parseFileInfo(payload: Array[Byte]): Map[String, Array[Byte]] = {
+    require(payload.slice(0, PbMagic.length).sameElements(PbMagic),
+      "file info lacks PBUF magic")
+    val pre = new ProtoReader(payload, PbMagic.length, payload.length)
+    val protoLen = pre.readVarint().toInt
+    val p = new ProtoReader(payload, pre.pos, pre.pos + protoLen)
+    val info = scala.collection.mutable.Map[String, Array[Byte]]()
+    while (p.hasMore) p.readField() match {
+      case (1, Right(pair)) =>
+        val pp = new ProtoReader(pair, 0, pair.length)
+        var k: Array[Byte] = null; var v: Array[Byte] = null
+        while (pp.hasMore) pp.readField() match {
+          case (1, Right(b)) => k = b
+          case (2, Right(b)) => v = b
+          case _ =>
+        }
+        info += new String(k, "UTF-8") -> v
+      case _ =>
+    }
+    info.toMap
+  }
+
+  /** The rowkey portion of a serialized cell key
+    * (`rowLen(i16) row famLen(u8) ...`).
+    */
+  private def rowkeyOfKey(key: Array[Byte]): Array[Byte] = {
+    val rowLen = ((key(0) & 0xff) << 8) | (key(1) & 0xff)
+    java.util.Arrays.copyOfRange(key, 2, 2 + rowLen)
+  }
+
+  /** Cheap (three short reads, no data-block IO) first/last rowkey of a
+    * file: the trailer, the root data index's first entry, and the file
+    * info's `hfile.LASTKEY`. `None` for an empty file. This is what a
+    * planner needs to prune whole files against a rowkey range — the
+    * file-skipping analogue of a parquet footer's min/max.
+    */
+  def rowkeyRange(r: RandomRead): Option[(Array[Byte], Array[Byte])] = {
+    val trailer = readTrailer(r)
+    if (trailer.entryCount == 0 || trailer.firstDataBlockOffset < 0)
+      return None
+    val idx = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset)
+    require(idx.magic.sameElements(BlockMagicRootIndex), "missing root index")
+    val ib = ByteBuffer.wrap(idx.payload)
+    ib.getLong; ib.getInt // first entry's offset + on-disk size
+    val keyLen = readHadoopVLong(ib).toInt
+    val firstKey = new Array[Byte](keyLen); ib.get(firstKey)
+    val fi = readBlock(r, trailer.fileInfoOffset, AnyPrevOffset)
+    require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
+    val lastKey = parseFileInfo(fi.payload).getOrElse("hfile.LASTKEY",
+      throw new IllegalStateException("file info lacks hfile.LASTKEY"))
+    Some((rowkeyOfKey(firstKey), rowkeyOfKey(lastKey)))
+  }
+
   /** Full structural audit: everything [[scan]] checks, plus the root
     * index entries (offsets, sizes, first keys) against the data blocks
     * actually present, and the file info block.
@@ -259,25 +321,8 @@ object HFileReader {
     // file info block
     val fi = readBlock(r, trailer.fileInfoOffset, metaOffset)
     require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
-    require(fi.payload.slice(0, PbMagic.length).sameElements(PbMagic),
-      "file info lacks PBUF magic")
-    val pre = new ProtoReader(fi.payload, PbMagic.length, fi.payload.length)
-    val protoLen = pre.readVarint().toInt
-    val p = new ProtoReader(fi.payload, pre.pos, pre.pos + protoLen)
-    val info = scala.collection.mutable.Map[String, Array[Byte]]()
-    while (p.hasMore) p.readField() match {
-      case (1, Right(pair)) =>
-        val pp = new ProtoReader(pair, 0, pair.length)
-        var k: Array[Byte] = null; var v: Array[Byte] = null
-        while (pp.hasMore) pp.readField() match {
-          case (1, Right(b)) => k = b
-          case (2, Right(b)) => v = b
-          case _ =>
-        }
-        info += new String(k, "UTF-8") -> v
-      case _ =>
-    }
+    val info = parseFileInfo(fi.payload)
     r.close()
-    FileStats(nBlocks, nCells, nIdx, info.toMap, firstKey, lastKey)
+    FileStats(nBlocks, nCells, nIdx, info, firstKey, lastKey)
   }
 }
