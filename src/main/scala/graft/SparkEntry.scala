@@ -499,6 +499,56 @@ object SparkEntry {
         | COUNT(DISTINCT md5(text)) AS n_distinct,
         | COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E5: byte-exact arithmetic replay of the polynomial fingerprint and
+    // the 16-byte winnowing window-min. UTF-8 bytes come from the hex of
+    // encode(); all arithmetic is HUGEINT mod 2^64 (strpos over a
+    // 0-less digit string maps hex chars to 0..15); fmix64's two 64x64
+    // multiplies are split into 32-bit halves so INT128 never overflows;
+    // the final min is over SIGNED 64-bit values, exactly like the
+    // kernel's Long comparison (TextHashes.rollingWindowMin).
+    "text_rolling_fp" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n,
+        |         list_transform(range(1, octet_length(encode(text)) + 1),
+        |           i -> (strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+        |               + strpos('123456789ABCDEF', substr(hx, 2*i, 1)))::HUGEINT) AS bs
+        |  FROM documents),
+        |poly AS (
+        |  SELECT doc_id, n, bs,
+        |         CASE WHEN n = 0 THEN 0::HUGEINT ELSE
+        |           list_reduce(bs, (acc, x) ->
+        |             (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT)
+        |         END AS fp
+        |  FROM b),
+        |win AS (
+        |  SELECT doc_id, fp,
+        |         CASE WHEN n < 16 THEN [fp] ELSE
+        |           list_transform(range(1, n - 16 + 2), i ->
+        |             list_reduce(bs[i : i + 15], (acc, x) ->
+        |               (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT))
+        |         END AS ws
+        |  FROM poly),
+        |m1 AS (SELECT doc_id, fp, list_transform(ws, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM win),
+        |m2 AS (SELECT doc_id, fp, list_transform(v, h ->
+        |        ((h % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+        |         + (((h // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS v FROM m1),
+        |m3 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m2),
+        |m4 AS (SELECT doc_id, fp, list_transform(v, h ->
+        |        ((h % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+        |         + (((h // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS v FROM m3),
+        |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m4)
+        |SELECT doc_id,
+        |  CASE WHEN fp >= 9223372036854775808::HUGEINT
+        |       THEN fp - 18446744073709551616::HUGEINT ELSE fp END::BIGINT AS fp64,
+        |  list_aggregate(
+        |    list_transform(v, h ->
+        |      CASE WHEN h >= 9223372036854775808::HUGEINT
+        |           THEN h - 18446744073709551616::HUGEINT ELSE h END::BIGINT),
+        |    'min') AS winnow_fp64
+        |FROM m5 ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH w AS (SELECT source,
         |  unnest(regexp_split_to_array(trim(text), '\s+')) AS word
