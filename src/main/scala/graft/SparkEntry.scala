@@ -67,6 +67,8 @@ object SparkEntry {
       HModel.fuzzyScan(t(s, d, "events"),
         "2024-01-10 05:37:00", "2024-01-25 17:02:00",
         hoursOfDay = Seq(3, 15))),
+    "compact_cells" -> ((s, d) =>
+      HModel.compactCells(t(s, d, "events"), versions = 2)),
     "cells_versions" -> ((s, d) =>
       HModel.cellsVersions(t(s, d, "events"), n = 3)),
     "zorder_layout" -> ((s, d) => HModel.zorderLayout(t(s, d, "events"))),
@@ -310,6 +312,31 @@ object SparkEntry {
         |  AND ((epoch_ms(ts) // 1000 // 3600) % 24) IN (3, 15)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // B14: replay the three marker kinds as threshold joins, then
+    // VERSIONS=2 via a rank window over the survivors
+    "compact_cells" ->
+      """WITH c AS (SELECT user_id, lpad(to_hex(user_id),16,'0') AS rk_hex,
+        |  event_type AS qualifier, epoch_ms(ts) AS ts_ms, value FROM events),
+        |famthr AS (SELECT rk_hex, (min(ts_ms)+max(ts_ms))//2 AS thr
+        |  FROM c WHERE user_id % 5 = 0 GROUP BY rk_hex),
+        |colthr AS (SELECT rk_hex, max(ts_ms) AS thr
+        |  FROM c WHERE user_id % 7 = 0 AND qualifier = 'click' GROUP BY rk_hex),
+        |exdel AS (SELECT rk_hex, max(ts_ms) AS dts
+        |  FROM c WHERE user_id % 11 = 0 AND qualifier = 'view' GROUP BY rk_hex),
+        |surv AS (SELECT c.rk_hex, c.qualifier, c.ts_ms, c.value FROM c
+        |  LEFT JOIN famthr f ON c.rk_hex = f.rk_hex
+        |  LEFT JOIN colthr t ON c.rk_hex = t.rk_hex AND c.qualifier = 'click'
+        |  LEFT JOIN exdel e ON c.rk_hex = e.rk_hex AND c.qualifier = 'view'
+        |    AND c.ts_ms = e.dts
+        |  WHERE (f.thr IS NULL OR c.ts_ms > f.thr)
+        |    AND (t.thr IS NULL OR c.ts_ms > t.thr)
+        |    AND e.dts IS NULL),
+        |coll AS (SELECT rk_hex, qualifier, ts_ms, max(value) AS value
+        |  FROM surv GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rk_hex, qualifier
+        |    ORDER BY ts_ms DESC) AS rnk FROM coll)
+        |SELECT rk_hex, qualifier, ts_ms, value FROM r WHERE rnk <= 2
+        |ORDER BY rk_hex, qualifier, ts_ms""".stripMargin,
     "cells_versions" ->
       """WITH c AS (SELECT lpad(to_hex(user_id),16,'0') AS rk_hex,
         |  'm' AS family, event_type AS qualifier, epoch_ms(ts) AS ts_ms,

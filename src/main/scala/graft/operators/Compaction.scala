@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.HFile
+
+/** Major compaction for bulk-load HFile directories (SURVEY.md §2 B14).
+  *
+  * The reference's pipeline writes delete markers into HFiles
+  * (HBaseSerde.java:146-173 creates the Delete mutations; our B8 bridge
+  * bulk-loads them) but resolving markers against puts is left to the
+  * HBase server's compactor. This operator closes that loop Spark-side,
+  * with HBase's marker semantics:
+  *
+  *  - `Delete` (type 8) masks the put with the same
+  *    (rowkey, family, qualifier) and the '''exact''' same timestamp;
+  *  - `DeleteColumn` (type 12) masks every version of that column with
+  *    `ts <= marker ts`;
+  *  - `DeleteFamily` (type 14) masks every column of the family with
+  *    `ts <= marker ts`;
+  *  - major compaction then drops the markers themselves and retains at
+  *    most `versions` newest versions per cell (VERSIONS=n).
+  *
+  * Scale shape: markers are a tiny fraction of cells, so each marker
+  * class is reduced to its per-key threshold with a partial-aggregating
+  * `groupBy(max)` before touching the put stream; the puts then flow
+  * through one anti join and two left joins keyed on the (high-
+  * cardinality) cell coordinates — no windows over the full stream, no
+  * driver-side state, and AQE is free to broadcast the (small) marker
+  * sides at runtime.
+  */
+object Compaction {
+
+  private val Put = HFile.KeyTypePut.toInt
+  private val Delete = HFile.KeyTypeDelete.toInt
+  private val DeleteColumn = HFile.KeyTypeDeleteColumn.toInt
+  private val DeleteFamily = HFile.KeyTypeDeleteFamily.toInt
+
+  /** Applies delete-marker masking to a typed cell stream (columns
+    * `rowkey, family, qualifier, ts, value, key_type`, any extras carried
+    * through) and returns the surviving '''puts''' — the major-compaction
+    * view. Unknown key types are rejected loudly.
+    */
+  def applyDeletes(cells: DataFrame): DataFrame = {
+    val kt = col("key_type")
+    val puts = cells.filter(kt === Put)
+    val exact = cells.filter(kt === Delete)
+      .select(col("rowkey"), col("family"), col("qualifier"), col("ts"))
+      .distinct()
+    val colThr = cells.filter(kt === DeleteColumn)
+      .groupBy(col("rowkey"), col("family"), col("qualifier"))
+      .agg(max(col("ts")).as("thr_col"))
+    val famThr = cells.filter(kt === DeleteFamily)
+      .groupBy(col("rowkey"), col("family"))
+      .agg(max(col("ts")).as("thr_fam"))
+    puts
+      .join(exact, Seq("rowkey", "family", "qualifier", "ts"), "left_anti")
+      .join(colThr, Seq("rowkey", "family", "qualifier"), "left")
+      .filter(col("thr_col").isNull || col("ts") > col("thr_col"))
+      .drop("thr_col")
+      .join(famThr, Seq("rowkey", "family"), "left")
+      .filter(col("thr_fam").isNull || col("ts") > col("thr_fam"))
+      .drop("thr_fam")
+  }
+
+  /** Surviving puts with VERSIONS=n retention and exact-key duplicates
+    * collapsed (the HFile writer's strictly-increasing-key invariant:
+    * two puts at the same (rowkey, family, qualifier, ts) keep the
+    * unsigned-max value, deterministically).
+    */
+  def retainVersions(puts: DataFrame, versions: Int): DataFrame = {
+    val collapsed = puts
+      .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"))
+      .agg(max(col("value")).as("value"),
+        first(col("bucket")).as("bucket"))
+    Cells.lastVersions(collapsed, versions)
+      .drop("version_rank")
+  }
+
+  /** Major compaction of a [[BulkLoad.writeHFiles]] directory: scan all
+    * runs, resolve delete markers, retain `versions` newest versions per
+    * cell, and rewrite one set of non-overlapping sorted runs per bucket
+    * into `outDir`. Buckets and (already-salted) rowkeys are taken from
+    * the input files, so no re-salting happens; `numPartitions` sizes the
+    * range sort exactly like [[BulkLoad.prepare]].
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              versions: Int = 1, numPartitions: Int = 32,
+              blockSize: Int = HFile.DefaultBlockSize): Unit = {
+    val cells = BulkLoad.readHFiles(spark, inDir)
+    val kept = retainVersions(applyDeletes(cells), versions)
+    val prepared = kept
+      .select(col("bucket"), col("rowkey").as("salted_key"), col("family"),
+        col("qualifier"), col("ts"), col("value"))
+      .repartitionByRange(numPartitions, col("bucket"), col("salted_key"),
+        col("family"), col("qualifier"))
+    BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
+      blockSize = blockSize)
+  }
+}

@@ -110,6 +110,61 @@ object HModel {
       .orderBy(col("rk_hex"), col("qualifier"), col("version_rank"))
   }
 
+  /** B14: major-compaction semantics, oracle-checked — a versioned cell
+    * stream from events plus deterministically-derived delete markers of
+    * all three kinds, resolved by [[Compaction.applyDeletes]] and
+    * VERSIONS=2 retention:
+    *  - users ≡ 0 (mod 5): `DeleteFamily` at the user's (min+max)/2 ms —
+    *    masks every column at or before mid-history;
+    *  - users ≡ 0 (mod 7): `DeleteColumn` on 'click' at the user's max
+    *    click ms — wipes the whole click column;
+    *  - users ≡ 0 (mod 11): exact `Delete` of the newest 'view' cell —
+    *    the runner-up view becomes version 1.
+    * The oracle replays the thresholds with joins + a rank window.
+    */
+  def compactCells(events: DataFrame, versions: Int = 2): DataFrame = {
+    import graft.operators.Compaction
+    import graft.sources.HFile
+    val cells = events.select(
+      hb.encode(col("user_id")).as("rowkey"),
+      lit("m").as("family"),
+      col("event_type").as("qualifier"),
+      expr("ts DIV 1000000").as("ts"),
+      col("value"),
+      lit(HFile.KeyTypePut.toInt).as("key_type"),
+      col("user_id"))
+    val noValue = lit(null).cast("double").as("value")
+    val famDel = cells.filter(pmod(col("user_id"), lit(5)) === 0)
+      .groupBy(col("rowkey"), col("user_id"))
+      .agg(expr("(min(ts) + max(ts)) DIV 2").as("ts"))
+      .select(col("rowkey"), lit("m").as("family"), lit("").as("qualifier"),
+        col("ts"), noValue,
+        lit(HFile.KeyTypeDeleteFamily.toInt).as("key_type"), col("user_id"))
+    val colDel = cells
+      .filter(pmod(col("user_id"), lit(7)) === 0 &&
+        col("qualifier") === "click")
+      .groupBy(col("rowkey"), col("user_id"))
+      .agg(max(col("ts")).as("ts"))
+      .select(col("rowkey"), lit("m").as("family"),
+        lit("click").as("qualifier"), col("ts"), noValue,
+        lit(HFile.KeyTypeDeleteColumn.toInt).as("key_type"), col("user_id"))
+    val exactDel = cells
+      .filter(pmod(col("user_id"), lit(11)) === 0 &&
+        col("qualifier") === "view")
+      .groupBy(col("rowkey"), col("user_id"))
+      .agg(max(col("ts")).as("ts"))
+      .select(col("rowkey"), lit("m").as("family"),
+        lit("view").as("qualifier"), col("ts"), noValue,
+        lit(HFile.KeyTypeDelete.toInt).as("key_type"), col("user_id"))
+    val all = cells.unionByName(famDel).unionByName(colDel)
+      .unionByName(exactDel).drop("user_id")
+    val kept = Compaction.retainVersions(
+      Compaction.applyDeletes(all).withColumn("bucket", lit(0)), versions)
+    kept.select(hex(col("rowkey")).as("rk_hex"), col("qualifier"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("rk_hex"), col("qualifier"), col("ts_ms"))
+  }
+
   /** B9: general fuzzy-rowkey scan — the reference's FuzzyRowFilter
     * (TsdbScanner.java:16-53) in full generality. TSDB-layout rowkey =
     * metric(3B, low bytes of user_id) + time-sec(4B) + event-id(8B);

@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.HFile
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = HFile.KeyTypePut.toInt
+  private val D = HFile.KeyTypeDelete.toInt
+  private val DC = HFile.KeyTypeDeleteColumn.toInt
+  private val DF = HFile.KeyTypeDeleteFamily.toInt
+
+  private def cellsDf(rows: Seq[(Array[Byte], String, String, Long, Array[Byte], Int)]) =
+    rows.toDF("rowkey", "family", "qualifier", "ts", "value", "key_type")
+
+  private def k(b: Int) = Array(b.toByte)
+  private def v(b: Int) = Array(b.toByte)
+
+  test("marker semantics: Delete exact-ts, DeleteColumn <=ts, DeleteFamily <=ts") {
+    val cells = cellsDf(Seq(
+      // row 1, f:q — versions at ts 1,2,3; Delete(2) masks ONLY ts=2
+      (k(1), "f", "q", 1L, v(11), P),
+      (k(1), "f", "q", 2L, v(12), P),
+      (k(1), "f", "q", 3L, v(13), P),
+      (k(1), "f", "q", 2L, Array.emptyByteArray, D),
+      // row 2, f:q — DeleteColumn(2) masks ts<=2, keeps ts=3
+      (k(2), "f", "q", 1L, v(21), P),
+      (k(2), "f", "q", 2L, v(22), P),
+      (k(2), "f", "q", 3L, v(23), P),
+      (k(2), "f", "q", 2L, Array.emptyByteArray, DC),
+      // row 3 — DeleteFamily(5) masks both columns' ts<=5, keeps ts=6
+      (k(3), "f", "a", 4L, v(31), P),
+      (k(3), "f", "b", 5L, v(32), P),
+      (k(3), "f", "b", 6L, v(33), P),
+      (k(3), "f", "", 5L, Array.emptyByteArray, DF),
+      // row 3 other family untouched by f's DeleteFamily
+      (k(3), "g", "a", 1L, v(34), P),
+      // row 4 — marker at ts=0 masks nothing above ts 0
+      (k(4), "f", "q", 1L, v(41), P),
+      (k(4), "f", "", 0L, Array.emptyByteArray, DF)))
+    val got = Compaction.applyDeletes(cells)
+      .select(hex(col("rowkey")).as("r"), col("family"), col("qualifier"),
+        col("ts"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("01", "f", "q", 1L), ("01", "f", "q", 3L),
+      ("02", "f", "q", 3L),
+      ("03", "f", "b", 6L), ("03", "g", "a", 1L),
+      ("04", "f", "q", 1L)))
+  }
+
+  test("retainVersions keeps the n newest and collapses exact-key dups") {
+    val puts = cellsDf(Seq(
+      (k(1), "f", "q", 1L, v(1), P),
+      (k(1), "f", "q", 2L, v(2), P),
+      (k(1), "f", "q", 3L, v(3), P),
+      // same full key twice: unsigned-max value survives, once
+      (k(1), "f", "q", 3L, v(9), P)))
+      .withColumn("bucket", lit(0))
+    val got = Compaction.retainVersions(puts, versions = 2)
+      .select(col("ts"), col("value"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(2L, 3L))
+    assert(got.last._2.sameElements(v(9)))
+  }
+
+  test("end-to-end: write -> compact -> single resolved run per bucket") {
+    val events = sf("events")
+    val puts = events.select(
+      concat(graft.functions.hb.encode(col("user_id")),
+        graft.functions.hb.encode(col("event_id"))).as("rowkey"),
+      lit("f").as("family"),
+      lit("value").as("qualifier"),
+      graft.functions.hb.encode(col("value")).as("value"),
+      expr("ts DIV 1000000").as("ms"),
+      lit(P).as("key_type"),
+      col("user_id"))
+    // DeleteFamily markers for every 5th user, above that user's max ts:
+    // all of that user's cells must disappear
+    val markers = puts.filter(pmod(col("user_id"), lit(5)) === 0)
+      .groupBy(col("rowkey"), col("user_id"))
+      .agg(max(col("ms")).as("ms"))
+      .select(col("rowkey"), lit("f").as("family"), lit("").as("qualifier"),
+        lit(Array.emptyByteArray).as("value"), col("ms"),
+        lit(DF).as("key_type"), col("user_id"))
+    val all = puts.unionByName(markers)
+    val prepared = BulkLoad.prepare(all, buckets = 4, numPartitions = 4,
+      saltBase = Some(graft.functions.hb.encode(col("user_id"))))
+    val in = Files.createTempDirectory("compact_in").toString
+    BulkLoad.writeHFiles(prepared, in, tsCol = Some("ms"),
+      typeCol = Some("key_type"), blockSize = 2048)
+
+    val out = Files.createTempDirectory("compact_out").toString
+    Compaction.compact(spark, in, out, versions = 1, numPartitions = 4)
+
+    // readHFiles re-validates structure + ordering on every block
+    val back = BulkLoad.readHFiles(spark, out)
+    assert(back.filter(col("key_type") =!= P).count() == 0) // markers gone
+    val expected = puts.filter(pmod(col("user_id"), lit(5)) =!= 0).count()
+    assert(back.count() == expected)
+    // survivors byte-identical to the unmasked puts
+    val a = back.select(hex(col("rowkey")).as("rk"), hex(col("value")).as("v"))
+    val b = prepared.filter(col("key_type") === P &&
+        pmod(col("user_id"), lit(5)) =!= 0)
+      .select(hex(col("salted_key")).as("rk"), hex(col("value")).as("v"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+}
