@@ -37,6 +37,13 @@ object Bench {
       }
       Console.err.println(
         f"bench $name runs=${times.map(t => f"${t._2}%.3f").mkString(",")}")
+      // queries must not contaminate each other: drop any cache/persist the
+      // query left behind (shingle caches, localCheckpoint blocks) and let
+      // the ContextCleaner reclaim shuffle files before the next timing
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(200)
       if (times.forall(_._1)) Some(name -> times.map(_._2).sorted.apply(1))
       else { failed += name; None }
     }.toMap

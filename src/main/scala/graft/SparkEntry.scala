@@ -72,6 +72,8 @@ object SparkEntry {
     "cells_versions" -> ((s, d) =>
       HModel.cellsVersions(t(s, d, "events"), n = 3)),
     "zorder_layout" -> ((s, d) => HModel.zorderLayout(t(s, d, "events"))),
+    "hfile_point_lookup" -> ((s, d) =>
+      HModel.hfilePointLookup(t(s, d, "events"), d)),
     // ---- C. deduplication -----------------------------------------------
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
@@ -358,6 +360,10 @@ object SparkEntry {
         |SELECT user_id, epoch_hour, z, COUNT(*) AS n_events
         |FROM z GROUP BY user_id, epoch_hour, z
         |ORDER BY z LIMIT 100""".stripMargin,
+    "hfile_point_lookup" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, value
+        |FROM events WHERE user_id = 7
+        |ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -111,7 +111,9 @@ object BulkLoad {
   def writeHFiles(prepared: DataFrame, path: String,
                   tsCol: Option[String] = None,
                   typeCol: Option[String] = None,
-                  blockSize: Int = HFile.DefaultBlockSize): Unit = {
+                  blockSize: Int = HFile.DefaultBlockSize,
+                  compression: String = "none"): Unit = {
+    val codec = HFile.codecOf(compression) // fail fast, on the driver
     val spark = prepared.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fsRoot = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -165,7 +167,7 @@ object BulkLoad {
               f"_inprogress/attempt-$attempt%d-part-$pid%05d-$seq%03d.hfile")
             seq += 1
             out = fs.create(tmp, true)
-            writer = new HFileWriter(out, blockSize)
+            writer = new HFileWriter(out, blockSize, codec)
             bucket = b
           }
           it.foreach { r =>

@@ -66,13 +66,19 @@ object Compaction {
   /** Surviving puts with VERSIONS=n retention and exact-key duplicates
     * collapsed (the HFile writer's strictly-increasing-key invariant:
     * two puts at the same (rowkey, family, qualifier, ts) keep the
-    * unsigned-max value, deterministically).
+    * unsigned-max value, deterministically). Any extra columns (e.g.
+    * `bucket`) are carried through with `first`; they must be functions
+    * of the cell key — true for salt buckets — for the collapse to stay
+    * deterministic.
     */
   def retainVersions(puts: DataFrame, versions: Int): DataFrame = {
+    val keys = Seq("rowkey", "family", "qualifier", "ts")
+    val extras = puts.columns.filterNot(c => keys.contains(c) || c == "value")
+    val aggs = max(col("value")).as("value") +:
+      extras.map(c => first(col(c)).as(c))
     val collapsed = puts
-      .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"))
-      .agg(max(col("value")).as("value"),
-        first(col("bucket")).as("bucket"))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
     Cells.lastVersions(collapsed, versions)
       .drop("version_rank")
   }
@@ -86,7 +92,8 @@ object Compaction {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               versions: Int = 1, numPartitions: Int = 32,
-              blockSize: Int = HFile.DefaultBlockSize): Unit = {
+              blockSize: Int = HFile.DefaultBlockSize,
+              compression: String = "none"): Unit = {
     val cells = BulkLoad.readHFiles(spark, inDir)
     val kept = retainVersions(applyDeletes(cells), versions)
     val prepared = kept
@@ -95,6 +102,6 @@ object Compaction {
       .repartitionByRange(numPartitions, col("bucket"), col("salted_key"),
         col("family"), col("qualifier"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
-      blockSize = blockSize)
+      blockSize = blockSize, compression = compression)
   }
 }

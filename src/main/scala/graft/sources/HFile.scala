@@ -42,8 +42,10 @@ import scala.collection.mutable.ArrayBuffer
   * dependency. The trailer region is a fixed [[HFile.TrailerSize]] bytes
   * whose last 4 bytes pack `major | minor << 24`.
   *
-  * Interop caveats, called out rather than hidden: compression NONE only,
-  * no bloom blocks, no cell tags and no mvcc ids — legal in v3, whose
+  * Interop caveats, called out rather than hidden: compression NONE or GZ
+  * (HBase codec ids 2 and 1; SNAPPY/LZ4/ZSTD need native or third-party
+  * libs this build doesn't ship), no bloom blocks, no cell tags and no
+  * mvcc ids — legal in v3, whose
   * readers switch those on only when the file info carries MAX_TAGS_LEN /
   * KEY_VALUE_VERSION keys (omitted here), so cells keep the classic
   * KeyValue layout — and a single-level data index (fine until a file's
@@ -66,6 +68,35 @@ object HFile {
   val ChecksumTypeCrc32c: Byte = 2
   val MajorVersion = 3
   val MinorVersion = 3
+  // HBase Compression.Algorithm ordinals (the trailer's compression_codec
+  // field): LZO=0, GZ=1, NONE=2, SNAPPY=3, ... Only GZ and NONE are
+  // supported here — GZ is the one codec every HBase build ships without
+  // native libs, and java.util.zip produces the same gzip member streams
+  // Hadoop's GzipCodec writes.
+  val CodecGz = 1
+  val CodecNone = 2
+
+  /** Codec id for a user-facing compression name. */
+  def codecOf(name: String): Int = name.toLowerCase match {
+    case "none" => CodecNone
+    case "gz" | "gzip" => CodecGz
+    case other => throw new IllegalArgumentException(
+      s"unsupported compression '$other' (supported: none, gz)")
+  }
+
+  private[sources] def gzip(payload: Array[Byte]): Array[Byte] = {
+    val baos = new ByteArrayOutputStream(payload.length / 3 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(baos, 8192)
+    gz.write(payload)
+    gz.close()
+    baos.toByteArray
+  }
+
+  private[sources] def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 8192)
+    try in.readAllBytes() finally in.close()
+  }
   val KeyTypePut: Byte = 4
   val KeyTypeDelete: Byte = 8
   val KeyTypeDeleteColumn: Byte = 12
@@ -205,8 +236,11 @@ object HFile {
   * size + one index entry per block).
   */
 class HFileWriter(out: OutputStream,
-                  blockSize: Int = HFile.DefaultBlockSize) {
+                  blockSize: Int = HFile.DefaultBlockSize,
+                  codec: Int = HFile.CodecNone) {
   import HFile._
+  require(codec == CodecNone || codec == CodecGz,
+    s"unsupported codec id $codec (supported: $CodecNone=NONE, $CodecGz=GZ)")
 
   private val cellBuf = new ByteArrayOutputStream(blockSize + 8192)
   private val cellOut = new DataOutputStream(cellBuf)
@@ -288,26 +322,31 @@ class HFileWriter(out: OutputStream,
     blockCells = 0
   }
 
-  /** v2 block: 33-byte header + payload + CRC32C per 16 KiB chunk of
-    * header+payload. Returns on-disk size incl. header and checksums.
+  /** v2 block: 33-byte header + (possibly compressed) payload + CRC32C
+    * per 16 KiB chunk of header+on-disk-payload. With compression the
+    * header's onDisk* fields carry the compressed size while
+    * uncompressedSizeWithoutHeader keeps the logical size — exactly the
+    * v2+ layout. Returns on-disk size incl. header and checksums.
     */
   private def writeBlock(magic: Array[Byte], payload: Array[Byte]): Int = {
-    val nChunks = (HeaderSize + payload.length + BytesPerChecksum - 1) /
+    val onDiskPayload = if (codec == CodecGz) gzip(payload) else payload
+    val nChunks = (HeaderSize + onDiskPayload.length + BytesPerChecksum - 1) /
       BytesPerChecksum
     val checksumLen = 4 * nChunks
     val header = ByteBuffer.allocate(HeaderSize)
     header.put(magic)
-    header.putInt(payload.length + checksumLen) // onDiskSizeWithoutHeader
+    header.putInt(onDiskPayload.length + checksumLen) // onDiskSizeWithoutHeader
     header.putInt(payload.length)               // uncompressedSizeWithoutHeader
     header.putLong(prevBlockOffset)
     header.put(ChecksumTypeCrc32c)
     header.putInt(BytesPerChecksum)
-    header.putInt(HeaderSize + payload.length)  // onDiskDataSizeWithHeader
+    header.putInt(HeaderSize + onDiskPayload.length) // onDiskDataSizeWithHeader
     val headerBytes = header.array()
 
-    val checksummed = new Array[Byte](HeaderSize + payload.length)
+    val checksummed = new Array[Byte](HeaderSize + onDiskPayload.length)
     System.arraycopy(headerBytes, 0, checksummed, 0, HeaderSize)
-    System.arraycopy(payload, 0, checksummed, HeaderSize, payload.length)
+    System.arraycopy(onDiskPayload, 0, checksummed, HeaderSize,
+      onDiskPayload.length)
     val checks = ByteBuffer.allocate(checksumLen)
     var pos = 0
     while (pos < checksummed.length) {
@@ -321,7 +360,7 @@ class HFileWriter(out: OutputStream,
     out.write(checksummed)
     out.write(checks.array())
     prevBlockOffset = offset
-    val onDiskWithHeader = HeaderSize + payload.length + checksumLen
+    val onDiskWithHeader = HeaderSize + onDiskPayload.length + checksumLen
     totalUncompressedBytes += HeaderSize + payload.length
     offset += onDiskWithHeader
     onDiskWithHeader
@@ -389,7 +428,7 @@ class HFileWriter(out: OutputStream,
       if (lastDataBlockOffset < 0) 0 else lastDataBlockOffset)
     bytesField(proto, 11,
       "org.apache.hadoop.hbase.CellComparatorImpl".getBytes("UTF-8"))
-    varintField(proto, 12, 2L)                    // compression codec NONE
+    varintField(proto, 12, codec.toLong)          // compression codec
 
     val region = ByteBuffer.allocate(TrailerSize)
     region.put(TrailerMagic)

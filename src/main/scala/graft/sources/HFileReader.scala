@@ -41,7 +41,8 @@ object HFileReader {
                      dataIndexCount: Int, entryCount: Long,
                      numDataIndexLevels: Int, firstDataBlockOffset: Long,
                      lastDataBlockOffset: Long, comparator: String,
-                     majorVersion: Int, minorVersion: Int)
+                     majorVersion: Int, minorVersion: Int,
+                     compressionCodec: Int)
 
   def readTrailer(r: RandomRead): Trailer = {
     require(r.length >= TrailerSize, s"file too short for trailer: ${r.length}")
@@ -63,6 +64,7 @@ object HFileReader {
     var dataIndexCount, levels = 0
     var firstData, lastData = -1L
     var comparator = ""
+    var codec = HFile.CodecNone // proto3 default absence = writer's NONE
     while (p.hasMore) p.readField() match {
       case (1, Left(v))  => fileInfoOffset = v
       case (2, Left(v))  => loadOnOpen = v
@@ -72,10 +74,11 @@ object HFileReader {
       case (9, Left(v))  => firstData = v
       case (10, Left(v)) => lastData = v
       case (11, Right(b)) => comparator = new String(b, "UTF-8")
+      case (12, Left(v)) => codec = v.toInt
       case _ => // ignore unknown/unused fields
     }
     Trailer(fileInfoOffset, loadOnOpen, dataIndexCount, entryCount, levels,
-      firstData, lastData, comparator, major, minor)
+      firstData, lastData, comparator, major, minor, codec)
   }
 
   private case class Block(offset: Long, magic: Array[Byte],
@@ -88,10 +91,13 @@ object HFileReader {
   private val AnyPrevOffset = Long.MinValue
 
   /** Reads + fully verifies one block at `pos` (magic, checksums, header
-    * size fields, prev-offset chain).
+    * size fields, prev-offset chain), decompressing the payload per the
+    * trailer's codec. Checksums cover the on-disk (compressed) bytes;
+    * uncompressedSizeWithoutHeader is verified against the inflated
+    * payload.
     */
-  private def readBlock(r: RandomRead, pos: Long,
-                        expectPrevOffset: Long): Block = {
+  private def readBlock(r: RandomRead, pos: Long, expectPrevOffset: Long,
+                        codec: Int = HFile.CodecNone): Block = {
     val header = r.readFully(pos, HeaderSize)
     val hb = ByteBuffer.wrap(header)
     val magic = new Array[Byte](8); hb.get(magic)
@@ -105,10 +111,13 @@ object HFileReader {
       s"unsupported checksum type $checksumType")
     require(expectPrevOffset == AnyPrevOffset || prevOffset == expectPrevOffset,
       s"broken prev-block chain at $pos: $prevOffset != $expectPrevOffset")
-    require(onDiskDataSizeWithHeader == HeaderSize + uncompressedSize,
-      s"header size fields disagree at $pos")
-    val payloadAndChecks = r.readFully(pos + HeaderSize, onDiskSizeWithoutHeader)
     val payloadLen = onDiskDataSizeWithHeader - HeaderSize
+    require(payloadLen >= 0 && payloadLen <= onDiskSizeWithoutHeader,
+      s"header size fields disagree at $pos")
+    if (codec == CodecNone)
+      require(payloadLen == uncompressedSize,
+        s"header size fields disagree at $pos")
+    val payloadAndChecks = r.readFully(pos + HeaderSize, onDiskSizeWithoutHeader)
     val checksums = ByteBuffer.wrap(payloadAndChecks, payloadLen,
       onDiskSizeWithoutHeader - payloadLen)
     val checksummed = new Array[Byte](HeaderSize + payloadLen)
@@ -123,9 +132,19 @@ object HFileReader {
         s"CRC32C mismatch in block at $pos (chunk at $p)")
       p += n
     }
-    Block(pos, magic,
-      java.util.Arrays.copyOfRange(payloadAndChecks, 0, payloadLen),
-      HeaderSize + onDiskSizeWithoutHeader)
+    val raw = java.util.Arrays.copyOfRange(payloadAndChecks, 0, payloadLen)
+    val payload = codec match {
+      case CodecNone => raw
+      case CodecGz =>
+        val inflated = HFile.gunzip(raw)
+        require(inflated.length == uncompressedSize,
+          s"decompressed size ${inflated.length} != header uncompressed size " +
+            s"$uncompressedSize at $pos")
+        inflated
+      case other =>
+        throw new IllegalStateException(s"unsupported compression codec $other")
+    }
+    Block(pos, magic, payload, HeaderSize + onDiskSizeWithoutHeader)
   }
 
   private def parseCells(payload: Array[Byte]): Iterator[HCell] =
@@ -168,7 +187,7 @@ object HFileReader {
       private var current: Iterator[HCell] = Iterator.empty
       private def advance(): Unit =
         while (!current.hasNext && pos < trailer.loadOnOpenOffset) {
-          val b = readBlock(r, pos, prev)
+          val b = readBlock(r, pos, prev, trailer.compressionCodec)
           require(b.magic.sameElements(BlockMagicData),
             s"expected data block at $pos")
           prev = pos
@@ -240,13 +259,15 @@ object HFileReader {
     val trailer = readTrailer(r)
     if (trailer.entryCount == 0 || trailer.firstDataBlockOffset < 0)
       return None
-    val idx = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset)
+    val idx = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset,
+      trailer.compressionCodec)
     require(idx.magic.sameElements(BlockMagicRootIndex), "missing root index")
     val ib = ByteBuffer.wrap(idx.payload)
     ib.getLong; ib.getInt // first entry's offset + on-disk size
     val keyLen = readHadoopVLong(ib).toInt
     val firstKey = new Array[Byte](keyLen); ib.get(firstKey)
-    val fi = readBlock(r, trailer.fileInfoOffset, AnyPrevOffset)
+    val fi = readBlock(r, trailer.fileInfoOffset, AnyPrevOffset,
+      trailer.compressionCodec)
     require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
     val lastKey = parseFileInfo(fi.payload).getOrElse("hfile.LASTKEY",
       throw new IllegalStateException("file info lacks hfile.LASTKEY"))
@@ -268,7 +289,7 @@ object HFileReader {
     var firstKey = ""; var lastKey = ""
     val blockStarts = ArrayBuffer[(Long, Int, Array[Byte])]()
     while (pos < trailer.loadOnOpenOffset) {
-      val b = readBlock(r, pos, prev)
+      val b = readBlock(r, pos, prev, trailer.compressionCodec)
       require(b.magic.sameElements(BlockMagicData), s"expected data at $pos")
       var blockFirstKey: Array[Byte] = null
       var last: HCell = null
@@ -293,7 +314,8 @@ object HFileReader {
       s"$nCells cells != trailer entry_count ${trailer.entryCount}")
 
     // root index block
-    val idx = readBlock(r, trailer.loadOnOpenOffset, prev)
+    val idx = readBlock(r, trailer.loadOnOpenOffset, prev,
+      trailer.compressionCodec)
     require(idx.magic.sameElements(BlockMagicRootIndex), "missing root index")
     val ib = ByteBuffer.wrap(idx.payload)
     var nIdx = 0
@@ -312,14 +334,16 @@ object HFileReader {
 
     // root META index block (always present, empty — no meta blocks)
     val metaOffset = trailer.loadOnOpenOffset + idx.onDiskSizeWithHeader
-    val metaIdx = readBlock(r, metaOffset, trailer.loadOnOpenOffset)
+    val metaIdx = readBlock(r, metaOffset, trailer.loadOnOpenOffset,
+      trailer.compressionCodec)
     require(metaIdx.magic.sameElements(BlockMagicRootIndex),
       "missing root meta index")
     require(metaIdx.payload.isEmpty,
       s"meta index lists ${metaIdx.payload.length} payload bytes but no meta blocks are written")
 
     // file info block
-    val fi = readBlock(r, trailer.fileInfoOffset, metaOffset)
+    val fi = readBlock(r, trailer.fileInfoOffset, metaOffset,
+      trailer.compressionCodec)
     require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
     val info = parseFileInfo(fi.payload)
     r.close()

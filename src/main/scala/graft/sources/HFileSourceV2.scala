@@ -9,9 +9,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,8 +58,8 @@ class HFileSource extends TableProvider with DataSourceRegister {
 }
 
 object HFileSource {
+  /** Data columns — the table schema, and the write contract. */
   val Schema: StructType = StructType(Seq(
-    StructField("file", StringType, nullable = false),
     StructField("bucket", IntegerType, nullable = false),
     StructField("rowkey", BinaryType, nullable = false),
     StructField("family", StringType, nullable = false),
@@ -66,6 +68,16 @@ object HFileSource {
     StructField("value", BinaryType, nullable = false),
     StructField("key_type", IntegerType, nullable = false)))
 
+  /** `file` is a METADATA column (select it explicitly, like parquet's
+    * `_metadata`): readable provenance that writes never demand.
+    */
+  object FileMetadataColumn extends MetadataColumn {
+    override def name(): String = "file"
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "HFile path this cell was read from"
+  }
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -73,10 +85,17 @@ object HFileSource {
     p
   }
 
-  /** `bucket=N` partition value parsed from a file path, -1 if absent. */
-  private[sources] def bucketOf(file: String): Int =
-    "bucket=(-?\\d+)".r.findFirstMatchIn(file)
+  /** `bucket=N` partition value parsed from the file's immediate parent
+    * directory name, -1 if absent. Only the parent segment is consulted so
+    * an ancestor directory that happens to contain `bucket=` (e.g.
+    * `/data/bucket=old/out/...`) can't mislabel every file.
+    */
+  private[sources] def bucketOf(file: String): Int = {
+    val parent = new Path(file).getParent
+    if (parent == null) -1
+    else "^bucket=(-?\\d+)$".r.findFirstMatchIn(parent.getName)
       .map(_.group(1).toInt).getOrElse(-1)
+  }
 
   private[sources] def hadoopConfMap(spark: SparkSession): Map[String, String] = {
     val it = spark.sparkContext.hadoopConfiguration.iterator()
@@ -109,13 +128,19 @@ object HFileSource {
   }
 }
 
-class HFileTable(path: String) extends Table with SupportsRead {
+class HFileTable(path: String) extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft-hfile:$path"
   override def schema(): StructType = HFileSource.Schema
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(HFileSource.FileMetadataColumn)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HFileScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new HFileWriteBuilder(path, info)
 }
 
 class HFileScanBuilder(path: String) extends ScanBuilder
@@ -199,27 +224,250 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
     val files = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
       .map(_.getPath.toString)
-    require(files.nonEmpty, s"no HFiles found under $path")
+    if (files.isEmpty) {
+      // an existing-but-empty directory is a valid empty scan (count() = 0,
+      // like every other Spark source); only a missing path is an error
+      require(fs.exists(root), s"no HFiles found under $path")
+      return Array.empty
+    }
     val (bucketFilters, rowkeyFilters) =
       pushed.partition(_.references.contains("bucket"))
-    files.iterator
+    // directory-name pruning first: costs nothing, avoids the trailer
+    // reads for buckets that can't match
+    val bucketSurvivors = files
       .map(f => (f, bucketOf(f)))
-      // directory-name pruning first: costs nothing, avoids the trailer
-      // reads for buckets that can't match
       .filter { case (_, b) => bucketFilters.forall(mayMatch(b, None, _)) }
-      .filter { case (f, b) =>
-        rowkeyFilters.isEmpty || {
-          val r = openRandomRead(f, conf)
-          val range = try HFileReader.rowkeyRange(r) finally r.close()
-          rowkeyFilters.forall(mayMatch(b, range, _))
-        }
+    val survivors =
+      if (rowkeyFilters.isEmpty) bucketSurvivors
+      else {
+        // range pruning needs 3 short reads (trailer / first index key /
+        // LASTKEY) per file; at 100k files serial driver IO would gate the
+        // whole job, so fan the reads over a bounded pool (the parquet
+        // parallel-footer-read analogue)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, bucketSurvivors.length).max(1))
+        try {
+          bucketSurvivors.map { case (f, b) =>
+            pool.submit(new java.util.concurrent.Callable[Option[(String, Int)]] {
+              def call(): Option[(String, Int)] = {
+                val r = openRandomRead(f, conf)
+                val range = try HFileReader.rowkeyRange(r) finally r.close()
+                if (rowkeyFilters.forall(mayMatch(b, range, _))) Some((f, b))
+                else None
+              }
+            })
+          }.flatMap(_.get())
+        } finally pool.shutdown()
       }
-      .map { case (f, b) => HFileInputPartition(f, b): InputPartition }
-      .toArray
+    survivors.map { case (f, b) => HFileInputPartition(f, b): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HFileReaderFactory(required, confMap)
+}
+
+// ---- DSv2 write path ------------------------------------------------------
+
+/** `df.write.format("graft-hfile").mode(...).save(dir)` — the write twin of
+  * the read path, so the two surfaces are symmetric.
+  *
+  * Input columns: `bucket int, rowkey binary, family string,
+  * qualifier string, ts long, value binary` and optionally
+  * `key_type int` (defaults to Put). Options: `blockSize`,
+  * `compression` (`none`/`gz`).
+  *
+  * Instead of pre-shuffling like [[graft.operators.BulkLoad.writeHFiles]],
+  * the write declares what it needs via
+  * [[RequiresDistributionAndOrdering]] — range-distributed by
+  * (bucket, rowkey, family, qualifier) and sorted within partitions with
+  * ts/key_type descending — and Spark plans the shuffle+sort itself
+  * (AQE included). ts is deliberately NOT in the distribution: versions
+  * of one cell must never straddle a range boundary, or two files would
+  * overlap at that rowkey. Each task then streams its sorted run through
+  * one [[HFileWriter]] at a time, rolling on bucket change, writing to
+  * `_inprogress/` temp names and renaming into place at task commit
+  * (first finished attempt wins; output is deterministic, so duplicate
+  * speculative bytes are identical).
+  */
+class HFileWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write =
+    new HFileWriteImpl(path, info, doTruncate,
+      HFileSource.hadoopConfMap(SparkSession.active))
+}
+
+class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
+                     confMap: Map[String, String])
+    extends Write with RequiresDistributionAndOrdering {
+
+  private val schema = info.schema()
+  // validate the contract on the driver, before any task launches
+  HFileWriteImpl.fieldIndexes(schema)
+  private val blockSize = Option(info.options.get("blockSize"))
+    .map(_.toInt).getOrElse(HFile.DefaultBlockSize)
+  private val codec = HFile.codecOf(
+    Option(info.options.get("compression")).getOrElse("none"))
+
+  private def asc(name: String): SortOrder =
+    Expressions.sort(Expressions.column(name), SortDirection.ASCENDING)
+  private def desc(name: String): SortOrder =
+    Expressions.sort(Expressions.column(name), SortDirection.DESCENDING)
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(asc("bucket"), asc("rowkey"), asc("family"),
+      asc("qualifier")))
+
+  override def requiredOrdering(): Array[SortOrder] = {
+    val base = Array(asc("bucket"), asc("rowkey"), asc("family"),
+      asc("qualifier"), desc("ts"))
+    if (schema.fieldNames.contains("key_type")) base :+ desc("key_type")
+    else base
+  }
+
+  override def toBatch: BatchWrite = {
+    // overwrite clears the directory before tasks rename files into it
+    // (same driver-side semantics as BulkLoad.writeHFiles)
+    val root = new Path(path)
+    val fs = root.getFileSystem(HFileSource.confOf(confMap))
+    if (truncate && fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    new HFileBatchWrite(path, schema, blockSize, codec, confMap,
+      info.queryId())
+  }
+}
+
+object HFileWriteImpl {
+  /** Column indexes (bucket, rowkey, family, qualifier, ts, value,
+    * key_type or -1), with loud errors for anything missing, mistyped,
+    * or unknown.
+    */
+  private[sources] def fieldIndexes(schema: StructType): Array[Int] = {
+    val expected = Map(
+      "bucket" -> IntegerType, "rowkey" -> BinaryType,
+      "family" -> StringType, "qualifier" -> StringType,
+      "ts" -> LongType, "value" -> BinaryType, "key_type" -> IntegerType)
+    schema.fields.foreach { f =>
+      expected.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"graft-hfile write: unknown column '${f.name}' " +
+            s"(drop it first; expected ${expected.keys.mkString(", ")})")
+        case Some(t) => require(f.dataType == t,
+          s"graft-hfile write: column '${f.name}' must be $t, got ${f.dataType}")
+      }
+    }
+    def idx(name: String): Int = schema.fieldNames.indexOf(name)
+    val required = Seq("bucket", "rowkey", "family", "qualifier", "ts", "value")
+    required.foreach(n => require(idx(n) >= 0,
+      s"graft-hfile write: missing required column '$n'"))
+    (required.map(idx) :+ idx("key_type")).toArray
+  }
+}
+
+case class HFileCommitMessage(nFiles: Int) extends WriterCommitMessage
+
+class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
+                      codec: Int, confMap: Map[String, String],
+                      queryId: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new HFileDataWriterFactory(path, schema, blockSize, codec, confMap, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    cleanupTemp()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupTemp()
+
+  private def cleanupTemp(): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(HFileSource.confOf(confMap))
+    fs.delete(new Path(root, "_inprogress"), true)
+  }
+}
+
+class HFileDataWriterFactory(path: String, schema: StructType, blockSize: Int,
+                             codec: Int, confMap: Map[String, String],
+                             queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new HFileDataWriter(path, schema, blockSize, codec, confMap, queryId,
+      partitionId, taskId)
+}
+
+class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
+                      codec: Int, confMap: Map[String, String], queryId: String,
+                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import HFile.HCell
+
+  private val conf = HFileSource.confOf(confMap)
+  private val fs = new Path(path).getFileSystem(conf)
+  private val Array(iBucket, iRowkey, iFamily, iQualifier, iTs, iValue, iType) =
+    HFileWriteImpl.fieldIndexes(schema)
+  // queryId is a UUID; 8 chars de-collide appends into an existing dir
+  private val qid = queryId.replace("-", "").take(8)
+
+  private var bucket = Int.MinValue
+  private var seq = 0
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var writer: HFileWriter = null
+  private var tmp: Path = null
+  private var dest: Path = null
+  private val pending = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+
+  private def finishCurrent(): Unit = if (writer != null) {
+    writer.finish()
+    out.close()
+    pending += ((tmp, dest))
+    writer = null
+  }
+
+  private def roll(b: Int): Unit = {
+    finishCurrent()
+    dest = new Path(path, f"bucket=$b%d/part-$qid-$partitionId%05d-$seq%03d.hfile")
+    tmp = new Path(path,
+      f"_inprogress/attempt-$taskId%d-$partitionId%05d-$seq%03d.hfile")
+    seq += 1
+    out = fs.create(tmp, true)
+    writer = new HFileWriter(out, blockSize, codec)
+    bucket = b
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val b = row.getInt(iBucket)
+    if (b != bucket || writer == null) roll(b)
+    writer.append(HCell(
+      row.getBinary(iRowkey),
+      row.getUTF8String(iFamily).toString.getBytes("UTF-8"),
+      row.getUTF8String(iQualifier).toString.getBytes("UTF-8"),
+      row.getLong(iTs),
+      row.getBinary(iValue),
+      if (iType < 0) HFile.KeyTypePut else row.getInt(iType).toByte))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    finishCurrent()
+    pending.foreach { case (t, d) =>
+      fs.mkdirs(d.getParent)
+      // first completed attempt wins; losers hold identical bytes
+      if (!fs.rename(t, d)) {
+        if (!fs.exists(d))
+          throw new java.io.IOException(s"could not commit $d")
+        fs.delete(t, false)
+      }
+    }
+    HFileCommitMessage(pending.size)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { try out.close() catch { case _: Throwable => () } }
+    writer = null
+    (pending.map(_._1) ++ Option(tmp)).foreach { t =>
+      try fs.delete(t, false) catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 class HFileReaderFactory(required: StructType, confMap: Map[String, String])
@@ -252,7 +500,15 @@ class HFilePartitionReader(p: HFileInputPartition, required: StructType,
 
   private val rr =
     HFileSource.openRandomRead(p.file, HFileSource.confOf(confMap))
-  private val cells = HFileReader.scan(rr)
+  // a corrupt trailer/header throws before the reader is constructed, so
+  // close() would never run — release the stream on the failure path
+  private val cells =
+    try HFileReader.scan(rr)
+    catch {
+      case t: Throwable =>
+        try rr.close() catch { case _: Throwable => () }
+        throw t
+    }
   private var row: InternalRow = _
 
   override def next(): Boolean = {

@@ -40,14 +40,18 @@ class HFileSourceSpec extends SparkSpec {
     new java.io.File(out).listFiles.filter(_.getName.startsWith("bucket="))
       .flatMap(_.listFiles).count(_.getName.endsWith(".hfile"))
 
-  private def partitionsFor(filters: org.apache.spark.sql.sources.Filter*) = {
-    val sb = new HFileTable(out)
+  private def partitionsIn(dir: String,
+                           filters: org.apache.spark.sql.sources.Filter*) = {
+    val sb = new HFileTable(dir)
       .newScanBuilder(CaseInsensitiveStringMap.empty())
       .asInstanceOf[HFileScanBuilder]
     sb.pushFilters(filters.toArray)
     sb.build().toBatch.planInputPartitions()
       .map(_.asInstanceOf[HFileInputPartition])
   }
+
+  private def partitionsFor(filters: org.apache.spark.sql.sources.Filter*) =
+    partitionsIn(out, filters: _*)
 
   test("reads back exactly what readHFiles reads") {
     val v2 = spark.read.format("graft-hfile").load(out)
@@ -58,6 +62,12 @@ class HFileSourceSpec extends SparkSpec {
       .select(col("bucket"), hex(col("rowkey")).as("k"),
         col("family"), col("qualifier"), col("ts"), hex(col("value")).as("v"))
     assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("file is readable as a metadata column and never demanded on write") {
+    val df = spark.read.format("graft-hfile").load(out)
+      .select(col("file"), col("bucket"))
+    assert(df.select("file").distinct().count() == nFiles)
   }
 
   test("column pruning reaches the scan") {
@@ -83,6 +93,131 @@ class HFileSourceSpec extends SparkSpec {
     assert(pruned.count() ==
       BulkLoad.readHFiles(spark, out).filter($"bucket" === 2).count())
     assert(pruned.count() > 0)
+  }
+
+  test("bucket is parsed from the parent directory only") {
+    assert(HFileSource.bucketOf("/data/bucket=3/part-0.hfile") == 3)
+    // an ancestor dir that happens to contain bucket= must not win
+    assert(HFileSource.bucketOf("/data/bucket=9/out/bucket=1/f.hfile") == 1)
+    assert(HFileSource.bucketOf("/data/bucket=9/out/f.hfile") == -1)
+    assert(HFileSource.bucketOf("f.hfile") == -1)
+  }
+
+  test("existing-but-empty directory is a valid empty scan") {
+    val dir = Files.createTempDirectory("hfile_empty").toString
+    assert(spark.read.format("graft-hfile").load(dir).count() == 0)
+    intercept[Exception] {
+      spark.read.format("graft-hfile").load(s"$dir/never_created").count()
+    }
+  }
+
+  test("rowkey pruning over 120 files stays sub-second (parallel trailer " +
+      "reads) and still prunes to one file") {
+    val dir = Files.createTempDirectory("hfile_many").toString
+    (0 until 120).foreach { i =>
+      val d = new java.io.File(s"$dir/bucket=${i % 4}"); d.mkdirs()
+      val fos = new java.io.FileOutputStream(
+        new java.io.File(d, f"part-$i%05d.hfile"))
+      val w = new HFileWriter(fos, 256)
+      (0 until 10).foreach { j =>
+        w.append(HFile.HCell(f"row${i * 10 + j}%06d".getBytes, "f".getBytes,
+          "q".getBytes, 0L, "v".getBytes))
+      }
+      w.finish(); fos.close()
+    }
+    val key = f"row${57 * 10 + 3}%06d".getBytes
+    val t0 = System.nanoTime()
+    val hit = partitionsIn(dir,
+      org.apache.spark.sql.sources.EqualTo("rowkey", key))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(hit.length == 1 && hit.head.file.contains("part-00057"))
+    assert(sec < 1.0, f"plan-time pruning took $sec%.2fs for 120 files")
+  }
+
+  test("DSv2 write: write-then-read parity, Spark plans the range sort") {
+    val src = spark.read.format("graft-hfile").load(out).drop("file")
+    val dir = Files.createTempDirectory("hfile_dsv2_w").toString
+    src.write.format("graft-hfile").mode("overwrite").save(dir)
+    assert(!new java.io.File(s"$dir/_inprogress").exists())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bucket"), hex(col("rowkey")).as("k"), col("family"),
+        col("qualifier"), col("ts"), hex(col("value")).as("v"))
+    val a = canon(src)
+    val b = canon(spark.read.format("graft-hfile").load(dir))
+    assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+    // append adds a second run set (distinct query-id file names)…
+    src.write.format("graft-hfile").mode("append").save(dir)
+    assert(spark.read.format("graft-hfile").load(dir).count() == 2 * src.count())
+    // …and overwrite truncates back down to a subset
+    src.filter($"bucket" === 2).write.format("graft-hfile")
+      .mode("overwrite").save(dir)
+    val left = spark.read.format("graft-hfile").load(dir)
+    assert(left.count() == src.filter($"bucket" === 2).count())
+    assert(left.select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("DSv2 write: gz compression option round-trips") {
+    val src = spark.read.format("graft-hfile").load(out).drop("file")
+    val dir = Files.createTempDirectory("hfile_dsv2_gz").toString
+    src.write.format("graft-hfile").mode("overwrite")
+      .option("compression", "gz").option("blockSize", "1024").save(dir)
+    val back = spark.read.format("graft-hfile").load(dir)
+    assert(back.count() == src.count())
+    // the written files really carry codec GZ in the trailer (skip the
+    // local-FS .crc sidecars)
+    val f = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("bucket=")).head.listFiles
+      .filter(_.getName.endsWith(".hfile")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
+    assert(t.compressionCodec == HFile.CodecGz)
+  }
+
+  test("DSv2 write: unknown and mistyped columns are rejected loudly") {
+    val src = spark.read.format("graft-hfile").load(out).drop("file")
+    val dir = Files.createTempDirectory("hfile_dsv2_bad").toString
+    intercept[Exception] {
+      src.withColumn("extra", lit(1)).write.format("graft-hfile")
+        .mode("overwrite").save(dir)
+    }
+    // ts as int is fine (Spark upcasts on by-name resolution); a binary
+    // column fed an int is not castable and must fail
+    intercept[Exception] {
+      src.withColumn("value", lit(1)).write.format("graft-hfile")
+        .mode("overwrite").save(dir)
+    }
+  }
+
+  test("hfile_point_lookup: scans fewer partitions than files and matches " +
+      "the raw events table") {
+    val events = sf("events")
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.HModel.hfilePointLookup(events, sfDir)
+    val rows = df.collect()
+    val expected = events.filter(col("user_id") === 7)
+      .select(col("event_id"), expr("ts DIV 1000000").as("ts_ms"), col("value"))
+      .orderBy("event_id").collect()
+    assert(rows.nonEmpty && rows.length == expected.length)
+    rows.zip(expected).foreach { case (a, b) => assert(a == b) }
+    // plan shape: bucket + rowkey pushdown leave a near-point scan
+    val dir = graft.queries.HModel.ensureLookupDir(events, sfDir, 4)
+    val totalFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles).count(_.getName.endsWith(".hfile"))
+    // the orderBy makes this an AQE plan; the scan hides inside query-stage
+    // leaves, so collect recursively
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case s: BatchScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+      }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+    val nParts = scans.head.inputRDD.getNumPartitions
+    assert(nParts >= 1 && nParts < totalFiles,
+      s"expected pruned scan, got $nParts of $totalFiles files")
   }
 
   test("rowkey range filters skip files by trailer key range") {

@@ -139,6 +139,48 @@ class HFileSpec extends SparkSpec {
     assert(stats.nCells == sorted.size && stats.nDataBlocks > 1)
   }
 
+  test("gz compression: round-trips, shrinks the file, trailer carries " +
+      "codec id 1") {
+    val plain = writeToBytes(manyCells)
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, 256, CodecGz)
+    manyCells.foreach(w.append)
+    w.finish()
+    val gz = baos.toByteArray
+    // "x"*20 values are highly compressible; the win must be real
+    assert(gz.length < plain.length)
+    val t = HFileReader.readTrailer(new HFileReader.BytesRead(gz))
+    assert(t.compressionCodec == CodecGz)
+    val back = HFileReader.scan(new HFileReader.BytesRead(gz)).toSeq
+    assert(back.size == manyCells.size)
+    back.zip(manyCells).foreach { case (a, b) =>
+      assert(a.rowkey.sameElements(b.rowkey) &&
+        a.qualifier.sameElements(b.qualifier) &&
+        a.ts == b.ts && a.value.sameElements(b.value))
+    }
+    // full structural audit + the planner's 3-short-read range probe both
+    // work through compressed load-on-open blocks
+    val stats = HFileReader.validate(new HFileReader.BytesRead(gz))
+    assert(stats.nCells == 500 && stats.nDataBlocks > 1)
+    val range = HFileReader.rowkeyRange(new HFileReader.BytesRead(gz))
+    assert(range.exists { case (lo, hi) =>
+      lo.sameElements("row00000".getBytes) && hi.sameElements("row00499".getBytes)
+    })
+  }
+
+  test("gz compression: corrupted byte still fails the checksum") {
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, 256, CodecGz)
+    manyCells.foreach(w.append)
+    w.finish()
+    val corrupt = baos.toByteArray
+    corrupt(100) = (corrupt(100) ^ 0x5a).toByte
+    val err = intercept[Exception] {
+      HFileReader.scan(new HFileReader.BytesRead(corrupt)).toSeq
+    }
+    assert(err.getMessage != null)
+  }
+
   test("multi-version cell streams write in ts-descending order") {
     // same (rowkey, family, qualifier) with several timestamps, fed in
     // arbitrary order: writeHFiles must re-sort versions newest-first
