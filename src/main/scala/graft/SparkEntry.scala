@@ -74,6 +74,8 @@ object SparkEntry {
     "zorder_layout" -> ((s, d) => HModel.zorderLayout(t(s, d, "events"))),
     "hfile_point_lookup" -> ((s, d) =>
       HModel.hfilePointLookup(t(s, d, "events"), d)),
+    "hfile_multi_get" -> ((s, d) =>
+      HModel.hfileMultiGet(t(s, d, "events"), d)),
     // ---- C. deduplication -----------------------------------------------
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
@@ -363,6 +365,10 @@ object SparkEntry {
     "hfile_point_lookup" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, value
         |FROM events WHERE user_id = 7
+        |ORDER BY event_id""".stripMargin,
+    "hfile_multi_get" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, value
+        |FROM events WHERE user_id IN (3, 11)
         |ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -112,7 +112,8 @@ object BulkLoad {
                   tsCol: Option[String] = None,
                   typeCol: Option[String] = None,
                   blockSize: Int = HFile.DefaultBlockSize,
-                  compression: String = "none"): Unit = {
+                  compression: String = "none",
+                  bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys): Unit = {
     val codec = HFile.codecOf(compression) // fail fast, on the driver
     val spark = prepared.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
@@ -167,7 +168,7 @@ object BulkLoad {
               f"_inprogress/attempt-$attempt%d-part-$pid%05d-$seq%03d.hfile")
             seq += 1
             out = fs.create(tmp, true)
-            writer = new HFileWriter(out, blockSize, codec)
+            writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys)
             bucket = b
           }
           it.foreach { r =>
@@ -245,12 +246,116 @@ object BulkLoad {
         }
         override def close(): Unit = in.close()
       }
-      val bucket = "bucket=(-?\\d+)".r.findFirstMatchIn(f)
-        .map(_.group(1).toInt).getOrElse(-1)
+      val bucket = graft.sources.HFileSource.bucketOf(f)
       HFileReader.scan(rr).map(c => HFileCellRow(f, bucket, c.rowkey,
         new String(c.family, "UTF-8"), new String(c.qualifier, "UTF-8"),
         c.ts, c.value, c.keyType.toInt))
     }.toDF()
+  }
+
+  /** Distributed keyed lookup (multi-get) against a [[writeHFiles]]
+    * directory — the reference's point-GET-by-rowkey lookup
+    * (HBaseRowDataLookupFunction.java) as a batch operator. The driver
+    * reads each file's key range through a bounded pool and broadcasts
+    * the tiny (file, bucket, range) manifest; each key routes to the
+    * files whose range covers it; each task then opens its file ONCE and
+    * probes its whole sorted key batch through the bloom and the
+    * multi-level index ([[HFileReader.multiGet]]) — a handful of short
+    * reads per key, never a file scan. Keys and files both scale
+    * horizontally; result schema matches [[readHFiles]].
+    */
+  def multiGet(spark: SparkSession, path: String, keys: DataFrame,
+               keyCol: String = "rowkey"): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val files = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"no HFiles found under $path")
+    val confMap = broadcastHadoopConf(spark)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    val fileRanges = try {
+      files.map { f =>
+        pool.submit(
+          new java.util.concurrent.Callable[Option[(String, Int, Array[Byte], Array[Byte])]] {
+            def call(): Option[(String, Int, Array[Byte], Array[Byte])] = {
+              val rr = openRead(f, hconf)
+              try HFileReader.rowkeyRange(rr).map { case (lo, hi) =>
+                (f, graft.sources.HFileSource.bucketOf(f), lo, hi)
+              } finally rr.close()
+            }
+          })
+      }.flatMap(_.get()).toSeq
+    } finally pool.shutdown()
+    // key → covering files in O(log F + matches), not O(F): ranges sorted
+    // by first key, with a prefix running-max of last keys so the left
+    // walk stops as soon as no earlier run can still reach the key
+    // (ranges overlap only across append runs)
+    val sorted = fileRanges.sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(a._3, b._3) < 0).toArray
+    val prefixMaxHi = new Array[Array[Byte]](sorted.length)
+    sorted.indices.foreach { i =>
+      prefixMaxHi(i) =
+        if (i == 0) sorted(0)._4
+        else if (java.util.Arrays.compareUnsigned(
+          sorted(i)._4, prefixMaxHi(i - 1)) >= 0) sorted(i)._4
+        else prefixMaxHi(i - 1)
+    }
+    val bc = spark.sparkContext.broadcast((sorted, prefixMaxHi))
+    keys.select(col(keyCol).cast("binary")).as[Array[Byte]]
+      .flatMap { k =>
+        val (ranges, maxHi) = bc.value
+        def cmp(a: Array[Byte], b: Array[Byte]) =
+          java.util.Arrays.compareUnsigned(a, b)
+        // last range whose first key <= k
+        var lo = 0; var hi = ranges.length - 1; var idx = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(ranges(mid)._3, k) <= 0) { idx = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(String, Int, Array[Byte])]()
+        var j = idx
+        while (j >= 0 && cmp(maxHi(j), k) >= 0) {
+          if (cmp(ranges(j)._4, k) >= 0) out += ((ranges(j)._1, ranges(j)._2, k))
+          j -= 1
+        }
+        out
+      }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (fb: (String, Int),
+                        batch: Iterator[(String, Int, Array[Byte])]) =>
+        val (f, b) = fb
+        val rr = openRead(f, hadoopConfOf(confMap.value))
+        // multiGet materializes its result, so closing before returning
+        // the iterator is safe
+        try HFileReader.multiGet(rr, batch.map(_._3).toSeq)
+          .map(c => HFileCellRow(f, b, c.rowkey,
+            new String(c.family, "UTF-8"), new String(c.qualifier, "UTF-8"),
+            c.ts, c.value, c.keyType.toInt)).iterator
+        finally rr.close()
+      }.toDF()
+  }
+
+  private def openRead(f: String, conf: org.apache.hadoop.conf.Configuration)
+      : HFileReader.RandomRead = {
+    val p = new org.apache.hadoop.fs.Path(f)
+    val fsx = p.getFileSystem(conf)
+    val len = fsx.getFileStatus(p).getLen
+    val in = fsx.open(p)
+    new HFileReader.RandomRead {
+      def length: Long = len
+      def readFully(pos: Long, n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        in.readFully(pos, buf)
+        buf
+      }
+      override def close(): Unit = in.close()
+    }
   }
 
   /** Per-file stats of a written bulk output — the HFile info-block

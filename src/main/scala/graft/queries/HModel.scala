@@ -238,6 +238,34 @@ object HModel {
       .orderBy(col("event_id"))
   }
 
+  /** B13/B11 driven end-to-end: batched keyed lookup (multi-get) through
+    * [[BulkLoad.multiGet]] — rowkeys of two users' events are fetched by
+    * bloom + index probes against the bulk fixture (never a file scan)
+    * and decoded back; DuckDB reproduces the result from the events
+    * table directly.
+    */
+  def hfileMultiGet(events: DataFrame, sfDir: String,
+                    userIds: Seq[Long] = Seq(3L, 11L),
+                    buckets: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    val dir = ensureLookupDir(events, sfDir, buckets)
+    val keys = events
+      .filter(col("user_id").isin(userIds: _*))
+      .select(concat(
+        hb.encode(Salt.bucket(hb.encode(col("user_id")), buckets)
+          .cast("short")),
+        hb.encode(col("user_id")),
+        hb.encode(col("event_id"))).as("rowkey"))
+    BulkLoad.multiGet(spark, dir, keys)
+      .select(
+        hb.decode(expr("substring(rowkey, 11, 8)"),
+          org.apache.spark.sql.types.LongType).as("event_id"),
+        col("ts").as("ts_ms"),
+        hb.decode(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** B9: general fuzzy-rowkey scan — the reference's FuzzyRowFilter
     * (TsdbScanner.java:16-53) in full generality. TSDB-layout rowkey =
     * metric(3B, low bytes of user_id) + time-sec(4B) + event-id(8B);

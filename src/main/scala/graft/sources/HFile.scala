@@ -42,10 +42,22 @@ import scala.collection.mutable.ArrayBuffer
   * dependency. The trailer region is a fixed [[HFile.TrailerSize]] bytes
   * whose last 4 bytes pack `major | minor << 24`.
   *
+  * Row blooms are compound (chunked) like HBase's CompoundBloomFilter:
+  * fixed-capacity chunks flush inline among the data blocks as the key
+  * stream arrives (writer memory stays O(one chunk)), and a bloom-meta
+  * directory block — listed in the root META index under
+  * [[HFile.BloomMetaName]] — maps each chunk's first rowkey to its
+  * offset, so a point-GET probes exactly one chunk
+  * ([[HFileReader.rowkeyMayContain]], five short reads). The chunk
+  * payload layout and FNV-1a/murmur-finalizer double hashing are graft's
+  * own (HBase's bloom bit layout isn't part of the public format
+  * description); the container framing (block headers, checksums, meta
+  * index) is standard v2+.
+  *
   * Interop caveats, called out rather than hidden: compression NONE or GZ
   * (HBase codec ids 2 and 1; SNAPPY/LZ4/ZSTD need native or third-party
-  * libs this build doesn't ship), no bloom blocks, no cell tags and no
-  * mvcc ids — legal in v3, whose
+  * libs this build doesn't ship), graft-layout bloom bits (see above),
+  * no cell tags and no mvcc ids — legal in v3, whose
   * readers switch those on only when the file info carries MAX_TAGS_LEN /
   * KEY_VALUE_VERSION keys (omitted here), so cells keep the classic
   * KeyValue layout — and a single-level data index (fine until a file's
@@ -58,9 +70,15 @@ object HFile {
 
   val BlockMagicData = "DATABLK*".getBytes("UTF-8")
   val BlockMagicRootIndex = "IDXROOT2".getBytes("UTF-8")
+  val BlockMagicLeafIndex = "IDXLEAF2".getBytes("UTF-8")
+  val BlockMagicIntermediateIndex = "IDXINTE2".getBytes("UTF-8")
   val BlockMagicFileInfo = "FILEINF2".getBytes("UTF-8")
+  val BlockMagicBloomChunk = "BLMFBLK2".getBytes("UTF-8")
+  val BlockMagicMeta = "METABLKc".getBytes("UTF-8")
   val TrailerMagic = "TRABLK\"$".getBytes("UTF-8")
   val PbMagic = "PBUF".getBytes("UTF-8")
+  /** Root-meta-index name of the compound row bloom. */
+  val BloomMetaName = "graft.bloom"
 
   val HeaderSize = 33
   val TrailerSize = 4096
@@ -102,6 +120,90 @@ object HFile {
   val KeyTypeDeleteColumn: Byte = 12
   val KeyTypeDeleteFamily: Byte = 14
   val DefaultBlockSize = 64 * 1024
+  /** Row-bloom chunk capacity (keys); 0 disables the bloom. Chunked like
+    * HBase's CompoundBloomFilter so writer memory stays O(one chunk)
+    * (~150 KiB at 1% fpp) no matter how many rows a file holds.
+    */
+  val DefaultBloomChunkKeys = 128 * 1024
+  val DefaultBloomFpp = 0.01
+  /** Max entries per data-index block before the index goes multi-level
+    * (leaf → intermediate → root). At ~30-60 B/entry a level holds its
+    * root to well under a block; 16k² entries ≈ 256M data blocks ≈ 16 TiB
+    * in one file at 64 KiB blocks before a third level is needed.
+    */
+  val DefaultIndexBlockEntries = 16 * 1024
+
+  // ---- bloom hashing ---------------------------------------------------
+
+  private[sources] def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Two independent 64-bit hashes of a key (FNV-1a stream + murmur
+    * finalizer), combined per probe Kirsch-Mitzenmacher style:
+    * bit_i = (h1 + i·h2) mod nBits.
+    */
+  private[sources] def bloomHashes(key: Array[Byte]): (Long, Long) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < key.length) { h ^= key(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    (fmix64(h), fmix64(h ^ 0x9e3779b97f4a7c15L))
+  }
+
+  /** One fixed-capacity bloom chunk. Serialized payload:
+    * `nKeys(i32) k(i32) nBits(i64) bitWords(i64)*`.
+    */
+  private[sources] class BloomChunkBuilder(capacity: Int,
+                                           fpp: Double = DefaultBloomFpp) {
+    private val ln2 = math.log(2)
+    val nBits: Long = {
+      val raw = math.ceil(-capacity * math.log(fpp) / (ln2 * ln2)).toLong
+      ((raw + 63) / 64) * 64
+    }
+    val k: Int = math.max(1, math.round(nBits.toDouble / capacity * ln2).toInt)
+    private val words = new Array[Long]((nBits / 64).toInt)
+    var nKeys = 0
+
+    def add(key: Array[Byte]): Unit = {
+      val (h1, h2) = bloomHashes(key)
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits)
+        words((bit >>> 6).toInt) |= 1L << (bit & 63)
+        i += 1
+      }
+      nKeys += 1
+    }
+
+    def serialize(): Array[Byte] = {
+      val buf = ByteBuffer.allocate(16 + words.length * 8)
+      buf.putInt(nKeys); buf.putInt(k); buf.putLong(nBits)
+      words.foreach(buf.putLong)
+      buf.array()
+    }
+  }
+
+  /** Membership test against a serialized bloom chunk payload. */
+  def bloomMayContain(payload: Array[Byte], key: Array[Byte]): Boolean = {
+    val buf = ByteBuffer.wrap(payload)
+    buf.getInt // nKeys
+    val k = buf.getInt
+    val nBits = buf.getLong
+    require(nBits > 0 && 16 + nBits / 8 <= payload.length, "corrupt bloom chunk")
+    val (h1, h2) = bloomHashes(key)
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits)
+      val w = buf.getLong(16 + (bit >>> 6).toInt * 8)
+      if ((w & (1L << (bit & 63))) == 0) return false
+      i += 1
+    }
+    true
+  }
 
   /** One cell as stored: `rowkey` is the full (salted) binary row key;
     * `keyType` is the KeyValue type byte (Put or a Delete marker —
@@ -228,7 +330,8 @@ object HFile {
 
   case class FileStats(nDataBlocks: Int, nCells: Long, nIndexEntries: Int,
                        fileInfo: Map[String, Array[Byte]],
-                       firstKeyHex: String, lastKeyHex: String)
+                       firstKeyHex: String, lastKeyHex: String,
+                       nBloomChunks: Int = 0)
 }
 
 /** Streaming single-file writer. Not thread-safe; call [[append]] in
@@ -237,7 +340,9 @@ object HFile {
   */
 class HFileWriter(out: OutputStream,
                   blockSize: Int = HFile.DefaultBlockSize,
-                  codec: Int = HFile.CodecNone) {
+                  codec: Int = HFile.CodecNone,
+                  bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
+                  indexBlockEntries: Int = HFile.DefaultIndexBlockEntries) {
   import HFile._
   require(codec == CodecNone || codec == CodecGz,
     s"unsupported codec id $codec (supported: $CodecNone=NONE, $CodecGz=GZ)")
@@ -253,6 +358,18 @@ class HFileWriter(out: OutputStream,
   private case class IndexEntry(offset: Long, onDiskSizeWithHeader: Int,
                                 firstKey: Array[Byte])
   private val index = ArrayBuffer[IndexEntry]()
+  // compound row bloom: one fixed-capacity chunk at a time; consecutive
+  // cells share a rowkey, so dedup against the last added key is exact
+  private var bloom: BloomChunkBuilder = null
+  private var bloomChunkFirstRow: Array[Byte] = null
+  private var lastBloomRow: Array[Byte] = null
+  private var bloomTotalKeys = 0L
+  // (offset, onDiskSizeWithHeader, firstRowkey) per flushed bloom chunk
+  private val bloomChunks = ArrayBuffer[(Long, Int, Array[Byte])]()
+  // (name, offset, onDiskSizeWithHeader) per meta block, for the meta index
+  private val metaBlocks = ArrayBuffer[(String, Long, Int)]()
+  private var indexLevels = 1
+  private var rootEntryCount = 0
   private var entryCount = 0L
   private var totalKeyLen = 0L
   private var totalValueLen = 0L
@@ -274,6 +391,17 @@ class HFileWriter(out: OutputStream,
       s"cells must be strictly increasing; got ${hexKey(cell)} after ${hexKey(lastCell)}")
     if (cellBuf.size() >= blockSize) flushDataBlock()
     if (blockFirstCell == null) blockFirstCell = cell
+    if (bloomChunkKeys > 0 &&
+        (lastBloomRow == null || !java.util.Arrays.equals(lastBloomRow, cell.rowkey))) {
+      if (bloom == null) {
+        bloom = new BloomChunkBuilder(bloomChunkKeys)
+        bloomChunkFirstRow = cell.rowkey
+      }
+      bloom.add(cell.rowkey)
+      bloomTotalKeys += 1
+      lastBloomRow = cell.rowkey
+      if (bloom.nKeys >= bloomChunkKeys) flushBloomChunk()
+    }
     val key = serializeKey(cell)
     cellOut.writeInt(key.length)
     cellOut.writeInt(cell.value.length)
@@ -292,16 +420,85 @@ class HFileWriter(out: OutputStream,
   def finish(): Unit = {
     require(!finished, "writer already finished")
     if (cellBuf.size() > 0) flushDataBlock()
+    if (bloom != null && bloom.nKeys > 0) flushBloomChunk()
+    // bloom meta (chunk directory) is a META block in the body, listed in
+    // the root meta index — the CompoundBloomFilter layout
+    if (bloomChunks.nonEmpty) {
+      val at = offset
+      val onDisk = writeBlock(BlockMagicMeta, bloomMetaPayload())
+      metaBlocks += ((BloomMetaName, at, onDisk))
+    }
+    // multi-level index: collapse entries bottom-up (leaf → intermediate)
+    // until one root block holds the rest; sub-root blocks live in the
+    // body, the root is the first load-on-open block
+    var rootEntries: Seq[IndexEntry] = index.toSeq
+    indexLevels = 1
+    while (rootEntries.size > indexBlockEntries) {
+      val magic = if (indexLevels == 1) BlockMagicLeafIndex
+        else BlockMagicIntermediateIndex
+      rootEntries = rootEntries.grouped(indexBlockEntries).map { group =>
+        val at = offset
+        val onDisk = writeBlock(magic, indexPayload(group))
+        IndexEntry(at, onDisk, group.head.firstKey)
+      }.toSeq
+      indexLevels += 1
+    }
     val loadOnOpenOffset = offset
-    writeBlock(BlockMagicRootIndex, rootIndexPayload())
-    // empty root META index — HBase's load-on-open section always carries
-    // one even when no meta blocks were written (meta_index_count = 0)
-    writeBlock(BlockMagicRootIndex, Array.emptyByteArray)
+    writeBlock(BlockMagicRootIndex, indexPayload(rootEntries))
+    rootEntryCount = rootEntries.size
+    // root META index — HBase's load-on-open section always carries one,
+    // empty when no meta blocks were written (meta_index_count = 0)
+    writeBlock(BlockMagicRootIndex, metaIndexPayload())
     val fileInfoOffset = offset
     writeBlock(BlockMagicFileInfo, fileInfoPayload())
     writeTrailer(loadOnOpenOffset, fileInfoOffset)
     out.flush()
     finished = true
+  }
+
+  private def flushBloomChunk(): Unit = {
+    val at = offset
+    val onDisk = writeBlock(BlockMagicBloomChunk, bloom.serialize())
+    bloomChunks += ((at, onDisk, bloomChunkFirstRow))
+    bloom = null
+    bloomChunkFirstRow = null
+  }
+
+  /** Bloom chunk directory:
+    * `version(i32) totalKeys(i64) chunkKeys(i32) nChunks(i32)` then per
+    * chunk `offset(i64) onDiskSizeWithHeader(i32) vint(rowLen) firstRow`.
+    */
+  private def bloomMetaPayload(): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(baos)
+    d.writeInt(1)
+    d.writeLong(bloomTotalKeys)
+    d.writeInt(bloomChunkKeys)
+    d.writeInt(bloomChunks.size)
+    bloomChunks.foreach { case (off, size, firstRow) =>
+      d.writeLong(off)
+      d.writeInt(size)
+      writeHadoopVLong(d, firstRow.length.toLong)
+      d.write(firstRow)
+    }
+    baos.toByteArray
+  }
+
+  /** Root meta index: per meta block
+    * `offset(i64) onDiskSizeWithHeader(i32) vint(nameLen) nameBytes` —
+    * the same entry shape as the root data index, keyed by name.
+    */
+  private def metaIndexPayload(): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(baos)
+    metaBlocks.foreach { case (name, off, size) =>
+      d.writeLong(off)
+      d.writeInt(size)
+      val nb = name.getBytes("UTF-8")
+      writeHadoopVLong(d, nb.length.toLong)
+      d.write(nb)
+    }
+    baos.toByteArray
   }
 
   private def hexKey(c: HCell): String =
@@ -366,13 +563,13 @@ class HFileWriter(out: OutputStream,
     onDiskWithHeader
   }
 
-  /** Root (single-level) index: per data block
+  /** Index block payload (every level): per child
     * `offset(i64) onDiskSizeWithHeader(i32) vint(keyLen) firstKey`.
     */
-  private def rootIndexPayload(): Array[Byte] = {
+  private def indexPayload(entries: Seq[IndexEntry]): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
     val d = new DataOutputStream(baos)
-    index.foreach { e =>
+    entries.foreach { e =>
       d.writeLong(e.offset)
       d.writeInt(e.onDiskSizeWithHeader)
       writeHadoopVLong(d, e.firstKey.length.toLong)
@@ -418,10 +615,10 @@ class HFileWriter(out: OutputStream,
     varintField(proto, 2, loadOnOpenOffset)
     varintField(proto, 3, totalUncompressedBytes) // uncompressed_data_index_size stand-in
     varintField(proto, 4, totalUncompressedBytes)
-    varintField(proto, 5, index.size.toLong)      // data_index_count
-    varintField(proto, 6, 0L)                     // meta_index_count
+    varintField(proto, 5, rootEntryCount.toLong)  // data_index_count (root)
+    varintField(proto, 6, metaBlocks.size.toLong) // meta_index_count
     varintField(proto, 7, entryCount)
-    varintField(proto, 8, 1L)                     // num_data_index_levels
+    varintField(proto, 8, indexLevels.toLong)     // num_data_index_levels
     varintField(proto, 9,
       if (firstDataBlockOffset < 0) 0 else firstDataBlockOffset)
     varintField(proto, 10,

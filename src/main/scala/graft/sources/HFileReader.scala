@@ -172,14 +172,16 @@ object HFileReader {
     }
 
   /** Streams every cell in file order, verifying block structure and
-    * cell sort order as it goes. Closes `r` when exhausted.
+    * cell sort order as it goes. Bloom chunks and meta blocks interleave
+    * with data blocks (HBase's inline-block layout) and are skipped.
+    * Closes `r` when exhausted.
     */
   def scan(r: RandomRead): Iterator[HCell] = {
     val trailer = readTrailer(r)
     if (trailer.firstDataBlockOffset < 0 || trailer.entryCount == 0) {
       r.close(); return Iterator.empty
     }
-    var pos = trailer.firstDataBlockOffset
+    var pos = 0L // walk from the first block: a bloom chunk may precede it
     var prev = -1L
     var lastCell: HCell = null
     var seen = 0L
@@ -188,11 +190,15 @@ object HFileReader {
       private def advance(): Unit =
         while (!current.hasNext && pos < trailer.loadOnOpenOffset) {
           val b = readBlock(r, pos, prev, trailer.compressionCodec)
-          require(b.magic.sameElements(BlockMagicData),
-            s"expected data block at $pos")
           prev = pos
           pos += b.onDiskSizeWithHeader
-          current = parseCells(b.payload)
+          if (b.magic.sameElements(BlockMagicData))
+            current = parseCells(b.payload)
+          else require(b.magic.sameElements(BlockMagicBloomChunk) ||
+            b.magic.sameElements(BlockMagicMeta) ||
+            b.magic.sameElements(BlockMagicLeafIndex) ||
+            b.magic.sameElements(BlockMagicIntermediateIndex),
+            s"unexpected block magic in scanned section at ${pos - b.onDiskSizeWithHeader}")
         }
       def hasNext: Boolean = {
         advance()
@@ -280,50 +286,64 @@ object HFileReader {
     */
   def validate(r: RandomRead): FileStats = {
     val trailer = readTrailer(r)
-    // walk data blocks
-    var pos = if (trailer.firstDataBlockOffset < 0) trailer.loadOnOpenOffset
-      else trailer.firstDataBlockOffset
+    // walk every block in the scanned section (data + inline bloom
+    // chunks + meta blocks)
+    var pos = 0L
     var prev = -1L
     var nBlocks = 0
     var nCells = 0L
+    var nBloomChunks = 0
     var firstKey = ""; var lastKey = ""
     val blockStarts = ArrayBuffer[(Long, Int, Array[Byte])]()
+    val metaStarts = ArrayBuffer[(Long, Int)]()
     while (pos < trailer.loadOnOpenOffset) {
       val b = readBlock(r, pos, prev, trailer.compressionCodec)
-      require(b.magic.sameElements(BlockMagicData), s"expected data at $pos")
-      var blockFirstKey: Array[Byte] = null
-      var last: HCell = null
-      parseCells(b.payload).foreach { c =>
-        require(last == null || compareCells(last, c) < 0, "cells out of order")
-        val keyHex = (c.rowkey ++ c.family ++ c.qualifier).map(x => f"$x%02x").mkString
-        if (firstKey.isEmpty) firstKey = keyHex
-        lastKey = keyHex
-        if (blockFirstKey == null)
-          blockFirstKey = serializeKey(c)
-        last = c
-        nCells += 1
+      if (b.magic.sameElements(BlockMagicData)) {
+        var blockFirstKey: Array[Byte] = null
+        var last: HCell = null
+        parseCells(b.payload).foreach { c =>
+          require(last == null || compareCells(last, c) < 0, "cells out of order")
+          val keyHex = (c.rowkey ++ c.family ++ c.qualifier).map(x => f"$x%02x").mkString
+          if (firstKey.isEmpty) firstKey = keyHex
+          lastKey = keyHex
+          if (blockFirstKey == null)
+            blockFirstKey = serializeKey(c)
+          last = c
+          nCells += 1
+        }
+        blockStarts += ((pos, b.onDiskSizeWithHeader, blockFirstKey))
+        nBlocks += 1
+      } else if (b.magic.sameElements(BlockMagicBloomChunk)) {
+        nBloomChunks += 1
+      } else if (b.magic.sameElements(BlockMagicMeta)) {
+        metaStarts += ((pos, b.onDiskSizeWithHeader))
+      } else if (b.magic.sameElements(BlockMagicLeafIndex) ||
+          b.magic.sameElements(BlockMagicIntermediateIndex)) {
+        // sub-root index blocks; verified via the root descent below
+      } else {
+        throw new IllegalStateException(s"unexpected block magic at $pos")
       }
-      blockStarts += ((pos, b.onDiskSizeWithHeader, blockFirstKey))
-      nBlocks += 1
       prev = pos
       pos += b.onDiskSizeWithHeader
     }
-    require(nBlocks == trailer.dataIndexCount,
-      s"$nBlocks data blocks != trailer data_index_count ${trailer.dataIndexCount}")
+    // dataIndexCount counts ROOT entries: data blocks when single-level,
+    // top-level index blocks otherwise (checked against the root below)
+    if (trailer.numDataIndexLevels == 1)
+      require(nBlocks == trailer.dataIndexCount,
+        s"$nBlocks data blocks != trailer data_index_count ${trailer.dataIndexCount}")
     require(nCells == trailer.entryCount,
       s"$nCells cells != trailer entry_count ${trailer.entryCount}")
 
-    // root index block
+    // root index block + multi-level descent down to the data entries
     val idx = readBlock(r, trailer.loadOnOpenOffset, prev,
       trailer.compressionCodec)
     require(idx.magic.sameElements(BlockMagicRootIndex), "missing root index")
-    val ib = ByteBuffer.wrap(idx.payload)
+    require(parseIndexEntries(idx.payload).length == trailer.dataIndexCount,
+      "root entry count != trailer data_index_count")
+    val dataEntries = collectDataEntries(r, idx.payload,
+      trailer.numDataIndexLevels, trailer.compressionCodec)
     var nIdx = 0
-    while (ib.remaining() > 0) {
-      val off = ib.getLong
-      val size = ib.getInt
-      val keyLen = readHadoopVLong(ib).toInt
-      val key = new Array[Byte](keyLen); ib.get(key)
+    dataEntries.foreach { case (off, size, key) =>
       val (expOff, expSize, expKey) = blockStarts(nIdx)
       require(off == expOff && size == expSize,
         s"index entry $nIdx points at ($off,$size), block is ($expOff,$expSize)")
@@ -332,14 +352,27 @@ object HFileReader {
     }
     require(nIdx == nBlocks, s"$nIdx index entries for $nBlocks blocks")
 
-    // root META index block (always present, empty — no meta blocks)
+    // root META index block (always present; entries point at the META
+    // blocks seen in the body walk)
     val metaOffset = trailer.loadOnOpenOffset + idx.onDiskSizeWithHeader
     val metaIdx = readBlock(r, metaOffset, trailer.loadOnOpenOffset,
       trailer.compressionCodec)
     require(metaIdx.magic.sameElements(BlockMagicRootIndex),
       "missing root meta index")
-    require(metaIdx.payload.isEmpty,
-      s"meta index lists ${metaIdx.payload.length} payload bytes but no meta blocks are written")
+    val metaEntries = parseMetaIndex(metaIdx.payload)
+    require(metaEntries.size == metaStarts.size,
+      s"meta index lists ${metaEntries.size} blocks, ${metaStarts.size} present")
+    metaEntries.values.zip(metaStarts).foreach { case ((off, size), (eo, es)) =>
+      require(off == eo && size == es, "meta index entry offset/size mismatch")
+    }
+    // bloom meta (when present) must agree with the chunks actually seen
+    metaEntries.get(HFile.BloomMetaName).foreach { case (off, _) =>
+      val bm = readBlock(r, off, AnyPrevOffset, trailer.compressionCodec)
+      require(bm.magic.sameElements(BlockMagicMeta), "bloom meta magic")
+      val chunks = parseBloomMeta(bm.payload)
+      require(chunks.length == nBloomChunks,
+        s"bloom meta lists ${chunks.length} chunks, $nBloomChunks present")
+    }
 
     // file info block
     val fi = readBlock(r, trailer.fileInfoOffset, metaOffset,
@@ -347,6 +380,272 @@ object HFileReader {
     require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
     val info = parseFileInfo(fi.payload)
     r.close()
-    FileStats(nBlocks, nCells, nIdx, info, firstKey, lastKey)
+    FileStats(nBlocks, nCells, nIdx, info, firstKey, lastKey, nBloomChunks)
+  }
+
+  /** Root meta index payload → name → (offset, onDiskSizeWithHeader),
+    * insertion-ordered.
+    */
+  private def parseMetaIndex(payload: Array[Byte])
+      : scala.collection.SeqMap[String, (Long, Int)] = {
+    val ib = ByteBuffer.wrap(payload)
+    val out = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+    while (ib.remaining() > 0) {
+      val off = ib.getLong
+      val size = ib.getInt
+      val nameLen = readHadoopVLong(ib).toInt
+      val name = new Array[Byte](nameLen); ib.get(name)
+      out += new String(name, "UTF-8") -> ((off, size))
+    }
+    out
+  }
+
+  /** Bloom meta payload → (chunkOffset, chunkOnDiskSize, firstRowkey)
+    * per chunk, in key order.
+    */
+  private def parseBloomMeta(payload: Array[Byte])
+      : Array[(Long, Int, Array[Byte])] = {
+    val buf = ByteBuffer.wrap(payload)
+    val version = buf.getInt
+    require(version == 1, s"unsupported bloom meta version $version")
+    buf.getLong // totalKeys
+    buf.getInt  // chunkKeys
+    val n = buf.getInt
+    Array.fill(n) {
+      val off = buf.getLong
+      val size = buf.getInt
+      val rowLen = readHadoopVLong(buf).toInt
+      val row = new Array[Byte](rowLen); buf.get(row)
+      (off, size, row)
+    }
+  }
+
+  /** Bloom membership probe for a rowkey: `Some(false)` = definitely
+    * absent (prune the file), `Some(true)` = maybe present, `None` = the
+    * file carries no bloom (fall back to the key range). Five short
+    * reads: trailer, root index, meta index, bloom meta, one chunk.
+    */
+  def rowkeyMayContain(r: RandomRead, rowkey: Array[Byte]): Option[Boolean] = {
+    val trailer = readTrailer(r)
+    if (trailer.entryCount == 0) return Some(false)
+    val idx = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset,
+      trailer.compressionCodec)
+    require(idx.magic.sameElements(BlockMagicRootIndex), "missing root index")
+    val metaIdx = readBlock(r,
+      trailer.loadOnOpenOffset + idx.onDiskSizeWithHeader, AnyPrevOffset,
+      trailer.compressionCodec)
+    require(metaIdx.magic.sameElements(BlockMagicRootIndex),
+      "missing root meta index")
+    parseMetaIndex(metaIdx.payload).get(HFile.BloomMetaName).map {
+      case (off, _) =>
+        val bm = readBlock(r, off, AnyPrevOffset, trailer.compressionCodec)
+        require(bm.magic.sameElements(BlockMagicMeta), "bloom meta magic")
+        val chunks = parseBloomMeta(bm.payload)
+        // the owning chunk is the last whose firstRowkey <= key (chunks
+        // partition the sorted key stream into contiguous ranges)
+        var lo = 0; var hi = chunks.length - 1; var owner = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (java.util.Arrays.compareUnsigned(chunks(mid)._3, rowkey) <= 0) {
+            owner = mid; lo = mid + 1
+          } else hi = mid - 1
+        }
+        owner >= 0 && {
+          val (coff, _, _) = chunks(owner)
+          val cb = readBlock(r, coff, AnyPrevOffset, trailer.compressionCodec)
+          require(cb.magic.sameElements(BlockMagicBloomChunk),
+            "bloom chunk magic")
+          HFile.bloomMayContain(cb.payload, rowkey)
+        }
+    }
+  }
+
+  // ---- multi-level index -------------------------------------------------
+
+  /** `(offset, onDiskSizeWithHeader, firstKey)` triples of one index
+    * block payload (any level — the entry shape is uniform).
+    */
+  private def parseIndexEntries(payload: Array[Byte])
+      : Array[(Long, Int, Array[Byte])] = {
+    val ib = ByteBuffer.wrap(payload)
+    val out = ArrayBuffer[(Long, Int, Array[Byte])]()
+    while (ib.remaining() > 0) {
+      val off = ib.getLong
+      val size = ib.getInt
+      val keyLen = readHadoopVLong(ib).toInt
+      val key = new Array[Byte](keyLen); ib.get(key)
+      out += ((off, size, key))
+    }
+    out.toArray
+  }
+
+  /** Full descent: every data-block entry under an index payload,
+    * verifying sub-level block magics on the way down.
+    */
+  private def collectDataEntries(r: RandomRead, payload: Array[Byte],
+                                 levels: Int, codec: Int)
+      : Array[(Long, Int, Array[Byte])] = {
+    val entries = parseIndexEntries(payload)
+    if (levels <= 1) entries
+    else entries.flatMap { case (off, _, _) =>
+      val b = readBlock(r, off, AnyPrevOffset, codec)
+      require(b.magic.sameElements(BlockMagicLeafIndex) ||
+        b.magic.sameElements(BlockMagicIntermediateIndex),
+        s"expected index block at $off")
+      collectDataEntries(r, b.payload, levels - 1, codec)
+    }
+  }
+
+  /** Data blocks whose key range may intersect `[lower, upper]`
+    * (inclusive rowkey bounds, either side optional), found by descending
+    * the index — O(levels × log fanout) block reads, not a file walk. The
+    * shape a point-GET task needs: stream 1-2 blocks of a multi-GiB file.
+    */
+  private[sources] def dataBlocksInRange(r: RandomRead,
+                                         lower: Option[Array[Byte]],
+                                         upper: Option[Array[Byte]])
+      : Seq[(Long, Int)] = {
+    val trailer = readTrailer(r)
+    if (trailer.entryCount == 0) return Nil
+    val root = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset,
+      trailer.compressionCodec)
+    require(root.magic.sameElements(BlockMagicRootIndex), "missing root index")
+
+    // an entry covers [firstRow_i, firstRow_{i+1}] (inclusive right edge:
+    // a row's cells can span the boundary); keep i when that span can
+    // intersect [lower, upper]
+    def select(entries: Array[(Long, Int, Array[Byte])])
+        : Array[(Long, Int, Array[Byte])] =
+      entries.zipWithIndex.filter { case ((_, _, key), i) =>
+        val row = rowkeyOfKey(key)
+        val belowUpper = upper.forall(u =>
+          java.util.Arrays.compareUnsigned(row, u) <= 0)
+        val aboveLower = lower.forall { l =>
+          i == entries.length - 1 ||
+            java.util.Arrays.compareUnsigned(
+              rowkeyOfKey(entries(i + 1)._3), l) >= 0
+        }
+        belowUpper && aboveLower
+      }.map(_._1)
+
+    var level = select(parseIndexEntries(root.payload))
+    var depth = trailer.numDataIndexLevels
+    while (depth > 1) {
+      level = level.flatMap { case (off, _, _) =>
+        val b = readBlock(r, off, AnyPrevOffset, trailer.compressionCodec)
+        require(b.magic.sameElements(BlockMagicLeafIndex) ||
+          b.magic.sameElements(BlockMagicIntermediateIndex),
+          s"expected index block at $off")
+        select(parseIndexEntries(b.payload))
+      }
+      depth -= 1
+    }
+    level.map { case (off, size, _) => (off, size) }.toSeq
+  }
+
+  /** Batched point-GETs against one open file — the multi-get primitive a
+    * distributed keyed lookup needs. One trailer/root/meta read for the
+    * whole batch; per key a (cached) bloom-chunk probe, then an index
+    * descent with index/data blocks cached by offset, so a sorted key
+    * batch landing in the same block costs one block read. Does NOT close
+    * `r` (callers batch multiple calls over one stream).
+    */
+  def multiGet(r: RandomRead, keys0: Seq[Array[Byte]]): Seq[HCell] = {
+    if (keys0.isEmpty) return Nil
+    val trailer = readTrailer(r)
+    if (trailer.entryCount == 0) return Nil
+    val codec = trailer.compressionCodec
+    val root = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset, codec)
+    require(root.magic.sameElements(BlockMagicRootIndex), "missing root index")
+    val metaIdx = readBlock(r,
+      trailer.loadOnOpenOffset + root.onDiskSizeWithHeader, AnyPrevOffset, codec)
+    require(metaIdx.magic.sameElements(BlockMagicRootIndex),
+      "missing root meta index")
+    val bloomChunks = parseMetaIndex(metaIdx.payload).get(HFile.BloomMetaName)
+      .map { case (off, _) =>
+        val bm = readBlock(r, off, AnyPrevOffset, codec)
+        require(bm.magic.sameElements(BlockMagicMeta), "bloom meta magic")
+        parseBloomMeta(bm.payload)
+      }
+    val blockCache = scala.collection.mutable.Map[Long, Array[Byte]]()
+    def cachedPayload(off: Long, wantMagic: Array[Byte]): Array[Byte] =
+      blockCache.getOrElseUpdate(off, {
+        val b = readBlock(r, off, AnyPrevOffset, codec)
+        require(b.magic.sameElements(wantMagic),
+          s"unexpected block magic at $off")
+        b.payload
+      })
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+
+    val keys = keys0.distinct.sortWith(cmp(_, _) < 0)
+    keys.flatMap { k =>
+      val bloomPass = bloomChunks.forall { chunks =>
+        var lo = 0; var hi = chunks.length - 1; var owner = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(chunks(mid)._3, k) <= 0) { owner = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        owner >= 0 && HFile.bloomMayContain(
+          cachedPayload(chunks(owner)._1, BlockMagicBloomChunk), k)
+      }
+      if (!bloomPass) Nil
+      else {
+        // descend every level keeping each entry that may cover k: its own
+        // first row is <= k and the NEXT entry's first row is >= k (>=,
+        // not > — a row's cells can span a block boundary, leaving the
+        // key's earlier cells in the preceding block)
+        def covering(payload: Array[Byte]): Array[(Long, Int, Array[Byte])] = {
+          val entries = parseIndexEntries(payload)
+          entries.zipWithIndex.filter { case ((_, _, key), i) =>
+            cmp(rowkeyOfKey(key), k) <= 0 &&
+              (i == entries.length - 1 ||
+                cmp(rowkeyOfKey(entries(i + 1)._3), k) >= 0)
+          }.map(_._1)
+        }
+        var level = covering(root.payload)
+        var depth = trailer.numDataIndexLevels
+        while (depth > 1) {
+          val magic = if (depth == 2) BlockMagicLeafIndex
+            else BlockMagicIntermediateIndex
+          level = level.flatMap { case (off, _, _) =>
+            covering(cachedPayload(off, magic))
+          }
+          depth -= 1
+        }
+        level.toSeq.flatMap { case (off, _, _) =>
+          parseCells(cachedPayload(off, BlockMagicData))
+            .filter(c => cmp(c.rowkey, k) == 0)
+        }
+      }
+    }
+  }
+
+  /** Streams the cells of `[lower, upper]` (inclusive rowkey bounds) by
+    * reading only the covering data blocks via the index. Block-level
+    * checks (magic, checksums, sizes) stay active; the prev-offset chain
+    * and total entry count can't be verified on a partial scan. Rows
+    * outside the bounds at the edges of the covering blocks are filtered
+    * here. Closes `r` when exhausted.
+    */
+  def scanRange(r: RandomRead, lower: Option[Array[Byte]],
+                upper: Option[Array[Byte]]): Iterator[HCell] = {
+    val blocks = dataBlocksInRange(r, lower, upper)
+    if (blocks.isEmpty) { r.close(); return Iterator.empty }
+    val trailer = readTrailer(r)
+    val it = blocks.iterator.flatMap { case (off, _) =>
+      val b = readBlock(r, off, AnyPrevOffset, trailer.compressionCodec)
+      require(b.magic.sameElements(BlockMagicData),
+        s"index pointed at non-data block at $off")
+      parseCells(b.payload)
+    }.filter { c =>
+      lower.forall(l => java.util.Arrays.compareUnsigned(c.rowkey, l) >= 0) &&
+        upper.forall(u => java.util.Arrays.compareUnsigned(c.rowkey, u) <= 0)
+    }
+    new Iterator[HCell] {
+      def hasNext: Boolean = { val m = it.hasNext; if (!m) r.close(); m }
+      def next(): HCell = it.next()
+    }
   }
 }

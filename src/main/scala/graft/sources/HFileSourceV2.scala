@@ -90,7 +90,7 @@ object HFileSource {
     * an ancestor directory that happens to contain `bucket=` (e.g.
     * `/data/bucket=old/out/...`) can't mislabel every file.
     */
-  private[sources] def bucketOf(file: String): Int = {
+  def bucketOf(file: String): Int = {
     val parent = new Path(file).getParent
     if (parent == null) -1
     else "^bucket=(-?\\d+)$".r.findFirstMatchIn(parent.getName)
@@ -244,6 +244,9 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
         // LASTKEY) per file; at 100k files serial driver IO would gate the
         // whole job, so fan the reads over a bounded pool (the parquet
         // parallel-footer-read analogue)
+        val eqKeys = rowkeyFilters.collect {
+          case EqualTo("rowkey", v: Array[Byte]) => v
+        }
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, bucketSurvivors.length).max(1))
         try {
@@ -251,9 +254,16 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
             pool.submit(new java.util.concurrent.Callable[Option[(String, Int)]] {
               def call(): Option[(String, Int)] = {
                 val r = openRandomRead(f, conf)
-                val range = try HFileReader.rowkeyRange(r) finally r.close()
-                if (rowkeyFilters.forall(mayMatch(b, range, _))) Some((f, b))
-                else None
+                try {
+                  val range = HFileReader.rowkeyRange(r)
+                  val rangeOk = rowkeyFilters.forall(mayMatch(b, range, _))
+                  // point-GETs additionally consult the row bloom — files
+                  // whose key range covers the key but don't contain it
+                  // are dropped here, not in a task
+                  val bloomOk = rangeOk && eqKeys.forall(k =>
+                    HFileReader.rowkeyMayContain(r, k).getOrElse(true))
+                  if (bloomOk) Some((f, b)) else None
+                } finally r.close()
               }
             })
           }.flatMap(_.get())
@@ -262,8 +272,33 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
     survivors.map { case (f, b) => HFileInputPartition(f, b): InputPartition }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new HFileReaderFactory(required, confMap)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // inclusive rowkey bounds for task-side block skipping: a task with a
+    // point-GET predicate seeks via the file's index instead of streaming
+    // the whole file (LT's exclusive edge is conservatively included; the
+    // row-level Filter above the scan stays exact)
+    def maxKey(a: Array[Byte], b: Array[Byte]) =
+      if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b
+    def minKey(a: Array[Byte], b: Array[Byte]) =
+      if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
+    var lower: Option[Array[Byte]] = None
+    var upper: Option[Array[Byte]] = None
+    pushed.foreach {
+      case GreaterThan("rowkey", v: Array[Byte]) =>
+        lower = Some(lower.fold(v)(maxKey(_, v)))
+      case GreaterThanOrEqual("rowkey", v: Array[Byte]) =>
+        lower = Some(lower.fold(v)(maxKey(_, v)))
+      case LessThan("rowkey", v: Array[Byte]) =>
+        upper = Some(upper.fold(v)(minKey(_, v)))
+      case LessThanOrEqual("rowkey", v: Array[Byte]) =>
+        upper = Some(upper.fold(v)(minKey(_, v)))
+      case EqualTo("rowkey", v: Array[Byte]) =>
+        lower = Some(lower.fold(v)(maxKey(_, v)))
+        upper = Some(upper.fold(v)(minKey(_, v)))
+      case _ =>
+    }
+    new HFileReaderFactory(required, confMap, lower, upper)
+  }
 }
 
 // ---- DSv2 write path ------------------------------------------------------
@@ -309,6 +344,11 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
     .map(_.toInt).getOrElse(HFile.DefaultBlockSize)
   private val codec = HFile.codecOf(
     Option(info.options.get("compression")).getOrElse("none"))
+  // bloom=false disables the row bloom; bloomChunkKeys overrides capacity
+  private val bloomChunkKeys =
+    if (Option(info.options.get("bloom")).exists(_.toLowerCase == "false")) 0
+    else Option(info.options.get("bloomChunkKeys")).map(_.toInt)
+      .getOrElse(HFile.DefaultBloomChunkKeys)
 
   private def asc(name: String): SortOrder =
     Expressions.sort(Expressions.column(name), SortDirection.ASCENDING)
@@ -333,8 +373,8 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
     val fs = root.getFileSystem(HFileSource.confOf(confMap))
     if (truncate && fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
-    new HFileBatchWrite(path, schema, blockSize, codec, confMap,
-      info.queryId())
+    new HFileBatchWrite(path, schema, blockSize, codec, bloomChunkKeys,
+      confMap, info.queryId())
   }
 }
 
@@ -368,10 +408,12 @@ object HFileWriteImpl {
 case class HFileCommitMessage(nFiles: Int) extends WriterCommitMessage
 
 class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
-                      codec: Int, confMap: Map[String, String],
+                      codec: Int, bloomChunkKeys: Int,
+                      confMap: Map[String, String],
                       queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new HFileDataWriterFactory(path, schema, blockSize, codec, confMap, queryId)
+    new HFileDataWriterFactory(path, schema, blockSize, codec, bloomChunkKeys,
+      confMap, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     cleanupTemp()
@@ -387,15 +429,17 @@ class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
 }
 
 class HFileDataWriterFactory(path: String, schema: StructType, blockSize: Int,
-                             codec: Int, confMap: Map[String, String],
+                             codec: Int, bloomChunkKeys: Int,
+                             confMap: Map[String, String],
                              queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new HFileDataWriter(path, schema, blockSize, codec, confMap, queryId,
-      partitionId, taskId)
+    new HFileDataWriter(path, schema, blockSize, codec, bloomChunkKeys,
+      confMap, queryId, partitionId, taskId)
 }
 
 class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
-                      codec: Int, confMap: Map[String, String], queryId: String,
+                      codec: Int, bloomChunkKeys: Int,
+                      confMap: Map[String, String], queryId: String,
                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   import HFile.HCell
@@ -429,7 +473,7 @@ class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
       f"_inprogress/attempt-$taskId%d-$partitionId%05d-$seq%03d.hfile")
     seq += 1
     out = fs.create(tmp, true)
-    writer = new HFileWriter(out, blockSize, codec)
+    writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys)
     bucket = b
   }
 
@@ -470,16 +514,20 @@ class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
   override def close(): Unit = ()
 }
 
-class HFileReaderFactory(required: StructType, confMap: Map[String, String])
+class HFileReaderFactory(required: StructType, confMap: Map[String, String],
+                         lower: Option[Array[Byte]] = None,
+                         upper: Option[Array[Byte]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HFileInputPartition]
-    new HFilePartitionReader(p, required, confMap)
+    new HFilePartitionReader(p, required, confMap, lower, upper)
   }
 }
 
 class HFilePartitionReader(p: HFileInputPartition, required: StructType,
-                           confMap: Map[String, String])
+                           confMap: Map[String, String],
+                           lower: Option[Array[Byte]] = None,
+                           upper: Option[Array[Byte]] = None)
     extends PartitionReader[InternalRow] {
   import HFile.HCell
 
@@ -501,10 +549,15 @@ class HFilePartitionReader(p: HFileInputPartition, required: StructType,
   private val rr =
     HFileSource.openRandomRead(p.file, HFileSource.confOf(confMap))
   // a corrupt trailer/header throws before the reader is constructed, so
-  // close() would never run — release the stream on the failure path
+  // close() would never run — release the stream on the failure path.
+  // With rowkey bounds, seek through the index and stream only covering
+  // blocks; otherwise full scan with every structural check
   private val cells =
-    try HFileReader.scan(rr)
-    catch {
+    try {
+      if (lower.isDefined || upper.isDefined)
+        HFileReader.scanRange(rr, lower, upper)
+      else HFileReader.scan(rr)
+    } catch {
       case t: Throwable =>
         try rr.close() catch { case _: Throwable => () }
         throw t

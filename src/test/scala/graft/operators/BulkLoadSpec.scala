@@ -80,6 +80,44 @@ class BulkLoadSpec extends SparkSpec {
       (0L until plan.length).toSeq)
   }
 
+  test("multiGet: keyed lookup returns exactly the requested rows' cells") {
+    import java.nio.file.Files
+    val events = sf("events")
+    val cells = events.select(
+      col("user_id"),
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"), lit("v").as("qualifier"),
+      hb.encode(col("value")).as("value"),
+      expr("ts DIV 1000000").as("ms"))
+    val prepared = BulkLoad.prepare(cells, buckets = 4, numPartitions = 4,
+      saltBase = Some(hb.encode(col("user_id"))))
+    val dir = Files.createTempDirectory("multiget").toString
+    BulkLoad.writeHFiles(prepared, dir, tsCol = Some("ms"),
+      blockSize = 1024) // multi-block files so the index descent matters
+    val all = BulkLoad.readHFiles(spark, dir)
+    // 25 real keys (across buckets/files) + 2 absent ones
+    val present = all.select(col("rowkey")).distinct().limit(25).collect()
+      .map(_.getAs[Array[Byte]](0))
+    val absent = Seq(Array.fill(18)(0x7e.toByte), Array.fill(3)(0x01.toByte))
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (present ++ absent).map(org.apache.spark.sql.Row(_)).toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rowkey",
+          org.apache.spark.sql.types.BinaryType))))
+    val got = BulkLoad.multiGet(spark, dir, keysDf)
+    val expected = all.join(
+      keysDf.withColumnRenamed("rowkey", "k"),
+      col("rowkey") === col("k"), "left_semi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bucket"), hex(col("rowkey")).as("rk"), col("family"),
+        col("qualifier"), col("ts"), hex(col("value")).as("v"))
+    assert(got.count() == expected.count() && got.count() >= 25)
+    assert(canon(got).except(canon(expected)).isEmpty &&
+      canon(expected).except(canon(got)).isEmpty)
+  }
+
   test("prepare plan: range exchange + in-partition sort, no global sort") {
     val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8)
     val plan = prepared.queryExecution.executedPlan.toString

@@ -220,6 +220,37 @@ class HFileSourceSpec extends SparkSpec {
       s"expected pruned scan, got $nParts of $totalFiles files")
   }
 
+  test("bloom prunes point-GETs that key ranges cannot: overlapping files") {
+    // two files in one bucket whose key RANGES fully overlap (even keys in
+    // one, odd in the other) — range pruning keeps both, the bloom does not
+    val dir = Files.createTempDirectory("hfile_bloom").toString
+    val d = new java.io.File(s"$dir/bucket=0"); d.mkdirs()
+    Seq(0, 1).foreach { parity =>
+      val fos = new java.io.FileOutputStream(
+        new java.io.File(d, s"part-$parity.hfile"))
+      val w = new HFileWriter(fos, 1024)
+      (0 until 200).filter(_ % 2 == parity).foreach { j =>
+        w.append(HFile.HCell(f"key$j%05d".getBytes, "f".getBytes,
+          "q".getBytes, 0L, "v".getBytes))
+      }
+      w.finish(); fos.close()
+    }
+    val even = partitionsIn(dir,
+      org.apache.spark.sql.sources.EqualTo("rowkey", "key00042".getBytes))
+    assert(even.length == 1 && even.head.file.contains("part-0"))
+    val odd = partitionsIn(dir,
+      org.apache.spark.sql.sources.EqualTo("rowkey", "key00043".getBytes))
+    assert(odd.length == 1 && odd.head.file.contains("part-1"))
+    // a key in neither file: both pruned at plan time
+    val none = partitionsIn(dir,
+      org.apache.spark.sql.sources.EqualTo("rowkey", "key00042x".getBytes))
+    assert(none.isEmpty)
+    // and the end-to-end read still returns the right row
+    val got = spark.read.format("graft-hfile").load(dir)
+      .filter($"rowkey" === lit("key00042".getBytes))
+    assert(got.count() == 1)
+  }
+
   test("rowkey range filters skip files by trailer key range") {
     val full = spark.read.format("graft-hfile").load(out)
     val maxKey = full.agg(max($"rowkey")).head().getAs[Array[Byte]](0)

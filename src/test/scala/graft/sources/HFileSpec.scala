@@ -168,6 +168,118 @@ class HFileSpec extends SparkSpec {
     })
   }
 
+  test("bloom: chunked, no false negatives, ~1% false positives") {
+    val baos = new ByteArrayOutputStream()
+    // capacity 64 forces 8 chunks over 500 distinct rowkeys
+    val w = new HFileWriter(baos, 4096, CodecNone, bloomChunkKeys = 64)
+    manyCells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+    assert(stats.nBloomChunks == math.ceil(500.0 / 64).toInt)
+    assert(stats.nCells == 500)
+    // every present rowkey must be maybe-present (no false negatives)
+    (0 until 500).foreach { i =>
+      val got = HFileReader.rowkeyMayContain(
+        new HFileReader.BytesRead(bytes), f"row$i%05d".getBytes)
+      assert(got.contains(true), s"false negative for row$i")
+    }
+    // absent keys inside the key range: FP rate near the 1% design point
+    val fp = (0 until 1000).count { i =>
+      HFileReader.rowkeyMayContain(
+        new HFileReader.BytesRead(bytes), f"row$i%05dx".getBytes).contains(true)
+    }
+    assert(fp < 50, s"bloom FP rate too high: $fp/1000")
+    // keys sorting below the first chunk are definitely absent
+    assert(HFileReader.rowkeyMayContain(
+      new HFileReader.BytesRead(bytes), "aaa".getBytes).contains(false))
+  }
+
+  test("bloom: disabled writer yields no bloom; probe falls back to None") {
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, 4096, CodecNone, bloomChunkKeys = 0)
+    manyCells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    assert(HFileReader.validate(
+      new HFileReader.BytesRead(bytes)).nBloomChunks == 0)
+    assert(HFileReader.rowkeyMayContain(
+      new HFileReader.BytesRead(bytes), "row00000".getBytes).isEmpty)
+  }
+
+  test("bloom: probe works through gz-compressed blocks") {
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, 4096, CodecGz, bloomChunkKeys = 64)
+    manyCells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    assert(HFileReader.rowkeyMayContain(
+      new HFileReader.BytesRead(bytes), "row00123".getBytes).contains(true))
+    val miss = (0 until 200).count { i =>
+      HFileReader.rowkeyMayContain(
+        new HFileReader.BytesRead(bytes), f"zz$i%05d".getBytes).contains(true)
+    }
+    assert(miss < 20)
+  }
+
+  test("multi-level index: tiny fanout forces 3 levels; everything " +
+      "still verifies and round-trips") {
+    val baos = new ByteArrayOutputStream()
+    // blockSize 256 → ~40 cells/block ≈ 13+ blocks; fanout 3 → 3 levels
+    val w = new HFileWriter(baos, 256, CodecNone,
+      bloomChunkKeys = 64, indexBlockEntries = 3)
+    manyCells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
+    assert(t.numDataIndexLevels >= 3,
+      s"expected a deep index, got ${t.numDataIndexLevels} levels")
+    assert(t.dataIndexCount <= 3) // root got small
+    // full structural audit descends the tree and checks every data entry
+    val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+    assert(stats.nCells == 500 && stats.nDataBlocks > 9)
+    // sequential scan skips the interleaved index blocks
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.size == 500)
+    // rowkeyRange still reads the file's first key through the root
+    val range = HFileReader.rowkeyRange(new HFileReader.BytesRead(bytes))
+    assert(range.exists { case (lo, hi) =>
+      lo.sameElements("row00000".getBytes) && hi.sameElements("row00499".getBytes)
+    })
+  }
+
+  test("seek scan: index descent reads only covering blocks") {
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, 256, CodecNone,
+      bloomChunkKeys = 64, indexBlockEntries = 3)
+    manyCells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    val total = HFileReader.validate(
+      new HFileReader.BytesRead(bytes)).nDataBlocks
+    val lo = Some("row00100".getBytes)
+    val hi = Some("row00140".getBytes)
+    val got = HFileReader.scanRange(
+      new HFileReader.BytesRead(bytes), lo, hi).toSeq
+    assert(got.size == 41)
+    assert(got.head.rowkey.sameElements("row00100".getBytes))
+    assert(got.last.rowkey.sameElements("row00140".getBytes))
+    // and it really skipped: covering blocks ≪ total blocks
+    val covering = HFileReader.dataBlocksInRange(
+      new HFileReader.BytesRead(bytes), lo, hi)
+    assert(covering.nonEmpty && covering.size < total / 2,
+      s"covering ${covering.size} of $total blocks")
+    // point lookup: a single block
+    val one = HFileReader.dataBlocksInRange(
+      new HFileReader.BytesRead(bytes),
+      Some("row00250".getBytes), Some("row00250".getBytes))
+    assert(one.size == 1)
+    // open-ended bounds behave
+    val tail = HFileReader.scanRange(new HFileReader.BytesRead(bytes),
+      Some("row00490".getBytes), None).toSeq
+    assert(tail.size == 10)
+  }
+
   test("gz compression: corrupted byte still fails the checksum") {
     val baos = new ByteArrayOutputStream()
     val w = new HFileWriter(baos, 256, CodecGz)
