@@ -114,6 +114,35 @@ object Streams {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"), col("sum_value"))
 
+  /** G7: streaming HFile bulk load — the reference's actual end-to-end
+    * job (a stream of rows → salted sorted KVs → HFiles → bulk import,
+    * TsdbBulkload.java + HadoopOutputFormat2.java) run incrementally:
+    * each micro-batch becomes one complete bulk-load run directory
+    * `epoch=N` (holding `bucket=B` HFiles) under `dir`, written with the same
+    * salt / range-sort / roll-on-bucket invariants (and bloom + index
+    * blocks) as the batch [[graft.operators.BulkLoad.writeHFiles]] — a
+    * cluster hands each finished epoch to LoadIncrementalHFiles. Epoch
+    * subdirectories make replayed micro-batches idempotent: a retried
+    * epoch overwrites its own directory, never a neighbor's.
+    *
+    * `cells` needs (rowkey BINARY, family STRING, qualifier STRING,
+    * value BINARY) plus optional ts/type columns, like the batch path.
+    */
+  def bulkLoadStream(cells: DataFrame, dir: String, buckets: Int,
+                     numPartitions: Int = 32,
+                     tsCol: Option[String] = None,
+                     typeCol: Option[String] = None,
+                     compression: String = "none"): DataStreamWriter[Row] =
+    cells.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val prepared = graft.operators.BulkLoad.prepare(
+          batch.toDF(), buckets, numPartitions)
+        graft.operators.BulkLoad.writeHFiles(prepared,
+          s"$dir/epoch=$epochId", tsCol = tsCol, typeCol = typeCol,
+          compression = compression)
+      }
+
   /** G3: upsert mutation stream (the reference's buffered Put/Delete
     * sink, HBaseSerde.java:119-173): each micro-batch is converted to a
     * cell-mutation stream and handed to `flush` in rowkey order —

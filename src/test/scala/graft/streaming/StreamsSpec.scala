@@ -191,4 +191,42 @@ class StreamsSpec extends SparkSpec {
       assert(flushed.head.length == 2)
     } finally q.stop()
   }
+
+  test("streaming bulk load writes one valid HFile run per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("stream_bulk").toString
+    val input = MemoryStream[(Long, Double)]
+    val cells = input.toDF().toDF("key", "value")
+      .select(
+        graft.functions.hb.encode(col("key")).as("rowkey"),
+        lit("f").as("family"), lit("v").as("qualifier"),
+        graft.functions.hb.encode(col("value")).as("value"))
+    val q = Streams.bulkLoadStream(cells, dir, buckets = 2,
+      numPartitions = 2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stream_bulk_ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      q.processAllAvailable()
+      input.addData((4L, 4.0), (5L, 5.0))
+      q.processAllAvailable()
+      val epochs = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("epoch=")).map(_.toString).sorted
+      assert(epochs.length == 2)
+      // each epoch is a complete, independently loadable bulk run —
+      // readHFiles re-validates structure, order, blooms and index
+      val n = epochs.map(e =>
+        graft.operators.BulkLoad.readHFiles(spark, e).count()).toSeq
+      assert(n == Seq(3L, 2L))
+      // and the keys really round-tripped
+      // stored rowkey = 2-byte salt prefix + the 8 encoded key bytes
+      val back = graft.operators.BulkLoad.readHFiles(spark, epochs.head)
+        .select(graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+          org.apache.spark.sql.types.LongType).as("k"))
+        .as[Long].collect().sorted.toSeq
+      assert(back == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
