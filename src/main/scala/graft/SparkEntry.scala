@@ -114,10 +114,106 @@ object SparkEntry {
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
 
+  /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
+    * byte-exactly: FNV-1a word hashes → 31-combined 3-shingles → fmix64
+    * (mod-2⁶⁴ via the split-multiply trick) → distinct shingle sets →
+    * 128 simulated permutations (seed table inlined from the REAL kernel
+    * constants, so the oracle can never drift from the code) → 16-band
+    * blocking by the raw 8-slot signature slice (Spark buckets by
+    * xxhash64 of the slice; equal slices ⟺ equal buckets modulo 2⁻⁶⁴
+    * hash collisions) → candidate pairs with exact shingle Jaccard. The
+    * banded plan has full candidate recall here (500 docs < the 1000
+    * bucket cap), so blocked and replayed sets coincide.
+    */
+  private lazy val minhashCte: String = {
+    val seeds = (0 until 128).map(j =>
+      s"($j, ${java.lang.Long.toUnsignedString(
+        graft.functions.TextHashes.permSeed(j))}::HUGEINT)").mkString(",")
+    val M64 = "18446744073709551616::HUGEINT"
+    s"""w AS (
+      |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS ws
+      |        FROM documents)),
+      |fnv AS (
+      |  SELECT doc_id, idx,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(1, octet_length(encode(word)) + 1),
+      |          i -> (strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i-1, 1)) * 16
+      |              + strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i, 1)))::HUGEINT)),
+      |      (acc, b) -> ((xor(acc, b) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+      |         + (((acc // 4294967296::HUGEINT) * 1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64) AS h
+      |  FROM w),
+      |sh0 AS (
+      |  SELECT a.doc_id,
+      |    ((((1::HUGEINT * 31 + a.h) % $M64) * 31 + b.h) % $M64 * 31 + c.h) % $M64 AS c0
+      |  FROM fnv a JOIN fnv b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      |             JOIN fnv c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+      |f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM sh0),
+      |f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+      |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64 AS v FROM f1),
+      |f3 AS (SELECT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f2),
+      |f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+      |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64 AS v FROM f3),
+      |f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f4),
+      |seeds(j, s) AS (VALUES $seeds),
+      |perm0 AS (SELECT doc_id, j, xor(v, s) AS v FROM f5, seeds),
+      |p2 AS (SELECT doc_id, j, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+      |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64 AS v FROM (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM perm0)),
+      |p3 AS (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM p2),
+      |p4 AS (SELECT doc_id, j, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+      |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64 AS v FROM p3),
+      |p5 AS (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM p4),
+      |sig AS (SELECT doc_id, j, MIN(v) AS mh FROM p5 GROUP BY doc_id, j),
+      |bandkeys AS (
+      |  SELECT doc_id, j // 8 AS band, list(mh ORDER BY j) AS bkey
+      |  FROM sig GROUP BY doc_id, j // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list(v ORDER BY v) AS sh, COUNT(*) AS n FROM f5 GROUP BY doc_id),
+      |jac AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    length(list_intersect(sa.sh, sb.sh)) AS n_common,
+      |    sa.n AS na, sb.n AS nb
+      |  FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id
+      |              JOIN sets sb ON c.doc_b = sb.doc_id)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCte
+        |SELECT doc_a, doc_b,
+        |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+        |FROM jac WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $minhashCte
+        |SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
+        |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+        |FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCte,
+        |good AS (SELECT doc_a, doc_b FROM jac
+        |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+        |  UNION SELECT doc_b, doc_a FROM good),
+        |reach(node, peer) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+        |SELECT node AS doc_id, MIN(peer) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -373,6 +469,58 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // byte-exact kernel replay (FNV-1a word hash → 31-combined 3-shingles
+    // → fmix64 → per-bit majority SimHash), then brute-force pairs — the
+    // banded Spark plan has full recall at this scale (pigeonhole bands,
+    // no bucket-cap truncation), so blocked and exhaustive sets coincide
+    "dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |fnv AS (
+        |  SELECT doc_id, idx,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, octet_length(encode(word)) + 1),
+        |          i -> (strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i-1, 1)) * 16
+        |              + strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i, 1)))::HUGEINT)),
+        |      (acc, b) -> ((xor(acc, b) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |         + (((acc // 4294967296::HUGEINT) * 1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |  FROM w),
+        |sh0 AS (
+        |  SELECT a.doc_id,
+        |    ((((1::HUGEINT * 31 + a.h) % 18446744073709551616::HUGEINT) * 31 + b.h)
+        |      % 18446744073709551616::HUGEINT * 31 + c.h) % 18446744073709551616::HUGEINT AS c0
+        |  FROM fnv a JOIN fnv b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+        |             JOIN fnv c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+        |f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM sh0),
+        |f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+        |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |        % 18446744073709551616::HUGEINT AS v FROM f1),
+        |f3 AS (SELECT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f2),
+        |f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+        |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |        % 18446744073709551616::HUGEINT AS v FROM f3),
+        |f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f4),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (v // power(2::HUGEINT, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM f5, range(0, 64) t(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN vote > 0 THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END)::HUGEINT AS s
+        |  FROM votes GROUP BY doc_id),
+        |sigi AS (
+        |  SELECT d.doc_id, COALESCE((CASE WHEN s >= 9223372036854775808::HUGEINT
+        |       THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT, 0) AS s64
+        |  FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s64, b.s64))::INT AS hamming
+        |FROM sigi a JOIN sigi b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s64, b.s64)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact_normalized" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -29,6 +29,11 @@ object TextHashes {
 
   private val seeds: Array[Long] = Array.tabulate(MaxPerms)(j => splitmix64(j.toLong))
 
+  /** Permutation seed `j` — exposed so the DuckDB oracle SQL can inline
+    * the exact seed table instead of replicating splitmix64.
+    */
+  private[graft] def permSeed(j: Int): Long = seeds(j)
+
   /** MurmurHash3 64-bit finalizer: full-avalanche bijective mixer. */
   private def fmix64(h0: Long): Long = {
     var h = h0
