@@ -187,10 +187,99 @@ object SparkEntry {
       |              JOIN sets sb ON c.doc_b = sb.doc_id)""".stripMargin
   }
 
+  /** Hyperplane table for the LSH oracles, emitted from the REAL
+    * [[graft.operators.Dedup.hyperplanes]] constants (Double.toString
+    * round-trips exactly, so DuckDB parses the same IEEE values and the
+    * sign-of-dot bucketing replays bit-for-bit).
+    */
+  private def planesValuesSql(nPlanes: Int, dim: Int, seed: Long): String =
+    graft.operators.Dedup.hyperplanes(nPlanes, dim, seed).zipWithIndex.map {
+      case (pl, p) => s"($p, [${pl.mkString(",")}]::DOUBLE[])"
+    }.mkString(",")
+
+  /** Shared sign-bit banding CTE over `embeddings` for a plane table
+    * `planes(p, pl)`: `keys(vec_id, band, bkey)` with
+    * bkey = Σ 2^(p mod ppb) over planes with dot(vec, plane) > 0 —
+    * exactly [[graft.functions.VecHashes.hyperplaneBuckets]].
+    */
+  private def lshKeysCte(planesPerBand: Int): String =
+    s"""dots AS (SELECT e.vec_id, planes.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * planes.pl[i])) AS dot
+      |  FROM embeddings e, planes),
+      |keys AS (SELECT vec_id, p // $planesPerBand AS band,
+      |    SUM(CASE WHEN dot > 0
+      |        THEN power(2, p % $planesPerBand)::BIGINT ELSE 0 END)::BIGINT AS bkey
+      |  FROM dots GROUP BY vec_id, p // $planesPerBand)""".stripMargin
+
+  private val cosineSql: (String, String) => String = (a, b) =>
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "knn_ivf" ->
+      s"""WITH anchor AS (SELECT MIN(vec_id % 50) AS m FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings, anchor
+        |         WHERE vec_id % 50 = anchor.m),
+        |assign0 AS (
+        |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
+        |         ${cosineSql("e.embedding", "c.ce")} AS csim
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT neighbor_id, cv, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qe, cell_id FROM (
+        |    SELECT q.query_id, q.qe, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, cent c) WHERE qrn <= 5),
+        |d AS (
+        |  SELECT p.query_id, a.neighbor_id, ${cosineSql("p.qe", "a.cv")} AS c
+        |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH planes(p, pl) AS (VALUES ${planesValuesSql(192, 64, 7L)}),
+        |${lshKeysCte(6)},
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT kc.vec_id AS neighbor_id, kq.vec_id AS query_id
+        |  FROM keys kc JOIN keys kq ON kc.band = kq.band AND kc.bkey = kq.bkey
+        |  JOIN q ON kq.vec_id = q.query_id
+        |  WHERE kc.vec_id <> kq.vec_id),
+        |d AS (
+        |  SELECT c.query_id, c.neighbor_id, ${cosineSql("q.qe", "e.embedding")} AS c
+        |  FROM cand c JOIN q ON c.query_id = q.query_id
+        |              JOIN embeddings e ON c.neighbor_id = e.vec_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH planes(p, pl) AS (VALUES ${planesValuesSql(72, 64, 7L)}),
+        |${lshKeysCte(6)},
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |d AS (
+        |  SELECT c.vec_a, c.vec_b, ${cosineSql("ea.embedding", "eb.embedding")} AS c
+        |  FROM cand c JOIN embeddings ea ON c.vec_a = ea.vec_id
+        |              JOIN embeddings eb ON c.vec_b = eb.vec_id)
+        |SELECT vec_a, vec_b, round(c, 6) AS cosine
+        |FROM d WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCte
         |SELECT doc_a, doc_b,
