@@ -68,9 +68,12 @@ object BulkLoad {
           case Some(t) => concat(Salt.saltPrefix(col("bucket"), t), col("rowkey"))
           case None    => concat(hb.encode(col("bucket").cast("short")), col("rowkey"))
         })
+    // range-partition on (bucket, key) ONLY: rows equal on the partition
+    // key always land together, so one rowkey's cells (multi-qualifier /
+    // multi-version) can never straddle a partition boundary and produce
+    // overlapping files; family/qualifier order is fixed by the local sort
     salted
-      .repartitionByRange(numPartitions, col("bucket"), col("salted_key"),
-        col("family"), col("qualifier"))
+      .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
       .sortWithinPartitions(col("bucket"), col("salted_key"), col("family"),
         col("qualifier"))
   }
@@ -113,7 +116,8 @@ object BulkLoad {
                   typeCol: Option[String] = None,
                   blockSize: Int = HFile.DefaultBlockSize,
                   compression: String = "none",
-                  bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys): Unit = {
+                  bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
+                  maxFileBytes: Long = HFile.DefaultMaxFileBytes): Unit = {
     val codec = HFile.codecOf(compression) // fail fast, on the driver
     val spark = prepared.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
@@ -173,8 +177,15 @@ object BulkLoad {
           }
           it.foreach { r =>
             val b = r.getInt(0)
-            if (b != bucket) roll(b)
-            writer.append(HFile.HCell(r.getAs[Array[Byte]](1),
+            val rk = r.getAs[Array[Byte]](1)
+            // size cap (hbase.hregion.max.filesize analogue): roll to a
+            // new file in the SAME bucket, but only between rowkeys —
+            // splitting one row across files would overlap their ranges
+            if (b != bucket ||
+                (writer.bytesWritten >= maxFileBytes &&
+                  !java.util.Arrays.equals(writer.lastRowkey, rk)))
+              roll(b)
+            writer.append(HFile.HCell(rk,
               r.getString(2).getBytes("UTF-8"),
               r.getString(3).getBytes("UTF-8"),
               r.getLong(4), r.getAs[Array[Byte]](5),

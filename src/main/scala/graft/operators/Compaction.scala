@@ -99,8 +99,7 @@ object Compaction {
     val prepared = kept
       .select(col("bucket"), col("rowkey").as("salted_key"), col("family"),
         col("qualifier"), col("ts"), col("value"))
-      .repartitionByRange(numPartitions, col("bucket"), col("salted_key"),
-        col("family"), col("qualifier"))
+      .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
       blockSize = blockSize, compression = compression)
   }

@@ -132,6 +132,11 @@ object HFile {
     * in one file at 64 KiB blocks before a third level is needed.
     */
   val DefaultIndexBlockEntries = 16 * 1024
+  /** Size cap per emitted HFile (the `hbase.hregion.max.filesize`
+    * analogue, default 10 GiB): writers roll to a new file in the same
+    * bucket once past this, at the next rowkey boundary.
+    */
+  val DefaultMaxFileBytes: Long = 10L * 1024 * 1024 * 1024
 
   // ---- bloom hashing ---------------------------------------------------
 
@@ -377,6 +382,19 @@ class HFileWriter(out: OutputStream,
   private var firstDataBlockOffset = -1L
   private var lastDataBlockOffset = -1L
   private var finished = false
+
+  /** On-disk bytes emitted so far (block-aligned; the buffered partial
+    * data block is not counted). Callers use this to roll to a new file
+    * at a size cap.
+    */
+  def bytesWritten: Long = offset
+
+  /** The last appended cell's rowkey, null before the first append —
+    * size-cap rolling must only split BETWEEN rowkeys (same-row cells in
+    * two files would overlap at that key, breaking the bulk-load
+    * non-overlap invariant).
+    */
+  def lastRowkey: Array[Byte] = if (lastCell == null) null else lastCell.rowkey
 
   def append(cell: HCell): Unit = {
     require(!finished, "writer already finished")

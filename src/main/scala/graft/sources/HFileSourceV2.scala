@@ -314,11 +314,11 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
   * Instead of pre-shuffling like [[graft.operators.BulkLoad.writeHFiles]],
   * the write declares what it needs via
   * [[RequiresDistributionAndOrdering]] — range-distributed by
-  * (bucket, rowkey, family, qualifier) and sorted within partitions with
-  * ts/key_type descending — and Spark plans the shuffle+sort itself
-  * (AQE included). ts is deliberately NOT in the distribution: versions
-  * of one cell must never straddle a range boundary, or two files would
-  * overlap at that rowkey. Each task then streams its sorted run through
+  * (bucket, rowkey) and fully sorted within partitions (family/qualifier
+  * ascending, ts/key_type descending) — and Spark plans the shuffle+sort
+  * itself (AQE included). Only (bucket, rowkey) distributes: any finer
+  * key in the range partitioning could split one row's cells across a
+  * boundary and produce overlapping files at that rowkey. Each task then streams its sorted run through
   * one [[HFileWriter]] at a time, rolling on bucket change, writing to
   * `_inprogress/` temp names and renaming into place at task commit
   * (first finished attempt wins; output is deterministic, so duplicate
@@ -349,15 +349,19 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
     if (Option(info.options.get("bloom")).exists(_.toLowerCase == "false")) 0
     else Option(info.options.get("bloomChunkKeys")).map(_.toInt)
       .getOrElse(HFile.DefaultBloomChunkKeys)
+  private val maxFileBytes = Option(info.options.get("maxFileBytes"))
+    .map(_.toLong).getOrElse(HFile.DefaultMaxFileBytes)
 
   private def asc(name: String): SortOrder =
     Expressions.sort(Expressions.column(name), SortDirection.ASCENDING)
   private def desc(name: String): SortOrder =
     Expressions.sort(Expressions.column(name), SortDirection.DESCENDING)
 
+  // (bucket, rowkey) only: one rowkey's cells must never straddle a range
+  // boundary (overlapping files); family/qualifier/ts order comes from
+  // the within-partition sort below
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(asc("bucket"), asc("rowkey"), asc("family"),
-      asc("qualifier")))
+    Distributions.ordered(Array(asc("bucket"), asc("rowkey")))
 
   override def requiredOrdering(): Array[SortOrder] = {
     val base = Array(asc("bucket"), asc("rowkey"), asc("family"),
@@ -374,7 +378,7 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
     if (truncate && fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
     new HFileBatchWrite(path, schema, blockSize, codec, bloomChunkKeys,
-      confMap, info.queryId())
+      maxFileBytes, confMap, info.queryId())
   }
 }
 
@@ -408,12 +412,12 @@ object HFileWriteImpl {
 case class HFileCommitMessage(nFiles: Int) extends WriterCommitMessage
 
 class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
-                      codec: Int, bloomChunkKeys: Int,
+                      codec: Int, bloomChunkKeys: Int, maxFileBytes: Long,
                       confMap: Map[String, String],
                       queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HFileDataWriterFactory(path, schema, blockSize, codec, bloomChunkKeys,
-      confMap, queryId)
+      maxFileBytes, confMap, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     cleanupTemp()
@@ -430,15 +434,16 @@ class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
 
 class HFileDataWriterFactory(path: String, schema: StructType, blockSize: Int,
                              codec: Int, bloomChunkKeys: Int,
+                             maxFileBytes: Long,
                              confMap: Map[String, String],
                              queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HFileDataWriter(path, schema, blockSize, codec, bloomChunkKeys,
-      confMap, queryId, partitionId, taskId)
+      maxFileBytes, confMap, queryId, partitionId, taskId)
 }
 
 class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
-                      codec: Int, bloomChunkKeys: Int,
+                      codec: Int, bloomChunkKeys: Int, maxFileBytes: Long,
                       confMap: Map[String, String], queryId: String,
                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
@@ -479,7 +484,11 @@ class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
 
   override def write(row: InternalRow): Unit = {
     val b = row.getInt(iBucket)
-    if (b != bucket || writer == null) roll(b)
+    val rk = row.getBinary(iRowkey)
+    // size cap: new file in the same bucket, only at a rowkey boundary
+    if (b != bucket || writer == null ||
+        (writer.bytesWritten >= maxFileBytes &&
+          !java.util.Arrays.equals(writer.lastRowkey, rk))) roll(b)
     writer.append(HCell(
       row.getBinary(iRowkey),
       row.getUTF8String(iFamily).toString.getBytes("UTF-8"),

@@ -315,6 +315,30 @@ class HFileSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/_inprogress").exists())
   }
 
+  test("maxFileBytes rolls multiple files per bucket; a rowkey never splits") {
+    val events = sf("events")
+    // user-level rowkeys -> many cells per rowkey (multi-qualifier rows)
+    val cells = events.select(
+      hb.encode(col("user_id")).as("rowkey"),
+      lit("m").as("family"),
+      concat(col("event_type"), lit("#"), col("event_id")).as("qualifier"),
+      hb.encode(col("value")).as("value"))
+    val prepared = BulkLoad.prepare(cells, buckets = 2, numPartitions = 2)
+    val out = Files.createTempDirectory("hfiles_roll").toString
+    BulkLoad.writeHFiles(prepared, out, blockSize = 1024,
+      maxFileBytes = 8 * 1024)
+    val back = BulkLoad.readHFiles(spark, out)
+    assert(back.count() == cells.count())
+    // the cap really rolled: several files inside one bucket
+    val filesPerBucket = back.select("bucket", "file").distinct()
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(filesPerBucket.exists(_ > 1))
+    // every rowkey lives in exactly one file (roll only between rows)
+    val split = back.select(hex(col("rowkey")).as("rk"), col("file"))
+      .distinct().groupBy("rk").count().filter(col("count") > 1).count()
+    assert(split == 0)
+  }
+
   test("end-to-end: prepare -> writeHFiles -> readHFiles round-trips") {
     val events = sf("events")
     val cells = events.select(
