@@ -24,15 +24,21 @@ object HFileDump {
     println(s"file: ${args(0)} (${bytes.length} bytes)")
     println(s"version: ${t.majorVersion}.${t.minorVersion}  " +
       s"comparator: ${t.comparator}")
-    println(s"cells: ${t.entryCount}  data blocks: ${t.dataIndexCount}  " +
-      s"index levels: ${t.numDataIndexLevels}")
+    val codecName = t.compressionCodec match {
+      case graft.sources.HFile.CodecGz => "GZ"
+      case graft.sources.HFile.CodecNone => "NONE"
+      case other => s"unknown($other)"
+    }
+    println(s"cells: ${t.entryCount}  root index entries: ${t.dataIndexCount}  " +
+      s"index levels: ${t.numDataIndexLevels}  compression: $codecName")
     println(s"offsets: firstData=${t.firstDataBlockOffset} " +
       s"lastData=${t.lastDataBlockOffset} loadOnOpen=${t.loadOnOpenOffset} " +
       s"fileInfo=${t.fileInfoOffset}")
 
     val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
     println(s"audit: OK (${stats.nDataBlocks} blocks, ${stats.nCells} " +
-      s"cells, ${stats.nIndexEntries} index entries, checksums verified)")
+      s"cells, ${stats.nIndexEntries} index entries, " +
+      s"${stats.nBloomChunks} bloom chunks, checksums verified)")
     println(s"key range: ${stats.firstKeyHex.take(48)} .. " +
       stats.lastKeyHex.take(48))
     stats.fileInfo.foreach { case (k, v) =>
