@@ -315,6 +315,72 @@ class HFileSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/_inprogress").exists())
   }
 
+  test("property: random cells round-trip under every feature combination " +
+      "(codec x bloom x index fanout), with seek scan and multiGet parity") {
+    val rnd = new scala.util.Random(11)
+    (0 until 6).foreach { trial =>
+      val codec = if (trial % 2 == 0) CodecNone else CodecGz
+      val blockSize = 256 + rnd.nextInt(1024)
+      val bloomKeys = Seq(0, 16, 64)(trial % 3)
+      val fanout = Seq(3, 4, 1000)((trial / 2) % 3)
+      // random sorted unique cells: binary rowkeys, some multi-cell rows
+      val raw = (0 until 200 + rnd.nextInt(200)).map { _ =>
+        val rk = Array.fill(1 + rnd.nextInt(10))(rnd.nextInt(256).toByte)
+        HCell(rk, "f".getBytes, s"q${rnd.nextInt(3)}".getBytes,
+          rnd.nextInt(50).toLong,
+          Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte))
+      }
+      val cells = raw.sortWith(compareCells(_, _) < 0)
+        .foldLeft(Vector.empty[HCell]) { (acc, c) =>
+          if (acc.nonEmpty && compareCells(acc.last, c) == 0) acc else acc :+ c
+        }
+      val baos = new ByteArrayOutputStream()
+      val w = new HFileWriter(baos, blockSize, codec, bloomKeys, fanout)
+      cells.foreach(w.append)
+      w.finish()
+      val bytes = baos.toByteArray
+      val ctx = s"trial $trial codec=$codec block=$blockSize " +
+        s"bloom=$bloomKeys fanout=$fanout cells=${cells.size}"
+
+      // full audit + sequential parity
+      val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+      assert(stats.nCells == cells.size, ctx)
+      val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+      assert(back.size == cells.size, ctx)
+      back.zip(cells).foreach { case (a, b) =>
+        assert(compareCells(a, b) == 0 && a.value.sameElements(b.value), ctx)
+      }
+
+      // seek scan over a random rowkey range == filtered sequential scan
+      val ks = cells.map(_.rowkey)
+      val (lo, hi) = {
+        val a = ks(rnd.nextInt(ks.size)); val b = ks(rnd.nextInt(ks.size))
+        if (java.util.Arrays.compareUnsigned(a, b) <= 0) (a, b) else (b, a)
+      }
+      def inRange(rk: Array[Byte]) =
+        java.util.Arrays.compareUnsigned(rk, lo) >= 0 &&
+          java.util.Arrays.compareUnsigned(rk, hi) <= 0
+      val seek = HFileReader.scanRange(
+        new HFileReader.BytesRead(bytes), Some(lo), Some(hi)).toSeq
+      val expect = cells.filter(c => inRange(c.rowkey))
+      assert(seek.size == expect.size, ctx)
+      seek.zip(expect).foreach { case (a, b) =>
+        assert(compareCells(a, b) == 0, ctx)
+      }
+
+      // multiGet of present + absent keys == filtered scan
+      val present = rnd.shuffle(ks).take(20)
+      val absent = Seq(Array.fill(12)(0x55.toByte), Array[Byte]())
+      val got = HFileReader.multiGet(
+        new HFileReader.BytesRead(bytes), present ++ absent)
+      val wantKeys = present.map(_.toSeq).toSet
+      val want = cells.filter(c => wantKeys.contains(c.rowkey.toSeq))
+      assert(got.size == want.size, ctx)
+      assert(got.map(c => (c.rowkey.toSeq, c.qualifier.toSeq, c.ts)).toSet ==
+        want.map(c => (c.rowkey.toSeq, c.qualifier.toSeq, c.ts)).toSet, ctx)
+    }
+  }
+
   test("maxFileBytes rolls multiple files per bucket; a rowkey never splits") {
     val events = sf("events")
     // user-level rowkeys -> many cells per rowkey (multi-qualifier rows)
