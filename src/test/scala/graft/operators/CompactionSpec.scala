@@ -68,6 +68,64 @@ class CompactionSpec extends SparkSpec {
     assert(got.last._2.sameElements(v(9)))
   }
 
+  test("lifecycle: upsert/delete mutations -> bulk marker HFiles -> " +
+      "compact -> keyed lookup (the reference's full story)") {
+    import graft.functions.{hb, BytesCodec}
+    import graft.model.{HColumn, HTableSchema}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val schema = HTableSchema(
+      rowKey = Seq("id"),
+      columns = Seq(
+        HColumn("f", "a", "colA", LongType),
+        HColumn("f", "b", "colB", StringType)))
+    // batch 1: 30 inserts at ts=100; batch 2: updates (ids 1-10, ts=200)
+    // and row deletes (ids % 5 == 0, ts=300)
+    val inserts = (1 to 30).map(i =>
+      (i.toLong, i * 10L, s"v$i", "I", 100L))
+    val updates = (1 to 10).map(i =>
+      (i.toLong, i * 100L, s"w$i", "U", 200L))
+    val deletes = (1 to 30).filter(_ % 5 == 0).map(i =>
+      (i.toLong, 0L, "", "D", 300L))
+    val rows = (inserts ++ updates ++ deletes)
+      .toDF("id", "colA", "colB", "row_kind", "ts")
+    val typed = Mutations.toTypedCells(
+      Mutations.toMutations(rows, schema, tsCol = Some("ts")),
+      schema, tsCol = Some("ts"))
+    val prepared = BulkLoad.prepare(typed, buckets = 2, numPartitions = 2)
+    val in = Files.createTempDirectory("lifecycle_in").toString
+    BulkLoad.writeHFiles(prepared, in, tsCol = Some("ts"),
+      typeCol = Some("key_type"), blockSize = 512)
+
+    val out = Files.createTempDirectory("lifecycle_out").toString
+    Compaction.compact(spark, in, out, versions = 1, numPartitions = 2)
+    val back = BulkLoad.readHFiles(spark, out)
+
+    // deleted rows are gone entirely; survivors: 24 ids x 2 qualifiers
+    assert(back.count() == 48)
+    assert(back.filter(col("key_type") =!= P).count() == 0)
+    // updated ids carry the ts=200 version, untouched ids the ts=100 one
+    val ts7 = back.filter(hex(col("rowkey")).endsWith("0007") &&
+      col("qualifier") === "a").select("ts").as[Long].collect()
+    assert(ts7.toSeq == Seq(200L))
+    val ts20v = back.filter(hex(col("rowkey")).endsWith("0014") &&
+      col("qualifier") === "a").count()
+    assert(ts20v == 0) // id 20 was deleted
+
+    // keyed lookup straight off the compacted dir: updated id found with
+    // the new value, deleted id absent
+    def saltedKey(id: Long): Array[Byte] = {
+      val rk = BytesCodec.encodeLong(id)
+      val b = math.abs(java.util.Arrays.hashCode(rk) % 2)
+      BytesCodec.encodeShort(b.toShort) ++ rk
+    }
+    val keysDf = Seq(saltedKey(7L), saltedKey(10L)).toDF("rowkey")
+    val got = BulkLoad.multiGet(spark, out, keysDf)
+    assert(got.count() == 2) // id 7's two qualifiers; id 10 nothing
+    val a7 = got.filter(col("qualifier") === "a")
+      .select("value").as[Array[Byte]].head()
+    assert(BytesCodec.decodeLong(a7) == 700L) // the ts=200 update value
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
