@@ -144,23 +144,31 @@ class HFileTable(path: String) extends Table with SupportsRead with SupportsWrit
 }
 
 class HFileScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = HFileSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def isExactBucketFilter(f: Filter): Boolean = f match {
+    case EqualTo("bucket", _: Int) => true
+    case In("bucket", vs)          => vs.forall(_.isInstanceOf[Int])
+    case _                         => false
+  }
+
   /** Accepts `bucket` equality/membership and `rowkey` comparisons for
-    * FILE pruning. All filters are returned as residuals — the source
-    * skips whole files whose key range can't match, it does not filter
-    * rows — so Spark keeps the exact row-level Filter above the scan.
+    * FILE pruning. Bucket filters are CONSUMED (the `bucket=N` directory
+    * name is authoritative, so directory pruning evaluates them exactly);
+    * rowkey filters come back as residuals — the source skips whole
+    * files whose key range / bloom can't match, it does not filter rows.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
-      case EqualTo("bucket", _: Int)             => true
-      case In("bucket", _)                       => true
+      case f if isExactBucketFilter(f)           => true
       case GreaterThan("rowkey", _: Array[Byte]) => true
       case GreaterThanOrEqual("rowkey", _: Array[Byte]) => true
       case LessThan("rowkey", _: Array[Byte])    => true
@@ -168,14 +176,89 @@ class HFileScanBuilder(path: String) extends ScanBuilder
       case EqualTo("rowkey", _: Array[Byte])     => true
       case _                                     => false
     }
-    filters // all residual: row-level evaluation stays with Spark
+    filters.filterNot(isExactBucketFilter)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COUNT(*) with no grouping answers from the file trailers'
+    * entry_count — no data block is read at any scale. Only reachable
+    * when every remaining filter is an exact bucket filter (rowkey
+    * filters stay residual, so Spark never offers the aggregate).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushed.forall(isExactBucketFilter)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countPushed = supportCompletePushDown(agg)
+    countPushed
+  }
+
   override def build(): Scan =
-    new HFileScan(path, required, pushed,
+    if (countPushed)
+      new HFileCountScan(path, pushed,
+        HFileSource.hadoopConfMap(SparkSession.active))
+    else new HFileScan(path, required, pushed,
       HFileSource.hadoopConfMap(SparkSession.active))
+}
+
+/** Driver-local COUNT(*) answer: sum of `entry_count` over the
+  * bucket-pruned files' trailers (one short read each, through a bounded
+  * pool). A 100 TB directory counts without touching a data block.
+  */
+class HFileCountScan(path: String, pushed: Array[Filter],
+                     confMap: Map[String, String]) extends LocalScan {
+  import HFileSource._
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+
+  override def description(): String =
+    s"graft-hfile count-from-trailers $path"
+
+  override def rows(): Array[InternalRow] = {
+    val conf = confOf(confMap)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString)
+    // same path semantics as the row scan: empty-but-existing dir counts
+    // zero, a missing path is an error
+    if (files.isEmpty)
+      require(fs.exists(root), s"no HFiles found under $path")
+    val surviving = files
+      .map(f => (f, bucketOf(f)))
+      .filter { case (_, b) =>
+        pushed.forall {
+          case EqualTo("bucket", v: Int) => b == v
+          case In("bucket", vs)          => vs.exists { case v: Int => v == b; case _ => true }
+          case _                         => true
+        }
+      }
+    val total =
+      if (surviving.isEmpty) 0L
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, surviving.length))
+        try surviving.map { case (f, _) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              val r = openRandomRead(f, conf)
+              try HFileReader.readTrailer(r).entryCount finally r.close()
+            }
+          })
+        }.map(_.get()).sum
+        finally pool.shutdown()
+      }
+    Array(new GenericInternalRow(Array[Any](total)))
+  }
 }
 
 case class HFileInputPartition(file: String, bucket: Int) extends InputPartition

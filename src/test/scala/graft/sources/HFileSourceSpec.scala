@@ -251,6 +251,24 @@ class HFileSourceSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
+  test("count(*) answers from trailers without scanning a data block") {
+    val df = spark.read.format("graft-hfile").load(out)
+    val full = df.count()
+    assert(full == BulkLoad.readHFiles(spark, out).count())
+    // the plan is a local (driver) scan, not a file-reading batch scan
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("count-from-trailers") || !plan.contains("BatchScan"),
+      plan)
+    // bucket filters are consumed exactly and still push the count
+    val b2 = df.filter($"bucket" === 2).count()
+    assert(b2 == BulkLoad.readHFiles(spark, out)
+      .filter($"bucket" === 2).count())
+    // rowkey filters keep the row scan (no bogus trailer count)
+    val someKey = spark.read.format("graft-hfile").load(out)
+      .select($"rowkey").head().getAs[Array[Byte]](0)
+    assert(df.filter($"rowkey" === lit(someKey)).count() >= 1)
+  }
+
   test("rowkey range filters skip files by trailer key range") {
     val full = spark.read.format("graft-hfile").load(out)
     val maxKey = full.agg(max($"rowkey")).head().getAs[Array[Byte]](0)
