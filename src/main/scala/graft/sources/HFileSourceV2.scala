@@ -149,7 +149,6 @@ class HFileScanBuilder(path: String) extends ScanBuilder
 
   private var required: StructType = HFileSource.Schema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -181,46 +180,88 @@ class HFileScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** COUNT(*) with no grouping answers from the file trailers'
-    * entry_count — no data block is read at any scale. Only reachable
-    * when every remaining filter is an exact bucket filter (rowkey
-    * filters stay residual, so Spark never offers the aggregate).
+  /** COUNT(*) / MIN(rowkey) / MAX(rowkey), globally or grouped by
+    * `bucket`, answer from file trailers and key ranges — no data block
+    * is read at any scale. Only reachable when every remaining filter is
+    * an exact bucket filter (rowkey filters stay residual, so Spark
+    * never offers the aggregate).
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      pushed.forall(isExactBucketFilter)
+    HFileStatsScan.plan(agg).isDefined && pushed.forall(isExactBucketFilter)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    countPushed = supportCompletePushDown(agg)
-    countPushed
+    if (supportCompletePushDown(agg)) { pushedAgg = HFileStatsScan.plan(agg) }
+    pushedAgg.isDefined
   }
+  private var pushedAgg: Option[(Boolean, Seq[String])] = None
 
-  override def build(): Scan =
-    if (countPushed)
-      new HFileCountScan(path, pushed,
+  override def build(): Scan = pushedAgg match {
+    case Some((byBucket, funcs)) =>
+      new HFileStatsScan(path, pushed, byBucket, funcs,
         HFileSource.hadoopConfMap(SparkSession.active))
-    else new HFileScan(path, required, pushed,
-      HFileSource.hadoopConfMap(SparkSession.active))
+    case None =>
+      new HFileScan(path, required, pushed,
+        HFileSource.hadoopConfMap(SparkSession.active))
+  }
 }
 
-/** Driver-local COUNT(*) answer: sum of `entry_count` over the
-  * bucket-pruned files' trailers (one short read each, through a bounded
-  * pool). A 100 TB directory counts without touching a data block.
+object HFileStatsScan {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def colNamed(e: org.apache.spark.sql.connector.expressions.Expression,
+                       name: String): Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
+    case _                  => false
+  }
+
+  /** `Some((groupedByBucket, funcs))` when the aggregation is answerable
+    * from trailers/key ranges: group-by nothing or `bucket`, aggregates
+    * drawn from COUNT(*), MIN(rowkey), MAX(rowkey).
+    */
+  private[sources] def plan(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    val byBucket = agg.groupByExpressions match {
+      case Array()                              => Some(false)
+      case Array(e) if colNamed(e, "bucket")    => Some(true)
+      case _                                    => None
+    }
+    val funcs = agg.aggregateExpressions.foldLeft(
+        Option(Vector.empty[String])) {
+      case (Some(acc), _: CountStar)                        => Some(acc :+ "count")
+      case (Some(acc), m: Min) if colNamed(m.column, "rowkey") => Some(acc :+ "min")
+      case (Some(acc), m: Max) if colNamed(m.column, "rowkey") => Some(acc :+ "max")
+      case _                                                => None
+    }
+    for (b <- byBucket; f <- funcs if f.nonEmpty) yield (b, f)
+  }
+}
+
+/** Driver-local stats answer: COUNT(*) from the trailers' `entry_count`,
+  * MIN/MAX(rowkey) from each file's first/last key (short reads through
+  * a bounded pool, optionally grouped by bucket). A 100 TB directory
+  * answers without touching a data block.
   */
-class HFileCountScan(path: String, pushed: Array[Filter],
-                     confMap: Map[String, String]) extends LocalScan {
+class HFileStatsScan(path: String, pushed: Array[Filter], byBucket: Boolean,
+                     funcs: Seq[String], confMap: Map[String, String])
+    extends LocalScan {
   import HFileSource._
 
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def readSchema(): StructType = {
+    val aggFields = funcs.map {
+      case "count" => StructField("count_star", LongType, nullable = false)
+      case "min"   => StructField("min_rowkey", BinaryType, nullable = true)
+      case "max"   => StructField("max_rowkey", BinaryType, nullable = true)
+    }
+    StructType(
+      (if (byBucket) Seq(StructField("bucket", IntegerType, nullable = false))
+       else Nil) ++ aggFields)
+  }
 
   override def description(): String =
-    s"graft-hfile count-from-trailers $path"
+    s"graft-hfile stats-from-trailers $path " +
+      s"[${funcs.mkString(",")}${if (byBucket) " by bucket" else ""}]"
 
   override def rows(): Array[InternalRow] = {
     val conf = confOf(confMap)
@@ -229,8 +270,8 @@ class HFileCountScan(path: String, pushed: Array[Filter],
     val files = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
       .map(_.getPath.toString)
-    // same path semantics as the row scan: empty-but-existing dir counts
-    // zero, a missing path is an error
+    // same path semantics as the row scan: empty-but-existing dir is an
+    // empty aggregate input, a missing path is an error
     if (files.isEmpty)
       require(fs.exists(root), s"no HFiles found under $path")
     val surviving = files
@@ -242,22 +283,48 @@ class HFileCountScan(path: String, pushed: Array[Filter],
           case _                         => true
         }
       }
-    val total =
-      if (surviving.isEmpty) 0L
+    val needRange = funcs.exists(f => f == "min" || f == "max")
+    // (bucket, entryCount, range) per file
+    val stats: Seq[(Int, Long, Option[(Array[Byte], Array[Byte])])] =
+      if (surviving.isEmpty) Nil
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, surviving.length))
-        try surviving.map { case (f, _) =>
-          pool.submit(new java.util.concurrent.Callable[Long] {
-            def call(): Long = {
-              val r = openRandomRead(f, conf)
-              try HFileReader.readTrailer(r).entryCount finally r.close()
-            }
-          })
-        }.map(_.get()).sum
+        try surviving.toSeq.map { case (f, b) =>
+          pool.submit(
+            new java.util.concurrent.Callable[(Int, Long, Option[(Array[Byte], Array[Byte])])] {
+              def call() = {
+                val r = openRandomRead(f, conf)
+                try {
+                  val n = HFileReader.readTrailer(r).entryCount
+                  val range = if (needRange) HFileReader.rowkeyRange(r) else None
+                  (b, n, range)
+                } finally r.close()
+              }
+            })
+        }.map(_.get())
         finally pool.shutdown()
       }
-    Array(new GenericInternalRow(Array[Any](total)))
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+    def rowOf(bucket: Option[Int],
+              group: Seq[(Int, Long, Option[(Array[Byte], Array[Byte])])]): InternalRow = {
+      val ranges = group.flatMap(_._3)
+      val aggVals: Seq[Any] = funcs.map {
+        case "count" => group.map(_._2).sum
+        case "min" =>
+          if (ranges.isEmpty) null else ranges.map(_._1).minBy(identity[Array[Byte]])(
+            Ordering.fromLessThan[Array[Byte]]((a, b) => cmp(a, b) < 0))
+        case "max" =>
+          if (ranges.isEmpty) null else ranges.map(_._2).maxBy(identity[Array[Byte]])(
+            Ordering.fromLessThan[Array[Byte]]((a, b) => cmp(a, b) < 0))
+      }
+      new GenericInternalRow((bucket.toSeq ++ aggVals).toArray[Any])
+    }
+    if (byBucket)
+      stats.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, g) => rowOf(Some(b), g) }.toArray
+    else Array(rowOf(None, stats))
   }
 }
 

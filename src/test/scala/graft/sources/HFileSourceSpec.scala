@@ -269,6 +269,26 @@ class HFileSourceSpec extends SparkSpec {
     assert(df.filter($"rowkey" === lit(someKey)).count() >= 1)
   }
 
+  test("min/max(rowkey) and per-bucket counts answer from key ranges") {
+    val df = spark.read.format("graft-hfile").load(out)
+    val full = BulkLoad.readHFiles(spark, out)
+    // global min/max + count in one pushed aggregate
+    val g = df.agg(min($"rowkey"), max($"rowkey"), count(lit(1))).head()
+    val e = full.agg(min($"rowkey"), max($"rowkey"), count(lit(1))).head()
+    assert(g.getAs[Array[Byte]](0).sameElements(e.getAs[Array[Byte]](0)))
+    assert(g.getAs[Array[Byte]](1).sameElements(e.getAs[Array[Byte]](1)))
+    assert(g.getLong(2) == e.getLong(2))
+    // grouped by bucket
+    val gb = df.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val eb = full.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(gb.toSeq == eb.toSeq)
+    val plan = df.groupBy($"bucket").count().queryExecution.executedPlan.toString
+    assert(plan.contains("stats-from-trailers") || !plan.contains("BatchScan"),
+      plan)
+  }
+
   test("rowkey range filters skip files by trailer key range") {
     val full = spark.read.format("graft-hfile").load(out)
     val maxKey = full.agg(max($"rowkey")).head().getAs[Array[Byte]](0)
