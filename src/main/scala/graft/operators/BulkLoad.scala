@@ -369,6 +369,45 @@ object BulkLoad {
     }
   }
 
+  /** Per-file stats of a [[writeHFiles]] directory read straight from
+    * the trailers and key ranges (bounded-pool short reads — no data
+    * block IO at any directory size): same shape as [[manifest]], so
+    * [[regionPlan]] consumes either. The file-layout half of the
+    * reference's pre-split/merge admin ops (HBaseManager.java) over real
+    * HFile output.
+    */
+  def hfileManifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val files = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"no HFiles found under $path")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    val rows = try {
+      files.toSeq.map { f =>
+        pool.submit(new java.util.concurrent.Callable[(Int, String, Long, String, String)] {
+          def call(): (Int, String, Long, String, String) = {
+            val rr = openRead(f, hconf)
+            try {
+              val n = HFileReader.readTrailer(rr).entryCount
+              val (lo, hi) = HFileReader.rowkeyRange(rr)
+                .map { case (a, b) =>
+                  (a.map(x => f"$x%02X").mkString, b.map(x => f"$x%02X").mkString)
+                }.getOrElse(("", ""))
+              (graft.sources.HFileSource.bucketOf(f), f, n, lo, hi)
+            } finally rr.close()
+          }
+        })
+      }.map(_.get())
+    } finally pool.shutdown()
+    rows.toDF("bucket", "file", "n_cells", "min_key_hex", "max_key_hex")
+  }
+
   /** Per-file stats of a written bulk output — the HFile info-block
     * analogue: (bucket, file, n_cells, min/max key). Input to
     * [[regionPlan]].

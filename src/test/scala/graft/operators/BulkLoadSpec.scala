@@ -118,6 +118,33 @@ class BulkLoadSpec extends SparkSpec {
       canon(expected).except(canon(got)).isEmpty)
   }
 
+  test("hfileManifest reads per-file stats from trailers; regionPlan packs it") {
+    import java.nio.file.Files
+    val events = sf("events")
+    val cells = events.select(
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"), lit("v").as("qualifier"),
+      hb.encode(col("value")).as("value"))
+    val prepared = BulkLoad.prepare(cells, buckets = 4, numPartitions = 4)
+    val dir = Files.createTempDirectory("hmanifest").toString
+    BulkLoad.writeHFiles(prepared, dir, blockSize = 2048)
+    val m = BulkLoad.hfileManifest(spark, dir)
+    val total = cells.count()
+    assert(m.agg(sum(col("n_cells"))).head().getLong(0) == total)
+    // per-file counts match a real scan, and key ranges are populated
+    val scanCounts = BulkLoad.readHFiles(spark, dir)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    m.collect().foreach { r =>
+      assert(scanCounts(r.getAs[String]("file")) == r.getAs[Long]("n_cells"))
+      assert(r.getAs[String]("min_key_hex") <= r.getAs[String]("max_key_hex"))
+    }
+    // and the region planner consumes it unchanged
+    val plan = BulkLoad.regionPlan(m, targetCells = total / 3).collect()
+    assert(plan.map(_.getAs[Long]("n_cells")).sum == total)
+  }
+
   test("prepare plan: range exchange + in-partition sort, no global sort") {
     val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8)
     val plan = prepared.queryExecution.executedPlan.toString
