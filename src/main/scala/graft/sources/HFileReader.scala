@@ -578,7 +578,12 @@ object HFileReader {
     def cmp(a: Array[Byte], b: Array[Byte]) =
       java.util.Arrays.compareUnsigned(a, b)
 
-    val keys = keys0.distinct.sortWith(cmp(_, _) < 0)
+    // Array equality is referential, so .distinct would NOT dedup equal
+    // byte arrays — sort first, then drop adjacent duplicates by content
+    val keys = keys0.sortWith(cmp(_, _) < 0)
+      .foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
+        if (acc.nonEmpty && cmp(acc.last, k) == 0) acc else acc :+ k
+      }
     keys.flatMap { k =>
       val bloomPass = bloomChunks.forall { chunks =>
         var lo = 0; var hi = chunks.length - 1; var owner = -1

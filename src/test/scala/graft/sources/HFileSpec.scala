@@ -368,11 +368,13 @@ class HFileSpec extends SparkSpec {
         assert(compareCells(a, b) == 0, ctx)
       }
 
-      // multiGet of present + absent keys == filtered scan
+      // multiGet of present + absent keys == filtered scan; duplicate key
+      // instances (same bytes, different arrays) must dedup by content
       val present = rnd.shuffle(ks).take(20)
+      val dupes = present.take(3).map(_.clone())
       val absent = Seq(Array.fill(12)(0x55.toByte), Array[Byte]())
       val got = HFileReader.multiGet(
-        new HFileReader.BytesRead(bytes), present ++ absent)
+        new HFileReader.BytesRead(bytes), present ++ dupes ++ absent)
       val wantKeys = present.map(_.toSeq).toSet
       val want = cells.filter(c => wantKeys.contains(c.rowkey.toSeq))
       assert(got.size == want.size, ctx)
