@@ -156,6 +156,31 @@ class HFileSourceSpec extends SparkSpec {
     assert(left.select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("SQL over a temp view works, including the pushed count") {
+    // direct `format`.`path` SQL is reserved for built-in file sources;
+    // a view over the DSv2 load is the supported SQL surface
+    spark.read.format("graft-hfile").load(out)
+      .createOrReplaceTempView("hfile_cells")
+    val n = spark.sql("SELECT count(*) FROM hfile_cells").head().getLong(0)
+    assert(n == BulkLoad.readHFiles(spark, out).count())
+    val rows = spark.sql(
+      "SELECT qualifier, count(*) AS c FROM hfile_cells GROUP BY 1")
+      .collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == n)
+  }
+
+  test("DSv2 write: maxFileBytes option rolls files within a bucket") {
+    val src = spark.read.format("graft-hfile").load(out).drop("file")
+    val dir = Files.createTempDirectory("hfile_dsv2_roll").toString
+    src.write.format("graft-hfile").mode("overwrite")
+      .option("blockSize", "1024").option("maxFileBytes", "8192").save(dir)
+    val perBucket = spark.read.format("graft-hfile").load(dir)
+      .select(col("file"), col("bucket")).distinct()
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(perBucket.exists(_ > 1))
+    assert(spark.read.format("graft-hfile").load(dir).count() == src.count())
+  }
+
   test("DSv2 write: gz compression option round-trips") {
     val src = spark.read.format("graft-hfile").load(out).drop("file")
     val dir = Files.createTempDirectory("hfile_dsv2_gz").toString
