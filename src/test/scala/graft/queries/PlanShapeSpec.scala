@@ -54,6 +54,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q1_pricing_summary: map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      p.take(400))
+    assert(p.contains("PushedFilters") || p.contains("Filter"))
+  }
+
+  test("time_range_scan: the time predicate reaches the parquet scan") {
+    val p = plan("time_range_scan")
+    // row-group pruning needs the raw ts bounds inside PushedFilters
+    assert("PushedFilters: \\[[^\\]]*ts".r.findFirstIn(p).isDefined,
+      p.take(800))
+  }
+
+  test("q5_region_revenue: dimension joins broadcast, facts never do") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian join")
+  }
+
+  test("dedup_minhash_lsh: banded blocking, never an all-pairs join") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup must block via bands, not cross the corpus")
+  }
+
   test("graph_components: edge build pushes the quantity filter to the scan") {
     // connectedComponents executes eagerly, so audit the edge-build
     // stage (the part that scans 100 TB) rather than the label output
