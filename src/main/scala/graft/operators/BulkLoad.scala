@@ -352,6 +352,105 @@ object BulkLoad {
       }.toDF()
   }
 
+  /** Distributed, validating backup of a bulk-load directory — the
+    * reference's backup/restore admin ops (HBaseManager.java:186,293)
+    * re-expressed as a Spark job over the FileSystem API. Each task runs
+    * the FULL structural audit on its file (trailer, checksums, index
+    * descent, blooms, cell order) and only then copies it byte-for-byte,
+    * preserving the `bucket=N/` layout; the copy's length is verified.
+    * Returns a per-file report `(file, bucket, n_cells, bytes)`. Restore
+    * is the same operation with the directions swapped. Fails loudly on
+    * the first corrupt source file — a backup of bad bytes is worse than
+    * no backup.
+    */
+  def backup(spark: SparkSession, srcDir: String, dstDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(srcDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val files = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq
+    require(files.nonEmpty, s"no HFiles found under $srcDir")
+    val confMap = broadcastHadoopConf(spark)
+    val par = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par).map { f =>
+      val conf = hadoopConfOf(confMap.value)
+      val src = new org.apache.hadoop.fs.Path(f)
+      val sfs = src.getFileSystem(conf)
+      val stats = {
+        val rr = openRead(f, conf)
+        try HFileReader.validate(rr) finally rr.close()
+      }
+      val rel = s"${src.getParent.getName}/${src.getName}"
+      val dst = new org.apache.hadoop.fs.Path(dstDir, rel)
+      val dfs = dst.getFileSystem(conf)
+      dfs.mkdirs(dst.getParent)
+      val in = sfs.open(src)
+      val outS = dfs.create(dst, true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, outS, 1 << 16)
+      finally { in.close(); outS.close() }
+      val srcLen = sfs.getFileStatus(src).getLen
+      val dstLen = dfs.getFileStatus(dst).getLen
+      require(srcLen == dstLen, s"backup length mismatch for $f")
+      (rel, graft.sources.HFileSource.bucketOf(f), stats.nCells, dstLen)
+    }
+      // run the copy job exactly ONCE and return the materialized report
+      // (one row per file) — a lazy frame would redo the IO per action
+      .collect().toSeq
+      .toDF("file", "bucket", "n_cells", "bytes")
+  }
+
+  /** Distributed integrity repair sweep (HbaseRepairRunner.java:41
+    * re-scoped to file integrity): every file gets the full structural
+    * audit; corrupt files are moved into `quarantineDir` so the
+    * directory scans clean again. Returns `(file, ok, n_cells, error)`
+    * per file.
+    */
+  def repair(spark: SparkSession, dir: String,
+             quarantineDir: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val files = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq
+    require(files.nonEmpty, s"no HFiles found under $dir")
+    val confMap = broadcastHadoopConf(spark)
+    val par = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par).map { f =>
+      val conf = hadoopConfOf(confMap.value)
+      val src = new org.apache.hadoop.fs.Path(f)
+      val sfs = src.getFileSystem(conf)
+      val audit: Either[String, Long] =
+        try {
+          val rr = openRead(f, conf)
+          Right(try HFileReader.validate(rr).nCells finally rr.close())
+        } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+      audit match {
+        case Right(n) => (f, true, n, null: String)
+        case Left(err) =>
+          val q = new org.apache.hadoop.fs.Path(quarantineDir,
+            s"${src.getParent.getName}-${src.getName}")
+          val qfs = q.getFileSystem(conf)
+          qfs.mkdirs(q.getParent)
+          // copy+delete, not rename: works across filesystems and does
+          // not depend on checksum-sidecar state of the corrupt file
+          require(org.apache.hadoop.fs.FileUtil.copy(sfs, src, qfs, q,
+            true, true, conf), s"could not quarantine $f")
+          (f, false, 0L, err)
+      }
+    }
+      // quarantine moves files — execute exactly once, report materialized
+      .collect().toSeq
+      .toDF("file", "ok", "n_cells", "error")
+  }
+
   private def openRead(f: String, conf: org.apache.hadoop.conf.Configuration)
       : HFileReader.RandomRead = {
     val p = new org.apache.hadoop.fs.Path(f)

@@ -145,6 +145,46 @@ class BulkLoadSpec extends SparkSpec {
     assert(plan.map(_.getAs[Long]("n_cells")).sum == total)
   }
 
+  test("backup validates+copies; repair quarantines exactly the corrupt file") {
+    import java.nio.file.Files
+    val events = sf("events")
+    val cells = events.select(
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"), lit("v").as("qualifier"),
+      hb.encode(col("value")).as("value"))
+    val prepared = BulkLoad.prepare(cells, buckets = 3, numPartitions = 3)
+    val dir = Files.createTempDirectory("bk_src").toString
+    BulkLoad.writeHFiles(prepared, dir, blockSize = 2048)
+    val total = cells.count()
+
+    // backup: full parity at the destination
+    val dst = Files.createTempDirectory("bk_dst").toString
+    val report = BulkLoad.backup(spark, dir, dst)
+    assert(report.agg(sum(col("n_cells"))).head().getLong(0) == total)
+    assert(BulkLoad.readHFiles(spark, dst).count() == total)
+
+    // corrupt one destination file mid-data; repair must quarantine just it
+    val victim = new java.io.File(dst).listFiles
+      .filter(_.getName.startsWith("bucket=")).head.listFiles
+      .filter(_.getName.endsWith(".hfile")).head
+    // drop hadoop's .crc sidecar or the local FS itself rejects the read
+    new java.io.File(victim.getParent, s".${victim.getName}.crc").delete()
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    raf.seek(60); val b = raf.read(); raf.seek(60); raf.write(b ^ 0x5a)
+    raf.close()
+    val quarantine = Files.createTempDirectory("bk_quar").toString
+    val rep = BulkLoad.repair(spark, dst, quarantine)
+    assert(rep.filter(!col("ok")).count() == 1)
+    assert(rep.filter(!col("ok")).head().getString(0)
+      .endsWith(victim.getName))
+    assert(new java.io.File(quarantine).listFiles.nonEmpty)
+    // the directory scans clean again (readHFiles re-validates every
+    // block), minus the quarantined file's cells
+    val left = BulkLoad.readHFiles(spark, dst).count()
+    assert(left < total && left > 0)
+  }
+
   test("prepare plan: range exchange + in-partition sort, no global sort") {
     val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8)
     val plan = prepared.queryExecution.executedPlan.toString
