@@ -84,6 +84,25 @@ object BytesCodec {
     new java.math.BigDecimal(unscaled, scale)
   }
 
+  /** Exclusive upper bound of the set of byte keys that start with
+    * `prefix` (HBase's ClientUtil.calculateTheClosestNextRowKeyForPrefix
+    * semantics): drop trailing 0xFF bytes, then increment the last
+    * remaining byte — a proper carry, unlike a naive last-byte bump that
+    * wraps 0xFF to 0x00 and empties the range. None when the prefix is
+    * all 0xFF (every longer key still matches; the range is unbounded
+    * above — scan to end-of-table).
+    */
+  def prefixSuccessor(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val next = java.util.Arrays.copyOf(prefix, i + 1)
+      next(i) = (next(i) + 1).toByte
+      Some(next)
+    }
+  }
+
   /** java.util.Arrays.hashCode(byte[]) — exact parity with the reference's
     * salt computation (TsdbBulkload.java:94).
     */

@@ -403,6 +403,19 @@ object BulkLoad {
       .toDF("file", "bucket", "n_cells", "bytes")
   }
 
+  /** Recovery verb (the reference exposes restore endpoints next to
+    * backup, HBaseController.java:148-178; HBaseManager.java:293): a
+    * restore IS a validating [[backup]] with the directions swapped —
+    * every file in `backupDir` gets the full structural audit, then is
+    * copied back under `dir` with the `bucket=N/` layout preserved and
+    * its length verified. Files in `dir` with the same name (e.g. the
+    * corrupt originals being recovered) are overwritten in place. A
+    * corrupt BACKUP file fails the job loudly before any byte is copied
+    * from it — restoring bad bytes is worse than not restoring.
+    */
+  def restore(spark: SparkSession, backupDir: String, dir: String): DataFrame =
+    backup(spark, backupDir, dir)
+
   /** Distributed integrity repair sweep (HbaseRepairRunner.java:41
     * re-scoped to file integrity): every file gets the full structural
     * audit; corrupt files are moved into `quarantineDir` so the

@@ -177,10 +177,11 @@ object HModel {
     * written once per JVM (TrieMap) and once per machine (`_done` marker)
     * — bench's repeated runs and the verify run reuse it.
     */
-  private val lookupDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private val lookupDirs =
+    scala.collection.concurrent.TrieMap[(String, Int), String]()
   private[graft] def ensureLookupDir(events: DataFrame, sfDir: String,
                                      buckets: Int): String =
-    lookupDirs.getOrElseUpdate(sfDir, {
+    lookupDirs.getOrElseUpdate((sfDir, buckets), {
       val dir = s"${System.getProperty("java.io.tmpdir")}/" +
         f"graft_lookup_v1_b$buckets%d_${math.abs(sfDir.hashCode)}%08x"
       val spark = events.sparkSession
@@ -223,13 +224,15 @@ object HModel {
     // same salt the writer used: abs(Arrays.hashCode(bytes)) % buckets
     val bucket = math.abs(java.util.Arrays.hashCode(ub) % buckets)
     val prefix = BytesCodec.encodeShort(bucket.toShort) ++ ub
-    // exclusive upper bound of the user's 18-byte key range: bump the last
-    // prefix byte (safe: user ids are small non-negative longs)
-    val next = prefix.clone()
-    next(next.length - 1) = (next(next.length - 1) + 1).toByte
-    spark.read.format("graft-hfile").load(dir)
-      .filter(col("bucket") === bucket &&
-        col("rowkey") >= lit(prefix) && col("rowkey") < lit(next))
+    val base = spark.read.format("graft-hfile").load(dir)
+      .filter(col("bucket") === bucket && col("rowkey") >= lit(prefix))
+    // exclusive upper bound of the user's key range, carry-propagating
+    // (None = all-0xFF prefix = unbounded above)
+    val ranged = BytesCodec.prefixSuccessor(prefix) match {
+      case Some(next) => base.filter(col("rowkey") < lit(next))
+      case None => base
+    }
+    ranged
       .select(
         hb.decode(expr("substring(rowkey, 11, 8)"), LongType).as("event_id"),
         col("ts").as("ts_ms"),

@@ -54,9 +54,13 @@ import scala.collection.mutable.ArrayBuffer
   * description); the container framing (block headers, checksums, meta
   * index) is standard v2+.
   *
-  * Interop caveats, called out rather than hidden: compression NONE or GZ
-  * (HBase codec ids 2 and 1; SNAPPY/LZ4/ZSTD need native or third-party
-  * libs this build doesn't ship), graft-layout bloom bits (see above),
+  * Interop caveats, called out rather than hidden: compression NONE, GZ,
+  * SNAPPY, LZ4 or ZSTD (HBase codec ids 2/1/3/4/6 — the reference
+  * hardcodes `hfile.compression=snappy`, HFileOutputUtil.java:23; GZ via
+  * `java.util.zip`, SNAPPY/LZ4 via the pure-JVM-fallback xerial/lz4-java
+  * libs Spark already ships, framed like Hadoop's BlockCompressorStream
+  * so HBase's SnappyCodec/Lz4Codec read them, ZSTD as standard frames
+  * like Hadoop's ZStandardCodec), graft-layout bloom bits (see above),
   * no cell tags and no mvcc ids — legal in v3, whose
   * readers switch those on only when the file info carries MAX_TAGS_LEN /
   * KEY_VALUE_VERSION keys (omitted here), so cells keep the classic
@@ -87,19 +91,31 @@ object HFile {
   val MajorVersion = 3
   val MinorVersion = 3
   // HBase Compression.Algorithm ordinals (the trailer's compression_codec
-  // field): LZO=0, GZ=1, NONE=2, SNAPPY=3, ... Only GZ and NONE are
-  // supported here — GZ is the one codec every HBase build ships without
-  // native libs, and java.util.zip produces the same gzip member streams
-  // Hadoop's GzipCodec writes.
+  // field): LZO=0, GZ=1, NONE=2, SNAPPY=3, LZ4=4, BZIP2=5, ZSTD=6. GZ is
+  // java.util.zip (the same gzip member streams Hadoop's GzipCodec
+  // writes); SNAPPY and LZ4 use the xerial snappy-java / lz4-java block
+  // kernels Spark already ships, wrapped in Hadoop's
+  // BlockCompressorStream framing (what HBase's SnappyCodec/Lz4Codec
+  // write); ZSTD is standard zstd frames (Hadoop's ZStandardCodec is a
+  // plain stream codec). SNAPPY is what the reference configures for
+  // every table (HFileOutputUtil.java:23,47,71).
   val CodecGz = 1
   val CodecNone = 2
+  val CodecSnappy = 3
+  val CodecLz4 = 4
+  val CodecZstd = 6
+  val SupportedCodecs: Set[Int] =
+    Set(CodecNone, CodecGz, CodecSnappy, CodecLz4, CodecZstd)
 
   /** Codec id for a user-facing compression name. */
   def codecOf(name: String): Int = name.toLowerCase match {
     case "none" => CodecNone
     case "gz" | "gzip" => CodecGz
+    case "snappy" => CodecSnappy
+    case "lz4" => CodecLz4
+    case "zstd" => CodecZstd
     case other => throw new IllegalArgumentException(
-      s"unsupported compression '$other' (supported: none, gz)")
+      s"unsupported compression '$other' (supported: none, gz, snappy, lz4, zstd)")
   }
 
   private[sources] def gzip(payload: Array[Byte]): Array[Byte] = {
@@ -114,6 +130,104 @@ object HFile {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b), 8192)
     try in.readAllBytes() finally in.close()
+  }
+
+  /** Raw-chunk size for Hadoop BlockCompressorStream framing. Hadoop
+    * sizes it `bufferSize - overhead`; any value ≤ the reader's buffer
+    * works because each raw chunk carries its own length. 256 KiB matches
+    * the Hadoop snappy/lz4 default buffer and exceeds every block this
+    * writer emits (blockSize + one cell), so real files frame as a single
+    * chunk.
+    */
+  private[sources] val BlockCompressChunk = 256 * 1024 - 64
+
+  /** Hadoop BlockCompressorStream framing: per raw chunk, a 4-byte BE
+    * uncompressed length, then one compressed chunk as 4-byte BE length +
+    * bytes. (Hadoop writes exactly one compressed chunk per raw chunk —
+    * its MAX_INPUT_SIZE keeps worst-case output inside one buffer.)
+    */
+  private def blockFramed(payload: Array[Byte],
+                          one: Array[Byte] => Array[Byte]): Array[Byte] = {
+    if (payload.isEmpty) return payload // zero chunks round-trips to zero bytes
+    val baos = new ByteArrayOutputStream(payload.length / 2 + 64)
+    val out = new DataOutputStream(baos)
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(BlockCompressChunk, payload.length - off)
+      val comp = one(java.util.Arrays.copyOfRange(payload, off, off + n))
+      out.writeInt(n)
+      out.writeInt(comp.length)
+      out.write(comp)
+      off += n
+    }
+    baos.toByteArray
+  }
+
+  /** Inverse of [[blockFramed]]; `one(chunk, rawLen)` decodes a single
+    * compressed chunk whose uncompressed size is `rawLen`. Tolerates
+    * multiple compressed chunks per raw chunk (legal in the Hadoop
+    * format) by tracking produced bytes.
+    */
+  private def blockUnframed(b: Array[Byte],
+                            one: (Array[Byte], Int) => Array[Byte]): Array[Byte] = {
+    val in = ByteBuffer.wrap(b)
+    val baos = new ByteArrayOutputStream(b.length * 2 + 64)
+    while (in.remaining() > 0) {
+      val rawLen = in.getInt
+      require(rawLen >= 0, s"corrupt block-compressed payload: rawLen $rawLen")
+      var produced = 0
+      while (produced < rawLen) {
+        val compLen = in.getInt
+        require(compLen >= 0 && compLen <= in.remaining(),
+          s"corrupt block-compressed payload: compLen $compLen")
+        val chunk = new Array[Byte](compLen)
+        in.get(chunk)
+        val raw = one(chunk, rawLen - produced)
+        baos.write(raw)
+        produced += raw.length
+      }
+      require(produced == rawLen,
+        s"block-compressed chunk inflated to $produced bytes, expected $rawLen")
+    }
+    baos.toByteArray
+  }
+
+  private[sources] def compress(codec: Int, payload: Array[Byte]): Array[Byte] =
+    codec match {
+      case CodecNone => payload
+      case CodecGz => gzip(payload)
+      case CodecSnappy =>
+        blockFramed(payload, org.xerial.snappy.Snappy.compress)
+      case CodecLz4 =>
+        val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        blockFramed(payload, c.compress)
+      case CodecZstd =>
+        com.github.luben.zstd.Zstd.compress(payload, 3)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported compression codec $other")
+    }
+
+  private[sources] def decompress(codec: Int, raw: Array[Byte],
+                                  uncompressedSize: Int): Array[Byte] = {
+    val payload = codec match {
+      case CodecNone => raw
+      case CodecGz => gunzip(raw)
+      case CodecSnappy =>
+        blockUnframed(raw, (chunk, _) => org.xerial.snappy.Snappy.uncompress(chunk))
+      case CodecLz4 =>
+        val d = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        blockUnframed(raw, (chunk, maxLen) => d.decompress(chunk, maxLen))
+      case CodecZstd =>
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      case other =>
+        throw new IllegalStateException(s"unsupported compression codec $other")
+    }
+    require(payload.length == uncompressedSize,
+      s"decompressed size ${payload.length} != header uncompressed size " +
+        s"$uncompressedSize")
+    payload
   }
   val KeyTypePut: Byte = 4
   val KeyTypeDelete: Byte = 8
@@ -349,8 +463,13 @@ class HFileWriter(out: OutputStream,
                   bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
                   indexBlockEntries: Int = HFile.DefaultIndexBlockEntries) {
   import HFile._
-  require(codec == CodecNone || codec == CodecGz,
-    s"unsupported codec id $codec (supported: $CodecNone=NONE, $CodecGz=GZ)")
+  require(SupportedCodecs.contains(codec),
+    s"unsupported codec id $codec (supported: $CodecNone=NONE, $CodecGz=GZ, " +
+      s"$CodecSnappy=SNAPPY, $CodecLz4=LZ4, $CodecZstd=ZSTD)")
+  // grouped(1) would never shrink the root entry list — finish() would
+  // loop writing index blocks forever
+  require(indexBlockEntries >= 2,
+    s"indexBlockEntries must be >= 2, got $indexBlockEntries")
 
   private val cellBuf = new ByteArrayOutputStream(blockSize + 8192)
   private val cellOut = new DataOutputStream(cellBuf)
@@ -544,7 +663,7 @@ class HFileWriter(out: OutputStream,
     * v2+ layout. Returns on-disk size incl. header and checksums.
     */
   private def writeBlock(magic: Array[Byte], payload: Array[Byte]): Int = {
-    val onDiskPayload = if (codec == CodecGz) gzip(payload) else payload
+    val onDiskPayload = compress(codec, payload)
     val nChunks = (HeaderSize + onDiskPayload.length + BytesPerChecksum - 1) /
       BytesPerChecksum
     val checksumLen = 4 * nChunks

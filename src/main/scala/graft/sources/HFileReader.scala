@@ -133,17 +133,7 @@ object HFileReader {
       p += n
     }
     val raw = java.util.Arrays.copyOfRange(payloadAndChecks, 0, payloadLen)
-    val payload = codec match {
-      case CodecNone => raw
-      case CodecGz =>
-        val inflated = HFile.gunzip(raw)
-        require(inflated.length == uncompressedSize,
-          s"decompressed size ${inflated.length} != header uncompressed size " +
-            s"$uncompressedSize at $pos")
-        inflated
-      case other =>
-        throw new IllegalStateException(s"unsupported compression codec $other")
-    }
+    val payload = HFile.decompress(codec, raw, uncompressedSize)
     Block(pos, magic, payload, HeaderSize + onDiskSizeWithoutHeader)
   }
 

@@ -58,4 +58,31 @@ class BytesCodecSpec extends AnyFunSuite {
       assert(Integer.signum(cmp) == java.lang.Long.compare(a, b).sign)
     }
   }
+
+  test("prefixSuccessor: carry through trailing 0xFF, None on all-0xFF, " +
+      "and tight bound semantics") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // simple: increment last byte
+    assert(BytesCodec.prefixSuccessor(b(0x00, 0x07)).get.sameElements(b(0x00, 0x08)))
+    // trailing 0xFF: carry drops it and increments the previous byte —
+    // the case a naive bump gets wrong (wraps to 0x00, empty range)
+    assert(BytesCodec.prefixSuccessor(b(0x00, 0xFF)).get.sameElements(b(0x01)))
+    assert(BytesCodec.prefixSuccessor(b(0x3A, 0xFF, 0xFF)).get.sameElements(b(0x3B)))
+    // all 0xFF: no finite exclusive bound exists
+    assert(BytesCodec.prefixSuccessor(b(0xFF, 0xFF)).isEmpty)
+    assert(BytesCodec.prefixSuccessor(Array.emptyByteArray).isEmpty)
+    // property: for random prefixes, successor > any key extending the
+    // prefix, and successor is <= any key that sorts after all of them
+    (1 to 300).foreach { _ =>
+      val p = Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(256).toByte)
+      BytesCodec.prefixSuccessor(p).foreach { next =>
+        assert(java.util.Arrays.compareUnsigned(p, next) < 0)
+        val extended = p ++ Array.fill(rnd.nextInt(4))(0xFF.toByte)
+        assert(java.util.Arrays.compareUnsigned(extended, next) < 0)
+        // next itself does not start with p (the bound is tight)
+        assert(!(next.length >= p.length &&
+          java.util.Arrays.equals(next.take(p.length), p)))
+      }
+    }
+  }
 }

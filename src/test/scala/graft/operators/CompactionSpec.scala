@@ -148,14 +148,15 @@ class CompactionSpec extends SparkSpec {
     val all = puts.unionByName(markers)
     val prepared = BulkLoad.prepare(all, buckets = 4, numPartitions = 4,
       saltBase = Some(graft.functions.hb.encode(col("user_id"))))
-    // gz on both sides: compact must read a compressed dir and write one
+    // snappy on both sides (the reference's hfile.compression): compact
+    // must read a compressed dir and write one
     val in = Files.createTempDirectory("compact_in").toString
     BulkLoad.writeHFiles(prepared, in, tsCol = Some("ms"),
-      typeCol = Some("key_type"), blockSize = 2048, compression = "gz")
+      typeCol = Some("key_type"), blockSize = 2048, compression = "snappy")
 
     val out = Files.createTempDirectory("compact_out").toString
     Compaction.compact(spark, in, out, versions = 1, numPartitions = 4,
-      compression = "gz")
+      compression = "snappy")
 
     // readHFiles re-validates structure + ordering on every block
     val back = BulkLoad.readHFiles(spark, out)

@@ -181,21 +181,24 @@ class HFileSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-hfile").load(dir).count() == src.count())
   }
 
-  test("DSv2 write: gz compression option round-trips") {
+  test("DSv2 write: gz/snappy compression options round-trip") {
     val src = spark.read.format("graft-hfile").load(out).drop("file")
-    val dir = Files.createTempDirectory("hfile_dsv2_gz").toString
-    src.write.format("graft-hfile").mode("overwrite")
-      .option("compression", "gz").option("blockSize", "1024").save(dir)
-    val back = spark.read.format("graft-hfile").load(dir)
-    assert(back.count() == src.count())
-    // the written files really carry codec GZ in the trailer (skip the
-    // local-FS .crc sidecars)
-    val f = new java.io.File(dir).listFiles
-      .filter(_.getName.startsWith("bucket=")).head.listFiles
-      .filter(_.getName.endsWith(".hfile")).head
-    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-    val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
-    assert(t.compressionCodec == HFile.CodecGz)
+    for ((name, id) <- Seq("gz" -> HFile.CodecGz,
+                           "snappy" -> HFile.CodecSnappy)) {
+      val dir = Files.createTempDirectory(s"hfile_dsv2_$name").toString
+      src.write.format("graft-hfile").mode("overwrite")
+        .option("compression", name).option("blockSize", "1024").save(dir)
+      val back = spark.read.format("graft-hfile").load(dir)
+      assert(back.count() == src.count(), name)
+      // the written files really carry the codec ordinal in the trailer
+      // (skip the local-FS .crc sidecars)
+      val f = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("bucket=")).head.listFiles
+        .filter(_.getName.endsWith(".hfile")).head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
+      assert(t.compressionCodec == id, name)
+    }
   }
 
   test("DSv2 write: unknown and mistyped columns are rejected loudly") {

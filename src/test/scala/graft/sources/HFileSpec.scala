@@ -207,6 +207,48 @@ class HFileSpec extends SparkSpec {
       new HFileReader.BytesRead(bytes), "row00000".getBytes).isEmpty)
   }
 
+  test("snappy/lz4/zstd compression: round-trip, real shrink, trailer " +
+      "carries the HBase codec ordinal (3/4/6)") {
+    val plain = writeToBytes(manyCells)
+    for ((name, id) <- Seq("snappy" -> CodecSnappy, "lz4" -> CodecLz4,
+                           "zstd" -> CodecZstd)) {
+      assert(HFile.codecOf(name) == id)
+      val baos = new ByteArrayOutputStream()
+      val w = new HFileWriter(baos, 256, id)
+      manyCells.foreach(w.append)
+      w.finish()
+      val bytes = baos.toByteArray
+      assert(bytes.length < plain.length, name)
+      val t = HFileReader.readTrailer(new HFileReader.BytesRead(bytes))
+      assert(t.compressionCodec == id, name)
+      val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+      assert(back.size == manyCells.size, name)
+      back.zip(manyCells).foreach { case (a, b) =>
+        assert(a.rowkey.sameElements(b.rowkey) &&
+          a.qualifier.sameElements(b.qualifier) &&
+          a.ts == b.ts && a.value.sameElements(b.value), name)
+      }
+      val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+      assert(stats.nCells == 500 && stats.nDataBlocks > 1, name)
+      val range = HFileReader.rowkeyRange(new HFileReader.BytesRead(bytes))
+      assert(range.exists { case (lo, hi) =>
+        lo.sameElements("row00000".getBytes) &&
+          hi.sameElements("row00499".getBytes)
+      }, name)
+    }
+  }
+
+  test("writer rejects indexBlockEntries < 2 (grouped(1) would never " +
+      "converge) and unknown codec ids") {
+    intercept[IllegalArgumentException] {
+      new HFileWriter(new ByteArrayOutputStream(), 256,
+        indexBlockEntries = 1)
+    }
+    intercept[IllegalArgumentException] {
+      new HFileWriter(new ByteArrayOutputStream(), 256, codec = 0) // LZO
+    }
+  }
+
   test("bloom: probe works through gz-compressed blocks") {
     val baos = new ByteArrayOutputStream()
     val w = new HFileWriter(baos, 4096, CodecGz, bloomChunkKeys = 64)
@@ -318,8 +360,9 @@ class HFileSpec extends SparkSpec {
   test("property: random cells round-trip under every feature combination " +
       "(codec x bloom x index fanout), with seek scan and multiGet parity") {
     val rnd = new scala.util.Random(11)
-    (0 until 6).foreach { trial =>
-      val codec = if (trial % 2 == 0) CodecNone else CodecGz
+    (0 until 10).foreach { trial =>
+      val codec = Seq(CodecNone, CodecGz, CodecSnappy, CodecLz4,
+        CodecZstd)(trial % 5)
       val blockSize = 256 + rnd.nextInt(1024)
       val bloomKeys = Seq(0, 16, 64)(trial % 3)
       val fanout = Seq(3, 4, 1000)((trial / 2) % 3)
