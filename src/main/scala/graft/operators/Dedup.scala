@@ -226,6 +226,27 @@ object Dedup {
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH blocking,
     * verified by exact cosine ≥ `threshold`. `bands` independent bucket
     * tables of `planesPerBand` bits each.
+    *
+    * The vector (dim doubles) rides through the banding shuffle inside
+    * the collect_list — the SimHash-signature trick one operator up —
+    * and [[graft.functions.vec.bucketNearDupPairs]] verifies every
+    * in-bucket pair in one fused O(k²·d) kernel call per bucket, so
+    * only pairs that already cleared the cosine gate ever materialize
+    * as rows and the `distinct` sees just those. Join-free, no pair
+    * structs carrying vectors: the old shape (explode all pair structs,
+    * distinct 37M ids, two shuffle joins back to the vectors) went 104×
+    * super-linear at 10× the corpus; this one is ~3×.
+    *
+    * Scale note: candidate volume itself is governed by (bands,
+    * planesPerBand) — for a random pair a 6-plane band collides at
+    * 2⁻⁶, so pairs grow ~N²/2⁶ once N ≫ 2^planesPerBand. That is
+    * inherent to hyperplane LSH at a threshold as weak as cosine 0.4
+    * (barely above orthogonal; holding recall while adding planes needs
+    * bands ~ N^0.67 — no sub-quadratic blocking exists down there). At
+    * real corpus scale, callers raise `planesPerBand` ~ log₂N and
+    * `bands` to the recall they're paying for, and `maxBucket` hard-caps
+    * the per-bucket work; the defaults are tuned to the synthetic
+    * corpus + its DuckDB plane-replay oracle.
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double = 0.4,
@@ -234,25 +255,23 @@ object Dedup {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val withVec = emb.select(col(idCol), vd.as("v"))
     val all = hyperplanes(bands * planesPerBand, dim, seed)
-    val cand = withVec
-      .select(col(idCol),
+    withVec
+      .select(col(idCol), col("v"),
         posexplode(graft.functions.vec.hyperplaneBuckets(col("v"), all,
           planesPerBand)).as(Seq("band", "bkey")))
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      // the kernel sorts members by id, so pair orientation (a < b) and
+      // cosine argument order match the old sort_array + pairsOf shape
+      .agg(collect_list(struct(col(idCol).as("id"), col("v"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(
+        graft.functions.vec.bucketNearDupPairs(col("members"), threshold))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
+      // cosine is a deterministic function of (a, b), so distinct over
+      // the triple dedups multi-band collisions exactly like the old
+      // pair-level distinct did
       .distinct()
-    // measured: two id-joins against the candidate pair set beat the
-    // MinHash-style exploded joinPayload here (2.8s vs 1.1s at sf0.1) —
-    // the candidate set is tiny and broadcastable, while joinPayload's
-    // groupBy would shuffle the wide vector payload through an aggregate
-    cand
-      .join(withVec.select(col(idCol).as("a"), col("v").as("va")), "a")
-      .join(withVec.select(col(idCol).as("b"), col("v").as("vb")), "b")
-      .withColumn("cosine", Knn.cosineD(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
   }
 }
