@@ -261,8 +261,14 @@ object Dedup {
           planesPerBand)).as(Seq("band", "bkey")))
       .groupBy(col("band"), col("bkey"))
       // the kernel sorts members by id, so pair orientation (a < b) and
-      // cosine argument order match the old sort_array + pairsOf shape
-      .agg(collect_list(struct(col(idCol).as("id"), col("v"))).as("members"))
+      // cosine argument order match the old sort_array + pairsOf shape.
+      // CappedCollectList bounds the aggregation buffer at maxBucket+1
+      // vectors even for a degenerate hot bucket: an over-cap bucket
+      // surfaces with exactly maxBucket+1 members, so the size filter
+      // below drops precisely the same buckets an uncapped collect
+      // would — without ever materializing the hot bucket's vectors.
+      .agg(graft.functions.CappedCollectList(
+        struct(col(idCol).as("id"), col("v")), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
       .select(explode(
         graft.functions.vec.bucketNearDupPairs(col("members"), threshold))

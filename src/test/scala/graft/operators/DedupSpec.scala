@@ -77,6 +77,43 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
   }
 
+  test("capped collect: buffer never exceeds cap+1, under-cap groups complete") {
+    // groups: key 0 -> 3 rows (under cap), key 1 -> 12 rows (over cap=5)
+    val df = ((0 until 3).map(i => (0, i)) ++ (0 until 12).map(i => (1, i)))
+      .toDF("k", "x").repartition(8) // spread over partitions so merge paths run
+    val out = df.groupBy($"k")
+      .agg(graft.functions.CappedCollectList($"x", 5).as("xs"))
+      .select($"k", size($"xs").as("n"))
+      .as[(Int, Int)].collect().toMap
+    assert(out(0) == 3)    // under cap: collected in full
+    assert(out(1) == 6)    // over cap: surfaces as exactly cap+1, never 12
+    // update-path cap: single partition, one group, 100 rows, cap 5
+    val one = (0 until 100).map(i => (0, i)).toDF("k", "x").coalesce(1)
+      .groupBy($"k")
+      .agg(size(graft.functions.CappedCollectList($"x", 5)).as("n"))
+      .as[(Int, Int)].collect().head
+    assert(one._2 == 6)
+  }
+
+  test("degenerate hot bucket is dropped via cap without collecting it") {
+    // 60 identical vectors -> one bucket in EVERY band, size 60 >> maxBucket
+    val hot = (0L until 60L).map(i => (i, Array.fill(64)(1.0f)))
+    // plus one near-dup pair far from the hot cluster
+    val v = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val v2 = v.clone(); v2(0) = 0.9f
+    val emb = (hot ++ Seq((100L, v), (101L, v2)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, maxBucket = 10)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 101L)),
+      s"hot bucket must be dropped, distinct pair kept: $out")
+    // same query, cap above the hot bucket: all 60*59/2 hot pairs + 1
+    val full = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, maxBucket = 2000).count()
+    assert(full == 60L * 59L / 2L + 1L)
+  }
+
   test("embedding near-dup recall >= 0.5 vs brute-force truth") {
     val emb = sf("embeddings")
     val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
