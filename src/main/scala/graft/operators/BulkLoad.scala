@@ -139,7 +139,13 @@ object BulkLoad {
         col("qualifier"), col("ts").desc, col("key_type").desc)
 
     try {
-      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      import spark.implicits._
+      // one stat tuple per committed file — the input to the `_manifest`
+      // sidecar, recorded here where the writer already knows it all
+      // (re-reading 100k trailers at plan time is what the sidecar kills)
+      val stats = rows.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Long, Long, String, String)]
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
           val fs = new org.apache.hadoop.fs.Path(path)
@@ -162,6 +168,10 @@ object BulkLoad {
                 throw new java.io.IOException(s"could not commit $dest")
               fs.delete(tmp, false)
             }
+            acc += ((graft.sources.HFileManifest.relOf(dest), bucket,
+              writer.bytesWritten, writer.cellCount,
+              graft.sources.HFileManifest.toHex(writer.firstRowkey),
+              graft.sources.HFileManifest.toHex(writer.lastRowkey)))
             writer = null
           }
           def roll(b: Int): Unit = {
@@ -193,7 +203,13 @@ object BulkLoad {
           }
           commitCurrent()
         }
+        acc.iterator
       }
+        // one row per FILE, not per cell — driver-scale at any data size
+        .collect()
+        .map(t => graft.sources.HFileManifest.Entry(t._1, t._2, t._3, t._4,
+          t._5, t._6))
+      graft.sources.HFileManifest.write(fsRoot, root, stats.toSeq)
     } finally {
       // always clear temp files — a failed job must not leave attempt
       // files for readHFiles to trip over (its glob also excludes them)
@@ -281,27 +297,39 @@ object BulkLoad {
     val root = new org.apache.hadoop.fs.Path(path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hconf)
-    val files = Option(
+    val listing = Option(
         fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
-      .map(_.getPath.toString)
+    val files = listing.map(_.getPath.toString)
     require(files.nonEmpty, s"no HFiles found under $path")
     val confMap = broadcastHadoopConf(spark)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.length))
-    val fileRanges = try {
-      files.map { f =>
-        pool.submit(
-          new java.util.concurrent.Callable[Option[(String, Int, Array[Byte], Array[Byte])]] {
-            def call(): Option[(String, Int, Array[Byte], Array[Byte])] = {
-              val rr = openRead(f, hconf)
-              try HFileReader.rowkeyRange(rr).map { case (lo, hi) =>
-                (f, graft.sources.HFileSource.bucketOf(f), lo, hi)
-              } finally rr.close()
-            }
-          })
-      }.flatMap(_.get()).toSeq
-    } finally pool.shutdown()
+    // key ranges from the `_manifest` sidecar when it matches the
+    // listing; pooled per-file short reads only when it doesn't
+    val fileRanges = graft.sources.HFileManifest
+      .readValid(fs, root, listing.toSeq)
+      .map { entries =>
+        files.toSeq.zip(entries).collect {
+          case (f, e) if e.minHex.nonEmpty =>
+            (f, e.bucket, e.minKey, e.maxKey)
+        }
+      }
+      .getOrElse {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.length))
+        try {
+          files.map { f =>
+            pool.submit(
+              new java.util.concurrent.Callable[Option[(String, Int, Array[Byte], Array[Byte])]] {
+                def call(): Option[(String, Int, Array[Byte], Array[Byte])] = {
+                  val rr = openRead(f, hconf)
+                  try HFileReader.rowkeyRange(rr).map { case (lo, hi) =>
+                    (f, graft.sources.HFileSource.bucketOf(f), lo, hi)
+                  } finally rr.close()
+                }
+              })
+          }.flatMap(_.get()).toSeq
+        } finally pool.shutdown()
+      }
     // key → covering files in O(log F + matches), not O(F): ranges sorted
     // by first key, with a prefix running-max of last keys so the left
     // walk stops as soon as no earlier run can still reach the key
@@ -412,9 +440,28 @@ object BulkLoad {
     * corrupt originals being recovered) are overwritten in place. A
     * corrupt BACKUP file fails the job loudly before any byte is copied
     * from it — restoring bad bytes is worse than not restoring.
+    *
+    * Overwrite semantics are same-name-only, deliberately blunt: a file
+    * present under `dir` but absent from the backup (e.g. written after
+    * the backup was taken — possibly itself corrupt) is left untouched,
+    * and a `dir` file NEWER than its backup counterpart is rolled back
+    * without warning. Restore recovers the backed-up state of the names
+    * the backup knows; run [[repair]] afterwards if unbackuped files may
+    * also be damaged.
+    *
+    * The destination's `_manifest` sidecar is dropped: restore rewrites
+    * file contents under unchanged names, the one mutation the sidecar's
+    * (path, bytes) freshness check cannot detect. The next planner read
+    * falls back to pooled trailer reads, and the next bulk write rebuilds
+    * the sidecar.
     */
-  def restore(spark: SparkSession, backupDir: String, dir: String): DataFrame =
-    backup(spark, backupDir, dir)
+  def restore(spark: SparkSession, backupDir: String, dir: String): DataFrame = {
+    val report = backup(spark, backupDir, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    graft.sources.HFileManifest.delete(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    report
+  }
 
   /** Distributed integrity repair sweep (HbaseRepairRunner.java:41
     * re-scoped to file integrity): every file gets the full structural
@@ -493,30 +540,41 @@ object BulkLoad {
     val root = new org.apache.hadoop.fs.Path(path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hconf)
-    val files = Option(
+    val listing = Option(
         fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
-      .map(_.getPath.toString)
+    val files = listing.map(_.getPath.toString)
     require(files.nonEmpty, s"no HFiles found under $path")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.length))
-    val rows = try {
-      files.toSeq.map { f =>
-        pool.submit(new java.util.concurrent.Callable[(Int, String, Long, String, String)] {
-          def call(): (Int, String, Long, String, String) = {
-            val rr = openRead(f, hconf)
-            try {
-              val n = HFileReader.readTrailer(rr).entryCount
-              val (lo, hi) = HFileReader.rowkeyRange(rr)
-                .map { case (a, b) =>
-                  (a.map(x => f"$x%02X").mkString, b.map(x => f"$x%02X").mkString)
-                }.getOrElse(("", ""))
-              (graft.sources.HFileSource.bucketOf(f), f, n, lo, hi)
-            } finally rr.close()
-          }
-        })
-      }.map(_.get())
-    } finally pool.shutdown()
+    // the `_manifest` sidecar IS this manifest — read it when it matches
+    // the listing, fall back to pooled trailer reads when it doesn't
+    val rows = graft.sources.HFileManifest
+      .readValid(fs, root, listing.toSeq)
+      .map { entries =>
+        files.toSeq.zip(entries).map { case (f, e) =>
+          (e.bucket, f, e.entryCount, e.minHex, e.maxHex)
+        }
+      }
+      .getOrElse {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.length))
+        try {
+          files.toSeq.map { f =>
+            pool.submit(new java.util.concurrent.Callable[(Int, String, Long, String, String)] {
+              def call(): (Int, String, Long, String, String) = {
+                val rr = openRead(f, hconf)
+                try {
+                  val n = HFileReader.readTrailer(rr).entryCount
+                  val (lo, hi) = HFileReader.rowkeyRange(rr)
+                    .map { case (a, b) =>
+                      (a.map(x => f"$x%02X").mkString, b.map(x => f"$x%02X").mkString)
+                    }.getOrElse(("", ""))
+                  (graft.sources.HFileSource.bucketOf(f), f, n, lo, hi)
+                } finally rr.close()
+              }
+            })
+          }.map(_.get())
+        } finally pool.shutdown()
+      }
     rows.toDF("bucket", "file", "n_cells", "min_key_hex", "max_key_hex")
   }
 

@@ -500,6 +500,7 @@ class HFileWriter(out: OutputStream,
   private var totalUncompressedBytes = 0L
   private var firstDataBlockOffset = -1L
   private var lastDataBlockOffset = -1L
+  private var firstCellRow: Array[Byte] = null
   private var finished = false
 
   /** On-disk bytes emitted so far (block-aligned; the buffered partial
@@ -515,6 +516,18 @@ class HFileWriter(out: OutputStream,
     */
   def lastRowkey: Array[Byte] = if (lastCell == null) null else lastCell.rowkey
 
+  /** The first appended cell's rowkey, null before the first append.
+    * With [[lastRowkey]] and [[cellCount]] this lets a writer's owner
+    * record the file's manifest entry at commit without re-reading the
+    * file it just wrote.
+    */
+  def firstRowkey: Array[Byte] = firstCellRow
+
+  /** Cells appended so far (equals the trailer's entry_count after
+    * [[finish]]).
+    */
+  def cellCount: Long = entryCount
+
   def append(cell: HCell): Unit = {
     require(!finished, "writer already finished")
     // the serialized key stores rowLen as i16 and famLen as u8 — longer
@@ -528,6 +541,7 @@ class HFileWriter(out: OutputStream,
       s"cells must be strictly increasing; got ${hexKey(cell)} after ${hexKey(lastCell)}")
     if (cellBuf.size() >= blockSize) flushDataBlock()
     if (blockFirstCell == null) blockFirstCell = cell
+    if (firstCellRow == null) firstCellRow = cell.rowkey
     if (bloomChunkKeys > 0 &&
         (lastBloomRow == null || !java.util.Arrays.equals(lastBloomRow, cell.rowkey))) {
       if (bloom == null) {

@@ -267,9 +267,9 @@ class HFileStatsScan(path: String, pushed: Array[Filter], byBucket: Boolean,
     val conf = confOf(confMap)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
+    val listing = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
-      .map(_.getPath.toString)
+    val files = listing.map(_.getPath.toString)
     // same path semantics as the row scan: empty-but-existing dir is an
     // empty aggregate input, a missing path is an error
     if (files.isEmpty)
@@ -284,26 +284,38 @@ class HFileStatsScan(path: String, pushed: Array[Filter], byBucket: Boolean,
         }
       }
     val needRange = funcs.exists(f => f == "min" || f == "max")
-    // (bucket, entryCount, range) per file
+    // (bucket, entryCount, range) per file — free when the `_manifest`
+    // sidecar matches the listing, 2-3 pooled short reads per file when not
+    val fromManifest: Option[Seq[(Int, Long, Option[(Array[Byte], Array[Byte])])]] =
+      HFileManifest.readValid(fs, root, listing.toSeq).map { entries =>
+        val survivingSet = surviving.map(_._1).toSet
+        listing.map(_.getPath.toString).zip(entries).collect {
+          case (f, e) if survivingSet.contains(f) =>
+            (e.bucket, e.entryCount,
+              if (e.minHex.isEmpty) None else Some((e.minKey, e.maxKey)))
+        }.toSeq
+      }
     val stats: Seq[(Int, Long, Option[(Array[Byte], Array[Byte])])] =
-      if (surviving.isEmpty) Nil
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, surviving.length))
-        try surviving.toSeq.map { case (f, b) =>
-          pool.submit(
-            new java.util.concurrent.Callable[(Int, Long, Option[(Array[Byte], Array[Byte])])] {
-              def call() = {
-                val r = openRandomRead(f, conf)
-                try {
-                  val n = HFileReader.readTrailer(r).entryCount
-                  val range = if (needRange) HFileReader.rowkeyRange(r) else None
-                  (b, n, range)
-                } finally r.close()
-              }
-            })
-        }.map(_.get())
-        finally pool.shutdown()
+      fromManifest.getOrElse {
+        if (surviving.isEmpty) Nil
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, surviving.length))
+          try surviving.toSeq.map { case (f, b) =>
+            pool.submit(
+              new java.util.concurrent.Callable[(Int, Long, Option[(Array[Byte], Array[Byte])])] {
+                def call() = {
+                  val r = openRandomRead(f, conf)
+                  try {
+                    val n = HFileReader.readTrailer(r).entryCount
+                    val range = if (needRange) HFileReader.rowkeyRange(r) else None
+                    (b, n, range)
+                  } finally r.close()
+                }
+              })
+          }.map(_.get())
+          finally pool.shutdown()
+        }
       }
     def cmp(a: Array[Byte], b: Array[Byte]) =
       java.util.Arrays.compareUnsigned(a, b)
@@ -371,9 +383,9 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
     val conf = confOf(confMap)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
+    val listing = Option(fs.globStatus(new Path(root, "bucket=*/*.hfile")))
       .getOrElse(Array.empty)
-      .map(_.getPath.toString)
+    val files = listing.map(_.getPath.toString)
     if (files.isEmpty) {
       // an existing-but-empty directory is a valid empty scan (count() = 0,
       // like every other Spark source); only a missing path is an error
@@ -390,36 +402,72 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
     val survivors =
       if (rowkeyFilters.isEmpty) bucketSurvivors
       else {
-        // range pruning needs 3 short reads (trailer / first index key /
-        // LASTKEY) per file; at 100k files serial driver IO would gate the
-        // whole job, so fan the reads over a bounded pool (the parquet
-        // parallel-footer-read analogue)
         val eqKeys = rowkeyFilters.collect {
           case EqualTo("rowkey", v: Array[Byte]) => v
         }
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, bucketSurvivors.length).max(1))
-        try {
-          bucketSurvivors.map { case (f, b) =>
-            pool.submit(new java.util.concurrent.Callable[Option[(String, Int)]] {
-              def call(): Option[(String, Int)] = {
-                val r = openRandomRead(f, conf)
-                try {
-                  val range = HFileReader.rowkeyRange(r)
-                  val rangeOk = rowkeyFilters.forall(mayMatch(b, range, _))
-                  // point-GETs additionally consult the row bloom — files
-                  // whose key range covers the key but don't contain it
-                  // are dropped here, not in a task
-                  val bloomOk = rangeOk && eqKeys.forall(k =>
-                    HFileReader.rowkeyMayContain(r, k).getOrElse(true))
-                  if (bloomOk) Some((f, b)) else None
-                } finally r.close()
-              }
-            })
-          }.flatMap(_.get())
-        } finally pool.shutdown()
+        // key ranges come free from the `_manifest` sidecar when it
+        // matches the listing; only its absence costs 3 short reads
+        // (trailer / first index key / LASTKEY) per file
+        val manifestRanges: Option[Map[String, Option[(Array[Byte], Array[Byte])]]] =
+          HFileManifest.readValid(fs, root, listing.toSeq).map { entries =>
+            listing.map(_.getPath.toString).zip(entries.map { e =>
+              if (e.minHex.isEmpty) None else Some((e.minKey, e.maxKey))
+            }).toMap
+          }
+        manifestRanges match {
+          case Some(ranges) =>
+            val rangeSurvivors = bucketSurvivors.filter { case (f, b) =>
+              rowkeyFilters.forall(mayMatch(b, ranges(f), _))
+            }
+            if (eqKeys.isEmpty) rangeSurvivors
+            // point-GETs still consult the row bloom, but only for the
+            // (few) files whose range already covers the key
+            else pooledPrune(rangeSurvivors, conf, rangeChecked = true,
+              rowkeyFilters, eqKeys)
+          case None =>
+            // no (valid) sidecar: range pruning needs per-file short reads;
+            // at 100k files serial driver IO would gate the whole job, so
+            // fan them over a bounded pool (the parquet parallel-footer
+            // analogue)
+            pooledPrune(bucketSurvivors, conf, rangeChecked = false,
+              rowkeyFilters, eqKeys)
+        }
       }
     survivors.map { case (f, b) => HFileInputPartition(f, b): InputPartition }
+  }
+
+  /** Per-file short-read pruning over a bounded pool: key-range checks
+    * (unless the caller already did them from the sidecar) plus the row
+    * bloom for point-GET keys.
+    */
+  private def pooledPrune(candidates: Array[(String, Int)],
+                          conf: Configuration, rangeChecked: Boolean,
+                          rowkeyFilters: Array[Filter],
+                          eqKeys: Array[Array[Byte]]): Array[(String, Int)] = {
+    if (candidates.isEmpty) return candidates
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, candidates.length))
+    try {
+      candidates.map { case (f, b) =>
+        pool.submit(new java.util.concurrent.Callable[Option[(String, Int)]] {
+          def call(): Option[(String, Int)] = {
+            val r = openRandomRead(f, conf)
+            try {
+              val rangeOk = rangeChecked || {
+                val range = HFileReader.rowkeyRange(r)
+                rowkeyFilters.forall(mayMatch(b, range, _))
+              }
+              // point-GETs additionally consult the row bloom — files
+              // whose key range covers the key but don't contain it
+              // are dropped here, not in a task
+              val bloomOk = rangeOk && eqKeys.forall(k =>
+                HFileReader.rowkeyMayContain(r, k).getOrElse(true))
+              if (bloomOk) Some((f, b)) else None
+            } finally r.close()
+          }
+        })
+      }.flatMap(_.get())
+    } finally pool.shutdown()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -559,7 +607,8 @@ object HFileWriteImpl {
   }
 }
 
-case class HFileCommitMessage(nFiles: Int) extends WriterCommitMessage
+case class HFileCommitMessage(files: Seq[HFileManifest.Entry])
+    extends WriterCommitMessage
 
 class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
                       codec: Int, bloomChunkKeys: Int, maxFileBytes: Long,
@@ -569,8 +618,23 @@ class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
     new HFileDataWriterFactory(path, schema, blockSize, codec, bloomChunkKeys,
       maxFileBytes, confMap, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(HFileSource.confOf(confMap))
+    // `_manifest` sidecar from the tasks' commit messages — appends merge
+    // with the previous sidecar's entries (new names never collide: they
+    // embed this query's id). If the old sidecar was already stale, the
+    // merged one fails readValid and planning falls back — never wrong.
+    val fresh = messages.flatMap {
+      case HFileCommitMessage(entries) => entries
+      case _                           => Nil
+    }
+    val freshNames = fresh.map(_.file).toSet
+    val carried = HFileManifest.read(fs, root).getOrElse(Nil)
+      .filterNot(e => freshNames.contains(e.file))
+    HFileManifest.write(fs, root, (carried ++ fresh).toSeq)
     cleanupTemp()
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     cleanupTemp()
@@ -613,11 +677,16 @@ class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
   private var tmp: Path = null
   private var dest: Path = null
   private val pending = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+  private val stats = scala.collection.mutable.ArrayBuffer[HFileManifest.Entry]()
 
   private def finishCurrent(): Unit = if (writer != null) {
     writer.finish()
     out.close()
     pending += ((tmp, dest))
+    stats += HFileManifest.Entry(HFileManifest.relOf(dest), bucket,
+      writer.bytesWritten, writer.cellCount,
+      HFileManifest.toHex(writer.firstRowkey),
+      HFileManifest.toHex(writer.lastRowkey))
     writer = null
   }
 
@@ -659,7 +728,7 @@ class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
         fs.delete(t, false)
       }
     }
-    HFileCommitMessage(pending.size)
+    HFileCommitMessage(stats.toSeq)
   }
 
   override def abort(): Unit = {

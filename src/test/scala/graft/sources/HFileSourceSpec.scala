@@ -134,6 +134,118 @@ class HFileSourceSpec extends SparkSpec {
     assert(sec < 1.0, f"plan-time pruning took $sec%.2fs for 120 files")
   }
 
+  // --- `_manifest` sidecar ---------------------------------------------
+
+  /** 4 buckets × 10 keys with DISJOINT per-bucket key ranges, so rowkey
+    * range pruning discriminates between files.
+    */
+  private def writeRangedDir(): String = {
+    val dir = Files.createTempDirectory("hfile_manifest").toString
+    val prepared = (0 until 40)
+      .map(i => (i / 10, f"k$i%04d".getBytes("UTF-8"), "f", "q", Array[Byte](1)))
+      .toDF("bucket", "salted_key", "family", "qualifier", "value")
+      .repartition(4, $"bucket")
+    BulkLoad.writeHFiles(prepared, dir)
+    dir
+  }
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listingOf(dir: String) = fsOf(dir).globStatus(
+    new org.apache.hadoop.fs.Path(dir, "bucket=*/*.hfile")).toSeq
+
+  test("writeHFiles commits a _manifest that matches the files exactly") {
+    val dir = writeRangedDir()
+    val entries = HFileManifest.readValid(fsOf(dir),
+      new org.apache.hadoop.fs.Path(dir), listingOf(dir))
+    assert(entries.isDefined, "sidecar must validate against the listing")
+    val es = entries.get
+    assert(es.map(_.entryCount).sum == 40)
+    assert(es.map(_.bucket).toSet == Set(0, 1, 2, 3))
+    // stats in the sidecar equal stats read from the trailers
+    val fromTrailers = BulkLoad.hfileManifest(spark, dir)
+    HFileManifest.delete(fsOf(dir), new org.apache.hadoop.fs.Path(dir))
+    val pooled = BulkLoad.hfileManifest(spark, dir)
+    assert(fromTrailers.collect().toSet == pooled.collect().toSet)
+  }
+
+  test("_manifest: planning and trailer stats need zero per-file reads") {
+    val dir = writeRangedDir()
+    // bucket 0 holds k0000..k0009 — this filter keeps only its file(s)
+    val le = org.apache.spark.sql.sources
+      .LessThanOrEqual("rowkey", "k0005".getBytes("UTF-8"))
+    val withManifest = partitionsIn(dir, le).map(_.file).toSet
+    // pooled ground truth: same filter with the sidecar removed
+    val manifestBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest"))
+    HFileManifest.delete(fsOf(dir), new org.apache.hadoop.fs.Path(dir))
+    val pooledTruth = partitionsIn(dir, le).map(_.file).toSet
+    assert(withManifest == pooledTruth)
+    assert(withManifest.nonEmpty &&
+      withManifest.forall(_.contains("bucket=0")))
+    // restore the sidecar, then zero out every hfile's CONTENT in place
+    // (same length) — any per-file read now sees garbage and throws, so
+    // planning and pushed-down count(*) succeeding proves zero reads
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifest"), manifestBytes)
+    listingOf(dir).foreach { st =>
+      val p = java.nio.file.Paths.get(st.getPath.toUri)
+      java.nio.file.Files.write(p, new Array[Byte](st.getLen.toInt))
+    }
+    assert(partitionsIn(dir, le).map(_.file).toSet == pooledTruth)
+    val n = spark.read.format("graft-hfile").load(dir)
+      .agg(count(lit(1))).as[Long].head()
+    assert(n == 40, "count(*) must answer from the sidecar alone")
+    // a point-GET must consult blooms = per-file reads on garbage -> fails
+    intercept[Exception] {
+      partitionsIn(dir, EqualTo("rowkey", "k0003".getBytes("UTF-8")))
+    }
+  }
+
+  test("stale _manifest falls back to pooled reads, never wrong") {
+    val dir = writeRangedDir()
+    // add a file the sidecar does not know (copy of an existing one)
+    val st = listingOf(dir).head
+    val src = java.nio.file.Paths.get(st.getPath.toUri)
+    java.nio.file.Files.copy(src, src.resolveSibling("part-extra.hfile"))
+    assert(HFileManifest.readValid(fsOf(dir),
+      new org.apache.hadoop.fs.Path(dir), listingOf(dir)).isEmpty)
+    // planning still works (pooled), and sees the new file
+    val all = partitionsIn(dir)
+    assert(all.length == listingOf(dir).size)
+    val le = org.apache.spark.sql.sources
+      .LessThanOrEqual("rowkey", "k0005".getBytes("UTF-8"))
+    assert(partitionsIn(dir, le).nonEmpty)
+  }
+
+  test("DSv2 write commits a _manifest; append keeps it valid") {
+    val dir = Files.createTempDirectory("hfile_dsv2_manifest").toString
+    def rows(ids: Range) = ids
+      .map(i => (i % 2, f"r$i%04d".getBytes("UTF-8"), "f", "q", 0L,
+        Array[Byte](1), 4))
+      .toDF("bucket", "rowkey", "family", "qualifier", "ts", "value",
+        "key_type")
+    rows(0 until 20).write.format("graft-hfile").mode("overwrite").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    assert(HFileManifest.readValid(fsOf(dir), root, listingOf(dir)).isDefined)
+    rows(20 until 30).write.format("graft-hfile").mode("append").save(dir)
+    val merged = HFileManifest.readValid(fsOf(dir), root, listingOf(dir))
+    assert(merged.isDefined, "append must merge, not invalidate")
+    assert(merged.get.map(_.entryCount).sum == 30)
+    assert(spark.read.format("graft-hfile").load(dir).count() == 30)
+  }
+
+  test("restore drops the destination _manifest (content rewritten in place)") {
+    val dir = writeRangedDir()
+    val bak = Files.createTempDirectory("hfile_bak").toString
+    BulkLoad.backup(spark, dir, bak)
+    BulkLoad.restore(spark, bak, dir)
+    assert(!new java.io.File(dir, "_manifest").exists())
+    // next planner read falls back to pooled and still answers
+    assert(spark.read.format("graft-hfile").load(dir).count() == 40)
+  }
+
   test("DSv2 write: write-then-read parity, Spark plans the range sort") {
     val src = spark.read.format("graft-hfile").load(out).drop("file")
     val dir = Files.createTempDirectory("hfile_dsv2_w").toString
