@@ -103,4 +103,57 @@ object Compaction {
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
       blockSize = blockSize, compression = compression)
   }
+
+  /** Major compaction across the `epoch=N` run directories a
+    * [[graft.streaming.Streams.bulkLoadStream]] sink accumulates: N
+    * micro-batches leave N overlapping runs that every reader must
+    * merge; this folds them into ONE set of non-overlapping sorted runs
+    * per bucket under `outDir` (readable by `graft-hfile` / readHFiles,
+    * `_manifest` included).
+    *
+    * Epoch-aware precedence, the HBase sequence-id analogue: when two
+    * epochs wrote the exact same cell coordinate (rowkey, family,
+    * qualifier, ts, type) — the common case for a re-put stream whose
+    * cells all carry ts=0 — the HIGHEST epoch's value is the cell, and
+    * older epochs' same-coordinate cells are discarded before marker
+    * resolution. Across *different* timestamps, plain HBase semantics
+    * apply unchanged via [[applyDeletes]]/[[retainVersions]]: delete
+    * markers mask by timestamp regardless of which epoch wrote them
+    * (HBase masks a same-ts put written after the marker too, until a
+    * major compaction collects the marker — which is what this is).
+    *
+    * The input epochs are left in place; callers swap `outDir` in and
+    * delete the consumed `epoch=*` directories once the compacted run
+    * is live.
+    */
+  def compactEpochs(spark: SparkSession, dir: String, outDir: String,
+                    versions: Int = 1, numPartitions: Int = 32,
+                    blockSize: Int = HFile.DefaultBlockSize,
+                    compression: String = "none"): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
+        st.getPath.toString))
+    require(epochs.nonEmpty, s"no epoch=* run directories under $dir")
+    val cells = epochs.map { case (e, p) =>
+      BulkLoad.readHFiles(spark, p).drop("file").withColumn("_epoch", lit(e))
+    }.reduce(_.unionByName(_))
+    val latest = cells
+      .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"),
+        col("key_type"))
+      // one shuffle resolves epoch precedence; bucket is a function of
+      // the (already-salted) rowkey, so first() is deterministic
+      .agg(max_by(col("value"), col("_epoch")).as("value"),
+        first(col("bucket")).as("bucket"))
+    val kept = retainVersions(applyDeletes(latest), versions)
+    val prepared = kept
+      .select(col("bucket"), col("rowkey").as("salted_key"), col("family"),
+        col("qualifier"), col("ts"), col("value"))
+      .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
+    BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
+      blockSize = blockSize, compression = compression)
+  }
 }

@@ -123,7 +123,10 @@ object Streams {
     * blocks) as the batch [[graft.operators.BulkLoad.writeHFiles]] — a
     * cluster hands each finished epoch to LoadIncrementalHFiles. Epoch
     * subdirectories make replayed micro-batches idempotent: a retried
-    * epoch overwrites its own directory, never a neighbor's.
+    * epoch overwrites its own directory, never a neighbor's. N epochs
+    * leave N overlapping runs; fold them into one with
+    * [[graft.operators.Compaction.compactEpochs]] (latest-epoch
+    * precedence for identical cell coordinates).
     *
     * `cells` needs (rowkey BINARY, family STRING, qualifier STRING,
     * value BINARY) plus optional ts/type columns, like the batch path.

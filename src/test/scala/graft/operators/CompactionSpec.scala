@@ -126,6 +126,50 @@ class CompactionSpec extends SparkSpec {
     assert(BytesCodec.decodeLong(a7) == 700L) // the ts=200 update value
   }
 
+  test("compactEpochs: 3 overlapping epoch runs fold into one, " +
+      "latest epoch wins identical coordinates") {
+    val dir = Files.createTempDirectory("epochs").toString
+    // all cells at ts=0, like a bulkLoadStream sink with tsCol=None —
+    // identical coordinates across epochs resolve by epoch, not value
+    def writeEpoch(e: Int,
+                   rows: Seq[(Array[Byte], String, String, Array[Byte], Int)]): Unit = {
+      val prepared = BulkLoad.prepare(
+        rows.toDF("rowkey", "family", "qualifier", "value", "key_type"),
+        buckets = 2, numPartitions = 2)
+      BulkLoad.writeHFiles(prepared, s"$dir/epoch=$e",
+        typeCol = Some("key_type"))
+    }
+    // epoch 0: A=a0, B=b0   epoch 1: A=zz (re-put), delete B
+    // epoch 2: A=aa (re-put; LEX-SMALLER than zz), C=c2
+    writeEpoch(0, Seq((k(1), "f", "q", "a0".getBytes, P),
+      (k(2), "f", "q", "b0".getBytes, P)))
+    writeEpoch(1, Seq((k(1), "f", "q", "zz".getBytes, P),
+      (k(2), "f", "q", Array.emptyByteArray, D)))
+    writeEpoch(2, Seq((k(1), "f", "q", "aa".getBytes, P),
+      (k(3), "f", "q", "c2".getBytes, P)))
+
+    val out = Files.createTempDirectory("epochs_out").toString
+    Compaction.compactEpochs(spark, dir, out, numPartitions = 2)
+    val back = BulkLoad.readHFiles(spark, out)
+    val got = back
+      .select(hex(col("rowkey")).as("r"), col("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    // salted keys end with the raw key byte; map suffix -> value
+    def byKey(b: Int) = got.collectFirst {
+      case (r, value) if r.endsWith(f"$b%02d") => value
+    }
+    assert(got.size == 2, s"expected A and C only, got $got")
+    assert(byKey(1).contains("aa"),
+      "latest EPOCH must win, not the lexicographically largest value")
+    assert(byKey(2).isEmpty, "B was deleted in epoch 1")
+    assert(byKey(3).contains("c2"))
+    assert(back.filter(col("key_type") =!= P).count() == 0)
+    // the compacted dir is a first-class bulk dir: manifest present and
+    // non-overlapping within each bucket (readHFiles already validates
+    // per-file ordering; manifest validity implies the file set matches)
+    assert(new java.io.File(out, "_manifest").exists())
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
