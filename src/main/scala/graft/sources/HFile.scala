@@ -61,11 +61,16 @@ import scala.collection.mutable.ArrayBuffer
   * libs Spark already ships, framed like Hadoop's BlockCompressorStream
   * so HBase's SnappyCodec/Lz4Codec read them, ZSTD as standard frames
   * like Hadoop's ZStandardCodec), graft-layout bloom bits (see above),
-  * no cell tags and no mvcc ids — legal in v3, whose
-  * readers switch those on only when the file info carries MAX_TAGS_LEN /
-  * KEY_VALUE_VERSION keys (omitted here), so cells keep the classic
-  * KeyValue layout — and a single-level data index (fine until a file's
-  * index outgrows one block — roughly millions of 64 KiB blocks). Those
+  * and a write path that omits cell tags and mvcc ids — legal in v3,
+  * whose readers switch those on only when the file info carries
+  * `hfile.MAX_TAGS_LEN` / `KEY_VALUE_VERSION` keys (omitted here), so
+  * graft cells keep the classic KeyValue layout. The READ side honors
+  * both flags ([[HFileReader.cellLayoutOf]]), so files written by a
+  * live region server — which stamps mvcc ids on every cell and may
+  * attach tags — parse correctly (uncompressed tags only; dictionary-
+  * compressed tags are rejected loudly). Remaining: a single-level
+  * data index (fine until a file's index outgrows one block — roughly
+  * millions of 64 KiB blocks). Those
   * are the knobs to revisit against a live cluster; every structural
   * invariant that CAN be checked without hbase jars is enforced by
   * [[HFile.validate]] and round-trip tested.
@@ -327,10 +332,22 @@ object HFile {
   /** One cell as stored: `rowkey` is the full (salted) binary row key;
     * `keyType` is the KeyValue type byte (Put or a Delete marker —
     * bulk-loadable like HBase's own delete-marker HFiles).
+    *
+    * `tags` and `mvcc` exist for interop with CLUSTER-written v3 files
+    * (a region server stamps every cell with its memstore sequence id,
+    * and may attach tags for TTL/ACL metadata): [[HFileReader]] parses
+    * them when the file-info flags say they are present, so foreign
+    * files scan correctly. graft's own write path omits both (legal in
+    * v3, and the bulk-load use case has no per-cell metadata); the
+    * DataFrame surface does not carry them, so a compaction rewrite of
+    * a cluster file drops tags — like a major compaction collecting
+    * expired metadata, but unconditionally. Documented, not hidden.
     */
   case class HCell(rowkey: Array[Byte], family: Array[Byte],
                    qualifier: Array[Byte], ts: Long, value: Array[Byte],
-                   keyType: Byte = KeyTypePut)
+                   keyType: Byte = KeyTypePut,
+                   tags: Array[Byte] = Array.emptyByteArray,
+                   mvcc: Long = 0L)
 
   /** The serialized cell key (the "key" in KeyValue terms):
     * `rowLen(i16) row famLen(u8) family qualifier ts(i64) type(u8)`.
@@ -457,11 +474,19 @@ object HFile {
   * strictly increasing cell order, then [[finish]]. Memory is O(block
   * size + one index entry per block).
   */
+/** @param withTagsAndMvcc interop-test mode: serialize each cell's
+  *   `tags` (u16 length prefix) and `mvcc` (Hadoop vlong) and declare
+  *   them in the file info (`hfile.MAX_TAGS_LEN`, `KEY_VALUE_VERSION`,
+  *   `MAX_MEMSTORE_TS`) — the layout a region-server-written v3 file
+  *   has. The production bulk path never sets this; it exists so specs
+  *   can synthesize cluster-shaped files for [[HFileReader]].
+  */
 class HFileWriter(out: OutputStream,
                   blockSize: Int = HFile.DefaultBlockSize,
                   codec: Int = HFile.CodecNone,
                   bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
-                  indexBlockEntries: Int = HFile.DefaultIndexBlockEntries) {
+                  indexBlockEntries: Int = HFile.DefaultIndexBlockEntries,
+                  withTagsAndMvcc: Boolean = false) {
   import HFile._
   require(SupportedCodecs.contains(codec),
     s"unsupported codec id $codec (supported: $CodecNone=NONE, $CodecGz=GZ, " +
@@ -501,6 +526,8 @@ class HFileWriter(out: OutputStream,
   private var firstDataBlockOffset = -1L
   private var lastDataBlockOffset = -1L
   private var firstCellRow: Array[Byte] = null
+  private var maxTagsLen = 0
+  private var maxMemstoreTS = 0L
   private var finished = false
 
   /** On-disk bytes emitted so far (block-aligned; the buffered partial
@@ -558,6 +585,15 @@ class HFileWriter(out: OutputStream,
     cellOut.writeInt(cell.value.length)
     cellOut.write(key)
     cellOut.write(cell.value)
+    if (withTagsAndMvcc) {
+      require(cell.tags.length <= Short.MaxValue,
+        s"tags too long: ${cell.tags.length}")
+      cellOut.writeShort(cell.tags.length)
+      cellOut.write(cell.tags)
+      writeHadoopVLong(cellOut, cell.mvcc)
+      maxTagsLen = math.max(maxTagsLen, cell.tags.length)
+      maxMemstoreTS = math.max(maxMemstoreTS, cell.mvcc)
+    }
     totalKeyLen += key.length
     totalValueLen += cell.value.length
     entryCount += 1
@@ -734,13 +770,23 @@ class HFileWriter(out: OutputStream,
     */
   private def fileInfoPayload(): Array[Byte] = {
     def i32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    def i64(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
     val entries = Seq(
       "hfile.LASTKEY" ->
         (if (lastCell == null) Array.emptyByteArray else serializeKey(lastCell)),
       "hfile.AVG_KEY_LEN" ->
         i32(if (entryCount == 0) 0 else (totalKeyLen / entryCount).toInt),
       "hfile.AVG_VALUE_LEN" ->
-        i32(if (entryCount == 0) 0 else (totalValueLen / entryCount).toInt))
+        i32(if (entryCount == 0) 0 else (totalValueLen / entryCount).toInt)) ++
+      // the flags HFileReader keys its per-cell layout on — exactly what
+      // HBase's HFileWriterImpl.finishFileInfo declares (tags length,
+      // tags-uncompressed, KeyValue version WITH memstore ts, max mvcc)
+      (if (withTagsAndMvcc) Seq(
+        "hfile.MAX_TAGS_LEN" -> i32(maxTagsLen),
+        "hfile.TAGS_COMPRESSED" -> Array(0.toByte),
+        "KEY_VALUE_VERSION" -> i32(1),
+        "MAX_MEMSTORE_TS" -> i64(maxMemstoreTS))
+       else Nil)
     val proto = new ByteArrayOutputStream()
     entries.foreach { case (k, v) =>
       val pair = new ByteArrayOutputStream()

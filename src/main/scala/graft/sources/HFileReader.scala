@@ -137,7 +137,40 @@ object HFileReader {
     Block(pos, magic, payload, HeaderSize + onDiskSizeWithoutHeader)
   }
 
-  private def parseCells(payload: Array[Byte]): Iterator[HCell] =
+  /** Per-cell serialization flags a v3 file declares in its file info:
+    * a region-server-written file appends a u16-length-prefixed tags
+    * run (`hfile.MAX_TAGS_LEN` present) and/or a Hadoop-vlong memstore
+    * sequence id (`KEY_VALUE_VERSION` >= 1) after every cell's value.
+    * graft's own files carry neither; honoring the flags is what lets
+    * the reader scan arbitrary cluster files (the reference reads them
+    * through the HBase jars, AbstractTableInputFormat.java).
+    */
+  private[sources] case class CellLayout(tags: Boolean, mvcc: Boolean)
+
+  private[sources] val PlainLayout = CellLayout(tags = false, mvcc = false)
+
+  /** Reads the file-info block and derives the cell layout. One extra
+    * short read per file open — nothing at scan scale. Dictionary-
+    * compressed tags (`hfile.TAGS_COMPRESSED` = true) are rejected
+    * loudly rather than mis-parsed.
+    */
+  private[sources] def cellLayoutOf(r: RandomRead, trailer: Trailer): CellLayout = {
+    if (trailer.entryCount == 0) return PlainLayout
+    val fi = readBlock(r, trailer.fileInfoOffset, AnyPrevOffset,
+      trailer.compressionCodec)
+    require(fi.magic.sameElements(BlockMagicFileInfo), "missing file info")
+    val info = parseFileInfo(fi.payload)
+    val tags = info.contains("hfile.MAX_TAGS_LEN")
+    if (tags) require(!info.get("hfile.TAGS_COMPRESSED").exists(
+      b => b.nonEmpty && b(0) != 0),
+      "dictionary-compressed tags are not supported")
+    val mvcc = info.get("KEY_VALUE_VERSION")
+      .exists(b => b.length >= 4 && ByteBuffer.wrap(b).getInt >= 1)
+    CellLayout(tags, mvcc)
+  }
+
+  private def parseCells(payload: Array[Byte],
+                         layout: CellLayout): Iterator[HCell] =
     new Iterator[HCell] {
       private val buf = ByteBuffer.wrap(payload)
       def hasNext: Boolean = buf.remaining() > 0
@@ -157,7 +190,15 @@ object HFileReader {
           typ == KeyTypeDeleteColumn || typ == KeyTypeDeleteFamily,
           s"unexpected key type $typ")
         val value = new Array[Byte](valueLen); buf.get(value)
-        HCell(rowkey, family, qualifier, ts, value, typ)
+        val tags =
+          if (!layout.tags) Array.emptyByteArray
+          else {
+            val tagsLen = buf.getShort & 0xffff
+            val t = new Array[Byte](tagsLen); buf.get(t)
+            t
+          }
+        val mvcc = if (layout.mvcc) readHadoopVLong(buf) else 0L
+        HCell(rowkey, family, qualifier, ts, value, typ, tags, mvcc)
       }
     }
 
@@ -171,6 +212,7 @@ object HFileReader {
     if (trailer.firstDataBlockOffset < 0 || trailer.entryCount == 0) {
       r.close(); return Iterator.empty
     }
+    val layout = cellLayoutOf(r, trailer)
     var pos = 0L // walk from the first block: a bloom chunk may precede it
     var prev = -1L
     var lastCell: HCell = null
@@ -183,7 +225,7 @@ object HFileReader {
           prev = pos
           pos += b.onDiskSizeWithHeader
           if (b.magic.sameElements(BlockMagicData))
-            current = parseCells(b.payload)
+            current = parseCells(b.payload, layout)
           else require(b.magic.sameElements(BlockMagicBloomChunk) ||
             b.magic.sameElements(BlockMagicMeta) ||
             b.magic.sameElements(BlockMagicLeafIndex) ||
@@ -276,6 +318,7 @@ object HFileReader {
     */
   def validate(r: RandomRead): FileStats = {
     val trailer = readTrailer(r)
+    val layout = cellLayoutOf(r, trailer)
     // walk every block in the scanned section (data + inline bloom
     // chunks + meta blocks)
     var pos = 0L
@@ -291,7 +334,7 @@ object HFileReader {
       if (b.magic.sameElements(BlockMagicData)) {
         var blockFirstKey: Array[Byte] = null
         var last: HCell = null
-        parseCells(b.payload).foreach { c =>
+        parseCells(b.payload, layout).foreach { c =>
           require(last == null || compareCells(last, c) < 0, "cells out of order")
           val keyHex = (c.rowkey ++ c.family ++ c.qualifier).map(x => f"$x%02x").mkString
           if (firstKey.isEmpty) firstKey = keyHex
@@ -545,6 +588,7 @@ object HFileReader {
     val trailer = readTrailer(r)
     if (trailer.entryCount == 0) return Nil
     val codec = trailer.compressionCodec
+    val layout = cellLayoutOf(r, trailer)
     val root = readBlock(r, trailer.loadOnOpenOffset, AnyPrevOffset, codec)
     require(root.magic.sameElements(BlockMagicRootIndex), "missing root index")
     val metaIdx = readBlock(r,
@@ -610,7 +654,7 @@ object HFileReader {
           depth -= 1
         }
         level.toSeq.flatMap { case (off, _, _) =>
-          parseCells(cachedPayload(off, BlockMagicData))
+          parseCells(cachedPayload(off, BlockMagicData), layout)
             .filter(c => cmp(c.rowkey, k) == 0)
         }
       }
@@ -629,11 +673,12 @@ object HFileReader {
     val blocks = dataBlocksInRange(r, lower, upper)
     if (blocks.isEmpty) { r.close(); return Iterator.empty }
     val trailer = readTrailer(r)
+    val layout = cellLayoutOf(r, trailer)
     val it = blocks.iterator.flatMap { case (off, _) =>
       val b = readBlock(r, off, AnyPrevOffset, trailer.compressionCodec)
       require(b.magic.sameElements(BlockMagicData),
         s"index pointed at non-data block at $off")
-      parseCells(b.payload)
+      parseCells(b.payload, layout)
     }.filter { c =>
       lower.forall(l => java.util.Arrays.compareUnsigned(c.rowkey, l) >= 0) &&
         upper.forall(u => java.util.Arrays.compareUnsigned(c.rowkey, u) <= 0)

@@ -42,6 +42,61 @@ class HFileSpec extends SparkSpec {
     }
   }
 
+  test("cluster-shaped files: tags + mvcc ids parse on every read path") {
+    // synthesize what a region server writes: per-cell tags (some empty)
+    // and monotone memstore sequence ids, declared in the file info
+    val cells = (0 until 400).map { i =>
+      cell(f"row$i%05d", "q", ts = 5L, value = s"v$i").copy(
+        tags = if (i % 3 == 0) Array.emptyByteArray
+               else Array.fill(i % 17 + 1)((i % 251).toByte),
+        mvcc = 1000L + i)
+    }
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, blockSize = 256, withTagsAndMvcc = true)
+    cells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    // full scan: cells, tags, and mvcc ids all round-trip
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.size == cells.size)
+    back.zip(cells).foreach { case (a, b) =>
+      assert(a.rowkey.sameElements(b.rowkey) && a.value.sameElements(b.value))
+      assert(a.tags.sameElements(b.tags), "tags must round-trip")
+      assert(a.mvcc == b.mvcc, "mvcc ids must round-trip")
+    }
+    // the structural audit, range scan, point GET and key range all work
+    // on the tags/mvcc-bearing layout
+    assert(HFileReader.validate(
+      new HFileReader.BytesRead(bytes)).nCells == 400)
+    val got = HFileReader.multiGet(new HFileReader.BytesRead(bytes),
+      Seq("row00124".getBytes))
+    assert(got.size == 1 && got.head.mvcc == 1124L &&
+      got.head.tags.length == 124 % 17 + 1)
+    val ranged = HFileReader.scanRange(new HFileReader.BytesRead(bytes),
+      Some("row00100".getBytes), Some("row00110".getBytes)).toSeq
+    assert(ranged.size == 11)
+    assert(HFileReader.rowkeyRange(new HFileReader.BytesRead(bytes))
+      .exists(_._1.sameElements("row00000".getBytes)))
+    // a graft-written (flag-less) file of the same cells is smaller and
+    // still parses with the classic layout — the flags key everything
+    val plain = writeToBytes(cells.map(_.copy(tags = Array.emptyByteArray,
+      mvcc = 0L)))
+    assert(plain.length < bytes.length)
+    assert(HFileReader.scan(new HFileReader.BytesRead(plain))
+      .forall(c => c.tags.isEmpty && c.mvcc == 0L))
+    // dictionary-compressed tags are rejected loudly, not mis-parsed
+    // (flip the TAGS_COMPRESSED byte inside the file info payload)
+    val fiKey = "hfile.TAGS_COMPRESSED".getBytes("UTF-8")
+    val at = (0 until bytes.length - fiKey.length).find(i =>
+      fiKey.indices.forall(j => bytes(i + j) == fiKey(j))).get
+    val evil = bytes.clone()
+    evil(at + fiKey.length + 2) = 1 // value: field tag(1) + len(1) + byte
+    val e = intercept[Exception] {
+      HFileReader.scan(new HFileReader.BytesRead(evil)).toSeq
+    }
+    assert(e.getMessage != null) // either the explicit message or a CRC fail
+  }
+
   test("structure: magics, trailer, index entries all verify") {
     val bytes = writeToBytes(manyCells)
     // first block is a data block
