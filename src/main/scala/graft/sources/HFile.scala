@@ -137,28 +137,38 @@ object HFile {
     try in.readAllBytes() finally in.close()
   }
 
-  /** Raw-chunk size for Hadoop BlockCompressorStream framing. Hadoop
-    * sizes it `bufferSize - overhead`; any value ≤ the reader's buffer
-    * works because each raw chunk carries its own length. 256 KiB matches
-    * the Hadoop snappy/lz4 default buffer and exceeds every block this
-    * writer emits (blockSize + one cell), so real files frame as a single
-    * chunk.
+  /** Raw-chunk size for Hadoop BlockCompressorStream framing, sized the
+    * way Hadoop sizes MAX_INPUT_SIZE: `bufferSize - compressionOverhead`
+    * against the 256 KiB buffer the HBase-side SnappyDecompressor /
+    * Lz4Decompressor allocate, with each codec's own worst-case overhead
+    * formula (snappy `len/6 + 32`, lz4 `len/255 + 16`). This guarantees
+    * one raw chunk's COMPRESSED output also fits the reader's buffer even
+    * for incompressible data — a chunk sized near the full 256 KiB could
+    * exceed it and break the interop read for caller-set blockSize ≳
+    * 218 KiB.
     */
-  private[sources] val BlockCompressChunk = 256 * 1024 - 64
+  private[sources] def blockCompressChunk(codec: Int): Int = {
+    val buf = 256 * 1024
+    codec match {
+      case CodecSnappy => buf - (buf / 6 + 32)
+      case CodecLz4    => buf - (buf / 255 + 16)
+      case _           => buf - 64
+    }
+  }
 
   /** Hadoop BlockCompressorStream framing: per raw chunk, a 4-byte BE
     * uncompressed length, then one compressed chunk as 4-byte BE length +
     * bytes. (Hadoop writes exactly one compressed chunk per raw chunk —
     * its MAX_INPUT_SIZE keeps worst-case output inside one buffer.)
     */
-  private def blockFramed(payload: Array[Byte],
+  private def blockFramed(payload: Array[Byte], chunkSize: Int,
                           one: Array[Byte] => Array[Byte]): Array[Byte] = {
     if (payload.isEmpty) return payload // zero chunks round-trips to zero bytes
     val baos = new ByteArrayOutputStream(payload.length / 2 + 64)
     val out = new DataOutputStream(baos)
     var off = 0
     while (off < payload.length) {
-      val n = math.min(BlockCompressChunk, payload.length - off)
+      val n = math.min(chunkSize, payload.length - off)
       val comp = one(java.util.Arrays.copyOfRange(payload, off, off + n))
       out.writeInt(n)
       out.writeInt(comp.length)
@@ -177,12 +187,19 @@ object HFile {
                             one: (Array[Byte], Int) => Array[Byte]): Array[Byte] = {
     val in = ByteBuffer.wrap(b)
     val baos = new ByteArrayOutputStream(b.length * 2 + 64)
+    // truncated input must fail with the same descriptive corruption
+    // message as the other malformed cases, not a raw BufferUnderflow
+    def i32(what: String): Int = {
+      require(in.remaining() >= 4,
+        s"corrupt block-compressed payload: truncated before $what")
+      in.getInt
+    }
     while (in.remaining() > 0) {
-      val rawLen = in.getInt
+      val rawLen = i32("rawLen")
       require(rawLen >= 0, s"corrupt block-compressed payload: rawLen $rawLen")
       var produced = 0
       while (produced < rawLen) {
-        val compLen = in.getInt
+        val compLen = i32("compLen")
         require(compLen >= 0 && compLen <= in.remaining(),
           s"corrupt block-compressed payload: compLen $compLen")
         val chunk = new Array[Byte](compLen)
@@ -202,10 +219,11 @@ object HFile {
       case CodecNone => payload
       case CodecGz => gzip(payload)
       case CodecSnappy =>
-        blockFramed(payload, org.xerial.snappy.Snappy.compress)
+        blockFramed(payload, blockCompressChunk(codec),
+          org.xerial.snappy.Snappy.compress)
       case CodecLz4 =>
         val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
-        blockFramed(payload, c.compress)
+        blockFramed(payload, blockCompressChunk(codec), c.compress)
       case CodecZstd =>
         com.github.luben.zstd.Zstd.compress(payload, 3)
       case other =>

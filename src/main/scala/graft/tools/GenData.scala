@@ -105,6 +105,21 @@ object GenData {
                         name: String, n: Int, parts: Int,
                         offsets: Map[String, Long]): Unit = {
     val base = load(spark, src, name)
+    // the cast back to the source type below would silently WRAP when
+    // (n-1) * span + maxKey overflows an int-typed key column, producing
+    // colliding/negative ids — fail loudly before writing anything
+    offsets.foreach { case (k, s) =>
+      // BigInt so the guard itself cannot overflow; span = max key + 1
+      val maxScaled = BigInt(s) * (n - 1) + (s - 1)
+      val bound: BigInt = base.schema(k).dataType match {
+        case org.apache.spark.sql.types.IntegerType => BigInt(Int.MaxValue)
+        case org.apache.spark.sql.types.ShortType   => BigInt(Short.MaxValue)
+        case _                                      => BigInt(Long.MaxValue)
+      }
+      require(maxScaled <= bound,
+        s"$name.$k: replicating x$n with span $s overflows the column's " +
+          s"${base.schema(k).dataType} (max scaled key $maxScaled > $bound)")
+    }
     val reps = spark.range(n).select(col("id").as("__rep"))
     val out0 = base.crossJoin(broadcast(reps))
     val out = offsets.foldLeft(out0) { case (df, (k, s)) =>
