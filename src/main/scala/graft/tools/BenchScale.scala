@@ -1,0 +1,116 @@
+package graft.tools
+
+import java.io.{File, PrintWriter}
+
+import graft.{Bench, SparkEntry}
+
+/** Scale-proof bench: measures how every SparkEntry query's wall time
+  * grows when the data grows 10x (all queries) and 100x (the heavy
+  * bulk/dedup/multiGet paths, ~1.7 GB), using [[GenData]] replication —
+  * same schemas, same per-replica work profile, so the ratio isolates
+  * engine scaling from dataset shape.
+  *
+  * Every (query, scale) cell is a fresh-SparkContext median-of-3 via
+  * [[Bench.timeQuery]], i.e. the same isolation the per-round bench
+  * uses — in-suite drift cannot contaminate the ratios.
+  *
+  * Output: one JSON object written to `outPath` (and echoed to stdout):
+  * per query `t1` / `t10` / `ratio10` (and `t100` / `ratio100` for the
+  * heavy subset), plus the max ratios. A `ratio10` at or below 10 is
+  * linear-or-better; the flag threshold below is deliberately looser
+  * (fixed per-query overheads dominate sub-second queries, and a
+  * 10x-data run does real extra shuffle rounds) — anything flagged is a
+  * genuine super-linear scaling defect to fix, not noise.
+  *
+  * usage: runMain graft.tools.BenchScale [srcSfDir] [workDir] [outPath]
+  *   SPARK_GRAFT_CPUS  threads (default 32)
+  *   SPARK_GRAFT_ONLY  comma-separated query filter (local iteration)
+  *   SPARK_GRAFT_SKIP_100X  set to skip the 100x subset
+  */
+object BenchScale {
+
+  /** Paths whose 100-TB posture matters most (VERDICT r6 #1): all dedup
+    * kernels + clustering, the bulk-load/compaction write paths, and the
+    * DSv2 lookup paths (point + multiGet), plus seq_packing's prefix sum
+    * and one shuffle-heavy join query as a control.
+    */
+  val heavy: Set[String] = Set(
+    "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
+    "dedup_clusters", "graph_components", "seq_packing", "compact_cells",
+    "bulkload_plan", "salt_distribution", "hfile_point_lookup",
+    "hfile_multi_get", "q5_region_revenue")
+
+  /** Flag threshold for 10x data: >15x wall is super-linear beyond what
+    * fixed overhead explains (VERDICT r6 criterion). For 100x data the
+    * same reasoning gives 150x, tightened to 130x.
+    */
+  val flagRatio10 = 15.0
+  val flagRatio100 = 130.0
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "target/scale"
+    val outPath = if (args.length > 2) args(2) else "BENCH_scale.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val skip100 = sys.env.contains("SPARK_GRAFT_SKIP_100X")
+    val x10 = s"$work/x10"
+    val x100 = s"$work/x100"
+    ensureScaled(src, x10, 10, cpus)
+    if (!skip100) ensureScaled(src, x100, 100, cpus)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val rows = selected.flatMap { case (name, fn) =>
+      val t1 = Bench.timeQuery(name, fn, src, cpus)
+      val t10 = Bench.timeQuery(name, fn, x10, cpus)
+      val t100 =
+        if (!skip100 && heavy(name)) Bench.timeQuery(name, fn, x100, cpus)
+        else None
+      (t1, t10) match {
+        case (Some(a), Some(b)) =>
+          Console.err.println(f"scale $name t1=$a%.3f t10=$b%.3f " +
+            f"ratio10=${b / a}%.2f" +
+            t100.map(c => f" t100=$c%.3f ratio100=${c / a}%.2f").getOrElse(""))
+          Some((name, a, b, t100))
+        case _ => failed += name; None
+      }
+    }
+
+    val qJson = rows.map { case (name, a, b, c) =>
+      val base = f""""$name":{"t1":$a%.4f,"t10":$b%.4f,"ratio10":${b / a}%.3f"""
+      base + c.map(t => f""","t100":$t%.4f,"ratio100":${t / a}%.3f""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val maxR10 = if (rows.nonEmpty) rows.map(r => r._3 / r._2).max else 0.0
+    val heavyRows = rows.filter(_._4.isDefined)
+    val maxR100 =
+      if (heavyRows.nonEmpty) heavyRows.map(r => r._4.get / r._2).max else 0.0
+    val flagged = (rows.filter(r => r._3 / r._2 > flagRatio10).map(_._1) ++
+      heavyRows.filter(r => r._4.get / r._2 > flagRatio100).map(_._1)).distinct
+    val json =
+      f"""{"metric":"scale_ratio","src":"$src","factors":[10,100],"cpus":$cpus,""" +
+        f""""queries":$qJson,"max_ratio10":$maxR10%.3f,"max_ratio100":$maxR100%.3f,""" +
+        s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val pw = new PrintWriter(new File(outPath))
+    try pw.println(json) finally pw.close()
+    println(json)
+  }
+
+  /** GenData `src -> dst` at `factor`, once per machine (_done marker). */
+  private def ensureScaled(src: String, dst: String, factor: Int,
+                           cpus: String): Unit = {
+    val done = new File(dst, "_done")
+    if (done.exists()) return
+    Console.err.println(s"gendata: $src -> $dst x$factor")
+    val spark = Bench.newSession(cpus)
+    try GenData.generate(spark, src, dst, factor)
+    finally spark.stop()
+    done.getParentFile.mkdirs()
+    new PrintWriter(done) { print(factor); close() }
+  }
+}
