@@ -4,15 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main: every SparkEntry query, median-of-3 wall seconds, ONE
   * JSON line on stdout for the driver to parse.
   *
-  * Each query runs in a FRESH SparkContext. Rounds 4-6 showed in-suite
-  * timings drifting up to ~1.6x of the same query's isolated cost even
-  * with clearCache + unpersist + GC between queries: block-manager,
-  * shuffle-file and ContextCleaner state from 50 earlier queries still
-  * shares the context. A per-query context makes every number an
-  * isolated number by construction; JIT/codegen warmth is JVM-wide
-  * (CodeGenerator's cache is static), so only the throwaway warmup
-  * context pays compilation, and context startup happens outside the
-  * timed region.
+  * Isolation, the hard-won version. Rounds 4-6 showed in-suite timings
+  * drifting up to ~1.6x of the same query's isolated cost; clearCache +
+  * unpersist + GC between queries did not fix it, and a fresh
+  * SparkContext per query in ONE JVM made it worse (51 contexts' worth
+  * of heap churn, and `localCheckpoint`/persist blocks from a query's
+  * own earlier runs degrade its later runs — ContextCleaner reclaims
+  * them only after the old Dataset is GC'd, i.e. asynchronously). So:
+  *
+  *   - each query runs in its OWN FORKED JVM (fresh heap, fresh
+  *     context): an in-suite number IS an isolated number by
+  *     construction, whatever ran before it;
+  *   - inside the child, untimed warmup runs absorb JIT / codegen /
+  *     parquet-footer / fixture-build cost, then 3 timed runs with
+  *     cache + persisted blocks cleared BETWEEN runs, so run N's leaked
+  *     blocks can't tax run N+1. Median of 3 reported.
+  *
+  * This measures warm steady-state latency per query — the quantity
+  * that is stable run-to-run and comparable round-to-round.
   */
 object Bench {
 
@@ -29,45 +38,94 @@ object Bench {
     s
   }
 
-  /** Median-of-3 wall seconds for one query in its own context, or None
-    * if any run failed — a failed query must never be timed as a (fast)
-    * success; that would make a broken round bench BETTER.
+  private def clearLeftovers(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  /** In-process measurement (the child side): `warmups` untimed runs,
+    * then 3 timed runs with leftover cached/persisted blocks cleared
+    * between them; median of the 3, or None if any run failed — a
+    * failed query must never be timed as a (fast) success; that would
+    * make a broken round bench BETTER.
     */
   def timeQuery(name: String, fn: (SparkSession, String) => DataFrame,
-                sfDir: String, cpus: String): Option[Double] = {
-    val spark = newSession(cpus)
-    try {
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            Console.err.println(s"bench $name FAILED: ${e.getMessage}")
-            false
-        }
-        (ok, (System.nanoTime() - t0) / 1e9)
+                sfDir: String, spark: SparkSession,
+                warmups: Int = 2): Option[Double] = {
+    var failed = false
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          Console.err.println(s"bench $name FAILED: ${e.getMessage}")
+          failed = true
       }
-      Console.err.println(
-        f"bench $name runs=${times.map(t => f"${t._2}%.3f").mkString(",")}")
-      if (times.forall(_._1)) Some(times.map(_._2).sorted.apply(1)) else None
-    } finally {
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      System.gc()
+      (System.nanoTime() - t0) / 1e9
     }
+    val warm = (1 to warmups).map { _ =>
+      val t = once(); clearLeftovers(spark); t
+    }
+    val times = (1 to 3).map { _ =>
+      val t = once(); clearLeftovers(spark); t
+    }
+    Console.err.println(
+      f"bench $name warm=${warm.map(t => f"$t%.3f").mkString(",")} " +
+        f"runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    if (failed) None else Some(times.sorted.apply(1))
+  }
+
+  /** Parent side: measure one query in a freshly forked JVM (same
+    * classpath, module opens and -Xmx as this one). Returns the child's
+    * median, or None on failure.
+    */
+  def forkQuery(name: String, sfDir: String, cpus: String): Option[Double] = {
+    import scala.sys.process._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = {
+      val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < in.size()) {
+        val a = in.get(i)
+        if (a == "--add-opens" && i + 1 < in.size()) {
+          buf += a += in.get(i + 1); i += 2
+        } else {
+          if (a.startsWith("-Xmx") || a.startsWith("-Dspark.") ||
+            a.startsWith("--add-opens="))
+            buf += a
+          i += 1
+        }
+      }
+      buf.toSeq
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "--child", name, sfDir, cpus)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val code = Process(cmd).!(ProcessLogger(out += _, Console.err.println))
+    if (code != 0) { Console.err.println(s"bench $name child exit $code"); None }
+    else out.collectFirst { case ChildResult(t) => t.toDouble }
+  }
+
+  private val ChildResult = """CHILD_RESULT ([0-9.]+)""".r
+
+  private def childMain(name: String, sfDir: String, cpus: String): Unit = {
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name"))
+    val spark = newSession(cpus)
+    try timeQuery(name, fn, sfDir, spark) match {
+      case Some(t) => println(f"CHILD_RESULT $t%.6f")
+      case None    => sys.exit(3)
+    } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 4 && args(0) == "--child")
+      return childMain(args(1), args(2), args(3))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // throwaway warmup context: JIT, codegen paths, shuffle machinery —
-    // so the first timed query's context doesn't absorb JVM startup cost
-    locally {
-      val warm = newSession(cpus)
-      try { warm.sparkContext.setLogLevel("WARN"); SparkEntry.entry(warm).count() }
-      catch { case _: Throwable => }
-      finally { warm.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
-    }
     // optional comma-separated filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=dedup_minhash_lsh,dedup_simhash
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -75,8 +133,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = selected.flatMap { case (name, fn) =>
-      timeQuery(name, fn, sfDir, cpus) match {
+    val results = selected.flatMap { case (name, _) =>
+      forkQuery(name, sfDir, cpus) match {
         case Some(t) => Some(name -> t)
         case None    => failed += name; None
       }
@@ -86,6 +144,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","methodology":"per-query forked JVM, 2 warmups, median of 3 with inter-run cache clear"}""")
   }
 }

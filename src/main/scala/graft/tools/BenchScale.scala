@@ -10,8 +10,8 @@ import graft.{Bench, SparkEntry}
   * same schemas, same per-replica work profile, so the ratio isolates
   * engine scaling from dataset shape.
   *
-  * Every (query, scale) cell is a fresh-SparkContext median-of-3 via
-  * [[Bench.timeQuery]], i.e. the same isolation the per-round bench
+  * Every (query, scale) cell is a forked-JVM warm median-of-3 via
+  * [[Bench.forkQuery]], i.e. the same isolation the per-round bench
   * uses — in-suite drift cannot contaminate the ratios.
   *
   * Output: one JSON object written to `outPath` (and echoed to stdout):
@@ -65,11 +65,11 @@ object BenchScale {
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val rows = selected.flatMap { case (name, fn) =>
-      val t1 = Bench.timeQuery(name, fn, src, cpus)
-      val t10 = Bench.timeQuery(name, fn, x10, cpus)
+    val rows = selected.flatMap { case (name, _) =>
+      val t1 = Bench.forkQuery(name, src, cpus)
+      val t10 = Bench.forkQuery(name, x10, cpus)
       val t100 =
-        if (!skip100 && heavy(name)) Bench.timeQuery(name, fn, x100, cpus)
+        if (!skip100 && heavy(name)) Bench.forkQuery(name, x100, cpus)
         else None
       (t1, t10) match {
         case (Some(a), Some(b)) =>
