@@ -117,8 +117,10 @@ object BulkLoad {
                   blockSize: Int = HFile.DefaultBlockSize,
                   compression: String = "none",
                   bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
-                  maxFileBytes: Long = HFile.DefaultMaxFileBytes): Unit = {
+                  maxFileBytes: Long = HFile.DefaultMaxFileBytes,
+                  encoding: String = "none"): Unit = {
     val codec = HFile.codecOf(compression) // fail fast, on the driver
+    val encodingId = graft.sources.BlockEncoding.idOf(encoding)
     val spark = prepared.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fsRoot = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -182,7 +184,8 @@ object BulkLoad {
               f"_inprogress/attempt-$attempt%d-part-$pid%05d-$seq%03d.hfile")
             seq += 1
             out = fs.create(tmp, true)
-            writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys)
+            writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys,
+              encoding = encodingId)
             bucket = b
           }
           it.foreach { r =>

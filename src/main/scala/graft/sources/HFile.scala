@@ -68,7 +68,12 @@ import scala.collection.mutable.ArrayBuffer
   * both flags ([[HFileReader.cellLayoutOf]]), so files written by a
   * live region server — which stamps mvcc ids on every cell and may
   * attach tags — parse correctly (uncompressed tags only; dictionary-
-  * compressed tags are rejected loudly). Remaining: a single-level
+  * compressed tags are rejected loudly). `DATA_BLOCK_ENCODING` is
+  * supported both ways for PREFIX and FAST_DIFF ([[BlockEncoding]], the
+  * `DATABLKE` block magic): cluster files encoded with the commonly-
+  * recommended FAST_DIFF scan/seek/multiGet correctly, and graft can
+  * write encoded files; DIFF and ROW_INDEX_V1 are rejected loudly at
+  * open, not mis-parsed. Remaining: a single-level
   * data index (fine until a file's index outgrows one block — roughly
   * millions of 64 KiB blocks). Those
   * are the knobs to revisit against a live cluster; every structural
@@ -78,6 +83,10 @@ import scala.collection.mutable.ArrayBuffer
 object HFile {
 
   val BlockMagicData = "DATABLK*".getBytes("UTF-8")
+  /** Data block whose payload is `encodingId(i16)` + a delta-encoded cell
+    * stream ([[BlockEncoding]]) — HBase's ENCODED_DATA block type.
+    */
+  val BlockMagicEncodedData = "DATABLKE".getBytes("UTF-8")
   val BlockMagicRootIndex = "IDXROOT2".getBytes("UTF-8")
   val BlockMagicLeafIndex = "IDXLEAF2".getBytes("UTF-8")
   val BlockMagicIntermediateIndex = "IDXINTE2".getBytes("UTF-8")
@@ -504,11 +513,15 @@ class HFileWriter(out: OutputStream,
                   codec: Int = HFile.CodecNone,
                   bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
                   indexBlockEntries: Int = HFile.DefaultIndexBlockEntries,
-                  withTagsAndMvcc: Boolean = false) {
+                  withTagsAndMvcc: Boolean = false,
+                  encoding: Int = BlockEncoding.None) {
   import HFile._
   require(SupportedCodecs.contains(codec),
     s"unsupported codec id $codec (supported: $CodecNone=NONE, $CodecGz=GZ, " +
       s"$CodecSnappy=SNAPPY, $CodecLz4=LZ4, $CodecZstd=ZSTD)")
+  require(BlockEncoding.Supported.contains(encoding),
+    s"unsupported data block encoding id $encoding " +
+      "(supported: NONE, PREFIX, FAST_DIFF)")
   // grouped(1) would never shrink the root entry list — finish() would
   // loop writing index blocks forever
   require(indexBlockEntries >= 2,
@@ -516,6 +529,12 @@ class HFileWriter(out: OutputStream,
 
   private val cellBuf = new ByteArrayOutputStream(blockSize + 8192)
   private val cellOut = new DataOutputStream(cellBuf)
+  // per-block delta-encoder (state = previous cell in block); rebuilt at
+  // every block start, like HBase's per-block encoding context
+  private val cellLayout =
+    HFileReader.CellLayout(tags = withTagsAndMvcc, mvcc = withTagsAndMvcc,
+      encoding = encoding)
+  private var blockEncoder: BlockEncoding.Encoder = null
   private var offset = 0L
   private var prevBlockOffset = -1L
   private var blockFirstCell: HCell = null
@@ -598,19 +617,30 @@ class HFileWriter(out: OutputStream,
       lastBloomRow = cell.rowkey
       if (bloom.nKeys >= bloomChunkKeys) flushBloomChunk()
     }
-    val key = serializeKey(cell)
-    cellOut.writeInt(key.length)
-    cellOut.writeInt(cell.value.length)
-    cellOut.write(key)
-    cellOut.write(cell.value)
     if (withTagsAndMvcc) {
       require(cell.tags.length <= Short.MaxValue,
         s"tags too long: ${cell.tags.length}")
-      cellOut.writeShort(cell.tags.length)
-      cellOut.write(cell.tags)
-      writeHadoopVLong(cellOut, cell.mvcc)
       maxTagsLen = math.max(maxTagsLen, cell.tags.length)
       maxMemstoreTS = math.max(maxMemstoreTS, cell.mvcc)
+    }
+    val key = serializeKey(cell)
+    if (encoding != BlockEncoding.None) {
+      // encoded block payloads start with the 2-byte encoding id
+      if (blockEncoder == null) {
+        cellOut.writeShort(encoding)
+        blockEncoder = new BlockEncoding.Encoder(encoding, cellLayout)
+      }
+      blockEncoder.encode(cell, cellOut)
+    } else {
+      cellOut.writeInt(key.length)
+      cellOut.writeInt(cell.value.length)
+      cellOut.write(key)
+      cellOut.write(cell.value)
+      if (withTagsAndMvcc) {
+        cellOut.writeShort(cell.tags.length)
+        cellOut.write(cell.tags)
+        writeHadoopVLong(cellOut, cell.mvcc)
+      }
     }
     totalKeyLen += key.length
     totalValueLen += cell.value.length
@@ -715,12 +745,15 @@ class HFileWriter(out: OutputStream,
   private def flushDataBlock(): Unit = {
     val payload = cellBuf.toByteArray
     val at = offset
-    val onDisk = writeBlock(BlockMagicData, payload)
+    val magic = if (encoding != BlockEncoding.None) BlockMagicEncodedData
+      else BlockMagicData
+    val onDisk = writeBlock(magic, payload)
     if (firstDataBlockOffset < 0) firstDataBlockOffset = at
     lastDataBlockOffset = at
     index += IndexEntry(at, onDisk, serializeKey(blockFirstCell))
     cellBuf.reset()
     blockFirstCell = null
+    blockEncoder = null
     blockCells = 0
   }
 
@@ -804,6 +837,12 @@ class HFileWriter(out: OutputStream,
         "hfile.TAGS_COMPRESSED" -> Array(0.toByte),
         "KEY_VALUE_VERSION" -> i32(1),
         "MAX_MEMSTORE_TS" -> i64(maxMemstoreTS))
+       else Nil) ++
+      // what HFileDataBlockEncoderImpl.saveMetadata records: the
+      // DataBlockEncoding enum name under DATA_BLOCK_ENCODING
+      (if (encoding != BlockEncoding.None) Seq(
+        "DATA_BLOCK_ENCODING" ->
+          BlockEncoding.nameOf(encoding).getBytes("UTF-8"))
        else Nil)
     val proto = new ByteArrayOutputStream()
     entries.foreach { case (k, v) =>

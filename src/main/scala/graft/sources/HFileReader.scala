@@ -145,7 +145,8 @@ object HFileReader {
     * the reader scan arbitrary cluster files (the reference reads them
     * through the HBase jars, AbstractTableInputFormat.java).
     */
-  private[sources] case class CellLayout(tags: Boolean, mvcc: Boolean)
+  private[sources] case class CellLayout(tags: Boolean, mvcc: Boolean,
+                                         encoding: Int = BlockEncoding.None)
 
   private[sources] val PlainLayout = CellLayout(tags = false, mvcc = false)
 
@@ -166,8 +167,40 @@ object HFileReader {
       "dictionary-compressed tags are not supported")
     val mvcc = info.get("KEY_VALUE_VERSION")
       .exists(b => b.length >= 4 && ByteBuffer.wrap(b).getInt >= 1)
-    CellLayout(tags, mvcc)
+    // DATA_BLOCK_ENCODING names the delta encoding of every data block;
+    // an unsupported name (DIFF, ROW_INDEX_V1) fails here, loudly, not
+    // as a mis-parse later
+    val encoding = info.get("DATA_BLOCK_ENCODING")
+      .map(b => BlockEncoding.idOf(new String(b, "UTF-8")))
+      .getOrElse(BlockEncoding.None)
+    CellLayout(tags, mvcc, encoding)
   }
+
+  private def isDataMagic(m: Array[Byte]): Boolean =
+    m.sameElements(BlockMagicData) || m.sameElements(BlockMagicEncodedData)
+
+  /** Cell stream of one data block, dispatching on its magic: a plain
+    * KeyValue stream, or an ENCODED_DATA payload whose leading 2-byte
+    * encoding id is verified against the file info's
+    * `DATA_BLOCK_ENCODING` declaration — a file must be uniformly
+    * encoded or uniformly plain, anything else is corruption.
+    */
+  private def parseDataBlock(magic: Array[Byte], payload: Array[Byte],
+                             layout: CellLayout): Iterator[HCell] =
+    if (magic.sameElements(BlockMagicEncodedData)) {
+      require(payload.length >= 2, "encoded data block too short for its id")
+      val id = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      require(id == layout.encoding,
+        s"block encoding id ${BlockEncoding.nameOf(id)} != file info " +
+          s"DATA_BLOCK_ENCODING ${BlockEncoding.nameOf(layout.encoding)}")
+      BlockEncoding.decode(id,
+        java.util.Arrays.copyOfRange(payload, 2, payload.length), layout)
+    } else {
+      require(layout.encoding == BlockEncoding.None,
+        "plain data block in a file declaring DATA_BLOCK_ENCODING " +
+          BlockEncoding.nameOf(layout.encoding))
+      parseCells(payload, layout)
+    }
 
   private def parseCells(payload: Array[Byte],
                          layout: CellLayout): Iterator[HCell] =
@@ -224,8 +257,8 @@ object HFileReader {
           val b = readBlock(r, pos, prev, trailer.compressionCodec)
           prev = pos
           pos += b.onDiskSizeWithHeader
-          if (b.magic.sameElements(BlockMagicData))
-            current = parseCells(b.payload, layout)
+          if (isDataMagic(b.magic))
+            current = parseDataBlock(b.magic, b.payload, layout)
           else require(b.magic.sameElements(BlockMagicBloomChunk) ||
             b.magic.sameElements(BlockMagicMeta) ||
             b.magic.sameElements(BlockMagicLeafIndex) ||
@@ -331,10 +364,10 @@ object HFileReader {
     val metaStarts = ArrayBuffer[(Long, Int)]()
     while (pos < trailer.loadOnOpenOffset) {
       val b = readBlock(r, pos, prev, trailer.compressionCodec)
-      if (b.magic.sameElements(BlockMagicData)) {
+      if (isDataMagic(b.magic)) {
         var blockFirstKey: Array[Byte] = null
         var last: HCell = null
-        parseCells(b.payload, layout).foreach { c =>
+        parseDataBlock(b.magic, b.payload, layout).foreach { c =>
           require(last == null || compareCells(last, c) < 0, "cells out of order")
           val keyHex = (c.rowkey ++ c.family ++ c.qualifier).map(x => f"$x%02x").mkString
           if (firstKey.isEmpty) firstKey = keyHex
@@ -601,14 +634,15 @@ object HFileReader {
         require(bm.magic.sameElements(BlockMagicMeta), "bloom meta magic")
         parseBloomMeta(bm.payload)
       }
-    val blockCache = scala.collection.mutable.Map[Long, Array[Byte]]()
-    def cachedPayload(off: Long, wantMagic: Array[Byte]): Array[Byte] =
-      blockCache.getOrElseUpdate(off, {
-        val b = readBlock(r, off, AnyPrevOffset, codec)
-        require(b.magic.sameElements(wantMagic),
-          s"unexpected block magic at $off")
-        b.payload
-      })
+    val blockCache = scala.collection.mutable.Map[Long, Block]()
+    def cachedBlock(off: Long): Block =
+      blockCache.getOrElseUpdate(off, readBlock(r, off, AnyPrevOffset, codec))
+    def cachedPayload(off: Long, wantMagic: Array[Byte]): Array[Byte] = {
+      val b = cachedBlock(off)
+      require(b.magic.sameElements(wantMagic),
+        s"unexpected block magic at $off")
+      b.payload
+    }
     def cmp(a: Array[Byte], b: Array[Byte]) =
       java.util.Arrays.compareUnsigned(a, b)
 
@@ -654,7 +688,9 @@ object HFileReader {
           depth -= 1
         }
         level.toSeq.flatMap { case (off, _, _) =>
-          parseCells(cachedPayload(off, BlockMagicData), layout)
+          val b = cachedBlock(off)
+          require(isDataMagic(b.magic), s"unexpected block magic at $off")
+          parseDataBlock(b.magic, b.payload, layout)
             .filter(c => cmp(c.rowkey, k) == 0)
         }
       }
@@ -676,9 +712,9 @@ object HFileReader {
     val layout = cellLayoutOf(r, trailer)
     val it = blocks.iterator.flatMap { case (off, _) =>
       val b = readBlock(r, off, AnyPrevOffset, trailer.compressionCodec)
-      require(b.magic.sameElements(BlockMagicData),
+      require(isDataMagic(b.magic),
         s"index pointed at non-data block at $off")
-      parseCells(b.payload, layout)
+      parseDataBlock(b.magic, b.payload, layout)
     }.filter { c =>
       lower.forall(l => java.util.Arrays.compareUnsigned(c.rowkey, l) >= 0) &&
         upper.forall(u => java.util.Arrays.compareUnsigned(c.rowkey, u) <= 0)

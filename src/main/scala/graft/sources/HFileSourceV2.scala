@@ -507,7 +507,9 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
   * Input columns: `bucket int, rowkey binary, family string,
   * qualifier string, ts long, value binary` and optionally
   * `key_type int` (defaults to Put). Options: `blockSize`,
-  * `compression` (`none`/`gz`).
+  * `compression` (`none`/`gz`/`snappy`/`lz4`/`zstd`), `encoding`
+  * (`none`/`prefix`/`fast_diff` data block encoding), `bloom`,
+  * `bloomChunkKeys`, `maxFileBytes`.
   *
   * Instead of pre-shuffling like [[graft.operators.BulkLoad.writeHFiles]],
   * the write declares what it needs via
@@ -549,6 +551,10 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
       .getOrElse(HFile.DefaultBloomChunkKeys)
   private val maxFileBytes = Option(info.options.get("maxFileBytes"))
     .map(_.toLong).getOrElse(HFile.DefaultMaxFileBytes)
+  // data block encoding name (none / prefix / fast_diff), like the
+  // table-level DATA_BLOCK_ENCODING attribute
+  private val encoding = BlockEncoding.idOf(
+    Option(info.options.get("encoding")).getOrElse("none"))
 
   private def asc(name: String): SortOrder =
     Expressions.sort(Expressions.column(name), SortDirection.ASCENDING)
@@ -576,7 +582,7 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
     if (truncate && fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
     new HFileBatchWrite(path, schema, blockSize, codec, bloomChunkKeys,
-      maxFileBytes, confMap, info.queryId())
+      maxFileBytes, confMap, info.queryId(), encoding)
   }
 }
 
@@ -613,10 +619,11 @@ case class HFileCommitMessage(files: Seq[HFileManifest.Entry])
 class HFileBatchWrite(path: String, schema: StructType, blockSize: Int,
                       codec: Int, bloomChunkKeys: Int, maxFileBytes: Long,
                       confMap: Map[String, String],
-                      queryId: String) extends BatchWrite {
+                      queryId: String,
+                      encoding: Int = BlockEncoding.None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HFileDataWriterFactory(path, schema, blockSize, codec, bloomChunkKeys,
-      maxFileBytes, confMap, queryId)
+      maxFileBytes, confMap, queryId, encoding)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -650,16 +657,19 @@ class HFileDataWriterFactory(path: String, schema: StructType, blockSize: Int,
                              codec: Int, bloomChunkKeys: Int,
                              maxFileBytes: Long,
                              confMap: Map[String, String],
-                             queryId: String) extends DataWriterFactory {
+                             queryId: String,
+                             encoding: Int = BlockEncoding.None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HFileDataWriter(path, schema, blockSize, codec, bloomChunkKeys,
-      maxFileBytes, confMap, queryId, partitionId, taskId)
+      maxFileBytes, confMap, queryId, partitionId, taskId, encoding)
 }
 
 class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
                       codec: Int, bloomChunkKeys: Int, maxFileBytes: Long,
                       confMap: Map[String, String], queryId: String,
-                      partitionId: Int, taskId: Long)
+                      partitionId: Int, taskId: Long,
+                      encoding: Int = BlockEncoding.None)
     extends DataWriter[InternalRow] {
   import HFile.HCell
 
@@ -697,7 +707,8 @@ class HFileDataWriter(path: String, schema: StructType, blockSize: Int,
       f"_inprogress/attempt-$taskId%d-$partitionId%05d-$seq%03d.hfile")
     seq += 1
     out = fs.create(tmp, true)
-    writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys)
+    writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys,
+      encoding = encoding)
     bucket = b
   }
 

@@ -413,14 +413,17 @@ class HFileSpec extends SparkSpec {
   }
 
   test("property: random cells round-trip under every feature combination " +
-      "(codec x bloom x index fanout), with seek scan and multiGet parity") {
+      "(codec x bloom x index fanout x encoding), with seek scan and " +
+      "multiGet parity") {
     val rnd = new scala.util.Random(11)
-    (0 until 10).foreach { trial =>
+    (0 until 12).foreach { trial =>
       val codec = Seq(CodecNone, CodecGz, CodecSnappy, CodecLz4,
         CodecZstd)(trial % 5)
       val blockSize = 256 + rnd.nextInt(1024)
       val bloomKeys = Seq(0, 16, 64)(trial % 3)
       val fanout = Seq(3, 4, 1000)((trial / 2) % 3)
+      val encoding = Seq(BlockEncoding.None, BlockEncoding.Prefix,
+        BlockEncoding.FastDiff)(trial % 3)
       // random sorted unique cells: binary rowkeys, some multi-cell rows
       val raw = (0 until 200 + rnd.nextInt(200)).map { _ =>
         val rk = Array.fill(1 + rnd.nextInt(10))(rnd.nextInt(256).toByte)
@@ -433,12 +436,14 @@ class HFileSpec extends SparkSpec {
           if (acc.nonEmpty && compareCells(acc.last, c) == 0) acc else acc :+ c
         }
       val baos = new ByteArrayOutputStream()
-      val w = new HFileWriter(baos, blockSize, codec, bloomKeys, fanout)
+      val w = new HFileWriter(baos, blockSize, codec, bloomKeys, fanout,
+        encoding = encoding)
       cells.foreach(w.append)
       w.finish()
       val bytes = baos.toByteArray
       val ctx = s"trial $trial codec=$codec block=$blockSize " +
-        s"bloom=$bloomKeys fanout=$fanout cells=${cells.size}"
+        s"bloom=$bloomKeys fanout=$fanout cells=${cells.size} " +
+        s"encoding=${BlockEncoding.nameOf(encoding)}"
 
       // full audit + sequential parity
       val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
@@ -479,6 +484,119 @@ class HFileSpec extends SparkSpec {
       assert(got.map(c => (c.rowkey.toSeq, c.qualifier.toSeq, c.ts)).toSet ==
         want.map(c => (c.rowkey.toSeq, c.qualifier.toSeq, c.ts)).toSet, ctx)
     }
+  }
+
+  test("FAST_DIFF golden bytes: flag bits, compressed ints, short timestamps") {
+    // two hand-encodable cells; single uncompressed block so the encoded
+    // stream sits right after the 33-byte header
+    val c1 = HCell("r1".getBytes, "f".getBytes, "q".getBytes, 5L, "aa".getBytes)
+    val c2 = HCell("r1".getBytes, "f".getBytes, "q2".getBytes, 3L, "ab".getBytes)
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, blockSize = 1 << 20,
+      encoding = BlockEncoding.FastDiff)
+    w.append(c1); w.append(c2); w.finish()
+    val bytes = baos.toByteArray
+    assert(bytes.slice(0, 8).sameElements(BlockMagicEncodedData))
+    val payloadLen = java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt - HeaderSize
+    val payload = bytes.slice(HeaderSize, HeaderSize + payloadLen)
+    // 2-byte big-endian DataBlockEncoding id (FAST_DIFF = 4), then:
+    // cell 1: flag 0x00 (1 ts byte, nothing shared), cInt keyLen=16,
+    //   cInt valueLen=2, cInt common=0, key[0..7) = rowLen(i16) row
+    //   famLen(u8) fam qual, ts as ONE little-endian byte, type, value;
+    // cell 2: flag 0x30 (same value length + same type), cInt keyLen=17,
+    //   cInt common=7, key mid '2', ts 0x03, value "ab"
+    val expect = Array[Int](
+      0x00, 0x04,
+      0x00, 0x10, 0x02, 0x00, 0x00, 0x02, 'r', '1', 0x01, 'f', 'q',
+      0x05, 0x04, 'a', 'a',
+      0x30, 0x11, 0x07, '2', 0x03, 'a', 'b').map(_.toByte)
+    assert(payload.sameElements(expect),
+      s"got ${payload.map(b => f"$b%02x").mkString(" ")}")
+    // and it round-trips
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.size == 2 && compareCells(back(0), c1) == 0 &&
+      compareCells(back(1), c2) == 0 &&
+      back(0).value.sameElements("aa".getBytes) &&
+      back(1).value.sameElements("ab".getBytes))
+  }
+
+  test("encoded cluster-shaped files: FAST_DIFF + tags + mvcc on every " +
+      "read path; PREFIX shrinks prefix-heavy files; foreign encodings " +
+      "rejected loudly") {
+    val cells = (0 until 400).map { i =>
+      cell(f"user#$i%05d", "q", ts = 5L, value = s"v$i").copy(
+        tags = if (i % 3 == 0) Array.emptyByteArray
+               else Array.fill(i % 13 + 1)((i % 251).toByte),
+        mvcc = 2000L + i)
+    }
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, blockSize = 256, withTagsAndMvcc = true,
+      encoding = BlockEncoding.FastDiff)
+    cells.foreach(w.append)
+    w.finish()
+    val bytes = baos.toByteArray
+    val stats = HFileReader.validate(new HFileReader.BytesRead(bytes))
+    assert(stats.nCells == 400)
+    assert(stats.fileInfo.get("DATA_BLOCK_ENCODING")
+      .exists(b => new String(b, "UTF-8") == "FAST_DIFF"))
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    back.zip(cells).foreach { case (a, b) =>
+      assert(compareCells(a, b) == 0 && a.value.sameElements(b.value))
+      assert(a.tags.sameElements(b.tags) && a.mvcc == b.mvcc)
+    }
+    val got = HFileReader.multiGet(new HFileReader.BytesRead(bytes),
+      Seq("user#00124".getBytes))
+    assert(got.size == 1 && got.head.mvcc == 2124L)
+    assert(HFileReader.scanRange(new HFileReader.BytesRead(bytes),
+      Some("user#00100".getBytes), Some("user#00110".getBytes)).size == 11)
+    // shared-prefix keys: both encodings shrink the file vs plain
+    val plain = {
+      val b2 = new ByteArrayOutputStream()
+      val w2 = new HFileWriter(b2, blockSize = 256, withTagsAndMvcc = true)
+      cells.foreach(w2.append); w2.finish(); b2.toByteArray
+    }
+    val prefix = {
+      val b2 = new ByteArrayOutputStream()
+      val w2 = new HFileWriter(b2, blockSize = 256, withTagsAndMvcc = true,
+        encoding = BlockEncoding.Prefix)
+      cells.foreach(w2.append); w2.finish(); b2.toByteArray
+    }
+    assert(bytes.length < plain.length && prefix.length < plain.length)
+    assert(HFileReader.scan(new HFileReader.BytesRead(prefix))
+      .zip(cells.iterator).forall { case (a, b) =>
+        compareCells(a, b) == 0 && a.tags.sameElements(b.tags) &&
+          a.mvcc == b.mvcc
+      })
+    // a file declaring an encoding this reader does not implement must
+    // fail at open with a descriptive error, not mis-parse: rewrite the
+    // file info's FAST_DIFF name to DIFF+ (same length, unknown name)
+    val name = "FAST_DIFF".getBytes("UTF-8")
+    val at = (0 until bytes.length - name.length).find(i =>
+      name.indices.forall(j => bytes(i + j) == name(j))).get
+    val evil = bytes.clone()
+    System.arraycopy("DIFF+XXXX".getBytes("UTF-8"), 0, evil, at, 9)
+    val e = intercept[Exception] {
+      HFileReader.scan(new HFileReader.BytesRead(evil)).toSeq
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("bulk write path produces encoded files end-to-end") {
+    val cells = (0 until 300)
+      .map(i => (f"key$i%04d".getBytes, "f", s"q${i % 3}", s"v$i".getBytes))
+      .toDF("rowkey", "family", "qualifier", "value")
+    val prepared = BulkLoad.prepare(cells, buckets = 2, numPartitions = 2)
+    val out = Files.createTempDirectory("hfiles_enc").toString
+    BulkLoad.writeHFiles(prepared, out, encoding = "fast_diff")
+    // every data file leads with the ENCODED_DATA magic and scans back
+    val files = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".hfile"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val head = java.nio.file.Files.readAllBytes(f.toPath).slice(0, 8)
+      assert(head.sameElements(BlockMagicEncodedData), f.getName)
+    }
+    assert(BulkLoad.readHFiles(spark, out).count() == 300)
   }
 
   test("maxFileBytes rolls multiple files per bucket; a rowkey never splits") {
