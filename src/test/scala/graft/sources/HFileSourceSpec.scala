@@ -313,6 +313,30 @@ class HFileSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write: encoding option produces DATABLKE files that read back") {
+    val src = spark.read.format("graft-hfile").load(out).drop("file")
+    for (name <- Seq("prefix", "fast_diff")) {
+      val dir = Files.createTempDirectory(s"hfile_dsv2_enc_$name").toString
+      src.write.format("graft-hfile").mode("overwrite")
+        .option("encoding", name).option("blockSize", "1024").save(dir)
+      val back = spark.read.format("graft-hfile").load(dir)
+      assert(back.count() == src.count(), name)
+      assert(back.drop("file").except(src).isEmpty &&
+        src.except(back.drop("file")).isEmpty, name)
+      val f = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("bucket=")).head.listFiles
+        .filter(_.getName.endsWith(".hfile")).head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(bytes.slice(0, 8).sameElements(HFile.BlockMagicEncodedData), name)
+    }
+    // unknown encoding names fail on the driver, before any task runs
+    intercept[IllegalArgumentException] {
+      src.write.format("graft-hfile").mode("overwrite")
+        .option("encoding", "row_index_v1")
+        .save(Files.createTempDirectory("hfile_dsv2_enc_bad").toString)
+    }
+  }
+
   test("DSv2 write: unknown and mistyped columns are rejected loudly") {
     val src = spark.read.format("graft-hfile").load(out).drop("file")
     val dir = Files.createTempDirectory("hfile_dsv2_bad").toString
