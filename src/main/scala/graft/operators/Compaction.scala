@@ -93,7 +93,8 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               versions: Int = 1, numPartitions: Int = 32,
               blockSize: Int = HFile.DefaultBlockSize,
-              compression: String = "none"): Unit = {
+              compression: String = "none",
+              encoding: String = "none"): Unit = {
     val cells = BulkLoad.readHFiles(spark, inDir)
     val kept = retainVersions(applyDeletes(cells), versions)
     val prepared = kept
@@ -101,7 +102,7 @@ object Compaction {
         col("qualifier"), col("ts"), col("value"))
       .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
-      blockSize = blockSize, compression = compression)
+      blockSize = blockSize, compression = compression, encoding = encoding)
   }
 
   /** Major compaction across the `epoch=N` run directories a
@@ -129,7 +130,8 @@ object Compaction {
   def compactEpochs(spark: SparkSession, dir: String, outDir: String,
                     versions: Int = 1, numPartitions: Int = 32,
                     blockSize: Int = HFile.DefaultBlockSize,
-                    compression: String = "none"): Unit = {
+                    compression: String = "none",
+                    encoding: String = "none"): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
@@ -154,6 +156,6 @@ object Compaction {
         col("qualifier"), col("ts"), col("value"))
       .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
-      blockSize = blockSize, compression = compression)
+      blockSize = blockSize, compression = compression, encoding = encoding)
   }
 }

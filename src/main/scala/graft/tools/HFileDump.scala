@@ -27,6 +27,9 @@ object HFileDump {
     val codecName = t.compressionCodec match {
       case graft.sources.HFile.CodecGz => "GZ"
       case graft.sources.HFile.CodecNone => "NONE"
+      case graft.sources.HFile.CodecSnappy => "SNAPPY"
+      case graft.sources.HFile.CodecLz4 => "LZ4"
+      case graft.sources.HFile.CodecZstd => "ZSTD"
       case other => s"unknown($other)"
     }
     println(s"cells: ${t.entryCount}  root index entries: ${t.dataIndexCount}  " +

@@ -199,11 +199,20 @@ class CompactionSpec extends SparkSpec {
       typeCol = Some("key_type"), blockSize = 2048, compression = "snappy")
 
     val out = Files.createTempDirectory("compact_out").toString
+    // snappy + fast_diff out: the cluster-realistic target format
     Compaction.compact(spark, in, out, versions = 1, numPartitions = 4,
-      compression = "snappy")
+      compression = "snappy", encoding = "fast_diff")
 
     // readHFiles re-validates structure + ordering on every block
     val back = BulkLoad.readHFiles(spark, out)
+    // the rewritten files really are encoded (DATABLKE leads every file)
+    val outFiles = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".hfile"))
+    assert(outFiles.nonEmpty && outFiles.forall { f =>
+      java.nio.file.Files.readAllBytes(f.toPath).slice(0, 8)
+        .sameElements(graft.sources.HFile.BlockMagicEncodedData)
+    })
     assert(back.filter(col("key_type") =!= P).count() == 0) // markers gone
     val expected = puts.filter(pmod(col("user_id"), lit(5)) =!= 0).count()
     assert(back.count() == expected)
