@@ -110,6 +110,8 @@ object SparkEntry {
     "text_rolling_fp" -> ((s, d) =>
       Pipeline.textRollingFp(t(s, d, "documents"))),
     "text_top_terms" -> ((s, d) => Pipeline.textTopTerms(t(s, d, "documents"))),
+    "text_repetition" -> ((s, d) =>
+      Pipeline.textRepetition(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
@@ -839,6 +841,35 @@ object SparkEntry {
         |        ORDER BY tfidf DESC, word) AS rnk FROM x)
         |SELECT source, rnk, word, tf, df, round(tfidf, 6) AS tfidf
         |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS word,
+        |  generate_subscripts(ws, 1) AS pos FROM t),
+        |n AS (SELECT doc_id, count(*) AS n_tokens FROM w GROUP BY 1),
+        |tt AS (SELECT doc_id, max(c) AS top_tok FROM (
+        |  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+        |r AS (SELECT doc_id, pos, word,
+        |  CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos)
+        |       IS DISTINCT FROM word THEN 1 ELSE 0 END AS brk FROM w),
+        |r2 AS (SELECT doc_id,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM r),
+        |mr AS (SELECT doc_id, max(c) AS max_run FROM (
+        |  SELECT doc_id, run_id, count(*) AS c FROM r2 GROUP BY 1, 2) GROUP BY 1),
+        |b AS (SELECT doc_id, word || ' ' ||
+        |  lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram FROM w),
+        |tb AS (SELECT doc_id, max(c) AS top_bi FROM (
+        |  SELECT doc_id, bigram, count(*) AS c FROM b
+        |  WHERE bigram IS NOT NULL GROUP BY 1, 2) GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens,
+        | round(tt.top_tok::DOUBLE / n.n_tokens, 6) AS top_token_frac,
+        | round(CASE WHEN n.n_tokens > 1
+        |   THEN coalesce(tb.top_bi, 0)::DOUBLE / (n.n_tokens - 1)
+        |   ELSE 0.0 END, 6) AS top_bigram_frac,
+        | mr.max_run
+        |FROM n JOIN tt USING (doc_id) JOIN mr USING (doc_id)
+        |  LEFT JOIN tb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "mm_manifest" ->
       """SELECT doc_id,
         | (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,

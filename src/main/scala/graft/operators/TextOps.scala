@@ -164,4 +164,55 @@ object TextOps {
       col(idCol),
       txt.rollingFp(col(textCol)).as("fp64"),
       txt.rollingWindowMin(col(textCol), window).as("winnow_fp64"))
+
+  /** E7: repetition signals — the classic corpus-quality repetition
+    * filters (Gopher-style "repetition removal" rules, re-expressed for
+    * the single-line documents table): per doc, the fraction of tokens
+    * taken by the most frequent token, the fraction of adjacent pairs
+    * taken by the most frequent bigram, and the longest run of identical
+    * consecutive tokens. Heavily repeated boilerplate scores high on all
+    * three; natural text stays low.
+    *
+    * Shape: ONE posexplode, then three reductions over the exploded
+    * frame — (doc, token) counts, (doc, bigram) counts via a window
+    * `lead`, and run lengths via a window `lag`-break + running-sum run
+    * id — joined back on the doc id. Everything is keyed per doc
+    * (partial-agg groupBys and per-doc sort windows), so the operator
+    * scales with by-doc parallelism and never holds a document's tokens
+    * in one buffer outside its own window partition.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "word")))
+    val n = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    val topTok = toks.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_tok"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val lagWord = lag(col("word"), 1).over(w)
+    val maxRun = toks
+      .withColumn("brk",
+        when(lagWord.isNull || lagWord =!= col("word"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("run_id")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("max_run"))
+    val topBi = toks
+      .withColumn("nxt", lead(col("word"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(idCol), concat(col("word"), lit(" "), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_bi"))
+    n.join(topTok, idCol).join(maxRun, idCol)
+      .join(topBi, Seq(idCol), "left") // a 1-token doc has no bigrams
+      .select(col(idCol),
+        col("n_tokens"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        round(when(col("n_tokens") > 1,
+            coalesce(col("top_bi"), lit(0L)).cast("double") /
+              (col("n_tokens") - lit(1)))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"),
+        col("max_run"))
+  }
 }

@@ -196,6 +196,9 @@ object Pipeline {
     TextOps.rollingFingerprints(documents, "doc_id", "text", window = 16)
       .orderBy("doc_id")
 
+  def textRepetition(documents: DataFrame): DataFrame =
+    TextOps.repetition(documents, "doc_id", "text").orderBy("doc_id")
+
   // ---- F. multimodal ---------------------------------------------------
 
   def mmManifest(documents: DataFrame): DataFrame =

@@ -41,6 +41,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "unknown"))
   }
 
+  test("repetition: crafted docs hit exact fractions and run lengths") {
+    val df = Seq(
+      (1L, "a a b a b b b"), // a:3 b:4; bigrams aa ab ba ab bb bb; runs 2,1,1,3
+      (2L, "x"),             // single token: no bigrams, run of 1
+      (3L, "go go go go")    // pure boilerplate: everything maxed
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_tokens") == 7)
+    assert(r1.getAs[Double]("top_token_frac") == 0.571429) // round(4/7, 6)
+    assert(r1.getAs[Double]("top_bigram_frac") == 0.333333) // round(2/6, 6)
+    assert(r1.getAs[Long]("max_run") == 3)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_tokens") == 1 &&
+      r2.getAs[Double]("top_bigram_frac") == 0.0 &&
+      r2.getAs[Long]("max_run") == 1)
+    val r3 = out(2)
+    assert(r3.getAs[Double]("top_token_frac") == 1.0 &&
+      r3.getAs[Double]("top_bigram_frac") == 1.0 &&
+      r3.getAs[Long]("max_run") == 4)
+  }
+
   test("fingerprint stats count duplicates per source") {
     val df = Seq(
       (1L, "s1", "aaa"), (2L, "s1", "aaa"), (3L, "s1", "bbb"),
