@@ -101,6 +101,7 @@ object SparkEntry {
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
+    "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     // ---- E. text analysis -----------------------------------------------
     "text_stats" -> ((s, d) => Pipeline.textStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => Pipeline.textQuality(t(s, d, "documents"))),
@@ -249,6 +250,45 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_pq" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM e, range(0, 8) AS t(j)),
+        |cent AS (SELECT j AS sub, vec_id AS cell_id, sv AS cvec
+        |  FROM sub WHERE vec_id < 16),
+        |enc0 AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+        |  FROM sub s JOIN cent c ON s.j = c.sub),
+        |codes AS (SELECT vec_id AS neighbor_id, sub, cell_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, cell_id) AS rn FROM enc0) WHERE rn = 1),
+        |qt AS (SELECT s.vec_id AS query_id, s.j AS sub,
+        |  c.cell_id AS code,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
+        |  FROM sub s JOIN cent c ON s.j = c.sub WHERE s.vec_id < 10),
+        |adc AS (SELECT qt.query_id, codes.neighbor_id,
+        |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
+        |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.code = qt.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS srn
+        |  FROM adc WHERE neighbor_id <> query_id) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i]))))
+        |    AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "knn_lsh" ->

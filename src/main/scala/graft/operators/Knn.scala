@@ -156,4 +156,97 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Squared L2 over two ARRAY<DOUBLE> columns, sequential fold order
+    * (bit-reproducible, oracle-replayable like [[dotD]]).
+    */
+  def l2sqD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization ANN with asymmetric distance (ADC) and exact
+    * re-rank — the memory-compressed search path a 100 TB corpus needs:
+    * each vector is stored as `m` small codes (one byte each at
+    * ksub ≤ 256) instead of `dim` floats, and candidate scoring reads
+    * only those codes plus a per-query distance table.
+    *
+    *  1. Sub-codebooks: the vector space is split into `m` contiguous
+    *     subspaces of dim/m dims; the codebook of subspace j is the j-th
+    *     subvector of the `ksub` lowest-id corpus vectors. Deterministic
+    *     by construction — like [[ivf]]'s systematic codebook, this
+    *     isolates the search machinery from k-means training (which a
+    *     production run would substitute; every downstream step is
+    *     unchanged) and keeps the DuckDB oracle an exact replay.
+    *  2. Encode: every corpus vector gets, per subspace, the id of its
+    *     L2-nearest sub-centroid (ties to the smallest id) — an
+    *     `m × ksub` broadcast map + partial-aggregating argmin, never a
+    *     shuffled n×ksub stream.
+    *  3. ADC scan: each query precomputes its `m × ksub` table of
+    *     squared-L2 subdistances (broadcast); approx dist(q, x) =
+    *     sum_j table[j][code_j(x)], assembled as a hash join on
+    *     (subspace, code) and a per-pair ordered fold (sub-ascending, so
+    *     the double sum is order-stable for the oracle).
+    *  4. The `overscan · k` best approx candidates per query are
+    *     re-ranked by exact cosine — the standard PQ shortlist+refine.
+    *
+    * Scale posture: codes are O(n·m) small ints, the scan is the
+    * canonical O(n·m) table lookups per query (map work against a
+    * broadcast table, reduced by partial aggregation before the only
+    * wide shuffle, which carries one row per (query, candidate)).
+    */
+  def pq(corpus: DataFrame, queries: DataFrame, idCol: String,
+         vecCol: String, dim: Int, k: Int, m: Int = 8, ksub: Int = 16,
+         overscan: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    // (id, sub, subvec): the m contiguous subvectors of each vector
+    def subs(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+        .toDF(id, "sub", "subvec")
+    val centroids = broadcast(subs(corpus.filter(col(idCol) < ksub), "cell_id")
+      .select(col("sub"), col("cell_id"), col("subvec").as("cvec")))
+    // encode: per (vector, subspace) the L2-nearest sub-centroid id;
+    // min_by is partial-aggregatable (same shape as ivf's assign)
+    val codes = subs(corpus, "neighbor_id")
+      .join(centroids, "sub")
+      .withColumn("dist", l2sqD(col("subvec"), col("cvec")))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
+        .as("code"))
+    // per-query subdistance tables (|Q| x m x ksub — broadcast small)
+    val qtable = broadcast(subs(queries, "query_id")
+      .join(centroids, "sub")
+      .withColumn("qdist", l2sqD(col("subvec"), col("cvec")))
+      .select(col("query_id"), col("sub"), col("cell_id").as("code"),
+        col("qdist")))
+    // ADC: m table lookups per (query, vector), folded in sub order so
+    // the double sum is reproducible
+    val approx = codes.join(qtable, Seq("sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("qdist"))))
+        .as("parts"))
+      .withColumn("adist",
+        aggregate(col("parts"), lit(0.0), (acc, s) => acc + s("qdist")))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = approx
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= k * overscan)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact cosine re-rank of the shortlist
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(c, "neighbor_id").join(q, "query_id")
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }

@@ -173,6 +173,15 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D4: product-quantization ADC with exact re-rank, 8 subspaces of 8
+    * dims, 16-entry sub-codebooks, 4x overscan.
+    */
+  def knnPq(embeddings: DataFrame): DataFrame =
+    Knn.pq(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16, overscan = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   // ---- E. text analysis -----------------------------------------------
 
   def textStats(documents: DataFrame): DataFrame =

@@ -51,6 +51,26 @@ class KnnSpec extends SparkSpec {
     assert(ivfRecall >= 0.5, s"ivf recall $ivfRecall")
   }
 
+  test("PQ: k rows per query, recall beats random, encode partial-aggregates") {
+    val bf = pairs(Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5))
+    val out = Knn.pq(emb, queries, "vec_id", "embedding", dim = 64, k = 5)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(!rows.exists(r =>
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    val recall = (bf & pairs(out)).size.toDouble / bf.size
+    // 8x8 PQ against 16-entry codebooks on the no-structure synthetic
+    // corpus (the hardest case): measures ~0.6 at sf0.001 with 4x
+    // overscan; floor at 0.4 — random 20-of-n shortlists would sit
+    // near 20/n (~0.1 at sf0.001, less at scale)
+    assert(recall >= 0.4, s"pq recall $recall")
+    // the encode argmin must reduce the n x ksub stream map-side
+    // (partial min_by), not sort it through a window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      "encode should partial-aggregate with min_by")
+  }
+
   test("IVF assign step is a partial aggregation, not a window sort") {
     val plan = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5)
       .queryExecution.executedPlan.toString
