@@ -182,23 +182,37 @@ object Knn {
     *     `m × ksub` broadcast map + partial-aggregating argmin, never a
     *     shuffled n×ksub stream.
     *  3. ADC scan: each query precomputes its `m × ksub` table of
-    *     squared-L2 subdistances (broadcast); approx dist(q, x) =
-    *     sum_j table[j][code_j(x)], assembled as a hash join on
-    *     (subspace, code) and a per-pair ordered fold (sub-ascending, so
-    *     the double sum is order-stable for the oracle).
-    *  4. The `overscan · k` best approx candidates per query are
-    *     re-ranked by exact cosine — the standard PQ shortlist+refine.
+    *     squared-L2 subdistances, reshaped to a nested array and
+    *     BROADCAST; approx dist(q, x) = sum_j table[j][code_j(x)] is a
+    *     pure map-side expression fold (sub-ascending, so the double
+    *     sum is order-stable for the oracle) — no per-(pair, subspace)
+    *     rows ever shuffle.
+    *  4. The `overscan · k` best approx candidates per query are found
+    *     with a salted two-phase top-k (per-(query, salt) window, then
+    *     a window over the surviving `salts · overscan · k` rows — the
+    *     per-query sort never has a single-task corpus-sized
+    *     partition), then re-ranked by exact cosine — the standard PQ
+    *     shortlist+refine.
     *
-    * Scale posture: codes are O(n·m) small ints, the scan is the
-    * canonical O(n·m) table lookups per query (map work against a
-    * broadcast table, reduced by partial aggregation before the only
-    * wide shuffle, which carries one row per (query, candidate)).
+    * Scale posture: codes are O(n·m) small ints built by one
+    * partial-agg shuffle; the scan is the canonical O(n·m) table
+    * lookups per query, all map work against the broadcast tables; the
+    * only corpus-sized shuffles are the codes groupBy and the salted
+    * first-phase window.
     */
   def pq(corpus: DataFrame, queries: DataFrame, idCol: String,
          vecCol: String, dim: Int, k: Int, m: Int = 8, ksub: Int = 16,
-         overscan: Int = 4): DataFrame = {
+         overscan: Int = 4, salts: Int = 32): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
+    // the codebook sample is the ids 0..ksub-1, so a code IS its
+    // position in the table row; fail loudly on sparse/offset id spaces
+    // (a trained codebook replaces this sampling in production anyway)
+    val nCent = corpus.filter(col(idCol) < ksub).count()
+    require(nCent == ksub,
+      s"pq's systematic codebook needs contiguous ids 0..${ksub - 1} " +
+        s"in the corpus, found $nCent of $ksub — substitute a trained " +
+        "codebook for non-contiguous id spaces")
     // (id, sub, subvec): the m contiguous subvectors of each vector
     def subs(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
@@ -208,31 +222,54 @@ object Knn {
     val centroids = broadcast(subs(corpus.filter(col(idCol) < ksub), "cell_id")
       .select(col("sub"), col("cell_id"), col("subvec").as("cvec")))
     // encode: per (vector, subspace) the L2-nearest sub-centroid id;
-    // min_by is partial-aggregatable (same shape as ivf's assign)
+    // min_by is partial-aggregatable (same shape as ivf's assign), and
+    // the per-vector codes collapse to ONE sub-ordered array row
     val codes = subs(corpus, "neighbor_id")
       .join(centroids, "sub")
       .withColumn("dist", l2sqD(col("subvec"), col("cvec")))
       .groupBy(col("neighbor_id"), col("sub"))
       .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
         .as("code"))
-    // per-query subdistance tables (|Q| x m x ksub — broadcast small)
-    val qtable = broadcast(subs(queries, "query_id")
+      .groupBy(col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("neighbor_id"),
+        transform(col("sc"), s => s("code")).as("codes"))
+    // per-query subdistance tables reshaped to tbl[m][ksub] (sorted by
+    // (sub, code), so position j*ksub + c IS (sub j, code c)) — |Q| rows
+    // of m·ksub doubles, broadcast
+    val qtab = broadcast(subs(queries, "query_id")
       .join(centroids, "sub")
       .withColumn("qdist", l2sqD(col("subvec"), col("cvec")))
-      .select(col("query_id"), col("sub"), col("cell_id").as("code"),
-        col("qdist")))
-    // ADC: m table lookups per (query, vector), folded in sub order so
-    // the double sum is reproducible
-    val approx = codes.join(qtable, Seq("sub", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("qdist"))))
-        .as("parts"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"),
+        col("cell_id").cast("long").as("code"), col("qdist")))).as("e"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ksub - 1)), c =>
+            element_at(col("e"), (j * ksub + c + 1).cast("int"))("qdist")))
+          .as("tbl")))
+    // ADC: map-side fold of m table lookups per (vector, query) pair
+    val approx = codes.join(qtab)
       .withColumn("adist",
-        aggregate(col("parts"), lit(0.0), (acc, s) => acc + s("qdist")))
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(
+            element_at(col("tbl"), (j + lit(1)).cast("int")),
+            (element_at(col("codes"), (j + lit(1)).cast("int")) + lit(1))
+              .cast("int"))))
+    // two-phase top-(overscan·k): local per-salt cut, then the global
+    // cut over salts·overscan·k survivors — identical result to one
+    // global window (the global top-S is inside the union of per-salt
+    // top-S), without a corpus-sized single-task sort per query
+    val wLocal = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("adist"), col("neighbor_id"))
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     val shortlist = approx
       .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("salt", pmod(col("neighbor_id"), lit(salts)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k * overscan)
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= k * overscan)
       .select(col("query_id"), col("neighbor_id"))
