@@ -238,6 +238,11 @@ object BlockEncoding {
             (key, value, key(key.length - 1))
           case FastDiff =>
             val flag = in.get() & 0xff
+            // a first cell with any shared-state flag set is a corrupt or
+            // foreign-format stream — fail descriptively, not with an NPE
+            require(prevKey != null || (flag & (FlagSameKeyLength |
+              FlagSameValueLength | FlagSameType | FlagSameValue)) == 0,
+              "first cell in block references previous-cell state")
             val keyLen =
               if ((flag & FlagSameKeyLength) != 0) prevKey.length
               else readCompressedInt(in)
