@@ -25,6 +25,19 @@ class PlanShapeSpec extends SparkSpec {
       "curation must be join-free")
   }
 
+  test("text_repetition: pruned scan, partial aggregation, per-doc windows") {
+    val p = plan("text_repetition")
+    // only the two needed columns reach the parquet scan
+    val rs = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text") &&
+      !rs.contains("lang") && !rs.contains("source"), rs)
+    // the token/bigram/run counts reduce map-side before their shuffles
+    assert(p.contains("partial_count"), "counts must partial-aggregate")
+    // no global (empty-partition-spec) window: every sort is per-doc
+    assert(!"Window \\[[^\\]]*\\]$".r.findAllIn(p).exists(_.contains("[]")) &&
+      !p.contains("Window [, "), "windows must partition by doc")
+  }
+
   test("zorder_layout: top-k, not a global sort; partial aggregation") {
     val p = plan("zorder_layout")
     assert(p.contains("TakeOrderedAndProject"), "limit+order must be top-k")
