@@ -587,7 +587,9 @@ class HFileSpec extends SparkSpec {
       .toDF("rowkey", "family", "qualifier", "value")
     val prepared = BulkLoad.prepare(cells, buckets = 2, numPartitions = 2)
     val out = Files.createTempDirectory("hfiles_enc").toString
-    BulkLoad.writeHFiles(prepared, out, encoding = "fast_diff")
+    // encoding UNDER block compression — the cluster-default combination
+    BulkLoad.writeHFiles(prepared, out, encoding = "fast_diff",
+      compression = "snappy")
     // every data file leads with the ENCODED_DATA magic and scans back
     val files = new java.io.File(out).listFiles.filter(_.isDirectory)
       .flatMap(_.listFiles).filter(_.getName.endsWith(".hfile"))
@@ -597,6 +599,14 @@ class HFileSpec extends SparkSpec {
       assert(head.sameElements(BlockMagicEncodedData), f.getName)
     }
     assert(BulkLoad.readHFiles(spark, out).count() == 300)
+    // the distributed keyed lookup probes encoded+compressed blocks too
+    // (keys on disk are salted — take two real ones plus one absent)
+    val present = BulkLoad.readHFiles(spark, out)
+      .select("rowkey").distinct().limit(2).collect()
+      .map(_.getAs[Array[Byte]](0))
+    val keys = (present :+ Array.fill(12)(0x7e.toByte)).toSeq.toDF("rowkey")
+    val got = BulkLoad.multiGet(spark, out, keys)
+    assert(got.count() == 2) // one cell per present key; the probe misses
   }
 
   test("maxFileBytes rolls multiple files per bucket; a rowkey never splits") {
