@@ -685,13 +685,26 @@ object SparkEntry {
         |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
         | FROM span),
         |j AS (SELECT s.event_type, s.h,
-        |  COALESCE(b.n_events, 0) AS n_events,
-        |  b.n_events IS NULL AS is_gap, b.raw_sum
-        | FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h)
-        |SELECT event_type, h * 3600000 AS bucket_ms, n_events, is_gap,
-        | last_value(raw_sum IGNORE NULLS) OVER
-        |  (PARTITION BY event_type ORDER BY h) AS sum_value
-        |FROM j ORDER BY event_type, bucket_ms""".stripMargin,
+        |  b.n_events AS raw_n, b.raw_sum
+        | FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h),
+        |f AS (SELECT event_type, h, raw_n,
+        |  last_value(raw_sum IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN raw_n IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER wp AS ph,
+        |  first_value(raw_sum IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN raw_n IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER wn AS nh
+        | FROM j
+        | WINDOW wp AS (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h * 3600000 AS bucket_ms,
+        | COALESCE(raw_n, 0) AS n_events, raw_n IS NULL AS is_gap,
+        | pv AS sum_value,
+        | round(CASE WHEN nh = ph THEN pv
+        |   ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END, 6) AS lin_sum
+        |FROM f ORDER BY event_type, bucket_ms""".stripMargin,
     "corpus_curate" ->
       s"""WITH q AS (SELECT doc_id, lang, text,
         |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),

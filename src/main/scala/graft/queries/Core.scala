@@ -318,17 +318,22 @@ object Core {
 
   /** A17: gap-filled hourly downsample — OpenTSDB's downsample fill
     * policies over the A9 rollup. Hours with no events appear with
-    * `n_events = 0`, `is_gap = true`, and `sum_value` carried forward
-    * from the previous non-empty hour (PREVIOUS fill; the first hours
-    * of a series can still be null if the series starts with a gap —
-    * it never does here since spans start at each type's first event).
+    * `n_events = 0`, `is_gap = true`, `sum_value` carried forward from
+    * the previous non-empty hour (PREVIOUS fill; the first hours of a
+    * series can still be null if the series starts with a gap — it
+    * never does here since spans start at each type's first event),
+    * and `lin_sum` LINEAR-interpolated between the previous and next
+    * non-empty hours in proportion to the gap position (OpenTSDB's
+    * `FillPolicy`/interpolation downsample; interior gaps only by the
+    * same spine argument, and a present hour interpolates to itself).
     *
     * Scale shape: the raw stream first reduces to one row per
     * (type, hour) via a partial-aggregating groupBy; the spine
-    * (`sequence` + explode) and the carry-forward window then operate
-    * on O(types × hours) rollup rows — bounded by the time span, not
-    * the event count — so the per-type window partition holds e.g.
-    * ~88k rows for a decade of hours regardless of data volume.
+    * (`sequence` + explode) and the two fill windows (carry-forward,
+    * and the mirrored carry-backward for the interpolation endpoints)
+    * then operate on O(types × hours) rollup rows — bounded by the
+    * time span, not the event count — so the per-type window partition
+    * holds e.g. ~88k rows for a decade of hours regardless of volume.
     */
   def rollupFill(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -340,14 +345,27 @@ object Core {
       .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"))).as("h"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val presentH = when(col("n_events").isNotNull, col("h"))
     spine.join(b, Seq("event_type", "h"), "left")
+      .withColumn("pv", last(col("raw_sum"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(presentH, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("raw_sum"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(presentH, ignoreNulls = true).over(wNext))
       .select(col("event_type"),
         (col("h") * 3600000L).as("bucket_ms"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         (col("n_events").isNull).as("is_gap"),
-        last(col("raw_sum"), ignoreNulls = true).over(w).as("sum_value"))
+        col("pv").as("sum_value"),
+        // identical operation tree to the oracle SQL: * before /, long
+        // hour deltas promoted to double at the multiply
+        round(when(col("nh") === col("ph"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("h") - col("ph")) / (col("nh") - col("ph"))), 6)
+          .as("lin_sum"))
       .orderBy(col("event_type"), col("bucket_ms"))
   }
 
