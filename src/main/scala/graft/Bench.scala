@@ -75,13 +75,20 @@ object Bench {
     if (failed) None else Some(times.sorted.apply(1))
   }
 
-  /** Parent side: measure one query in a freshly forked JVM (same
-    * classpath, module opens and -Xmx as this one). Returns the child's
-    * median, or None on failure.
+  /** Parent side: measure one query in a freshly forked JVM under the
+    * SAME JVM configuration as this one — all parent input arguments
+    * (heap sizing, GC choice, -XX: tuning, every -D system property,
+    * module opens) are forwarded except flags that must not leak into a
+    * child (debug/agent attachments, which would fight over ports or
+    * pause the child). Returns the child's median, or None on failure.
     */
   def forkQuery(name: String, sfDir: String, cpus: String): Option[Double] = {
     import scala.sys.process._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    def conflicts(a: String): Boolean =
+      a.startsWith("-agentlib") || a.startsWith("-agentpath") ||
+        a.startsWith("-javaagent") || a.startsWith("-Xdebug") ||
+        a.startsWith("-Xrunjdwp") || a.startsWith("-XX:StartFlightRecording")
     val jvmArgs = {
       val in = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments
@@ -92,9 +99,7 @@ object Bench {
         if (a == "--add-opens" && i + 1 < in.size()) {
           buf += a += in.get(i + 1); i += 2
         } else {
-          if (a.startsWith("-Xmx") || a.startsWith("-Dspark.") ||
-            a.startsWith("--add-opens="))
-            buf += a
+          if (!conflicts(a)) buf += a
           i += 1
         }
       }

@@ -247,7 +247,16 @@ object BulkLoad {
     * [[graft.sources.HFileReader]] active, so a scan doubles as an
     * integrity audit of the bulk output.
     */
-  def readHFiles(spark: SparkSession, path: String): DataFrame = {
+  def readHFiles(spark: SparkSession, path: String): DataFrame =
+    readHFiles(spark, path, "bucket=*/*.hfile")
+
+  /** [[readHFiles]] with an explicit file glob under `path` — e.g. the
+    * `epoch=N`-prefixed hfile glob, to scan every micro-batch run a
+    * streaming sink accumulated as ONE constant-size plan (the run a
+    * cell came from is recoverable from the `file` column), instead of
+    * an N-way union whose analysis cost grows with the epoch count.
+    */
+  def readHFiles(spark: SparkSession, path: String, glob: String): DataFrame = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -255,7 +264,7 @@ object BulkLoad {
     // bucket=* (not */) so leftover _inprogress attempt files are never
     // read back as data; globStatus returns null when the path is absent
     val files = Option(
-        fs.globStatus(new org.apache.hadoop.fs.Path(root, "bucket=*/*.hfile")))
+        fs.globStatus(new org.apache.hadoop.fs.Path(root, glob)))
       .getOrElse(Array.empty)
       .map(_.getPath.toString).toSeq
     require(files.nonEmpty, s"no HFiles found under $path")

@@ -134,15 +134,18 @@ object Compaction {
                     encoding: String = "none"): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
+    val nEpochs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
       .getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
-        st.getPath.toString))
-    require(epochs.nonEmpty, s"no epoch=* run directories under $dir")
-    val cells = epochs.map { case (e, p) =>
-      BulkLoad.readHFiles(spark, p).drop("file").withColumn("_epoch", lit(e))
-    }.reduce(_.unionByName(_))
+      .count(_.isDirectory)
+    require(nEpochs > 0, s"no epoch=* run directories under $dir")
+    // ONE glob scan over every epoch's files; the epoch a cell came from
+    // is recovered from the `file` path — the plan stays constant-size
+    // however many micro-batch runs accumulated (an N-way unionByName
+    // here made analysis/optimization cost grow linearly with N)
+    val cells = BulkLoad.readHFiles(spark, dir, "epoch=*/bucket=*/*.hfile")
+      .withColumn("_epoch",
+        regexp_extract(col("file"), "epoch=(\\d+)", 1).cast("long"))
+      .drop("file")
     val latest = cells
       .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"),
         col("key_type"))

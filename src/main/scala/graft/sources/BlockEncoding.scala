@@ -96,6 +96,10 @@ object BlockEncoding {
     var b = 0x80
     while ((b & 0x80) != 0) {
       require(in.remaining() >= 1, "truncated compressed int")
+      // an Int needs ≤5 LEB128 groups; a 6th means a corrupt stream of
+      // continuation bytes that would otherwise shift past 31 and
+      // silently drop bits — fail descriptively instead
+      require(shift < 35, "compressed int too long — corrupt stream")
       b = in.get() & 0xff
       v |= (b & 0x7f) << shift
       shift += 7
@@ -266,7 +270,10 @@ object BlockEncoding {
               else in.get()
             key(keyLen - 1) = typ
             val value =
-              if ((flag & FlagSameValue) != 0) prevValue
+              // clone: otherwise consecutive same-value cells share one
+              // array and an in-place mutation downstream would silently
+              // corrupt sibling cells
+              if ((flag & FlagSameValue) != 0) prevValue.clone()
               else { val v = new Array[Byte](valueLen); in.get(v); v }
             (key, value, typ)
         }

@@ -540,6 +540,12 @@ class HFileWriter(out: OutputStream,
   private var blockFirstCell: HCell = null
   private var lastCell: HCell = null
   private var blockCells = 0L
+  // what the UNENCODED cell layout would have occupied for this block's
+  // cells — HBase cuts a block when either the encoded or the unencoded
+  // size reaches blockSize (HFileWriterImpl.checkBlockBoundary), so
+  // encoded files keep the reference's block boundaries instead of
+  // packing more cells per block
+  private var blockUnencodedBytes = 0L
 
   private case class IndexEntry(offset: Long, onDiskSizeWithHeader: Int,
                                 firstKey: Array[Byte])
@@ -603,7 +609,8 @@ class HFileWriter(out: OutputStream,
       s"family too long: ${cell.family.length} > 255")
     require(lastCell == null || compareCells(lastCell, cell) < 0,
       s"cells must be strictly increasing; got ${hexKey(cell)} after ${hexKey(lastCell)}")
-    if (cellBuf.size() >= blockSize) flushDataBlock()
+    if (cellBuf.size() >= blockSize || blockUnencodedBytes >= blockSize)
+      flushDataBlock()
     if (blockFirstCell == null) blockFirstCell = cell
     if (firstCellRow == null) firstCellRow = cell.rowkey
     if (bloomChunkKeys > 0 &&
@@ -644,6 +651,8 @@ class HFileWriter(out: OutputStream,
     }
     totalKeyLen += key.length
     totalValueLen += cell.value.length
+    blockUnencodedBytes += 8L + key.length + cell.value.length +
+      (if (withTagsAndMvcc) 2L + cell.tags.length + 9L else 0L)
     entryCount += 1
     blockCells += 1
     lastCell = cell
@@ -755,6 +764,7 @@ class HFileWriter(out: OutputStream,
     blockFirstCell = null
     blockEncoder = null
     blockCells = 0
+    blockUnencodedBytes = 0L
   }
 
   /** v2 block: 33-byte header + (possibly compressed) payload + CRC32C

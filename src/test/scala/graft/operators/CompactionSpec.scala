@@ -170,6 +170,37 @@ class CompactionSpec extends SparkSpec {
     assert(new java.io.File(out, "_manifest").exists())
   }
 
+  test("compactEpochs: 50 accumulated epochs plan as ONE constant-size " +
+      "scan (no per-epoch union) and resolve to the last epoch's value") {
+    val dir = Files.createTempDirectory("epochs50").toString
+    // 50 micro-batch runs re-putting the same key plus one private key
+    // each — the pathological long-running-stream shape
+    (0 until 50).foreach { e =>
+      val rows = Seq(
+        (k(1), "f", "q", f"v$e%02d".getBytes, P),
+        (k(100 + e), "f", "q", f"p$e%02d".getBytes, P))
+      val prepared = BulkLoad.prepare(
+        rows.toDF("rowkey", "family", "qualifier", "value", "key_type"),
+        buckets = 2, numPartitions = 2)
+      BulkLoad.writeHFiles(prepared, s"$dir/epoch=$e",
+        typeCol = Some("key_type"))
+    }
+    val out = Files.createTempDirectory("epochs50_out").toString
+    val t0 = System.nanoTime()
+    Compaction.compactEpochs(spark, dir, out, numPartitions = 2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the glob plan is epoch-count-independent; the old 50-way
+    // unionByName paid linearly-growing analysis cost before any task
+    assert(secs < 60.0, f"50-epoch compaction took $secs%.1f s")
+    val back = BulkLoad.readHFiles(spark, out)
+    assert(back.count() == 51) // key 1 once + 50 private keys
+    val got = back
+      .select(hex(col("rowkey")).as("r"), col("value").cast("string"))
+      .as[(String, String)].collect()
+    val k1 = got.collectFirst { case (r, value) if r.endsWith("01") => value }
+    assert(k1.contains("v49"), "highest epoch must win the shared key")
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
