@@ -102,6 +102,8 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
+    "knn_pq_trained" -> ((s, d) => Pipeline.knnPqTrained(t(s, d, "embeddings"))),
+    "knn_ivfpq" -> ((s, d) => Pipeline.knnIvfPq(t(s, d, "embeddings"))),
     // ---- E. text analysis -----------------------------------------------
     "text_stats" -> ((s, d) => Pipeline.textStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => Pipeline.textQuality(t(s, d, "documents"))),
@@ -215,6 +217,36 @@ object SparkEntry {
       |        THEN power(2, p % $planesPerBand)::BIGINT ELSE 0 END)::BIGINT AS bkey
       |  FROM dots GROUP BY vec_id, p // $planesPerBand)""".stripMargin
 
+  /** One Lloyd iteration of the PQ sub-codebook k-means as DuckDB CTEs —
+    * replays [[graft.operators.Knn.kmeansSubCodebooks]] bit-exactly:
+    * argmin assignment (ties to the smallest slot), then per-component
+    * means from QUANTIZED integer sums (`floor(v·2²⁰ + 0.5)` summed as
+    * BIGINT — associative, so Spark's partitioned sum and this replay
+    * agree exactly), empty clusters keeping the previous centroid.
+    * Emits CTEs `d$n a$n u$n g$n c$n`; `c$n` is the iteration's
+    * codebook `(sub, cell_id, cvec)`.
+    */
+  private def kmeansIterCte(n: Int, prev: String): String =
+    s"""d$n AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
+      |  list_sum(list_transform(range(1, 9),
+      |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+      |  FROM samp s JOIN $prev c ON s.j = c.sub),
+      |a$n AS (SELECT vec_id, sub, cell_id AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |    ORDER BY dist, cell_id) AS rn FROM d$n) WHERE rn = 1),
+      |u$n AS (SELECT a.sub, a.code, t.i,
+      |  SUM(CAST(floor(s.sv[t.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+      |  COUNT(*) AS cnt
+      |  FROM a$n a JOIN samp s ON a.vec_id = s.vec_id AND a.sub = s.j,
+      |    range(1, 9) AS t(i)
+      |  GROUP BY 1, 2, 3),
+      |g$n AS (SELECT sub, code AS cell_id,
+      |  list(sq::DOUBLE / cnt / 1048576.0 ORDER BY i) AS cvec
+      |  FROM u$n GROUP BY 1, 2),
+      |c$n AS (SELECT p.sub, p.cell_id, coalesce(g.cvec, p.cvec) AS cvec
+      |  FROM $prev p LEFT JOIN g$n g
+      |    ON p.sub = g.sub AND p.cell_id = g.cell_id)""".stripMargin
+
   private val cosineSql: (String, String) => String = (a, b) =>
     s"""list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
       |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
@@ -271,6 +303,113 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, 9),
         |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
         |  FROM sub s JOIN cent c ON s.j = c.sub WHERE s.vec_id < 10),
+        |adc AS (SELECT qt.query_id, codes.neighbor_id,
+        |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
+        |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.code = qt.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS srn
+        |  FROM adc WHERE neighbor_id <> query_id) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i]))))
+        |    AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |anchor AS (SELECT MIN(vec_id % 50) AS m FROM embeddings),
+        |ccent AS (SELECT vec_id AS cell_id, embedding AS ce
+        |  FROM embeddings, anchor WHERE vec_id % 50 = anchor.m),
+        |assign0 AS (
+        |  SELECT e0.vec_id AS neighbor_id, c.cell_id,
+        |         ${cosineSql("e0.embedding", "c.ce")} AS csim
+        |  FROM embeddings e0, ccent c),
+        |cells AS (
+        |  SELECT neighbor_id, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.query_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, ccent c) WHERE qrn <= 5),
+        |sub AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM e, range(0, 8) AS t(j)),
+        |pcent AS (SELECT j AS sub, vec_id AS cell_id, sv AS cvec
+        |  FROM sub WHERE vec_id < 16),
+        |enc0 AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+        |  FROM sub s JOIN pcent c ON s.j = c.sub),
+        |codes AS (SELECT vec_id AS neighbor_id, sub, cell_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, cell_id) AS rn FROM enc0) WHERE rn = 1),
+        |qt AS (SELECT s.vec_id AS query_id, s.j AS sub,
+        |  c.cell_id AS code,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
+        |  FROM sub s JOIN pcent c ON s.j = c.sub WHERE s.vec_id < 10),
+        |adc AS (SELECT p.query_id, codes.neighbor_id,
+        |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
+        |  FROM codes
+        |  JOIN cells ON codes.neighbor_id = cells.neighbor_id
+        |  JOIN probes p ON cells.cell_id = p.cell_id
+        |  JOIN qt ON qt.query_id = p.query_id
+        |    AND codes.sub = qt.sub AND codes.code = qt.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS srn
+        |  FROM adc WHERE neighbor_id <> query_id) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i]))))
+        |    AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_pq_trained" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM e, range(0, 8) AS t(j)),
+        |samp AS (SELECT * FROM sub WHERE vec_id % 2 = 0),
+        |initids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM samp ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM samp s JOIN initids i USING (vec_id)),
+        |${kmeansIterCte(1, "c0")},
+        |${kmeansIterCte(2, "c1")},
+        |enc0 AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+        |  FROM sub s JOIN c2 c ON s.j = c.sub),
+        |codes AS (SELECT vec_id AS neighbor_id, sub, cell_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, cell_id) AS rn FROM enc0) WHERE rn = 1),
+        |qt AS (SELECT s.vec_id AS query_id, s.j AS sub,
+        |  c.cell_id AS code,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
+        |  FROM sub s JOIN c2 c ON s.j = c.sub WHERE s.vec_id < 10),
         |adc AS (SELECT qt.query_id, codes.neighbor_id,
         |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
         |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.code = qt.code

@@ -206,21 +206,273 @@ object Knn {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
     // the codebook sample is the ids 0..ksub-1, so a code IS its
-    // position in the table row; fail loudly on sparse/offset id spaces
-    // (a trained codebook replaces this sampling in production anyway)
+    // position in the table row; fail loudly on sparse/offset id spaces —
+    // this require applies ONLY to the systematic path; [[pqTrained]]
+    // works on any id space
     val nCent = corpus.filter(col(idCol) < ksub).count()
     require(nCent == ksub,
       s"pq's systematic codebook needs contiguous ids 0..${ksub - 1} " +
-        s"in the corpus, found $nCent of $ksub — substitute a trained " +
-        "codebook for non-contiguous id spaces")
+        s"in the corpus, found $nCent of $ksub — use pqTrained for " +
+        "non-contiguous id spaces")
+    def subs(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+        .toDF(id, "sub", "subvec")
+    val centroids = subs(corpus.filter(col(idCol) < ksub), "cell_id")
+      .select(col("sub"), col("cell_id"), col("subvec").as("cvec"))
+    pqSearch(corpus, queries, idCol, vecCol, centroids, dim, k, m, ksub,
+      overscan, salts)
+  }
+
+  /** Lloyd's k-means sub-codebooks for [[pqTrained]] — the slot the
+    * systematic codebook in [[pq]] stands in for. Deterministic and
+    * oracle-replayable by construction:
+    *
+    *  - training set: the vectors with `id % trainMod == 0` (a
+    *    deterministic sample — at 100 TB you train on a fraction and
+    *    encode everything);
+    *  - init: the `ksub` smallest-id training vectors' subvectors
+    *    (`orderBy(id).limit(ksub)` — a distributed top-k, no global
+    *    sort), codebook slot = rank, so ANY id space yields codes
+    *    0..ksub-1;
+    *  - assign: broadcast centroids + partial-agg `min_by` argmin —
+    *    the same shape as the encode step, never a shuffled n×ksub
+    *    stream;
+    *  - update: per-component means computed from QUANTIZED integer
+    *    sums (`floor(v·2²⁰ + 0.5)` summed as longs): integer addition
+    *    is associative, so the result is bit-identical however Spark
+    *    partitions the sum — and a SQL oracle replays it exactly.
+    *    The ≤2⁻²⁰ quantization nudge is far below any clustering
+    *    signal. Empty clusters keep their previous centroid;
+    *  - per iteration the m·ksub·(dim/m) = `dim·ksub` centroid doubles
+    *    are collected and re-broadcast — the standard distributed
+    *    k-means cycle (centroids are tiny; the corpus never moves).
+    *
+    * Returns `(sub, cell_id, cvec)` with cell_id 0..ksub-1, the
+    * codebook shape [[pqSearch]] consumes.
+    */
+  def kmeansSubCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int, ksub: Int, iters: Int = 2,
+                         trainMod: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val S = 1048576.0 // 2^20 quantization scale for associative sums
+    val samp = corpus
+      .filter(pmod(col(idCol).cast("long"), lit(trainMod.toLong)) === 0)
+      .select(col(idCol).cast("long").as("_id"),
+        asDouble(col(vecCol)).as("v"))
+    val init = samp.orderBy(col("_id")).limit(ksub).collect()
+    require(init.length == ksub,
+      s"k-means needs >= $ksub training vectors, found ${init.length} " +
+        s"(training sample = ids with id % $trainMod == 0)")
+    // cent(sub)(cell)(component), driver-side between iterations
+    var cent: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
+      (j, c) =>
+        init(c).getSeq[Double](1).slice(j * d, (j + 1) * d).toArray
+    }
+    def centDf = cent.zipWithIndex.flatMap { case (byCell, j) =>
+      byCell.zipWithIndex.map { case (cv, c) => (j, c.toLong, cv.toSeq) }
+    }.toSeq.toDF("sub", "cell_id", "cvec")
+    val sampSubs = samp.select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * d + 1, lit(d)))))
+      .toDF("_id", "sub", "sv")
+    for (_ <- 1 to iters) {
+      val assigned = sampSubs.join(broadcast(centDf), "sub")
+        .withColumn("dist", l2sqD(col("sv"), col("cvec")))
+        .groupBy(col("_id"), col("sub"))
+        .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
+          .as("code"),
+          first(col("sv")).as("sv")) // sv is a function of (_id, sub)
+      val upd = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .toDF("sub", "code", "i", "comp")
+        .withColumn("q", floor(col("comp") * S + lit(0.5)).cast("long"))
+        .groupBy("sub", "code", "i")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cent.map(_.map(_.clone()))
+      upd.foreach { r =>
+        val j = r.getInt(0); val c = r.getLong(1).toInt; val i = r.getInt(2)
+        next(j)(c)(i) = r.getLong(3).toDouble / r.getLong(4) / S
+      }
+      cent = next
+    }
+    centDf
+  }
+
+  /** [[pq]] with TRAINED k-means sub-codebooks instead of the
+    * systematic id-sampled ones — the production PQ path: works on any
+    * id space (no contiguity requirement) and fits the codebook to the
+    * corpus distribution. Same search machinery, same output shape.
+    */
+  def pqTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, k: Int, m: Int = 8,
+                ksub: Int = 16, iters: Int = 2, trainMod: Int = 4,
+                overscan: Int = 4, salts: Int = 32): DataFrame = {
+    val centroids = kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      iters, trainMod)
+    pqSearch(corpus, queries, idCol, vecCol, centroids, dim, k, m, ksub,
+      overscan, salts)
+  }
+
+  /** IVF × PQ — the composition a true 100 TB corpus needs: vectors are
+    * assigned to coarse IVF cells (the [[ivf]] quantizer) AND encoded as
+    * PQ codes (the [[pq]] compressor); a query probes its `nProbe`
+    * nearest cells and ADC-scans ONLY the codes in probed cells, so the
+    * per-query work is the probed fraction of the corpus instead of the
+    * flat-PQ O(n·m) full scan ([[pq]]'s scale ceiling — its ratio100 was
+    * the suite's worst precisely because every query touches every
+    * code). Exact cosine re-ranks the shortlist as usual.
+    *
+    * Plan shape: coarse assign and PQ encode are both broadcast +
+    * partial-agg reductions over the corpus; their two per-vector
+    * outputs co-shuffle once on the vector id (a production store would
+    * persist that (cell, codes) pairing as the index); `probes` and the
+    * per-query ADC tables are broadcast, so cell pruning happens
+    * map-side — non-probed vectors are dropped without a shuffle and
+    * without computing any distance.
+    *
+    * `codebooks`: pass [[kmeansSubCodebooks]] output for trained
+    * sub-quantizers on arbitrary id spaces; default is the systematic
+    * codebook (with [[pq]]'s contiguous-id requirement). Cells are
+    * pruned on RAW-vector codes (the simpler IVFADC variant without
+    * residual encoding; residuals sharpen ADC further but need per-cell
+    * code tables — noted as the next refinement).
+    */
+  def ivfpq(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, dim: Int, k: Int, stride: Int = 50,
+            nProbe: Int = 5, m: Int = 8, ksub: Int = 16,
+            overscan: Int = 4, salts: Int = 32,
+            codebooks: Option[DataFrame] = scala.None): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    // ---- coarse quantizer: [[ivf]]'s anchored systematic centroids
+    val anchorRow = corpus
+      .agg(min(pmod(col(idCol).cast("long"), lit(stride.toLong))).as("m"))
+      .head()
+    require(!anchorRow.isNullAt(0), "ivfpq needs a non-empty corpus")
+    val anchorMod = anchorRow.getLong(0)
+    val coarse = broadcast(
+      corpus.filter(pmod(col(idCol), lit(stride.toLong)) === anchorMod)
+        .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
+    // coarse assign: partial-agg argmax, no cv carried (re-rank joins
+    // the corpus again); ties toward the smallest cell_id
+    val cells = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .join(coarse)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
+        .as("cell_id"))
+    // query probes: top-nProbe cells per query (tiny; broadcast)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell_id"))
+    val probes = broadcast(q.join(coarse)
+      .withColumn("qsim", cosineD(col("qv"), col("centroid")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("query_id"), col("cell_id")))
+    // ---- PQ codebooks (systematic unless trained ones are passed)
+    def subs(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+        .toDF(id, "sub", "subvec")
+    val pqCent = broadcast(codebooks.getOrElse {
+      val nCent = corpus.filter(col(idCol) < ksub).count()
+      require(nCent == ksub,
+        s"ivfpq's systematic codebook needs contiguous ids 0..${ksub - 1}" +
+          s" in the corpus, found $nCent of $ksub — pass " +
+          "kmeansSubCodebooks output for non-contiguous id spaces")
+      subs(corpus.filter(col(idCol) < ksub), "cell_id")
+        .select(col("sub"), col("cell_id"), col("subvec").as("cvec"))
+    })
+    // PQ encode (same partial-agg shape as pqSearch)
+    val codes = subs(corpus, "neighbor_id")
+      .join(pqCent, "sub")
+      .withColumn("dist", l2sqD(col("subvec"), col("cvec")))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
+        .as("code"))
+      .groupBy(col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("neighbor_id"),
+        transform(col("sc"), s => s("code")).as("codes"))
+    // per-query ADC tables (same as pqSearch), broadcast
+    val qtab = broadcast(subs(queries, "query_id")
+      .join(pqCent, "sub")
+      .withColumn("qdist", l2sqD(col("subvec"), col("cvec")))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"),
+        col("cell_id").cast("long").as("code"), col("qdist")))).as("e"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ksub - 1)), c =>
+            element_at(col("e"), (j * ksub + c + 1).cast("int"))("qdist")))
+          .as("tbl")))
+    // candidate set = vectors whose cell each query probed — the ONLY
+    // corpus-sized shuffle after encode is the codes⋈cells id join; the
+    // probes/qtab joins are broadcast, so pruning + ADC stay map-side
+    val approx = codes.join(cells, "neighbor_id")
+      .join(probes, "cell_id")
+      .join(qtab, "query_id")
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(
+            element_at(col("tbl"), (j + lit(1)).cast("int")),
+            (element_at(col("codes"), (j + lit(1)).cast("int")) + lit(1))
+              .cast("int"))))
+    val wLocal = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = approx
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("salt", pmod(col("neighbor_id"), lit(salts)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k * overscan)
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= k * overscan)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** The PQ search machinery shared by [[pq]] and [[pqTrained]]:
+    * encode → per-query ADC tables → map-side approx-distance fold →
+    * salted two-phase shortlist → exact re-rank. `centroids` must be
+    * `(sub: 0..m-1, cell_id: 0..ksub-1 CONTIGUOUS, cvec)` — a code
+    * indexes the ADC table row by position.
+    */
+  private def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, centroidsIn: DataFrame, dim: Int,
+                       k: Int, m: Int, ksub: Int, overscan: Int,
+                       salts: Int): DataFrame = {
+    val d = dim / m
     // (id, sub, subvec): the m contiguous subvectors of each vector
     def subs(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
           posexplode(transform(sequence(lit(0), lit(m - 1)),
             j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
         .toDF(id, "sub", "subvec")
-    val centroids = broadcast(subs(corpus.filter(col(idCol) < ksub), "cell_id")
-      .select(col("sub"), col("cell_id"), col("subvec").as("cvec")))
+    val centroids = broadcast(centroidsIn)
     // encode: per (vector, subspace) the L2-nearest sub-centroid id;
     // min_by is partial-aggregatable (same shape as ivf's assign), and
     // the per-vector codes collapse to ONE sub-ordered array row

@@ -182,6 +182,32 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D4b: PQ with TRAINED k-means sub-codebooks (2 Lloyd iterations on
+    * the id%2 sample, quantized-sum determinism) — the production path
+    * for arbitrary id spaces; same search machinery as [[knnPq]].
+    * trainMod=2 because the synthetic corpus is small and structureless
+    * (the hardest k-means case): recall@5 vs brute force measures 0.46
+    * at sf0.001 / higher at sf0.01, vs 0.36 with a quarter sample. A
+    * real (clustered) corpus trains well on far smaller fractions.
+    */
+  def knnPqTrained(embeddings: DataFrame): DataFrame =
+    Knn.pqTrained(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16, iters = 2, trainMod = 2,
+        overscan = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
+  /** D5: IVF × PQ — probe 5 coarse cells, ADC-scan only their codes,
+    * exact re-rank. The scale path: per-query work is the probed
+    * fraction of the corpus, not [[knnPq]]'s full flat scan.
+    */
+  def knnIvfPq(embeddings: DataFrame): DataFrame =
+    Knn.ivfpq(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = 64, k = 5, stride = 50, nProbe = 5, m = 8, ksub = 16,
+        overscan = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   // ---- E. text analysis -----------------------------------------------
 
   def textStats(documents: DataFrame): DataFrame =
