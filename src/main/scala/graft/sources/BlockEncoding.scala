@@ -26,6 +26,16 @@ import graft.sources.HFileReader.CellLayout
   *     `cInt(keyLen - common) cInt(valueLen) cInt(common)
   *      keyBytes[common..keyLen) value` — common prefix over the FULL
   *     serialized key (incl. timestamp/type) vs the previous cell's.
+  *   - `DIFF` (id 3): the stream opens with `u8 famLen, familyBytes`
+  *     (ONE family per file — `DiffKeyDeltaEncoder` never re-emits it);
+  *     per cell a flag byte (bit 0 same-key-length, bit 1
+  *     same-value-length, bit 2 same-type, bit 3 timestamp-is-diff,
+  *     bits 4-6 `timestampBytes - 1`, bit 7 timestamp sign), then
+  *     `[cInt keyLen] [cInt valueLen] cInt(common)`, the key delta with
+  *     the family SKIPPED (row-region suffix + full qualifier when the
+  *     rows differ; just the qualifier suffix when the prefix covers
+  *     the row), the timestamp — raw or as `prevTs - ts`, whichever
+  *     fits in fewer bytes — `[type] value`. Value is always present.
   *   - `FAST_DIFF` (id 4): per cell a flag byte
   *     (bits 0-2 `timestampBytes - 1`, bit 3 same-key-length, bit 4
   *     same-value-length, bit 5 same-type, bit 6 same-value), then
@@ -44,9 +54,9 @@ import graft.sources.HFileReader.CellLayout
   *   - The file info declares the encoding under `DATA_BLOCK_ENCODING`
   *     (enum name bytes).
   *
-  * DIFF and the removed PREFIX_TREE are not implemented (rejected
-  * loudly); PREFIX + FAST_DIFF cover the overwhelmingly common cluster
-  * configurations and graft's own write path.
+  * The removed PREFIX_TREE and ROW_INDEX_V1 are not implemented
+  * (rejected loudly); PREFIX + DIFF + FAST_DIFF cover every delta
+  * encoding a deployed cluster config can name.
   */
 object BlockEncoding {
 
@@ -57,15 +67,16 @@ object BlockEncoding {
   val FastDiff = 4
   val RowIndexV1 = 7
 
-  val Supported: Set[Int] = Set(None, Prefix, FastDiff)
+  val Supported: Set[Int] = Set(None, Prefix, Diff, FastDiff)
 
   def idOf(name: String): Int = name.toUpperCase match {
     case "NONE" => None
     case "PREFIX" => Prefix
+    case "DIFF" => Diff
     case "FAST_DIFF" | "FASTDIFF" => FastDiff
     case other => throw new IllegalArgumentException(
       s"unsupported data block encoding '$other' " +
-        "(supported: none, prefix, fast_diff)")
+        "(supported: none, prefix, diff, fast_diff)")
   }
 
   /** HBase enum name (what the file info records). */
@@ -149,6 +160,16 @@ object BlockEncoding {
   private val FlagSameType = 1 << 5
   private val FlagSameValue = 1 << 6
 
+  // DIFF flag bits (DiffKeyDeltaEncoder — note the DIFFERENT layout:
+  // same-* flags in the LOW bits, timestamp length in bits 4-6)
+  private val DiffSameKeyLength = 1
+  private val DiffSameValueLength = 1 << 1
+  private val DiffSameType = 1 << 2
+  private val DiffTimestampIsDiff = 1 << 3
+  private val DiffMaskTimestampLength = 0x70 // bits 4-6: tsBytes - 1
+  private val DiffShiftTimestampLength = 4
+  private val DiffTimestampSign = 1 << 7
+
   /** Streaming per-block encoder; allocate one per data block (state =
     * the previous cell within the block).
     */
@@ -158,6 +179,8 @@ object BlockEncoding {
     private var prevKey: Array[Byte] = null
     private var prevValue: Array[Byte] = null
     private var prevType: Byte = 0
+    private var prevTs: Long = 0L
+    private var blockFamily: Array[Byte] = null
 
     def encode(c: HCell, out: DataOutputStream): Unit = {
       val key = HFile.serializeKey(c)
@@ -171,6 +194,76 @@ object BlockEncoding {
           putCompressedInt(out, common)
           out.write(key, common, key.length - common)
           out.write(c.value)
+        case Diff =>
+          // DIFF assumes ONE column family per file: famLen+family are
+          // written once before the first cell and SKIPPED in every
+          // key's delta (DiffKeyDeltaEncoder writes the family up front
+          // and writeRowKeyExcludingCommon/writeQualifier* never emit it)
+          if (prevKey == null) {
+            blockFamily = c.family
+            out.write(c.family.length)
+            out.write(c.family)
+          } else require(java.util.Arrays.equals(c.family, blockFamily),
+            "DIFF encoding requires a single column family per file; got " +
+              s"'${new String(c.family, "UTF-8")}' after " +
+              s"'${new String(blockFamily, "UTF-8")}'")
+          var flag = 0
+          var tsToWrite = 0L
+          var tsFit = 0
+          if (prevKey == null) {
+            var ts = c.ts
+            if (ts < 0) { flag |= DiffTimestampSign; ts = -ts }
+            tsFit = longFitsIn(ts)
+            tsToWrite = ts
+            flag |= (tsFit - 1) << DiffShiftTimestampLength
+          } else {
+            if (key.length == prevKey.length) flag |= DiffSameKeyLength
+            if (c.value.length == prevValue.length) flag |= DiffSameValueLength
+            if (c.keyType == prevType) flag |= DiffSameType
+            var ts = c.ts
+            val negTs = ts < 0
+            if (negTs) ts = -ts
+            val tsFitRaw = longFitsIn(ts)
+            var diff = prevTs - c.ts
+            val negDiff = diff < 0
+            if (negDiff) diff = -diff
+            val diffFit = longFitsIn(diff)
+            if (diffFit < tsFitRaw) { // strictly-smaller, like the encoder
+              flag |= (diffFit - 1) << DiffShiftTimestampLength
+              flag |= DiffTimestampIsDiff
+              if (negDiff) flag |= DiffTimestampSign
+              tsFit = diffFit; tsToWrite = diff
+            } else {
+              flag |= (tsFitRaw - 1) << DiffShiftTimestampLength
+              if (negTs) flag |= DiffTimestampSign
+              tsFit = tsFitRaw; tsToWrite = ts
+            }
+          }
+          val common =
+            if (prevKey == null) 0
+            else commonPrefixLen(key, prevKey,
+              math.min(key.length, prevKey.length) - TimestampTypeSize)
+          out.write(flag)
+          if ((flag & DiffSameKeyLength) == 0) putCompressedInt(out, key.length)
+          if ((flag & DiffSameValueLength) == 0)
+            putCompressedInt(out, c.value.length)
+          putCompressedInt(out, common)
+          val rowRegion = 2 + c.rowkey.length
+          if (common < rowRegion) {
+            // rows differ: the row-region suffix, then the FULL
+            // qualifier — the family is never re-emitted
+            out.write(key, common, rowRegion - common)
+            out.write(c.qualifier)
+          } else {
+            // common covers the whole row; same-family means it extends
+            // through famLen+family too, so only the qualifier suffix
+            // remains
+            val commonQual = common - rowRegion - 1 - c.family.length
+            out.write(c.qualifier, commonQual, c.qualifier.length - commonQual)
+          }
+          putLong(out, tsToWrite, tsFit)
+          if ((flag & DiffSameType) == 0) out.write(c.keyType.toInt)
+          out.write(c.value) // DIFF has no same-value elision
         case FastDiff =>
           val tsFit = longFitsIn(c.ts)
           var flag = (tsFit - 1) & MaskTimestampLength
@@ -208,6 +301,7 @@ object BlockEncoding {
       prevKey = key
       prevValue = c.value
       prevType = c.keyType
+      prevTs = c.ts
     }
   }
 
@@ -218,12 +312,14 @@ object BlockEncoding {
              layout: CellLayout): Iterator[HCell] = {
     require(Supported.contains(encoding) && encoding != None,
       s"unsupported data block encoding ${nameOf(encoding)} " +
-        "(supported: PREFIX, FAST_DIFF)")
+        "(supported: PREFIX, DIFF, FAST_DIFF)")
     val in = ByteBuffer.wrap(payload)
     new Iterator[HCell] {
       private var prevKey: Array[Byte] = null
       private var prevValue: Array[Byte] = null
       private var prevType: Byte = 0
+      private var prevTs: Long = 0L
+      private var blockFamily: Array[Byte] = null
       def hasNext: Boolean = in.remaining() > 0
       def next(): HCell = {
         val (key, value, typ) = encoding match {
@@ -240,6 +336,65 @@ object BlockEncoding {
             in.get(value)
             require(key.length >= TimestampTypeSize + 3, "key too short")
             (key, value, key(key.length - 1))
+          case Diff =>
+            // the stream opens with the file's single famLen+family run
+            if (blockFamily == null) {
+              val fl = in.get() & 0xff
+              blockFamily = new Array[Byte](fl)
+              in.get(blockFamily)
+            }
+            val flag = in.get() & 0xff
+            require(prevKey != null ||
+              (flag & (DiffSameKeyLength | DiffSameValueLength |
+                DiffSameType | DiffTimestampIsDiff)) == 0,
+              "first cell in block references previous-cell state")
+            val keyLen =
+              if ((flag & DiffSameKeyLength) != 0) prevKey.length
+              else readCompressedInt(in)
+            val valueLen =
+              if ((flag & DiffSameValueLength) != 0) prevValue.length
+              else readCompressedInt(in)
+            val common = readCompressedInt(in)
+            require(prevKey != null || common == 0,
+              "first cell in block has a common prefix")
+            val key = new Array[Byte](keyLen)
+            if (common > 0) System.arraycopy(prevKey, 0, key, 0, common)
+            var pos = common
+            // complete the 2-byte row length if the prefix stopped short
+            if (pos < 2) { in.get(key, pos, 2 - pos); pos = 2 }
+            val rLen = ((key(0) & 0xff) << 8) | (key(1) & 0xff)
+            val rowRegion = 2 + rLen
+            require(keyLen >= rowRegion + 1 + blockFamily.length +
+              TimestampTypeSize, "corrupt DIFF key lengths")
+            if (common < rowRegion) {
+              // rest of the row from the stream, famLen+family from the
+              // block header, then the full qualifier
+              in.get(key, pos, rowRegion - pos)
+              key(rowRegion) = blockFamily.length.toByte
+              System.arraycopy(blockFamily, 0, key, rowRegion + 1,
+                blockFamily.length)
+              val qualStart = rowRegion + 1 + blockFamily.length
+              in.get(key, qualStart, keyLen - TimestampTypeSize - qualStart)
+            } else {
+              // prefix covers row (and family, same across the file):
+              // only the qualifier suffix is in the stream
+              in.get(key, common, keyLen - TimestampTypeSize - common)
+            }
+            val tsLen =
+              ((flag & DiffMaskTimestampLength) >> DiffShiftTimestampLength) + 1
+            var tv = readLong(in, tsLen)
+            if ((flag & DiffTimestampSign) != 0) tv = -tv
+            val ts = if ((flag & DiffTimestampIsDiff) != 0) prevTs - tv else tv
+            val tsBuf = ByteBuffer.wrap(key, keyLen - TimestampTypeSize, 8)
+            tsBuf.putLong(ts)
+            val typ =
+              if ((flag & DiffSameType) != 0) prevType
+              else in.get()
+            key(keyLen - 1) = typ
+            val value = new Array[Byte](valueLen)
+            in.get(value)
+            prevTs = ts
+            (key, value, typ)
           case FastDiff =>
             val flag = in.get() & 0xff
             // a first cell with any shared-state flag set is a corrupt or

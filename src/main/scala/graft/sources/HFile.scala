@@ -69,10 +69,11 @@ import scala.collection.mutable.ArrayBuffer
   * live region server — which stamps mvcc ids on every cell and may
   * attach tags — parse correctly (uncompressed tags only; dictionary-
   * compressed tags are rejected loudly). `DATA_BLOCK_ENCODING` is
-  * supported both ways for PREFIX and FAST_DIFF ([[BlockEncoding]], the
-  * `DATABLKE` block magic): cluster files encoded with the commonly-
-  * recommended FAST_DIFF scan/seek/multiGet correctly, and graft can
-  * write encoded files; DIFF and ROW_INDEX_V1 are rejected loudly at
+  * supported both ways for PREFIX, DIFF and FAST_DIFF
+  * ([[BlockEncoding]], the `DATABLKE` block magic): cluster files using
+  * any of the three deployed delta encodings scan/seek/multiGet
+  * correctly, and graft can write encoded files; the removed
+  * PREFIX_TREE and ROW_INDEX_V1 are rejected loudly at
   * open, not mis-parsed. Remaining: a single-level
   * data index (fine until a file's index outgrows one block — roughly
   * millions of 64 KiB blocks). Those
@@ -521,7 +522,7 @@ class HFileWriter(out: OutputStream,
       s"$CodecSnappy=SNAPPY, $CodecLz4=LZ4, $CodecZstd=ZSTD)")
   require(BlockEncoding.Supported.contains(encoding),
     s"unsupported data block encoding id $encoding " +
-      "(supported: NONE, PREFIX, FAST_DIFF)")
+      "(supported: NONE, PREFIX, DIFF, FAST_DIFF)")
   // grouped(1) would never shrink the root entry list — finish() would
   // loop writing index blocks forever
   require(indexBlockEntries >= 2,

@@ -508,7 +508,7 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
   * qualifier string, ts long, value binary` and optionally
   * `key_type int` (defaults to Put). Options: `blockSize`,
   * `compression` (`none`/`gz`/`snappy`/`lz4`/`zstd`), `encoding`
-  * (`none`/`prefix`/`fast_diff` data block encoding), `bloom`,
+  * (`none`/`prefix`/`diff`/`fast_diff` data block encoding), `bloom`,
   * `bloomChunkKeys`, `maxFileBytes`.
   *
   * Instead of pre-shuffling like [[graft.operators.BulkLoad.writeHFiles]],
@@ -551,7 +551,7 @@ class HFileWriteImpl(path: String, info: LogicalWriteInfo, truncate: Boolean,
       .getOrElse(HFile.DefaultBloomChunkKeys)
   private val maxFileBytes = Option(info.options.get("maxFileBytes"))
     .map(_.toLong).getOrElse(HFile.DefaultMaxFileBytes)
-  // data block encoding name (none / prefix / fast_diff), like the
+  // data block encoding name (none / prefix / diff / fast_diff), like the
   // table-level DATA_BLOCK_ENCODING attribute
   private val encoding = BlockEncoding.idOf(
     Option(info.options.get("encoding")).getOrElse("none"))

@@ -77,14 +77,53 @@ class BlockEncodingSpec extends AnyFunSuite {
       c("z", "q", Long.MinValue, "end".getBytes))
     cells.sliding(2).foreach { case Seq(x, y) =>
       assert(compareCells(x, y) < 0, s"fixture must be sorted: $x !< $y") }
-    for (enc <- Seq(BlockEncoding.Prefix, BlockEncoding.FastDiff))
+    for (enc <- Seq(BlockEncoding.Prefix, BlockEncoding.Diff,
+        BlockEncoding.FastDiff))
       assertSame(roundTrip(cells, enc), cells)
+  }
+
+  test("DIFF exercises ts-diff vs raw, sign flags, and qualifier-suffix " +
+      "deltas within a row") {
+    def c(row: String, qual: String, ts: Long, v: Array[Byte],
+          typ: Byte = HFile.KeyTypePut): HCell =
+      HCell(row.getBytes, "f".getBytes, qual.getBytes, ts, v, typ)
+    val cells = Seq(
+      // same row + qualifier: ts DESC runs hit TIMESTAMP_IS_DIFF with a
+      // small positive delta (prevTs - ts > 0)...
+      c("r1", "qual-aaaa", 1700000002000L, "a".getBytes),
+      c("r1", "qual-aaaa", 1700000001000L, "b".getBytes),
+      c("r1", "qual-aaaa", 1700000000990L, "c".getBytes),
+      // ...same-row qualifier change: common prefix covers the row, so
+      // only the qualifier suffix is written; new column restarts at a
+      // big ts (negative diff -> sign flag on the diff path)
+      c("r1", "qual-bbbb", 1700000009000L, "d".getBytes),
+      // row change with a shared "r" first byte: common < rowRegion
+      c("r2", "q", -5L, "e".getBytes), // negative raw ts (sign, no diff)
+      c("r2", "q", Long.MinValue + 1, Array.emptyByteArray,
+        HFile.KeyTypeDeleteColumn),
+      // row-length change: common prefix stops inside the 2-byte rowLen
+      c("r2-longer-row", "q", 0L, "g".getBytes))
+    cells.sliding(2).foreach { case Seq(x, y) =>
+      assert(compareCells(x, y) < 0, s"fixture must be sorted: $x !< $y") }
+    assertSame(roundTrip(cells, BlockEncoding.Diff), cells)
+  }
+
+  test("DIFF rejects a second column family loudly") {
+    val out = new DataOutputStream(new ByteArrayOutputStream())
+    val enc = new BlockEncoding.Encoder(BlockEncoding.Diff)
+    enc.encode(HCell("a".getBytes, "f".getBytes, "q".getBytes, 1L,
+      "v".getBytes, HFile.KeyTypePut), out)
+    val e = intercept[IllegalArgumentException](
+      enc.encode(HCell("b".getBytes, "g".getBytes, "q".getBytes, 1L,
+        "v".getBytes, HFile.KeyTypePut), out))
+    assert(e.getMessage.contains("single column family"))
   }
 
   test("single cell and randomized streams round-trip, with tags+mvcc") {
     val rnd = new scala.util.Random(23)
     val layout = HFileReader.CellLayout(tags = true, mvcc = true)
-    for (enc <- Seq(BlockEncoding.Prefix, BlockEncoding.FastDiff);
+    for (enc <- Seq(BlockEncoding.Prefix, BlockEncoding.Diff,
+           BlockEncoding.FastDiff);
          trial <- 0 until 5) {
       val raw = (0 until 1 + rnd.nextInt(150)).map { _ =>
         HCell(
@@ -106,12 +145,12 @@ class BlockEncodingSpec extends AnyFunSuite {
   }
 
   test("unsupported encodings are rejected by name and by id") {
-    intercept[IllegalArgumentException](BlockEncoding.idOf("DIFF"))
+    intercept[IllegalArgumentException](BlockEncoding.idOf("PREFIX_TREE"))
     intercept[IllegalArgumentException](BlockEncoding.idOf("ROW_INDEX_V1"))
     intercept[IllegalArgumentException](
-      BlockEncoding.decode(BlockEncoding.Diff, Array[Byte](1, 2, 3),
+      BlockEncoding.decode(BlockEncoding.RowIndexV1, Array[Byte](1, 2, 3),
         HFileReader.PlainLayout).toSeq)
     intercept[IllegalArgumentException](
-      new BlockEncoding.Encoder(BlockEncoding.Diff))
+      new BlockEncoding.Encoder(BlockEncoding.RowIndexV1))
   }
 }

@@ -423,7 +423,7 @@ class HFileSpec extends SparkSpec {
       val bloomKeys = Seq(0, 16, 64)(trial % 3)
       val fanout = Seq(3, 4, 1000)((trial / 2) % 3)
       val encoding = Seq(BlockEncoding.None, BlockEncoding.Prefix,
-        BlockEncoding.FastDiff)(trial % 3)
+        BlockEncoding.Diff, BlockEncoding.FastDiff)(trial % 4)
       // random sorted unique cells: binary rowkeys, some multi-cell rows
       val raw = (0 until 200 + rnd.nextInt(200)).map { _ =>
         val rk = Array.fill(1 + rnd.nextInt(10))(rnd.nextInt(256).toByte)
@@ -513,6 +513,42 @@ class HFileSpec extends SparkSpec {
     assert(payload.sameElements(expect),
       s"got ${payload.map(b => f"$b%02x").mkString(" ")}")
     // and it round-trips
+    val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
+    assert(back.size == 2 && compareCells(back(0), c1) == 0 &&
+      compareCells(back(1), c2) == 0 &&
+      back(0).value.sameElements("aa".getBytes) &&
+      back(1).value.sameElements("ab".getBytes))
+  }
+
+  test("DIFF golden bytes: leading family run, low-bit flags, family " +
+      "skipped in key deltas, raw-vs-diff timestamps") {
+    val c1 = HCell("r1".getBytes, "f".getBytes, "q".getBytes, 5L, "aa".getBytes)
+    val c2 = HCell("r1".getBytes, "f".getBytes, "q2".getBytes, 3L, "ab".getBytes)
+    val baos = new ByteArrayOutputStream()
+    val w = new HFileWriter(baos, blockSize = 1 << 20,
+      encoding = BlockEncoding.Diff)
+    w.append(c1); w.append(c2); w.finish()
+    val bytes = baos.toByteArray
+    assert(bytes.slice(0, 8).sameElements(BlockMagicEncodedData))
+    val payloadLen = java.nio.ByteBuffer.wrap(bytes, 29, 4).getInt - HeaderSize
+    val payload = bytes.slice(HeaderSize, HeaderSize + payloadLen)
+    // 2-byte big-endian DataBlockEncoding id (DIFF = 3), then the ONE
+    // famLen+family run for the whole stream, then:
+    // cell 1: flag 0x00 (1 ts byte, raw, first cell), cInt keyLen=16,
+    //   cInt valueLen=2, cInt common=0, rowLen(i16) row (family SKIPPED)
+    //   full qualifier, ts 0x05, type, value "aa";
+    // cell 2: flag 0x06 (same value length + same type; ts raw — the
+    //   diff 5-3=2 is not strictly smaller than raw 3 in bytes), cInt
+    //   keyLen=17, cInt common=7 (covers row + family + 'q'), qualifier
+    //   suffix '2', ts 0x03, value "ab"
+    val expect = Array[Int](
+      0x00, 0x03,
+      0x01, 'f',
+      0x00, 0x10, 0x02, 0x00, 0x00, 0x02, 'r', '1', 'q',
+      0x05, 0x04, 'a', 'a',
+      0x06, 0x11, 0x07, '2', 0x03, 'a', 'b').map(_.toByte)
+    assert(payload.sameElements(expect),
+      s"got ${payload.map(b => f"$b%02x").mkString(" ")}")
     val back = HFileReader.scan(new HFileReader.BytesRead(bytes)).toSeq
     assert(back.size == 2 && compareCells(back(0), c1) == 0 &&
       compareCells(back(1), c2) == 0 &&
