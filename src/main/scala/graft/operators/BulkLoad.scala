@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.functions.hb
 import graft.sources.{HFile, HFileReader, HFileWriter}
 
-/** One row per cell read back from an HFile by [[BulkLoad.readHFiles]]. */
+/** One row per cell read back from an HFile by [[BulkLoad.readHFiles]].
+  * `tags`/`mvcc` are empty/0 for files written without the tags layout;
+  * cluster-written files carry them through so rewrites (compaction)
+  * can preserve cell TTL tags and sequence ids.
+  */
 case class HFileCellRow(file: String, bucket: Int, rowkey: Array[Byte],
                         family: String, qualifier: String, ts: Long,
-                        value: Array[Byte], key_type: Int)
+                        value: Array[Byte], key_type: Int,
+                        tags: Array[Byte], mvcc: Long)
 
 /** TSDB-style rowkey salting (TsdbBulkload.java:81-114,167-173).
   *
@@ -118,7 +123,9 @@ object BulkLoad {
                   compression: String = "none",
                   bloomChunkKeys: Int = HFile.DefaultBloomChunkKeys,
                   maxFileBytes: Long = HFile.DefaultMaxFileBytes,
-                  encoding: String = "none"): Unit = {
+                  encoding: String = "none",
+                  tagsCol: Option[String] = None,
+                  mvccCol: Option[String] = None): Unit = {
     val codec = HFile.codecOf(compression) // fail fast, on the driver
     val encodingId = graft.sources.BlockEncoding.idOf(encoding)
     val spark = prepared.sparkSession
@@ -128,13 +135,23 @@ object BulkLoad {
     fsRoot.mkdirs(root)
     val confMap = broadcastHadoopConf(spark)
 
+    // tagsCol/mvccCol switch every file to the tags+mvcc cell layout
+    // (the cluster's KEY_VALUE_VERSION=1 format) — what a compaction of
+    // cluster-written files uses so cell TTL tags and sequence ids
+    // survive the rewrite
+    val withTagsAndMvcc = tagsCol.isDefined || mvccCol.isDefined
     val ts = tsCol.map(col(_).cast("long")).getOrElse(lit(0L))
     val typ = typeCol.map(col(_).cast("int"))
       .getOrElse(lit(HFile.KeyTypePut.toInt))
+    val tags = tagsCol.map(c => coalesce(col(c).cast("binary"),
+      lit(Array.emptyByteArray))).getOrElse(lit(Array.emptyByteArray))
+    val mvcc = mvccCol.map(c => coalesce(col(c).cast("long"), lit(0L)))
+      .getOrElse(lit(0L))
     val rows = prepared.select(col("bucket").cast("int"),
       col("salted_key").cast("binary"), col("family").cast("string"),
       col("qualifier").cast("string"), ts.as("ts"),
-      col("value").cast("binary"), typ.as("key_type"))
+      col("value").cast("binary"), typ.as("key_type"),
+      tags.as("tags"), mvcc.as("mvcc"))
       // equal (bucket, key, family, qualifier) tuples always land in one
       // range partition, so this local sort fixes version order globally
       .sortWithinPartitions(col("bucket"), col("salted_key"), col("family"),
@@ -185,7 +202,7 @@ object BulkLoad {
             seq += 1
             out = fs.create(tmp, true)
             writer = new HFileWriter(out, blockSize, codec, bloomChunkKeys,
-              encoding = encodingId)
+              withTagsAndMvcc = withTagsAndMvcc, encoding = encodingId)
             bucket = b
           }
           it.foreach { r =>
@@ -202,7 +219,10 @@ object BulkLoad {
               r.getString(2).getBytes("UTF-8"),
               r.getString(3).getBytes("UTF-8"),
               r.getLong(4), r.getAs[Array[Byte]](5),
-              r.getInt(6).toByte))
+              r.getInt(6).toByte,
+              if (withTagsAndMvcc) r.getAs[Array[Byte]](7)
+              else Array.emptyByteArray,
+              if (withTagsAndMvcc) r.getLong(8) else 0L))
           }
           commitCurrent()
         }
@@ -288,8 +308,40 @@ object BulkLoad {
       val bucket = graft.sources.HFileSource.bucketOf(f)
       HFileReader.scan(rr).map(c => HFileCellRow(f, bucket, c.rowkey,
         new String(c.family, "UTF-8"), new String(c.qualifier, "UTF-8"),
-        c.ts, c.value, c.keyType.toInt))
+        c.ts, c.value, c.keyType.toInt, c.tags, c.mvcc))
     }.toDF()
+  }
+
+  /** Whether ANY file under `path`/`glob` stores the tags+mvcc cell
+    * layout — the bit a compaction needs to decide whether its rewrite
+    * must preserve them. One file-info short read per file through a
+    * bounded pool (file-count scale, no data reads), the same pattern
+    * as the manifest fallback.
+    */
+  def dirHasTagsOrMvcc(spark: SparkSession, path: String,
+                       glob: String = "bucket=*/*.hfile"): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    val files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, glob)))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    if (files.isEmpty) return false
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    try {
+      files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val rr = openRead(f, hconf)
+            try {
+              val t = HFileReader.readTrailer(rr)
+              val l = HFileReader.cellLayoutOf(rr, t)
+              l.tags || l.mvcc
+            } finally rr.close()
+          }
+        })
+      }.exists(_.get())
+    } finally pool.shutdown()
   }
 
   /** Distributed keyed lookup (multi-get) against a [[writeHFiles]]
@@ -387,7 +439,7 @@ object BulkLoad {
         try HFileReader.multiGet(rr, batch.map(_._3).toSeq)
           .map(c => HFileCellRow(f, b, c.rowkey,
             new String(c.family, "UTF-8"), new String(c.qualifier, "UTF-8"),
-            c.ts, c.value, c.keyType.toInt)).iterator
+            c.ts, c.value, c.keyType.toInt, c.tags, c.mvcc)).iterator
         finally rr.close()
       }.toDF()
   }

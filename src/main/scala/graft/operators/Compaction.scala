@@ -64,21 +64,31 @@ object Compaction {
   }
 
   /** Surviving puts with VERSIONS=n retention and exact-key duplicates
-    * collapsed (the HFile writer's strictly-increasing-key invariant:
-    * two puts at the same (rowkey, family, qualifier, ts) keep the
-    * unsigned-max value, deterministically). Any extra columns (e.g.
-    * `bucket`) are carried through with `first`; they must be functions
-    * of the cell key — true for salt buckets — for the collapse to stay
-    * deterministic.
+    * collapsed. Without an `mvcc` column the HFile writer's
+    * strictly-increasing-key invariant is restored by keeping the
+    * unsigned-max value, deterministically. WITH an `mvcc` column the
+    * HBase rule applies instead: the highest sequence id wins the
+    * coordinate, and its value/tags travel with it (ties by value, so
+    * mvcc-less inputs collapse exactly as before). Any other extra
+    * columns (e.g. `bucket`) are carried with `first`; they must be
+    * functions of the cell key — true for salt buckets — for the
+    * collapse to stay deterministic.
     */
   def retainVersions(puts: DataFrame, versions: Int): DataFrame = {
     val keys = Seq("rowkey", "family", "qualifier", "ts")
     val extras = puts.columns.filterNot(c => keys.contains(c) || c == "value")
-    val aggs = max(col("value")).as("value") +:
-      extras.map(c => first(col(c)).as(c))
-    val collapsed = puts
-      .groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val collapsed =
+      if (puts.columns.contains("mvcc")) {
+        val carried = "value" +: extras
+        puts.groupBy(keys.map(col): _*)
+          .agg(max_by(struct(carried.map(col): _*),
+            struct(col("mvcc"), col("value"))).as("w"))
+          .select(keys.map(col) ++ carried.map(c => col(s"w.$c").as(c)): _*)
+      } else {
+        val aggs = max(col("value")).as("value") +:
+          extras.map(c => first(col(c)).as(c))
+        puts.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
     Cells.lastVersions(collapsed, versions)
       .drop("version_rank")
   }
@@ -95,14 +105,21 @@ object Compaction {
               blockSize: Int = HFile.DefaultBlockSize,
               compression: String = "none",
               encoding: String = "none"): Unit = {
+    // cluster-written inputs may carry cell tags (TTLs) and mvcc ids;
+    // a rewrite that drops them silently changes semantics — probe the
+    // file infos (file-count-scale short reads) and preserve the layout
+    val carryTags = BulkLoad.dirHasTagsOrMvcc(spark, inDir)
     val cells = BulkLoad.readHFiles(spark, inDir)
     val kept = retainVersions(applyDeletes(cells), versions)
     val prepared = kept
-      .select(col("bucket"), col("rowkey").as("salted_key"), col("family"),
-        col("qualifier"), col("ts"), col("value"))
+      .select(Seq(col("bucket"), col("rowkey").as("salted_key"),
+        col("family"), col("qualifier"), col("ts"), col("value")) ++
+        (if (carryTags) Seq(col("tags"), col("mvcc")) else Seq.empty): _*)
       .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
-      blockSize = blockSize, compression = compression, encoding = encoding)
+      blockSize = blockSize, compression = compression, encoding = encoding,
+      tagsCol = if (carryTags) Some("tags") else None,
+      mvccCol = if (carryTags) Some("mvcc") else None)
   }
 
   /** Major compaction across the `epoch=N` run directories a
@@ -142,23 +159,33 @@ object Compaction {
     // is recovered from the `file` path — the plan stays constant-size
     // however many micro-batch runs accumulated (an N-way unionByName
     // here made analysis/optimization cost grow linearly with N)
-    val cells = BulkLoad.readHFiles(spark, dir, "epoch=*/bucket=*/*.hfile")
+    val epochGlob = "epoch=*/bucket=*/*.hfile"
+    val carryTags = BulkLoad.dirHasTagsOrMvcc(spark, dir, epochGlob)
+    val cells = BulkLoad.readHFiles(spark, dir, epochGlob)
       .withColumn("_epoch",
         regexp_extract(col("file"), "epoch=(\\d+)", 1).cast("long"))
       .drop("file")
     val latest = cells
       .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"),
         col("key_type"))
-      // one shuffle resolves epoch precedence; bucket is a function of
-      // the (already-salted) rowkey, so first() is deterministic
-      .agg(max_by(col("value"), col("_epoch")).as("value"),
+      // one shuffle resolves epoch precedence; value/tags/mvcc travel
+      // together with the winning epoch; bucket is a function of the
+      // (already-salted) rowkey, so first() is deterministic
+      .agg(max_by(struct(col("value"), col("tags"), col("mvcc")),
+        col("_epoch")).as("w"),
         first(col("bucket")).as("bucket"))
+      .select(col("rowkey"), col("family"), col("qualifier"), col("ts"),
+        col("key_type"), col("w.value").as("value"), col("w.tags").as("tags"),
+        col("w.mvcc").as("mvcc"), col("bucket"))
     val kept = retainVersions(applyDeletes(latest), versions)
     val prepared = kept
-      .select(col("bucket"), col("rowkey").as("salted_key"), col("family"),
-        col("qualifier"), col("ts"), col("value"))
+      .select(Seq(col("bucket"), col("rowkey").as("salted_key"),
+        col("family"), col("qualifier"), col("ts"), col("value")) ++
+        (if (carryTags) Seq(col("tags"), col("mvcc")) else Seq.empty): _*)
       .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
-      blockSize = blockSize, compression = compression, encoding = encoding)
+      blockSize = blockSize, compression = compression, encoding = encoding,
+      tagsCol = if (carryTags) Some("tags") else None,
+      mvccCol = if (carryTags) Some("mvcc") else None)
   }
 }

@@ -145,17 +145,17 @@ object HFileReader {
     * the reader scan arbitrary cluster files (the reference reads them
     * through the HBase jars, AbstractTableInputFormat.java).
     */
-  private[sources] case class CellLayout(tags: Boolean, mvcc: Boolean,
+  private[graft] case class CellLayout(tags: Boolean, mvcc: Boolean,
                                          encoding: Int = BlockEncoding.None)
 
-  private[sources] val PlainLayout = CellLayout(tags = false, mvcc = false)
+  private[graft] val PlainLayout = CellLayout(tags = false, mvcc = false)
 
   /** Reads the file-info block and derives the cell layout. One extra
     * short read per file open — nothing at scan scale. Dictionary-
     * compressed tags (`hfile.TAGS_COMPRESSED` = true) are rejected
     * loudly rather than mis-parsed.
     */
-  private[sources] def cellLayoutOf(r: RandomRead, trailer: Trailer): CellLayout = {
+  private[graft] def cellLayoutOf(r: RandomRead, trailer: Trailer): CellLayout = {
     if (trailer.entryCount == 0) return PlainLayout
     val fi = readBlock(r, trailer.fileInfoOffset, AnyPrevOffset,
       trailer.compressionCodec)

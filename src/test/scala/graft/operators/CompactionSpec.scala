@@ -201,6 +201,77 @@ class CompactionSpec extends SparkSpec {
     assert(k1.contains("v49"), "highest epoch must win the shared key")
   }
 
+  test("compacting a tags+mvcc directory preserves cell tags and resolves " +
+      "exact-coordinate duplicates by HIGHEST mvcc, not value order") {
+    // cluster-shaped input: TTL-ish tags on some cells, mvcc ids on all,
+    // plus an exact-coordinate duplicate pair where the HIGHER mvcc
+    // carries the LEX-SMALLER value (max(value) would pick wrongly), and
+    // a delete marker masking one cell
+    val rows = Seq(
+      (k(1), "f", "q", 10L, "new".getBytes, P, Array[Byte](1, 0, 4, 7), 200L),
+      (k(2), "f", "q", 10L, "keep".getBytes, P, Array.emptyByteArray, 150L),
+      (k(3), "f", "q", 10L, "dead".getBytes, P, Array.emptyByteArray, 100L),
+      (k(3), "f", "q", 10L, Array.emptyByteArray, D, Array.emptyByteArray, 160L))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "key_type",
+        "tags", "mvcc")
+    val dup = Seq(
+      (k(1), "f", "q", 10L, "zzz".getBytes, P, Array.emptyByteArray, 120L))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "key_type",
+        "tags", "mvcc")
+    val in = Files.createTempDirectory("tags_in").toString
+    // a duplicate coordinate INSIDE one file would violate the writer's
+    // strict key order; mvcc-distinct cells at one coordinate only occur
+    // ACROSS files (what two cluster flushes of one region produce), so
+    // the dup run is written separately and its file merged into the
+    // same bucket directory below
+    BulkLoad.writeHFiles(BulkLoad.prepare(rows, buckets = 1,
+        numPartitions = 1), in, tsCol = Some("ts"),
+      typeCol = Some("key_type"), tagsCol = Some("tags"),
+      mvccCol = Some("mvcc"))
+    val dupDir = Files.createTempDirectory("tags_dup").toString
+    BulkLoad.writeHFiles(BulkLoad.prepare(dup, buckets = 1,
+        numPartitions = 1), dupDir, tsCol = Some("ts"),
+      typeCol = Some("key_type"), tagsCol = Some("tags"),
+      mvccCol = Some("mvcc"))
+    // merge the second run's file into the first dir (what N cluster
+    // flushes of one region look like: same bucket, overlapping files)
+    val src = new java.io.File(dupDir, "bucket=0").listFiles
+      .filter(_.getName.endsWith(".hfile")).head
+    val dstDir = new java.io.File(in, "bucket=0")
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dstDir, "part-merged-000.hfile").toPath)
+    new java.io.File(in, "_manifest").delete() // stale after the copy
+
+    assert(BulkLoad.dirHasTagsOrMvcc(spark, in))
+    val out = Files.createTempDirectory("tags_out").toString
+    Compaction.compact(spark, in, out, versions = 1, numPartitions = 1)
+    val back = BulkLoad.readHFiles(spark, out)
+      .select(hex(col("rowkey")).as("r"), col("value").cast("string"),
+        col("tags"), col("mvcc"))
+      .collect()
+      .map(r => (r.getString(0).takeRight(2), (r.getString(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getLong(3))))
+      .toMap
+    // key 3 masked by the delete; keys 1 (tags preserved, mvcc-200
+    // value wins over lex-larger "zzz"@120) and 2 survive
+    assert(back.size == 2, s"got $back")
+    assert(back("01") == (("new", Seq[Byte](1, 0, 4, 7), 200L)),
+      s"got ${back("01")}")
+    assert(back("02") == (("keep", Seq.empty[Byte], 150L)))
+    // and the compacted OUTPUT still declares the tags layout
+    assert(BulkLoad.dirHasTagsOrMvcc(spark, out))
+    // a plain directory stays plain through compaction
+    val plainIn = Files.createTempDirectory("plain_in").toString
+    BulkLoad.writeHFiles(BulkLoad.prepare(
+        Seq((k(9), "f", "q", "v".getBytes, P))
+          .toDF("rowkey", "family", "qualifier", "value", "key_type"),
+        buckets = 1, numPartitions = 1),
+      plainIn, typeCol = Some("key_type"))
+    val plainOut = Files.createTempDirectory("plain_out").toString
+    Compaction.compact(spark, plainIn, plainOut, numPartitions = 1)
+    assert(!BulkLoad.dirHasTagsOrMvcc(spark, plainOut))
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
