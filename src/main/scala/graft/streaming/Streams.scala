@@ -130,12 +130,29 @@ object Streams {
     *
     * `cells` needs (rowkey BINARY, family STRING, qualifier STRING,
     * value BINARY) plus optional ts/type columns, like the batch path.
+    *
+    * `maxEpochs > 0` bounds the live run count for a LONG-RUNNING
+    * stream: whenever the sink has accumulated that many `epoch=N`
+    * directories, the batch that crossed the threshold folds them all
+    * through [[graft.operators.Compaction.compactEpochs]] into ONE run
+    * (latest-epoch precedence, delete markers collected, `versions`
+    * retention), republished as `epoch=<highest consumed id>` so later
+    * epochs still outrank it and the next compaction folds it again.
+    * Without it, N micro-batches leave N overlapping runs every reader
+    * must merge and the sink's file count grows without bound. The fold
+    * runs inside `foreachBatch`, so the stream itself never observes a
+    * partial state; an EXTERNAL reader racing the swap can see the
+    * consumed runs disappear before the folded run lands (a plain
+    * filesystem has no atomic multi-directory swap) — pause readers
+    * around compaction windows or snapshot the directory first.
     */
   def bulkLoadStream(cells: DataFrame, dir: String, buckets: Int,
                      numPartitions: Int = 32,
                      tsCol: Option[String] = None,
                      typeCol: Option[String] = None,
-                     compression: String = "none"): DataStreamWriter[Row] =
+                     compression: String = "none",
+                     maxEpochs: Int = 0,
+                     versions: Int = 1): DataStreamWriter[Row] =
     cells.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
@@ -144,6 +161,27 @@ object Streams {
         graft.operators.BulkLoad.writeHFiles(prepared,
           s"$dir/epoch=$epochId", tsCol = tsCol, typeCol = typeCol,
           compression = compression)
+        if (maxEpochs > 0) {
+          val spark = batch.sparkSession
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val epochs = Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(root, "epoch=*")))
+            .getOrElse(Array.empty).filter(_.isDirectory)
+          if (epochs.length >= maxEpochs) {
+            val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+            fs.delete(tmp, true)
+            graft.operators.Compaction.compactEpochs(spark, dir,
+              tmp.toString, versions = versions,
+              numPartitions = numPartitions, compression = compression)
+            val top = epochs.map(
+              _.getPath.getName.stripPrefix("epoch=").toLong).max
+            epochs.foreach(st => fs.delete(st.getPath, true))
+            require(fs.rename(tmp,
+              new org.apache.hadoop.fs.Path(root, s"epoch=$top")),
+              s"failed to publish compacted run as epoch=$top")
+          }
+        }
       }
 
   /** G3: upsert mutation stream (the reference's buffered Put/Delete

@@ -39,7 +39,8 @@ object BenchScale {
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
     "dedup_clusters", "graph_components", "seq_packing", "compact_cells",
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
-    "hfile_multi_get", "q5_region_revenue", "knn_pq", "text_repetition")
+    "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",
+    "knn_ivfpq", "text_repetition")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the

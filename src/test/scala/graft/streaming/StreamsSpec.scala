@@ -229,4 +229,57 @@ class StreamsSpec extends SparkSpec {
       assert(back == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("bulkLoadStream maxEpochs: a long stream keeps a bounded run " +
+      "count, folded runs stay readable and latest-epoch-correct") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("stream_cap").toString
+    val input = MemoryStream[(Long, Double)]
+    val cells = input.toDF().toDF("key", "value")
+      .select(
+        graft.functions.hb.encode(col("key")).as("rowkey"),
+        lit("f").as("family"), lit("v").as("qualifier"),
+        graft.functions.hb.encode(col("value")).as("value"))
+    val q = Streams.bulkLoadStream(cells, dir, buckets = 2,
+      numPartitions = 2, maxEpochs = 3)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stream_cap_ckpt").toString)
+      .start()
+    try {
+      // 7 micro-batches re-putting key 1 (so epoch precedence is
+      // observable) plus one private key each
+      (0 until 7).foreach { i =>
+        input.addData((1L, i.toDouble), (100L + i, i.toDouble))
+        q.processAllAvailable()
+        // the live run count never exceeds the cap, at ANY point
+        val live = new java.io.File(dir).listFiles
+          .filter(_.getName.startsWith("epoch=")).length
+        assert(live <= 3, s"after batch $i: $live live epochs")
+        // and the full directory stays consistently readable: every
+        // key written so far is still visible (folded or live)
+        val seen = graft.operators.BulkLoad
+          .readHFiles(spark, dir, "epoch=*/bucket=*/*.hfile")
+          .select(graft.functions.hb.decode(
+            expr("substring(rowkey, 3, 8)"),
+            org.apache.spark.sql.types.LongType).as("k"),
+            col("value"))
+          .as[(Long, Array[Byte])].collect()
+        val latestPerKey = seen.groupBy(_._1)
+        assert(latestPerKey.keySet == ((0 to i).map(100L + _).toSet + 1L))
+      }
+      // key 1's surviving value is the LAST batch's (epoch precedence
+      // held through two fold-and-republish cycles)
+      val out = java.nio.file.Files.createTempDirectory("cap_out").toString
+      graft.operators.Compaction.compactEpochs(spark, dir, out,
+        numPartitions = 2)
+      val v1 = graft.operators.BulkLoad.readHFiles(spark, out)
+        .filter(graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+          org.apache.spark.sql.types.LongType) === 1L)
+        .select(graft.functions.hb.decode(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("value"))
+        .as[Double].collect().toSeq
+      assert(v1 == Seq(6.0), s"got $v1")
+    } finally q.stop()
+  }
 }
