@@ -326,9 +326,11 @@ object SparkEntry {
     "knn_ivfpq" ->
       s"""WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |anchor AS (SELECT MIN(vec_id % 50) AS m FROM embeddings),
+        |strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT) AS s
+        |  FROM embeddings),
+        |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
         |ccent AS (SELECT vec_id AS cell_id, embedding AS ce
-        |  FROM embeddings, anchor WHERE vec_id % 50 = anchor.m),
+        |  FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
         |assign0 AS (
         |  SELECT e0.vec_id AS neighbor_id, c.cell_id,
         |         ${cosineSql("e0.embedding", "c.ce")} AS csim

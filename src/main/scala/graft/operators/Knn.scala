@@ -348,17 +348,27 @@ object Knn {
             vecCol: String, dim: Int, k: Int, stride: Int = 50,
             nProbe: Int = 5, m: Int = 8, ksub: Int = 16,
             overscan: Int = 4, salts: Int = 32,
+            maxCells: Int = 256,
             codebooks: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    // ---- coarse quantizer: [[ivf]]'s anchored systematic centroids
+    // ---- coarse quantizer: [[ivf]]'s anchored systematic centroids,
+    // with the cell count CAPPED at maxCells: a pure stride ties
+    // |cells| to n/stride, which makes the coarse assign O(n²/stride) —
+    // super-linear in corpus size. The effective stride grows with the
+    // corpus instead (FAISS's fixed-nlist posture), so assignment stays
+    // O(n·maxCells) at any scale. At the oracle's test sizes the cap is
+    // not binding and effStride == stride.
+    val n = corpus.count()
+    require(n > 0, "ivfpq needs a non-empty corpus")
+    val effStride = math.max(stride.toLong,
+      math.ceil(n / maxCells.toDouble).toLong)
     val anchorRow = corpus
-      .agg(min(pmod(col(idCol).cast("long"), lit(stride.toLong))).as("m"))
+      .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
       .head()
-    require(!anchorRow.isNullAt(0), "ivfpq needs a non-empty corpus")
     val anchorMod = anchorRow.getLong(0)
     val coarse = broadcast(
-      corpus.filter(pmod(col(idCol), lit(stride.toLong)) === anchorMod)
+      corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
         .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
     // coarse assign: partial-agg argmax, no cv carried (re-rank joins
     // the corpus again); ties toward the smallest cell_id
