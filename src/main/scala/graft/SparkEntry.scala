@@ -257,9 +257,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "knn_ivf" ->
-      s"""WITH anchor AS (SELECT MIN(vec_id % 50) AS m FROM embeddings),
-        |cent AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings, anchor
-        |         WHERE vec_id % 50 = anchor.m),
+      s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
+        |  AS s FROM embeddings),
+        |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
+        |cent AS (SELECT vec_id AS cell_id, embedding AS ce
+        |         FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
         |assign0 AS (
         |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
         |         ${cosineSql("e.embedding", "c.ce")} AS csim

@@ -95,24 +95,23 @@ object Knn {
   }
 
   /** IVF-style ANN: a deterministic coarse codebook (every `stride`-th
-    * corpus vector), each corpus vector assigned to its nearest
-    * centroid cell, each query probing its `nProbe` nearest cells.
-    * At scale the assign step is a broadcast map + partial-aggregating
-    * argmax (codebook ≪ corpus; no n×|codebook| shuffle) and the search
-    * only scans probed cells.
+    * corpus vector, with the CELL COUNT capped at `maxCells` — a pure
+    * stride ties |cells| to n/stride, making the assign step
+    * super-linear in corpus size; the effective stride grows with the
+    * corpus instead, the fixed-nlist posture real IVF indexes use),
+    * each corpus vector assigned to its nearest centroid cell, each
+    * query probing its `nProbe` nearest cells. At scale the assign step
+    * is a broadcast map + partial-aggregating argmax (codebook ≪
+    * corpus; no n×|codebook| shuffle) and the search only scans probed
+    * cells.
     */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
           vecCol: String, k: Int, stride: Int = 50,
-          nProbe: Int = 5): DataFrame = {
+          nProbe: Int = 5, maxCells: Int = 256): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
-    // anchor the systematic sample at the corpus' minimum id-residue so
-    // the codebook is never empty (ids 1..49 with stride 50 would pick
-    // zero centroids if the anchor were hardcoded to residue 0)
-    val anchorRow = corpus
-      .agg(min(pmod(col(idCol).cast("long"), lit(stride.toLong))).as("m"))
-      .head()
-    if (anchorRow.isNullAt(0)) // empty corpus -> empty, correctly-shaped:
+    val n = corpus.count()
+    if (n == 0) // empty corpus -> empty, correctly-shaped:
       // same column order and types as the normal path (neighbor_id
       // keeps the corpus id type, whatever it is)
       return queries.limit(0).select(col(idCol).as("query_id"))
@@ -121,9 +120,16 @@ object Knn {
         .withColumn("cosine", lit(null).cast("double")) // nullable, like cosineD's
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cosine"))
-    val anchorMod = anchorRow.getLong(0)
+    val effStride = math.max(stride.toLong,
+      math.ceil(n / maxCells.toDouble).toLong)
+    // anchor the systematic sample at the corpus' minimum id-residue so
+    // the codebook is never empty (ids 1..49 with stride 50 would pick
+    // zero centroids if the anchor were hardcoded to residue 0)
+    val anchorMod = corpus
+      .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
+      .head().getLong(0)
     val centroids = broadcast(
-      corpus.filter(pmod(col(idCol), lit(stride.toLong)) === anchorMod)
+      corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
         .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
     // assign: nearest centroid per corpus vector as an argmax AGGREGATION
     // (max_by is partial-aggregatable, so the broadcast-NLJ'd n×C rows
