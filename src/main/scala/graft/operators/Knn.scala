@@ -283,32 +283,38 @@ object Knn {
     def centDf = cent.zipWithIndex.flatMap { case (byCell, j) =>
       byCell.zipWithIndex.map { case (cv, c) => (j, c.toLong, cv.toSeq) }
     }.toSeq.toDF("sub", "cell_id", "cvec")
+    // each Lloyd iteration is one action over the subvector stream —
+    // persist it so iteration N doesn't re-scan and re-slice the corpus
+    // sample (LRU-evictable, O(sample) ≪ corpus; freed before return)
     val sampSubs = samp.select(col("_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("v"), j * d + 1, lit(d)))))
       .toDF("_id", "sub", "sv")
-    for (_ <- 1 to iters) {
-      val assigned = sampSubs.join(broadcast(centDf), "sub")
-        .withColumn("dist", l2sqD(col("sv"), col("cvec")))
-        .groupBy(col("_id"), col("sub"))
-        .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
-          .as("code"),
-          first(col("sv")).as("sv")) // sv is a function of (_id, sub)
-      val upd = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .toDF("sub", "code", "i", "comp")
-        .withColumn("q", floor(col("comp") * S + lit(0.5)).cast("long"))
-        .groupBy("sub", "code", "i")
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-        .collect()
-      val next = cent.map(_.map(_.clone()))
-      upd.foreach { r =>
-        val j = r.getInt(0); val c = r.getLong(1).toInt; val i = r.getInt(2)
-        next(j)(c)(i) = r.getLong(3).toDouble / r.getLong(4) / S
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = sampSubs.join(broadcast(centDf), "sub")
+          .withColumn("dist", l2sqD(col("sv"), col("cvec")))
+          .groupBy(col("_id"), col("sub"))
+          .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
+            .as("code"),
+            first(col("sv")).as("sv")) // sv is a function of (_id, sub)
+        val upd = assigned
+          .select(col("sub"), col("code"), posexplode(col("sv")))
+          .toDF("sub", "code", "i", "comp")
+          .withColumn("q", floor(col("comp") * S + lit(0.5)).cast("long"))
+          .groupBy("sub", "code", "i")
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = cent.map(_.map(_.clone()))
+        upd.foreach { r =>
+          val j = r.getInt(0); val c = r.getLong(1).toInt; val i = r.getInt(2)
+          next(j)(c)(i) = r.getLong(3).toDouble / r.getLong(4) / S
+        }
+        cent = next
       }
-      cent = next
-    }
-    centDf
+      centDf
+    } finally sampSubs.unpersist(blocking = false)
   }
 
   /** [[pq]] with TRAINED k-means sub-codebooks instead of the

@@ -76,6 +76,10 @@ class KnnSpec extends SparkSpec {
     val bf = pairs(Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5))
     val out = Knn.pqTrained(emb, queries, "vec_id", "embedding",
       dim = 64, k = 5, trainMod = 2)
+    // the search plan downstream of the trained codebook keeps the same
+    // partial-agg encode shape as systematic PQ
+    assert(out.queryExecution.executedPlan.toString.contains("partial_min_by"),
+      "trained-PQ encode should partial-aggregate with min_by")
     val rows = out.collect()
     assert(rows.length == 50)
     val recall = (bf & pairs(out)).size.toDouble / bf.size

@@ -315,7 +315,7 @@ class HFileSourceSpec extends SparkSpec {
 
   test("DSv2 write: encoding option produces DATABLKE files that read back") {
     val src = spark.read.format("graft-hfile").load(out).drop("file")
-    for (name <- Seq("prefix", "fast_diff")) {
+    for (name <- Seq("prefix", "diff", "fast_diff")) {
       val dir = Files.createTempDirectory(s"hfile_dsv2_enc_$name").toString
       src.write.format("graft-hfile").mode("overwrite")
         .option("encoding", name).option("blockSize", "1024").save(dir)
