@@ -104,6 +104,7 @@ object SparkEntry {
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     "knn_pq_trained" -> ((s, d) => Pipeline.knnPqTrained(t(s, d, "embeddings"))),
     "knn_ivfpq" -> ((s, d) => Pipeline.knnIvfPq(t(s, d, "embeddings"))),
+    "knn_ivfpq_res" -> ((s, d) => Pipeline.knnIvfPqRes(t(s, d, "embeddings"))),
     // ---- E. text analysis -----------------------------------------------
     "text_stats" -> ((s, d) => Pipeline.textStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => Pipeline.textQuality(t(s, d, "documents"))),
@@ -371,6 +372,78 @@ object SparkEntry {
         |  JOIN cells ON codes.neighbor_id = cells.neighbor_id
         |  JOIN probes p ON cells.cell_id = p.cell_id
         |  JOIN qt ON qt.query_id = p.query_id
+        |    AND codes.sub = qt.sub AND codes.code = qt.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS srn
+        |  FROM adc WHERE neighbor_id <> query_id) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i]))))
+        |    AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_ivfpq_res" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT) AS s
+        |  FROM embeddings),
+        |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
+        |ccent AS (SELECT vec_id AS cell_id, embedding AS ce
+        |  FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
+        |assign0 AS (
+        |  SELECT e0.vec_id AS neighbor_id, c.cell_id,
+        |         ${cosineSql("e0.embedding", "c.ce")} AS csim
+        |  FROM embeddings e0, ccent c),
+        |cells AS (
+        |  SELECT neighbor_id, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |rv AS (SELECT c.neighbor_id AS vec_id, c.cell_id AS ccell,
+        |  list_transform(range(1, 65), i -> e2.v[i] - cc.ce[i]::DOUBLE) AS v
+        |  FROM cells c JOIN e e2 ON e2.vec_id = c.neighbor_id
+        |  JOIN ccent cc ON cc.cell_id = c.cell_id),
+        |rsub AS (SELECT vec_id, ccell, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM rv, range(0, 8) AS t(j)),
+        |pcent AS (SELECT j AS sub, vec_id AS slot, sv AS cvec
+        |  FROM rsub WHERE vec_id < 16),
+        |enc0 AS (SELECT s.vec_id, s.ccell, s.j AS sub, c.slot,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+        |  FROM rsub s JOIN pcent c ON s.j = c.sub),
+        |codes AS (SELECT vec_id AS neighbor_id, ccell, sub, slot AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, slot) AS rn FROM enc0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.query_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, ccent c) WHERE qrn <= 5),
+        |qrv AS (SELECT p.query_id, p.cell_id,
+        |  list_transform(range(1, 65),
+        |    i -> q.qe[i]::DOUBLE - cc.ce[i]::DOUBLE) AS v
+        |  FROM probes p JOIN q ON q.query_id = p.query_id
+        |  JOIN ccent cc ON cc.cell_id = p.cell_id),
+        |qrsub AS (SELECT query_id, cell_id, j,
+        |  list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM qrv, range(0, 8) AS t(j)),
+        |qt AS (SELECT s.query_id, s.cell_id, s.j AS sub, c.slot AS code,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
+        |  FROM qrsub s JOIN pcent c ON s.j = c.sub),
+        |adc AS (SELECT qt.query_id, codes.neighbor_id,
+        |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
+        |  FROM codes JOIN qt ON codes.ccell = qt.cell_id
         |    AND codes.sub = qt.sub AND codes.code = qt.code
         |  GROUP BY 1, 2),
         |short AS (SELECT query_id, neighbor_id FROM (

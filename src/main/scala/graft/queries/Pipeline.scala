@@ -208,6 +208,17 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D5b: IVF × PQ with residual encoding (FAISS IVFADC) — same probe
+    * structure, codes taken over `v − centroid(cell)` for finer ADC
+    * resolution at the same code size.
+    */
+  def knnIvfPqRes(embeddings: DataFrame): DataFrame =
+    Knn.ivfpqResidual(embeddings, querySet(embeddings), "vec_id",
+        "embedding", dim = 64, k = 5, stride = 50, nProbe = 5, m = 8,
+        ksub = 16, overscan = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   // ---- E. text analysis -----------------------------------------------
 
   def textStats(documents: DataFrame): DataFrame =
