@@ -495,9 +495,16 @@ object Knn {
     * Real embedding corpora are clustered; that is the case this
     * operator exists for.
     *
-    * Plan shape: the coarse assign carries the winning centroid so the
-    * residual is computed in the same aggregation pass (no second
-    * corpus join); encode / probed-cell pruning / salted shortlist /
+    * Plan shape: the coarse assign aggregates ONLY the scalar winning
+    * cell id (array-valued aggregation buffers force Spark out of hash
+    * aggregation into a sort-based fallback over the n×cells stream —
+    * measured 6× slower at 100× data when the centroid rode through
+    * `max_by`), and the residual is computed by re-attaching the vector
+    * (one id-keyed co-shuffle, the same join the raw path pays for
+    * codes⋈cells) and the centroid (broadcast). The 16 codebook
+    * residuals are built on a dedicated ksub-row branch so the
+    * broadcast codebook's lineage never re-plans the corpus-sized
+    * assignment; encode / probed-cell pruning / salted shortlist /
     * exact re-rank all match [[ivfpq]].
     */
   def ivfpqResidual(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -517,18 +524,21 @@ object Knn {
     val coarse = broadcast(
       corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
         .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
-    // coarse assign, carrying the winning centroid: the residual falls
-    // out of the same partial-agg pass
-    val cells = corpus
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // coarse assign with a SCALAR aggregate only (see scaladoc), then
+    // re-attach the vector and the winning centroid to form residuals
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val assign = corpusVec
       .join(coarse)
       .withColumn("csim", cosineD(col("cv"), col("centroid")))
       .groupBy(col("neighbor_id"))
-      .agg(max_by(struct(col("cell_id"), col("centroid")),
-        struct(col("csim"), -col("cell_id"))).as("best"),
-        first(col("cv")).as("cv")) // cv is a function of neighbor_id
-      .select(col("neighbor_id"), col("best.cell_id").as("ccell"),
-        zip_with(col("cv"), col("best.centroid"), (x, y) => x - y).as("rv"))
+      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
+        .as("ccell"))
+    val cells = assign.join(corpusVec, "neighbor_id")
+      .join(broadcast(coarse.select(col("cell_id").as("ccell"),
+        col("centroid"))), "ccell")
+      .select(col("neighbor_id"), col("ccell"),
+        zip_with(col("cv"), col("centroid"), (x, y) => x - y).as("rv"))
     // probes keep the residual query vector per probed cell
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
@@ -551,10 +561,21 @@ object Knn {
     require(nCent == ksub,
       s"ivfpqResidual's systematic codebook needs contiguous ids " +
         s"0..${ksub - 1} in the corpus, found $nCent of $ksub")
+    // the ksub codebook residuals on their own ksub-row branch (same
+    // assignment rule, ksub×cells rows — trivial), so the broadcast
+    // codebook's lineage is corpus-free however many joins consume it
+    val wCb = Window.partitionBy(col("slot"))
+      .orderBy(col("csim").desc, col("cell_id"))
+    val cbRes = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).as("slot"), asDouble(col(vecCol)).as("cv"))
+      .join(coarse)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(wCb))
+      .filter(col("rn") === 1)
+      .select(col("slot"),
+        zip_with(col("cv"), col("centroid"), (x, y) => x - y).as("rv"))
     val pqCent = broadcast(
-      rsubs(cells.filter(col("neighbor_id") < ksub)
-          .select(col("neighbor_id").as("slot"), col("rv")),
-          "slot", "rv", Seq.empty)
+      rsubs(cbRes, "slot", "rv", Seq.empty)
         .select(col("sub"), col("slot"), col("subvec").as("cvec")))
     // encode residuals; the coarse cell rides along to the code row
     val codes = rsubs(cells, "neighbor_id", "rv", Seq("ccell"))
