@@ -88,7 +88,10 @@ object Bench {
     def conflicts(a: String): Boolean =
       a.startsWith("-agentlib") || a.startsWith("-agentpath") ||
         a.startsWith("-javaagent") || a.startsWith("-Xdebug") ||
-        a.startsWith("-Xrunjdwp") || a.startsWith("-XX:StartFlightRecording")
+        a.startsWith("-Xrunjdwp") || a.startsWith("-XX:StartFlightRecording") ||
+        // port- and file-binding flags would collide with the parent
+        a.startsWith("-Dcom.sun.management.jmxremote") ||
+        a.startsWith("-Xlog")
     val jvmArgs = {
       val in = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments

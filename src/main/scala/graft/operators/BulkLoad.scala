@@ -328,20 +328,26 @@ object BulkLoad {
     if (files.isEmpty) return false
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, files.length))
+    val found = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       files.map { f =>
         pool.submit(new java.util.concurrent.Callable[Boolean] {
           def call(): Boolean = {
+            if (found.get()) return false // short-circuit queued probes
             val rr = openRead(f, hconf)
             try {
               val t = HFileReader.readTrailer(rr)
               val l = HFileReader.cellLayoutOf(rr, t)
-              l.tags || l.mvcc
+              val hit = l.tags || l.mvcc
+              if (hit) found.set(true)
+              hit
             } finally rr.close()
           }
         })
       }.exists(_.get())
-    } finally pool.shutdown()
+      // shutdownNow (not shutdown) so a hit doesn't leave thousands of
+      // queued probes reading trailers the answer no longer needs
+    } finally pool.shutdownNow()
   }
 
   /** Distributed keyed lookup (multi-get) against a [[writeHFiles]]

@@ -148,23 +148,32 @@ object Compaction {
                     versions: Int = 1, numPartitions: Int = 32,
                     blockSize: Int = HFile.DefaultBlockSize,
                     compression: String = "none",
-                    encoding: String = "none"): Unit = {
+                    encoding: String = "none",
+                    beforeEpoch: Option[Long] = scala.None): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nEpochs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
       .getOrElse(Array.empty)
-      .count(_.isDirectory)
-    require(nEpochs > 0, s"no epoch=* run directories under $dir")
+      .filter(_.isDirectory)
+      .count(st => beforeEpoch.forall(b =>
+        st.getPath.getName.stripPrefix("epoch=").toLong < b))
+    require(nEpochs > 0, s"no epoch=* run directories under $dir" +
+      beforeEpoch.map(b => s" with epoch < $b").getOrElse(""))
     // ONE glob scan over every epoch's files; the epoch a cell came from
     // is recovered from the `file` path — the plan stays constant-size
     // however many micro-batch runs accumulated (an N-way unionByName
     // here made analysis/optimization cost grow linearly with N)
     val epochGlob = "epoch=*/bucket=*/*.hfile"
     val carryTags = BulkLoad.dirHasTagsOrMvcc(spark, dir, epochGlob)
-    val cells = BulkLoad.readHFiles(spark, dir, epochGlob)
+    val cells0 = BulkLoad.readHFiles(spark, dir, epochGlob)
       .withColumn("_epoch",
         regexp_extract(col("file"), "epoch=(\\d+)", 1).cast("long"))
       .drop("file")
+    // `beforeEpoch` bounds the fold to COMPLETED runs — the streaming
+    // sink folds ids below its in-flight batch so a failed attempt's
+    // orphan directory is never baked into a published fold
+    val cells = beforeEpoch
+      .map(b => cells0.filter(col("_epoch") < b)).getOrElse(cells0)
     val latest = cells
       .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"),
         col("key_type"))

@@ -357,6 +357,8 @@ object BlockEncoding {
             val common = readCompressedInt(in)
             require(prevKey != null || common == 0,
               "first cell in block has a common prefix")
+            require(common <= keyLen - TimestampTypeSize,
+              "corrupt DIFF common prefix (reaches into timestamp/type)")
             val key = new Array[Byte](keyLen)
             if (common > 0) System.arraycopy(prevKey, 0, key, 0, common)
             var pos = common
@@ -366,6 +368,12 @@ object BlockEncoding {
             val rowRegion = 2 + rLen
             require(keyLen >= rowRegion + 1 + blockFamily.length +
               TimestampTypeSize, "corrupt DIFF key lengths")
+            // a prefix ending INSIDE the famLen/family region is
+            // impossible from the encoder (families are equal across the
+            // file) — corrupt/foreign input, not a silent mis-parse
+            require(common < rowRegion ||
+              common >= rowRegion + 1 + blockFamily.length,
+              "corrupt DIFF common prefix (inside the family region)")
             if (common < rowRegion) {
               // rest of the row from the stream, famLen+family from the
               // block header, then the full qualifier

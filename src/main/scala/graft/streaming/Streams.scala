@@ -132,19 +132,35 @@ object Streams {
     * value BINARY) plus optional ts/type columns, like the batch path.
     *
     * `maxEpochs > 0` bounds the live run count for a LONG-RUNNING
-    * stream: whenever the sink has accumulated that many `epoch=N`
-    * directories, the batch that crossed the threshold folds them all
-    * through [[graft.operators.Compaction.compactEpochs]] into ONE run
-    * (latest-epoch precedence, delete markers collected, `versions`
-    * retention), republished as `epoch=<highest consumed id>` so later
-    * epochs still outrank it and the next compaction folds it again.
-    * Without it, N micro-batches leave N overlapping runs every reader
-    * must merge and the sink's file count grows without bound. The fold
-    * runs inside `foreachBatch`, so the stream itself never observes a
-    * partial state; an EXTERNAL reader racing the swap can see the
-    * consumed runs disappear before the folded run lands (a plain
-    * filesystem has no atomic multi-directory swap) — pause readers
-    * around compaction windows or snapshot the directory first.
+    * stream (without it, N micro-batches leave N overlapping runs every
+    * reader must merge and the sink's file count grows without bound).
+    * Crash-safe by construction:
+    *
+    *  - batch N writes its run as `epoch=2N` (EVEN ids) — a replayed
+    *    batch can only ever overwrite its own directory, never a run
+    *    holding other batches' history;
+    *  - when `maxEpochs` completed runs (ids < 2N) have accumulated,
+    *    the batch FIRST folds them through
+    *    [[graft.operators.Compaction.compactEpochs]] (latest-epoch
+    *    precedence, markers collected, `versions` retention) into a
+    *    temp dir, publishes it by rename as `epoch=<max consumed + 1>`
+    *    — an ODD id, so it outranks everything it folded, is outranked
+    *    by every later batch, and never collides with a batch's own
+    *    directory — and only THEN deletes the consumed runs: the folded
+    *    run is live before any source byte disappears;
+    *  - every batch starts with a recovery sweep that closes the crash
+    *    windows: a leftover `_compact_tmp` is discarded (its sources
+    *    are still intact — refolding is safe), and any run with an id
+    *    BELOW the highest odd (folded) id is a consumed leftover — a
+    *    folded run covers all ids below it by construction — and is
+    *    deleted, which also re-collects any delete markers a crash
+    *    transiently resurrected.
+    *
+    * The stream's own view (sequential `foreachBatch`) is always
+    * consistent; an EXTERNAL reader racing the publish can transiently
+    * see a consumed run alongside the folded one (a plain filesystem
+    * has no atomic multi-directory swap) — pause readers around
+    * compaction windows or snapshot the directory first.
     */
   def bulkLoadStream(cells: DataFrame, dir: String, buckets: Int,
                      numPartitions: Int = 32,
@@ -152,37 +168,61 @@ object Streams {
                      typeCol: Option[String] = None,
                      compression: String = "none",
                      maxEpochs: Int = 0,
-                     versions: Int = 1): DataStreamWriter[Row] =
+                     versions: Int = 1): DataStreamWriter[Row] = {
+    require(maxEpochs == 0 || maxEpochs >= 2,
+      s"maxEpochs must be 0 (off) or >= 2, got $maxEpochs")
     cells.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val spark = batch.sparkSession
+        // without folding, keep the plain epoch=<batchId> naming
+        val runId = if (maxEpochs > 0) 2 * epochId else epochId
+        if (maxEpochs > 0) {
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+          def epochDirs() = Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(root, "epoch=*")))
+            .getOrElse(Array.empty).filter(_.isDirectory)
+            .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
+              st.getPath))
+          // ---- recovery sweep (idempotent driver fs ops)
+          fs.delete(tmp, true)
+          val pre = epochDirs()
+          val odd = pre.collect { case (e, _) if e % 2 == 1 => e }
+          if (odd.nonEmpty)
+            pre.filter(_._1 < odd.max).foreach(p => fs.delete(p._2, true))
+          // ---- fold the completed runs, before this batch writes
+          val consumed = epochDirs().filter(_._1 < runId)
+          if (consumed.length >= maxEpochs) {
+            val hasData = consumed.exists { case (_, p) =>
+              Option(fs.globStatus(
+                  new org.apache.hadoop.fs.Path(p, "bucket=*/*.hfile")))
+                .exists(_.nonEmpty)
+            }
+            if (!hasData) {
+              // nothing to fold — just drop the empty run directories
+              consumed.foreach(p => fs.delete(p._2, true))
+            } else {
+              graft.operators.Compaction.compactEpochs(spark, dir,
+                tmp.toString, versions = versions,
+                numPartitions = numPartitions, compression = compression,
+                beforeEpoch = Some(runId))
+              val pub = new org.apache.hadoop.fs.Path(root,
+                s"epoch=${consumed.map(_._1).max + 1}")
+              require(fs.rename(tmp, pub),
+                s"failed to publish compacted run as $pub")
+              consumed.foreach(p => fs.delete(p._2, true))
+            }
+          }
+        }
         val prepared = graft.operators.BulkLoad.prepare(
           batch.toDF(), buckets, numPartitions)
         graft.operators.BulkLoad.writeHFiles(prepared,
-          s"$dir/epoch=$epochId", tsCol = tsCol, typeCol = typeCol,
+          s"$dir/epoch=$runId", tsCol = tsCol, typeCol = typeCol,
           compression = compression)
-        if (maxEpochs > 0) {
-          val spark = batch.sparkSession
-          val root = new org.apache.hadoop.fs.Path(dir)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val epochs = Option(fs.globStatus(
-              new org.apache.hadoop.fs.Path(root, "epoch=*")))
-            .getOrElse(Array.empty).filter(_.isDirectory)
-          if (epochs.length >= maxEpochs) {
-            val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
-            fs.delete(tmp, true)
-            graft.operators.Compaction.compactEpochs(spark, dir,
-              tmp.toString, versions = versions,
-              numPartitions = numPartitions, compression = compression)
-            val top = epochs.map(
-              _.getPath.getName.stripPrefix("epoch=").toLong).max
-            epochs.foreach(st => fs.delete(st.getPath, true))
-            require(fs.rename(tmp,
-              new org.apache.hadoop.fs.Path(root, s"epoch=$top")),
-              s"failed to publish compacted run as epoch=$top")
-          }
-        }
       }
+  }
 
   /** G3: upsert mutation stream (the reference's buffered Put/Delete
     * sink, HBaseSerde.java:119-173): each micro-batch is converted to a

@@ -282,4 +282,63 @@ class StreamsSpec extends SparkSpec {
       assert(v1 == Seq(6.0), s"got $v1")
     } finally q.stop()
   }
+
+  test("bulkLoadStream maxEpochs recovery: a crash between fold publish " +
+      "and source deletion is healed at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("stream_rec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_rec_ckpt")
+      .toString
+    val input = MemoryStream[(Long, Double)]
+    val cells = input.toDF().toDF("key", "value")
+      .select(
+        graft.functions.hb.encode(col("key")).as("rowkey"),
+        lit("f").as("family"), lit("v").as("qualifier"),
+        graft.functions.hb.encode(col("value")).as("value"))
+    def startQ() = Streams.bulkLoadStream(cells, dir, buckets = 2,
+      numPartitions = 2, maxEpochs = 2)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    try {
+      input.addData((1L, 0.0)); q1.processAllAvailable() // epoch=0
+      input.addData((2L, 0.0)); q1.processAllAvailable() // folds 0 -> ...
+    } finally q1.stop()
+    // simulate the worst crash window by hand: a fold PUBLISHED its run
+    // but died before deleting the consumed sources and its temp dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).sorted.toSeq
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_compact_tmp")
+    graft.operators.Compaction.compactEpochs(spark, dir, tmp.toString,
+      numPartitions = 2) // folded copy of everything currently live
+    val maxId = live.map(_.stripPrefix("epoch=").toLong).max
+    assert(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(dir, s"epoch=${maxId + 1}")))
+    // consumed sources deliberately LEFT in place + a junk temp dir
+    fs.mkdirs(tmp)
+    // next batch (same checkpoint) must sweep: junk tmp gone, all runs
+    // below the folded id gone, data still complete and latest-correct
+    val q2 = startQ()
+    try {
+      input.addData((1L, 9.0)); q2.processAllAvailable()
+      assert(!new java.io.File(dir.toString, "_compact_tmp").exists())
+      val after = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("epoch=")).map(_.getName)
+      val ids = after.map(_.stripPrefix("epoch=").toLong)
+      assert(!ids.exists(_ < maxId + 1),
+        s"stale consumed runs survived recovery: ${after.toSeq.sorted}")
+      val out = java.nio.file.Files.createTempDirectory("rec_out").toString
+      graft.operators.Compaction.compactEpochs(spark, dir, out,
+        numPartitions = 2)
+      val got = graft.operators.BulkLoad.readHFiles(spark, out)
+        .select(graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+          org.apache.spark.sql.types.LongType).as("k"),
+          graft.functions.hb.decode(col("value"),
+            org.apache.spark.sql.types.DoubleType).as("value"))
+        .as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 9.0, 2L -> 0.0), s"got $got")
+    } finally q2.stop()
+  }
 }
