@@ -89,6 +89,8 @@ object SparkEntry {
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
     "dedup_clusters" -> ((s, d) =>
       Pipeline.dedupClusters(t(s, d, "documents"))),
+    "corpus_decontaminate" -> ((s, d) =>
+      Pipeline.corpusDecontaminate(t(s, d, "documents"))),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       Pipeline.sampleStratified(t(s, d, "documents"))),
@@ -131,11 +133,19 @@ object SparkEntry {
     * banded plan has full candidate recall here (500 docs < the 1000
     * bucket cap), so blocked and replayed sets coincide.
     */
-  private lazy val minhashCte: String = {
-    val seeds = (0 until 128).map(j =>
-      s"($j, ${java.lang.Long.toUnsignedString(
-        graft.functions.TextHashes.permSeed(j))}::HUGEINT)").mkString(",")
+  /** CTE chain replaying [[graft.functions.TextHashes.wordShingleHashes]]
+    * for `k`-word shingles: `w` (positioned words) → `fnv` (FNV-1a per
+    * word) → `sh0` (order-sensitive 31-combine over a k-window) →
+    * `f1..f5` (fmix64 avalanche). `f5(doc_id, v)` is the doc's DISTINCT
+    * shingle-hash set — byte-identical to the native kernel.
+    */
+  private def shingleSetCte(k: Int): String = {
     val M64 = "18446744073709551616::HUGEINT"
+    val joins = (1 until k).map(i =>
+      s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
+      .mkString("\n             ")
+    val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
+      s"(($acc * 31 + t$i.h) % $M64)")
     s"""w AS (
       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
       |  FROM (SELECT doc_id,
@@ -153,10 +163,8 @@ object SparkEntry {
       |        % $M64) AS h
       |  FROM w),
       |sh0 AS (
-      |  SELECT a.doc_id,
-      |    ((((1::HUGEINT * 31 + a.h) % $M64) * 31 + b.h) % $M64 * 31 + c.h) % $M64 AS c0
-      |  FROM fnv a JOIN fnv b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
-      |             JOIN fnv c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+      |  SELECT t0.doc_id, $chain AS c0
+      |  FROM fnv t0 $joins),
       |f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM sh0),
       |f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
       |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
@@ -165,7 +173,16 @@ object SparkEntry {
       |f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
       |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
       |        % $M64 AS v FROM f3),
-      |f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f4),
+      |f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f4)"""
+      .stripMargin
+  }
+
+  private lazy val minhashCte: String = {
+    val seeds = (0 until 128).map(j =>
+      s"($j, ${java.lang.Long.toUnsignedString(
+        graft.functions.TextHashes.permSeed(j))}::HUGEINT)").mkString(",")
+    val M64 = "18446744073709551616::HUGEINT"
+    s"""${shingleSetCte(3)},
       |seeds(j, s) AS (VALUES $seeds),
       |perm0 AS (SELECT doc_id, j, xor(v, s) AS v FROM f5, seeds),
       |p2 AS (SELECT doc_id, j, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
@@ -549,6 +566,17 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
         |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
         |FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+    "corpus_decontaminate" ->
+      s"""WITH ${shingleSetCte(5)},
+        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, v FROM f5 WHERE doc_id % 7 <> 0),
+        |ng AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS h
+        |  FROM tr t JOIN ev ON t.v = ev.v GROUP BY t.doc_id)
+        |SELECT h.doc_id, ng.n::BIGINT AS n_grams, h.h::BIGINT AS n_hits,
+        |  round(h.h::DOUBLE / ng.n, 6) AS contamination
+        |FROM hits h JOIN ng ON h.doc_id = ng.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
         |good AS (SELECT doc_a, doc_b FROM jac

@@ -157,6 +157,55 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("_inter").cast("long").as("n_common"), col("jaccard"))
 
+  // ---- decontamination -------------------------------------------------
+
+  /** Benchmark decontamination: flags every training document that
+    * shares at least `minHits` exact `k`-word shingles with an
+    * evaluation/benchmark set — the standard n-gram-overlap test a
+    * training pipeline runs before a corpus may ship (an eval example
+    * leaking into pre-training data invalidates the benchmark). The
+    * reference moves whole tables and has no eval-overlap surface; this
+    * applies its content-hash philosophy (hbase-bulkload-service
+    * `HBaseSerde.java:154` — identity from content bytes, never runtime
+    * state) to cross-set membership.
+    *
+    * Output: one row per contaminated training doc —
+    * `(idCol, n_grams, n_hits, contamination)` where `n_grams` is the
+    * doc's distinct-shingle count, `n_hits` how many of those appear
+    * anywhere in the eval set, `contamination = n_hits / n_grams`.
+    * Clean documents produce no row (at 100 TB the contaminated slice,
+    * not the corpus, is the output you can afford to materialize).
+    *
+    * Scale posture: the eval side (a benchmark suite — thousands of
+    * documents, not billions) collapses to a distinct shingle-hash set
+    * and is broadcast, so the corpus is never shuffled for the join;
+    * non-matching grams die in the map-side broadcast probe and only
+    * hit grams reach the one `groupBy(id)` shuffle, which is bounded by
+    * the contaminated slice. The shingle kernel is the same native
+    * one-pass expression as the dedup family
+    * ([[graft.functions.TextHashes.wordShingleHashes]]).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 5, minHits: Long = 1L): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val evalGrams = broadcast(
+      evalSet.select(explode(shingleHashes(col(textCol), k)).as("g"))
+        .distinct())
+    train
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .join(evalGrams, "g")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`,

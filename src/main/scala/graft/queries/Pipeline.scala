@@ -70,6 +70,18 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C12: eval-set decontamination — training docs sharing any exact
+    * 5-word shingle with the held-out benchmark slice
+    * (`doc_id % 7 == 0`, the stand-in for an external eval suite).
+    * One row per contaminated doc with its overlap fraction.
+    */
+  def corpusDecontaminate(documents: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % 7 === 0
+    Dedup.decontaminate(documents.filter(!isEval), documents.filter(isEval),
+        "doc_id", "text", k = 5, minHits = 1L)
+      .orderBy("doc_id")
+  }
+
   /** C8: deterministic 80/10/10 train/val/test split keyed on
     * md5(doc_id, seed) — reproducible across engines and runs.
     */

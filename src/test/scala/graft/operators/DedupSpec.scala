@@ -114,6 +114,32 @@ class DedupSpec extends SparkSpec {
     assert(full == 60L * 59L / 2L + 1L)
   }
 
+  test("decontaminate flags exactly the docs overlapping the eval set") {
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val train = Seq(
+      // full 5-gram lift from eval doc 1 inside fresh context
+      (10L, "xx alpha beta gamma delta epsilon yy zz ww vv"),
+      // shares only 4-word runs with eval doc 2 -> no 5-gram hit
+      (11L, "one two three four qq five six seven eight nine"),
+      // clean
+      (12L, "p q r s t u v w x y"),
+      // verbatim eval doc 1 -> every shingle hits
+      (13L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_hits")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 10: 6 shingles, 1 hit ("alpha..epsilon"); doc 13: 2 of 2
+    assert(out == Seq((10L, 6L, 1L), (13L, 2L, 2L)), s"got $out")
+    // minHits above a doc's hit count drops it
+    val strict = Dedup.decontaminate(train, evalSet, "doc_id", "text",
+        k = 5, minHits = 2L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(strict == Seq(13L), s"got $strict")
+  }
+
   test("embedding near-dup recall >= 0.5 vs brute-force truth") {
     val emb = sf("embeddings")
     val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
