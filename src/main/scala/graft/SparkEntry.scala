@@ -91,6 +91,7 @@ object SparkEntry {
       Pipeline.dedupClusters(t(s, d, "documents"))),
     "corpus_decontaminate" -> ((s, d) =>
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
+    "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       Pipeline.sampleStratified(t(s, d, "documents"))),
@@ -566,6 +567,24 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
         |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
         |FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+    "corpus_mix" -> {
+      val wts = (0 until 20).map(i =>
+        s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
+      s"""WITH cnt AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+        |wts(source, w) AS (VALUES $wts),
+        |j AS (SELECT c.source, c.n, w.w FROM cnt c JOIN wts w ON c.source = w.source),
+        |tsel AS (SELECT n AS tn, w AS tw FROM j
+        |  ORDER BY n::DOUBLE / w, source LIMIT 1),
+        |thr AS (SELECT j.source,
+        |  (65536::HUGEINT * j.w * t.tn) // (j.n::HUGEINT * t.tw) AS t
+        |  FROM j, tsel t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE substr(md5(d.doc_id::VARCHAR || ':11'), 1, 4) <
+        |  CASE WHEN thr.t >= 65536 THEN 'g' ELSE printf('%04x', thr.t::BIGINT) END
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "corpus_decontaminate" ->
       s"""WITH ${shingleSetCte(5)},
         |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0),

@@ -73,6 +73,62 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Domain-mixture sampling: downsamples each stratum so the surviving
+    * corpus matches target proportions `weights` (integer ratios, e.g.
+    * web:books:code = 3:2:1) WITHOUT upsampling — the largest corpus
+    * satisfying the mixture is bounded by the "binding" stratum
+    * t* = argmin nₛ/wₛ (the domain that runs out first); every stratum
+    * then keeps rate_s = (n_t*·wₛ)/(w_t*·nₛ) ≤ 1 of its rows.
+    *
+    * Membership is the same salted-md5 threshold as
+    * [[stratifiedSample]], and the thresholds are derived in EXACT
+    * integer arithmetic — argmin by cross-multiplication, then
+    * `floor(65536·wₛ·n_t* / (w_t*·nₛ))` via BigInt — so another engine
+    * replaying the formula lands every row identically (no
+    * float-rounding divergence at the threshold edge). Strata missing
+    * from `weights` are dropped.
+    *
+    * Scale posture: one column-pruned count pass over `strataCol`
+    * (output bounded by the domain catalog, not data volume) collected
+    * to the driver, then a pure map/filter — no shuffle of the corpus.
+    * Pass `knownCounts` to skip the count pass when the catalog is
+    * already materialized (the 100 TB path: counts come from partition
+    * metadata or a prior rollup).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    weights: Seq[(String, Long)], seed: Long = 42L,
+                    knownCounts: Option[Map[String, Long]] = None)
+      : DataFrame = {
+    require(weights.nonEmpty, "at least one stratum weight")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate strata in $weights")
+    val counts = knownCounts.getOrElse {
+      df.filter(col(strataCol).isin(weights.map(_._1): _*))
+        .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val empty = weights.map(_._1).filter(s => counts.getOrElse(s, 0L) <= 0L)
+    require(empty.isEmpty, s"strata with no rows cannot bind a mixture: " +
+      s"${empty.mkString(", ")}")
+    // binding stratum: smallest n/w by exact cross-multiplication,
+    // stratum name as the deterministic tiebreak
+    val (tn, tw, _) = weights.map { case (s, w) => (counts(s), w, s) }
+      .reduceLeft { (a, b) =>
+        val c = (BigInt(a._1) * b._2).compare(BigInt(b._1) * a._2)
+        if (c < 0 || (c == 0 && a._3 < b._3)) a else b
+      }
+    def thrHex(n: Long, w: Long): String = {
+      val t = (BigInt(Space) * w * tn) / (BigInt(tw) * n)
+      if (t >= Space) "g" else f"${t.toLong}%04x"
+    }
+    // unlisted strata fall through to "0000", which no hex key is below
+    val thr = weights.foldRight(lit("0000")) { case ((s, w), acc) =>
+      when(col(strataCol) === s, lit(thrHex(counts(s), w))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol), seed) < thr)
+  }
+
   /** Keeps a deterministic `fractions(stratum)` share of each stratum
     * (`default` for unlisted strata). Unlike `DataFrame.stat.sampleBy`
     * this is exactly reproducible row-by-row: membership depends only

@@ -100,6 +100,20 @@ object Pipeline {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** C13: domain-mixture sampling — sources src0-4:src5-9:src10-19
+    * targeted at 3:2:1 per-document proportions; the binding domain
+    * caps the total and every source is deterministically downsampled
+    * to its exact mixture share (no upsampling).
+    */
+  def corpusMix(documents: DataFrame): DataFrame = {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3L else if (i < 10) 2L else 1L))
+    Sampling.mixtureSample(documents, "doc_id", "source", weights,
+        seed = 11L)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** C10: end-to-end corpus curation — the composed pipeline a
     * training-data run executes: quality-score inline at the scan
     * (no intermediate join), keep docs ≥ 0.7, collapse normalized

@@ -51,6 +51,38 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("mixture sample hits target proportions, binding stratum kept whole") {
+    // 300 a / 120 b / 90 c with weights 1:1:3 -> binding stratum is c
+    // (90/3 = 30 < 120/1 < 300/1): keep ~30 of a, ~30 of b, all 90 of c
+    val rows = (0 until 300).map(i => (i.toLong, "a")) ++
+      (1000 until 1120).map(i => (i.toLong, "b")) ++
+      (2000 until 2090).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "id", "src",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 3L), seed = 5L)
+    val got = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // binding stratum: exact (threshold == 1.0 keeps every row)
+    assert(got("c") == 90L, s"got $got")
+    // sampled strata: 16-bit-quantized Bernoulli around 30; the draw is
+    // deterministic, the band only guards against formula regressions
+    assert(got("a") > 15 && got("a") < 50, s"got $got")
+    assert(got("b") > 15 && got("b") < 50, s"got $got")
+    // deterministic replay and repartition-stability
+    val again = Sampling.mixtureSample(df.repartition(7), "id", "src",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 3L), seed = 5L)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // knownCounts path must reproduce the computed-counts run exactly
+    val known = Sampling.mixtureSample(df, "id", "src",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 3L), seed = 5L,
+      knownCounts = Some(Map("a" -> 300L, "b" -> 120L, "c" -> 90L)))
+    assert(out.except(known).isEmpty && known.except(out).isEmpty)
+    // unlisted strata are dropped
+    val dropped = Sampling.mixtureSample(df, "id", "src",
+      Seq("a" -> 1L), seed = 5L)
+    assert(dropped.select("src").distinct().as[String].collect().toSet
+      == Set("a"))
+  }
+
   test("split membership is stable under repartitioning") {
     val base = Sampling.deterministicSplit(docs, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.2)).select("doc_id", "split")
