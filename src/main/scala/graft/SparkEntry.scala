@@ -485,7 +485,8 @@ object SparkEntry {
         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |sub AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
         |  FROM e, range(0, 8) AS t(j)),
-        |samp AS (SELECT * FROM sub WHERE vec_id % 2 = 0),
+        |tm AS (SELECT greatest(2, (COUNT(*) + 8191) // 8192) AS m FROM e),
+        |samp AS (SELECT * FROM sub WHERE vec_id % (SELECT m FROM tm) = 0),
         |initids AS (SELECT vec_id,
         |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
         |  FROM (SELECT DISTINCT vec_id FROM samp ORDER BY vec_id LIMIT 16)),

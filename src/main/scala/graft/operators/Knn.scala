@@ -235,9 +235,15 @@ object Knn {
     * systematic codebook in [[pq]] stands in for. Deterministic and
     * oracle-replayable by construction:
     *
-    *  - training set: the vectors with `id % trainMod == 0` (a
-    *    deterministic sample — at 100 TB you train on a fraction and
-    *    encode everything);
+    *  - training set: the vectors with `id % em == 0` where
+    *    `em = max(trainMod, ceil(count / maxTrain))` — a deterministic
+    *    sample whose SIZE is capped: k-means quality needs a fixed
+    *    number of examples per centroid, not a corpus fraction, so as
+    *    the corpus scales the modulus rises and training cost stays
+    *    constant (~maxTrain vectors) while encoding still covers
+    *    everything. The cap assumes roughly dense ids (the realized
+    *    sample under a sparse id space is smaller but still
+    *    deterministic and engine-replayable from the same formula);
     *  - init: the `ksub` smallest-id training vectors' subvectors
     *    (`orderBy(id).limit(ksub)` — a distributed top-k, no global
     *    sort), codebook slot = rank, so ANY id space yields codes
@@ -260,21 +266,27 @@ object Knn {
     */
   def kmeansSubCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                          dim: Int, m: Int, ksub: Int, iters: Int = 2,
-                         trainMod: Int = 4): DataFrame = {
+                         trainMod: Int = 4, maxTrain: Int = 8192)
+      : DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxTrain >= ksub, s"maxTrain $maxTrain < ksub $ksub")
     val d = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
     val S = 1048576.0 // 2^20 quantization scale for associative sums
+    // parquet-metadata-cheap count; raises the modulus so the sample
+    // stays ~maxTrain however large the corpus grows
+    val n = corpus.count()
+    val em = math.max(trainMod.toLong, (n + maxTrain - 1) / maxTrain)
     val samp = corpus
-      .filter(pmod(col(idCol).cast("long"), lit(trainMod.toLong)) === 0)
+      .filter(pmod(col(idCol).cast("long"), lit(em)) === 0)
       .select(col(idCol).cast("long").as("_id"),
         asDouble(col(vecCol)).as("v"))
     val init = samp.orderBy(col("_id")).limit(ksub).collect()
     require(init.length == ksub,
       s"k-means needs >= $ksub training vectors, found ${init.length} " +
-        s"(training sample = ids with id % $trainMod == 0)")
+        s"(training sample = ids with id % $em == 0)")
     // cent(sub)(cell)(component), driver-side between iterations
     var cent: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
       (j, c) =>
@@ -325,9 +337,10 @@ object Knn {
   def pqTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, dim: Int, k: Int, m: Int = 8,
                 ksub: Int = 16, iters: Int = 2, trainMod: Int = 4,
-                overscan: Int = 4, salts: Int = 32): DataFrame = {
+                maxTrain: Int = 8192, overscan: Int = 4,
+                salts: Int = 32): DataFrame = {
     val centroids = kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
-      iters, trainMod)
+      iters, trainMod, maxTrain)
     pqSearch(corpus, queries, idCol, vecCol, centroids, dim, k, m, ksub,
       overscan, salts)
   }

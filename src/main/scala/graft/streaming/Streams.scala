@@ -65,6 +65,38 @@ object Streams {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** G8: streaming decontamination — annotates each streamed document
+    * with its exact `k`-word-shingle overlap against a STATIC
+    * eval/benchmark set (`n_grams`, `n_hits`), so a curation stream can
+    * gate on `n_hits == 0` before anything reaches the sink; batch
+    * semantics in [[graft.operators.Dedup.decontaminate]].
+    *
+    * Stateless by construction: the eval set collapses once to a single
+    * sorted gram array (bounded by the benchmark suite, not the
+    * stream), is broadcast to every micro-batch, and the overlap is a
+    * per-row `array_intersect` — no streaming state, no watermark, any
+    * output mode. The batch operator's explode + groupBy shape would
+    * need stream aggregation state for the same answer; per-row set
+    * intersection against a broadcast array gives it for free.
+    */
+  def decontaminateStream(docs: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    val evArr = evalSet
+      .select(explode(graft.operators.Dedup.shingleHashes(
+        col(textCol), k)).as("g"))
+      .distinct()
+      .agg(sort_array(collect_list(col("g"))).as("_ev"))
+    docs
+      .withColumn("_sh",
+        graft.operators.Dedup.shingleHashes(col(textCol), k))
+      .crossJoin(broadcast(evArr))
+      .withColumn("n_grams", size(col("_sh")).cast("long"))
+      .withColumn("n_hits",
+        size(array_intersect(col("_sh"), col("_ev"))).cast("long"))
+      .drop("_sh", "_ev")
+  }
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

@@ -154,6 +154,20 @@ class KnnSpec extends SparkSpec {
       .forall(_._2 == 5))
   }
 
+  test("maxTrain caps the k-means sample via the count-derived modulus") {
+    // 500 vectors, maxTrain=32 -> em = max(2, ceil(500/32)) = 16, so
+    // training must see exactly the id%16 sample; pre-filtering that
+    // sample by hand and training on ALL of it must give identical
+    // centroids (proves the cap formula, not just a smaller runtime)
+    val capped = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 2, maxTrain = 32)
+    val byHand = Knn.kmeansSubCodebooks(
+      emb.filter(col("vec_id") % 16 === 0), "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 1,
+      maxTrain = 1 << 20)
+    assert(capped.except(byHand).isEmpty && byHand.except(capped).isEmpty)
+  }
+
   test("IVF assign step is a partial aggregation, not a window sort") {
     val plan = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5)
       .queryExecution.executedPlan.toString

@@ -94,6 +94,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination annotates overlap vs the static eval " +
+      "set and agrees with the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.decontaminateStream(docs, evalSet, "doc_id", "text",
+        k = 5)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "xx alpha beta gamma delta epsilon yy zz ww vv"),
+        (11L, "p q r s t u v w x y"),
+        (12L, "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val out = spark.table("decon_out")
+        .select("doc_id", "n_grams", "n_hits")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out == Seq((10L, 6L, 1L), (11L, 6L, 0L), (12L, 2L, 2L)),
+        s"got $out")
+      // the streaming annotation filtered to hits must equal the batch
+      // operator's contaminated slice on identical inputs
+      val batch = graft.operators.Dedup.decontaminate(
+        Seq((10L, "xx alpha beta gamma delta epsilon yy zz ww vv"),
+          (11L, "p q r s t u v w x y"),
+          (12L, "alpha beta gamma delta epsilon zeta"))
+          .toDF("doc_id", "text"),
+        evalSet, "doc_id", "text", k = 5)
+        .select("doc_id", "n_grams", "n_hits")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out.filter(_._3 > 0) == batch, s"stream $out vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming lookup join enriches from a static dim, null on miss") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
