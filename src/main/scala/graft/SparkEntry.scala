@@ -970,8 +970,13 @@ object SparkEntry {
         |   ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END, 6) AS lin_sum
         |FROM f ORDER BY event_type, bucket_ms""".stripMargin,
     "corpus_curate" ->
-      s"""WITH q AS (SELECT doc_id, lang, text,
-        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      s"""WITH ${shingleSetCte(5)},
+        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0),
+        |cont AS (SELECT DISTINCT t.doc_id FROM f5 t
+        |  JOIN ev ON t.v = ev.v WHERE t.doc_id % 7 <> 0),
+        |q AS (SELECT doc_id, lang, text,
+        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+        |  WHERE doc_id % 7 <> 0),
         |c AS (SELECT doc_id, lang, text,
         |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
         |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',
@@ -988,7 +993,8 @@ object SparkEntry {
         | FROM c),
         |f AS (SELECT *,
         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-        | FROM s WHERE quality >= 0.7),
+        | FROM s WHERE quality >= 0.7
+        |   AND doc_id NOT IN (SELECT doc_id FROM cont)),
         |k AS (SELECT doc_id, lang, quality,
         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, quality,

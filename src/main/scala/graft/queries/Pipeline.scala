@@ -116,16 +116,23 @@ object Pipeline {
 
   /** C10: end-to-end corpus curation — the composed pipeline a
     * training-data run executes: quality-score inline at the scan
-    * (no intermediate join), keep docs ≥ 0.7, collapse normalized
+    * (no intermediate join), keep docs ≥ 0.7, drop docs contaminated
+    * by the eval slice (C12's gate, broadcast gram probe + one
+    * left-anti join on the contaminated id set), collapse normalized
     * exact dups to the min-id canonical via one `min_by` aggregation
     * (map-side partial, single shuffle on the fingerprint), then
     * deterministic 80/10/10 split. Every stage is an operator already
     * oracle-checked in isolation; this entry verifies the composition.
     */
   def corpusCurate(documents: DataFrame): DataFrame = {
-    val survivors = documents
+    val isEval = col("doc_id") % 7 === 0
+    val contaminated = Dedup.decontaminate(
+      documents.filter(!isEval), documents.filter(isEval),
+      "doc_id", "text", k = 5, minHits = 1L).select("doc_id")
+    val survivors = documents.filter(!isEval)
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.7)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .groupBy(md5(Dedup.normalized(col("text"))).as("fp"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("quality")),
         col("doc_id")).as("c"))

@@ -17,12 +17,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("corpus_curate: quality filter fuses into the scan stage") {
     val p = plan("corpus_curate")
-    // the >= 0.7 filter sits directly on the FileScan (no join before
-    // it), and the dedup collapse is a partial/final aggregate pair
+    // the >= 0.7 filter sits directly on the FileScan, and the dedup
+    // collapse is a partial/final aggregate pair
     assert(p.contains("Filter") && p.contains("FileScan parquet"))
     assert("partial_min_by".r.findAllIn(p).size == 1, p.take(400))
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "curation must be join-free")
+    // the only joins are the decontamination gate's broadcast probes
+    // (eval gram set + contaminated-id anti join) — the corpus itself
+    // is never shuffle-joined
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "curation must not shuffle-join the corpus")
+    assert(p.contains("BroadcastHashJoin") &&
+      "LeftAnti, BuildRight".r.findAllIn(p).nonEmpty,
+      "decontamination gate: broadcast anti join expected")
   }
 
   test("text_repetition: pruned scan, partial aggregation, per-doc windows") {
