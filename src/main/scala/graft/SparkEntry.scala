@@ -105,6 +105,8 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
+    "knn_ivf_trained" -> ((s, d) =>
+      Pipeline.knnIvfTrained(t(s, d, "embeddings"))),
     "knn_pq_trained" -> ((s, d) => Pipeline.knnPqTrained(t(s, d, "embeddings"))),
     "knn_ivfpq" -> ((s, d) => Pipeline.knnIvfPq(t(s, d, "embeddings"))),
     "knn_ivfpq_res" -> ((s, d) => Pipeline.knnIvfPqRes(t(s, d, "embeddings"))),
@@ -245,9 +247,9 @@ object SparkEntry {
     * Emits CTEs `d$n a$n u$n g$n c$n`; `c$n` is the iteration's
     * codebook `(sub, cell_id, cvec)`.
     */
-  private def kmeansIterCte(n: Int, prev: String): String =
+  private def kmeansIterCte(n: Int, prev: String, d: Int = 8): String =
     s"""d$n AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
-      |  list_sum(list_transform(range(1, 9),
+      |  list_sum(list_transform(range(1, ${d + 1}),
       |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
       |  FROM samp s JOIN $prev c ON s.j = c.sub),
       |a$n AS (SELECT vec_id, sub, cell_id AS code FROM (
@@ -257,7 +259,7 @@ object SparkEntry {
       |  SUM(CAST(floor(s.sv[t.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
       |  COUNT(*) AS cnt
       |  FROM a$n a JOIN samp s ON a.vec_id = s.vec_id AND a.sub = s.j,
-      |    range(1, 9) AS t(i)
+      |    range(1, ${d + 1}) AS t(i)
       |  GROUP BY 1, 2, 3),
       |g$n AS (SELECT sub, code AS cell_id,
       |  list(sq::DOUBLE / cnt / 1048576.0 ORDER BY i) AS cvec
@@ -290,6 +292,44 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
         |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qe, cell_id FROM (
+        |    SELECT q.query_id, q.qe, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, cent c) WHERE qrn <= 5),
+        |d AS (
+        |  SELECT p.query_id, a.neighbor_id, ${cosineSql("p.qe", "a.cv")} AS c
+        |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, 0 AS j, v AS sv FROM e),
+        |tm AS (SELECT greatest(2, (COUNT(*) + 8191) // 8192) AS m FROM e),
+        |samp AS (SELECT * FROM sub WHERE vec_id % (SELECT m FROM tm) = 0),
+        |initids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM samp ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM samp s JOIN initids i USING (vec_id)),
+        |${kmeansIterCte(1, "c0", 64)},
+        |${kmeansIterCte(2, "c1", 64)},
+        |cent AS (SELECT cell_id, cvec AS ce FROM c2),
+        |assign0 AS (
+        |  SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cell_id,
+        |         ${cosineSql("e.v", "c.ce")} AS csim
+        |  FROM e, cent c),
+        |assign AS (
+        |  SELECT neighbor_id, cv, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 10),
         |probes AS (
         |  SELECT query_id, qe, cell_id FROM (
         |    SELECT q.query_id, q.qe, c.cell_id,
@@ -588,8 +628,8 @@ object SparkEntry {
     },
     "corpus_decontaminate" ->
       s"""WITH ${shingleSetCte(5)},
-        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0),
-        |tr AS (SELECT doc_id, v FROM f5 WHERE doc_id % 7 <> 0),
+        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
+        |tr AS (SELECT doc_id, v FROM f5 WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),
         |ng AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
         |hits AS (SELECT t.doc_id, COUNT(*) AS h
         |  FROM tr t JOIN ev ON t.v = ev.v GROUP BY t.doc_id)
@@ -971,12 +1011,13 @@ object SparkEntry {
         |FROM f ORDER BY event_type, bucket_ms""".stripMargin,
     "corpus_curate" ->
       s"""WITH ${shingleSetCte(5)},
-        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0),
+        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
         |cont AS (SELECT DISTINCT t.doc_id FROM f5 t
-        |  JOIN ev ON t.v = ev.v WHERE t.doc_id % 7 <> 0),
+        |  JOIN ev ON t.v = ev.v
+        |  WHERE NOT (t.doc_id % 7 = 0 AND t.doc_id < 50000)),
         |q AS (SELECT doc_id, lang, text,
         |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
-        |  WHERE doc_id % 7 <> 0),
+        |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),
         |c AS (SELECT doc_id, lang, text,
         |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
         |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',

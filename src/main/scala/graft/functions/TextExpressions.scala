@@ -86,8 +86,21 @@ case class WordShingleHashes(child: Expression, k: Int) extends StringInput {
     copy(child = newChild)
 }
 
+/** Codepoint count of `[^a-zA-Z0-9\s]` matches (punctuation metric). */
+case class PunctCount(child: Expression) extends StringInput {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.punctCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.punctCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object txt {
+  def punctCount(s: Column): Column =
+    ColumnBridge.column(PunctCount(ColumnBridge.expression(s)))
   def wordShingleHashes(s: Column, k: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(s), k))
   def minhash(hashes: Column, perms: Int): Column =

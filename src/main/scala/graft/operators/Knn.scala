@@ -107,7 +107,8 @@ object Knn {
     */
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
           vecCol: String, k: Int, stride: Int = 50,
-          nProbe: Int = 5, maxCells: Int = 256): DataFrame = {
+          nProbe: Int = 5, maxCells: Int = 256,
+          coarse: Option[DataFrame] = scala.None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val n = corpus.count()
@@ -120,17 +121,24 @@ object Knn {
         .withColumn("cosine", lit(null).cast("double")) // nullable, like cosineD's
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cosine"))
-    val effStride = math.max(stride.toLong,
-      math.ceil(n / maxCells.toDouble).toLong)
-    // anchor the systematic sample at the corpus' minimum id-residue so
-    // the codebook is never empty (ids 1..49 with stride 50 would pick
-    // zero centroids if the anchor were hardcoded to residue 0)
-    val anchorMod = corpus
-      .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
-      .head().getLong(0)
-    val centroids = broadcast(
-      corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
-        .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
+    // `coarse` (cell_id, centroid) plugs in a TRAINED coarse quantizer
+    // (e.g. a full-vector [[kmeansSubCodebooks]] run with m = 1);
+    // default is the anchored systematic stride sample
+    val centroids = broadcast(coarse.map(_.select(col("cell_id"),
+        asDouble(col("centroid")).as("centroid")))
+      .getOrElse {
+        val effStride = math.max(stride.toLong,
+          math.ceil(n / maxCells.toDouble).toLong)
+        // anchor the systematic sample at the corpus' minimum id-residue
+        // so the codebook is never empty (ids 1..49 with stride 50 would
+        // pick zero centroids if the anchor were hardcoded to residue 0)
+        val anchorMod = corpus
+          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
+          .head().getLong(0)
+        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
+          .select(col(idCol).as("cell_id"),
+            asDouble(col(vecCol)).as("centroid"))
+      })
     // assign: nearest centroid per corpus vector as an argmax AGGREGATION
     // (max_by is partial-aggregatable, so the broadcast-NLJ'd n×C rows
     // reduce map-side to one row per vector — the n×C stream is never

@@ -154,6 +154,35 @@ class KnnSpec extends SparkSpec {
       .forall(_._2 == 5))
   }
 
+  test("ivf with trained full-vector coarse centroids: k rows per query " +
+      "and recall above the probed-fraction baseline, offset ids too") {
+    val cb = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 1, ksub = 16, iters = 2, trainMod = 2)
+    assert(cb.count() == 16)
+    val coarse = Some(cb.select(col("cell_id"), col("cvec").as("centroid")))
+    val out = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5,
+      nProbe = 5, coarse = coarse)
+    assert(out.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+    // recall vs brute force at probe 5/16 cells
+    val truth = Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val found = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.5, s"trained-coarse ivf recall $recall")
+    // arbitrary (offset, strided) id space — the systematic coarse
+    // quantizer's weak spot is exactly what training removes
+    val shifted = emb.withColumn("vec_id", col("vec_id") * 3 + 1000)
+    val cbS = Knn.kmeansSubCodebooks(shifted, "vec_id", "embedding",
+      dim = 64, m = 1, ksub = 16, iters = 1, trainMod = 1)
+    val outS = Knn.ivf(shifted, shifted.filter(col("vec_id") < 1030),
+      "vec_id", "embedding", k = 5, nProbe = 5,
+      coarse = Some(cbS.select(col("cell_id"), col("cvec").as("centroid"))))
+    assert(outS.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+  }
+
   test("maxTrain caps the k-means sample via the count-derived modulus") {
     // 500 vectors, maxTrain=32 -> em = max(2, ceil(500/32)) = 16, so
     // training must see exactly the id%16 sample; pre-filtering that

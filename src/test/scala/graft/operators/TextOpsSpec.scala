@@ -30,6 +30,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("diversity") == math.rint(1.0 / 40 * 1e6) / 1e6)
   }
 
+  test("native punctCount == size(regexp_extract_all) on adversarial input") {
+    val cases = Seq(
+      "plain ascii words only",
+      "punct! mid-word, and... (nested) [brackets] {braces} #tags",
+      "tabs\tnewlines\nvtabformfeed\fcarriage\rspaces   end",
+      "中文字符都算标点 per the regex class 的",
+      "mixed 中en文 puncts!?;:", "",
+      "emoji 😀 counts once", "1234567890", "!@#$%^&*()")
+    val df = cases.toDF("text")
+    val got = df.select(
+      graft.functions.txt.punctCount(col("text")).as("native"),
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("regex"))
+      .collect()
+    got.zip(cases).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"punctCount mismatch on '$s': native=${r.getLong(0)} regex=${r.getLong(1)}")
+    }
+    // and on the real corpus, both quality paths agree end-to-end
+    val docs = sf("documents")
+    val native = TextOps.quality(docs, "doc_id", "text")
+    val mismatches = docs.select(col("doc_id"),
+        (graft.functions.txt.punctCount(col("text")) -
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long")).as("d"))
+      .filter(col("d") =!= 0).count()
+    assert(mismatches == 0 && native.count() == docs.count())
+  }
+
   test("langid: marker argmax with fixed tie order, unknown on zero hits") {
     val df = Seq(
       (1L, "xx", "the cat and the hat is on the mat"),
