@@ -92,6 +92,8 @@ object SparkEntry {
     "corpus_decontaminate" -> ((s, d) =>
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
+    "corpus_boilerplate" -> ((s, d) =>
+      Pipeline.corpusBoilerplate(t(s, d, "documents"))),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       Pipeline.sampleStratified(t(s, d, "documents"))),
@@ -637,6 +639,18 @@ object SparkEntry {
         |  round(h.h::DOUBLE / ng.n, 6) AS contamination
         |FROM hits h JOIN ng ON h.doc_id = ng.doc_id
         |ORDER BY h.doc_id""".stripMargin,
+    "corpus_boilerplate" ->
+      s"""WITH ${shingleSetCte(3)},
+        |ng AS (SELECT doc_id, COUNT(*) AS n FROM f5 GROUP BY doc_id),
+        |freq AS (SELECT v, COUNT(*) AS df FROM f5 GROUP BY v HAVING COUNT(*) >= 3),
+        |hits AS (SELECT f.doc_id, COUNT(*) AS nb, MAX(fr.df) AS mdf
+        |  FROM f5 f JOIN freq fr ON f.v = fr.v GROUP BY f.doc_id)
+        |SELECT ng.doc_id, ng.n::BIGINT AS n_grams,
+        |  coalesce(h.nb, 0)::BIGINT AS n_boiler,
+        |  round(coalesce(h.nb, 0)::DOUBLE / ng.n, 6) AS boiler_frac,
+        |  coalesce(h.mdf, 0)::BIGINT AS max_df
+        |FROM ng LEFT JOIN hits h ON ng.doc_id = h.doc_id
+        |ORDER BY ng.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
         |good AS (SELECT doc_a, doc_b FROM jac

@@ -206,6 +206,55 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** C14: boilerplate density — per document, how much of its content
+    * is corpus-wide repeated phrasing (the Gopher/RefinedWeb-style
+    * "remove documents made of boilerplate" signal). A `k`-word shingle
+    * is *boilerplate* when it appears in at least `minDf` distinct
+    * documents; each doc reports its distinct-gram count, how many of
+    * those grams are boilerplate, their fraction, and the document
+    * frequency of its most common gram.
+    *
+    * Scale shape (100 TB): document frequency is a hash `groupBy` on
+    * the gram hash — partial map-side aggregation absorbs hot grams
+    * (the literal boilerplate ones), so a phrase appearing in 10⁹ docs
+    * costs one long per map task, never a single-task row pile
+    * (deliberately NOT a `count over (partition by g)` window, which
+    * would shuffle every instance of a hot gram to one task). The
+    * frequent-gram set joins back against the gram stream keyed on the
+    * same hash (AQE picks broadcast when it fits), then one per-doc
+    * partial agg; docs with zero boilerplate re-enter via a left join
+    * on the slim (id, n_grams) projection. The shingle kernel is the
+    * same codegen one-pass expression as C3-C5/C12, persisted once
+    * across its two consumers.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, minDf: Long = 3L,
+                  persistShingles: Boolean = true): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val sh = docs
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
+        col("sh"))
+      .filter(col("n_grams") >= 1)
+    if (persistShingles)
+      sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sh.select(col(idCol), explode(col("sh")).as("g"))
+    // grams are DISTINCT per doc, so count == document frequency
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val hits = grams.join(freq, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_boiler"), max(col("df")).as("max_df"))
+    sh.select(col(idCol), col("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("boiler_frac"),
+        coalesce(col("max_df"), lit(0L)).as("max_df"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`,

@@ -86,6 +86,15 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C14: boilerplate density — per doc, the fraction of its distinct
+    * 3-word shingles that appear in ≥ 3 distinct documents corpus-wide
+    * (repeated phrasing / template text), plus the df of its most
+    * common gram. High `boiler_frac` = template document.
+    */
+  def corpusBoilerplate(documents: DataFrame): DataFrame =
+    Dedup.boilerplate(documents, "doc_id", "text", k = 3, minDf = 3L)
+      .orderBy("doc_id")
+
   /** C8: deterministic 80/10/10 train/val/test split keyed on
     * md5(doc_id, seed) — reproducible across engines and runs.
     */

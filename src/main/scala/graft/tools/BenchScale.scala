@@ -41,7 +41,8 @@ object BenchScale {
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
     "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",
     "knn_ivfpq", "knn_ivfpq_res", "knn_ivf_trained", "text_repetition",
-    "corpus_decontaminate", "corpus_mix", "corpus_curate")
+    "corpus_decontaminate", "corpus_mix", "corpus_curate",
+    "corpus_boilerplate")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the

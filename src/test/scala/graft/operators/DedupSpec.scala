@@ -140,6 +140,37 @@ class DedupSpec extends SparkSpec {
     assert(strict == Seq(13L), s"got $strict")
   }
 
+  test("boilerplate: df-thresholded grams, zero-hit docs kept, short docs out") {
+    val df = Seq(
+      // "click here now" appears in docs 1,2,3 -> boilerplate at minDf=3
+      (1L, "click here now aa bb"),
+      (2L, "cc click here now dd"),
+      (3L, "click here now ee ff gg"),
+      // no gram shared 3 ways -> all-zero row, still present
+      (4L, "uu vv ww xx yy"),
+      (5L, "too short"), // < k words -> excluded entirely
+      (6L, "click here also")).toDF("doc_id", "text")
+    val out = Dedup.boilerplate(df, "doc_id", "text", k = 3, minDf = 3L,
+        persistShingles = false)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_boiler", "max_df")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, 3L), (2L, 3L, 1L, 3L), (3L, 4L, 1L, 3L),
+      (4L, 3L, 0L, 0L), (6L, 1L, 0L, 0L)), s"got $out")
+    // fraction column matches the count columns
+    val fr = Dedup.boilerplate(df, "doc_id", "text", k = 3, minDf = 3L,
+        persistShingles = false)
+      .filter(col("doc_id") === 3L)
+      .select("boiler_frac").as[Double].head()
+    assert(fr == 0.25)
+    // raising minDf above the hottest gram's df empties the boiler set
+    val none = Dedup.boilerplate(df, "doc_id", "text", k = 3, minDf = 4L,
+        persistShingles = false)
+      .agg(sum(col("n_boiler"))).as[Long].head()
+    assert(none == 0L)
+  }
+
   test("embedding near-dup recall >= 0.5 vs brute-force truth") {
     val emb = sf("embeddings")
     val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
