@@ -97,6 +97,41 @@ object Streams {
       .drop("_sh", "_ev")
   }
 
+  /** G9: streaming corpus-quality monitor — watermarked per-(window,
+    * source) aggregates of the curation quality score over a document
+    * stream: doc count, mean quality, how many fall below the curation
+    * threshold, and total characters. The score is the SAME expression
+    * tree the batch pipeline fuses into its scan
+    * ([[graft.operators.TextOps.qualityScore]] — whole-stage-codegen,
+    * no UDF), so an ingest stream reports exactly the quality the
+    * nightly batch curation will act on; a drifting `low_frac` is the
+    * canary that a source started shipping template junk.
+    *
+    * State is the windowed aggregate only — O(sources × open windows),
+    * independent of stream length; the watermark closes windows and
+    * evicts them.
+    */
+  def qualityMonitorStream(docs: DataFrame, tsCol: String,
+                           sourceCol: String, textCol: String,
+                           windowLen: String = "1 hour",
+                           lateness: String = "1 hour",
+                           minQuality: Double = 0.7): DataFrame =
+    docs
+      .withColumn("_q",
+        graft.operators.TextOps.qualityScore(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("_q").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_quality"),
+        sum(when(col("_q") < minQuality, 1L).otherwise(0L))
+          .as("n_low_quality"),
+        sum(length(col(textCol)).cast("long")).as("sum_chars"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col(sourceCol), col("n_docs"), col("avg_quality"),
+        col("n_low_quality"), col("sum_chars"))
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

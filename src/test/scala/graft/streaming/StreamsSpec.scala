@@ -130,6 +130,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality monitor: windowed per-source stats match the " +
+      "batch score") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = ("the quick brown fox and the lazy dog walked to the park " +
+      "in a fine morning of early spring to see the river") // 100-2000 ch
+    val junk = "??!! ##$$ %%^^ &&**" // short, punct-heavy -> low score
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("event_ts", "source", "text")
+    val q = Streams.qualityMonitorStream(docs, "event_ts", "source", "text")
+      .writeStream.format("memory").queryName("qual_out")
+      .outputMode("complete").start()
+    try {
+      val h0 = 1704067200000L
+      input.addData(
+        (ts(h0 + 1000), "src0", good), (ts(h0 + 2000), "src0", junk),
+        (ts(h0 + 3000), "src1", good),
+        (ts(h0 + 3600 * 1000 + 1), "src0", good)) // next hour window
+      q.processAllAvailable()
+      val out = spark.table("qual_out").orderBy("bucket_ms", "source")
+        .collect()
+      assert(out.length == 3)
+      assert(out(0).getAs[Long]("bucket_ms") == h0)
+      assert(out(0).getAs[String]("source") == "src0")
+      assert(out(0).getAs[Long]("n_docs") == 2)
+      assert(out(0).getAs[Long]("n_low_quality") == 1) // the junk doc
+      assert(out(0).getAs[Long]("sum_chars") ==
+        good.length.toLong + junk.length)
+      // mean matches the batch expression on the same two texts
+      val batchQ = Seq(good, junk).toDF("text")
+        .select(graft.operators.TextOps.qualityScore(col("text")))
+        .as[Double].collect()
+      assert(batchQ(0) >= 0.7 && batchQ(1) < 0.7, s"scores ${batchQ.toSeq}")
+      val expAvg = math.rint(batchQ.sum / 2 * 1e6) / 1e6
+      assert(out(0).getAs[Double]("avg_quality") == expAvg)
+      assert(out(1).getAs[String]("source") == "src1")
+      assert(out(1).getAs[Long]("n_low_quality") == 0)
+      assert(out(2).getAs[Long]("bucket_ms") == h0 + 3600 * 1000)
+    } finally q.stop()
+  }
+
   test("streaming lookup join enriches from a static dim, null on miss") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
