@@ -122,6 +122,48 @@ object Compaction {
       mvccCol = if (carryTags) Some("mvcc") else None)
   }
 
+  /** Tiered compaction selection — HBase's ExploringCompactionPolicy
+    * shape (re-derived from its public semantics: ratio-bounded
+    * contiguous windows, prefer more files, then less IO), over
+    * `(runId, bytes)` pairs:
+    *
+    *  - runs are ordered by id (write order); only CONTIGUOUS windows
+    *    of `minRuns..maxRuns` runs are candidates (skipping a middle
+    *    run would let precedence-bearing runs leapfrog each other);
+    *  - a window is eligible when every member is at most `ratio` ×
+    *    the sum of the OTHER members — i.e. never rewrite a giant run
+    *    to merge a few small ones (the write-amplification guard);
+    *  - among eligible windows: most runs wins (bigger fold per IO),
+    *    ties by smallest total bytes (cheapest), then earliest.
+    *
+    * Returns the selected run ids (ascending), or None when no window
+    * is eligible — the caller simply skips compaction this round.
+    * Pure driver-side planning over run stats: O(runs × maxRuns).
+    */
+  def selectCompaction(runs: Seq[(Long, Long)], ratio: Double = 1.2,
+                       minRuns: Int = 3, maxRuns: Int = 10): Option[Seq[Long]] = {
+    require(ratio > 0 && minRuns >= 2 && maxRuns >= minRuns,
+      s"bad selection config: ratio=$ratio min=$minRuns max=$maxRuns")
+    val sorted = runs.sortBy(_._1)
+    var best: Option[(Int, Long, Seq[Long])] = scala.None // (n, bytes, ids)
+    for {
+      start <- sorted.indices
+      len <- minRuns to math.min(maxRuns, sorted.length - start)
+    } {
+      val win = sorted.slice(start, start + len)
+      val total = win.map(_._2).sum
+      val eligible = win.forall { case (_, b) => b <= ratio * (total - b) }
+      if (eligible) {
+        val cand = (len, total, win.map(_._1))
+        val better = best.forall { case (bn, bb, _) =>
+          len > bn || (len == bn && total < bb)
+        }
+        if (better) best = Some(cand)
+      }
+    }
+    best.map(_._3)
+  }
+
   /** Major compaction across the `epoch=N` run directories a
     * [[graft.streaming.Streams.bulkLoadStream]] sink accumulates: N
     * micro-batches leave N overlapping runs that every reader must
@@ -143,22 +185,45 @@ object Compaction {
     * The input epochs are left in place; callers swap `outDir` in and
     * delete the consumed `epoch=*` directories once the compacted run
     * is live.
+    *
+    * `epochs` restricts the fold to an explicit CONTIGUOUS id window
+    * (e.g. one picked by [[selectCompaction]]); runs outside it are
+    * untouched and keep their precedence relative to the fold.
+    *
+    * `collectMarkers = false` is the MINOR-compaction mode: the fold
+    * merges runs and resolves epoch precedence, but delete markers and
+    * all cell versions are carried through VERBATIM (written with
+    * their key types), and `versions` retention is NOT applied. This is
+    * mandatory whenever older data exists outside the fold — collecting
+    * a marker while an older run still holds the put it masks would
+    * resurrect that put; HBase minor compactions keep markers for the
+    * same reason. Only a fold covering the OLDEST live run may collect
+    * (major mode, the default).
     */
   def compactEpochs(spark: SparkSession, dir: String, outDir: String,
                     versions: Int = 1, numPartitions: Int = 32,
                     blockSize: Int = HFile.DefaultBlockSize,
                     compression: String = "none",
                     encoding: String = "none",
-                    beforeEpoch: Option[Long] = scala.None): Unit = {
+                    beforeEpoch: Option[Long] = scala.None,
+                    epochs: Option[Seq[Long]] = scala.None,
+                    collectMarkers: Boolean = true): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nEpochs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
+    val liveIds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
       .getOrElse(Array.empty)
       .filter(_.isDirectory)
-      .count(st => beforeEpoch.forall(b =>
-        st.getPath.getName.stripPrefix("epoch=").toLong < b))
-    require(nEpochs > 0, s"no epoch=* run directories under $dir" +
-      beforeEpoch.map(b => s" with epoch < $b").getOrElse(""))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(e => beforeEpoch.forall(e < _))
+      .filter(e => epochs.forall(_.contains(e)))
+    require(liveIds.nonEmpty, s"no epoch=* run directories under $dir" +
+      beforeEpoch.map(b => s" with epoch < $b").getOrElse("") +
+      epochs.map(ids => s" within ${ids.mkString("{", ",", "}")}").getOrElse(""))
+    epochs.foreach { ids =>
+      require(ids.forall(liveIds.contains),
+        s"selected epochs ${ids.filterNot(liveIds.contains).mkString(",")} " +
+          s"missing under $dir")
+    }
     // ONE glob scan over every epoch's files; the epoch a cell came from
     // is recovered from the `file` path — the plan stays constant-size
     // however many micro-batch runs accumulated (an N-way unionByName
@@ -172,27 +237,35 @@ object Compaction {
     // `beforeEpoch` bounds the fold to COMPLETED runs — the streaming
     // sink folds ids below its in-flight batch so a failed attempt's
     // orphan directory is never baked into a published fold
-    val cells = beforeEpoch
+    val cells1 = beforeEpoch
       .map(b => cells0.filter(col("_epoch") < b)).getOrElse(cells0)
+    val cells = epochs
+      .map(ids => cells1.filter(col("_epoch").isin(ids: _*))).getOrElse(cells1)
     val latest = cells
       .groupBy(col("rowkey"), col("family"), col("qualifier"), col("ts"),
         col("key_type"))
       // one shuffle resolves epoch precedence; value/tags/mvcc travel
-      // together with the winning epoch; bucket is a function of the
-      // (already-salted) rowkey, so first() is deterministic
+      // together with the winning epoch (mvcc then value break a
+      // same-epoch exact-duplicate tie deterministically); bucket is a
+      // function of the (already-salted) rowkey, so first() is
+      // deterministic
       .agg(max_by(struct(col("value"), col("tags"), col("mvcc")),
-        col("_epoch")).as("w"),
+        struct(col("_epoch"), col("mvcc"), col("value"))).as("w"),
         first(col("bucket")).as("bucket"))
       .select(col("rowkey"), col("family"), col("qualifier"), col("ts"),
         col("key_type"), col("w.value").as("value"), col("w.tags").as("tags"),
         col("w.mvcc").as("mvcc"), col("bucket"))
-    val kept = retainVersions(applyDeletes(latest), versions)
+    val kept =
+      if (collectMarkers) retainVersions(applyDeletes(latest), versions)
+      else latest
     val prepared = kept
       .select(Seq(col("bucket"), col("rowkey").as("salted_key"),
         col("family"), col("qualifier"), col("ts"), col("value")) ++
+        (if (collectMarkers) Seq.empty else Seq(col("key_type"))) ++
         (if (carryTags) Seq(col("tags"), col("mvcc")) else Seq.empty): _*)
       .repartitionByRange(numPartitions, col("bucket"), col("salted_key"))
     BulkLoad.writeHFiles(prepared, outDir, tsCol = Some("ts"),
+      typeCol = if (collectMarkers) scala.None else Some("key_type"),
       blockSize = blockSize, compression = compression, encoding = encoding,
       tagsCol = if (carryTags) Some("tags") else None,
       mvccCol = if (carryTags) Some("mvcc") else None)

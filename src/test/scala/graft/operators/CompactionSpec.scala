@@ -272,6 +272,86 @@ class CompactionSpec extends SparkSpec {
     assert(!BulkLoad.dirHasTagsOrMvcc(spark, plainOut))
   }
 
+  test("selectCompaction: ratio guard, most-runs preference, byte tiebreak") {
+    // a giant old run never gets rewritten to merge small ones
+    assert(Compaction.selectCompaction(
+      Seq((0L, 100L), (2L, 10L), (4L, 12L), (6L, 11L)),
+      ratio = 1.2, minRuns = 2, maxRuns = 3)
+      .contains(Seq(2L, 4L, 6L)))
+    // more runs beats fewer; earliest window on a full tie
+    assert(Compaction.selectCompaction(
+      Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)),
+      ratio = 1.2, minRuns = 2, maxRuns = 4)
+      .contains(Seq(0L, 1L, 2L, 3L)))
+    // equal run count -> smallest total bytes
+    assert(Compaction.selectCompaction(
+      Seq((0L, 10L), (1L, 10L), (2L, 5L), (3L, 5L)),
+      ratio = 1.2, minRuns = 2, maxRuns = 2)
+      .contains(Seq(2L, 3L)))
+    // nothing eligible -> None (skip the round, no forced rewrite)
+    assert(Compaction.selectCompaction(
+      Seq((0L, 100L), (2L, 1L)), ratio = 1.2, minRuns = 2, maxRuns = 10)
+      .isEmpty)
+    // unordered input is sorted by run id before windowing
+    assert(Compaction.selectCompaction(
+      Seq((6L, 11L), (0L, 100L), (4L, 12L), (2L, 10L)),
+      ratio = 1.2, minRuns = 2, maxRuns = 3)
+      .contains(Seq(2L, 4L, 6L)))
+  }
+
+  test("minor compactEpochs keeps delete markers; a later major fold " +
+      "applies them against runs outside the window") {
+    val dir = Files.createTempDirectory("minor").toString
+    def writeEpoch(e: Int,
+                   rows: Seq[(Array[Byte], String, String, Array[Byte], Int)]): Unit = {
+      val prepared = BulkLoad.prepare(
+        rows.toDF("rowkey", "family", "qualifier", "value", "key_type"),
+        buckets = 2, numPartitions = 2)
+      BulkLoad.writeHFiles(prepared, s"$dir/epoch=$e",
+        typeCol = Some("key_type"))
+    }
+    // epoch 0 (oldest, OUTSIDE the fold): A=a0, B=b0
+    writeEpoch(0, Seq((k(1), "f", "q", "a0".getBytes, P),
+      (k(2), "f", "q", "b0".getBytes, P)))
+    // epoch 2: delete B, C=c2      epoch 4: A=a4 (re-put)
+    writeEpoch(2, Seq((k(2), "f", "q", Array.emptyByteArray, D),
+      (k(3), "f", "q", "c2".getBytes, P)))
+    writeEpoch(4, Seq((k(1), "f", "q", "a4".getBytes, P)))
+
+    // minor fold of {2,4} only — epoch 0 still holds B's put, so the
+    // marker MUST survive the fold verbatim
+    val tmp = Files.createTempDirectory("minor_tmp").toString
+    Compaction.compactEpochs(spark, dir, tmp, numPartitions = 2,
+      epochs = Some(Seq(2L, 4L)), collectMarkers = false)
+    val folded = BulkLoad.readHFiles(spark, tmp)
+    assert(folded.filter(col("key_type") === D).count() == 1,
+      "minor fold must carry the delete marker through")
+    val fv = folded.filter(col("key_type") === P)
+      .select(hex(col("rowkey")).as("r"), col("value").cast("string"))
+      .as[(String, String)].collect()
+      .map { case (r, value) => r.takeRight(2) -> value }.toMap
+    assert(fv == Map("01" -> "a4", "03" -> "c2"), s"got $fv")
+
+    // publish the fold above its window (epoch 5), drop the sources —
+    // then a MAJOR fold over [0, 5] applies the preserved marker to
+    // epoch 0's put and collects it
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(root, "epoch=5")))
+    Seq(2, 4).foreach(e => fs.delete(
+      new org.apache.hadoop.fs.Path(root, s"epoch=$e"), true))
+    val out = Files.createTempDirectory("minor_out").toString
+    Compaction.compactEpochs(spark, dir, out, numPartitions = 2)
+    val fin = BulkLoad.readHFiles(spark, out)
+    assert(fin.filter(col("key_type") =!= P).count() == 0)
+    val gv = fin.select(hex(col("rowkey")).as("r"), col("value").cast("string"))
+      .as[(String, String)].collect()
+      .map { case (r, value) => r.takeRight(2) -> value }.toMap
+    assert(gv == Map("01" -> "a4", "03" -> "c2"),
+      s"B must stay deleted through the minor->major chain, got $gv")
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
