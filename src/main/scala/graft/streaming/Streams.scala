@@ -203,25 +203,45 @@ object Streams {
     * reader must merge and the sink's file count grows without bound).
     * Crash-safe by construction:
     *
-    *  - batch N writes its run as `epoch=2N` (EVEN ids) — a replayed
-    *    batch can only ever overwrite its own directory, never a run
-    *    holding other batches' history;
-    *  - when `maxEpochs` completed runs (ids < 2N) have accumulated,
-    *    the batch FIRST folds them through
-    *    [[graft.operators.Compaction.compactEpochs]] (latest-epoch
-    *    precedence, markers collected, `versions` retention) into a
-    *    temp dir, publishes it by rename as `epoch=<max consumed + 1>`
-    *    — an ODD id, so it outranks everything it folded, is outranked
-    *    by every later batch, and never collides with a batch's own
-    *    directory — and only THEN deletes the consumed runs: the folded
-    *    run is live before any source byte disappears;
+    *  - batch N writes its run as `epoch=N·1024` — a replayed batch can
+    *    only ever overwrite its own directory, never a run holding
+    *    other batches' history; the id stride leaves free slots above
+    *    every run for folds to publish into;
+    *  - when `maxEpochs` completed runs (ids < the batch's own) have
+    *    accumulated, the batch FIRST folds a run window through
+    *    [[graft.operators.Compaction.compactEpochs]] into a temp dir,
+    *    writes the window's ids to a `_consumed` file INSIDE it, and
+    *    publishes it by rename as `epoch=<window max + 1>` — inside the
+    *    id gap above the window, so it outranks exactly what it folded
+    *    and is outranked by everything newer — and only THEN deletes
+    *    the consumed runs: the folded run (with its provenance) is live
+    *    before any source byte disappears;
     *  - every batch starts with a recovery sweep that closes the crash
     *    windows: a leftover `_compact_tmp` is discarded (its sources
-    *    are still intact — refolding is safe), and any run with an id
-    *    BELOW the highest odd (folded) id is a consumed leftover — a
-    *    folded run covers all ids below it by construction — and is
-    *    deleted, which also re-collects any delete markers a crash
-    *    transiently resurrected.
+    *    are still intact — refolding is safe), and any live run listed
+    *    in a published fold's `_consumed` file is a consumed leftover
+    *    and is deleted — which also re-collects any delete markers a
+    *    crash transiently resurrected. Recovery never infers from ids
+    *    alone, so it is exact for full AND partial (tiered) folds.
+    *
+    * `tiered = false` (default): every fold covers ALL completed runs —
+    * markers collected, `versions` retention applied, live run count
+    * hard-bounded by `maxEpochs + 1`. The cost: each fold rewrites the
+    * entire accumulated dataset, O(N²/maxEpochs) total bytes written
+    * over a stream's life.
+    *
+    * `tiered = true`: each fold covers the window
+    * [[graft.operators.Compaction.selectCompaction]] picks (ratio-
+    * bounded, ≤ `maxEpochs` runs) — a big folded run is NOT rewritten
+    * to absorb a few small newcomers, so total write volume drops to
+    * the LSM-shaped O(N log N), at the price of a softer run-count
+    * bound (the tier structure: one run per size class, ~log of the
+    * data/batch ratio, plus `maxEpochs` unfolded). A window that leaves
+    * OLDER data outside folds in MINOR mode (markers and versions
+    * carried verbatim — see `collectMarkers`); only a window including
+    * the oldest live run collects markers and applies `versions`.
+    * A directory must stay in one mode; flipping `tiered` mid-stream is
+    * unsupported.
     *
     * The stream's own view (sequential `foreachBatch`) is always
     * consistent; an EXTERNAL reader racing the publish can transiently
@@ -235,7 +255,9 @@ object Streams {
                      typeCol: Option[String] = None,
                      compression: String = "none",
                      maxEpochs: Int = 0,
-                     versions: Int = 1): DataStreamWriter[Row] = {
+                     versions: Int = 1,
+                     tiered: Boolean = false,
+                     compactRatio: Double = 1.2): DataStreamWriter[Row] = {
     require(maxEpochs == 0 || maxEpochs >= 2,
       s"maxEpochs must be 0 (off) or >= 2, got $maxEpochs")
     cells.writeStream
@@ -243,46 +265,10 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         val spark = batch.sparkSession
         // without folding, keep the plain epoch=<batchId> naming
-        val runId = if (maxEpochs > 0) 2 * epochId else epochId
-        if (maxEpochs > 0) {
-          val root = new org.apache.hadoop.fs.Path(dir)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
-          def epochDirs() = Option(fs.globStatus(
-              new org.apache.hadoop.fs.Path(root, "epoch=*")))
-            .getOrElse(Array.empty).filter(_.isDirectory)
-            .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
-              st.getPath))
-          // ---- recovery sweep (idempotent driver fs ops)
-          fs.delete(tmp, true)
-          val pre = epochDirs()
-          val odd = pre.collect { case (e, _) if e % 2 == 1 => e }
-          if (odd.nonEmpty)
-            pre.filter(_._1 < odd.max).foreach(p => fs.delete(p._2, true))
-          // ---- fold the completed runs, before this batch writes
-          val consumed = epochDirs().filter(_._1 < runId)
-          if (consumed.length >= maxEpochs) {
-            val hasData = consumed.exists { case (_, p) =>
-              Option(fs.globStatus(
-                  new org.apache.hadoop.fs.Path(p, "bucket=*/*.hfile")))
-                .exists(_.nonEmpty)
-            }
-            if (!hasData) {
-              // nothing to fold — just drop the empty run directories
-              consumed.foreach(p => fs.delete(p._2, true))
-            } else {
-              graft.operators.Compaction.compactEpochs(spark, dir,
-                tmp.toString, versions = versions,
-                numPartitions = numPartitions, compression = compression,
-                beforeEpoch = Some(runId))
-              val pub = new org.apache.hadoop.fs.Path(root,
-                s"epoch=${consumed.map(_._1).max + 1}")
-              require(fs.rename(tmp, pub),
-                s"failed to publish compacted run as $pub")
-              consumed.foreach(p => fs.delete(p._2, true))
-            }
-          }
-        }
+        val runId = if (maxEpochs > 0) EpochStride * epochId else epochId
+        if (maxEpochs > 0)
+          foldEpochRuns(spark, dir, runId, maxEpochs, versions,
+            numPartitions, compression, tiered, compactRatio)
         val prepared = graft.operators.BulkLoad.prepare(
           batch.toDF(), buckets, numPartitions)
         graft.operators.BulkLoad.writeHFiles(prepared,
@@ -290,6 +276,96 @@ object Streams {
           compression = compression)
       }
   }
+
+  /** Batch-id stride for capped sinks: leaves id slots above every run
+    * for folds (`window max + 1`) without ever colliding with a batch's
+    * own directory. A collision would need 1023 CHAINED folds (each
+    * consuming the previous, one per batch) inside one stride gap; the
+    * publish-slot gap check refuses the fold long before that.
+    */
+  val EpochStride = 1024L
+
+  /** The fold step of a capped [[bulkLoadStream]] sink: recovery sweep,
+    * then (when due) select, fold, publish-with-provenance, and delete
+    * the consumed runs. Driver-side fs planning is O(runs × files).
+    */
+  private def foldEpochRuns(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, runId: Long, maxEpochs: Int,
+                            versions: Int, numPartitions: Int,
+                            compression: String, tiered: Boolean,
+                            compactRatio: Double): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    def epochDirs() = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "epoch=*")))
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .map(st => (st.getPath.getName.stripPrefix("epoch=").toLong,
+        st.getPath))
+    def consumedListOf(p: org.apache.hadoop.fs.Path): Seq[Long] = {
+      val cf = new org.apache.hadoop.fs.Path(p, ConsumedFile)
+      if (!fs.exists(cf)) Seq.empty
+      else {
+        val in = fs.open(cf)
+        try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+        catch { case _: Exception => Seq.empty }
+        finally in.close()
+      }
+    }
+    // ---- recovery sweep (idempotent driver fs ops): a published
+    // fold's _consumed provenance names exactly the leftovers to drop
+    fs.delete(tmp, true)
+    val pre = epochDirs()
+    val consumedIds = pre.flatMap(p => consumedListOf(p._2)).toSet
+    pre.filter(p => consumedIds.contains(p._1))
+      .foreach(p => fs.delete(p._2, true))
+    // ---- drop empty completed runs (nothing to fold there)
+    def bytesOf(p: org.apache.hadoop.fs.Path): Long = Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(p, "bucket=*/*.hfile")))
+      .getOrElse(Array.empty).map(_.getLen).sum
+    val sized = epochDirs().filter(_._1 < runId)
+      .map { case (e, p) => (e, p, bytesOf(p)) }
+    sized.filter(_._3 == 0L).foreach(p => fs.delete(p._2, true))
+    val completed = sized.filter(_._3 > 0L)
+    if (completed.length < maxEpochs) return
+    // ---- pick the fold window
+    val window: Option[Seq[Long]] =
+      if (tiered)
+        graft.operators.Compaction.selectCompaction(
+          completed.map(c => (c._1, c._3)).toSeq, ratio = compactRatio,
+          minRuns = 2, maxRuns = maxEpochs)
+      else Some(completed.map(_._1).toSeq.sorted)
+    window.foreach { ids =>
+      val publishId = ids.max + 1
+      val nextAbove = (completed.map(_._1).filter(_ > ids.max) :+ runId).min
+      // the id gap above the window is free by construction (see
+      // EpochStride); refuse the fold if it ever is not
+      if (publishId < nextAbove) {
+        val isMajor = ids.min == completed.map(_._1).min
+        graft.operators.Compaction.compactEpochs(spark, dir,
+          tmp.toString, versions = versions,
+          numPartitions = numPartitions, compression = compression,
+          beforeEpoch = Some(runId), epochs = Some(ids),
+          collectMarkers = isMajor)
+        val cf = fs.create(new org.apache.hadoop.fs.Path(tmp, ConsumedFile),
+          true)
+        try cf.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally cf.close()
+        val pub = new org.apache.hadoop.fs.Path(root, s"epoch=$publishId")
+        require(fs.rename(tmp, pub),
+          s"failed to publish compacted run as $pub")
+        completed.filter(c => ids.contains(c._1))
+          .foreach(c => fs.delete(c._2, true))
+      }
+    }
+  }
+
+  /** Provenance file a published fold carries: the run ids it consumed,
+    * one per line — the recovery sweep's exact deletion list.
+    */
+  val ConsumedFile = "_consumed"
 
   /** G3: upsert mutation stream (the reference's buffered Put/Delete
     * sink, HBaseSerde.java:119-173): each micro-batch is converted to a
