@@ -123,6 +123,7 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => Pipeline.textTopTerms(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) =>
       Pipeline.textRepetition(t(s, d, "documents"))),
+    "text_pii" -> ((s, d) => Pipeline.textPii(t(s, d, "customer"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
@@ -1248,6 +1249,37 @@ object SparkEntry {
         |FROM n JOIN tt USING (doc_id) JOIN mr USING (doc_id)
         |  LEFT JOIN tb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH doc AS (SELECT c_custkey AS id,
+        |  'Contact ' || c_name || ' <'
+        |  || regexp_replace(lower(c_name), '#', '.', 'g')
+        |  || '@corp.example.com> or +1-'
+        |  || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+        |  || lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+        |  || ' from host '
+        |  || CAST(c_custkey % 80 + 10 AS VARCHAR) || '.'
+        |  || CAST(c_custkey % 256 AS VARCHAR) || '.'
+        |  || CAST((c_custkey * 7) % 256 AS VARCHAR) || '.'
+        |  || CAST(c_custkey % 254 + 1 AS VARCHAR) AS text
+        | FROM customer),
+        |r1 AS (SELECT id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_emails,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM doc),
+        |r2 AS (SELECT id, n_emails,
+        |  len(regexp_extract_all(t1,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
+        |  regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}',
+        |    '<IP>', 'g') AS t2 FROM r1)
+        |SELECT id, n_emails, n_ips,
+        |  len(regexp_extract_all(t2,
+        |    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}'))::BIGINT AS n_phones,
+        |  regexp_replace(t2, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}',
+        |    '<PHONE>', 'g') AS clean_text
+        |FROM r2 ORDER BY id""".stripMargin,
     "mm_manifest" ->
       """SELECT doc_id,
         | (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,

@@ -308,6 +308,31 @@ object Pipeline {
   def textRepetition(documents: DataFrame): DataFrame =
     TextOps.repetition(documents, "doc_id", "text").orderBy("doc_id")
 
+  /** E8: PII scan + redaction over a contact-card text synthesized
+    * deterministically from `customer` (the synthetic documents corpus
+    * is digit-free, which would make an all-zero — i.e. vacuous — PII
+    * oracle). The oracle SQL replays the same construction, so the
+    * hash-compare verifies that Spark's and DuckDB's regex engines
+    * agree on every detection and redaction, not just on plumbing.
+    */
+  def textPii(customer: DataFrame): DataFrame = {
+    val key = col("c_custkey")
+    val contact = concat(
+      lit("Contact "), col("c_name"),
+      lit(" <"), regexp_replace(lower(col("c_name")), "#", "."),
+      lit("@corp.example.com> or +1-"),
+      (key % 900 + 100).cast("string"), lit("-"),
+      lpad(((key * 31) % 10000).cast("string"), 4, "0"),
+      lit(" from host "),
+      (key % 80 + 10).cast("string"), lit("."),
+      (key % 256).cast("string"), lit("."),
+      ((key * 7) % 256).cast("string"), lit("."),
+      (key % 254 + 1).cast("string"))
+    TextOps.piiScan(
+        customer.select(key.as("id"), contact.as("text")), "id", "text")
+      .orderBy("id")
+  }
+
   // ---- F. multimodal ---------------------------------------------------
 
   def mmManifest(documents: DataFrame): DataFrame =

@@ -105,4 +105,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_dup_docs") == 1)
     assert(out(1).getAs[Long]("n_dup_docs") == 0)
   }
+
+  test("piiScan: detects and redacts emails, ips, phones; leaves " +
+      "look-alikes alone") {
+    val df = Seq(
+      (1L, "mail a.b-c%d+1@sub.example.org and x@y.co here"),
+      (2L, "hosts 10.0.0.1 and 255.255.255.255, version 1.2 is not one"),
+      (3L, "call +44-123-4567 or 1-555-123 4567"),
+      (4L, "serial 000000001 and a@b and plain words stay put"),
+      (5L, "mixed j.doe@corp.io at 192.168.1.7 tel +1-800-0042 done")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScan(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_emails"),
+      out(i).getAs[Long]("n_ips"), out(i).getAs[Long]("n_phones"),
+      out(i).getAs[String]("clean_text"))
+    assert(row(0) == (2L, 0L, 0L,
+      "mail <EMAIL> and <EMAIL> here"))
+    // "version 1.2" lacks the 4 dotted quads -> not an IP
+    assert(row(1) == (0L, 2L, 0L,
+      "hosts <IP> and <IP>, version 1.2 is not one"))
+    // "1-555-123 4567": leftmost phone match consumes "1-555-123",
+    // leaving " 4567" — exactly what the naive C4-style regex does
+    assert(row(2) == (0L, 0L, 2L, "call <PHONE> or <PHONE> 4567"))
+    // a bare digit run is not a phone (needs separators); "a@b" has no
+    // dotted TLD so it is not an email
+    assert(row(3) == (0L, 0L, 0L,
+      "serial 000000001 and a@b and plain words stay put"))
+    assert(row(4) == (1L, 1L, 1L,
+      "mixed <EMAIL> at <IP> tel <PHONE> done"))
+  }
 }
