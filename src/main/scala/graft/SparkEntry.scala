@@ -89,6 +89,8 @@ object SparkEntry {
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
     "dedup_clusters" -> ((s, d) =>
       Pipeline.dedupClusters(t(s, d, "documents"))),
+    "dedup_paragraph" -> ((s, d) =>
+      Pipeline.dedupParagraphs(t(s, d, "documents"))),
     "corpus_decontaminate" -> ((s, d) =>
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
@@ -1249,6 +1251,24 @@ object SparkEntry {
         |FROM n JOIN tt USING (doc_id) JOIN mr USING (doc_id)
         |  LEFT JOIN tb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH built AS (SELECT a.doc_id,
+        |  a.text || chr(10) || b.text || chr(10) || c.text AS text
+        | FROM documents a
+        | JOIN documents b ON b.doc_id = a.doc_id + 1
+        | JOIN documents c ON c.doc_id = a.doc_id + 2),
+        |p0 AS (SELECT doc_id, string_split(text, chr(10)) AS arr
+        | FROM built),
+        |p AS (SELECT doc_id, unnest(arr) AS para,
+        |  generate_subscripts(arr, 1) - 1 AS pos FROM p0),
+        |k AS (SELECT doc_id, pos, para,
+        |  row_number() OVER (PARTITION BY md5(para)
+        |    ORDER BY doc_id, pos) AS rn FROM p)
+        |SELECT doc_id, count(*)::BIGINT AS n_paras,
+        |  sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+        |    ORDER BY pos), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

@@ -49,6 +49,44 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** C15: paragraph-level exact dedup — the Dolma/RefinedWeb
+    * line-granularity pass: explode docs into newline-separated
+    * paragraphs, keep ONE canonical occurrence of every distinct
+    * paragraph corpus-wide (the (min doc, min pos) one), and reassemble
+    * each doc from its surviving paragraphs in original order. Returns
+    * (id, n_paras, n_dropped, clean_text) — a fully-duplicated doc
+    * comes back with `clean_text = ""`.
+    *
+    * Plan shape: one posexplode, one partial-agg `min(struct)` shuffle
+    * keyed on the paragraph fingerprint (never the paragraph text —
+    * 16-byte keys at 100 TB), one fingerprint-keyed join back, one
+    * per-doc reassembly agg. A doc's own paragraphs meet only in the
+    * final per-doc buffer — the same per-doc bound every reassembly
+    * carries (docs are bounded; the corpus-wide state never is).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "para")))
+      .withColumn("fp", md5(col("para")))
+    val canon = paras.groupBy("fp")
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"))
+      .select(col("fp"), col("keep")(idCol).as("keep_id"),
+        col("keep")("pos").as("keep_pos"))
+    paras.join(canon, "fp")
+      .withColumn("kept",
+        col(idCol) === col("keep_id") && col("pos") === col("keep_pos"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).cast("long")
+          .as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("pos"), col("para"))))),
+          s => s("para")), "\n").as("clean_text"))
+  }
+
   // ---- LSH banding machinery ------------------------------------------
 
   /** All unordered pairs (a &lt; b) from an ascending-sorted array, as

@@ -95,6 +95,26 @@ object Pipeline {
     Dedup.boilerplate(documents, "doc_id", "text", k = 3, minDf = 3L)
       .orderBy("doc_id")
 
+  /** C15: paragraph-level exact dedup. The synthetic corpus is
+    * single-paragraph (no newlines), so the query first builds
+    * 3-paragraph docs by two equi-self-joins (doc i + companions i+1,
+    * i+2, '\n'-joined) — adjacent constructed docs then share two
+    * paragraphs each, and pre-existing duplicate texts collapse too,
+    * so the canonical-occurrence selection and reassembly are both
+    * exercised for real. The oracle replays construction + dedup.
+    */
+  def dedupParagraphs(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("text"))
+    val built = d
+      .join(d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("t1")), "doc_id")
+      .join(d.select((col("doc_id") - 2).as("doc_id"),
+        col("text").as("t2")), "doc_id")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), col("t1"), col("t2")).as("text"))
+    Dedup.paragraphDedup(built, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** C8: deterministic 80/10/10 train/val/test split keyed on
     * md5(doc_id, seed) — reproducible across engines and runs.
     */

@@ -171,6 +171,24 @@ class DedupSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("paragraph dedup keeps one canonical occurrence, reassembles " +
+      "in order, empties fully-duplicated docs") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta\nalpha"), // beta+alpha already seen in doc 1
+      (3L, "alpha\nbeta"),        // fully duplicated
+      (4L, "epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_paras"),
+      out(i).getAs[Long]("n_dropped"), out(i).getAs[String]("clean_text"))
+    assert(row(0) == (3L, 0L, "alpha\nbeta\ngamma"))
+    assert(row(1) == (3L, 2L, "delta")) // original order survives drops
+    assert(row(2) == (2L, 2L, ""))      // nothing left
+    assert(row(3) == (1L, 0L, "epsilon"))
+  }
+
   test("embedding near-dup recall >= 0.5 vs brute-force truth") {
     val emb = sf("embeddings")
     val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
