@@ -184,36 +184,6 @@ object TextOps {
     * scales with by-doc parallelism and never holds a document's tokens
     * in one buffer outside its own window partition.
     */
-  /** PII patterns, shared verbatim with the oracle SQL — the naive
-    * regex-class detectors of a C4/Dolma-style curation pass: emails,
-    * dotted-quad IPv4s, separator-delimited phone numbers. Kept to
-    * syntax with identical semantics under Java regex (Spark) and RE2
-    * (DuckDB): no backreferences, no lookaround, no alternation.
-    */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  val PhoneRe = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}"
-
-  /** E8: PII detection + redaction. Per doc: counts per class and the
-    * redacted text. Redaction runs email → IP → phone, each class
-    * counted on the text state it redacts; the replacement tokens
-    * carry no digits or '@', so a later pass can never re-match inside
-    * an earlier one's output (order-stable counts). Pure per-row
-    * codegen expression work — scan-speed on any corpus.
-    */
-  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t0 = col(textCol)
-    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
-    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
-    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
-    docs.select(
-      col(idCol),
-      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
-      t3.as("clean_text"))
-  }
-
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol),
@@ -247,5 +217,35 @@ object TextOps {
               (col("n_tokens") - lit(1)))
           .otherwise(lit(0.0)), 6).as("top_bigram_frac"),
         col("max_run"))
+  }
+
+  /** PII patterns, shared verbatim with the oracle SQL — the naive
+    * regex-class detectors of a C4/Dolma-style curation pass: emails,
+    * dotted-quad IPv4s, separator-delimited phone numbers. Kept to
+    * syntax with identical semantics under Java regex (Spark) and RE2
+    * (DuckDB): no backreferences, no lookaround, no alternation.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}"
+
+  /** E8: PII detection + redaction. Per doc: counts per class and the
+    * redacted text. Redaction runs email → IP → phone, each class
+    * counted on the text state it redacts; the replacement tokens
+    * carry no digits or '@', so a later pass can never re-match inside
+    * an earlier one's output (order-stable counts). Pure per-row
+    * codegen expression work — scan-speed on any corpus.
+    */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    docs.select(
+      col(idCol),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
+      t3.as("clean_text"))
   }
 }
