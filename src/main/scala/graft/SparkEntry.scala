@@ -91,6 +91,8 @@ object SparkEntry {
       Pipeline.dedupClusters(t(s, d, "documents"))),
     "dedup_paragraph" -> ((s, d) =>
       Pipeline.dedupParagraphs(t(s, d, "documents"))),
+    "dedup_substring" -> ((s, d) =>
+      Pipeline.dedupSubstring(t(s, d, "documents"))),
     "corpus_decontaminate" -> ((s, d) =>
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
@@ -147,6 +149,51 @@ object SparkEntry {
     * `f1..f5` (fmix64 avalanche). `f5(doc_id, v)` is the doc's DISTINCT
     * shingle-hash set — byte-identical to the native kernel.
     */
+  /** CTE chain replaying [[graft.functions.TextHashes.rollingWindows]]
+    * (and the whole-content [[graft.functions.TextHashes.rollingFp]])
+    * byte-exactly for 16-byte windows: `b` (UTF-8 bytes via hex) →
+    * `poly` (whole-content polynomial fp) → `win` (per-window
+    * polynomial values, short docs fall back to [fp]) → `m1..m5`
+    * (fmix64 via the 32-bit split-multiply trick). `m5(doc_id, fp, v)`:
+    * `v` is the doc's mixed window-hash list in position order —
+    * shared by text_rolling_fp (its min is the winnow value) and
+    * dedup_substring (corpus-wide occurrence counts).
+    */
+  private def rollingWinCte: String =
+    """b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n,
+      |         list_transform(range(1, octet_length(encode(text)) + 1),
+      |           i -> (strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+      |               + strpos('123456789ABCDEF', substr(hx, 2*i, 1)))::HUGEINT) AS bs
+      |  FROM documents),
+      |poly AS (
+      |  SELECT doc_id, n, bs,
+      |         CASE WHEN n = 0 THEN 0::HUGEINT ELSE
+      |           list_reduce(bs, (acc, x) ->
+      |             (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT)
+      |         END AS fp
+      |  FROM b),
+      |win AS (
+      |  SELECT doc_id, fp,
+      |         CASE WHEN n < 16 THEN [fp] ELSE
+      |           list_transform(range(1, n - 16 + 2), i ->
+      |             list_reduce(bs[i : i + 15], (acc, x) ->
+      |               (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT))
+      |         END AS ws
+      |  FROM poly),
+      |m1 AS (SELECT doc_id, fp, list_transform(ws, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM win),
+      |m2 AS (SELECT doc_id, fp, list_transform(v, h ->
+      |        ((h % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+      |         + (((h // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % 18446744073709551616::HUGEINT) AS v FROM m1),
+      |m3 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m2),
+      |m4 AS (SELECT doc_id, fp, list_transform(v, h ->
+      |        ((h % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+      |         + (((h // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % 18446744073709551616::HUGEINT) AS v FROM m3),
+      |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m4)""".stripMargin
+
   private def shingleSetCte(k: Int): String = {
     val M64 = "18446744073709551616::HUGEINT"
     val joins = (1 until k).map(i =>
@@ -1166,39 +1213,7 @@ object SparkEntry {
     // the final min is over SIGNED 64-bit values, exactly like the
     // kernel's Long comparison (TextHashes.rollingWindowMin).
     "text_rolling_fp" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS n,
-        |         list_transform(range(1, octet_length(encode(text)) + 1),
-        |           i -> (strpos('123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
-        |               + strpos('123456789ABCDEF', substr(hx, 2*i, 1)))::HUGEINT) AS bs
-        |  FROM documents),
-        |poly AS (
-        |  SELECT doc_id, n, bs,
-        |         CASE WHEN n = 0 THEN 0::HUGEINT ELSE
-        |           list_reduce(bs, (acc, x) ->
-        |             (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT)
-        |         END AS fp
-        |  FROM b),
-        |win AS (
-        |  SELECT doc_id, fp,
-        |         CASE WHEN n < 16 THEN [fp] ELSE
-        |           list_transform(range(1, n - 16 + 2), i ->
-        |             list_reduce(bs[i : i + 15], (acc, x) ->
-        |               (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT))
-        |         END AS ws
-        |  FROM poly),
-        |m1 AS (SELECT doc_id, fp, list_transform(ws, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM win),
-        |m2 AS (SELECT doc_id, fp, list_transform(v, h ->
-        |        ((h % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
-        |         + (((h // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-        |        % 18446744073709551616::HUGEINT) AS v FROM m1),
-        |m3 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m2),
-        |m4 AS (SELECT doc_id, fp, list_transform(v, h ->
-        |        ((h % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
-        |         + (((h // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-        |        % 18446744073709551616::HUGEINT) AS v FROM m3),
-        |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m4)
+      s"""WITH $rollingWinCte
         |SELECT doc_id,
         |  CASE WHEN fp >= 9223372036854775808::HUGEINT
         |       THEN fp - 18446744073709551616::HUGEINT ELSE fp END::BIGINT AS fp64,
@@ -1208,6 +1223,17 @@ object SparkEntry {
         |           THEN h - 18446744073709551616::HUGEINT ELSE h END::BIGINT),
         |    'min') AS winnow_fp64
         |FROM m5 ORDER BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH $rollingWinCte,
+        |wins AS (SELECT doc_id, unnest(v) AS h FROM m5),
+        |cnt AS (SELECT h, count(*) AS n_occ FROM wins GROUP BY 1)
+        |SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_windows,
+        |  round(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS dup_frac
+        |FROM wins w JOIN cnt c USING (h)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH w AS (SELECT source,
         |  unnest(regexp_split_to_array(trim(text), '\s+')) AS word

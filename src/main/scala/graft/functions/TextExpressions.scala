@@ -74,6 +74,19 @@ case class RollingWindowMin(child: Expression, window: Int) extends StringInput 
     copy(child = newChild)
 }
 
+/** All mixed hashes of the `window`-byte rolling windows, in order. */
+case class RollingWindows(child: Expression, window: Int)
+    extends StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.rollingWindows(input.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.rollingWindows($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): RollingWindows =
+    copy(child = newChild)
+}
+
 /** One-pass distinct k-word-shingle hash set of a STRING column. */
 case class WordShingleHashes(child: Expression, k: Int) extends StringInput {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -109,6 +122,8 @@ object txt {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
   def rollingFp(s: Column): Column =
     ColumnBridge.column(RollingFp(ColumnBridge.expression(s)))
+  def rollingWindows(s: Column, window: Int): Column =
+    ColumnBridge.column(RollingWindows(ColumnBridge.expression(s), window))
   def rollingWindowMin(s: Column, window: Int): Column =
     ColumnBridge.column(RollingWindowMin(ColumnBridge.expression(s), window))
 }

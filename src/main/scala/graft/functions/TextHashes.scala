@@ -215,4 +215,31 @@ object TextHashes {
     }
     best
   }
+
+  /** All fmix64-mixed hashes of the `w`-byte rolling windows, in
+    * position order (same roll and mixer as [[rollingWindowMin]] —
+    * that value is exactly the min of this array). Documents shorter
+    * than `w` yield the single mixed whole-content fingerprint, so
+    * every doc has ≥1 window and short docs compare whole-for-whole.
+    */
+  def rollingWindows(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    if (bytes.length < w)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(fmix64(rollingFp(s))))
+    val out = new Array[Long](bytes.length - w + 1)
+    var pw = 1L // B^(w-1)
+    var i = 0
+    while (i < w - 1) { pw *= PolyBase; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * PolyBase + (bytes(i) & 0xFF); i += 1 }
+    out(0) = fmix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - w) & 0xFF) * pw) * PolyBase + (bytes(i) & 0xFF)
+      out(i - w + 1) = fmix64(h)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

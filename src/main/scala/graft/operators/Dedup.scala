@@ -87,6 +87,38 @@ object Dedup {
           s => s("para")), "\n").as("clean_text"))
   }
 
+  /** C16: exact substring-duplication signal (the fixed-window core of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better" exact-substring pass): every `window`-byte rolling-hash
+    * window of every doc, counted corpus-wide; a window occurrence is
+    * duplicated when its hash occurs anywhere else (another doc OR a
+    * repeat inside the same doc). Returns per doc (id, n_windows,
+    * n_dup_windows, dup_frac) — the duplicated-substring fraction a
+    * curation pass thresholds to drop or trim template-heavy docs.
+    *
+    * Plan shape: the windows come from ONE codegen expression
+    * ([[graft.functions.TextHashes.rollingWindows]] — O(n) roll, no
+    * per-window strings), then one posexplode, one partial-agg count
+    * keyed on the 8-byte window hash (hot windows absorb map-side),
+    * one hash-keyed join back, one per-doc agg. Linear in corpus
+    * bytes; no window partition ever exceeds a doc.
+    */
+  def substringDup(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 16): DataFrame = {
+    val wins = docs.select(col(idCol),
+      posexplode(txt.rollingWindows(col(textCol), window))
+        .as(Seq("pos", "wfp")))
+    val counts = wins.groupBy("wfp").agg(count(lit(1)).as("n_occ"))
+    wins.join(counts, "wfp")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
+
   // ---- LSH banding machinery ------------------------------------------
 
   /** All unordered pairs (a &lt; b) from an ascending-sorted array, as

@@ -115,6 +115,15 @@ object Pipeline {
     Dedup.paragraphDedup(built, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** C16: exact substring-duplication fraction per doc, 16-byte
+    * rolling windows counted corpus-wide (same byte-exact
+    * polynomial+fmix64 kernel as text_rolling_fp — the oracle replays
+    * it window by window).
+    */
+  def dedupSubstring(documents: DataFrame): DataFrame =
+    Dedup.substringDup(documents, "doc_id", "text", window = 16)
+      .orderBy("doc_id")
+
   /** C8: deterministic 80/10/10 train/val/test split keyed on
     * md5(doc_id, seed) — reproducible across engines and runs.
     */

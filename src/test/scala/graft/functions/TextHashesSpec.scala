@@ -60,4 +60,24 @@ class TextHashesSpec extends SparkSpec {
       .select(txt.rollingWindowMin(col("text"), 4)).as[Long].head()
     assert(short != 0L)
   }
+
+  test("rolling windows: n-w+1 positional hashes whose min is the " +
+      "winnow value; short docs fall back to one whole-content hash") {
+    val df = Seq("the quick brown fox", "ab")
+      .toDF("text")
+      .select(txt.rollingWindows(col("text"), 4).as("ws"),
+        txt.rollingWindowMin(col("text"), 4).as("wmin"),
+        txt.rollingFp(col("text")).as("fp"))
+      .as[(Seq[Long], Long, Long)].collect()
+    val (ws, wmin, _) = df(0)
+    assert(ws.length == "the quick brown fox".length - 4 + 1)
+    assert(ws.min == wmin)
+    // identical 4-byte substrings hash identically at both positions
+    val dup = Seq("abcdXabcd").toDF("text")
+      .select(txt.rollingWindows(col("text"), 4)).as[Seq[Long]].head()
+    assert(dup.head == dup.last)
+    assert(dup.distinct.length == dup.length - 1)
+    val (wsShort, wminShort, _) = df(1)
+    assert(wsShort == Seq(wminShort)) // the mixed whole-content fp
+  }
 }

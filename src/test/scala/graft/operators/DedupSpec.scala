@@ -189,6 +189,32 @@ class DedupSpec extends SparkSpec {
     assert(row(3) == (1L, 0L, "epsilon"))
   }
 
+  test("substring dup: shared 16-byte spans counted, unique docs zero, " +
+      "self-repeats count too") {
+    val shared = "0123456789abcdef" // exactly one 16-byte window
+    val df = Seq(
+      (1L, s"xx${shared}yy"),
+      (2L, s"zz${shared}ww"),             // shares the span with doc 1
+      (3L, "completely unrelated text."),
+      (4L, shared * 2)                    // self-repeated span
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDup(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_windows"),
+      out(i).getAs[Long]("n_dup_windows"))
+    // doc 1: 5 windows (20-16+1); the aligned `shared` window and any
+    // window shared with doc 2 are dup — at least one, not all (the
+    // xx/yy vs zz/ww borders differ)
+    val (n1, d1) = row(0)
+    assert(n1 == 5 && d1 >= 1 && d1 < n1)
+    assert(row(1) == ((5L, d1)))          // symmetric with doc 1
+    assert(row(2)._2 == 0L)               // nothing shared anywhere
+    // doc 4: 17 windows; window at pos 0 repeats at pos 16 (and its
+    // rotations pair up too) — every window with an equal twin counts
+    val (n4, d4) = row(3)
+    assert(n4 == 17 && d4 >= 2)
+  }
+
   test("embedding near-dup recall >= 0.5 vs brute-force truth") {
     val emb = sf("embeddings")
     val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
