@@ -93,6 +93,8 @@ object SparkEntry {
       Pipeline.dedupParagraphs(t(s, d, "documents"))),
     "dedup_substring" -> ((s, d) =>
       Pipeline.dedupSubstring(t(s, d, "documents"))),
+    "dedup_substring_trim" -> ((s, d) =>
+      Pipeline.dedupSubstringTrim(t(s, d, "documents"))),
     "corpus_decontaminate" -> ((s, d) =>
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
@@ -1234,6 +1236,37 @@ object SparkEntry {
         |    / count(*), 6) AS dup_frac
         |FROM wins w JOIN cnt c USING (h)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    // The trim oracle replays the whole chain: dup windows via the
+    // shared rolling CTE, covered byte indexes per doc (clamped for
+    // short docs, whose single pseudo-window covers the whole content),
+    // then the trimmed text rebuilt byte by byte with chr() — valid
+    // because the corpus is ASCII (byte == code point).
+    "dedup_substring_trim" ->
+      s"""WITH $rollingWinCte,
+        |wins AS (SELECT doc_id, generate_subscripts(v, 1) - 1 AS pos,
+        |  unnest(v) AS h FROM m5),
+        |cnt AS (SELECT h, count(*) AS n_occ FROM wins GROUP BY 1),
+        |dup AS (SELECT doc_id, pos FROM wins JOIN cnt USING (h)
+        |  WHERE n_occ > 1),
+        |cov AS (SELECT DISTINCT doc_id, i FROM (
+        |  SELECT d.doc_id,
+        |    unnest(range(d.pos + 1, least(d.pos + 16, b.n) + 1)) AS i
+        |  FROM dup d JOIN b USING (doc_id))),
+        |byts AS (SELECT doc_id, generate_subscripts(bs, 1) AS i,
+        |  unnest(bs) AS code FROM b),
+        |kept AS (SELECT y.doc_id, y.i, y.code FROM byts y
+        |  LEFT JOIN cov c ON c.doc_id = y.doc_id AND c.i = y.i
+        |  WHERE c.i IS NULL),
+        |clean AS (SELECT doc_id,
+        |  coalesce(string_agg(chr(code::INT), '' ORDER BY i), '')
+        |    AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |  (octet_length(encode(d.text))
+        |   - octet_length(encode(coalesce(c.clean_text, ''))))::BIGINT
+        |    AS n_removed
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH w AS (SELECT source,
         |  unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -87,6 +87,31 @@ case class RollingWindows(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** Cut the `window`-byte spans starting at the ascending ARRAY<INT>
+  * positions (right child) out of the STRING (left child), merging
+  * overlaps — one codegen pass over the doc bytes.
+  */
+case class CutWindows(left: Expression, right: Expression, window: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (STRING, ARRAY<INT>), got $other")
+    }
+  override protected def nullSafeEval(text: Any, pos: Any): Any =
+    TextHashes.cutWindows(text.asInstanceOf[UTF8String],
+      pos.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, p) => s"graft.functions.TextHashes.cutWindows($t, $p, $window)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CutWindows =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass distinct k-word-shingle hash set of a STRING column. */
 case class WordShingleHashes(child: Expression, k: Int) extends StringInput {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -126,4 +151,7 @@ object txt {
     ColumnBridge.column(RollingWindows(ColumnBridge.expression(s), window))
   def rollingWindowMin(s: Column, window: Int): Column =
     ColumnBridge.column(RollingWindowMin(ColumnBridge.expression(s), window))
+  def cutWindows(s: Column, pos: Column, window: Int): Column =
+    ColumnBridge.column(CutWindows(ColumnBridge.expression(s),
+      ColumnBridge.expression(pos), window))
 }

@@ -242,4 +242,39 @@ object TextHashes {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Remove the `w`-byte windows starting at the ascending byte
+    * positions in `dupPos` from `s`, merging overlapping windows into
+    * maximal spans — the span-removal step of exact-substring dedup.
+    * A doc shorter than `w` has one pseudo-window covering its whole
+    * content ([[rollingWindows]]), so a duplicated short doc trims to
+    * empty. Spans are BYTE ranges on the UTF-8 stream (like the
+    * reference algorithm, which cuts token/byte ranges); the test
+    * corpus is ASCII, where byte == char positions.
+    */
+  def cutWindows(s: UTF8String, dupPos: ArrayData, w: Int): UTF8String = {
+    val n = dupPos.numElements()
+    if (n == 0) return s
+    val bytes = s.getBytes
+    if (bytes.length < w) return UTF8String.EMPTY_UTF8
+    val out = new Array[Byte](bytes.length)
+    var o = 0
+    var cur = 0 // first byte not yet emitted or skipped
+    var k = 0
+    while (k < n) {
+      val p = dupPos.getInt(k)
+      if (p > cur) {
+        System.arraycopy(bytes, cur, out, o, p - cur)
+        o += p - cur
+        cur = p
+      }
+      if (p + w > cur) cur = p + w
+      k += 1
+    }
+    if (bytes.length > cur) {
+      System.arraycopy(bytes, cur, out, o, bytes.length - cur)
+      o += bytes.length - cur
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
 }

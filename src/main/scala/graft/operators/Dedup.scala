@@ -119,6 +119,42 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** C17: the span-removal step of exact-substring dedup (Lee et al.
+    * 2022) — every `window`-byte rolling window whose hash occurs more
+    * than once corpus-wide is cut from its doc, overlapping windows
+    * merged into maximal spans by ONE codegen pass
+    * ([[graft.functions.TextHashes.cutWindows]]); a duplicated doc
+    * shorter than `window` trims to empty. Returns per doc
+    * (id, clean_text, n_removed bytes).
+    *
+    * Plan shape: C16's count plan (posexplode → partial-agg count on
+    * the 8-byte hash → hash-keyed join back) plus a per-doc
+    * `sort_array(collect_list(pos))` — the buffer is bounded by one
+    * doc's own window count, never corpus-scale. Every occurrence of a
+    * duplicated span is cut (keeping a canonical first copy would need
+    * a per-window global argmin shuffle; occurrence-agnostic counting
+    * keeps the plan one partial-aggregated pass).
+    */
+  def substringTrim(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 16): DataFrame = {
+    val wins = docs.select(col(idCol),
+      posexplode(txt.rollingWindows(col(textCol), window))
+        .as(Seq("pos", "wfp")))
+    val counts = wins.groupBy("wfp").agg(count(lit(1)).as("n_occ"))
+    val dupPos = wins.join(counts.filter(col("n_occ") > 1), "wfp")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("dup_pos"))
+    docs.join(dupPos, Seq(idCol), "left")
+      .select(col(idCol),
+        txt.cutWindows(col(textCol),
+          coalesce(col("dup_pos"), array().cast("array<int>")),
+          window).as("clean_text"),
+        octet_length(col(textCol)).as("orig_bytes"))
+      .select(col(idCol), col("clean_text"),
+        (col("orig_bytes") - octet_length(col("clean_text")))
+          .cast("long").as("n_removed"))
+  }
+
   // ---- LSH banding machinery ------------------------------------------
 
   /** All unordered pairs (a &lt; b) from an ascending-sorted array, as

@@ -124,6 +124,15 @@ object Pipeline {
     Dedup.substringDup(documents, "doc_id", "text", window = 16)
       .orderBy("doc_id")
 
+  /** C17: exact-substring span removal — every corpus-duplicated
+    * 16-byte window cut from its doc (the action C16's dup_frac signal
+    * motivates); the oracle replays the kernel window by window and
+    * rebuilds the trimmed text byte by byte.
+    */
+  def dedupSubstringTrim(documents: DataFrame): DataFrame =
+    Dedup.substringTrim(documents, "doc_id", "text", window = 16)
+      .orderBy("doc_id")
+
   /** C8: deterministic 80/10/10 train/val/test split keyed on
     * md5(doc_id, seed) — reproducible across engines and runs.
     */

@@ -37,7 +37,8 @@ object BenchScale {
   val heavy: Set[String] = Set(
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_paragraph", "dedup_substring", "dedup_clusters", "graph_components", "seq_packing",
+    "dedup_paragraph", "dedup_substring", "dedup_substring_trim",
+    "dedup_clusters", "graph_components", "seq_packing",
     "compact_cells",
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
     "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",

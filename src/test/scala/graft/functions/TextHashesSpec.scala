@@ -80,4 +80,17 @@ class TextHashesSpec extends SparkSpec {
     val (wsShort, wminShort, _) = df(1)
     assert(wsShort == Seq(wminShort)) // the mixed whole-content fp
   }
+
+  test("cutWindows: merges overlapping spans, keeps outside bytes, " +
+      "empty positions = identity, short dup doc trims to empty") {
+    def cut(s: String, pos: Seq[Int], w: Int): String =
+      Seq(s).toDF("text")
+        .select(txt.cutWindows(col("text"), typedLit(pos), w))
+        .as[String].head()
+    assert(cut("abcdefghij", Seq(2, 4), 3) == "abhij") // [2,5)∪[4,7)=[2,7)
+    assert(cut("abcdefghij", Seq(0, 7), 3) == "defg")  // disjoint spans
+    assert(cut("abcdefghij", Seq.empty, 3) == "abcdefghij")
+    assert(cut("ab", Seq(0), 3) == "")  // pseudo-window covers whole doc
+    assert(cut("abcdefghij", Seq(7), 3) == "abcdefg") // span to the end
+  }
 }

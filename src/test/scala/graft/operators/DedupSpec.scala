@@ -215,6 +215,28 @@ class DedupSpec extends SparkSpec {
     assert(n4 == 17 && d4 >= 2)
   }
 
+  test("substring trim: only the shared span cut, unique docs intact, " +
+      "short dup docs trim to empty") {
+    val shared = "0123456789abcdef" // exactly one 16-byte window
+    val df = Seq(
+      (1L, s"xx${shared}yy"),
+      (2L, s"zz${shared}ww"),
+      (3L, "completely unrelated text."),
+      (4L, "tiny"), (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringTrim(df, "doc_id", "text", window = 16)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[String]("clean_text"),
+      out(i).getAs[Long]("n_removed"))
+    // docs 1/2: only the aligned window matches (the borders differ),
+    // so exactly bytes [2,18) are cut
+    assert(row(0) == (("xxyy", 16L)))
+    assert(row(1) == (("zzww", 16L)))
+    assert(row(2) == (("completely unrelated text.", 0L)))
+    assert(row(3) == (("", 4L)))  // whole-content pseudo-window dup
+    assert(row(4) == (("", 4L)))
+  }
+
   test("embedding near-dup recall >= 0.5 vs brute-force truth") {
     val emb = sf("embeddings")
     val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
