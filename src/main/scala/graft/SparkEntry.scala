@@ -130,6 +130,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) =>
       Pipeline.textRepetition(t(s, d, "documents"))),
     "text_pii" -> ((s, d) => Pipeline.textPii(t(s, d, "customer"))),
+    "text_classify" -> ((s, d) => Pipeline.textClassify(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
@@ -1328,6 +1329,40 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
         |    ORDER BY pos), '') AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // E9: full training + scoring replay — weak labels from the
+    // text_quality formula (same FP addition order), token hashes from
+    // the k=1 shingle kernel CTE, weights on the integer grid via
+    // BIGINT division, centered-sum scores. The shingle CTE already
+    // defines `w` (words), hence `wt` for the weight table.
+    "text_classify" ->
+      s"""WITH ${shingleSetCte(1)},
+        |lblq AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(text), '\\s+') AS qws FROM documents),
+        |lbl AS (SELECT doc_id,
+        |  round(CASE WHEN length(text) BETWEEN 100 AND 2000
+        |        THEN 1.0 ELSE 0.5 END * 0.25
+        |    + len(list_distinct(qws))::DOUBLE / len(qws) * 0.25
+        |    + least(len(list_filter(qws, x -> x IN ('the','a','an','and',
+        |        'of','to','in','is','on','for')))::DOUBLE / len(qws) * 4,
+        |        1.0) * 0.25
+        |    + greatest(1.0 - len(regexp_extract_all(text,
+        |        '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)::DOUBLE * 10,
+        |        0.0) * 0.25, 6) >= 0.65 AS weak_label
+        |  FROM lblq),
+        |tok AS (SELECT doc_id, v % 4096 AS b FROM f5),
+        |cnt AS (SELECT t.b,
+        |  sum(CASE WHEN l.weak_label THEN 1 ELSE 0 END)::BIGINT AS pc,
+        |  sum(CASE WHEN l.weak_label THEN 0 ELSE 1 END)::BIGINT AS nc
+        |  FROM tok t JOIN lbl l USING (doc_id) GROUP BY 1),
+        |wt AS (SELECT b, (pc * 2 + 1) * 524288 // (pc + nc + 1) AS wq
+        |  FROM cnt),
+        |sc AS (SELECT t.doc_id, sum(wt.wq - 524288)::BIGINT AS score_q,
+        |  count(*)::BIGINT AS n_feat
+        |  FROM tok t JOIN wt USING (b) GROUP BY 1)
+        |SELECT l.doc_id, coalesce(s.score_q, 0)::BIGINT AS score_q,
+        |  coalesce(s.score_q, 0) > 0 AS pred,
+        |  coalesce(s.n_feat, 0)::BIGINT AS n_feat, l.weak_label
+        |FROM lbl l LEFT JOIN sc s USING (doc_id) ORDER BY l.doc_id""".stripMargin,
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

@@ -87,6 +87,29 @@ case class RollingWindows(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** Hashed-vocabulary linear score of an ARRAY<BIGINT> distinct token
+  * hash set: Σ (weights[h & mask] − 2¹⁹). The trained weight table is
+  * embedded in generated code as a reference object (buckets·8 bytes,
+  * e.g. 32 KB at 4096 buckets), so scoring runs inside whole-stage
+  * codegen with zero per-row allocation — the fastText-filter posture:
+  * train once, score at scan speed.
+  */
+case class HashedLinearScore(child: Expression, weights: Array[Long])
+    extends ArrayOfLongInput {
+  require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
+    "weights length must be a power of two")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.hashedLinearScore(input.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("hlWeights", weights, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.hashedLinearScore($c, $w)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedLinearScore =
+    copy(child = newChild)
+}
+
 /** Cut the `window`-byte spans starting at the ascending ARRAY<INT>
   * positions (right child) out of the STRING (left child), merging
   * overlaps — one codegen pass over the doc bytes.
@@ -151,6 +174,9 @@ object txt {
     ColumnBridge.column(RollingWindows(ColumnBridge.expression(s), window))
   def rollingWindowMin(s: Column, window: Int): Column =
     ColumnBridge.column(RollingWindowMin(ColumnBridge.expression(s), window))
+  def hashedLinearScore(hashes: Column, weights: Array[Long]): Column =
+    ColumnBridge.column(HashedLinearScore(ColumnBridge.expression(hashes),
+      weights))
   def cutWindows(s: Column, pos: Column, window: Int): Column =
     ColumnBridge.column(CutWindows(ColumnBridge.expression(s),
       ColumnBridge.expression(pos), window))

@@ -243,6 +243,29 @@ object TextHashes {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Neutral weight of [[hashedLinearScore]]'s integer grid: the value
+    * an untrained bucket gets (pos = neg = 0 in the weight formula),
+    * subtracted per feature so untrained buckets contribute zero.
+    */
+  val LinearScoreCenter: Long = 1L << 19
+
+  /** Hashed-vocabulary linear score: Σ over the doc's distinct token
+    * hashes of (weights[h & (weights.length-1)] − 2¹⁹). All-long
+    * arithmetic — order-independent and bit-exact under any
+    * partitioning. `weights.length` must be a power of two.
+    */
+  def hashedLinearScore(hashes: ArrayData, wq: Array[Long]): Long = {
+    val mask = wq.length - 1
+    var s = 0L
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      s += wq((hashes.getLong(i) & mask).toInt) - LinearScoreCenter
+      i += 1
+    }
+    s
+  }
+
   /** Remove the `w`-byte windows starting at the ascending byte
     * positions in `dupPos` from `s`, merging overlapping windows into
     * maximal spans — the span-removal step of exact-substring dedup.

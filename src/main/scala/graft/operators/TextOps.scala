@@ -248,4 +248,54 @@ object TextOps {
       regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
       t3.as("clean_text"))
   }
+
+  /** E9: model-based quality filter in the CCNet/DCLM fastText-filter
+    * shape — train a hashed-vocabulary linear classifier on weak
+    * labels, then score the whole corpus at scan speed. The weak label
+    * is E2's heuristic quality score thresholded at `threshold`; each
+    * distinct token hash (the C3-C5 FNV-1a+fmix64 kernel at k=1) maps
+    * to one of `buckets` feature buckets (hashing trick — the weight
+    * table stays `buckets`·8 bytes no matter the vocabulary); a
+    * bucket's weight is its positive rate on an integer grid,
+    * `(2·pos+1)·2¹⁹ div (pos+neg+1)` (α=½ smoothing, untrained buckets
+    * land exactly on the neutral 2¹⁹), and a doc's score is the
+    * centered sum over its distinct token hashes — positive means
+    * good-doc-like vocabulary.
+    *
+    * Plan shape: ONE corpus pass for training (explode distinct token
+    * hashes → partial-agg groupBy on ≤`buckets` keys, combine absorbs
+    * everything map-side) + a ≤`buckets`-row driver collect, then ONE
+    * scoring pass — the weight table rides into generated code as a
+    * reference object, so scoring is a pure map fused into the scan
+    * (zero shuffles). All-long arithmetic end to end: bit-exact under
+    * any partitioning and replayable in SQL (no Math.log / float sums).
+    * At 100 TB the training pass can run on a deterministic id-mod
+    * sample (the D4b k-means posture) — weights are corpus statistics,
+    * not per-doc state.
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 4096, threshold: Double = 0.65): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val mask = (buckets - 1).toLong
+    val labeled = docs.select(col(idCol),
+      txt.wordShingleHashes(col(textCol), 1).as("hs"),
+      (qualityScore(col(textCol)) >= threshold).as("weak_label"))
+    val counts = labeled
+      .select(col("weak_label"), explode(col("hs")).as("h"))
+      .groupBy((col("h").bitwiseAND(lit(mask))).cast("int").as("b"))
+      .agg(sum(when(col("weak_label"), 1L).otherwise(0L)).as("pos_cnt"),
+        sum(when(!col("weak_label"), 1L).otherwise(0L)).as("neg_cnt"))
+      .select(col("b"),
+        expr("(pos_cnt * 2 + 1) * 524288 div (pos_cnt + neg_cnt + 1)")
+          .as("wq"))
+    val wq = Array.fill(buckets)(graft.functions.TextHashes.LinearScoreCenter)
+    counts.collect().foreach(r => wq(r.getInt(0)) = r.getLong(1))
+    labeled.select(col(idCol),
+      txt.hashedLinearScore(col("hs"), wq).as("score_q"),
+      size(col("hs")).cast("long").as("n_feat"),
+      col("weak_label"))
+      .select(col(idCol), col("score_q"), (col("score_q") > 0).as("pred"),
+        col("n_feat"), col("weak_label"))
+  }
 }

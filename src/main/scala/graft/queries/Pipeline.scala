@@ -371,6 +371,13 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** E9: hashed-vocabulary classifier trained on E2 weak labels, whole
+    * corpus scored at scan speed; the oracle replays training counts,
+    * the integer weight grid, and the centered score sum in SQL.
+    */
+  def textClassify(documents: DataFrame): DataFrame =
+    TextOps.classify(documents, "doc_id", "text").orderBy("doc_id")
+
   // ---- F. multimodal ---------------------------------------------------
 
   def mmManifest(documents: DataFrame): DataFrame =

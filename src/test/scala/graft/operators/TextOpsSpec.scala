@@ -135,4 +135,29 @@ class TextOpsSpec extends SparkSpec {
     assert(row(4) == (1L, 1L, 1L,
       "mixed <EMAIL> at <IP> tel <PHONE> done"))
   }
+
+  test("classify: disjoint-vocabulary classes separate exactly; " +
+      "bit-identical under repartitioning") {
+    // good docs: in-range length, stopwords, low punctuation -> label
+    // true; bad docs: short, punctuation-heavy -> label false. The
+    // vocabularies are disjoint, so every good-doc bucket weight lands
+    // above the neutral center and every bad-doc one below.
+    val good = (0 until 6).map(i => (i.toLong,
+      ("the quick brown fox jumps over a lazy dog and runs to the " +
+        s"green field number$i ") * 3))
+    val bad = (6 until 10).map(i => (i.toLong, s"!!! ??? ;;; ### $$$i"))
+    val df = (good ++ bad).toDF("doc_id", "text")
+    val out = TextOps.classify(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("pred") == r.getAs[Boolean]("weak_label"),
+        s"doc ${r.getAs[Long]("doc_id")} pred != label")
+      assert(r.getAs[Long]("n_feat") > 0)
+    }
+    assert(out.count(_.getAs[Boolean]("weak_label")) == 6)
+    // determinism: a different partitioning must not move one bit
+    val out2 = TextOps.classify(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq.toList).toList == out2.map(_.toSeq.toList).toList)
+  }
 }
