@@ -56,7 +56,15 @@ object Bench {
     var failed = false
     def once(): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch {
+      // noop sink, NOT count(): count() lets Catalyst prune everything
+      // the row count doesn't need — a final left join back to the
+      // corpus on a unique aggregate key is eliminated outright (the
+      // whole dedup subtree vanished from dedup_substring_trim's count
+      // plan), aggregate FUNCTIONS are dropped (only group keys
+      // survive), and pure per-row ops collapse to a zero-column scan.
+      // The noop sink consumes every output column of every row.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
         case e: Throwable =>
           Console.err.println(s"bench $name FAILED: ${e.getMessage}")
           failed = true
