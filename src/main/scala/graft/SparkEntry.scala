@@ -670,8 +670,11 @@ object SparkEntry {
         |  SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
         |wts(source, w) AS (VALUES $wts),
         |j AS (SELECT c.source, c.n, w.w FROM cnt c JOIN wts w ON c.source = w.source),
-        |tsel AS (SELECT n AS tn, w AS tw FROM j
-        |  ORDER BY n::DOUBLE / w, source LIMIT 1),
+        |tsel AS (SELECT a.n AS tn, a.w AS tw FROM j a
+        |  WHERE NOT EXISTS (SELECT 1 FROM j b
+        |    WHERE b.n::HUGEINT * a.w < a.n::HUGEINT * b.w
+        |       OR (b.n::HUGEINT * a.w = a.n::HUGEINT * b.w
+        |           AND b.source < a.source))),
         |thr AS (SELECT j.source,
         |  (65536::HUGEINT * j.w * t.tn) // (j.n::HUGEINT * t.tw) AS t
         |  FROM j, tsel t)

@@ -224,11 +224,19 @@ object Compaction {
         s"selected epochs ${ids.filterNot(liveIds.contains).mkString(",")} " +
           s"missing under $dir")
     }
-    // ONE glob scan over every epoch's files; the epoch a cell came from
-    // is recovered from the `file` path — the plan stays constant-size
-    // however many micro-batch runs accumulated (an N-way unionByName
-    // here made analysis/optimization cost grow linearly with N)
-    val epochGlob = "epoch=*/bucket=*/*.hfile"
+    // ONE glob scan; the epoch a cell came from is recovered from the
+    // `file` path — the plan stays constant-size however many
+    // micro-batch runs accumulated (an N-way unionByName here made
+    // analysis/optimization cost grow linearly with N). When the fold
+    // is BOUNDED (`epochs`/`beforeEpoch`), the glob enumerates only the
+    // selected epoch directories via {} alternation — a tiered fold
+    // must not RE-READ every live epoch each round, or total read
+    // volume over a stream's life becomes O(N²/maxEpochs) and undoes
+    // the O(N log N) economics tiered mode exists for (ADVICE r8).
+    val selected = liveIds.sorted
+    val epochGlob =
+      if (beforeEpoch.isEmpty && epochs.isEmpty) "epoch=*/bucket=*/*.hfile"
+      else s"epoch={${selected.mkString(",")}}/bucket=*/*.hfile"
     val carryTags = BulkLoad.dirHasTagsOrMvcc(spark, dir, epochGlob)
     val cells0 = BulkLoad.readHFiles(spark, dir, epochGlob)
       .withColumn("_epoch",

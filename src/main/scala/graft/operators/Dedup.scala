@@ -332,6 +332,13 @@ object Dedup {
     * on the slim (id, n_grams) projection. The shingle kernel is the
     * same codegen one-pass expression as C3-C5/C12, persisted once
     * across its two consumers.
+    *
+    * Like [[lshVerifiedPairs]], the persisted projection is
+    * LRU-evictable and OWNED BY THE CALLER: it stays cached for the
+    * session so repeated actions on the returned frame stay cheap —
+    * pass `persistShingles = false` for one-shot runs where executor
+    * memory is tighter than CPU, or `spark.catalog.clearCache()` to
+    * drop it after the consuming action.
     */
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, minDf: Long = 3L,

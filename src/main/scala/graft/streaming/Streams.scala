@@ -306,11 +306,20 @@ object Streams {
       val cf = new org.apache.hadoop.fs.Path(p, ConsumedFile)
       if (!fs.exists(cf)) Seq.empty
       else {
+        // _consumed is written BEFORE the atomic publish rename, so a
+        // published fold always has a complete provenance file: an
+        // unreadable one is a real fault and must fail the batch (a
+        // silent Seq.empty would skip deleting consumed leftovers and
+        // permanently resurrect puts a major fold's markers collected)
         val in = fs.open(cf)
         try new String(
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
           .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
-        catch { case _: Exception => Seq.empty }
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"unreadable fold provenance $cf — refusing to run the " +
+              "recovery sweep with incomplete deletion info", e)
+        }
         finally in.close()
       }
     }
