@@ -117,6 +117,8 @@ object SparkEntry {
       Pipeline.knnIvfTrained(t(s, d, "embeddings"))),
     "knn_pq_trained" -> ((s, d) => Pipeline.knnPqTrained(t(s, d, "embeddings"))),
     "knn_ivfpq" -> ((s, d) => Pipeline.knnIvfPq(t(s, d, "embeddings"))),
+    "knn_ivfpq_trained" -> ((s, d) =>
+      Pipeline.knnIvfPqTrained(t(s, d, "embeddings"))),
     "knn_ivfpq_res" -> ((s, d) => Pipeline.knnIvfPqRes(t(s, d, "embeddings"))),
     // ---- E. text analysis -----------------------------------------------
     "text_stats" -> ((s, d) => Pipeline.textStats(t(s, d, "documents"))),
@@ -299,28 +301,33 @@ object SparkEntry {
     * means from QUANTIZED integer sums (`floor(v·2²⁰ + 0.5)` summed as
     * BIGINT — associative, so Spark's partitioned sum and this replay
     * agree exactly), empty clusters keeping the previous centroid.
-    * Emits CTEs `d$n a$n u$n g$n c$n`; `c$n` is the iteration's
-    * codebook `(sub, cell_id, cvec)`.
+    * Emits CTEs `${pfx}d$n ${pfx}a$n ${pfx}u$n ${pfx}g$n ${pfx}c$n`
+    * reading the sample CTE `$samp`; `${pfx}c$n` is the iteration's
+    * codebook `(sub, cell_id, cvec)`. The `pfx`/`samp` knobs let TWO
+    * independent Lloyd chains coexist in one oracle (the composed
+    * knn_ivfpq_trained trains a coarse quantizer AND sub-codebooks).
     */
-  private def kmeansIterCte(n: Int, prev: String, d: Int = 8): String =
-    s"""d$n AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
+  private def kmeansIterCte(n: Int, prev: String, d: Int = 8,
+                            samp: String = "samp",
+                            pfx: String = ""): String =
+    s"""${pfx}d$n AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
       |  list_sum(list_transform(range(1, ${d + 1}),
       |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
-      |  FROM samp s JOIN $prev c ON s.j = c.sub),
-      |a$n AS (SELECT vec_id, sub, cell_id AS code FROM (
+      |  FROM $samp s JOIN $prev c ON s.j = c.sub),
+      |${pfx}a$n AS (SELECT vec_id, sub, cell_id AS code FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-      |    ORDER BY dist, cell_id) AS rn FROM d$n) WHERE rn = 1),
-      |u$n AS (SELECT a.sub, a.code, t.i,
+      |    ORDER BY dist, cell_id) AS rn FROM ${pfx}d$n) WHERE rn = 1),
+      |${pfx}u$n AS (SELECT a.sub, a.code, t.i,
       |  SUM(CAST(floor(s.sv[t.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
       |  COUNT(*) AS cnt
-      |  FROM a$n a JOIN samp s ON a.vec_id = s.vec_id AND a.sub = s.j,
+      |  FROM ${pfx}a$n a JOIN $samp s ON a.vec_id = s.vec_id AND a.sub = s.j,
       |    range(1, ${d + 1}) AS t(i)
       |  GROUP BY 1, 2, 3),
-      |g$n AS (SELECT sub, code AS cell_id,
+      |${pfx}g$n AS (SELECT sub, code AS cell_id,
       |  list(sq::DOUBLE / cnt / 1048576.0 ORDER BY i) AS cvec
-      |  FROM u$n GROUP BY 1, 2),
-      |c$n AS (SELECT p.sub, p.cell_id, coalesce(g.cvec, p.cvec) AS cvec
-      |  FROM $prev p LEFT JOIN g$n g
+      |  FROM ${pfx}u$n GROUP BY 1, 2),
+      |${pfx}c$n AS (SELECT p.sub, p.cell_id, coalesce(g.cvec, p.cvec) AS cvec
+      |  FROM $prev p LEFT JOIN ${pfx}g$n g
       |    ON p.sub = g.sub AND p.cell_id = g.cell_id)""".stripMargin
 
   private val cosineSql: (String, String) => String = (a, b) =>
@@ -479,6 +486,87 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, 9),
         |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
         |  FROM sub s JOIN pcent c ON s.j = c.sub WHERE s.vec_id < 10),
+        |adc AS (SELECT p.query_id, codes.neighbor_id,
+        |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
+        |  FROM codes
+        |  JOIN cells ON codes.neighbor_id = cells.neighbor_id
+        |  JOIN probes p ON cells.cell_id = p.cell_id
+        |  JOIN qt ON qt.query_id = p.query_id
+        |    AND codes.sub = qt.sub AND codes.code = qt.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS srn
+        |  FROM adc WHERE neighbor_id <> query_id) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i]))))
+        |    AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D5c: the fully-trained IVFADC — replays BOTH Lloyd chains (coarse
+    // full-vector k-means prefixed `c`, PQ sub-codebooks unprefixed)
+    // and then knn_ivfpq's probed-cell ADC search over the trained
+    // tables. Training CTE shapes are identical to knn_ivf_trained's /
+    // knn_pq_trained's proven replays; `tm` is shared (same n, same
+    // modulus formula).
+    "knn_ivfpq_trained" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |tm AS (SELECT greatest(2, (COUNT(*) + 8191) // 8192) AS m FROM e),
+        |csub AS (SELECT vec_id, 0 AS j, v AS sv FROM e),
+        |csamp AS (SELECT * FROM csub WHERE vec_id % (SELECT m FROM tm) = 0),
+        |cinitids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM csamp ORDER BY vec_id LIMIT 16)),
+        |cc0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM csamp s JOIN cinitids i USING (vec_id)),
+        |${kmeansIterCte(1, "cc0", 64, "csamp", "c")},
+        |${kmeansIterCte(2, "cc1", 64, "csamp", "c")},
+        |ccent AS (SELECT cell_id, cvec AS ce FROM cc2),
+        |assign0 AS (
+        |  SELECT e0.vec_id AS neighbor_id, c.cell_id,
+        |         ${cosineSql("e0.v", "c.ce")} AS csim
+        |  FROM e e0, ccent c),
+        |cells AS (
+        |  SELECT neighbor_id, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.query_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, ccent c) WHERE qrn <= 5),
+        |sub AS (SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM e, range(0, 8) AS t(j)),
+        |samp AS (SELECT * FROM sub WHERE vec_id % (SELECT m FROM tm) = 0),
+        |initids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM samp ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM samp s JOIN initids i USING (vec_id)),
+        |${kmeansIterCte(1, "c0")},
+        |${kmeansIterCte(2, "c1")},
+        |enc0 AS (SELECT s.vec_id, s.j AS sub, c.cell_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+        |  FROM sub s JOIN c2 c ON s.j = c.sub),
+        |codes AS (SELECT vec_id AS neighbor_id, sub, cell_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, cell_id) AS rn FROM enc0) WHERE rn = 1),
+        |qt AS (SELECT s.vec_id AS query_id, s.j AS sub,
+        |  c.cell_id AS code,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
+        |  FROM sub s JOIN c2 c ON s.j = c.sub WHERE s.vec_id < 10),
         |adc AS (SELECT p.query_id, codes.neighbor_id,
         |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
         |  FROM codes

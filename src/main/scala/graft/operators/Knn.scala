@@ -372,7 +372,12 @@ object Knn {
     *
     * `codebooks`: pass [[kmeansSubCodebooks]] output for trained
     * sub-quantizers on arbitrary id spaces; default is the systematic
-    * codebook (with [[pq]]'s contiguous-id requirement). Cells are
+    * codebook (with [[pq]]'s contiguous-id requirement). `coarse`:
+    * pass a trained `(cell_id, centroid)` coarse quantizer (e.g. a
+    * full-vector [[kmeansSubCodebooks]] run with m = 1, the same slot
+    * [[ivf]] has); default is the anchored systematic stride sample.
+    * With BOTH passed the composition is the full production IVFADC —
+    * any id space, data-fitted cells and sub-codebooks. Cells are
     * pruned on RAW-vector codes (the simpler IVFADC variant);
     * [[ivfpqResidual]] is the residual-encoding refinement — sharper
     * ADC at the cost of per-(query, cell) tables.
@@ -382,32 +387,37 @@ object Knn {
             nProbe: Int = 5, m: Int = 8, ksub: Int = 16,
             overscan: Int = 4, salts: Int = 32,
             maxCells: Int = 256,
-            codebooks: Option[DataFrame] = scala.None): DataFrame = {
+            codebooks: Option[DataFrame] = scala.None,
+            coarse: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    // ---- coarse quantizer: [[ivf]]'s anchored systematic centroids,
-    // with the cell count CAPPED at maxCells: a pure stride ties
-    // |cells| to n/stride, which makes the coarse assign O(n²/stride) —
+    // ---- coarse quantizer: a TRAINED (cell_id, centroid) table when
+    // passed, else [[ivf]]'s anchored systematic centroids with the
+    // cell count CAPPED at maxCells: a pure stride ties |cells| to
+    // n/stride, which makes the coarse assign O(n²/stride) —
     // super-linear in corpus size. The effective stride grows with the
     // corpus instead (FAISS's fixed-nlist posture), so assignment stays
     // O(n·maxCells) at any scale. At the oracle's test sizes the cap is
     // not binding and effStride == stride.
-    val n = corpus.count()
-    require(n > 0, "ivfpq needs a non-empty corpus")
-    val effStride = math.max(stride.toLong,
-      math.ceil(n / maxCells.toDouble).toLong)
-    val anchorRow = corpus
-      .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
-      .head()
-    val anchorMod = anchorRow.getLong(0)
-    val coarse = broadcast(
-      corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
-        .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
+    val coarseDf = broadcast(coarse.map(_.select(col("cell_id"),
+        asDouble(col("centroid")).as("centroid")))
+      .getOrElse {
+        val n = corpus.count()
+        require(n > 0, "ivfpq needs a non-empty corpus")
+        val effStride = math.max(stride.toLong,
+          math.ceil(n / maxCells.toDouble).toLong)
+        val anchorMod = corpus
+          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
+          .head().getLong(0)
+        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
+          .select(col(idCol).as("cell_id"),
+            asDouble(col(vecCol)).as("centroid"))
+      })
     // coarse assign: partial-agg argmax, no cv carried (re-rank joins
     // the corpus again); ties toward the smallest cell_id
     val cells = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .join(coarse)
+      .join(coarseDf)
       .withColumn("csim", cosineD(col("cv"), col("centroid")))
       .groupBy(col("neighbor_id"))
       .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
@@ -417,7 +427,7 @@ object Knn {
       asDouble(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell_id"))
-    val probes = broadcast(q.join(coarse)
+    val probes = broadcast(q.join(coarseDf)
       .withColumn("qsim", cosineD(col("qv"), col("centroid")))
       .withColumn("qrn", row_number().over(wProbe))
       .filter(col("qrn") <= nProbe)
@@ -498,6 +508,38 @@ object Knn {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Per-vector coarse residuals under a `(cell_id, centroid)` coarse
+    * quantizer: `(neighbor_id, ccell, rv)` with
+    * `rv = v − centroid(cell(v))` — exactly the assignment rule
+    * [[ivfpqResidual]] uses (scalar-only `max_by` argmax, ties toward
+    * the smallest cell_id, centroid re-attached by broadcast). This is
+    * the TRAINING PROJECTION for residual-space sub-codebooks: feed it
+    * to [[kmeansSubCodebooks]] (idCol = "neighbor_id", vecCol = "rv")
+    * and pass the result as [[ivfpqResidual]]'s `codebooks`. A
+    * production run training and searching in one job pays the coarse
+    * assign lineage twice (once under the k-means sample filter — which
+    * pushes down to the sampled ids — once in the search); persist this
+    * frame to pay it once.
+    */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: DataFrame): DataFrame = {
+    val coarseDf = broadcast(coarse.select(col("cell_id"),
+      asDouble(col("centroid")).as("centroid")))
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val assign = corpusVec
+      .join(coarseDf)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
+        .as("ccell"))
+    assign.join(corpusVec, "neighbor_id")
+      .join(broadcast(coarseDf.select(col("cell_id").as("ccell"),
+        col("centroid"))), "ccell")
+      .select(col("neighbor_id"), col("ccell"),
+        zip_with(col("cv"), col("centroid"), (x, y) => x - y).as("rv"))
+  }
+
   /** IVF × PQ with RESIDUAL encoding — the full FAISS-style IVFADC:
     * each vector is PQ-encoded as its residual `v − centroid(cell(v))`,
     * and a query builds a separate ADC table per probed cell from
@@ -507,7 +549,10 @@ object Knn {
     * costs stay broadcast-sized: ADC tables are per (query, probed
     * cell) — `|Q|·nProbe·m·ksub` doubles — and the sub-codebook is
     * built over residual space (systematically, from the residuals of
-    * the `ksub` lowest ids — the same trained-codebook slot as [[pq]]).
+    * the `ksub` lowest ids; or pass `codebooks` trained on
+    * [[residuals]] and/or a trained `coarse` quantizer — see
+    * [[ivfpqResidualTrained]] for the fully-trained composition on
+    * arbitrary id spaces).
     *
     * The "far smaller spread" premise needs CLUSTERED data: on a
     * structureless corpus `var(x − centroid) ≈ 2·var(x)` and residual
@@ -532,72 +577,74 @@ object Knn {
                     vecCol: String, dim: Int, k: Int, stride: Int = 50,
                     nProbe: Int = 5, m: Int = 8, ksub: Int = 16,
                     overscan: Int = 4, salts: Int = 32,
-                    maxCells: Int = 256): DataFrame = {
+                    maxCells: Int = 256,
+                    codebooks: Option[DataFrame] = scala.None,
+                    coarse: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    val n = corpus.count()
-    require(n > 0, "ivfpqResidual needs a non-empty corpus")
-    val effStride = math.max(stride.toLong,
-      math.ceil(n / maxCells.toDouble).toLong)
-    val anchorMod = corpus
-      .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
-      .head().getLong(0)
-    val coarse = broadcast(
-      corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
-        .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("centroid")))
+    val coarseDf = broadcast(coarse.map(_.select(col("cell_id"),
+        asDouble(col("centroid")).as("centroid")))
+      .getOrElse {
+        val n = corpus.count()
+        require(n > 0, "ivfpqResidual needs a non-empty corpus")
+        val effStride = math.max(stride.toLong,
+          math.ceil(n / maxCells.toDouble).toLong)
+        val anchorMod = corpus
+          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
+          .head().getLong(0)
+        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
+          .select(col(idCol).as("cell_id"),
+            asDouble(col(vecCol)).as("centroid"))
+      })
     // coarse assign with a SCALAR aggregate only (see scaladoc), then
     // re-attach the vector and the winning centroid to form residuals
-    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
-    val assign = corpusVec
-      .join(coarse)
-      .withColumn("csim", cosineD(col("cv"), col("centroid")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
-        .as("ccell"))
-    val cells = assign.join(corpusVec, "neighbor_id")
-      .join(broadcast(coarse.select(col("cell_id").as("ccell"),
-        col("centroid"))), "ccell")
-      .select(col("neighbor_id"), col("ccell"),
-        zip_with(col("cv"), col("centroid"), (x, y) => x - y).as("rv"))
+    val cells = residuals(corpus, idCol, vecCol, coarseDf)
     // probes keep the residual query vector per probed cell
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell_id"))
-    val probes = broadcast(q.join(coarse)
+    val probes = broadcast(q.join(coarseDf)
       .withColumn("qsim", cosineD(col("qv"), col("centroid")))
       .withColumn("qrn", row_number().over(wProbe))
       .filter(col("qrn") <= nProbe)
       .select(col("query_id"), col("cell_id"),
         zip_with(col("qv"), col("centroid"), (x, y) => x - y).as("rqv")))
-    // residual sub-codebook: residual subvectors of ids 0..ksub-1
-    // ("slot" = codebook index, distinct from the coarse cell_id)
+    // residual sub-codebook ("slot" = codebook index, distinct from the
+    // coarse cell_id): TRAINED residual-space codebooks when passed
+    // ([[kmeansSubCodebooks]] over [[residuals]] — any id space), else
+    // the systematic residual subvectors of ids 0..ksub-1
     def rsubs(df: DataFrame, id: String, vc: String, extra: Seq[String]) =
       df.select((col(id) +: extra.map(col)) :+
           posexplode(transform(sequence(lit(0), lit(m - 1)),
             j => slice(col(vc), j * d + 1, lit(d)))): _*)
         .toDF((Seq(id) ++ extra ++ Seq("sub", "subvec")): _*)
-    val nCent = corpus.filter(col(idCol) < ksub).count()
-    require(nCent == ksub,
-      s"ivfpqResidual's systematic codebook needs contiguous ids " +
-        s"0..${ksub - 1} in the corpus, found $nCent of $ksub")
-    // the ksub codebook residuals on their own ksub-row branch (same
-    // assignment rule, ksub×cells rows — trivial), so the broadcast
-    // codebook's lineage is corpus-free however many joins consume it
-    val wCb = Window.partitionBy(col("slot"))
-      .orderBy(col("csim").desc, col("cell_id"))
-    val cbRes = corpus.filter(col(idCol) < ksub)
-      .select(col(idCol).as("slot"), asDouble(col(vecCol)).as("cv"))
-      .join(coarse)
-      .withColumn("csim", cosineD(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(wCb))
-      .filter(col("rn") === 1)
-      .select(col("slot"),
-        zip_with(col("cv"), col("centroid"), (x, y) => x - y).as("rv"))
-    val pqCent = broadcast(
-      rsubs(cbRes, "slot", "rv", Seq.empty)
-        .select(col("sub"), col("slot"), col("subvec").as("cvec")))
+    val pqCent = broadcast(codebooks
+      .map(_.select(col("sub"), col("cell_id").cast("long").as("slot"),
+        col("cvec")))
+      .getOrElse {
+        val nCent = corpus.filter(col(idCol) < ksub).count()
+        require(nCent == ksub,
+          s"ivfpqResidual's systematic codebook needs contiguous ids " +
+            s"0..${ksub - 1} in the corpus, found $nCent of $ksub — pass " +
+            "codebooks trained on [[residuals]] for non-contiguous id " +
+            "spaces (see ivfpqResidualTrained)")
+        // the ksub codebook residuals on their own ksub-row branch (same
+        // assignment rule, ksub×cells rows — trivial), so the broadcast
+        // codebook's lineage is corpus-free however many joins consume it
+        val wCb = Window.partitionBy(col("slot"))
+          .orderBy(col("csim").desc, col("cell_id"))
+        val cbRes = corpus.filter(col(idCol) < ksub)
+          .select(col(idCol).as("slot"), asDouble(col(vecCol)).as("cv"))
+          .join(coarseDf)
+          .withColumn("csim", cosineD(col("cv"), col("centroid")))
+          .withColumn("rn", row_number().over(wCb))
+          .filter(col("rn") === 1)
+          .select(col("slot"),
+            zip_with(col("cv"), col("centroid"), (x, y) => x - y).as("rv"))
+        rsubs(cbRes, "slot", "rv", Seq.empty)
+          .select(col("sub"), col("slot"), col("subvec").as("cvec"))
+      })
     // encode residuals; the coarse cell rides along to the code row
     val codes = rsubs(cells, "neighbor_id", "rv", Seq("ccell"))
       .join(pqCent, "sub")
@@ -655,6 +702,34 @@ object Knn {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** [[ivfpqResidual]] with every quantizer TRAINED — the production
+    * IVFADC composition on arbitrary id spaces: a full-vector k-means
+    * coarse quantizer (m = 1, `nCells` centroids), then residual-space
+    * sub-codebooks fit by the same Lloyd machinery over [[residuals]]
+    * (k-means trains on `v − centroid(cell(v))`, the space the codes
+    * actually live in — FAISS's `train_residual`). All training is
+    * count-capped deterministic sampling ([[kmeansSubCodebooks]]), so
+    * training cost is constant in corpus size; the search plan is
+    * [[ivfpqResidual]]'s unchanged.
+    */
+  def ivfpqResidualTrained(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, dim: Int, k: Int,
+                           nProbe: Int = 5, m: Int = 8, ksub: Int = 16,
+                           nCells: Int = 16, iters: Int = 2,
+                           trainMod: Int = 4, maxTrain: Int = 8192,
+                           overscan: Int = 4, salts: Int = 32): DataFrame = {
+    val coarseCb = kmeansSubCodebooks(corpus, idCol, vecCol, dim,
+        m = 1, ksub = nCells, iters = iters, trainMod = trainMod,
+        maxTrain = maxTrain)
+      .select(col("cell_id"), col("cvec").as("centroid"))
+    val res = residuals(corpus, idCol, vecCol, coarseCb)
+    val cbs = kmeansSubCodebooks(res, "neighbor_id", "rv", dim, m, ksub,
+      iters = iters, trainMod = trainMod, maxTrain = maxTrain)
+    ivfpqResidual(corpus, queries, idCol, vecCol, dim, k,
+      nProbe = nProbe, m = m, ksub = ksub, overscan = overscan,
+      salts = salts, codebooks = Some(cbs), coarse = Some(coarseCb))
   }
 
   /** The PQ search machinery shared by [[pq]] and [[pqTrained]]:

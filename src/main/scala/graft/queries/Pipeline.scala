@@ -309,6 +309,26 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D5c: IVF × PQ with BOTH quantizers trained — the full production
+    * composition in one plan: a k-means coarse quantizer (the D3b
+    * machinery, m = 1, 16 cells) AND k-means sub-codebooks (the D4b
+    * machinery, 8×16), feeding the D5 probed-cell ADC search. Works on
+    * any id space; the oracle replays both trainings (two prefixed
+    * Lloyd CTE chains) plus the search.
+    */
+  def knnIvfPqTrained(embeddings: DataFrame): DataFrame = {
+    val coarse = Knn.kmeansSubCodebooks(embeddings, "vec_id", "embedding",
+        dim = EmbeddingDim, m = 1, ksub = 16, iters = 2, trainMod = 2)
+      .select(col("cell_id"), col("cvec").as("centroid"))
+    val cbs = Knn.kmeansSubCodebooks(embeddings, "vec_id", "embedding",
+      dim = EmbeddingDim, m = 8, ksub = 16, iters = 2, trainMod = 2)
+    Knn.ivfpq(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = EmbeddingDim, k = 5, nProbe = 5, m = 8, ksub = 16,
+        overscan = 4, coarse = Some(coarse), codebooks = Some(cbs))
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** D5b: IVF × PQ with residual encoding (FAISS IVFADC) — same probe
     * structure, codes taken over `v − centroid(cell)` for finer ADC
     * resolution at the same code size.
