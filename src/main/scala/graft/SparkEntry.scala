@@ -1441,10 +1441,12 @@ object SparkEntry {
         |        0.0) * 0.25, 6) >= 0.65 AS weak_label
         |  FROM lblq),
         |tok AS (SELECT doc_id, v % 4096 AS b FROM f5),
+        |ctm AS (SELECT 1 AS m),
         |cnt AS (SELECT t.b,
         |  sum(CASE WHEN l.weak_label THEN 1 ELSE 0 END)::BIGINT AS pc,
         |  sum(CASE WHEN l.weak_label THEN 0 ELSE 1 END)::BIGINT AS nc
-        |  FROM tok t JOIN lbl l USING (doc_id) GROUP BY 1),
+        |  FROM tok t JOIN lbl l USING (doc_id)
+        |  WHERE doc_id % (SELECT m FROM ctm) = 0 GROUP BY 1),
         |wt AS (SELECT b, (pc * 2 + 1) * 524288 // (pc + nc + 1) AS wq
         |  FROM cnt),
         |sc AS (SELECT t.doc_id, sum(wt.wq - 524288)::BIGINT AS score_q,

@@ -269,19 +269,37 @@ object TextOps {
     * reference object, so scoring is a pure map fused into the scan
     * (zero shuffles). All-long arithmetic end to end: bit-exact under
     * any partitioning and replayable in SQL (no Math.log / float sums).
-    * At 100 TB the training pass can run on a deterministic id-mod
-    * sample (the D4b k-means posture) — weights are corpus statistics,
-    * not per-doc state.
+    * At 100 TB the training pass runs on a deterministic id-mod sample
+    * (the D4b k-means posture) — weights are corpus statistics, not
+    * per-doc state: the effective modulus is
+    * `em = max(trainMod, ceil(count / maxTrain))` when `maxTrain > 0`
+    * (one parquet-metadata-cheap count caps the sample SIZE however
+    * large the corpus grows), else `trainMod` alone (no count action).
+    * Only docs with `id % em == 0` feed the weight table; SCORING still
+    * covers every doc. `em` is replayable in SQL exactly like the
+    * k-means `tm` CTE. The defaults (trainMod = 1, maxTrain = 0) train
+    * on the full corpus with an unchanged plan.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
-               buckets: Int = 4096, threshold: Double = 0.65): DataFrame = {
+               buckets: Int = 4096, threshold: Double = 0.65,
+               trainMod: Int = 1, maxTrain: Long = 0L): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two")
+    require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
+    require(maxTrain >= 0L, s"maxTrain must be >= 0, got $maxTrain")
     val mask = (buckets - 1).toLong
     val labeled = docs.select(col(idCol),
       txt.wordShingleHashes(col(textCol), 1).as("hs"),
       (qualityScore(col(textCol)) >= threshold).as("weak_label"))
-    val counts = labeled
+    val em: Long =
+      if (maxTrain > 0L)
+        math.max(trainMod.toLong, (docs.count() + maxTrain - 1) / maxTrain)
+      else trainMod.toLong
+    val train =
+      if (em > 1L)
+        labeled.filter(pmod(col(idCol).cast("long"), lit(em)) === 0)
+      else labeled
+    val counts = train
       .select(col("weak_label"), explode(col("hs")).as("h"))
       .groupBy((col("h").bitwiseAND(lit(mask))).cast("int").as("b"))
       .agg(sum(when(col("weak_label"), 1L).otherwise(0L)).as("pos_cnt"),

@@ -160,4 +160,36 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out.map(_.toSeq.toList).toList == out2.map(_.toSeq.toList).toList)
   }
+
+  test("classify: sampled training (trainMod / maxTrain) scores every " +
+      "doc from an id-mod training slice") {
+    val docs = sf("documents")
+    val full = TextOps.classify(docs, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    // trainMod=2: weights fit on the even-id half; scoring still covers
+    // the whole corpus and labels are per-doc (training-independent)
+    val half = TextOps.classify(docs, "doc_id", "text", trainMod = 2)
+      .orderBy("doc_id").collect()
+    assert(half.length == full.length)
+    assert(half.map(_.getAs[Boolean]("weak_label")).toSeq ==
+      full.map(_.getAs[Boolean]("weak_label")).toSeq)
+    // the shared-vocabulary corpus trains nearly the same weights on
+    // half the docs: predictions should agree on the large majority
+    val agree = half.zip(full).count { case (a, b) =>
+      a.getAs[Boolean]("pred") == b.getAs[Boolean]("pred") }
+    assert(agree.toDouble / full.length >= 0.8,
+      s"sampled-training agreement ${agree.toDouble / full.length}")
+    // but the sample must actually bind: some score differs
+    assert(half.zip(full).exists { case (a, b) =>
+      a.getAs[Long]("score_q") != b.getAs[Long]("score_q") })
+    // maxTrain caps via the count-derived modulus (500 docs / 100 ->
+    // em = 5) and is deterministic under repartitioning
+    val capped = TextOps.classify(docs, "doc_id", "text", maxTrain = 100)
+      .orderBy("doc_id").collect()
+    assert(capped.length == full.length)
+    val capped2 = TextOps.classify(docs.repartition(7), "doc_id", "text",
+      maxTrain = 100).orderBy("doc_id").collect()
+    assert(capped.map(_.toSeq.toList).toList ==
+      capped2.map(_.toSeq.toList).toList)
+  }
 }
