@@ -42,9 +42,21 @@ object BenchScale {
     "compact_cells",
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
     "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",
-    "knn_ivfpq", "knn_ivfpq_res", "knn_ivf_trained", "text_repetition",
+    "knn_ivfpq", "knn_ivfpq_res", "knn_ivf_trained", "knn_ivfpq_trained",
+    "text_repetition", "text_classify",
     "corpus_decontaminate", "corpus_mix", "corpus_curate",
     "corpus_boilerplate")
+
+  /** Queries re-run against the deliberately SKEWED 10x variant (one
+    * duplicated document at ~10% of the corpus; one hot user at ~10% of
+    * events): the hot-key guards under test are dedup's `maxBucket`
+    * bucket cap, boilerplate's partial-agg df groupBy (hot grams absorb
+    * map-side), and the salted rowkey spread in the compaction path. A
+    * `tskew10` far above `t10` means a guard failed and one hot key
+    * piled onto one task.
+    */
+  val skewQueries: Seq[String] =
+    Seq("dedup_minhash_lsh", "corpus_boilerplate", "compact_cells")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the
@@ -52,6 +64,13 @@ object BenchScale {
     */
   val flagRatio10 = 15.0
   val flagRatio100 = 130.0
+
+  /** Same data volume as the uniform 10x run, so a guarded plan should
+    * cost about the same; 3x headroom covers the genuinely larger
+    * answer (a 10%-duplicated corpus HAS more near-dup pairs and hot
+    * grams to report).
+    */
+  val flagRatioSkew = 3.0
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -61,8 +80,11 @@ object BenchScale {
     val skip100 = sys.env.contains("SPARK_GRAFT_SKIP_100X")
     val x10 = s"$work/x10"
     val x100 = s"$work/x100"
+    val xSkew = s"$work/x10skew"
+    val skipSkew = sys.env.contains("SPARK_GRAFT_SKIP_SKEW")
     ensureScaled(src, x10, 10, cpus)
     if (!skip100) ensureScaled(src, x100, 100, cpus)
+    if (!skipSkew) ensureSkewed(x10, xSkew, cpus)
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -86,24 +108,86 @@ object BenchScale {
       }
     }
 
+    // skewed-10x pass: same forked methodology, hot-key datasets; the
+    // comparison line is the query's own uniform t10
+    val skewRows =
+      if (skipSkew) Seq.empty
+      else skewQueries.filter(n => only.forall(_.contains(n))).flatMap { name =>
+        val base = rows.find(_._1 == name).map(_._3)
+          .orElse(Bench.forkQuery(name, x10, cpus))
+        val ts = Bench.forkQuery(name, xSkew, cpus)
+        (base, ts) match {
+          case (Some(b), Some(s)) =>
+            Console.err.println(
+              f"skew $name t10=$b%.3f tskew10=$s%.3f ratio=${s / b}%.2f")
+            Some((name, b, s))
+          case _ => failed += s"skew:$name"; None
+        }
+      }
+
     val qJson = rows.map { case (name, a, b, c) =>
       val base = f""""$name":{"t1":$a%.4f,"t10":$b%.4f,"ratio10":${b / a}%.3f"""
       base + c.map(t => f""","t100":$t%.4f,"ratio100":${t / a}%.3f""").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val skewJson = skewRows.map { case (name, b, s) =>
+      f""""$name":{"t10":$b%.4f,"tskew10":$s%.4f,"ratio_skew":${s / b}%.3f}"""
     }.mkString("{", ",", "}")
     val maxR10 = if (rows.nonEmpty) rows.map(r => r._3 / r._2).max else 0.0
     val heavyRows = rows.filter(_._4.isDefined)
     val maxR100 =
       if (heavyRows.nonEmpty) heavyRows.map(r => r._4.get / r._2).max else 0.0
     val flagged = (rows.filter(r => r._3 / r._2 > flagRatio10).map(_._1) ++
-      heavyRows.filter(r => r._4.get / r._2 > flagRatio100).map(_._1)).distinct
+      heavyRows.filter(r => r._4.get / r._2 > flagRatio100).map(_._1) ++
+      skewRows.filter(r => r._3 / r._2 > flagRatioSkew)
+        .map(r => s"skew:${r._1}")).distinct
     val json =
       f"""{"metric":"scale_ratio","src":"$src","factors":[10,100],"cpus":$cpus,""" +
-        f""""queries":$qJson,"max_ratio10":$maxR10%.3f,"max_ratio100":$maxR100%.3f,""" +
+        f""""queries":$qJson,"skew":$skewJson,""" +
+        f""""max_ratio10":$maxR10%.3f,"max_ratio100":$maxR100%.3f,""" +
         s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val pw = new PrintWriter(new File(outPath))
     try pw.println(json) finally pw.close()
     println(json)
+  }
+
+  /** Skewed variant of an already-scaled dir (once, _done marker):
+    * documents with every 10th doc's text replaced by ONE fixed
+    * document (a ~10%-of-corpus exact-duplicate group — the
+    * hot-minhash-bucket / hot-boilerplate-gram storm), and events with
+    * every 10th event re-owned by ONE hot user (a hot rowkey prefix
+    * for the compaction path). Only the tables the skew queries read
+    * are written.
+    */
+  private def ensureSkewed(srcScaled: String, dst: String,
+                           cpus: String): Unit = {
+    val done = new File(dst, "_done")
+    if (done.exists()) return
+    Console.err.println(s"genskew: $srcScaled -> $dst")
+    val spark = Bench.newSession(cpus)
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(spark, srcScaled, "documents")
+      val hot = docs.orderBy("doc_id").limit(1).select("text")
+        .head.getString(0)
+      docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0, lit(hot))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(8).write.mode("overwrite")
+        .parquet(s"$dst/documents.parquet")
+      val ev = graft.Tables(spark, srcScaled, "events")
+      val uType = ev.schema("user_id").dataType
+      val hotUser = ev.agg(min(col("user_id"))).head.getAs[Number](0)
+        .longValue()
+      ev.withColumn("user_id",
+          when(pmod(col("event_id"), lit(10)) === 0, lit(hotUser))
+            .otherwise(col("user_id")).cast(uType))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$dst/events.parquet")
+    } finally spark.stop()
+    done.getParentFile.mkdirs()
+    new PrintWriter(done) { print("skew"); close() }
   }
 
   /** GenData `src -> dst` at `factor`, once per machine (_done marker). */
