@@ -312,9 +312,16 @@ object HFile {
   private[sources] class BloomChunkBuilder(capacity: Int,
                                            fpp: Double = DefaultBloomFpp) {
     private val ln2 = math.log(2)
+    /** Power-of-two bit count (≥ the classic -n·ln(p)/ln²2 sizing): a
+      * power of two keeps the word array halvable all the way down, so
+      * [[serialize]]'s fold-down always applies (a 64-multiple that is
+      * not a power of two can have an ODD word count and never fold).
+      */
     val nBits: Long = {
       val raw = math.ceil(-capacity * math.log(fpp) / (ln2 * ln2)).toLong
-      ((raw + 63) / 64) * 64
+      var n = 64L
+      while (n < raw) n <<= 1
+      n
     }
     val k: Int = math.max(1, math.round(nBits.toDouble / capacity * ln2).toInt)
     private val words = new Array[Long]((nBits / 64).toInt)
@@ -331,10 +338,39 @@ object HFile {
       nKeys += 1
     }
 
+    /** Serializes the chunk, FOLDING a partially-filled bit array down
+      * first — the public behavior of HBase's ByteBloomFilter /
+      * CompoundBloomFilterWriter (a chunk flushed below capacity is
+      * shrunk so small files don't carry full-capacity blooms; at the
+      * default parameters an unfolded chunk is ~150 KiB even for a
+      * 10-row file, which dominates small streaming/compaction HFiles).
+      * Folding ORs the two halves of the bit array while the halved
+      * size still provides the target-fpp bit budget for the ACTUAL
+      * key count: since `x mod n == (x mod 2n) mod n`, every
+      * Kirsch-Mitzenmacher probe of a key lands on the same folded
+      * bit, so membership answers (and the fpp bound at `nKeys`) are
+      * preserved exactly. `k` stays optimal: it depends only on the
+      * bits-per-key RATIO, which folding maintains.
+      */
     def serialize(): Array[Byte] = {
-      val buf = ByteBuffer.allocate(16 + words.length * 8)
-      buf.putInt(nKeys); buf.putInt(k); buf.putLong(nBits)
-      words.foreach(buf.putLong)
+      // smallest n with (1 - e^(-k·nKeys/n))^k <= fpp — the exact fpp
+      // bound for THIS chunk's k (which was sized for the full-capacity
+      // ratio and stays fixed through folding)
+      val needed = math.max(64L, math.ceil(
+        k.toDouble * math.max(nKeys, 1) /
+          -math.log1p(-math.pow(fpp, 1.0 / k))).toLong)
+      var w = words
+      var n = nBits
+      while (w.length % 2 == 0 && n / 2 >= needed) {
+        val half = w.length / 2
+        val folded = new Array[Long](half)
+        var i = 0
+        while (i < half) { folded(i) = w(i) | w(i + half); i += 1 }
+        w = folded; n = n / 2
+      }
+      val buf = ByteBuffer.allocate(16 + w.length * 8)
+      buf.putInt(nKeys); buf.putInt(k); buf.putLong(n)
+      w.foreach(buf.putLong)
       buf.array()
     }
   }
