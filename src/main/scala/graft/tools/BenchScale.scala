@@ -141,7 +141,7 @@ object BenchScale {
       skewRows.filter(r => r._3 / r._2 > flagRatioSkew)
         .map(r => s"skew:${r._1}")).distinct
     val json =
-      f"""{"metric":"scale_ratio","src":"$src","factors":[10,100],"cpus":$cpus,""" +
+      f"""{"metric":"scale_ratio","action":"noop-sink write (Bench.timeQuery)","src":"$src","factors":[10,100],"cpus":$cpus,""" +
         f""""queries":$qJson,"skew":$skewJson,""" +
         f""""max_ratio10":$maxR10%.3f,"max_ratio100":$maxR100%.3f,""" +
         s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
