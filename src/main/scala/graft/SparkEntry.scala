@@ -87,6 +87,8 @@ object SparkEntry {
       Pipeline.dedupNgramJaccard(t(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
+    "dedup_semantic" -> ((s, d) =>
+      Pipeline.dedupSemantic(t(s, d, "embeddings"))),
     "dedup_clusters" -> ((s, d) =>
       Pipeline.dedupClusters(t(s, d, "documents"))),
     "dedup_paragraph" -> ((s, d) =>
@@ -740,6 +742,54 @@ object SparkEntry {
         |              JOIN embeddings eb ON c.vec_b = eb.vec_id)
         |SELECT vec_a, vec_b, round(c, 6) AS cosine
         |FROM d WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // C18: SemDeDup — replays the full-vector Lloyd chain (prefix `c`,
+    // identical to knn_ivfpq_trained's coarse training), the argmax
+    // cell assignment KEEPING the winner's cosine as the centrality
+    // score, C6's plane-table banding restricted to same-cell pairs,
+    // exact-cosine verification, and the keep-least-central policy.
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |tm AS (SELECT greatest(2, (COUNT(*) + 8191) // 8192) AS m FROM e),
+        |csub AS (SELECT vec_id, 0 AS j, v AS sv FROM e),
+        |csamp AS (SELECT * FROM csub WHERE vec_id % (SELECT m FROM tm) = 0),
+        |cinitids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM csamp ORDER BY vec_id LIMIT 16)),
+        |cc0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM csamp s JOIN cinitids i USING (vec_id)),
+        |${kmeansIterCte(1, "cc0", 64, "csamp", "c")},
+        |${kmeansIterCte(2, "cc1", 64, "csamp", "c")},
+        |ccent AS (SELECT cell_id, cvec AS ce FROM cc2),
+        |asg AS (SELECT e0.vec_id, c.cell_id,
+        |  ${cosineSql("e0.v", "c.ce")} AS csim
+        |  FROM e e0, ccent c),
+        |cells AS (SELECT vec_id, cell_id, csim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cell_id) AS rn FROM asg) WHERE rn = 1),
+        |planes(p, pl) AS (VALUES ${planesValuesSql(72, 64, 7L)}),
+        |${lshKeysCte(6)},
+        |cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+        |  JOIN cells ca ON ca.vec_id = a.vec_id
+        |  JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell_id = ca.cell_id),
+        |vp AS (SELECT c.a, c.b FROM cand c
+        |  JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+        |  WHERE ${cosineSql("ea.v", "eb.v")} >= 0.4),
+        |deg AS (SELECT vec_id, COUNT(*)::BIGINT AS n_dups FROM
+        |  (SELECT a AS vec_id FROM vp UNION ALL SELECT b AS vec_id FROM vp)
+        |  GROUP BY 1),
+        |drops AS (SELECT DISTINCT
+        |  CASE WHEN ca.csim > cb.csim THEN p.a ELSE p.b END AS vec_id
+        |  FROM vp p JOIN cells ca ON ca.vec_id = p.a
+        |  JOIN cells cb ON cb.vec_id = p.b)
+        |SELECT c.vec_id, c.cell_id, round(c.csim, 6) AS centroid_sim,
+        |  coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+        |  (dr.vec_id IS NULL) AS keep
+        |FROM cells c LEFT JOIN deg d ON c.vec_id = d.vec_id
+        |  LEFT JOIN drops dr ON c.vec_id = dr.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCte
         |SELECT doc_a, doc_b,

@@ -491,4 +491,108 @@ object Dedup {
       .distinct()
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
+    * deduplication"): cluster the corpus by embedding k-means, find
+    * near-duplicate pairs WITHIN each semantic cluster, and from every
+    * duplicate group keep the LEAST-CENTRAL exemplar — the member with
+    * the lowest cosine to its own cluster centroid — so pruning removes
+    * redundancy while preserving the cluster's diverse boundary
+    * examples (the paper's keeper policy; ties break to the smaller
+    * id so the rule is total and engine-replayable).
+    *
+    * Output: EVERY input row as `(vec_id, cell_id, centroid_sim,
+    * n_dups, keep)` — the keep column is the dedup decision, the rest
+    * is the evidence (which semantic cluster, how central, how many
+    * verified near-dup partners), so a curation pipeline can audit or
+    * re-threshold without re-running.
+    *
+    * Composition — every stage is a proven piece run in a new order:
+    *  - coarse clusters: [[graft.operators.Knn.kmeansSubCodebooks]] at
+    *    m = 1 (full-vector k-means, trained on a count-capped
+    *    deterministic sample — training cost constant in corpus size),
+    *    or pass a pre-trained `coarse` (cell_id, centroid) table; the
+    *    assignment is the Knn rule exactly (argmax cosine, ties to the
+    *    smallest cell), with the winner's cosine kept as the
+    *    centrality score via one scalar struct-max aggregate (no array
+    *    buffers in the aggregation — the §6 r8 lesson);
+    *  - candidates: [[embeddingNearDup]]'s banded hyperplane-LSH with
+    *    the cell id PREPENDED to the bucket key — pairs must agree on
+    *    semantic cell AND sign-bit bucket, so buckets are strictly
+    *    finer than C6's and the per-bucket `maxBucket` cap binds
+    *    later; verification is the same fused O(k²·d) in-bucket
+    *    kernel, so only pairs clearing `threshold` ever materialize;
+    *  - keeper: per verified pair the higher-`centroid_sim` member is
+    *    dropped (`csim` ties drop the larger id); a chain a—b—c can
+    *    drop both interior members — that is SemDeDup's greedy
+    *    semantics, not transitive-closure dedup ([[dedupClusters]]
+    *    covers that policy).
+    *
+    * Scale: training is capped, assignment is O(n·k) under a broadcast
+    * centroid table, banding is O(n·planes), buckets are capped, and
+    * the keeper/degree joins are keyed on 8-byte ids — no stage is
+    * super-linear in corpus size. At real scale raise `ksub` (SemDeDup
+    * uses n/⟨cluster size⟩ clusters) and `planesPerBand` ~ log₂N
+    * together; both only sharpen the same capped-bucket plan.
+    */
+  def semantic(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+               threshold: Double = 0.4,
+               coarse: Option[DataFrame] = scala.None,
+               ksub: Int = 16, iters: Int = 2, trainMod: Int = 2,
+               maxTrain: Int = 8192,
+               bands: Int = 12, planesPerBand: Int = 6, seed: Long = 7L,
+               maxBucket: Int = 2000): DataFrame = {
+    val withVec = emb.select(col(idCol).cast("long").as("vec_id"),
+      Knn.asDouble(col(vecCol)).as("v"))
+    val coarseDf = broadcast(coarse.map(_.select(col("cell_id"),
+        Knn.asDouble(col("centroid")).as("centroid")))
+      .getOrElse(Knn.kmeansSubCodebooks(emb, idCol, vecCol, dim, m = 1,
+          ksub = ksub, iters = iters, trainMod = trainMod,
+          maxTrain = maxTrain)
+        .select(col("cell_id"), col("cvec").as("centroid"))))
+    // argmax assignment carrying the winning cosine: max over a
+    // two-scalar struct orders by (csim, -cell_id) — same winner as
+    // Knn's max_by rule, centrality score for free
+    val assign = withVec.join(coarseDf)
+      .withColumn("csim", Knn.cosineD(col("v"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim").as("csim"),
+        (-col("cell_id")).as("nc"))).as("w"))
+      .select(col("vec_id"), (-col("w.nc")).as("cell_id"),
+        col("w.csim").as("csim"))
+    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val pairs = withVec.join(assign.select(col("vec_id"), col("cell_id")),
+        "vec_id")
+      .select(col("vec_id"), col("v"), col("cell_id"),
+        posexplode(graft.functions.vec.hyperplaneBuckets(col("v"),
+          planes, planesPerBand)).as(Seq("band", "bkey")))
+      .groupBy(col("cell_id"), col("band"), col("bkey"))
+      .agg(graft.functions.CappedCollectList(
+        struct(col("vec_id").as("id"), col("v")), maxBucket).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(
+        graft.functions.vec.bucketNearDupPairs(col("members"), threshold))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    // keeper policy: per pair (a < b) drop the more central member;
+    // equal centrality drops b, the larger id
+    val drops = pairs
+      .join(assign.select(col("vec_id").as("a"), col("csim").as("acs")), "a")
+      .join(assign.select(col("vec_id").as("b"), col("csim").as("bcs")), "b")
+      .select(when(col("acs") > col("bcs"), col("a")).otherwise(col("b"))
+        .as("vec_id"))
+      .distinct()
+    val deg = pairs
+      .select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dups"))
+    assign
+      .join(deg, Seq("vec_id"), "left")
+      .join(drops.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        round(col("csim"), 6).as("centroid_sim"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (!coalesce(col("d"), lit(false))).as("keep"))
+      .orderBy("vec_id")
+  }
 }

@@ -56,6 +56,18 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("vec_a", "vec_b")
 
+  /** C18: SemDeDup semantic dedup — trained 16-cell embedding k-means
+    * (the D3b Lloyd machinery at m = 1, trainMod = 2), within-cell
+    * hyperplane-LSH candidates at C6's blocking parameters, θ ≥ 0.4
+    * verification, keep-the-least-central exemplar per pair. Every
+    * corpus row comes back with its cluster, centrality, verified
+    * near-dup degree and the keep/drop decision.
+    */
+  def dedupSemantic(embeddings: DataFrame): DataFrame =
+    Dedup.semantic(embeddings, "vec_id", "embedding", dim = EmbeddingDim,
+      threshold = 0.4, ksub = 16, iters = 2, trainMod = 2,
+      bands = 12, planesPerBand = 6)
+
   /** C7: dup clusters = connected components over the verified MinHash
     * pair set, so transitively-linked near-dups (A~B, B~C) collapse to
     * one cluster even when A~C was never emitted. `cluster_id` is the

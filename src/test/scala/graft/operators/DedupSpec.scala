@@ -255,4 +255,78 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall (${found.size}/${truth.size})")
     assert((found -- truth).isEmpty, "no false positives after verification")
   }
+
+  // ---- SemDeDup (Dedup.semantic) --------------------------------------
+
+  private def embDf(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("semantic dedup: exact-dup groups keep exactly the smallest id") {
+    // two 4-dim topic clusters + a singleton; exact duplicates tie on
+    // centrality, so the keeper rule falls through to smallest-id
+    val emb = embDf(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0), 3L -> Seq(0.0, 1.0, 0.0, 0.0),
+      4L -> Seq(0.0, 1.0, 0.0, 0.0), 5L -> Seq(0.0, 0.0, 1.0, 0.0))
+    val out = Dedup.semantic(emb, "vec_id", "embedding", dim = 4,
+        threshold = 0.95, ksub = 2, iters = 1, trainMod = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Long]("n_dups"))).toMap
+    assert(out.size == 6, "every input row comes back")
+    assert(out(0L) == ((true, 1L)) && out(1L) == ((false, 1L)))
+    assert(out(2L) == ((true, 2L)) && out(3L) == ((false, 2L)) &&
+      out(4L) == ((false, 2L)))
+    assert(out(5L) == ((true, 0L)), "singleton untouched")
+  }
+
+  test("semantic dedup keeps the LEAST-central member of a pair") {
+    // pre-trained coarse cell at e1: x10 sits ON the centroid, x11 is
+    // tilted off it — they are near-dups (cos ~0.995), and SemDeDup
+    // keeps the boundary example, dropping the central one
+    val coarse = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val emb = embDf(
+      10L -> Seq(1.0, 0.0, 0.0, 0.0),
+      11L -> Seq(1.0, 0.1, 0.0, 0.0),
+      12L -> Seq(0.0, 0.0, 0.0, 1.0))
+    val out = Dedup.semantic(emb, "vec_id", "embedding", dim = 4,
+        threshold = 0.9, coarse = Some(coarse))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(10L) == ((0L, false)), "the on-centroid copy is dropped")
+    assert(out(11L) == ((0L, true)), "the boundary copy survives")
+    assert(out(12L) == ((1L, true)))
+  }
+
+  test("semantic dedup works on offset, gappy id spaces") {
+    val base = 1000000007L
+    val emb = embDf(
+      base -> Seq(1.0, 0.0, 0.0, 0.0), (base + 13) -> Seq(1.0, 0.0, 0.0, 0.0),
+      (base + 31) -> Seq(0.0, 1.0, 0.0, 0.0))
+    val out = Dedup.semantic(emb, "vec_id", "embedding", dim = 4,
+        threshold = 0.95, ksub = 2, iters = 1, trainMod = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(out == Map(base -> true, (base + 13) -> false,
+      (base + 31) -> true))
+  }
+
+  test("semantic dedup invariants on the real corpus") {
+    val emb = sf("embeddings")
+    val out = Dedup.semantic(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.4, ksub = 16, iters = 2, trainMod = 2)
+    val rows = out.collect()
+    assert(rows.length == emb.count(), "one output row per input row")
+    rows.foreach { r =>
+      val (n, keep) = (r.getAs[Long]("n_dups"), r.getAs[Boolean]("keep"))
+      assert(n > 0 || keep, s"${r.getAs[Long]("vec_id")}: dropped with no " +
+        "verified dup partner")
+    }
+    // the aggregation path stays partial (map-side combined), no
+    // array-typed buffers forcing the sort-aggregate fallback on the
+    // n×cells assignment stream
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), "assignment argmax not partial")
+  }
 }
