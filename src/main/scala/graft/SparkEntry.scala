@@ -103,6 +103,8 @@ object SparkEntry {
     "corpus_boilerplate" -> ((s, d) =>
       Pipeline.corpusBoilerplate(t(s, d, "documents"))),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
+    "corpus_shuffle" -> ((s, d) =>
+      Pipeline.corpusShuffle(t(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       Pipeline.sampleStratified(t(s, d, "documents"))),
     "graph_components" -> ((s, d) =>
@@ -1168,6 +1170,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C19: replay of Sampling.shuffleShard — global rank in
+    // (salted-md5 key, id) order, round-robin shard deal
+    "corpus_shuffle" ->
+      s"""WITH r AS (SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY substr(md5(doc_id::VARCHAR || ':42'), 1, 4), doc_id)
+        |    - 1 AS r
+        |  FROM documents)
+        |SELECT doc_id, (r % 8)::BIGINT AS shard, (r // 8)::BIGINT AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id, lang, source,
         | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)

@@ -144,4 +144,52 @@ object Sampling {
     }
     df.filter(key < thr)
   }
+
+  /** Deterministic corpus shuffle + balanced shard assignment — the
+    * export step before writing training shards: every row gets a
+    * pseudorandom but exactly reproducible global position (rank in
+    * `(hashKey(id, seed), id)` order — the salted-md5 key shuffles,
+    * the id breaks the rare 16-bit key collisions so the order is
+    * total), then positions are dealt round-robin into `shards`
+    * (`shard = r mod shards`, `pos = r div shards`), so shard sizes
+    * differ by at most one row and a training job reading shard files
+    * in `pos` order sees a well-mixed document stream. Everything is a
+    * pure function of (id, seed, corpus membership) — re-running on a
+    * differently-partitioned copy of the corpus yields the identical
+    * assignment, and another engine replays it from the formula.
+    *
+    * The global rank uses [[graft.operators.Packing]]'s two-phase
+    * distributed scan, not a single-task `Window.orderBy`: range-
+    * partition by the shuffle key (parallel), count each partition
+    * (one row per partition to the driver), broadcast the prefix
+    * offsets, finish with a per-partition window (parallel). Rank is
+    * independent of where the sampled range bounds fall because the
+    * sort key is total — partition boundaries move rows between
+    * tasks, never reorder them.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, shards: Int,
+                   seed: Long = 42L, numPartitions: Int = 0): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.select(col(idCol), hashKey(col(idCol), seed).as("_k"))
+      .repartitionByRange(n, col("_k"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin partitioning: counts and window must agree
+    val inOrder = keyed.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().sortBy(_.getAs[Int]("_pid"))
+    val offsets = inOrder.scanLeft(0L)(_ + _.getAs[Long]("_c")).init
+    val offsetMap = inOrder.map(_.getAs[Int]("_pid")).zip(offsets).toMap
+    val mapExpr = map(offsetMap.toSeq.flatMap {
+      case (p, o) => Seq(lit(p), lit(o))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_k"), col(idCol))
+    keyed
+      .withColumn("_r",
+        element_at(mapExpr, col("_pid")) + row_number().over(w) - 1)
+      .select(col(idCol), pmod(col("_r"), lit(shards.toLong)).as("shard"),
+        expr(s"_r div ${shards.toLong}").as("pos"))
+  }
 }

@@ -163,6 +163,14 @@ object Pipeline {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** C19: deterministic shuffle + 8-way balanced shard assignment —
+    * the export layout for training shards (distributed two-phase
+    * global rank, round-robin deal).
+    */
+  def corpusShuffle(documents: DataFrame): DataFrame =
+    Sampling.shuffleShard(documents, "doc_id", shards = 8, seed = 42L)
+      .orderBy("doc_id")
+
   /** C13: domain-mixture sampling — sources src0-4:src5-9:src10-19
     * targeted at 3:2:1 per-document proportions; the binding domain
     * caps the total and every source is deterministically downsampled

@@ -38,7 +38,7 @@ object BenchScale {
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
     "dedup_paragraph", "dedup_substring", "dedup_substring_trim",
-    "dedup_semantic",
+    "dedup_semantic", "corpus_shuffle",
     "dedup_clusters", "graph_components", "seq_packing",
     "compact_cells",
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",

@@ -90,4 +90,29 @@ class SamplingSpec extends SparkSpec {
       Seq("train" -> 0.8, "val" -> 0.2)).select("doc_id", "split")
     assert(base.except(shuffled).isEmpty && shuffled.except(base).isEmpty)
   }
+
+  test("shuffle-shard: a bijective deal onto balanced, well-mixed shards") {
+    val out = Sampling.shuffleShard(docs, "doc_id", shards = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val n = docs.count()
+    assert(out.length == n, "every row assigned exactly once")
+    // (shard, pos) is a bijection onto 0..n-1 dealt round-robin
+    assert(out.map(r => r._2 + r._3 * 8).toSet == (0L until n).toSet)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.size == 8 && sizes.max - sizes.min <= 1,
+      s"unbalanced shards: $sizes")
+    // shuffled, not id order: consecutive ids land apart
+    val shardOf = out.map(r => r._1 -> r._2).toMap
+    val sameAsNext = (0L until n - 1)
+      .count(i => shardOf(i) == shardOf(i + 1)).toDouble / (n - 1)
+    assert(sameAsNext < 0.3, s"consecutive ids co-sharded $sameAsNext")
+  }
+
+  test("shuffle-shard assignment is independent of input partitioning") {
+    val base = Sampling.shuffleShard(docs, "doc_id", shards = 5)
+    val repart = Sampling.shuffleShard(docs.repartition(13), "doc_id",
+      shards = 5, numPartitions = 3)
+    assert(base.except(repart).isEmpty && repart.except(base).isEmpty)
+  }
 }
