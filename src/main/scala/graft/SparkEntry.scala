@@ -69,6 +69,8 @@ object SparkEntry {
         hoursOfDay = Seq(3, 15))),
     "compact_cells" -> ((s, d) =>
       HModel.compactCells(t(s, d, "events"), versions = 2)),
+    "compact_cells_ttl" -> ((s, d) =>
+      HModel.compactCellsTtl(t(s, d, "events"), versions = 2)),
     "cells_versions" -> ((s, d) =>
       HModel.cellsVersions(t(s, d, "events"), n = 3)),
     "zorder_layout" -> ((s, d) => HModel.zorderLayout(t(s, d, "events"))),
@@ -1069,6 +1071,42 @@ object SparkEntry {
         |exdel AS (SELECT rk_hex, max(ts_ms) AS dts
         |  FROM c WHERE user_id % 11 = 0 AND qualifier = 'view' GROUP BY rk_hex),
         |surv AS (SELECT c.rk_hex, c.qualifier, c.ts_ms, c.value FROM c
+        |  LEFT JOIN famthr f ON c.rk_hex = f.rk_hex
+        |  LEFT JOIN colthr t ON c.rk_hex = t.rk_hex AND c.qualifier = 'click'
+        |  LEFT JOIN exdel e ON c.rk_hex = e.rk_hex AND c.qualifier = 'view'
+        |    AND c.ts_ms = e.dts
+        |  WHERE (f.thr IS NULL OR c.ts_ms > f.thr)
+        |    AND (t.thr IS NULL OR c.ts_ms > t.thr)
+        |    AND e.dts IS NULL),
+        |coll AS (SELECT rk_hex, qualifier, ts_ms, max(value) AS value
+        |  FROM surv GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rk_hex, qualifier
+        |    ORDER BY ts_ms DESC) AS rnk FROM coll)
+        |SELECT rk_hex, qualifier, ts_ms, value FROM r WHERE rnk <= 2
+        |ORDER BY rk_hex, qualifier, ts_ms""".stripMargin,
+    // compact_cells with TTL expiry replayed as plain ts predicates:
+    // family TTL 25d (now = 2024-02-01T00:00Z ⇒ keep iff
+    // ts > 1704585600000), click puts' 10-day cell TTL tag ⇒ keep iff
+    // ts > 1705881600000. Marker THRESHOLDS derive from the full put
+    // stream (markers are built before expiry), then each marker expires
+    // by its own ts under the family TTL (HAVING), exactly as applyTtl
+    // drops marker rows.
+    "compact_cells_ttl" ->
+      """WITH c AS (SELECT user_id, lpad(to_hex(user_id),16,'0') AS rk_hex,
+        |  event_type AS qualifier, epoch_ms(ts) AS ts_ms, value FROM events),
+        |famthr AS (SELECT rk_hex, (min(ts_ms)+max(ts_ms))//2 AS thr
+        |  FROM c WHERE user_id % 5 = 0 GROUP BY rk_hex
+        |  HAVING (min(ts_ms)+max(ts_ms))//2 > 1704585600000),
+        |colthr AS (SELECT rk_hex, max(ts_ms) AS thr
+        |  FROM c WHERE user_id % 7 = 0 AND qualifier = 'click' GROUP BY rk_hex
+        |  HAVING max(ts_ms) > 1704585600000),
+        |exdel AS (SELECT rk_hex, max(ts_ms) AS dts
+        |  FROM c WHERE user_id % 11 = 0 AND qualifier = 'view' GROUP BY rk_hex
+        |  HAVING max(ts_ms) > 1704585600000),
+        |live AS (SELECT * FROM c WHERE ts_ms >
+        |  CASE WHEN qualifier = 'click' THEN 1705881600000
+        |       ELSE 1704585600000 END),
+        |surv AS (SELECT c.rk_hex, c.qualifier, c.ts_ms, c.value FROM live c
         |  LEFT JOIN famthr f ON c.rk_hex = f.rk_hex
         |  LEFT JOIN colthr t ON c.rk_hex = t.rk_hex AND c.qualifier = 'click'
         |  LEFT JOIN exdel e ON c.rk_hex = e.rk_hex AND c.qualifier = 'view'

@@ -112,6 +112,35 @@ object BytesCodec {
     h
   }
 
+  /** HBase cell-tag wire format: repeated `[2-byte length][1-byte type]
+    * [payload]` where `length` covers the type byte plus the payload.
+    * Returns the payload of the FIRST tag of type `TtlTagType` (8)
+    * decoded as a big-endian long of milliseconds — the per-cell TTL
+    * HBase's `PrivateCellUtil.getTTL` resolves — or -1 when the buffer
+    * carries no TTL tag. A structurally truncated buffer or a TTL tag
+    * whose payload is not 8 bytes is rejected loudly: silently treating
+    * a corrupt tag block as "no TTL" would immortalize cells a cluster
+    * wrote with an expiry.
+    */
+  val TtlTagType: Byte = 8
+  def ttlTagMs(tags: Array[Byte]): Long = {
+    var i = 0
+    while (i < tags.length) {
+      require(i + 3 <= tags.length, s"truncated tag header at offset $i")
+      val len = ((tags(i) & 0xff) << 8) | (tags(i + 1) & 0xff)
+      require(len >= 1 && i + 2 + len <= tags.length,
+        s"truncated tag (len=$len) at offset $i")
+      if (tags(i + 2) == TtlTagType) {
+        require(len == 9, s"TTL tag payload must be 8 bytes, got ${len - 1}")
+        var v = 0L; var j = i + 3
+        while (j < i + 11) { v = (v << 8) | (tags(j) & 0xff); j += 1 }
+        return v
+      }
+      i += 2 + len
+    }
+    -1L
+  }
+
   /** HBase FuzzyRowFilter predicate (the filter TsdbScanner.java:16-53
     * builds): a row matches if ANY (pattern, mask) pair matches, where a
     * mask byte of 0 means "row byte must equal the pattern byte" and any

@@ -120,6 +120,24 @@ case class ArraysHashCode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-cell TTL in milliseconds from an HBase tag block (tag type 8,
+  * the layout `PrivateCellUtil.getTTL` reads), or -1 when the cell
+  * carries no TTL tag. Codegen'd static call, so TTL expiry runs inside
+  * whole-stage codegen during compaction scans.
+  */
+case class HbTagTtl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("tagTtl expects BINARY input")
+  override protected def nullSafeEval(input: Any): Any =
+    BytesCodec.ttlTagMs(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BytesCodec.ttlTagMs($c)")
+  override protected def withNewChildInternal(newChild: Expression): HbTagTtl =
+    copy(child = newChild)
+}
+
 /** HBase FuzzyRowFilter over a BINARY rowkey column: true when the key
   * matches ANY (pattern, mask) pair — mask byte 0 pins the pattern byte,
   * nonzero is a wildcard (TsdbScanner.java:16-53 pins the 4 time bytes
@@ -168,6 +186,9 @@ object hb {
     ColumnBridge.column(HbDecode(ColumnBridge.expression(c), dt))
   def arraysHashCode(c: Column): Column =
     ColumnBridge.column(ArraysHashCode(ColumnBridge.expression(c)))
+  /** Cell TTL ms from an HBase tag block (type-8 tag), -1 when absent. */
+  def tagTtl(c: Column): Column =
+    ColumnBridge.column(HbTagTtl(ColumnBridge.expression(c)))
   /** FuzzyRowFilter match over (pattern, mask) byte pairs; mask 0 = must
     * match, nonzero = wildcard.
     */

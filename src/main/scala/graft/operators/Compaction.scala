@@ -36,6 +36,42 @@ object Compaction {
   private val DeleteColumn = HFile.KeyTypeDeleteColumn.toInt
   private val DeleteFamily = HFile.KeyTypeDeleteFamily.toInt
 
+  /** TTL expiry — the check HBase's compaction scanner applies before
+    * marker resolution. A cell (put OR marker: HBase expires delete
+    * markers by TTL the same way) survives when `nowMs - ts < ttl`,
+    * where the effective TTL is the FAMILY TTL capped by the cell's own
+    * TTL tag when one is present (a cell TTL can shorten, never extend,
+    * the family lifetime — HBase's `min(cell, family)` rule). Families
+    * absent from `familyTtlMs` never expire (HBase's FOREVER default).
+    *
+    * `nowMs` is an explicit parameter, not a clock read: expiry must be
+    * a deterministic function of the inputs so a retried task or a
+    * replayed job drops exactly the same cells.
+    *
+    * Pure per-row codegen filter (the TTL-tag parse is a static-call
+    * expression) — zero shuffles, scan-speed at any corpus size.
+    */
+  def applyTtl(cells: DataFrame, nowMs: Long,
+               familyTtlMs: Map[String, Long]): DataFrame = {
+    import graft.functions.hb
+    if (familyTtlMs.isEmpty && !cells.columns.contains("tags")) cells
+    else {
+      val famTtl = familyTtlMs.foldLeft(lit(Long.MaxValue)) {
+        case (acc, (fam, ttl)) =>
+          when(col("family") === fam, lit(ttl)).otherwise(acc)
+      }
+      val eff =
+        if (cells.columns.contains("tags")) {
+          val cellTtl = when(col("tags").isNotNull,
+            hb.tagTtl(col("tags"))).otherwise(lit(-1L))
+          when(cellTtl >= 0, least(cellTtl, famTtl)).otherwise(famTtl)
+        } else famTtl
+      // keep iff nowMs - ts < eff (never `ts >= nowMs - eff`: with the
+      // FOREVER sentinel Long.MaxValue that subtraction would overflow)
+      cells.filter(lit(nowMs) - col("ts") < eff)
+    }
+  }
+
   /** Applies delete-marker masking to a typed cell stream (columns
     * `rowkey, family, qualifier, ts, value, key_type`, any extras carried
     * through) and returns the surviving '''puts''' — the major-compaction
@@ -104,12 +140,22 @@ object Compaction {
               versions: Int = 1, numPartitions: Int = 32,
               blockSize: Int = HFile.DefaultBlockSize,
               compression: String = "none",
-              encoding: String = "none"): Unit = {
+              encoding: String = "none",
+              familyTtlMs: Map[String, Long] = Map.empty,
+              nowMs: Long = -1L): Unit = {
+    require(familyTtlMs.isEmpty || nowMs >= 0,
+      "TTL compaction needs an explicit nowMs (expiry must be deterministic)")
     // cluster-written inputs may carry cell tags (TTLs) and mvcc ids;
     // a rewrite that drops them silently changes semantics — probe the
     // file infos (file-count-scale short reads) and preserve the layout
     val carryTags = BulkLoad.dirHasTagsOrMvcc(spark, inDir)
-    val cells = BulkLoad.readHFiles(spark, inDir)
+    val cells0 = BulkLoad.readHFiles(spark, inDir)
+    // cell-TTL tags only exist when the tags layout is present; family
+    // TTLs apply either way
+    val cells =
+      if (nowMs >= 0 && (familyTtlMs.nonEmpty || carryTags))
+        applyTtl(cells0, nowMs, familyTtlMs)
+      else cells0
     val kept = retainVersions(applyDeletes(cells), versions)
     val prepared = kept
       .select(Seq(col("bucket"), col("rowkey").as("salted_key"),

@@ -152,8 +152,7 @@ object Core {
     // row-group pruning applies (the scan-side analogue of FuzzyRowFilter)
     val loNs = (loMs - loMs % hourMs) * 1000000L
     val hiNs = (hiMs - hiMs % hourMs) * 1000000L
-    events
-      .filter(col("ts") >= lit(loNs) && col("ts") < lit(hiNs))
+    graft.Tables.tsRange(events, loNs, hiNs)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))

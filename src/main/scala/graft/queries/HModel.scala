@@ -125,6 +125,18 @@ object HModel {
   def compactCells(events: DataFrame, versions: Int = 2,
                    cacheCells: Boolean = true): DataFrame = {
     import graft.operators.Compaction
+    val all = cellsWithMarkers(events, cacheCells)
+    val kept = Compaction.retainVersions(Compaction.applyDeletes(all), versions)
+    kept.select(hex(col("rowkey")).as("rk_hex"), col("qualifier"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("rk_hex"), col("qualifier"), col("ts_ms"))
+  }
+
+  /** The shared put+marker cell stream compact_cells / compact_cells_ttl
+    * resolve (columns rowkey/family/qualifier/ts/value/key_type).
+    */
+  private def cellsWithMarkers(events: DataFrame,
+                               cacheCells: Boolean): DataFrame = {
     import graft.sources.HFile
     // the typed cell projection feeds seven plan branches (three marker
     // derivations + the four key_type filters in applyDeletes); without
@@ -165,9 +177,45 @@ object HModel {
       .select(col("rowkey"), lit("m").as("family"),
         lit("view").as("qualifier"), col("ts"), noValue,
         lit(HFile.KeyTypeDelete.toInt).as("key_type"), col("user_id"))
-    val all = cells.unionByName(famDel).unionByName(colDel)
+    cells.unionByName(famDel).unionByName(colDel)
       .unionByName(exactDel).drop("user_id")
-    val kept = Compaction.retainVersions(Compaction.applyDeletes(all), versions)
+  }
+
+  /** B16: TTL-aware major compaction, oracle-checked — the same
+    * put+marker stream as [[compactCells]], but expired first by
+    * [[Compaction.applyTtl]] at a FIXED `nowMs` (2024-02-01T00:00Z, just
+    * past the one-month event window):
+    *  - family `m` carries a 25-day TTL → every cell (put AND marker)
+    *    older than Jan 7 expires — a mid-January `DeleteFamily` marker
+    *    can itself expire, un-masking the younger puts it covered;
+    *  - `click` puts carry a per-cell TTL TAG of 10 days (HBase tag
+    *    type 8, preceded by a non-TTL tag so the parser's skip logic is
+    *    on the oracle path) → clicks older than Jan 22 expire even
+    *    though the family would keep them (`min(cell, family)` rule).
+    * The oracle replays both thresholds as plain ts predicates, then the
+    * marker/versions pipeline exactly as compact_cells.
+    */
+  def compactCellsTtl(events: DataFrame, versions: Int = 2,
+                      cacheCells: Boolean = true): DataFrame = {
+    import graft.operators.Compaction
+    import graft.functions.BytesCodec
+    import graft.sources.HFile
+    val nowMs = 1706745600000L            // 2024-02-01T00:00:00Z
+    val famTtlMs = 25L * 24 * 3600 * 1000 // family m: 25 days
+    val clickTtlMs = 10L * 24 * 3600 * 1000 // click cell tag: 10 days
+    // [len=3][type=1][2-byte payload] [len=9][type=8][8-byte TTL ms]
+    val clickTags: Array[Byte] =
+      BytesCodec.encodeShort(3.toShort) ++ Array[Byte](1, 0x7f, 0x01) ++
+        BytesCodec.encodeShort(9.toShort) ++ Array[Byte](8) ++
+        BytesCodec.encodeLong(clickTtlMs)
+    val all = cellsWithMarkers(events, cacheCells)
+    val tagged = all.withColumn("tags",
+      when(col("key_type") === HFile.KeyTypePut.toInt &&
+        col("qualifier") === "click", lit(clickTags))
+        .otherwise(lit(Array.emptyByteArray)))
+    val live = Compaction.applyTtl(tagged, nowMs, Map("m" -> famTtlMs))
+      .drop("tags")
+    val kept = Compaction.retainVersions(Compaction.applyDeletes(live), versions)
     kept.select(hex(col("rowkey")).as("rk_hex"), col("qualifier"),
         col("ts").as("ts_ms"), col("value"))
       .orderBy(col("rk_hex"), col("qualifier"), col("ts_ms"))
@@ -304,9 +352,7 @@ object HModel {
     // (FuzzyRowMatch itself requires a non-empty pair list)
     val rowMatch =
       if (pairs.isEmpty) lit(false) else hb.fuzzyRowMatch(rowkey, pairs)
-    events
-      .filter(col("ts") >= lit(loSec * 1000000000L) &&
-        col("ts") < lit(hiSec * 1000000000L))
+    graft.Tables.tsRange(events, loSec * 1000000000L, hiSec * 1000000000L)
       .filter(rowMatch)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -352,6 +352,91 @@ class CompactionSpec extends SparkSpec {
       s"B must stay deleted through the minor->major chain, got $gv")
   }
 
+  test("ttlTagMs: parses the type-8 tag, skips others, rejects corrupt blocks") {
+    import graft.functions.BytesCodec
+    def ttlTag(ms: Long): Array[Byte] =
+      BytesCodec.encodeShort(9.toShort) ++ Array[Byte](8) ++
+        BytesCodec.encodeLong(ms)
+    val other = BytesCodec.encodeShort(3.toShort) ++ Array[Byte](1, 0x55, 0x66)
+    assert(BytesCodec.ttlTagMs(Array.emptyByteArray) == -1L)
+    assert(BytesCodec.ttlTagMs(other) == -1L)
+    assert(BytesCodec.ttlTagMs(ttlTag(86400000L)) == 86400000L)
+    // TTL tag behind a non-TTL tag: skip logic
+    assert(BytesCodec.ttlTagMs(other ++ ttlTag(5L)) == 5L)
+    // first TTL tag wins (HBase iterates and returns the first hit)
+    assert(BytesCodec.ttlTagMs(ttlTag(7L) ++ ttlTag(9L)) == 7L)
+    // truncated header / truncated payload / wrong TTL payload size: loud
+    intercept[IllegalArgumentException] {
+      BytesCodec.ttlTagMs(Array[Byte](0, 9))
+    }
+    intercept[IllegalArgumentException] {
+      BytesCodec.ttlTagMs(BytesCodec.encodeShort(9.toShort) ++ Array[Byte](8, 1))
+    }
+    intercept[IllegalArgumentException] {
+      BytesCodec.ttlTagMs(BytesCodec.encodeShort(3.toShort) ++
+        Array[Byte](8, 1, 2))
+    }
+  }
+
+  test("applyTtl: family TTL expires old cells, a cell tag can only shorten") {
+    import graft.functions.BytesCodec
+    def ttlTag(ms: Long): Array[Byte] =
+      BytesCodec.encodeShort(9.toShort) ++ Array[Byte](8) ++
+        BytesCodec.encodeLong(ms)
+    val now = 1000L
+    val cells = Seq(
+      // family f TTL 100: ts 950 lives (age 50), ts 900 expires (age 100)
+      (k(1), "f", "q", 950L, v(1), P, Array.emptyByteArray),
+      (k(1), "f", "q", 900L, v(2), P, Array.emptyByteArray),
+      // cell tag 20 < family 100: age 30 expires despite family headroom
+      (k(2), "f", "q", 970L, v(3), P, ttlTag(20L)),
+      // cell tag 500 > family 100 cannot EXTEND: age 150 still expires
+      (k(3), "f", "q", 850L, v(4), P, ttlTag(500L)),
+      // family g has no configured TTL: FOREVER
+      (k(4), "g", "q", 1L, v(5), P, Array.emptyByteArray),
+      // markers expire by TTL too
+      (k(5), "f", "", 900L, Array.emptyByteArray, DF, Array.emptyByteArray),
+      (k(5), "f", "", 950L, Array.emptyByteArray, DF, Array.emptyByteArray))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "key_type", "tags")
+    val got = Compaction.applyTtl(cells, now, Map("f" -> 100L))
+      .select(hex(col("rowkey")), col("ts"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("01", 950L), ("04", 1L), ("05", 950L)))
+  }
+
+  test("compact with TTL drops expired cells from a tagged directory") {
+    import graft.functions.BytesCodec
+    def ttlTag(ms: Long): Array[Byte] =
+      BytesCodec.encodeShort(9.toShort) ++ Array[Byte](8) ++
+        BytesCodec.encodeLong(ms)
+    val now = 10000L
+    val rows = Seq(
+      (k(1), "f", "q", 9900L, "young".getBytes, P, Array.emptyByteArray, 1L),
+      (k(1), "f", "q", 5000L, "old".getBytes, P, Array.emptyByteArray, 2L),
+      (k(2), "f", "q", 9900L, "tagged".getBytes, P, ttlTag(50L), 3L))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "key_type",
+        "tags", "mvcc")
+    val in = Files.createTempDirectory("ttl_in").toString
+    BulkLoad.writeHFiles(BulkLoad.prepare(rows, buckets = 1,
+        numPartitions = 1), in, tsCol = Some("ts"),
+      typeCol = Some("key_type"), tagsCol = Some("tags"),
+      mvccCol = Some("mvcc"))
+    val out = Files.createTempDirectory("ttl_out").toString
+    // family TTL 1000ms at now=10000: ts 5000 expires; the k(2) cell's
+    // own 50ms tag expires it at age 100 despite family headroom
+    Compaction.compact(spark, in, out, versions = 2, numPartitions = 1,
+      familyTtlMs = Map("f" -> 1000L), nowMs = now)
+    val back = BulkLoad.readHFiles(spark, out)
+      .select(hex(col("rowkey")), col("ts")).as[(String, Long)]
+      .collect().toSet
+    // prepare() salted the key: 2-byte bucket prefix + the 1-byte key
+    assert(back == Set(("000001", 9900L)))
+    // TTL config without nowMs must be rejected loudly
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, in, out, familyTtlMs = Map("f" -> 1000L))
+    }
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
