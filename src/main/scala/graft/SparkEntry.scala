@@ -139,6 +139,7 @@ object SparkEntry {
       Pipeline.textRepetition(t(s, d, "documents"))),
     "text_pii" -> ((s, d) => Pipeline.textPii(t(s, d, "customer"))),
     "text_classify" -> ((s, d) => Pipeline.textClassify(t(s, d, "documents"))),
+    "text_lm_score" -> ((s, d) => Pipeline.textLmScore(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
   )
@@ -205,13 +206,11 @@ object SparkEntry {
       |        % 18446744073709551616::HUGEINT) AS v FROM m3),
       |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m4)""".stripMargin
 
-  private def shingleSetCte(k: Int): String = {
+  /** The shared `w` (positioned words) + `fnv` (FNV-1a per word) CTE
+    * prefix every word-shingle replay builds on.
+    */
+  private def wordFnvCte: String = {
     val M64 = "18446744073709551616::HUGEINT"
-    val joins = (1 until k).map(i =>
-      s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
-      .mkString("\n             ")
-    val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
-      s"(($acc * 31 + t$i.h) % $M64)")
     s"""w AS (
       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
       |  FROM (SELECT doc_id,
@@ -227,7 +226,45 @@ object SparkEntry {
       |      (acc, b) -> ((xor(acc, b) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
       |         + (((acc // 4294967296::HUGEINT) * 1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
       |        % $M64) AS h
-      |  FROM w),
+      |  FROM w)""".stripMargin
+  }
+
+  /** Positional (idx-keyed, duplicates-retained) replay of
+    * [[graft.functions.TextHashes.wordShingleSeq]] for `k`-word
+    * shingles, CTE names prefixed `p`; the chain ends in
+    * `${p}5(doc_id, idx, v)` where `idx` is the shingle's FIRST word
+    * position. Callers emit [[wordFnvCte]] once before any tails.
+    */
+  private def shingleSeqTail(k: Int, p: String): String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val joins = (1 until k).map(i =>
+      s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
+      .mkString("\n             ")
+    val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
+      s"(($acc * 31 + t$i.h) % $M64)")
+    s"""${p}0 AS (
+      |  SELECT t0.doc_id, t0.idx, $chain AS v
+      |  FROM fnv t0 $joins),
+      |${p}1 AS (SELECT doc_id, idx, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}0),
+      |${p}2 AS (SELECT doc_id, idx, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+      |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64 AS v FROM ${p}1),
+      |${p}3 AS (SELECT doc_id, idx, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}2),
+      |${p}4 AS (SELECT doc_id, idx, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+      |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |        % $M64 AS v FROM ${p}3),
+      |${p}5 AS (SELECT doc_id, idx, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}4)"""
+      .stripMargin
+  }
+
+  private def shingleSetCte(k: Int): String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val joins = (1 until k).map(i =>
+      s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
+      .mkString("\n             ")
+    val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
+      s"(($acc * 31 + t$i.h) % $M64)")
+    s"""$wordFnvCte,
       |sh0 AS (
       |  SELECT t0.doc_id, $chain AS c0
       |  FROM fnv t0 $joins),
@@ -1556,6 +1593,34 @@ object SparkEntry {
         |  coalesce(s.score_q, 0) > 0 AS pred,
         |  coalesce(s.n_feat, 0)::BIGINT AS n_feat, l.weak_label
         |FROM lbl l LEFT JOIN sc s USING (doc_id) ORDER BY l.doc_id""".stripMargin,
+    // positional k=1/k=2 kernel replays (u5/g5), hashed bucket counts
+    // from the lang='en' slice, then the exact integer grid:
+    // q = ((cBig+1)·2^20) // (cUni+4096). HUGEINT arithmetic in the
+    // oracle equals Spark's guarded long arithmetic exactly.
+    "text_lm_score" ->
+      s"""WITH $wordFnvCte,
+        |${shingleSeqTail(1, "u")},
+        |${shingleSeqTail(2, "g")},
+        |trainu AS (SELECT u5.v % 4096 AS b, count(*) AS c
+        |  FROM u5 JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        |  GROUP BY 1),
+        |trainb AS (SELECT g5.v % 65536 AS b, count(*) AS c
+        |  FROM g5 JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        |  GROUP BY 1),
+        |q AS (SELECT g.doc_id,
+        |    ((coalesce(tb.c, 0) + 1)::HUGEINT * 1048576)
+        |      // (coalesce(tu.c, 0) + 4096) AS q
+        |  FROM g5 g
+        |  JOIN u5 u ON u.doc_id = g.doc_id AND u.idx = g.idx
+        |  LEFT JOIN trainb tb ON tb.b = g.v % 65536
+        |  LEFT JOIN trainu tu ON tu.b = u.v % 4096),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(q) AS s FROM q GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.s, 0) AS BIGINT) AS lm_sum,
+        |  CASE WHEN a.n IS NULL THEN NULL
+        |       ELSE CAST(a.s // a.n AS BIGINT) END AS lm_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

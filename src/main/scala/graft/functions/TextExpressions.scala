@@ -147,6 +147,18 @@ case class WordShingleHashes(child: Expression, k: Int) extends StringInput {
     copy(child = newChild)
 }
 
+/** Positional (duplicates-retained) word-shingle hash sequence. */
+case class WordShingleSeq(child: Expression, k: Int) extends StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.wordShingleSeq(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.wordShingleSeq($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleSeq =
+    copy(child = newChild)
+}
+
 /** Codepoint count of `[^a-zA-Z0-9\s]` matches (punctuation metric). */
 case class PunctCount(child: Expression) extends StringInput {
   override def dataType: DataType = LongType
@@ -164,6 +176,8 @@ object txt {
     ColumnBridge.column(PunctCount(ColumnBridge.expression(s)))
   def wordShingleHashes(s: Column, k: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(s), k))
+  def wordShingleSeq(s: Column, k: Int): Column =
+    ColumnBridge.column(WordShingleSeq(ColumnBridge.expression(s), k))
   def minhash(hashes: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), perms))
   def simhash(hashes: Column): Column =

@@ -143,6 +143,44 @@ object TextHashes {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(arr, u))
   }
 
+  /** POSITIONAL variant of [[wordShingleHashes]]: one entry per shingle
+    * position in document order, duplicates retained — the multiset a
+    * language-model score needs (an LM weighs every occurrence; the
+    * distinct-set form would collapse repeated n-grams). Byte-identical
+    * per-position values to the set form (same FNV-1a → 31-combine →
+    * fmix64 chain), so the two kernels share one oracle replay.
+    */
+  def wordShingleSeq(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var out = new Array[Long](32)
+    var m = 0
+    val ring = new Array[Long](k)
+    var words = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        var h = 0xCBF29CE484222325L // FNV-1a offset basis
+        while (i < n && !isWs(bytes(i))) {
+          h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L
+          i += 1
+        }
+        ring(words % k) = h
+        words += 1
+        if (words >= k) {
+          var c = 1L
+          var j = words - k
+          while (j < words) { c = c * 31 + ring(j % k); j += 1 }
+          if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+          out(m) = fmix64(c)
+          m += 1
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
   /** Count of codepoints matching `[^a-zA-Z0-9\s]` — the punctuation
     * count the quality score's compositional form computed with
     * `size(regexp_extract_all(...))`, which allocated one string per

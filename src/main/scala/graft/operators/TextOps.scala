@@ -316,4 +316,76 @@ object TextOps {
       .select(col(idCol), col("score_q"), (col("score_q") > 0).as("pred"),
         col("n_feat"), col("weak_label"))
   }
+
+  /** E10: bigram-LM fluency score — the CCNet/Gopher "LM perplexity
+    * filter" shape (score every doc by a language model trained on a
+    * trusted reference corpus; low likelihood = gibberish/boilerplate)
+    * re-expressed on an exact integer grid so it is bit-identical under
+    * any partitioning AND SQL-replayable (a float log-prob sum is
+    * neither). The model is a hashed add-one-smoothed bigram table:
+    * per bigram position `i` with bigram bucket `b` and first-word
+    * unigram bucket `u` (positional k=1/k=2 shingle kernels —
+    * [[graft.functions.TextHashes.wordShingleSeq]], duplicates
+    * RETAINED: an LM weighs every occurrence),
+    *
+    *   q_i = ((cBig(b) + 1) · 2²⁰) div (cUni(u) + uniBuckets)
+    *
+    * — the quantized smoothed conditional `P(w_{i+1} | w_i)`. A doc's
+    * `lm_sum` is Σ q_i and `lm_score` the per-bigram mean; higher =
+    * more reference-like word transitions. `refFilter` selects the
+    * trusted slice (a real pipeline points it at its wiki-grade
+    * corpus; the query uses the labeled `lang = 'en'` slice).
+    *
+    * Plan shape: TWO training passes over the (filtered, column-pruned)
+    * reference slice — explode positional hashes → partial-agg groupBy
+    * on ≤`bigBuckets` keys (hot stopword buckets absorb map-side) — a
+    * ≤65536-row driver collect each, then scoring as ONE pure map with
+    * both count tables as plan literals (`element_at` on a constant
+    * array inside whole-stage codegen; zero shuffles, zero joins).
+    * The numerator guard keeps `(max bucket count + 1) · 2²⁰` inside a
+    * long: a bucket would need ≥2⁴³ occurrences to trip it — a 100 TB
+    * corpus's hottest stopword bucket sits orders below; the loud
+    * require beats silent wraparound.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              refFilter: Column, uniBuckets: Int = 4096,
+              bigBuckets: Int = 65536): DataFrame = {
+    require(uniBuckets > 0 && (uniBuckets & (uniBuckets - 1)) == 0 &&
+      bigBuckets > 0 && (bigBuckets & (bigBuckets - 1)) == 0,
+      "bucket counts must be powers of two")
+    def bucketCounts(k: Int, buckets: Int): Array[Long] = {
+      val arr = new Array[Long](buckets)
+      docs.filter(refFilter)
+        .select(explode(txt.wordShingleSeq(col(textCol), k)).as("h"))
+        .groupBy(col("h").bitwiseAND(lit((buckets - 1).toLong))
+          .cast("int").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val cu = bucketCounts(1, uniBuckets)
+    val cb = bucketCounts(2, bigBuckets)
+    require(cb.max <= (Long.MaxValue >> 20) - 1,
+      "bigram bucket count overflows the 2^20 integer grid")
+    val base = docs.select(col(idCol),
+        txt.wordShingleSeq(col(textCol), 1).as("u"),
+        txt.wordShingleSeq(col(textCol), 2).as("bg"))
+      .withColumn("_cu", typedLit(cu.toSeq))
+      .withColumn("_cb", typedLit(cb.toSeq))
+    // bigram j's first word is word j: slice(u, 1, size(bg)) aligns the
+    // unigram sequence with the bigram sequence position-by-position
+    val qs = expr(
+      s"zip_with(bg, slice(u, 1, size(bg)), (bh, uh) -> " +
+        s"((element_at(_cb, cast(bh & ${bigBuckets - 1} as int) + 1) + 1) " +
+        s"* 1048576) DIV " +
+        s"(element_at(_cu, cast(uh & ${uniBuckets - 1} as int) + 1) " +
+        s"+ $uniBuckets))")
+    base.withColumn("qs", qs)
+      .select(col(idCol),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("lm_sum"))
+      .withColumn("lm_score",
+        when(col("n_bigrams") === 0, lit(null).cast("long"))
+          .otherwise(expr("lm_sum DIV n_bigrams")))
+  }
 }

@@ -418,6 +418,13 @@ object Pipeline {
   def textClassify(documents: DataFrame): DataFrame =
     TextOps.classify(documents, "doc_id", "text").orderBy("doc_id")
 
+  /** E10: the labeled `lang = 'en'` slice stands in for the trusted
+    * reference corpus a real pipeline trains its LM filter on.
+    */
+  def textLmScore(documents: DataFrame): DataFrame =
+    TextOps.lmScore(documents, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en").orderBy("doc_id")
+
   // ---- F. multimodal ---------------------------------------------------
 
   def mmManifest(documents: DataFrame): DataFrame =

@@ -161,6 +161,52 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq.toList).toList == out2.map(_.toSeq.toList).toList)
   }
 
+  test("wordShingleSeq: positional multiset; distinct-sorted view equals " +
+      "the set kernel") {
+    import graft.functions.txt
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = df.select(
+      txt.wordShingleSeq(col("text"), 2).as("seq"),
+      txt.wordShingleHashes(col("text"), 2).as("set")).head()
+    val seq = r.getSeq[Long](0)
+    val set = r.getSeq[Long](1)
+    // 4 bigram positions: ab, ba, ab, ba — two distinct values, order
+    // preserved, duplicates retained
+    assert(seq.length == 4)
+    assert(seq(0) == seq(2) && seq(1) == seq(3) && seq(0) != seq(1))
+    assert(seq.distinct.sorted == set.sorted && set.length == 2)
+  }
+
+  test("lmScore: reference-like transitions score high, scrambled ones low; " +
+      "short docs are null-safe") {
+    // reference slice: docs with repeated canonical transitions; the
+    // in-domain doc reuses them, the out-of-domain doc uses unseen words
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the mat", "en"),
+      (3L, "the cat sat on the mat", "xx"),   // in-domain, not in ref
+      (4L, "zq wv xj qk vz jx", "xx"),        // gibberish transitions
+      (5L, "one", "xx"),                      // no bigrams -> null score
+      (6L, "", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.lmScore(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect()
+    val score = got.map(r =>
+      if (r.isNullAt(r.fieldIndex("lm_score"))) None
+      else Some(r.getAs[Long]("lm_score"))).toSeq
+    assert(score(3).get == score(0).get,
+      "same text must score identically whether or not it was in the ref")
+    assert(score(3).get > score(4).get,
+      s"in-domain must out-score gibberish: $score")
+    assert(score(5).isEmpty && score(6).isEmpty, "no bigrams -> null")
+    // determinism under repartitioning: the integer grid leaves no
+    // float-summation-order surface
+    val re = TextOps.lmScore(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en").orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == re.map(_.toString).toSeq)
+  }
+
   test("classify: sampled training (trainMod / maxTrain) scores every " +
       "doc from an id-mod training slice") {
     val docs = sf("documents")
