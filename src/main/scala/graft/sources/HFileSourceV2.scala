@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataC
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -136,7 +137,7 @@ class HFileTable(path: String) extends Table with SupportsRead with SupportsWrit
     Array(HFileSource.FileMetadataColumn)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HFileScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -348,6 +349,9 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): rstreaming.MicroBatchStream =
+    new HFileMicroBatchStream(path, required, pushed, confMap)
   override def description(): String =
     s"graft-hfile $path, pruned by [${pushed.mkString(", ")}]"
 
@@ -524,6 +528,109 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
   * (first finished attempt wins; output is deterministic, so duplicate
   * speculative bytes are identical).
   */
+/** Streaming offset for a tailed bulk-load directory: the highest epoch
+  * id delivered so far (-1 = nothing yet). Epoch ids are
+  * strictly increasing by construction — plain sinks use the batch id,
+  * capped sinks stride it ([[graft.streaming.Streams.EpochStride]]).
+  */
+case class HFileEpochOffset(epoch: Long) extends rstreaming.Offset {
+  override def json(): String = s"""{"epoch":$epoch}"""
+}
+
+object HFileEpochOffset {
+  private val Re = """\{"epoch":(-?\d+)\}""".r
+  def parse(json: String): HFileEpochOffset = json.trim match {
+    case Re(e) => HFileEpochOffset(e.toLong)
+    case other => throw new IllegalArgumentException(
+      s"not a graft-hfile offset: $other")
+  }
+}
+
+/** G10 — incremental tail of a [[graft.streaming.Streams.bulkLoadStream]]
+  * directory: each micro-batch delivers the cell stream of the epoch
+  * runs published since the last offset, so a downstream consumer
+  * (incremental rollup, replication, index build) follows the bulk-load
+  * sink without rescanning the directory — the HBase-replication-tails-
+  * WALs role, re-expressed as a DSv2 streaming scan.
+  *
+  * A run is DELIVERABLE when its `epoch=N` directory carries the sink's
+  * `_complete` marker (written after every file's commit rename, so a
+  * marked run is always fully loadable) and no `_consumed` provenance
+  * file (fold outputs rearrange already-delivered cells — skipping them
+  * keeps delivery exactly-once; their consumed sources are already past
+  * offsets). Exactly-once therefore holds unconditionally on append-only
+  * sinks (`maxEpochs = 0`); under a self-compacting sink the consumer
+  * must stay less than one fold window behind, else a lagging epoch can
+  * be folded (and swept) before it is read — the same freshness contract
+  * HBase replication has with WAL cleanup.
+  *
+  * Plan shape: offsets and run listings are driver-side globs (O(runs));
+  * each micro-batch plans one InputPartition per new HFile through the
+  * same reader/pruning machinery as the batch scan (consumed exact
+  * `bucket` filters are honored here; residual rowkey filters re-filter
+  * rows upstream as in the batch path).
+  */
+class HFileMicroBatchStream(path: String, required: StructType,
+                            pushed: Array[Filter],
+                            confMap: Map[String, String])
+    extends rstreaming.MicroBatchStream {
+  import HFileSource._
+
+  private def fs = {
+    val root = new Path(path)
+    (root, root.getFileSystem(confOf(confMap)))
+  }
+
+  /** Published, never-folded epoch ids (see class doc). */
+  private def deliverable(): Seq[Long] = {
+    val (root, f) = fs
+    Option(f.globStatus(new Path(root, "epoch=*")))
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .filter(st => f.exists(new Path(st.getPath,
+        graft.streaming.Streams.CompleteFile)))
+      .filterNot(st => f.exists(new Path(st.getPath,
+        graft.streaming.Streams.ConsumedFile)))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .toSeq
+  }
+
+  override def initialOffset(): rstreaming.Offset = HFileEpochOffset(-1L)
+  override def latestOffset(): rstreaming.Offset =
+    HFileEpochOffset(deliverable().foldLeft(-1L)(math.max))
+  override def deserializeOffset(json: String): rstreaming.Offset =
+    HFileEpochOffset.parse(json)
+  override def commit(end: rstreaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: rstreaming.Offset,
+                                   end: rstreaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HFileEpochOffset].epoch
+    val e = end.asInstanceOf[HFileEpochOffset].epoch
+    if (e <= s) return Array.empty
+    val (root, f) = fs
+    val epochs = deliverable().filter(id => id > s && id <= e)
+    val bucketOk: Int => Boolean = b => pushed.forall {
+      case EqualTo("bucket", v: Int) => b == v
+      case In("bucket", vs) => vs.exists {
+        case v: Int => v == b
+        case _      => true
+      }
+      case _ => true // residual filters re-filter rows upstream
+    }
+    epochs.sorted.flatMap { id =>
+      Option(f.globStatus(new Path(root, s"epoch=$id/bucket=*/*.hfile")))
+        .getOrElse(Array.empty)
+        .map(st => st.getPath.toString)
+        .map(p => HFileInputPartition(p, bucketOf(p)))
+        .filter(p => bucketOk(p.bucket))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HFileReaderFactory(required, confMap)
+}
+
 class HFileWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false

@@ -274,8 +274,36 @@ object Streams {
         graft.operators.BulkLoad.writeHFiles(prepared,
           s"$dir/epoch=$runId", tsCol = tsCol, typeCol = typeCol,
           compression = compression)
+        // publish the run to tailing readers (the `graft-hfile` streaming
+        // source reads only `_complete`-marked, non-fold epochs): written
+        // AFTER every file's first-wins rename landed, so a marker always
+        // names a fully-loadable run; a replayed batch re-marks its own
+        // dir idempotently
+        val runDir = new org.apache.hadoop.fs.Path(s"$dir/epoch=$runId")
+        val mfs = runDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        mfs.create(new org.apache.hadoop.fs.Path(runDir, CompleteFile), true)
+          .close()
       }
   }
+
+  /** Completion marker a [[bulkLoadStream]] batch drops into its
+    * `epoch=N` directory once every file is committed — the streaming
+    * source's publish signal (fold directories carry [[ConsumedFile]]
+    * instead and are never re-delivered).
+    */
+  val CompleteFile = "_complete"
+
+  /** G10: incrementally tail a [[bulkLoadStream]] directory — each
+    * micro-batch is the cell stream of the epoch runs published since
+    * the last offset (see
+    * [[graft.sources.HFileMicroBatchStream]] for the delivery
+    * contract). The downstream side of the reference's bulk-load loop:
+    * what HBase replication does by tailing WALs, here as a standard
+    * streaming DataFrame any sink or stateful operator can consume.
+    */
+  def readBulkLoadStream(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.readStream.format("graft-hfile").load(dir)
 
   /** Batch-id stride for capped sinks: leaves id slots above every run
     * for folds (`window max + 1`) without ever colliding with a batch's

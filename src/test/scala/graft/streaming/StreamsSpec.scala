@@ -488,4 +488,68 @@ class StreamsSpec extends SparkSpec {
       assert(v1 == Seq(5.0), s"got $v1")
     } finally q.stop()
   }
+
+  test("G10 streaming hfile source: tails published epochs exactly once, " +
+      "skips unpublished and fold directories") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tail_src").toString
+    val input = MemoryStream[(Long, Double)]
+    val cells = input.toDF().toDF("key", "value")
+      .select(
+        graft.functions.hb.encode(col("key")).as("rowkey"),
+        lit("f").as("family"), lit("v").as("qualifier"),
+        graft.functions.hb.encode(col("value")).as("value"))
+    val w = Streams.bulkLoadStream(cells, dir, buckets = 2,
+        numPartitions = 2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tail_w_ckpt").toString)
+      .start()
+    val tail = Streams.readBulkLoadStream(spark, dir)
+      .select(
+        graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+          LongType).as("k"),
+        graft.functions.hb.decode(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("v"))
+    val tq = tail.writeStream.format("memory").queryName("hfile_tail")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tail_r_ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      w.processAllAvailable()
+      tq.processAllAvailable()
+      def seen(): Seq[(Long, Double)] =
+        spark.sql("SELECT k, v FROM hfile_tail").as[(Long, Double)]
+          .collect().sorted.toSeq
+      assert(seen() == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+      // an UNPUBLISHED epoch dir (hfile present, no _complete marker)
+      // and a FOLD dir (_complete + _consumed) must both be invisible
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val e0 = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("epoch=")).head
+      def cloneEpoch(name: String, extras: Seq[String]): Unit = {
+        val dst = new org.apache.hadoop.fs.Path(dir, name)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(e0.toString), fs, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dst,
+          Streams.CompleteFile), false)
+        extras.foreach { m =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(dst, m), true)
+          out.write("0\n".getBytes("UTF-8")); out.close()
+        }
+      }
+      cloneEpoch("epoch=97", Seq.empty)                 // unpublished
+      cloneEpoch("epoch=98",
+        Seq(Streams.CompleteFile, Streams.ConsumedFile)) // fold output
+      // a second sink batch: only ITS cells arrive (exactly-once — the
+      // first epoch is not re-delivered, the 97/98 dirs never deliver)
+      input.addData((4L, 4.0), (5L, 5.0))
+      w.processAllAvailable()
+      tq.processAllAvailable()
+      assert(seen() == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0),
+        (4L, 4.0), (5L, 5.0)), s"got ${seen()}")
+    } finally { tq.stop(); w.stop() }
+  }
 }
