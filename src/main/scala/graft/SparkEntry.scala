@@ -52,6 +52,7 @@ object SparkEntry {
     "rollup_percentiles" -> ((s, d) =>
       Core.rollupPercentiles(t(s, d, "events"))),
     "rollup_distinct" -> ((s, d) => Core.rollupDistinct(t(s, d, "events"))),
+    "rollup_heavy_hitters" -> ((s, d) => Core.heavyHitters(t(s, d, "events"))),
     "rollup_fill" -> ((s, d) => Core.rollupFill(t(s, d, "events"))),
     "rollup_merge" -> ((s, d) =>
       Core.rollupMerge(Core.rollup(t(s, d, "events"), "hour"))),
@@ -1274,6 +1275,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rollup_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_events DESC, user_id) AS rnk FROM c)
+        |SELECT event_type, rnk, user_id, n_events FROM r WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
     "rollup_fill" ->
       """WITH b AS (SELECT event_type,
         |  epoch_ms(ts) // 1000 // 3600 AS h, COUNT(*) AS n_events,

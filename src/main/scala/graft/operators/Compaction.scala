@@ -52,7 +52,8 @@ object Compaction {
     * expression) — zero shuffles, scan-speed at any corpus size.
     */
   def applyTtl(cells: DataFrame, nowMs: Long,
-               familyTtlMs: Map[String, Long]): DataFrame = {
+               familyTtlMs: Map[String, Long],
+               putsOnly: Boolean = false): DataFrame = {
     import graft.functions.hb
     if (familyTtlMs.isEmpty && !cells.columns.contains("tags")) cells
     else {
@@ -67,8 +68,15 @@ object Compaction {
           when(cellTtl >= 0, least(cellTtl, famTtl)).otherwise(famTtl)
         } else famTtl
       // keep iff nowMs - ts < eff (never `ts >= nowMs - eff`: with the
-      // FOREVER sentinel Long.MaxValue that subtraction would overflow)
-      cells.filter(lit(nowMs) - col("ts") < eff)
+      // FOREVER sentinel Long.MaxValue that subtraction would overflow).
+      // `putsOnly` is MINOR-compaction expiry: expired puts can never
+      // resurrect anything so any fold may drop them, but markers are
+      // only collectable by a fold covering the oldest data (HBase keeps
+      // delete markers until major compaction for the same reason)
+      val alive = lit(nowMs) - col("ts") < eff
+      cells.filter(
+        if (putsOnly) col("key_type") =!= HFile.KeyTypePut.toInt || alive
+        else alive)
     }
   }
 
@@ -236,6 +244,10 @@ object Compaction {
     * (e.g. one picked by [[selectCompaction]]); runs outside it are
     * untouched and keep their precedence relative to the fold.
     *
+    * `familyTtlMs`/`nowMs` apply [[applyTtl]] before marker resolution
+    * (the compaction-scanner order); in minor mode only PUTS expire —
+    * delete markers travel verbatim until a major fold collects them.
+    *
     * `collectMarkers = false` is the MINOR-compaction mode: the fold
     * merges runs and resolves epoch precedence, but delete markers and
     * all cell versions are carried through VERBATIM (written with
@@ -253,7 +265,11 @@ object Compaction {
                     encoding: String = "none",
                     beforeEpoch: Option[Long] = scala.None,
                     epochs: Option[Seq[Long]] = scala.None,
-                    collectMarkers: Boolean = true): Unit = {
+                    collectMarkers: Boolean = true,
+                    familyTtlMs: Map[String, Long] = Map.empty,
+                    nowMs: Long = -1L): Unit = {
+    require(familyTtlMs.isEmpty || nowMs >= 0,
+      "TTL compaction needs an explicit nowMs (expiry must be deterministic)")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val liveIds = Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "epoch=*")))
@@ -309,9 +325,15 @@ object Compaction {
       .select(col("rowkey"), col("family"), col("qualifier"), col("ts"),
         col("key_type"), col("w.value").as("value"), col("w.tags").as("tags"),
         col("w.mvcc").as("mvcc"), col("bucket"))
-    val kept =
-      if (collectMarkers) retainVersions(applyDeletes(latest), versions)
+    // TTL expiry before marker resolution (the compaction-scanner order);
+    // a minor fold expires PUTS only — its markers travel verbatim
+    val live =
+      if (nowMs >= 0 && (familyTtlMs.nonEmpty || carryTags))
+        applyTtl(latest, nowMs, familyTtlMs, putsOnly = !collectMarkers)
       else latest
+    val kept =
+      if (collectMarkers) retainVersions(applyDeletes(live), versions)
+      else live
     val prepared = kept
       .select(Seq(col("bucket"), col("rowkey").as("salted_key"),
         col("family"), col("qualifier"), col("ts"), col("value")) ++

@@ -315,6 +315,54 @@ object Core {
       .orderBy(col("event_type"))
   }
 
+  /** A19: per-type heavy hitters — top-`k` users by event count, the
+    * "hottest series per metric" question (and the hottest-domain /
+    * hottest-template question of a curation pipeline). `approx = false`
+    * (the oracle mode) is a plain partial-agg groupBy + window top-k —
+    * exact, but its first shuffle carries the full (type, user) key
+    * space. `approx = true` is the 100 TB path, a sketch-then-refine
+    * two-pass (the standard heavy-hitter pattern): pass 1 runs the
+    * mergeable Misra–Gries aggregate
+    * ([[graft.functions.FreqItemsSketch]]) per type — the shuffle
+    * carries ≤ `capacity` counters per type per map task, NOT the
+    * distinct-user space — whose guarantee (any item with true count
+    * > n/(capacity+1) is present) makes the candidate set a superset
+    * of the true top-k whenever the hitters clear that mass bound;
+    * pass 2 broadcasts the ≤ types·capacity candidates, semi-joins,
+    * and counts them EXACTLY, so the final ranking is deterministic
+    * (sketch count_lb values are arrival-order-dependent and are never
+    * ranked on). Spec asserts approx == exact on a skew where the
+    * guarantee binds, and repartitioning-independence of the refined
+    * result.
+    */
+  def heavyHitters(events: DataFrame, k: Int = 3, approx: Boolean = false,
+                   capacity: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted =
+      if (!approx)
+        events.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      else {
+        val cands = events.groupBy(col("event_type"))
+          .agg(graft.functions.FreqItemsSketch(col("user_id"), capacity)
+            .as("sk"))
+          .select(col("event_type"), explode(col("sk")).as("c"))
+          .select(col("event_type"), col("c.item").as("user_id"))
+        events.join(broadcast(cands), Seq("event_type", "user_id"),
+            "left_semi")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+    counted
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n_events").desc, col("user_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** A17: gap-filled hourly downsample — OpenTSDB's downsample fill
     * policies over the A9 rollup. Hours with no events appear with
     * `n_events = 0`, `is_gap = true`, `sum_value` carried forward from

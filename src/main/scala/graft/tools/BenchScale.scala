@@ -44,7 +44,8 @@ object BenchScale {
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
     "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",
     "knn_ivfpq", "knn_ivfpq_res", "knn_ivf_trained", "knn_ivfpq_trained",
-    "text_repetition", "text_classify",
+    "text_repetition", "text_classify", "text_lm_score",
+    "rollup_heavy_hitters",
     "corpus_decontaminate", "corpus_mix", "corpus_curate",
     "corpus_boilerplate")
 

@@ -437,6 +437,42 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("compactEpochs TTL: a minor fold expires puts but carries markers " +
+      "verbatim; a major fold expires both") {
+    import graft.functions.BytesCodec
+    val now = 1000L
+    def run(rows: Seq[(Array[Byte], String, String, Long, Array[Byte], Int)],
+            dir: String): Unit =
+      BulkLoad.writeHFiles(BulkLoad.prepare(cellsDf(rows), buckets = 1,
+        numPartitions = 1), dir, tsCol = Some("ts"), typeCol = Some("key_type"))
+    val dir = Files.createTempDirectory("ttl_fold").toString
+    run(Seq(
+      (k(1), "f", "q", 100L, v(1), P),   // expired put (age 900 >= 500)
+      (k(2), "f", "q", 950L, v(2), P)),  // young put
+      s"$dir/epoch=0")
+    run(Seq(
+      // EXPIRED-age delete marker: a minor fold must still carry it
+      (k(3), "f", "q", 100L, Array.emptyByteArray, D),
+      (k(4), "f", "q", 960L, v(4), P)),
+      s"$dir/epoch=1")
+    val minor = Files.createTempDirectory("ttl_minor").toString
+    Compaction.compactEpochs(spark, dir, minor, numPartitions = 1,
+      epochs = Some(Seq(0L, 1L)), collectMarkers = false,
+      familyTtlMs = Map("f" -> 500L), nowMs = now)
+    val got = BulkLoad.readHFiles(spark, minor)
+      .select(hex(col("rowkey")), col("key_type"))
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("000002", P), ("000003", D), ("000004", P)),
+      s"minor fold: $got")
+    val major = Files.createTempDirectory("ttl_major").toString
+    Compaction.compactEpochs(spark, dir, major, numPartitions = 1,
+      familyTtlMs = Map("f" -> 500L), nowMs = now)
+    val gotM = BulkLoad.readHFiles(spark, major)
+      .select(hex(col("rowkey")), col("key_type"))
+      .as[(String, Int)].collect().toSet
+    assert(gotM == Set(("000002", P), ("000004", P)), s"major fold: $gotM")
+  }
+
   test("end-to-end: write -> compact -> single resolved run per bucket") {
     val events = sf("events")
     val puts = events.select(
