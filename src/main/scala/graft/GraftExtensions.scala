@@ -66,6 +66,17 @@ object GraftExtensions {
       info("graft_salt_bucket",
         "graft_salt_bucket(bytes) - reference-parity Arrays.hashCode"),
       (args: Seq[Expression]) => ArraysHashCode(args(0))),
+    (FunctionIdentifier("graft_shingle_seq"),
+      info("graft_shingle_seq",
+        "graft_shingle_seq(text, k) - positional k-word-shingle hash " +
+          "sequence (duplicates retained, document order)"),
+      (args: Seq[Expression]) =>
+        WordShingleSeq(args(0), intArg(args(1), "graft_shingle_seq"))),
+    (FunctionIdentifier("graft_tag_ttl"),
+      info("graft_tag_ttl",
+        "graft_tag_ttl(tags) - cell TTL ms from an HBase tag block " +
+          "(type-8 tag), -1 when absent"),
+      (args: Seq[Expression]) => HbTagTtl(args(0))),
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",
         "graft_zorder(a, b) - 64-bit Z-order (Morton) interleave of two BIGINTs"),

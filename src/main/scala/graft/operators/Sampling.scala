@@ -192,4 +192,28 @@ object Sampling {
       .select(col(idCol), pmod(col("_r"), lit(shards.toLong)).as("shard"),
         expr(s"_r div ${shards.toLong}").as("pos"))
   }
+
+  /** C20: materialize the [[shuffleShard]] layout as training-shard
+    * files — the export step a data loader actually consumes. Every
+    * document lands in `outDir/shard=K/` with its full column set plus
+    * `pos`, files written in `pos` order (one range-partitioned task
+    * per shard sorts `(shard, pos)` before the parquet writer sees the
+    * rows), so a loader streaming a shard file front-to-back replays
+    * the global pseudorandom order without any further sort.
+    *
+    * Scale shape: the assignment is C19's two-phase rank (no global
+    * window); the join back to the full rows is id-keyed (AQE picks
+    * broadcast vs shuffle by size); the final exchange is one
+    * `repartition(shards)` whose tasks each stream one shard to disk.
+    * Shard count = file parallelism — pick shards ≈ the cluster's
+    * write slots at 100 TB.
+    */
+  def exportShards(df: DataFrame, idCol: String, outDir: String,
+                   shards: Int, seed: Long = 42L): Unit = {
+    val assign = shuffleShard(df, idCol, shards, seed)
+    df.join(assign, Seq(idCol))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

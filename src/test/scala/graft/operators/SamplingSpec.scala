@@ -109,6 +109,42 @@ class SamplingSpec extends SparkSpec {
     assert(sameAsNext < 0.3, s"consecutive ids co-sharded $sameAsNext")
   }
 
+  test("exportShards: per-shard files carry full rows in pos order, " +
+      "balanced, covering the corpus exactly") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.exportShards(docs, "doc_id", out, shards = 4, seed = 42L)
+    val dirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.length == 4)
+    val total = docs.count()
+    val assign = Sampling.shuffleShard(docs, "doc_id", shards = 4,
+      seed = 42L)
+    var seenIds = Set.empty[Long]
+    for (d <- dirs) {
+      val k = d.getName.stripPrefix("shard=").toInt
+      val rows = spark.read.parquet(d.toString)
+      // full column set survives (+ pos), shard is the directory
+      assert(rows.columns.toSet ==
+        docs.columns.toSet + "pos")
+      val got = rows.select("doc_id", "pos").as[(Long, Long)]
+        .collect().toSeq
+      // balanced deal: sizes differ by at most one
+      assert(math.abs(got.size - total / 4.0) <= 1.0)
+      // pos is exactly 0..m-1 and matches the C19 assignment
+      assert(got.map(_._2).sorted == (0L until got.size.toLong))
+      val expect = assign.filter(col("shard") === k)
+        .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+      got.foreach { case (id, p) => assert(expect(id) == p) }
+      // file order IS pos order: a loader needs no sort
+      val inFileOrder = spark.read.parquet(d.toString)
+        .select("pos").as[Long].collect().toSeq
+      assert(inFileOrder == inFileOrder.sorted,
+        s"shard $k rows not pos-ordered on disk")
+      seenIds ++= got.map(_._1)
+    }
+    assert(seenIds.size.toLong == total)
+  }
+
   test("shuffle-shard assignment is independent of input partitioning") {
     val base = Sampling.shuffleShard(docs, "doc_id", shards = 5)
     val repart = Sampling.shuffleShard(docs.repartition(13), "doc_id",

@@ -45,13 +45,18 @@ class SkewAggSpec extends SparkSpec {
           |       size(graft_minhash(graft_shingle_hashes('a b c d e', 3), 32)) AS n,
           |       graft_rolling_fp('abc') AS fp,
           |       hex(graft_hb_encode(42L)) AS enc,
-          |       graft_zorder(3L, 0L) AS z
+          |       graft_zorder(3L, 0L) AS z,
+          |       graft_shingle_seq('a b a b', 2) AS seq,
+          |       graft_tag_ttl(X'00090800000000000001F4') AS ttl
           |""".stripMargin).head()
       assert(r.getAs[Long]("sh") != 0L)
       assert(r.getAs[Int]("n") == 32)
       assert(r.getAs[Long]("fp") != 0L)
     assert(r.getAs[String]("enc") == "000000000000002A")
     assert(r.getAs[Long]("z") == 10L)
+    // 3 bigram positions, ab == ab dup retained
+    assert(r.getSeq[Long](r.fieldIndex("seq")).length == 3)
+    assert(r.getAs[Long]("ttl") == 500L)
   }
 
   test("DESCRIBE FUNCTION shows usage text for graft_* functions") {
