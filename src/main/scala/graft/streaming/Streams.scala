@@ -132,6 +132,34 @@ object Streams {
         col(sourceCol), col("n_docs"), col("avg_quality"),
         col("n_low_quality"), col("sum_chars"))
 
+  /** G11: streaming heavy hitters — the A19 Misra–Gries sketch under a
+    * watermarked window: per closed window, the ≤`capacity` hottest
+    * keys with lower-bound counts. The sketch is a
+    * `TypedImperativeAggregate`, so Structured Streaming checkpoints
+    * its serialized counters in the state store between micro-batches
+    * exactly like the built-in sketch aggregates — state is
+    * O(open windows × capacity), independent of the key cardinality
+    * flowing through (the point at ingest scale: a hot-key monitor
+    * whose state can't grow with the user space). The batch guarantee
+    * carries over per window: any key with more than
+    * `n_window / (capacity+1)` arrivals is present in that window's
+    * list. Counts are arrival-order-dependent lower bounds — alert on
+    * PRESENCE and magnitude, or re-count exactly downstream as
+    * `Core.heavyHitters`' refine pass does.
+    */
+  def heavyHitterStream(events: DataFrame, tsCol: String, keyCol: String,
+                        windowLen: String = "1 hour",
+                        lateness: String = "1 hour",
+                        capacity: Int = 64): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.FreqItemsSketch(col(keyCol), capacity)
+          .as("hitters"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("n_events"), col("hitters"))
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

@@ -113,4 +113,31 @@ class PlanShapeSpec extends SparkSpec {
     val p = edges.queryExecution.executedPlan.toString
     assert(p.contains("GreaterThanOrEqual(l_quantity,48"), p.take(600))
   }
+
+  test("rollup_heavy_hitters approx: sketch shuffles bounded counters, " +
+      "candidates broadcast back, corpus never shuffle-joined") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables(spark, dir, "events")
+    val p = graft.queries.Core.heavyHitters(ev, k = 3, approx = true,
+      capacity = 16).queryExecution.executedPlan.toString
+    // the Misra-Gries aggregate partial-aggregates map-side (the
+    // ObjectHashAggregate pair), and the refine pass is a broadcast
+    // semi join — a shuffle join here would defeat the sketch
+    assert(p.contains("ObjectHashAggregate") ||
+      p.contains("partial_freq_items"), p.take(600))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "refine pass must broadcast the bounded candidate set")
+  }
+
+  test("text_lm_score: scoring is a pure map — no join in the plan, " +
+      "count tables ride as literals") {
+    val p = plan("text_lm_score")
+    // the whole query (training runs eagerly inside lmScore, before this
+    // plan is built) scores with element_at on plan literals: any Join
+    // here would mean the count tables joined instead of embedded
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("FileScan parquet"), p.take(400))
+  }
 }

@@ -489,6 +489,97 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G11 streaming heavy hitters: hot keys surface per closed window " +
+      "with valid lower bounds, across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = Streams.heavyHitterStream(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      windowLen = "1 minute", lateness = "0 seconds", capacity = 8)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hh_ckpt").toString)
+      .start()
+    try {
+      // window [0, 60s): user 7 hot (30 of 50 events) — split across TWO
+      // micro-batches so the sketch's state-store round trip is on the
+      // path; cold users are all distinct
+      val w0 = (0 until 25).map(i =>
+        (ts(i * 1000L), if (i % 5 != 0) 7L else 1000L + i))
+      val w0b = (25 until 50).map(i =>
+        (ts(i * 1000L), if (i % 5 != 0) 7L else 1000L + i))
+      input.addData(w0: _*)
+      q.processAllAvailable()
+      input.addData(w0b: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window to close it
+      input.addData((ts(130000L), 9L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT bucket_ms, n_events, hitters FROM hh_stream").collect()
+      assert(rows.length == 1, s"one closed window expected: ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getLong(0) == 0L && r.getLong(1) == 50L)
+      val hitters = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(h => h.getLong(0) -> h.getLong(1)).toMap
+      assert(hitters.size <= 8)
+      // user 7: true count 40, guarantee floor 50/9 ⇒ must be present,
+      // lower bound within the slack and never above the truth
+      assert(hitters.contains(7L), s"hot user missing: $hitters")
+      assert(hitters(7L) <= 40L && 40L - hitters(7L) <= 50L / 9 + 1,
+        s"bad bound: ${hitters(7L)}")
+    } finally q.stop()
+  }
+
+  test("G10 tail composes with the self-compacting sink: a keep-pace " +
+      "consumer sees every batch's cells exactly once across folds") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tail_cap").toString
+    val input = MemoryStream[(Long, Double)]
+    val cells = input.toDF().toDF("key", "value")
+      .select(
+        graft.functions.hb.encode(col("key")).as("rowkey"),
+        lit("f").as("family"), lit("v").as("qualifier"),
+        graft.functions.hb.encode(col("value")).as("value"))
+    val w = Streams.bulkLoadStream(cells, dir, buckets = 2,
+        numPartitions = 2, maxEpochs = 3)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tail_cap_wc").toString)
+      .start()
+    val tail = Streams.readBulkLoadStream(spark, dir)
+      .select(
+        graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+          LongType).as("k"),
+        graft.functions.hb.decode(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("v"))
+    val tq = tail.writeStream.format("memory").queryName("cap_tail")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tail_cap_rc").toString)
+      .start()
+    try {
+      // 7 batches re-putting key 1 plus one private key each; the sink
+      // folds twice along the way (maxEpochs = 3). The tail keeps pace
+      // (drains after every sink batch) — the documented contract under
+      // which delivery through a self-compacting directory stays
+      // exactly-once: each live run is read before any fold consumes it
+      (0 until 7).foreach { i =>
+        input.addData((1L, i.toDouble), (100L + i, i.toDouble))
+        w.processAllAvailable()
+        tq.processAllAvailable()
+      }
+      val got = spark.sql("SELECT k, v FROM cap_tail")
+        .as[(Long, Double)].collect().toSeq
+      // exactly once: 7 versions of key 1 (one per batch) + 7 singles,
+      // no fold output ever re-delivered
+      assert(got.size == 14, s"expected 14 deliveries, got ${got.size}")
+      assert(got.filter(_._1 == 1L).map(_._2).sorted ==
+        (0 until 7).map(_.toDouble))
+      assert(got.filter(_._1 >= 100L).sorted ==
+        (0 until 7).map(i => (100L + i, i.toDouble)))
+    } finally { tq.stop(); w.stop() }
+  }
+
   test("G10 streaming hfile source: tails published epochs exactly once, " +
       "skips unpublished and fold directories") {
     implicit val sqlCtx = spark.sqlContext
