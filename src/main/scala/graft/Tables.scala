@@ -30,6 +30,14 @@ object Tables {
     if (name != "events") df
     else df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType | TimestampNTZType) =>
+        // Spark maps both TIMESTAMP(MILLIS) and TIMESTAMP(MICROS)
+        // annotations to TimestampType, so the ×1000 below would be
+        // silently 1000× wrong on a millis drop — check the actual
+        // parquet annotation and fail loudly on anything but micros
+        require(tsUnitIsMicros(spark, s"$dir/$name.parquet"),
+          s"$dir/$name.parquet: ts is timestamp-typed but not " +
+            "MICROS-annotated — the raw-long fast path would mis-scale; " +
+            "teach Tables this drop's unit before using it")
         val overridden = StructType(df.schema.map(f =>
           if (f.name == "ts") f.copy(dataType = LongType) else f))
         spark.read.schema(overridden).parquet(s"$dir/$name.parquet")
@@ -37,6 +45,36 @@ object Tables {
           .withColumn("ts", col("ts") * 1000L)
       case _ => df // long nanos already (nanosAsLong or GenData's int64)
     }
+  }
+
+  /** True iff the parquet `ts` column carries a TIMESTAMP(MICROS)
+    * logical annotation — read from one file's footer (the file itself,
+    * or the first part-file of a directory-shaped table).
+    */
+  private def tsUnitIsMicros(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (!fs.getFileStatus(p).isDirectory) p
+      else fs.listStatus(p).map(_.getPath)
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no parquet part files under $path"))
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = rdr.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) false
+      else schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+        .getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+    } finally rdr.close()
   }
 
   /** `[loNs, hiNs)` time-range predicate in the form parquet row-group

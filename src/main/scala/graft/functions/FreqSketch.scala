@@ -58,10 +58,12 @@ case class FreqItemsSketch(child: Expression, capacity: Int,
     StructField("item", LongType, nullable = false),
     StructField("count_lb", LongType, nullable = false))),
     containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"freq_items expects BIGINT input, got ${child.dataType.sql}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_items expects an integral input, got ${other.sql}")
+  }
 
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty
@@ -70,7 +72,7 @@ case class FreqItemsSketch(child: Expression, capacity: Int,
                       input: InternalRow): mutable.LongMap[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.asInstanceOf[Long]
+      val item = v.asInstanceOf[Number].longValue()
       if (b.contains(item)) b(item) += 1L
       else if (b.size < capacity) b(item) = 1L
       else {

@@ -593,6 +593,8 @@ object Dedup {
         round(col("csim"), 6).as("centroid_sim"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         (!coalesce(col("d"), lit(false))).as("keep"))
-      .orderBy("vec_id")
+    // unordered by design: presentation order is the query wrapper's
+    // business (Pipeline.dedupSemantic) — a production caller filtering
+    // on `keep` must not pay a corpus-wide range sort here
   }
 }

@@ -212,7 +212,10 @@ object Sampling {
                    shards: Int, seed: Long = 42L): Unit = {
     val assign = shuffleShard(df, idCol, shards, seed)
     df.join(assign, Seq(idCol))
-      .repartition(shards, col("shard"))
+      // range, not hash: hash would collide distinct shard values into
+      // one task (and idle others), serializing shard writes behind
+      // stragglers — range partitioning on the shard id is a bijection
+      .repartitionByRange(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }

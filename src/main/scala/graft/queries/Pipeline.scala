@@ -67,6 +67,7 @@ object Pipeline {
     Dedup.semantic(embeddings, "vec_id", "embedding", dim = EmbeddingDim,
       threshold = 0.4, ksub = 16, iters = 2, trainMod = 2,
       bands = 12, planesPerBand = 6)
+      .orderBy("vec_id")
 
   /** C7: dup clusters = connected components over the verified MinHash
     * pair set, so transitively-linked near-dups (A~B, B~C) collapse to

@@ -312,16 +312,18 @@ object HFile {
   private[sources] class BloomChunkBuilder(capacity: Int,
                                            fpp: Double = DefaultBloomFpp) {
     private val ln2 = math.log(2)
-    /** Power-of-two bit count (≥ the classic -n·ln(p)/ln²2 sizing): a
-      * power of two keeps the word array halvable all the way down, so
-      * [[serialize]]'s fold-down always applies (a 64-multiple that is
-      * not a power of two can have an ODD word count and never fold).
+    /** Bit count = the classic -n·ln(p)/ln²2 sizing rounded up to a
+      * multiple of `64·2^FoldDepth` (HBase ByteBloomFilter's fold-factor
+      * approach): the word array is then halvable at least `FoldDepth`
+      * times, so [[serialize]]'s fold-down applies to sparsely-filled
+      * chunks, while a FULL chunk pays at most one quantum (≤ 1 KiB) of
+      * slack — next-power-of-two rounding cost full chunks ~1.44× on
+      * average (up to 2×) for the same foldability.
       */
     val nBits: Long = {
       val raw = math.ceil(-capacity * math.log(fpp) / (ln2 * ln2)).toLong
-      var n = 64L
-      while (n < raw) n <<= 1
-      n
+      val quantum = 64L << BloomChunkBuilder.FoldDepth
+      math.max(quantum, (raw + quantum - 1) / quantum * quantum)
     }
     val k: Int = math.max(1, math.round(nBits.toDouble / capacity * ln2).toInt)
     private val words = new Array[Long]((nBits / 64).toInt)
@@ -373,6 +375,14 @@ object HFile {
       w.foreach(buf.putLong)
       buf.array()
     }
+  }
+
+  private[sources] object BloomChunkBuilder {
+    /** Guaranteed fold levels: sizing quantum = 64·2^FoldDepth bits, so
+      * a near-empty chunk folds down to (at worst) nBits / 2^7 — the
+      * same few-hundred-byte floor the power-of-two sizing reached.
+      */
+    val FoldDepth = 7
   }
 
   /** Membership test against a serialized bloom chunk payload. */

@@ -42,6 +42,14 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch accepts INT keys (the common dimension-id type)") {
+    val sk = (1 to 100).map(i => if (i % 2 == 0) 5 else i)
+      .toDF("x")
+      .agg(FreqItemsSketch(col("x"), 8).as("sk"))
+      .head.getSeq[Row](0)
+    assert(sk.exists(_.getLong(0) == 5L))
+  }
+
   test("heavyHitters: sketch-then-refine equals exact on binding skew, " +
       "repartitioning-independent") {
     val events = skewed(20000).zipWithIndex.map { case (u, i) =>
