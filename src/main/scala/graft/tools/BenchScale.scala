@@ -58,7 +58,8 @@ object BenchScale {
     * piled onto one task.
     */
   val skewQueries: Seq[String] =
-    Seq("dedup_minhash_lsh", "corpus_boilerplate", "compact_cells")
+    Seq("dedup_minhash_lsh", "corpus_boilerplate", "compact_cells",
+      "rollup_heavy_hitters")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the
