@@ -53,6 +53,7 @@ object SparkEntry {
       Core.rollupPercentiles(t(s, d, "events"))),
     "rollup_distinct" -> ((s, d) => Core.rollupDistinct(t(s, d, "events"))),
     "rollup_heavy_hitters" -> ((s, d) => Core.heavyHitters(t(s, d, "events"))),
+    "rollup_rate" -> ((s, d) => Core.rollupRate(t(s, d, "events"))),
     "rollup_fill" -> ((s, d) => Core.rollupFill(t(s, d, "events"))),
     "rollup_merge" -> ((s, d) =>
       Core.rollupMerge(Core.rollup(t(s, d, "events"), "hour"))),
@@ -1282,6 +1283,23 @@ object SparkEntry {
         |    ORDER BY n_events DESC, user_id) AS rnk FROM c)
         |SELECT event_type, rnk, user_id, n_events FROM r WHERE rnk <= 3
         |ORDER BY event_type, rnk""".stripMargin,
+    // per-series lag replay; every arithmetic step is one IEEE double op
+    // in the same shape as the Spark side, so values are bit-identical
+    "rollup_rate" ->
+      """WITH c AS (SELECT user_id, event_type, event_id,
+        |  epoch_ms(ts) AS ts_ms, value FROM events),
+        |l AS (SELECT user_id, event_type, ts_ms, event_id, value,
+        |  lag(value) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_ms, event_id) AS pv,
+        |  lag(ts_ms) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_ms, event_id) AS pm
+        |  FROM c)
+        |SELECT user_id, event_type, ts_ms, event_id,
+        |  (value - pv) / ((ts_ms - pm) / 1000.0) AS rate,
+        |  CASE WHEN value >= pv THEN (value - pv) / ((ts_ms - pm) / 1000.0)
+        |       ELSE value / ((ts_ms - pm) / 1000.0) END AS crate
+        |FROM l WHERE pm IS NOT NULL AND ts_ms <> pm
+        |ORDER BY user_id, event_type, ts_ms, event_id""".stripMargin,
     "rollup_fill" ->
       """WITH b AS (SELECT event_type,
         |  epoch_ms(ts) // 1000 // 3600 AS h, COUNT(*) AS n_events,

@@ -363,6 +363,54 @@ object Core {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** A20: OpenTSDB rate conversion — the `rate` / counter read path a
+    * TSDB serves from exactly the tables the reference bulk-loads: per
+    * series (user, type) in (ts, event_id) order, the per-second delta
+    * between adjacent samples. Two semantics side by side:
+    *
+    *  - `rate`: the plain gauge derivative `(v − v_prev) / Δt_sec` —
+    *    negative deltas pass through;
+    *  - `crate`: COUNTER semantics — counters only climb, so a negative
+    *    delta means the counter reset and the sample's whole value
+    *    accumulated since (OpenTSDB's reset rule with no counterMax):
+    *    `v / Δt_sec`.
+    *
+    * A series' first sample has no predecessor and two samples on the
+    * same millisecond have Δt = 0: neither has a defined rate, and a
+    * NULL double round-trips as NaN (which no engine-agnostic compare
+    * can equate), so those rows are DROPPED — the rate stream starts at
+    * each series' second distinct-ms sample, never emits ±Infinity.
+    * Every arithmetic step is a single IEEE double op in a fixed shape,
+    * so the oracle's replay is bit-identical (no summation-order
+    * surface).
+    *
+    * Scale shape: ONE shuffle on the series key with an in-partition
+    * (ts, id) sort — window partitions are bounded by a single series'
+    * sample count, never the corpus; the trailing orderBy is
+    * presentation-only.
+    */
+  def rollupRate(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts DIV 1000000").as("ts_ms"), col("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("pm", lag(col("ts_ms"), 1).over(w))
+      .filter(col("pm").isNotNull && col("ts_ms") =!= col("pm"))
+      .withColumn("dt_sec", (col("ts_ms") - col("pm")) / lit(1000.0))
+      .withColumn("rate", (col("value") - col("pv")) / col("dt_sec"))
+      .withColumn("crate",
+        when(col("value") >= col("pv"),
+          (col("value") - col("pv")) / col("dt_sec"))
+          .otherwise(col("value") / col("dt_sec")))
+      .select(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"), col("rate"), col("crate"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"))
+  }
+
   /** A17: gap-filled hourly downsample — OpenTSDB's downsample fill
     * policies over the A9 rollup. Hours with no events appear with
     * `n_events = 0`, `is_gap = true`, `sum_value` carried forward from

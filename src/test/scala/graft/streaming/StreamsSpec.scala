@@ -489,6 +489,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G10 tail feeds the engine's own operators: an incremental " +
+      "aggregate over the tailed cell stream matches the batch read") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tail_agg").toString
+    val input = MemoryStream[(Long, Double)]
+    val cells = input.toDF().toDF("key", "value")
+      .select(
+        graft.functions.hb.encode(col("key")).as("rowkey"),
+        lit("f").as("family"), lit("v").as("qualifier"),
+        graft.functions.hb.encode(col("value")).as("value"))
+    val w = Streams.bulkLoadStream(cells, dir, buckets = 2,
+        numPartitions = 2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tail_agg_wc").toString)
+      .start()
+    // downstream consumer: per-key cell count, incrementally maintained
+    val agg = Streams.readBulkLoadStream(spark, dir)
+      .select(graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+        LongType).as("k"))
+      .groupBy("k").count()
+    val tq = agg.writeStream.format("memory").queryName("tail_agg")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tail_agg_rc").toString)
+      .start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      w.processAllAvailable(); tq.processAllAvailable()
+      input.addData((1L, 3.0), (3L, 4.0))
+      w.processAllAvailable(); tq.processAllAvailable()
+      val streamed = spark.sql("SELECT k, count FROM tail_agg")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.BulkLoad
+        .readHFiles(spark, dir, "epoch=*/bucket=*/*.hfile")
+        .select(graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+          LongType).as("k"))
+        .groupBy("k").count().as[(Long, Long)].collect().toMap
+      assert(streamed == batch && streamed == Map(1L -> 2L, 2L -> 1L, 3L -> 1L),
+        s"streamed $streamed vs batch $batch")
+    } finally { tq.stop(); w.stop() }
+  }
+
   test("G11 streaming heavy hitters: hot keys surface per closed window " +
       "with valid lower bounds, across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
