@@ -40,7 +40,7 @@ object BenchScale {
     "dedup_paragraph", "dedup_substring", "dedup_substring_trim",
     "dedup_semantic", "corpus_shuffle",
     "dedup_clusters", "graph_components", "seq_packing",
-    "compact_cells", "compact_cells_ttl",
+    "compact_cells", "compact_cells_ttl", "rollup_rate",
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
     "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",
     "knn_ivfpq", "knn_ivfpq_res", "knn_ivf_trained", "knn_ivfpq_trained",

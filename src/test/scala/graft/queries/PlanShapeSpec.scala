@@ -131,6 +131,20 @@ class PlanShapeSpec extends SparkSpec {
       "refine pass must broadcast the bounded candidate set")
   }
 
+  test("rollup_rate: one series-key shuffle + presentation sort, " +
+      "never a pre-window global sort") {
+    val p = plan("rollup_rate")
+    // the lag window partitions by the series key: its sort is
+    // in-partition (after a hash exchange), and the only range exchange
+    // is the trailing presentation orderBy
+    assert(p.contains("Window"), p.take(400))
+    val rangeEx = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(rangeEx <= 1, s"expected only the presentation sort, plan: " +
+      p.take(600))
+    assert(p.toLowerCase.contains("hashpartitioning"),
+      "series window must hash-partition on the series key")
+  }
+
   test("text_lm_score: scoring is a pure map — no join in the plan, " +
       "count tables ride as literals") {
     val p = plan("text_lm_score")
