@@ -466,31 +466,48 @@ object Dedup {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val withVec = emb.select(col(idCol), vd.as("v"))
     val all = hyperplanes(bands * planesPerBand, dim, seed)
-    withVec
-      .select(col(idCol), col("v"),
-        posexplode(graft.functions.vec.hyperplaneBuckets(col("v"), all,
-          planesPerBand)).as(Seq("band", "bkey")))
-      .groupBy(col("band"), col("bkey"))
-      // the kernel sorts members by id, so pair orientation (a < b) and
-      // cosine argument order match the old sort_array + pairsOf shape.
-      // CappedCollectList bounds the aggregation buffer at maxBucket+1
-      // vectors even for a degenerate hot bucket: an over-cap bucket
-      // surfaces with exactly maxBucket+1 members, so the size filter
-      // below drops precisely the same buckets an uncapped collect
-      // would — without ever materializing the hot bucket's vectors.
+    bandedVerifiedPairs(withVec, idCol, all, planesPerBand, threshold,
+      maxBucket)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
+  }
+
+  /** The shared banded-LSH verify chain behind [[embeddingNearDup]] and
+    * [[semantic]]: posexplode hyperplane buckets → capped per-bucket
+    * collect → exact-cosine pair verification → distinct (a, b, cosine)
+    * pairs. `extraKeys` PREPENDS grouping columns to the bucket key
+    * (SemDeDup adds the semantic cell id — strictly finer buckets, same
+    * machinery); `vecs` must carry `(extraKeys..., idCol, v: array
+    * <double>)`.
+    *
+    * The kernel sorts members by id, so pair orientation (a < b) and
+    * cosine argument order match the original sort_array + pairsOf
+    * shape. CappedCollectList bounds the aggregation buffer at
+    * maxBucket+1 vectors even for a degenerate hot bucket: an over-cap
+    * bucket surfaces with exactly maxBucket+1 members, so the size
+    * filter drops precisely the same buckets an uncapped collect would
+    * — without ever materializing the hot bucket's vectors. Cosine is a
+    * deterministic function of (a, b), so distinct over the triple
+    * dedups multi-band collisions exactly like a pair-level distinct.
+    */
+  private def bandedVerifiedPairs(vecs: DataFrame, idCol: String,
+                                  planes: Array[Array[Double]],
+                                  planesPerBand: Int, threshold: Double,
+                                  maxBucket: Int,
+                                  extraKeys: Seq[String] = Seq.empty): DataFrame =
+    vecs
+      .select(extraKeys.map(col) ++ Seq(col(idCol), col("v"),
+        posexplode(graft.functions.vec.hyperplaneBuckets(col("v"), planes,
+          planesPerBand)).as(Seq("band", "bkey"))): _*)
+      .groupBy(extraKeys.map(col) ++ Seq(col("band"), col("bkey")): _*)
       .agg(graft.functions.CappedCollectList(
         struct(col(idCol).as("id"), col("v")), maxBucket).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
       .select(explode(
         graft.functions.vec.bucketNearDupPairs(col("members"), threshold))
         .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
-      // cosine is a deterministic function of (a, b), so distinct over
-      // the triple dedups multi-band collisions exactly like the old
-      // pair-level distinct did
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.cosine").as("cosine"))
       .distinct()
-      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cosine"))
-  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
     * deduplication"): cluster the corpus by embedding k-means, find
@@ -561,20 +578,12 @@ object Dedup {
       .select(col("vec_id"), (-col("w.nc")).as("cell_id"),
         col("w.csim").as("csim"))
     val planes = hyperplanes(bands * planesPerBand, dim, seed)
-    val pairs = withVec.join(assign.select(col("vec_id"), col("cell_id")),
-        "vec_id")
-      .select(col("vec_id"), col("v"), col("cell_id"),
-        posexplode(graft.functions.vec.hyperplaneBuckets(col("v"),
-          planes, planesPerBand)).as(Seq("band", "bkey")))
-      .groupBy(col("cell_id"), col("band"), col("bkey"))
-      .agg(graft.functions.CappedCollectList(
-        struct(col("vec_id").as("id"), col("v")), maxBucket).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(
-        graft.functions.vec.bucketNearDupPairs(col("members"), threshold))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val pairs = bandedVerifiedPairs(
+      withVec.join(assign.select(col("vec_id"), col("cell_id")), "vec_id")
+        .select(col("cell_id"), col("vec_id"), col("v")),
+      "vec_id", planes, planesPerBand, threshold, maxBucket,
+      extraKeys = Seq("cell_id"))
+      .select(col("a"), col("b"))
     // keeper policy: per pair (a < b) drop the more central member;
     // equal centrality drops b, the larger id
     val drops = pairs

@@ -105,6 +105,38 @@ object Knn {
     * corpus; no n×|codebook| shuffle) and the search only scans probed
     * cells.
     */
+  /** The broadcast (cell_id, centroid) coarse-quantizer table every IVF
+    * family member shares: a TRAINED table when `coarse` is passed
+    * (e.g. a full-vector [[kmeansSubCodebooks]] run with m = 1), else
+    * the anchored systematic stride sample with the cell count CAPPED
+    * at `maxCells` — a pure stride ties |cells| to n/stride, making
+    * coarse assignment O(n²/stride) (super-linear in corpus size); the
+    * effective stride grows with the corpus instead (FAISS's
+    * fixed-nlist posture), so assignment stays O(n·maxCells) at any
+    * scale. The sample anchors at the corpus' minimum id-residue so the
+    * codebook is never empty (ids 1..49 with stride 50 would pick zero
+    * centroids if the anchor were hardcoded to residue 0). `knownCount`
+    * skips the count action when the caller already has it.
+    */
+  private def coarseTable(corpus: DataFrame, idCol: String, vecCol: String,
+                          stride: Int, maxCells: Int,
+                          coarse: Option[DataFrame], who: String,
+                          knownCount: Option[Long] = scala.None): DataFrame =
+    broadcast(coarse.map(_.select(col("cell_id"),
+        asDouble(col("centroid")).as("centroid")))
+      .getOrElse {
+        val n = knownCount.getOrElse(corpus.count())
+        require(n > 0, s"$who needs a non-empty corpus")
+        val effStride = math.max(stride.toLong,
+          math.ceil(n / maxCells.toDouble).toLong)
+        val anchorMod = corpus
+          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
+          .head().getLong(0)
+        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
+          .select(col(idCol).as("cell_id"),
+            asDouble(col(vecCol)).as("centroid"))
+      })
+
   def ivf(corpus: DataFrame, queries: DataFrame, idCol: String,
           vecCol: String, k: Int, stride: Int = 50,
           nProbe: Int = 5, maxCells: Int = 256,
@@ -121,24 +153,8 @@ object Knn {
         .withColumn("cosine", lit(null).cast("double")) // nullable, like cosineD's
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cosine"))
-    // `coarse` (cell_id, centroid) plugs in a TRAINED coarse quantizer
-    // (e.g. a full-vector [[kmeansSubCodebooks]] run with m = 1);
-    // default is the anchored systematic stride sample
-    val centroids = broadcast(coarse.map(_.select(col("cell_id"),
-        asDouble(col("centroid")).as("centroid")))
-      .getOrElse {
-        val effStride = math.max(stride.toLong,
-          math.ceil(n / maxCells.toDouble).toLong)
-        // anchor the systematic sample at the corpus' minimum id-residue
-        // so the codebook is never empty (ids 1..49 with stride 50 would
-        // pick zero centroids if the anchor were hardcoded to residue 0)
-        val anchorMod = corpus
-          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
-          .head().getLong(0)
-        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
-          .select(col(idCol).as("cell_id"),
-            asDouble(col(vecCol)).as("centroid"))
-      })
+    val centroids = coarseTable(corpus, idCol, vecCol, stride, maxCells,
+      coarse, "ivf", knownCount = Some(n))
     // assign: nearest centroid per corpus vector as an argmax AGGREGATION
     // (max_by is partial-aggregatable, so the broadcast-NLJ'd n×C rows
     // reduce map-side to one row per vector — the n×C stream is never
@@ -391,28 +407,8 @@ object Knn {
             coarse: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    // ---- coarse quantizer: a TRAINED (cell_id, centroid) table when
-    // passed, else [[ivf]]'s anchored systematic centroids with the
-    // cell count CAPPED at maxCells: a pure stride ties |cells| to
-    // n/stride, which makes the coarse assign O(n²/stride) —
-    // super-linear in corpus size. The effective stride grows with the
-    // corpus instead (FAISS's fixed-nlist posture), so assignment stays
-    // O(n·maxCells) at any scale. At the oracle's test sizes the cap is
-    // not binding and effStride == stride.
-    val coarseDf = broadcast(coarse.map(_.select(col("cell_id"),
-        asDouble(col("centroid")).as("centroid")))
-      .getOrElse {
-        val n = corpus.count()
-        require(n > 0, "ivfpq needs a non-empty corpus")
-        val effStride = math.max(stride.toLong,
-          math.ceil(n / maxCells.toDouble).toLong)
-        val anchorMod = corpus
-          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
-          .head().getLong(0)
-        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
-          .select(col(idCol).as("cell_id"),
-            asDouble(col(vecCol)).as("centroid"))
-      })
+    val coarseDf = coarseTable(corpus, idCol, vecCol, stride, maxCells,
+      coarse, "ivfpq")
     // coarse assign: partial-agg argmax, no cv carried (re-rank joins
     // the corpus again); ties toward the smallest cell_id
     val cells = corpus
@@ -582,20 +578,8 @@ object Knn {
                     coarse: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    val coarseDf = broadcast(coarse.map(_.select(col("cell_id"),
-        asDouble(col("centroid")).as("centroid")))
-      .getOrElse {
-        val n = corpus.count()
-        require(n > 0, "ivfpqResidual needs a non-empty corpus")
-        val effStride = math.max(stride.toLong,
-          math.ceil(n / maxCells.toDouble).toLong)
-        val anchorMod = corpus
-          .agg(min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"))
-          .head().getLong(0)
-        corpus.filter(pmod(col(idCol), lit(effStride)) === anchorMod)
-          .select(col(idCol).as("cell_id"),
-            asDouble(col(vecCol)).as("centroid"))
-      })
+    val coarseDf = coarseTable(corpus, idCol, vecCol, stride, maxCells,
+      coarse, "ivfpqResidual")
     // coarse assign with a SCALAR aggregate only (see scaladoc), then
     // re-attach the vector and the winning centroid to form residuals
     val cells = residuals(corpus, idCol, vecCol, coarseDf)

@@ -320,12 +320,19 @@ object HFile {
       * slack — next-power-of-two rounding cost full chunks ~1.44× on
       * average (up to 2×) for the same foldability.
       */
+    private val rawBits: Long =
+      math.ceil(-capacity * math.log(fpp) / (ln2 * ln2)).toLong
     val nBits: Long = {
-      val raw = math.ceil(-capacity * math.log(fpp) / (ln2 * ln2)).toLong
       val quantum = 64L << BloomChunkBuilder.FoldDepth
-      math.max(quantum, (raw + quantum - 1) / quantum * quantum)
+      math.max(quantum, (rawBits + quantum - 1) / quantum * quantum)
     }
-    val k: Int = math.max(1, math.round(nBits.toDouble / capacity * ln2).toInt)
+    /** Hash count from the RAW (pre-quantum) bits-per-key ratio: the
+      * quantum floor (8192 bits) would otherwise inflate k far past
+      * optimal for small-capacity configurations (capacity 100 → k 57
+      * instead of 7), multiplying every probe's work; extra padded bits
+      * with the raw-optimal k only ever LOWER the fpp.
+      */
+    val k: Int = math.max(1, math.round(rawBits.toDouble / capacity * ln2).toInt)
     private val words = new Array[Long]((nBits / 64).toInt)
     var nKeys = 0
 

@@ -581,25 +581,51 @@ class HFileMicroBatchStream(path: String, required: StructType,
     (root, root.getFileSystem(confOf(confMap)))
   }
 
-  /** Published, never-folded epoch ids (see class doc). */
-  private def deliverable(): Seq[Long] = {
+  /** `(id, hasComplete, hasConsumed)` per epoch directory. */
+  private def epochStates(): Seq[(Long, Boolean, Boolean)] = {
     val (root, f) = fs
     Option(f.globStatus(new Path(root, "epoch=*")))
       .getOrElse(Array.empty)
       .filter(_.isDirectory)
-      .filter(st => f.exists(new Path(st.getPath,
-        graft.streaming.Streams.CompleteFile)))
-      .filterNot(st => f.exists(new Path(st.getPath,
-        graft.streaming.Streams.ConsumedFile)))
-      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
-      .toSeq
+      .map { st =>
+        (st.getPath.getName.stripPrefix("epoch=").toLong,
+          f.exists(new Path(st.getPath, graft.streaming.Streams.CompleteFile)),
+          f.exists(new Path(st.getPath, graft.streaming.Streams.ConsumedFile)))
+      }.toSeq
   }
 
+  /** Published, never-folded epoch ids (see class doc). */
+  private def deliverable(): Seq[Long] =
+    epochStates().collect { case (id, true, false) => id }
+
+  /** Highest offset ever observed by THIS stream instance: latestOffset
+    * must never regress, but the max DELIVERABLE id transiently drops
+    * mid-fold (the sink folds the newest completed runs away before its
+    * next run is written) — a regressed offset would make the engine
+    * log a backwards batch and then re-deliver surviving runs. The
+    * floor is maintained here for a running query and re-seeded from
+    * every WAL offset the engine replays ([[deserializeOffset]]) across
+    * restarts. Only deliverable DATA-run ids ever advance the offset —
+    * never fold ids: batch ids are strictly increasing in both sink
+    * modes, so an id the offset passed can never be written later.
+    */
+  @volatile private var maxSeen = -1L
+
   override def initialOffset(): rstreaming.Offset = HFileEpochOffset(-1L)
-  override def latestOffset(): rstreaming.Offset =
-    HFileEpochOffset(deliverable().foldLeft(-1L)(math.max))
-  override def deserializeOffset(json: String): rstreaming.Offset =
-    HFileEpochOffset.parse(json)
+  override def latestOffset(): rstreaming.Offset = {
+    maxSeen = math.max(maxSeen, deliverable().foldLeft(-1L)(math.max))
+    HFileEpochOffset(maxSeen)
+  }
+  override def deserializeOffset(json: String): rstreaming.Offset = {
+    // every offset the engine replays from its WAL raises the floor —
+    // after a RESTART maxSeen starts at -1, and without this a
+    // tail-of-directory deletion (e.g. the sink's empty-run sweep
+    // removing the newest published id) could make latestOffset
+    // regress below the checkpoint
+    val o = HFileEpochOffset.parse(json)
+    maxSeen = math.max(maxSeen, o.epoch)
+    o
+  }
   override def commit(end: rstreaming.Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -609,7 +635,37 @@ class HFileMicroBatchStream(path: String, required: StructType,
     val e = end.asInstanceOf[HFileEpochOffset].epoch
     if (e <= s) return Array.empty
     val (root, f) = fs
-    val epochs = deliverable().filter(id => id > s && id <= e)
+    val states = epochStates()
+    // LOUD lag detection (a silent skip would record data loss as
+    // successful delivery): if any run id inside this batch's range was
+    // CONSUMED by a still-live fold — its `_consumed` provenance names
+    // exactly the folded sources — the reader fell behind the sink's
+    // fold window and the folded cells can no longer be delivered
+    // individually. A batch replayed from the offset WAL after a crash
+    // hits this instead of quietly planning an empty range. (Best
+    // effort by construction: a fold-of-a-fold chain erases the older
+    // provenance with its sources; one fold generation is the
+    // detectable — and, under EpochStride, the realistic — lag window.)
+    val foldConsumedInRange = states
+      .filter(_._3) // live fold dirs carry the provenance
+      .flatMap { case (id, _, _) =>
+        val cf = new Path(root, s"epoch=$id/" +
+          graft.streaming.Streams.ConsumedFile)
+        val in = f.open(cf)
+        try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+      }
+      .filter(id => id > s && id <= e)
+    if (foldConsumedInRange.nonEmpty)
+      throw new IllegalStateException(
+        s"epochs ${foldConsumedInRange.sorted.mkString(",")} in range " +
+          s"($s, $e] were folded away before this reader delivered them " +
+          "— the tail fell more than one fold window behind the sink " +
+          "(see HFileMicroBatchStream's keep-pace contract)")
+    val epochs = states.collect { case (id, true, false) => id }
+      .filter(id => id > s && id <= e)
     val bucketOk: Int => Boolean = b => pushed.forall {
       case EqualTo("bucket", v: Int) => b == v
       case In("bucket", vs) => vs.exists {

@@ -662,16 +662,22 @@ class StreamsSpec extends SparkSpec {
       val e0 = new java.io.File(dir).listFiles
         .filter(_.getName.startsWith("epoch=")).head
       def cloneEpoch(name: String, extras: Seq[String]): Unit = {
-        val dst = new org.apache.hadoop.fs.Path(dir, name)
+        // assemble OUTSIDE the epoch=* namespace, publish by rename —
+        // the live tail query triggers continuously, and a clone that
+        // carried epoch=0's _complete marker for even an instant would
+        // be seen as deliverable and steal the offset high-water mark
+        // (the real sink writes its marker LAST for the same reason)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s"_clone_$name")
         org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(e0.toString), fs, dst, false,
+          new org.apache.hadoop.fs.Path(e0.toString), fs, tmp, false,
           spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(dst,
+        fs.delete(new org.apache.hadoop.fs.Path(tmp,
           Streams.CompleteFile), false)
         extras.foreach { m =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(dst, m), true)
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, m), true)
           out.write("0\n".getBytes("UTF-8")); out.close()
         }
+        assert(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)))
       }
       cloneEpoch("epoch=97", Seq.empty)                 // unpublished
       cloneEpoch("epoch=98",
