@@ -250,6 +250,30 @@ class HFileSpec extends SparkSpec {
       new HFileReader.BytesRead(bytes), "aaa".getBytes).contains(false))
   }
 
+  test("bloom sizing: k stays raw-ratio-optimal under the fold quantum; " +
+      "padded bits fold away for sparse chunks") {
+    // small capacity: the 8192-bit quantum floor must NOT inflate k
+    // (k from padded bits would be ~57 probes for capacity 100)
+    val small = new HFile.BloomChunkBuilder(100)
+    assert(small.k >= 5 && small.k <= 9, s"k=${small.k} not near optimal 7")
+    assert(small.nBits % (64L << HFile.BloomChunkBuilder.FoldDepth) == 0)
+    // a full-capacity chunk pays at most one quantum of padding
+    val big = new HFile.BloomChunkBuilder(100000)
+    val raw = math.ceil(100000 * math.log(100) / (math.log(2) * math.log(2)))
+    assert(big.nBits - raw.toLong <= (64L << HFile.BloomChunkBuilder.FoldDepth),
+      s"padding ${big.nBits - raw.toLong} exceeds one quantum")
+    // sparse chunk folds: 3 keys in a capacity-5000 chunk serialize far
+    // below the allocated size, and membership still answers exactly
+    val sparse = new HFile.BloomChunkBuilder(5000)
+    Seq("a", "b", "c").foreach(k => sparse.add(k.getBytes))
+    val ser = sparse.serialize()
+    assert(ser.length.toLong * 8 < sparse.nBits / 8,
+      s"sparse chunk did not fold: ${ser.length} bytes for ${sparse.nBits} bits")
+    Seq("a", "b", "c").foreach(k =>
+      assert(HFile.bloomMayContain(ser, k.getBytes)))
+    assert(!HFile.bloomMayContain(ser, "zzz-not-present".getBytes))
+  }
+
   test("bloom: disabled writer yields no bloom; probe falls back to None") {
     val baos = new ByteArrayOutputStream()
     val w = new HFileWriter(baos, 4096, CodecNone, bloomChunkKeys = 0)
