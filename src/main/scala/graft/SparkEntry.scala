@@ -143,7 +143,8 @@ object SparkEntry {
     "text_classify" -> ((s, d) => Pipeline.textClassify(t(s, d, "documents"))),
     "text_lm_score" -> ((s, d) => Pipeline.textLmScore(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
-    "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents")))
+    "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
+    "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents")))
   )
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
@@ -1683,6 +1684,17 @@ object SparkEntry {
         | (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
         | strlen(text) AS size_bytes,
         | md5(text) AS content_id
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // payloads are UTF-8 text bytes (placeholder construction replayed),
+    // so DuckDB's md5(VARCHAR) hashes the same bytes Spark's md5(BINARY)
+    "mm_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'PLACEHOLDER_ASSET_v1'
+        |       ELSE text END AS pay
+        |  FROM documents)
+        |SELECT kind, md5(pay) AS fp, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies, MIN(strlen(pay)) AS size_bytes
+        |FROM p GROUP BY 1, 2 ORDER BY kind, fp""".stripMargin
   )
 }

@@ -430,4 +430,7 @@ object Pipeline {
 
   def mmManifest(documents: DataFrame): DataFrame =
     Multimodal.manifest(documents, "doc_id", "text").orderBy("doc_id")
+
+  def mmDedup(documents: DataFrame): DataFrame =
+    Multimodal.dedupPayloads(documents, "doc_id", "text")
 }

@@ -57,4 +57,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getSeq[Double](r.fieldIndex("features")).length == 8)
     assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
   }
+
+  test("payload dedup: the placeholder asset collapses per kind with " +
+      "exact copy counts; unique payloads stay singletons") {
+    val docs = sf("documents")
+    val got = Multimodal.dedupPayloads(docs, "doc_id", "text")
+      .select("kind", "keep_id", "n_copies").as[(String, Long, Long)]
+      .collect().toSeq
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    val kinds = Seq("image", "audio", "video")
+    val phByKind = ids.filter(_ % 10 == 0)
+      .groupBy(id => kinds((id % 3).toInt)).view.mapValues(_.sorted).toMap
+    // per kind, the placeholder group's copy count and min-id canonical
+    phByKind.foreach { case (k, members) =>
+      val grp = got.filter(g => g._1 == k && g._3 == members.size &&
+        g._2 == members.min)
+      assert(grp.size >= 1, s"placeholder group missing for $k")
+    }
+    // total rows = unique text payloads + one group per placeholder kind
+    val nonPh = ids.filterNot(_ % 10 == 0).size
+    assert(got.size.toLong >= nonPh, "unique payloads must stay singletons")
+    assert(got.map(_._3).sum == ids.size, "every payload accounted once")
+  }
 }
