@@ -77,6 +77,14 @@ object GraftExtensions {
         "graft_tag_ttl(tags) - cell TTL ms from an HBase tag block " +
           "(type-8 tag), -1 when absent"),
       (args: Seq[Expression]) => HbTagTtl(args(0))),
+    (FunctionIdentifier("graft_freq_items"),
+      info("graft_freq_items",
+        "graft_freq_items(x, capacity) - Misra-Gries heavy-hitter " +
+          "aggregate: at most `capacity` (item, count_lb) counters; any " +
+          "item above n/(capacity+1) occurrences is present"),
+      (args: Seq[Expression]) =>
+        FreqItemsSketch(args(0), intArg(args(1), "graft_freq_items"))
+          .toAggregateExpression()),
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",
         "graft_zorder(a, b) - 64-bit Z-order (Morton) interleave of two BIGINTs"),

@@ -57,6 +57,12 @@ class SkewAggSpec extends SparkSpec {
     // 3 bigram positions, ab == ab dup retained
     assert(r.getSeq[Long](r.fieldIndex("seq")).length == 3)
     assert(r.getAs[Long]("ttl") == 500L)
+    // the sketch registers as a SQL AGGREGATE
+    val hh = s.sql(
+      """SELECT graft_freq_items(x, 4) AS sk
+        |FROM VALUES (7L),(7L),(7L),(1L),(2L) AS t(x)""".stripMargin).head()
+    val items = hh.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    assert(items.contains(7L))
   }
 
   test("DESCRIBE FUNCTION shows usage text for graft_* functions") {
