@@ -72,7 +72,15 @@ object Core {
       .limit(10)
   }
 
-  /** A3: 6-way star join; all dimension tables broadcast. */
+  /** A3: 6-way star join. Broadcast hints ONLY on the fixed-cardinality
+   *  dims (region = 5 rows, nation = 25 — constant at any scale factor).
+   *  customer and supplier scale linearly with the corpus, so they carry
+   *  NO hint: an explicit `broadcast()` would override
+   *  autoBroadcastJoinThreshold and force a driver-side build of a
+   *  multi-billion-row table at a real 100 TB scale factor. AQE picks the
+   *  side at runtime — it still broadcasts them at small sf, and
+   *  shuffle-joins at scale. Shape pinned by PlanShapeSpec.
+   */
   def q5RegionRevenue(region: DataFrame, nation: DataFrame,
                       customer: DataFrame, supplier: DataFrame,
                       orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -81,8 +89,8 @@ object Core {
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -93,6 +93,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian join")
   }
 
+  test("q5_region_revenue: broadcast HINTS only on fixed-cardinality dims " +
+      "(region/nation) — sf-scaling tables left to AQE") {
+    // An explicit broadcast() hint overrides autoBroadcastJoinThreshold:
+    // hinting customer/supplier (linear in sf) would force a driver-side
+    // build of a multi-billion-row table at a 100 TB scale factor. Only
+    // region (5 rows) and nation (25) are constant-size and may be hinted.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val analyzed = graft.SparkEntry.queries("q5_region_revenue")(spark, dir)
+      .queryExecution.analyzed
+    val hintedCols = analyzed.collect {
+      case h: ResolvedHint => h.child.output.map(_.name).toSet
+    }
+    assert(hintedCols.nonEmpty, "region/nation should still carry hints")
+    hintedCols.foreach { cols =>
+      assert(cols.forall(c => c.startsWith("r_") || c.startsWith("n_")),
+        s"broadcast hint on an sf-scaling table: $cols")
+    }
+  }
+
   test("dedup_minhash_lsh: banded blocking, never an all-pairs join") {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct") &&
