@@ -161,6 +161,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","methodology":"per-query forked JVM, 2 warmups, median of 3 with inter-run cache clear"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-sink write","queries":$qs,"failed":$failedJson,"sf":"$sfDir","methodology":"per-query forked JVM, 2 warmups, median of 3 with inter-run cache clear"}"""
+    println(json)
+    // The driver captures a BOUNDED stdout/stderr tail: with 70+ queries
+    // the single JSON line can outgrow it and the round artifact arrives
+    // truncated mid-object (BENCH_r09.json lost its own total). Persist
+    // the full result to a file as well so the artifact is complete
+    // regardless of output volume.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      Console.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+    }
   }
 }
