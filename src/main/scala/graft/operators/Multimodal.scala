@@ -36,29 +36,29 @@ object Multimodal {
   /** F4: exact payload dedup — the FIRST pass of every real image/media
     * dedup pipeline (byte-identical files: re-posted assets, default
     * thumbnails, placeholder images — the dominant duplicate class in
-    * web media corpora). Fingerprint = md5 of the raw payload bytes,
-    * grouped per kind; each group reports its min-id canonical and copy
-    * count, so curation drops `n_copies - 1` files per group without
-    * decoding anything. To make the duplicate class real on the
-    * synthetic corpus, every 10th doc's payload is THE placeholder
-    * asset (replayed verbatim in the oracle, like text_pii's
-    * construction). One partial-agg shuffle keyed on 16-byte
-    * fingerprints — payload bytes die at the map side.
+    * web media corpora). Fingerprint = md5 of the raw payload bytes in
+    * `payloadCol` (BINARY), grouped per `kindCol`; each group reports
+    * its min-id canonical and copy count, so curation drops
+    * `n_copies - 1` files per group without decoding anything. One
+    * partial-agg shuffle keyed on 16-byte fingerprints — payload bytes
+    * die at the map side. The operator dedups whatever payload column it
+    * is given; synthetic-corpus construction (the placeholder-asset
+    * substitution the benchmark query uses) lives in the query wrapper,
+    * not here.
     */
-  def dedupPayloads(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val placeholder = "PLACEHOLDER_ASSET_v1"
-    val payload = when(pmod(col(idCol), lit(10)) === 0,
-      encode(lit(placeholder), "UTF-8"))
-      .otherwise(encode(col(textCol), "UTF-8"))
-    docs.select(col(idCol),
-        element_at(typedLit(Kinds), (pmod(col(idCol), lit(3)) + 1).cast("int"))
-          .as("kind"),
-        payload.as("p"))
+  def dedupPayloads(media: DataFrame, idCol: String, kindCol: String,
+                    payloadCol: String): DataFrame = {
+    media.select(col(idCol), col(kindCol).as("kind"),
+        col(payloadCol).as("p"))
       .groupBy(col("kind"), md5(col("p")).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
         min(octet_length(col("p")).cast("long")).as("size_bytes"))
       .orderBy(col("kind"), col("fp"))
   }
+
+  /** Kind column derivation shared by [[manifest]] and the mm queries. */
+  def kindOf(idCol: String): org.apache.spark.sql.Column =
+    element_at(typedLit(Kinds), (pmod(col(idCol), lit(3)) + 1).cast("int"))
 
   /** Feature row produced per media payload by the decode stub. */
   val FeatureSchema: StructType = StructType(Seq(

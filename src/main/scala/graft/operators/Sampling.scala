@@ -210,6 +210,13 @@ object Sampling {
     */
   def exportShards(df: DataFrame, idCol: String, outDir: String,
                    shards: Int, seed: Long = 42L): Unit = {
+    // the assignment join introduces `shard` and `pos`: if the input
+    // already carries either, the joined output would hold ambiguous
+    // duplicate columns and the write would fail (or silently export
+    // the wrong one) — refuse loudly instead
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "exportShards reserves the column names 'shard' and 'pos'; " +
+        "rename them on the input first")
     val assign = shuffleShard(df, idCol, shards, seed)
     df.join(assign, Seq(idCol))
       // range, not hash: hash would collide distinct shard values into

@@ -431,6 +431,20 @@ object Pipeline {
   def mmManifest(documents: DataFrame): DataFrame =
     Multimodal.manifest(documents, "doc_id", "text").orderBy("doc_id")
 
-  def mmDedup(documents: DataFrame): DataFrame =
-    Multimodal.dedupPayloads(documents, "doc_id", "text")
+  /** The synthetic-corpus payload construction lives HERE, not in the
+    * operator: every 10th doc carries THE placeholder asset so the
+    * byte-identical duplicate class is real on the test corpus (the
+    * construction is replayed verbatim in the oracle, like text_pii's).
+    * A real caller hands [[Multimodal.dedupPayloads]] its own binary
+    * payload column untouched.
+    */
+  def mmDedup(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = when(pmod(col("doc_id"), lit(10)) === 0,
+      encode(lit("PLACEHOLDER_ASSET_v1"), "UTF-8"))
+      .otherwise(encode(col("text"), "UTF-8"))
+    val media = documents.select(col("doc_id"),
+      Multimodal.kindOf("doc_id").as("kind"), payload.as("payload"))
+    Multimodal.dedupPayloads(media, "doc_id", "kind", "payload")
+  }
 }

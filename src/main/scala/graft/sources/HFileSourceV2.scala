@@ -581,16 +581,25 @@ class HFileMicroBatchStream(path: String, required: StructType,
     (root, root.getFileSystem(confOf(confMap)))
   }
 
-  /** `(id, hasComplete, hasConsumed)` per epoch directory. */
+  /** `(id, hasComplete, hasConsumed)` per epoch directory. ONE listStatus
+    * per dir (not two exists probes): on an object store every RPC is a
+    * round trip and latestOffset polls this once per trigger — two
+    * exists made each trigger O(2·runs) round trips. A dir that vanishes
+    * between the glob and the list (concurrent fold recovery sweep) is
+    * skipped: a swept run's cells are necessarily past offsets.
+    */
   private def epochStates(): Seq[(Long, Boolean, Boolean)] = {
     val (root, f) = fs
     Option(f.globStatus(new Path(root, "epoch=*")))
       .getOrElse(Array.empty)
       .filter(_.isDirectory)
-      .map { st =>
-        (st.getPath.getName.stripPrefix("epoch=").toLong,
-          f.exists(new Path(st.getPath, graft.streaming.Streams.CompleteFile)),
-          f.exists(new Path(st.getPath, graft.streaming.Streams.ConsumedFile)))
+      .flatMap { st =>
+        try {
+          val names = f.listStatus(st.getPath).map(_.getPath.getName).toSet
+          Some((st.getPath.getName.stripPrefix("epoch=").toLong,
+            names.contains(graft.streaming.Streams.CompleteFile),
+            names.contains(graft.streaming.Streams.ConsumedFile)))
+        } catch { case _: java.io.FileNotFoundException => None }
       }.toSeq
   }
 
@@ -651,11 +660,18 @@ class HFileMicroBatchStream(path: String, required: StructType,
       .flatMap { case (id, _, _) =>
         val cf = new Path(root, s"epoch=$id/" +
           graft.streaming.Streams.ConsumedFile)
-        val in = f.open(cf)
-        try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
-        finally in.close()
+        // the fold dir can vanish between the state glob and this open
+        // (a concurrent next-fold recovery sweep deletes consumed fold
+        // dirs): a swept fold's sources are necessarily past offsets, so
+        // skipping it is correct — without the guard the benign race is
+        // a FileNotFoundException failing the micro-batch
+        try {
+          val in = f.open(cf)
+          try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => Seq.empty[Long] }
       }
       .filter(id => id > s && id <= e)
     if (foldConsumedInRange.nonEmpty)

@@ -61,7 +61,7 @@ class MultimodalSpec extends SparkSpec {
   test("payload dedup: the placeholder asset collapses per kind with " +
       "exact copy counts; unique payloads stay singletons") {
     val docs = sf("documents")
-    val got = Multimodal.dedupPayloads(docs, "doc_id", "text")
+    val got = graft.queries.Pipeline.mmDedup(docs)
       .select("kind", "keep_id", "n_copies").as[(String, Long, Long)]
       .collect().toSeq
     val ids = docs.select("doc_id").as[Long].collect().toSeq
@@ -78,5 +78,20 @@ class MultimodalSpec extends SparkSpec {
     val nonPh = ids.filterNot(_ % 10 == 0).size
     assert(got.size.toLong >= nonPh, "unique payloads must stay singletons")
     assert(got.map(_._3).sum == ids.size, "every payload accounted once")
+  }
+
+  test("dedupPayloads dedups exactly the payload column it is given — " +
+      "no hidden test-corpus substitution in the operator") {
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      (1L, "image", "AAA"), (2L, "image", "AAA"), (3L, "image", "BBB"),
+      (10L, "audio", "CCC") // id%10==0 must NOT be rewritten
+    ).toDF("doc_id", "kind", "s")
+      .withColumn("payload", encode(col("s"), "UTF-8")).drop("s")
+    val got = Multimodal.dedupPayloads(media, "doc_id", "kind", "payload")
+      .select("kind", "keep_id", "n_copies").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(got.toSet == Set(("image", 1L, 2L), ("image", 3L, 1L),
+      ("audio", 10L, 1L)))
   }
 }
