@@ -128,6 +128,8 @@ object SparkEntry {
     "knn_ivfpq_trained" -> ((s, d) =>
       Pipeline.knnIvfPqTrained(t(s, d, "embeddings"))),
     "knn_ivfpq_res" -> ((s, d) => Pipeline.knnIvfPqRes(t(s, d, "embeddings"))),
+    "knn_ivfpq_res_trained" -> ((s, d) =>
+      Pipeline.knnIvfPqResTrained(t(s, d, "embeddings"))),
     // ---- E. text analysis -----------------------------------------------
     "text_stats" -> ((s, d) => Pipeline.textStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => Pipeline.textQuality(t(s, d, "documents"))),
@@ -679,6 +681,98 @@ object SparkEntry {
         |qrv AS (SELECT p.query_id, p.cell_id,
         |  list_transform(range(1, 65),
         |    i -> q.qe[i]::DOUBLE - cc.ce[i]::DOUBLE) AS v
+        |  FROM probes p JOIN q ON q.query_id = p.query_id
+        |  JOIN ccent cc ON cc.cell_id = p.cell_id),
+        |qrsub AS (SELECT query_id, cell_id, j,
+        |  list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM qrv, range(0, 8) AS t(j)),
+        |qt AS (SELECT s.query_id, s.cell_id, s.j AS sub, c.slot AS code,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS qdist
+        |  FROM qrsub s JOIN pcent c ON s.j = c.sub),
+        |adc AS (SELECT qt.query_id, codes.neighbor_id,
+        |  list_sum(list(qt.qdist ORDER BY qt.sub)) AS adist
+        |  FROM codes JOIN qt ON codes.ccell = qt.cell_id
+        |    AND codes.sub = qt.sub AND codes.code = qt.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist, neighbor_id) AS srn
+        |  FROM adc WHERE neighbor_id <> query_id) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> qe.v[i] * ne.v[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe.v[i] * qe.v[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> ne.v[i] * ne.v[i]))))
+        |    AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+        |    AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D5b-trained: the fully-trained residual IVFADC — composes the
+    // coarse Lloyd chain (prefix `c`, identical to knn_ivfpq_trained's),
+    // the residual projection rv = v − centroid(cell(v)) under the
+    // trained coarse assignment, a SECOND Lloyd chain over residual
+    // subvectors (prefix `r` — kmeansSubCodebooks runs on the residuals
+    // frame, whose row count equals the corpus, so `tm` is shared), and
+    // knn_ivfpq_res's per-(query, probed-cell) ADC search over the
+    // trained tables.
+    "knn_ivfpq_res_trained" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |tm AS (SELECT greatest(2, (COUNT(*) + 8191) // 8192) AS m FROM e),
+        |csub AS (SELECT vec_id, 0 AS j, v AS sv FROM e),
+        |csamp AS (SELECT * FROM csub WHERE vec_id % (SELECT m FROM tm) = 0),
+        |cinitids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM csamp ORDER BY vec_id LIMIT 16)),
+        |cc0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM csamp s JOIN cinitids i USING (vec_id)),
+        |${kmeansIterCte(1, "cc0", 64, "csamp", "c")},
+        |${kmeansIterCte(2, "cc1", 64, "csamp", "c")},
+        |ccent AS (SELECT cell_id, cvec AS ce FROM cc2),
+        |assign0 AS (
+        |  SELECT e0.vec_id AS neighbor_id, c.cell_id,
+        |         ${cosineSql("e0.v", "c.ce")} AS csim
+        |  FROM e e0, ccent c),
+        |cells AS (
+        |  SELECT neighbor_id, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |rv AS (SELECT c.neighbor_id AS vec_id, c.cell_id AS ccell,
+        |  list_transform(range(1, 65), i -> e2.v[i] - cc.ce[i]) AS v
+        |  FROM cells c JOIN e e2 ON e2.vec_id = c.neighbor_id
+        |  JOIN ccent cc ON cc.cell_id = c.cell_id),
+        |rsub AS (SELECT vec_id, ccell, j, list_slice(v, j*8 + 1, j*8 + 8) AS sv
+        |  FROM rv, range(0, 8) AS t(j)),
+        |rsamp AS (SELECT vec_id, j, sv FROM rsub
+        |  WHERE vec_id % (SELECT m FROM tm) = 0),
+        |rinitids AS (SELECT vec_id,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+        |  FROM (SELECT DISTINCT vec_id FROM rsamp ORDER BY vec_id LIMIT 16)),
+        |rc0 AS (SELECT s.j AS sub, i.cell_id, s.sv AS cvec
+        |  FROM rsamp s JOIN rinitids i USING (vec_id)),
+        |${kmeansIterCte(1, "rc0", 8, "rsamp", "r")},
+        |${kmeansIterCte(2, "rc1", 8, "rsamp", "r")},
+        |pcent AS (SELECT sub, cell_id AS slot, cvec FROM rc2),
+        |enc0 AS (SELECT s.vec_id, s.ccell, s.j AS sub, c.slot,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS dist
+        |  FROM rsub s JOIN pcent c ON s.j = c.sub),
+        |codes AS (SELECT vec_id AS neighbor_id, ccell, sub, slot AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, slot) AS rn FROM enc0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.query_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, ccent c) WHERE qrn <= 5),
+        |qrv AS (SELECT p.query_id, p.cell_id,
+        |  list_transform(range(1, 65), i -> q.qe[i] - cc.ce[i]) AS v
         |  FROM probes p JOIN q ON q.query_id = p.query_id
         |  JOIN ccent cc ON cc.cell_id = p.cell_id),
         |qrsub AS (SELECT query_id, cell_id, j,

@@ -361,6 +361,23 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D5b-trained: the fully-trained residual IVFADC — k-means coarse
+    * quantizer (m = 1, 16 cells), then residual-space sub-codebooks
+    * fit by the same Lloyd machinery over [[Knn.residuals]] (training
+    * in the space the codes actually live in, FAISS's
+    * `train_residual`), feeding the per-(query, probed-cell) ADC
+    * search. The last D-family member to gain an oracle entry: the
+    * DuckDB replay composes the coarse Lloyd chain, the residual
+    * projection, a SECOND Lloyd chain over residual subvectors, and
+    * the probed-cell ADC — all byte-exact.
+    */
+  def knnIvfPqResTrained(embeddings: DataFrame): DataFrame =
+    Knn.ivfpqResidualTrained(embeddings, querySet(embeddings), "vec_id",
+        "embedding", dim = EmbeddingDim, k = 5, nProbe = 5, m = 8,
+        ksub = 16, nCells = 16, iters = 2, trainMod = 2, overscan = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   // ---- E. text analysis -----------------------------------------------
 
   def textStats(documents: DataFrame): DataFrame =
