@@ -114,6 +114,8 @@ object SparkEntry {
     "graph_components" -> ((s, d) =>
       Pipeline.graphComponents(t(s, d, "lineitem"))),
     "corpus_curate" -> ((s, d) => Pipeline.corpusCurate(t(s, d, "documents"))),
+    "corpus_curate_fuzzy" -> ((s, d) =>
+      Pipeline.corpusCurate(t(s, d, "documents"), fuzzy = true)),
     "seq_packing" -> ((s, d) => Pipeline.seqPacking(t(s, d, "documents"))),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
@@ -262,37 +264,51 @@ object SparkEntry {
       .stripMargin
   }
 
-  private def shingleSetCte(k: Int): String = {
+  private def shingleSetCte(k: Int): String =
+    s"""$wordFnvCte,
+      |${shingleSetTail(k, "")}""".stripMargin
+
+  /** The distinct-shingle-set chain WITHOUT the shared [[wordFnvCte]]
+    * prefix, CTE names prefixed `p` (`${p}sh0`, `${p}f1..${p}f5`) —
+    * lets two shingle sizes coexist in one oracle (the fuzzy curation
+    * composes the k=5 decontamination chain with the k=3 MinHash one).
+    * `p = ""` reproduces [[shingleSetCte]]'s names byte-for-byte.
+    */
+  private def shingleSetTail(k: Int, p: String): String = {
     val M64 = "18446744073709551616::HUGEINT"
     val joins = (1 until k).map(i =>
       s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
       .mkString("\n             ")
     val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
       s"(($acc * 31 + t$i.h) % $M64)")
-    s"""$wordFnvCte,
-      |sh0 AS (
+    s"""${p}sh0 AS (
       |  SELECT t0.doc_id, $chain AS c0
       |  FROM fnv t0 $joins),
-      |f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM sh0),
-      |f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+      |${p}f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM ${p}sh0),
+      |${p}f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
       |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM f1),
-      |f3 AS (SELECT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f2),
-      |f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+      |        % $M64 AS v FROM ${p}f1),
+      |${p}f3 AS (SELECT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}f2),
+      |${p}f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
       |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM f3),
-      |f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f4)"""
+      |        % $M64 AS v FROM ${p}f3),
+      |${p}f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}f4)"""
       .stripMargin
   }
 
-  private lazy val minhashCte: String = {
+  /** The MinHash body (128 permutations → 16-band blocking → candidate
+    * pairs with exact shingle Jaccard) reading its shingle sets from
+    * CTE `$src` (`(doc_id, v)` distinct shingle hashes). Split from
+    * [[minhashCte]] so the fuzzy curation oracle can point it at a
+    * prefixed k=3 chain beside its k=5 decontamination chain.
+    */
+  private def minhashBody(src: String): String = {
     val seeds = (0 until 128).map(j =>
       s"($j, ${java.lang.Long.toUnsignedString(
         graft.functions.TextHashes.permSeed(j))}::HUGEINT)").mkString(",")
     val M64 = "18446744073709551616::HUGEINT"
-    s"""${shingleSetCte(3)},
-      |seeds(j, s) AS (VALUES $seeds),
-      |perm0 AS (SELECT doc_id, j, xor(v, s) AS v FROM f5, seeds),
+    s"""seeds(j, s) AS (VALUES $seeds),
+      |perm0 AS (SELECT doc_id, j, xor(v, s) AS v FROM $src, seeds),
       |p2 AS (SELECT doc_id, j, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
       |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
       |        % $M64 AS v FROM (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM perm0)),
@@ -309,7 +325,7 @@ object SparkEntry {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bandkeys a JOIN bandkeys b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      |sets AS (SELECT doc_id, list(v ORDER BY v) AS sh, COUNT(*) AS n FROM f5 GROUP BY doc_id),
+      |sets AS (SELECT doc_id, list(v ORDER BY v) AS sh, COUNT(*) AS n FROM $src GROUP BY doc_id),
       |jac AS (
       |  SELECT c.doc_a, c.doc_b,
       |    length(list_intersect(sa.sh, sb.sh)) AS n_common,
@@ -317,6 +333,10 @@ object SparkEntry {
       |  FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id
       |              JOIN sets sb ON c.doc_b = sb.doc_id)""".stripMargin
   }
+
+  private lazy val minhashCte: String =
+    s"""${shingleSetCte(3)},
+      |${minhashBody("f5")}""".stripMargin
 
   /** Hyperplane table for the LSH oracles, emitted from the REAL
     * [[graft.operators.Dedup.hyperplanes]] constants (Double.toString
@@ -1461,6 +1481,63 @@ object SparkEntry {
         |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // C10-fuzzy: the full curation composition with the near-dup stage —
+    // the k=5 decontamination shingle chain (unprefixed f5) and the k=3
+    // MinHash chain (prefix `m`) share one wordFnvCte; the C7
+    // recursive-CTE reachability computes cluster canonicals; survivors
+    // of quality + decontamination + exact collapse then drop every
+    // non-canonical cluster member.
+    "corpus_curate_fuzzy" ->
+      s"""WITH RECURSIVE $wordFnvCte,
+        |${shingleSetTail(5, "")},
+        |${shingleSetTail(3, "m")},
+        |${minhashBody("mf5")},
+        |good AS (SELECT doc_a, doc_b FROM jac
+        |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+        |  UNION SELECT doc_b, doc_a FROM good),
+        |reach(node, peer) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+        |noncanon AS (SELECT node AS doc_id FROM reach
+        |  GROUP BY node HAVING node <> MIN(peer)),
+        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
+        |cont AS (SELECT DISTINCT t.doc_id FROM f5 t
+        |  JOIN ev ON t.v = ev.v
+        |  WHERE NOT (t.doc_id % 7 = 0 AND t.doc_id < 50000)),
+        |q AS (SELECT doc_id, lang, text,
+        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+        |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),
+        |c AS (SELECT doc_id, lang, text,
+        |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+        |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',
+        |    'is','on','for')))::DOUBLE / len(ws) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+        |    / length(text)::DOUBLE AS punct_ratio,
+        |  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
+        |    AS len_score
+        | FROM q),
+        |s AS (SELECT doc_id, lang, text,
+        |  round(len_score * 0.25 + diversity * 0.25
+        |    + least(stop_ratio * 4, 1.0) * 0.25
+        |    + greatest(1.0 - punct_ratio * 10, 0.0) * 0.25, 6) AS quality
+        | FROM c),
+        |f AS (SELECT *,
+        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        | FROM s WHERE quality >= 0.7
+        |   AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |k AS (SELECT doc_id, lang, quality,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, lang, quality,
+        | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+        |        < '${operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+        |      WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+        |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM k WHERE rn = 1
+        |  AND doc_id NOT IN (SELECT doc_id FROM noncanon)
+        |ORDER BY doc_id""".stripMargin,
     "seq_packing" ->
       """WITH t AS (SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens

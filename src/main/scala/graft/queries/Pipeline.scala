@@ -196,12 +196,25 @@ object Pipeline {
     * deterministic 80/10/10 split. Every stage is an operator already
     * oracle-checked in isolation; this entry verifies the composition.
     */
-  def corpusCurate(documents: DataFrame): DataFrame = {
+  def corpusCurate(documents: DataFrame): DataFrame =
+    corpusCurate(documents, fuzzy = false)
+
+  /** `fuzzy = true` adds the near-dup stage a real corpus pass runs
+    * (C3 + C7 composed): MinHash-LSH verified pairs at Jaccard ≥ 0.7
+    * over the corpus → transitive clusters → only each cluster's
+    * canonical min-id member may survive. The drop set scales with the
+    * corpus' duplication fraction (30-50% on real web corpora), so its
+    * anti join carries NO broadcast hint — unlike the decontamination
+    * gate's, whose eval slice is fixed-size; AQE picks the join side.
+    * Registered as its own query (`corpus_curate_fuzzy`) so the base
+    * composition's bench row stays comparable across rounds.
+    */
+  def corpusCurate(documents: DataFrame, fuzzy: Boolean): DataFrame = {
     val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000
     val contaminated = Dedup.decontaminate(
       documents.filter(!isEval), documents.filter(isEval),
       "doc_id", "text", k = 5, minHits = 1L).select("doc_id")
-    val survivors = documents.filter(!isEval)
+    val base = documents.filter(!isEval)
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.7)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
@@ -210,6 +223,14 @@ object Pipeline {
         col("doc_id")).as("c"))
       .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"),
         col("c.quality").as("quality"))
+    val survivors = if (!fuzzy) base else {
+      val pairs = Dedup.minhashLsh(documents, "doc_id", "text",
+        k = 3, perms = 128, bands = 16, threshold = 0.7)
+      val nonCanonical = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      base.join(nonCanonical, Seq("doc_id"), "left_anti")
+    }
     Sampling.deterministicSplit(survivors, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
       .orderBy("doc_id")
