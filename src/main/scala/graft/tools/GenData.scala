@@ -164,6 +164,36 @@ object GenData {
       .repartition(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
+  /** Deterministic mixture-of-Gaussians embedding corpus — the CLUSTERED
+    * data residual quantization exists for (the driver's synthetic
+    * embeddings are structureless: var(x − centroid) ≈ 2·var(x) there,
+    * so residual codes measure WORSE than raw ones and the operator's
+    * purpose is untestable on them). `k` seeded Gaussian centroids are
+    * drawn driver-side (tiny, embedded as a plan literal); each vector
+    * is its cluster's centroid plus uniform noise of half-width `sigma`
+    * per component. Cluster assignment and noise are pure hash functions
+    * of `vec_id` (xxhash64) — NOT `rand()` — so the table is bit-identical
+    * under any partitioning, any executor count, and re-generation.
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int, k: Int,
+                          sigma: Double, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+    val centsLit = typedLit(cents)
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("__cl",
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit(k.toLong)).cast("int"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(element_at(centsLit, col("__cl") + 1), i + lit(1)) +
+            lit(sigma) *
+              (pmod(xxhash64(col("vec_id") * lit(dim.toLong) + i.cast("long"),
+                lit(seed + 1)), lit(2001L)).cast("double") / lit(1000.0)
+                - lit(1.0))).cast("float")))
+      .drop("__cl")
+  }
+
   /** Per-replica sign-flip (orthogonal) transform on the embedding,
     * vec_id offset, label untouched.
     */

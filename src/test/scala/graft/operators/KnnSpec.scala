@@ -202,6 +202,40 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("partial_min_by") && plan.contains("partial_max_by"))
   }
 
+  test("CLUSTERED corpus: residual codes beat raw codes under the same " +
+      "trained coarse quantizer — the operator's purpose, measured") {
+    // mixture of 16 Gaussians, tight clusters (noise half-width 0.15 vs
+    // unit-scale centroids): true neighbors are within-cluster, so raw
+    // 8x16 codes mostly resolve WHICH cluster (losing within-cluster
+    // detail) while residual codes spend all 16 entries per subspace on
+    // the within-cell spread — the inequality the structureless-corpus
+    // specs above document as reversed
+    val clustered = graft.tools.GenData.clusteredEmbeddings(spark,
+      n = 800, dim = 64, k = 16, sigma = 0.15, seed = 99L)
+    val q = clustered.filter(col("vec_id") < 10)
+    val bf = pairs(Knn.bruteForce(clustered, q, "vec_id", "embedding", k = 5))
+    val coarse = Knn.kmeansSubCodebooks(clustered, "vec_id", "embedding",
+        dim = 64, m = 1, ksub = 16, iters = 2, trainMod = 1)
+      .select(col("cell_id"), col("cvec").as("centroid"))
+    val cbsRaw = Knn.kmeansSubCodebooks(clustered, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 1)
+    val raw = Knn.ivfpq(clustered, q, "vec_id", "embedding", dim = 64,
+      k = 5, coarse = Some(coarse), codebooks = Some(cbsRaw))
+    val res = Knn.residuals(clustered, "vec_id", "embedding", coarse)
+    val cbsRes = Knn.kmeansSubCodebooks(res, "neighbor_id", "rv",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 1)
+    val resOut = Knn.ivfpqResidual(clustered, q, "vec_id", "embedding",
+      dim = 64, k = 5, coarse = Some(coarse), codebooks = Some(cbsRes))
+    val rawRecall = (bf & pairs(raw)).size.toDouble / bf.size
+    val resRecall = (bf & pairs(resOut)).size.toDouble / bf.size
+    info(f"clustered-corpus recall: residual $resRecall%.3f vs raw $rawRecall%.3f")
+    // same cells, same probes, only the code space differs
+    assert(resRecall > rawRecall,
+      s"residual recall $resRecall should beat raw $rawRecall on " +
+        "clustered data")
+    assert(resRecall >= 0.6, s"residual recall $resRecall")
+  }
+
   test("ivfpq composes with trained k-means codebooks on offset ids") {
     val shifted = emb.withColumn("vec_id", col("vec_id") * 3 + 1000)
     val shiftedQ = shifted.filter(col("vec_id") < 1030)
