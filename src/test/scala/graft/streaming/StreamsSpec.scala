@@ -622,6 +622,102 @@ class StreamsSpec extends SparkSpec {
     } finally { tq.stop(); w.stop() }
   }
 
+  test("G10 restart from checkpoint across a fold cycle: delivery stays " +
+      "exactly-once when the reader kept pace, and the fail-loud fires " +
+      "when the fold window was overrun") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.StreamingQueryException
+
+    def decoded(df: org.apache.spark.sql.DataFrame) = df.select(
+      graft.functions.hb.decode(expr("substring(rowkey, 3, 8)"),
+        LongType).as("k"),
+      graft.functions.hb.decode(col("value"),
+        org.apache.spark.sql.types.DoubleType).as("v"))
+
+    def runScenario(tag: String, batchesBeforeStop: Int,
+                    batchesWhileDown: Int):
+        (collection.Map[Long, Seq[(Long, Double)]],
+         () => org.apache.spark.sql.streaming.StreamingQuery,
+         MemoryStream[(Long, Double)],
+         org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"rst_$tag").toString
+      val ckptW = java.nio.file.Files
+        .createTempDirectory(s"rst_${tag}_w").toString
+      val ckptR = java.nio.file.Files
+        .createTempDirectory(s"rst_${tag}_r").toString
+      val input = MemoryStream[(Long, Double)]
+      val cells = input.toDF().toDF("key", "value")
+        .select(
+          graft.functions.hb.encode(col("key")).as("rowkey"),
+          lit("f").as("family"), lit("v").as("qualifier"),
+          graft.functions.hb.encode(col("value")).as("value"))
+      val w = Streams.bulkLoadStream(cells, dir, buckets = 2,
+          numPartitions = 2, maxEpochs = 3)
+        .option("checkpointLocation", ckptW).start()
+      // foreachBatch sink keyed by batchId: a replayed batch overwrites
+      // its own slot, so the map IS the exactly-once ledger
+      val got = new java.util.concurrent.ConcurrentHashMap[
+        Long, Seq[(Long, Double)]]()
+      import scala.jdk.CollectionConverters._
+      def startTail() = decoded(Streams.readBulkLoadStream(spark, dir))
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          got.put(id,
+            b.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+          ()
+        }
+        .option("checkpointLocation", ckptR).start()
+      val tq = startTail()
+      var key = 100L
+      def oneBatch(): Long = {
+        val k = key; key += 1
+        input.addData((k, k.toDouble)); w.processAllAvailable(); k
+      }
+      (1 to batchesBeforeStop).foreach { _ =>
+        oneBatch(); tq.processAllAvailable()
+      }
+      tq.stop()
+      (1 to batchesWhileDown).foreach(_ => oneBatch())
+      (got.asScala, startTail _, input, w, () => { val k = key; key += 1
+        input.addData((k, k.toDouble)); w.processAllAvailable(): Unit })
+    }
+
+    // --- kept pace: 3 delivered batches, then ONE batch while down —
+    // its fold consumes exactly the 3 already-delivered runs, so the
+    // restart delivers only the new run, exactly once, and keeps tailing
+    locally {
+      val (got, restart, _, w, nextBatch) = runScenario("ok", 3, 1)
+      val tq2 = restart()
+      try {
+        tq2.processAllAvailable()
+        nextBatch(); tq2.processAllAvailable()
+        val all = got.values.flatten.toSeq.sorted
+        // keys 100..104, each exactly once (100-102 pre-stop, 103 while
+        // down and folded-into-nothing-undelivered, 104 post-restart)
+        assert(all == (100L to 104L).map(k => (k, k.toDouble)),
+          s"exactly-once violated: $all")
+      } finally { tq2.stop(); w.stop() }
+    }
+
+    // --- overrun: 2 delivered batches, then TWO while down — the second
+    // triggers a fold consuming an UNDELIVERED run (the third), so the
+    // restarted reader must fail loudly, not plan an empty range
+    locally {
+      val (_, restart, _, w, _) = runScenario("lag", 2, 2)
+      val tq2 = restart()
+      try {
+        val e = intercept[StreamingQueryException] {
+          tq2.processAllAvailable()
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          if (t == null) Seq.empty else t +: chain(t.getCause)
+        assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("folded away")),
+          s"expected the documented fail-loud, got: $e")
+      } finally { tq2.stop(); w.stop() }
+    }
+  }
+
   test("G10 streaming hfile source: tails published epochs exactly once, " +
       "skips unpublished and fold directories") {
     implicit val sqlCtx = spark.sqlContext
