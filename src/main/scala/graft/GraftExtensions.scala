@@ -18,8 +18,10 @@ import graft.functions._
   * the Column API uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -107,10 +109,95 @@ object GraftExtensions {
   /** Imperative registration into an existing session (the extensions
     * config only applies when a new session is instantiated).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    tableFunctions.foreach { case (id, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, inf, builder)
+    }
+  }
+
+  // ---- operator-level table functions -----------------------------------
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.functions.{col, md5}
+  type TvfDef =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING argument, got $other")
+  }
+  private def numArg(e: Expression, fn: String): Double = e match {
+    // SQL `0.7` parses as a DECIMAL literal (spark Decimal, not a
+    // java.lang.Number); integer literals come through as Int/Long
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(n: Number, _) => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal numeric argument, got $other")
+  }
+
+  /** SQL entry points for the OPERATOR layer (the expression functions
+    * above cover the kernels; these cover whole DataFrame→DataFrame
+    * operators) — what a SQL-first user reaches for before learning the
+    * Scala API:
+    *
+    * {{{
+    *   SELECT * FROM graft_dedup_exact('documents', 'doc_id', 'text')
+    *   SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text', 0.7)
+    *   SELECT * FROM graft_compact('/in/dir', '/out/dir', 1)
+    * }}}
+    *
+    * The first argument of the dedup TVFs is a TABLE/VIEW name resolved
+    * against the current catalog. `graft_compact` is CALL-style: building
+    * its plan runs the compaction rewrite of `inDir` into `outDir`
+    * (driver-side eager, like the Scala entry point), and the returned
+    * rows are the compacted cell stream read back from `outDir`.
+    */
+  val tableFunctions: Seq[TvfDef] = Seq(
+    (FunctionIdentifier("graft_dedup_exact"),
+      info("graft_dedup_exact",
+        "graft_dedup_exact(table, id_col, text_col) - exact dedup groups " +
+          "(fp, keep_id, n_copies) by md5 content fingerprint"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_dedup_exact"))
+        val idCol = strArg(args(1), "graft_dedup_exact")
+        val textCol = strArg(args(2), "graft_dedup_exact")
+        operators.Dedup.exact(df, idCol, md5(col(textCol)))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_minhash_pairs"),
+      info("graft_minhash_pairs",
+        "graft_minhash_pairs(table, id_col, text_col[, threshold]) - " +
+          "MinHash-LSH near-dup pairs verified by exact shingle Jaccard"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_minhash_pairs"))
+        val idCol = strArg(args(1), "graft_minhash_pairs")
+        val textCol = strArg(args(2), "graft_minhash_pairs")
+        val threshold =
+          if (args.length > 3) numArg(args(3), "graft_minhash_pairs") else 0.7
+        operators.Dedup.minhashLsh(df, idCol, textCol,
+          threshold = threshold).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_compact"),
+      info("graft_compact",
+        "graft_compact(in_dir, out_dir[, versions]) - CALL-style: major-" +
+          "compact a bulk-load directory, return the compacted cells"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val inDir = strArg(args(0), "graft_compact")
+        val outDir = strArg(args(1), "graft_compact")
+        val versions =
+          if (args.length > 2) numArg(args(2), "graft_compact").toInt else 1
+        operators.Compaction.compact(spark, inDir, outDir,
+          versions = versions)
+        operators.BulkLoad.readHFiles(spark, outDir).queryExecution.logical
+      }))
 }
 
 /** Session factory with the engine's scale defaults baked in. */

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The operator-level SQL surface (GraftExtensions.tableFunctions): the
+  * dedup / near-dup / compaction entry points callable from plain
+  * `spark.sql`, resolving their table argument against the catalog.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("graft_dedup_exact: SQL TVF matches the Scala operator") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val viaSql = spark.sql(
+      "SELECT fp, keep_id, n_copies FROM " +
+        "graft_dedup_exact('documents_v', 'doc_id', 'text')")
+    val viaScala = operators.Dedup.exact(sf("documents"), "doc_id",
+      md5(col("text")))
+    assert(viaSql.count() == 500)
+    assert(viaSql.except(viaScala).isEmpty &&
+      viaScala.except(viaSql).isEmpty)
+  }
+
+  test("graft_minhash_pairs: SQL TVF matches Dedup.minhashLsh, " +
+      "threshold argument honored") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val viaSql = spark.sql(
+      "SELECT doc_a, doc_b, jaccard FROM " +
+        "graft_minhash_pairs('documents_v', 'doc_id', 'text', 0.7)")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaScala = operators.Dedup.minhashLsh(sf("documents"),
+        "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // threshold honored: looser is a superset, impossible is empty
+    val loose = spark.sql(
+      "SELECT doc_a, doc_b, jaccard FROM " +
+        "graft_minhash_pairs('documents_v', 'doc_id', 'text', 0.3)")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaSql.subsetOf(loose))
+    assert(viaSql.forall(_._3 >= 0.7))
+    val none = spark.sql(
+      "SELECT * FROM graft_minhash_pairs('documents_v', 'doc_id', " +
+        "'text', 1.01)")
+    assert(none.count() == 0)
+  }
+
+  test("graft_compact: CALL-style TVF compacts a bulk dir and returns " +
+      "the compacted cells") {
+    val in = java.nio.file.Files.createTempDirectory("sql_cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sql_cmp_out")
+      .toString + "/out"
+    // two puts per key at different ts — versions=1 keeps the newest
+    val rows = Seq(
+      (functions.BytesCodec.encodeLong(1L), "f", "q",
+        "old".getBytes("UTF-8"), 4, 100L),
+      (functions.BytesCodec.encodeLong(1L), "f", "q",
+        "new".getBytes("UTF-8"), 4, 200L),
+      (functions.BytesCodec.encodeLong(2L), "f", "q",
+        "solo".getBytes("UTF-8"), 4, 100L))
+      .toDF("rowkey", "family", "qualifier", "value", "key_type", "ts")
+    val prepared = operators.BulkLoad.prepare(rows, buckets = 2,
+      numPartitions = 2)
+    operators.BulkLoad.writeHFiles(prepared, in, tsCol = Some("ts"),
+      typeCol = Some("key_type"))
+    val got = spark.sql(
+      s"SELECT qualifier, value, ts FROM graft_compact('$in', '$out', 1)")
+      .as[(String, Array[Byte], Long)].collect().toSeq
+    assert(got.length == 2, s"expected 2 surviving cells, got $got")
+    assert(got.map(g => new String(g._2, "UTF-8")).toSet ==
+      Set("new", "solo"))
+    // the rewrite really landed in outDir
+    assert(operators.BulkLoad.readHFiles(spark, out).count() == 2)
+  }
+}
