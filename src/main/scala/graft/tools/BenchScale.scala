@@ -38,16 +38,17 @@ object BenchScale {
     "dedup_exact", "dedup_exact_normalized", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
     "dedup_paragraph", "dedup_substring", "dedup_substring_trim",
-    "dedup_semantic", "corpus_shuffle",
+    "dedup_semantic", "corpus_shuffle", "mm_dedup",
     "dedup_clusters", "graph_components", "seq_packing",
     "compact_cells", "compact_cells_ttl", "rollup_rate",
     "bulkload_plan", "salt_distribution", "hfile_point_lookup",
     "hfile_multi_get", "q5_region_revenue", "knn_pq", "knn_pq_trained",
     "knn_ivfpq", "knn_ivfpq_res", "knn_ivf_trained", "knn_ivfpq_trained",
+    "knn_ivfpq_res_trained",
     "text_repetition", "text_classify", "text_lm_score",
     "rollup_heavy_hitters",
     "corpus_decontaminate", "corpus_mix", "corpus_curate",
-    "corpus_boilerplate")
+    "corpus_curate_fuzzy", "corpus_boilerplate")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of
