@@ -82,6 +82,9 @@ object BenchScale {
     val outPath = if (args.length > 2) args(2) else "BENCH_scale.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val skip100 = sys.env.contains("SPARK_GRAFT_SKIP_100X")
+    // take EVERY selected query to 100x, not just the heavy set — used
+    // to backfill t100 for the light rows so no query stops at 10x
+    val all100 = sys.env.contains("SPARK_GRAFT_100X_ALL")
     val x10 = s"$work/x10"
     val x100 = s"$work/x100"
     val xSkew = s"$work/x10skew"
@@ -100,7 +103,7 @@ object BenchScale {
       val t1 = Bench.forkQuery(name, src, cpus)
       val t10 = Bench.forkQuery(name, x10, cpus)
       val t100 =
-        if (!skip100 && heavy(name)) Bench.forkQuery(name, x100, cpus)
+        if (!skip100 && (all100 || heavy(name))) Bench.forkQuery(name, x100, cpus)
         else None
       (t1, t10) match {
         case (Some(a), Some(b)) =>
