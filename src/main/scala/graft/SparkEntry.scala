@@ -106,6 +106,7 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
     "corpus_boilerplate" -> ((s, d) =>
       Pipeline.corpusBoilerplate(t(s, d, "documents"))),
+    "corpus_budget" -> ((s, d) => Pipeline.corpusBudget(t(s, d, "documents"))),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "corpus_shuffle" -> ((s, d) =>
       Pipeline.corpusShuffle(t(s, d, "documents"))),
@@ -980,6 +981,17 @@ object SparkEntry {
         |  CASE WHEN thr.t >= 65536 THEN 'g' ELSE printf('%04x', thr.t::BIGINT) END
         |ORDER BY d.doc_id""".stripMargin
     },
+    "corpus_budget" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  substr(md5(doc_id::VARCHAR || ':42'), 1, 4) AS k4
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY k4, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tok)
+        |SELECT doc_id, source, n_tokens FROM w
+        |WHERE cum - n_tokens < 800 ORDER BY doc_id""".stripMargin,
     "corpus_decontaminate" ->
       s"""WITH ${shingleSetCte(5)},
         |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),

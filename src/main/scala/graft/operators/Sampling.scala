@@ -208,6 +208,97 @@ object Sampling {
     * Shard count = file parallelism — pick shards ≈ the cluster's
     * write slots at 100 TB.
     */
+  /** C21: token-budget selection — keep, per stratum (source/domain),
+    * documents in a deterministic pseudorandom priority order until the
+    * stratum's token budget is reached. This is how real mixtures are
+    * specified ("20 B tokens of web, 5 B of code"): budgets are in
+    * TOKENS, not documents, so `corpus_mix`'s per-document fractions
+    * cannot express them. The greedy rule: a document is kept iff the
+    * total weight of strictly-higher-priority documents in its stratum
+    * is still below the budget — so the document that first crosses the
+    * line is included and every later one is dropped. Priority is the
+    * salted [[hashKey]] (ties broken by id): reproducible, engine-
+    * independent, and uniform, so the kept set is an unbiased prefix of
+    * a deterministic shuffle.
+    *
+    * Scale shape (the reason this is not one `Window.partitionBy
+    * (stratum)`): a per-stratum running sum would stream EVERY row of a
+    * stratum through one task — at 100 TB a single source can be tens
+    * of TB, so that window is the scale-killer. Instead:
+    *
+    *  1. one partial-agg histogram `groupBy(stratum, bucket)` over the
+    *     256 buckets spanned by the priority key's first two hex chars
+    *     (output ≤ strata × 256 rows — catalog-bounded, collected);
+    *  2. the driver finds, per stratum, the boundary bucket where the
+    *     cumulative weight first reaches the budget (and the exact
+    *     cumulative BEFORE it);
+    *  3. buckets below the boundary keep unconditionally, buckets above
+    *     drop unconditionally — both pure map-side filters;
+    *  4. ONLY the boundary bucket (~1/256 of one stratum) runs the
+    *     exact running-sum window, seeded with the pre-bucket total.
+    *
+    * The result is row-for-row identical to the naive global window
+    * (the oracle replays the naive form) but the corpus is never
+    * window-shuffled: one histogram shuffle plus a window over a
+    * 256×-smaller slice.
+    *
+    * `weightCol` must be POSITIVE (a token count; a zero-weight row
+    * exactly at the budget line would be bucket-classified instead of
+    * window-checked); rows are kept with their weight so downstream
+    * packing can consume it.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, strataCol: String,
+                   weightCol: String, budget: Long, seed: Long = 42L)
+      : DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val k4 = hashKey(col(idCol), seed)
+    val bucket = substring(k4, 1, 2)
+    // 1. catalog-bounded histogram: (stratum, bucket) -> total weight
+    val hist = df
+      .groupBy(col(strataCol).as("s"), bucket.as("b"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // 2. per stratum: first bucket where the running total reaches the
+    //    budget, plus the exact total before that bucket. A stratum
+    //    whose grand total stays under budget keeps everything —
+    //    encoded as boundary "g" (sorts after every hex bucket).
+    val cuts: Map[String, (String, Long)] = hist.groupBy(_._1).map {
+      case (s, rows) =>
+        var pre = 0L
+        var cut: Option[(String, Long)] = None
+        rows.sortBy(_._2).foreach { case (_, b, w) =>
+          if (cut.isEmpty) {
+            if (pre + w >= budget) cut = Some((b, pre)) else pre += w
+          }
+        }
+        s -> cut.getOrElse(("g", pre))
+    }
+    val strata = cuts.keys.toSeq.sorted
+    // "!" sorts before "00": a stratum absent from the histogram (none
+    // exist by construction) would keep nothing rather than everything
+    val cutLit = strata.foldRight(lit("!")) { (s, acc) =>
+      when(col(strataCol) === s, lit(cuts(s)._1)).otherwise(acc)
+    }
+    val preLit = strata.foldRight(lit(0L)) { (s, acc) =>
+      when(col(strataCol) === s, lit(cuts(s)._2)).otherwise(acc)
+    }
+    val out = df.select(col(idCol), col(strataCol),
+      col(weightCol).cast("long").as(weightCol), k4.as("_k4"),
+      bucket.as("_b"), cutLit.as("_cut"), preLit.as("_pre"))
+    // 3. below-boundary buckets: exclusive cumsum is provably < budget
+    val below = out.filter(col("_b") < col("_cut"))
+    // 4. the boundary bucket alone pays the exact window
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("_k4"), col(idCol))
+    val boundary = out.filter(col("_b") === col("_cut"))
+      .withColumn("_cum", sum(col(weightCol)).over(win))
+      .filter(col("_pre") + col("_cum") - col(weightCol) < budget)
+      .drop("_cum")
+    below.union(boundary).select(col(idCol), col(strataCol),
+      col(weightCol))
+  }
+
   def exportShards(df: DataFrame, idCol: String, outDir: String,
                    shards: Int, seed: Long = 42L): Unit = {
     // the assignment join introduces `shard` and `pos`: if the input

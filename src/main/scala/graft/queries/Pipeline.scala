@@ -186,6 +186,21 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C21: token-budget mixture — every source capped at 800 TOKENS
+    * (not documents) in deterministic salted-hash priority order; the
+    * doc that crosses the line is kept, everything after it drops.
+    * Exercises both [[Sampling.budgetSelect]] paths on the shipped
+    * corpora: at sf0.001 sources total under budget (keep-all), at
+    * sf0.01+ every source crosses the line inside a boundary bucket.
+    */
+  def corpusBudget(documents: DataFrame): DataFrame =
+    Sampling.budgetSelect(
+      documents.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens")),
+      "doc_id", "source", "n_tokens", budget = 800L, seed = 42L)
+      .orderBy("doc_id")
+
   /** C10: end-to-end corpus curation — the composed pipeline a
     * training-data run executes: quality-score inline at the scan
     * (no intermediate join), keep docs ≥ 0.7, drop docs contaminated

@@ -151,4 +151,56 @@ class SamplingSpec extends SparkSpec {
       shards = 5, numPartitions = 3)
     assert(base.except(repart).isEmpty && repart.except(base).isEmpty)
   }
+
+  /** The naive single-window form of the budget rule — the semantics
+    * [[Sampling.budgetSelect]]'s histogram-cutoff plan must reproduce
+    * row for row.
+    */
+  private def naiveBudget(df: org.apache.spark.sql.DataFrame,
+                          budget: Long, seed: Long) = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s"))
+      .orderBy(Sampling.hashKey(col("id"), seed), col("id"))
+    df.withColumn("cum", sum(col("w")).over(win))
+      .filter(col("cum") - col("w") < budget)
+      .select("id", "s", "w")
+  }
+
+  test("budgetSelect matches the naive global window row for row") {
+    // 400 rows, 3 strata, varied weights — boundary buckets land
+    // differently per stratum
+    val df = spark.range(0, 400)
+      .select(col("id"), concat(lit("s"), pmod(col("id"), lit(3)))
+        .as("s"), (pmod(col("id"), lit(7)) + 1).as("w"))
+    for (budget <- Seq(5L, 50L, 170L, 100000L)) {
+      val got = Sampling.budgetSelect(df, "id", "s", "w", budget)
+        .as[(Long, String, Long)].collect().toSet
+      val want = naiveBudget(df, budget, 42L)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"budget=$budget: " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    }
+  }
+
+  test("budgetSelect includes the crossing doc and drops the rest") {
+    val df = spark.range(0, 100)
+      .select(col("id"), lit("x").as("s"), lit(10L).as("w"))
+    val out = Sampling.budgetSelect(df, "id", "s", "w", budget = 55L)
+      .as[(Long, String, Long)].collect()
+    // 10-token docs against a 55 budget: 5 docs fit under it and the
+    // 6th crosses the line — greedy keeps exactly 6
+    assert(out.length == 6)
+    // a stratum under budget keeps everything
+    val all = Sampling.budgetSelect(df, "id", "s", "w", budget = 100000L)
+    assert(all.count() == 100)
+  }
+
+  test("budgetSelect is independent of input partitioning") {
+    val df = spark.range(0, 300)
+      .select(col("id"), concat(lit("s"), pmod(col("id"), lit(4)))
+        .as("s"), (pmod(col("id"), lit(5)) + 1).as("w"))
+    val a = Sampling.budgetSelect(df, "id", "s", "w", 80L)
+    val b = Sampling.budgetSelect(df.repartition(17), "id", "s", "w", 80L)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
