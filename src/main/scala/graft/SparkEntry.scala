@@ -84,6 +84,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
       Pipeline.dedupExactNormalized(t(s, d, "documents"))),
+    "dedup_incremental" -> ((s, d) =>
+      Pipeline.dedupIncremental(t(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) =>
       Pipeline.dedupMinhashLsh(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Pipeline.dedupSimhash(t(s, d, "documents"))),
@@ -1374,6 +1376,18 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  (doc_id % 10 = 0) AS is_delta FROM documents),
+        |idx AS (SELECT fp, MIN(doc_id) AS keep_id FROM f
+        |  WHERE NOT is_delta GROUP BY fp),
+        |fd AS (SELECT fp, MIN(doc_id) AS first_delta FROM f
+        |  WHERE is_delta GROUP BY fp)
+        |SELECT d.doc_id, d.fp, coalesce(i.keep_id, -1) AS dup_of,
+        |  (i.keep_id IS NULL AND d.doc_id = fd.first_delta) AS keep
+        |FROM f d JOIN fd ON d.fp = fd.fp LEFT JOIN idx i ON d.fp = i.fp
+        |WHERE d.is_delta ORDER BY d.doc_id""".stripMargin,
     // C19: replay of Sampling.shuffleShard — global rank in
     // (salted-md5 key, id) order, round-robin shard deal
     "corpus_shuffle" ->

@@ -49,6 +49,44 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** C22: incremental ingest dedup — dedup a NEW batch (delta) against
+    * an existing corpus fingerprint index without reprocessing the
+    * corpus. This is the shape a continuously-fed pipeline actually
+    * runs: the crawl lands a daily batch, the corpus index (fp →
+    * canonical id, the durable output of C1/C2 runs) already exists,
+    * and re-shuffling 100 TB of history per batch is not an option.
+    *
+    * Per delta document: `dup_of` = the corpus canonical id sharing its
+    * fingerprint (null if unseen), and `keep` = true iff the doc is
+    * both new to the corpus AND the first (min-id) occurrence of its
+    * fingerprint within the batch — exactly the set a curator appends
+    * to the corpus (and whose fingerprints it appends to the index).
+    *
+    * Scale posture: the corpus-scale `index` is probed ONCE, map-side,
+    * against the broadcast distinct fingerprint set of the batch (a
+    * daily batch is GBs; its fingerprint set is MBs) — the index is
+    * never shuffled and never aggregated, and the surviving hit set is
+    * batch-bounded, so every subsequent join runs at batch scale. The
+    * within-batch first-occurrence pass is a partial-agg `groupBy`
+    * over the batch alone.
+    */
+  def incremental(index: DataFrame, delta: DataFrame, idCol: String,
+                  fp: Column): DataFrame = {
+    val dfp = delta.select(col(idCol), fp.as("fp"))
+    val deltaSet = dfp.select("fp").distinct()
+    // map-side probe: corpus index vs broadcast batch fingerprints
+    val hits = index.join(broadcast(deltaSet), Seq("fp"))
+      .select(col("fp"), col("keep_id"))
+    val firstInDelta = dfp.groupBy("fp")
+      .agg(min(col(idCol)).as("first_delta"))
+    dfp
+      .join(broadcast(hits), Seq("fp"), "left")
+      .join(firstInDelta, Seq("fp"))
+      .select(col(idCol), col("fp"), col("keep_id").as("dup_of"),
+        (col("keep_id").isNull && col(idCol) === col("first_delta"))
+          .as("keep"))
+  }
+
   /** C15: paragraph-level exact dedup — the Dolma/RefinedWeb
     * line-granularity pass: explode docs into newline-separated
     * paragraphs, keep ONE canonical occurrence of every distinct

@@ -25,6 +25,24 @@ object Pipeline {
     Dedup.exact(documents, "doc_id", md5(Dedup.normalized(col("text"))))
       .orderBy("fp")
 
+  /** C22: incremental batch dedup — docs with `doc_id % 10 == 0` play
+    * the incoming crawl batch, the rest the already-indexed corpus
+    * (same normalized fingerprint as C2). The corpus index is probed
+    * map-side against the broadcast batch fingerprint set; history is
+    * never re-shuffled.
+    */
+  def dedupIncremental(documents: DataFrame): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val fpc = md5(Dedup.normalized(col("text")))
+    val index = Dedup.exact(documents.filter(!isDelta), "doc_id", fpc)
+      .select(col("fp"), col("keep_id"))
+    Dedup.incremental(index, documents.filter(isDelta), "doc_id", fpc)
+      // -1 sentinel instead of null: the compare harness treats numeric
+      // nulls as NaN and NaN != NaN
+      .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+      .orderBy("doc_id")
+  }
+
   /** C3: MinHash(128) + 16-band LSH, verified Jaccard ≥ 0.7. */
   def dedupMinhashLsh(documents: DataFrame): DataFrame =
     Dedup.minhashLsh(documents, "doc_id", "text",

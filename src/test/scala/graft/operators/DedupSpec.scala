@@ -329,4 +329,46 @@ class DedupSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("partial_max"), "assignment argmax not partial")
   }
+
+  test("incremental dedup: corpus hit, within-batch dup, genuinely new") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("id", "text") // fp(alpha) canonical = 1
+    val batch = Seq(
+      (10L, "alpha"), // dup of corpus id 1 -> drop
+      (11L, "gamma"), // new, first in batch -> keep
+      (12L, "gamma"), // new but second in batch -> drop
+      (13L, "delta")  // new -> keep
+    ).toDF("id", "text")
+    val index = Dedup.exact(corpus, "id", md5(col("text")))
+      .select("fp", "keep_id")
+    val out = Dedup.incremental(index, batch, "id", md5(col("text")))
+      .select("id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(10L) == ((Some(1L), false)))
+    assert(out(11L) == ((None, true)))
+    assert(out(12L) == ((None, false)))
+    assert(out(13L) == ((None, true)))
+  }
+
+  test("incremental dedup probes the index map-side (no index shuffle)") {
+    import spark.implicits._
+    val docs = sf("documents")
+    val fpc = md5(col("text"))
+    val index = Dedup.exact(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", fpc).select("fp", "keep_id")
+    val out = Dedup.incremental(index,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", fpc)
+    // keep-set and index-hit set are consistent with a from-scratch run
+    val full = Dedup.exact(docs, "doc_id", fpc)
+    val keepIds = out.filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet
+    val canonical = full.select("keep_id").as[Long].collect().toSet
+    // every kept delta doc is a canonical of the full-corpus run
+    assert(keepIds.subsetOf(canonical))
+    // the index side reaches the probe join under a broadcast exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "index probe not broadcast")
+  }
 }
