@@ -57,6 +57,8 @@ object SparkEntry {
     "rollup_fill" -> ((s, d) => Core.rollupFill(t(s, d, "events"))),
     "rollup_merge" -> ((s, d) =>
       Core.rollupMerge(Core.rollup(t(s, d, "events"), "hour"))),
+    "rollup_incremental" -> ((s, d) =>
+      Core.rollupIncremental(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -1109,6 +1111,15 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
     "rollup_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value, MAX(value) AS max_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // A21: identical from-raw SQL to rollup_hourly — the incremental
+    // partial-merge plan must be bit-identical to a full recompute
+    "rollup_incremental" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,

@@ -304,6 +304,48 @@ object Core {
       .orderBy(col("bucket_ms"), col("event_type"))
   }
 
+  /** A21: incremental rollup maintenance (round 10) — the reason rollup
+    * PARTIALS (count/sum/min/max, avg derived) are the stored form: when
+    * a new slice of the stream lands, the maintained hourly table is
+    * updated by rolling up ONLY the new slice and merging partials on
+    * (bucket, type) — history is never rescanned. At 100 TB the
+    * alternative (recompute from raw) pays the full corpus scan per
+    * ingest cycle; the incremental path pays O(delta) + a merge over
+    * O(types × hours) partial rows.
+    *
+    * The cutoff is deliberately NOT hour-aligned, so the boundary hour
+    * genuinely exists as two partial rows (one per slice) and the merge
+    * is exercised, not just unioned disjoint keys. Counts add, sums add
+    * through exact DECIMAL (bit-identical to a from-raw rollup — the
+    * oracle IS rollup_hourly's from-raw SQL), min/max fold, avg is
+    * recomputed from merged sum/count.
+    */
+  def rollupIncremental(events: DataFrame,
+                        cutoffMs: Long = 1705325862000L): DataFrame = {
+    def partials(slice: DataFrame): DataFrame = slice
+      .groupBy(
+        expr("((ts DIV 1000000) DIV 3600000) * 3600000").as("bucket_ms"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    val merged = partials(events.filter(tsMs < cutoffMs))
+      .union(partials(events.filter(tsMs >= cutoffMs)))
+    val mergedSum = sum(col("sum_value").cast(DecimalType(18, 4)))
+      .cast("double")
+    merged
+      .groupBy(col("bucket_ms"), col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        mergedSum.as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        (mergedSum / sum(col("n_events"))).as("avg_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+  }
+
   /** A16: distinct-cardinality rollup. `exact = true` (the oracle mode)
     * runs `count(distinct)` — Catalyst expands it to a two-phase
     * aggregate whose first shuffle carries every (type, user) pair.

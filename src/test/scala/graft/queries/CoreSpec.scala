@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 /** Core-query scale-path checks not covered by the DuckDB oracle. */
 class CoreSpec extends SparkSpec {
@@ -65,5 +66,35 @@ class CoreSpec extends SparkSpec {
     val got = out.find(_.getLong(0) == u).get
     assert(got.getLong(1) == expected.getLong(0))
     assert(got.getLong(4) == expected.getLong(3))
+  }
+
+  test("rollupIncremental merge is bit-identical to a full recompute") {
+    val events = sf("events")
+    // derive a cutoff that provably splits one (hour, type) group into
+    // two partial rows — strictly between that group's first and last
+    // event — so the merge path is exercised, not just a disjoint union
+    val g = events
+      .selectExpr("((ts DIV 1000000) DIV 3600000) * 3600000 AS h",
+        "event_type", "ts DIV 1000000 AS ts_ms")
+      .groupBy("h", "event_type")
+      .agg(org.apache.spark.sql.functions.min(col("ts_ms")).as("lo"),
+        org.apache.spark.sql.functions.max(col("ts_ms")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .head()
+    val cutoffMs = g.getAs[Long]("hi") // first slice gets lo..hi-1
+    // the boundary hour appears in BOTH slices: two partial rows merge
+    val boundaryShared = events
+      .selectExpr(s"((ts DIV 1000000) DIV 3600000) * 3600000 AS h",
+        "event_type", s"ts DIV 1000000 < $cutoffMs AS pre")
+      .groupBy("h", "event_type")
+      .agg(countDistinct(col("pre")).as("sides"))
+      .filter(col("sides") === 2).count()
+    assert(boundaryShared > 0, "no (hour, type) key straddles the cutoff")
+    val inc = Core.rollupIncremental(events, cutoffMs).collect()
+    val full = Core.rollup(events, "hour").collect()
+    assert(inc.length == full.length)
+    inc.zip(full).foreach { case (a, b) =>
+      assert(a == b, s"incremental row $a != full row $b")
+    }
   }
 }
