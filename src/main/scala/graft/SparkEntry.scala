@@ -107,6 +107,8 @@ object SparkEntry {
       Pipeline.dedupSubstringTrim(t(s, d, "documents"))),
     "corpus_decontaminate" -> ((s, d) =>
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
+    "corpus_decontaminate_bloom" -> ((s, d) =>
+      Pipeline.corpusDecontaminateBloom(t(s, d, "documents"))),
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
     "corpus_boilerplate" -> ((s, d) =>
       Pipeline.corpusBoilerplate(t(s, d, "documents"))),
@@ -997,6 +999,20 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM w
         |WHERE cum - n_tokens < 800 ORDER BY doc_id""".stripMargin,
     "corpus_decontaminate" ->
+      s"""WITH ${shingleSetCte(5)},
+        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
+        |tr AS (SELECT doc_id, v FROM f5 WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),
+        |ng AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+        |hits AS (SELECT t.doc_id, COUNT(*) AS h
+        |  FROM tr t JOIN ev ON t.v = ev.v GROUP BY t.doc_id)
+        |SELECT h.doc_id, ng.n::BIGINT AS n_grams, h.h::BIGINT AS n_hits,
+        |  round(h.h::DOUBLE / ng.n, 6) AS contamination
+        |FROM hits h JOIN ng ON h.doc_id = ng.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+    // C23: the Bloom prefilter has no false negatives and the exact
+    // verify join removes its false positives, so the oracle is C12's
+    // exact replay verbatim — bloom internals never affect the answer
+    "corpus_decontaminate_bloom" ->
       s"""WITH ${shingleSetCte(5)},
         |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
         |tr AS (SELECT doc_id, v FROM f5 WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Fixed-size Bloom filter over 64-bit hash columns, built and probed
+  * entirely with codegen'd column expressions — no UDF, no sketch
+  * library object crossing the serialization boundary.
+  *
+  * Why this exists (100 TB posture): several operators probe a
+  * driver-collected set from the map side (decontamination's eval gram
+  * set, multi-get key sets). An exact broadcast set is fine while it is
+  * MBs, but its size grows with the reference collection; a Bloom
+  * filter pins the broadcast cost at exactly `2^logBits / 8` bytes
+  * (128 KiB at the default 2^20) regardless of how many values went
+  * in, at the price of a tunable false-positive rate. Callers that
+  * need exactness keep a verification join AFTER the probe — the probe
+  * then only bounds how much data reaches that join, never the answer
+  * (no false negatives: every inserted value probes true).
+  *
+  * Layout: a dense `Array[Long]` of `2^logBits / 64` words. k = 2
+  * probes per value: `pmod(g, bits)` and `pmod(xxhash64(g), bits)` —
+  * `g` is already a 64-bit hash wherever this is used, so two
+  * independent positions suffice (fp rate ≈ (2n/m)² at n values into
+  * m bits ≈ 0.04% for 100k values into 2^20 bits).
+  *
+  * Build is ONE distributed partial-agg pass: explode each value into
+  * its two (word, bit-mask) pairs, `bit_or` them per word (map-side
+  * combined — the shuffle carries ≤ words-per-partition rows), collect
+  * the ≤ 2^(logBits-6) non-zero words. Probe compiles to two
+  * `element_at` + shift + AND over ONE array literal held by reference
+  * in the generated code (never inlined element-by-element), so it
+  * rides whole-stage codegen.
+  */
+object Bloom {
+
+  private def shl(v: Column, n: Column): Column =
+    ColumnBridge.column(ShiftLeft(ColumnBridge.expression(v),
+      ColumnBridge.expression(n)))
+
+  private def shr(v: Column, n: Column): Column =
+    ColumnBridge.column(ShiftRight(ColumnBridge.expression(v),
+      ColumnBridge.expression(n)))
+
+  /** The two probe positions of hash column `g` in a `2^logBits`-bit
+    * space (both in [0, bits) — `pmod` handles negative hashes).
+    */
+  private def positions(g: Column, logBits: Int): Seq[Column] = {
+    val bits = 1L << logBits
+    Seq(pmod(g, lit(bits)), pmod(xxhash64(g), lit(bits)))
+  }
+
+  /** Builds the bitset over every value of hash column `g` in `df`.
+    * One partial-agg shuffle of ≤ 2^(logBits-6) word rows; the result
+    * is `2^logBits / 8` bytes dense.
+    */
+  def build(df: DataFrame, g: Column, logBits: Int = 20): Array[Long] = {
+    require(logBits >= 6 && logBits <= 30,
+      s"logBits $logBits out of [6, 30] (64 bits .. 128 MiB)")
+    val rows = df
+      .select(explode(array(positions(g, logBits): _*)).as("p"))
+      .select((col("p") / 64).cast("long").as("w"),
+        shl(lit(1L), (col("p") % 64).cast("int")).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("b"))
+      .collect()
+    val words = new Array[Long](1 << (logBits - 6))
+    rows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Membership probe: true iff both positions of `g` are set. False
+    * positives at the configured rate; false negatives never.
+    */
+  def probe(words: Array[Long], g: Column, logBits: Int = 20): Column = {
+    require(words.length == 1 << (logBits - 6),
+      s"bitset has ${words.length} words, logBits $logBits needs " +
+        s"${1 << (logBits - 6)}")
+    val arr = typedLit(words.toSeq)
+    positions(g, logBits).map { p =>
+      val w = element_at(arr, ((p / 64).cast("long") + 1).cast("int"))
+      shr(w, (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+}

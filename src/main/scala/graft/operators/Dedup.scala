@@ -350,6 +350,46 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** C23: Bloom-prefiltered decontamination — identical OUTPUT to
+    * [[decontaminate]], different broadcast economics. C12 broadcasts
+    * the eval set's exact distinct gram-hash set; that is MBs for a
+    * benchmark suite but grows without bound with the reference
+    * collection (decontaminating against a full held-out corpus). Here
+    * the map-side probe is a FIXED-SIZE Bloom bitset
+    * ([[graft.functions.Bloom]], `2^logBits/8` bytes — 128 KiB at the
+    * default — regardless of eval size); the ~0.04%-rate false
+    * positives then die in an exact verification join against the eval
+    * gram set, which now runs at SURVIVOR scale (true hits + fp), not
+    * corpus scale, so AQE sizes it freely. No false negatives ⇒ the
+    * result is exactly [[decontaminate]]'s, and the oracle replays the
+    * exact form.
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 5, minHits: Long = 1L,
+                         logBits: Int = 20): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val evalGrams = evalSet
+      .select(explode(shingleHashes(col(textCol), k)).as("g"))
+      .distinct()
+    val bits = graft.functions.Bloom.build(evalGrams, col("g"), logBits)
+    train
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      // fixed-128-KiB map-side kill: non-members never leave the scan
+      .filter(graft.functions.Bloom.probe(bits, col("g"), logBits))
+      // exact verify at survivor scale — removes Bloom false positives
+      .join(evalGrams, "g")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** C14: boilerplate density — per document, how much of its content
     * is corpus-wide repeated phrasing (the Gopher/RefinedWeb-style
     * "remove documents made of boilerplate" signal). A `k`-word shingle

@@ -117,6 +117,17 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C23: Bloom-prefiltered decontamination — same split and params as
+    * C12, same output (the oracle is C12's exact SQL); the map-side
+    * probe is a fixed 128 KiB bitset instead of the exact gram set.
+    */
+  def corpusDecontaminateBloom(documents: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000
+    Dedup.decontaminateBloom(documents.filter(!isEval),
+        documents.filter(isEval), "doc_id", "text", k = 5, minHits = 1L)
+      .orderBy("doc_id")
+  }
+
   /** C14: boilerplate density — per doc, the fraction of its distinct
     * 3-word shingles that appear in ≥ 3 distinct documents corpus-wide
     * (repeated phrasing / template text), plus the df of its most

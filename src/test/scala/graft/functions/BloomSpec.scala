@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted hash probes true") {
+    val vals = spark.range(0, 5000).select(xxhash64(col("id")).as("g"))
+    val words = Bloom.build(vals, col("g"), logBits = 16)
+    val missed = vals.filter(!Bloom.probe(words, col("g"), 16)).count()
+    assert(missed == 0)
+  }
+
+  test("false-positive rate stays near the (2n/m)^2 design point") {
+    val ins = spark.range(0, 2000).select(xxhash64(col("id")).as("g"))
+    val words = Bloom.build(ins, col("g"), logBits = 16) // m = 65536
+    // disjoint probe set (different hash seed via offset domain)
+    val probes = spark.range(1000000, 1100000)
+      .select(xxhash64(col("id")).as("g"))
+    val fp = probes.filter(Bloom.probe(words, col("g"), 16)).count()
+    // design fp ~ (2*2000/65536)^2 = 0.37%; allow generous 4x headroom
+    assert(fp < 100000 * 0.015, s"fp rate ${fp / 100000.0} too high")
+  }
+
+  test("probe agrees with a driver-side bitset recompute") {
+    val vals = spark.range(0, 500).select(xxhash64(col("id")).as("g"))
+    val logBits = 12
+    val words = Bloom.build(vals, col("g"), logBits)
+    // recompute the bitset on the driver with plain Scala and compare
+    val bits = 1L << logBits
+    // both probe hashes per value, computed once by the engine — the
+    // assertion targets the BITSET layout math (word/bit positions)
+    val hashes = vals.select(col("g"), xxhash64(col("g")).as("g2"))
+      .as[(Long, Long)].collect()
+    val expect = new Array[Long](1 << (logBits - 6))
+    def set(p: Long): Unit = {
+      val pos = ((p % bits) + bits) % bits
+      expect((pos / 64).toInt) |= (1L << (pos % 64).toInt)
+    }
+    hashes.foreach { case (h, h2) => set(h); set(h2) }
+    assert(words.toSeq == expect.toSeq)
+  }
+
+  test("bitset size is fixed by logBits, independent of input size") {
+    val small = Bloom.build(
+      spark.range(0, 10).select(xxhash64(col("id")).as("g")), col("g"), 16)
+    val large = Bloom.build(
+      spark.range(0, 20000).select(xxhash64(col("id")).as("g")), col("g"), 16)
+    assert(small.length == 1024 && large.length == 1024) // 8 KiB each
+  }
+}

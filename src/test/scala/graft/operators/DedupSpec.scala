@@ -330,6 +330,19 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("partial_max"), "assignment argmax not partial")
   }
 
+  test("bloom decontaminate output == exact decontaminate output") {
+    val docs = sf("documents")
+    val isEval = col("doc_id") % 7 === 0
+    val (train, ev) = (docs.filter(!isEval), docs.filter(isEval))
+    val exact = Dedup.decontaminate(train, ev, "doc_id", "text", k = 3)
+    // small logBits (4096 bits for ~thousands of grams) forces a HIGH
+    // fp rate, so the verification join is genuinely load-bearing
+    val bloom = Dedup.decontaminateBloom(train, ev, "doc_id", "text",
+      k = 3, logBits = 12)
+    assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty)
+    assert(exact.count() > 0, "empty decontamination result proves nothing")
+  }
+
   test("incremental dedup: corpus hit, within-batch dup, genuinely new") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
