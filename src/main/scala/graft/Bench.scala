@@ -31,6 +31,7 @@ object Bench {
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

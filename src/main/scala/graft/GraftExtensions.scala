@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    // binary startswith -> rowkey range, so prefix scans against the
+    // graft-hfile source prune files instead of post-filtering a full
+    // scan (runs in the operator-optimization batch, before V2 pushdown)
+    ext.injectOptimizerRule(_ => graft.plans.PrefixRangeRewrite)
   }
 }
 

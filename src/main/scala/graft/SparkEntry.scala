@@ -82,6 +82,8 @@ object SparkEntry {
       HModel.hfilePointLookup(t(s, d, "events"), d)),
     "hfile_multi_get" -> ((s, d) =>
       HModel.hfileMultiGet(t(s, d, "events"), d)),
+    "hfile_prefix_scan" -> ((s, d) =>
+      HModel.hfilePrefixScan(t(s, d, "events"), d)),
     // ---- C. deduplication -----------------------------------------------
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
@@ -1343,6 +1345,10 @@ object SparkEntry {
     "hfile_multi_get" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, value
         |FROM events WHERE user_id IN (3, 11)
+        |ORDER BY event_id""".stripMargin,
+    "hfile_prefix_scan" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, value
+        |FROM events WHERE user_id = 5
         |ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

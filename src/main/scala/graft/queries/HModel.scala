@@ -289,6 +289,39 @@ object HModel {
       .orderBy(col("event_id"))
   }
 
+  /** B17: rowkey prefix scan written the way an HBase user writes it —
+    * `startswith(rowkey, salt ++ user)`, the PrefixFilter idiom — NOT
+    * the hand-built `>= prefix AND < successor` range
+    * [[hfilePointLookup]] constructs. Binary `startswith` has no DSv2
+    * source-filter form, so on a plain session this predicate cannot
+    * push and the source reads every file; the
+    * [[graft.plans.PrefixRangeRewrite]] optimizer rule (injected by
+    * `graft.GraftExtensions`, which every engine session enables)
+    * rewrites it to the equivalent range bounds in the logical plan,
+    * V2 pushdown hands them to the source, and the scan prunes to the
+    * user's files against the `_manifest` key ranges at plan time.
+    * Same decode as the point lookup; the oracle recomputes from the
+    * events table.
+    */
+  def hfilePrefixScan(events: DataFrame, sfDir: String,
+                      userId: Long = 5L, buckets: Int = 4): DataFrame = {
+    import graft.functions.BytesCodec
+    val spark = events.sparkSession
+    val dir = ensureLookupDir(events, sfDir, buckets)
+    val ub = BytesCodec.encodeLong(userId)
+    val bucket = math.abs(java.util.Arrays.hashCode(ub) % buckets)
+    val prefix = BytesCodec.encodeShort(bucket.toShort) ++ ub
+    spark.read.format("graft-hfile").load(dir)
+      .filter(col("bucket") === bucket &&
+        startswith(col("rowkey"), lit(prefix)))
+      .select(
+        hb.decode(expr("substring(rowkey, 11, 8)"), LongType).as("event_id"),
+        col("ts").as("ts_ms"),
+        hb.decode(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** B13/B11 driven end-to-end: batched keyed lookup (multi-get) through
     * [[BulkLoad.multiGet]] — rowkeys of two users' events are fetched by
     * bloom + index probes against the bulk fixture (never a file scan)

@@ -14,6 +14,7 @@ object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.timeType.enabled", "true")
