@@ -8,6 +8,20 @@ import org.apache.spark.sql.types.DecimalType
 /** Typed event record for the stateful streaming operators. */
 case class EventRec(user_id: Long, ts_ms: Long, event_id: Long, value: Double)
 
+/** One exploded MinHash band hit of a streamed document (G12). */
+case class BandHit(band: Int, bkey: Long, doc_id: Long)
+
+/** Per-LSH-bucket state (G12): the bucket's stable representative (the
+  * first doc that ever hit it) and how many docs it has seen.
+  */
+case class BucketState(first: Long, n: Long)
+
+/** A streamed near-dup candidate (G12): `doc_id` collided with the
+  * bucket representative `first_id` in `band`.
+  */
+case class NearDupCandidate(doc_id: Long, first_id: Long, band: Int,
+                            bkey: Long)
+
 /** Structured Streaming surfaces (SURVEY.md §2 G-series) — the role the
   * reference delegates to its Flink runtime, re-expressed on Spark's
   * incremental engine. Batch and streaming share the same expression
@@ -64,6 +78,87 @@ object Streams {
       .withColumn("fp", md5(col("text")))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** G12: streaming near-dup candidate detection — the stream half of
+    * the C3 MinHash-LSH pipeline: each arriving document computes the
+    * SAME codegen MinHash signature kernel the batch path uses,
+    * explodes into its `bands` (band, band-hash) keys, and per-bucket
+    * keyed state remembers only the bucket's REPRESENTATIVE (the first
+    * doc that ever hit it) plus a count — so a crawl stream surfaces
+    * "this document collides with something already ingested" within
+    * one micro-batch, without ever holding documents in state.
+    *
+    * Emits one [[NearDupCandidate]] per (arriving doc, colliding band)
+    * — CANDIDATES, exactly like the batch LSH stage before
+    * verification; the exact-Jaccard verify runs downstream (batch C5
+    * over the day's candidate ids, or a stream-static join against the
+    * corpus), mirroring how the batch pipeline separates banding from
+    * verification.
+    *
+    * State & skew posture: state is O(live buckets) × 16 bytes,
+    * independent of stream length; `idleTimeoutMs > 0` turns on a
+    * processing-time timeout that evicts buckets no longer colliding
+    * (use it WITH a real trigger interval — under the default 0 ms
+    * trigger, processing-time timeouts make the engine churn empty
+    * micro-batches back to back, each paying a full state-store
+    * commit), and `maxBucket` stops emission from a degenerate bucket
+    * (the empty-document key — the same guard as batch
+    * `lshCandidatePairs.maxBucket`) so one hot bucket cannot flood the
+    * sink. `idleTimeoutMs = 0` keeps state until the query ends (the
+    * spec mode, and the right mode for bounded replay). Within a
+    * micro-batch, arrivals are processed in id order, so output is
+    * deterministic for a given batch partitioning.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", k: Int = 3,
+                              perms: Int = 128, bands: Int = 16,
+                              maxBucket: Long = 1000L,
+                              idleTimeoutMs: Long = 0L)
+      : Dataset[NearDupCandidate] = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    val rowsPerBand = perms / bands
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("int").as("band"),
+        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bkey")))
+    val hits = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.txt.minhash(
+          graft.operators.Dedup.shingleHashes(col(textCol), k), perms)
+          .as("sig"))
+      .select(col("doc_id"), explode(bandKeys).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc_id"))
+      .as[BandHit]
+    hits
+      .groupByKey(h => (h.band, h.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append, timeoutConf) {
+        (key, batch, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = batch.map(_.doc_id).toArray.sorted
+            val (first, newcomers) = state.getOption match {
+              case Some(s) => (s.first, ids.toSeq)
+              case None => (ids.head, ids.toSeq.tail)
+            }
+            val seen = state.getOption.map(_.n).getOrElse(0L)
+            // emission budget: a degenerate bucket stops flooding once
+            // it has seen maxBucket docs (batch maxBucket analogue)
+            val room = math.max(0L, maxBucket - seen).toInt
+            val out = newcomers.filter(_ != first).take(room)
+              .map(d => NearDupCandidate(d, first, key._1, key._2))
+            state.update(BucketState(first, seen + ids.length))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
 
   /** G8: streaming decontamination — annotates each streamed document
     * with its exact `k`-word-shingle overlap against a STATIC

@@ -48,7 +48,11 @@ object BenchScale {
     "text_repetition", "text_classify", "text_lm_score",
     "rollup_heavy_hitters",
     "corpus_decontaminate", "corpus_mix", "corpus_curate",
-    "corpus_curate_fuzzy", "corpus_boilerplate")
+    "corpus_curate_fuzzy", "corpus_boilerplate",
+    // round 10: budget histogram, incremental index build, partial
+    // merge, bloom gram explode, and the rewritten prefix-scan lookup
+    "corpus_budget", "dedup_incremental", "rollup_incremental",
+    "corpus_decontaminate_bloom", "hfile_prefix_scan")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

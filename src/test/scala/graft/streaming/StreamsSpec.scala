@@ -787,4 +787,66 @@ class StreamsSpec extends SparkSpec {
         (4L, 4.0), (5L, 5.0)), s"got ${seen()}")
     } finally { tq.stop(); w.stop() }
   }
+
+  test("G12 streaming near-dup candidates: cross-batch and in-batch " +
+    "collisions emit against the bucket representative, uniques stay " +
+    "silent, hot buckets stop at the cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val uniqueText = "completely unrelated content with no shared shingles " +
+      "whatsoever in this sentence"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.nearDupCandidatesStream(docs, maxBucket = 20L)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    def cands() = spark.table("neardup_out")
+      .select("doc_id", "first_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    try {
+      // batch 1: the representative + one unique doc
+      input.addData((1L, dupText), (50L, uniqueText))
+      q.processAllAvailable()
+      assert(cands().isEmpty, "nothing collides yet")
+      // batch 2: an exact dup (collides in EVERY band) + in-batch pair
+      input.addData((7L, dupText), (9L, dupText))
+      q.processAllAvailable()
+      // both emit against the stable representative (doc 1), never
+      // against each other, and the unique doc never appears
+      assert(cands() == Set((7L, 1L), (9L, 1L)), s"got ${cands()}")
+      // batch 3: another dup, later batch — same representative
+      input.addData((3L, dupText))
+      q.processAllAvailable()
+      assert(cands() == Set((7L, 1L), (9L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("G12 hot-bucket cap bounds emissions from a degenerate key") {
+    implicit val sqlCtx = spark.sqlContext
+    val hot = "identical hot document text shared by the whole storm batch"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // cap at 4 docs seen per bucket: with 16 bands an exact-dup doc
+    // collides in all bands, so per-band emissions stop once the
+    // bucket has seen 4 docs
+    val q = Streams.nearDupCandidatesStream(docs, maxBucket = 4L)
+      .writeStream.format("memory").queryName("neardup_cap_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(i => (i, hot)): _*)
+      q.processAllAvailable()
+      val perBand = spark.table("neardup_cap_out")
+        .groupBy("band").count().as[(Int, Long)].collect().toMap
+      assert(perBand.nonEmpty)
+      // bucket born at doc 1 (no emission), then emissions only until
+      // the seen-count reaches the cap
+      perBand.values.foreach(n => assert(n <= 4L, s"cap breached: $perBand"))
+      // storm continues in a later batch: bucket is saturated, silent
+      val before = spark.table("neardup_cap_out").count()
+      input.addData((11L to 20L).map(i => (i, hot)): _*)
+      q.processAllAvailable()
+      assert(spark.table("neardup_cap_out").count() == before,
+        "saturated bucket kept emitting")
+    } finally q.stop()
+  }
 }
