@@ -355,31 +355,42 @@ object Dedup {
     * the eval set's exact distinct gram-hash set; that is MBs for a
     * benchmark suite but grows without bound with the reference
     * collection (decontaminating against a full held-out corpus). Here
-    * the map-side probe is a FIXED-SIZE Bloom bitset
-    * ([[graft.functions.Bloom]], `2^logBits/8` bytes — 128 KiB at the
-    * default — regardless of eval size); the ~0.04%-rate false
-    * positives then die in an exact verification join against the eval
-    * gram set, which now runs at SURVIVOR scale (true hits + fp), not
-    * corpus scale, so AQE sizes it freely. No false negatives ⇒ the
-    * result is exactly [[decontaminate]]'s, and the oracle replays the
-    * exact form.
+    * the map-side probe is a Bloom bitset ([[graft.functions.Bloom]])
+    * sized by the EVAL set (32 bits/gram by default — `buildSized` —
+    * so the fp rate holds at ~0.4% whether the reference set is one
+    * benchmark or a full held-out corpus; a fixed-size bitset
+    * saturates once 2n ≥ m and the probe passes everything, measured
+    * as a 6× regression at 100×); false positives then die in an
+    * exact verification join against the eval gram set, which runs at
+    * SURVIVOR scale (true hits + fp), not corpus scale, so AQE sizes
+    * it freely. No false negatives ⇒ the result is exactly
+    * [[decontaminate]]'s, and the oracle replays the exact form. The
+    * eval gram set is persisted across its three uses (count, build,
+    * verify join) — eval-bounded, LRU-evictable, caller-owned like
+    * [[boilerplate]]'s cache. `logBits > 0` forces an explicit size
+    * (tests use an undersized filter to prove the verify join is
+    * load-bearing).
     */
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 5, minHits: Long = 1L,
-                         logBits: Int = 20): DataFrame = {
+                         logBits: Int = 0): DataFrame = {
     require(k >= 1, s"shingle size k must be >= 1, got $k")
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val evalGrams = evalSet
       .select(explode(shingleHashes(col(textCol), k)).as("g"))
       .distinct()
-    val bits = graft.functions.Bloom.build(evalGrams, col("g"), logBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bits, lb) =
+      if (logBits > 0) (graft.functions.Bloom.build(evalGrams, col("g"),
+        logBits), logBits)
+      else graft.functions.Bloom.buildSized(evalGrams, col("g"))
     train
       .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
       .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
         explode(col("sh")).as("g"))
-      // fixed-128-KiB map-side kill: non-members never leave the scan
-      .filter(graft.functions.Bloom.probe(bits, col("g"), logBits))
+      // eval-sized map-side kill: non-members never leave the scan
+      .filter(graft.functions.Bloom.probe(bits, col("g"), lb))
       // exact verify at survivor scale — removes Bloom false positives
       .join(evalGrams, "g")
       .groupBy(col(idCol), col("n_grams"))

@@ -119,7 +119,8 @@ object Pipeline {
 
   /** C23: Bloom-prefiltered decontamination — same split and params as
     * C12, same output (the oracle is C12's exact SQL); the map-side
-    * probe is a fixed 128 KiB bitset instead of the exact gram set.
+    * probe is an eval-sized Bloom bitset (32 bits per distinct eval
+    * gram) instead of the exact gram set.
     */
   def corpusDecontaminateBloom(documents: DataFrame): DataFrame = {
     val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000

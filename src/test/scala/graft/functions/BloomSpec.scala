@@ -43,6 +43,20 @@ class BloomSpec extends SparkSpec {
     assert(words.toSeq == expect.toSeq)
   }
 
+  test("buildSized picks ~bitsPerValue bits per value and never saturates") {
+    for (n <- Seq(100L, 5000L, 200000L)) {
+      val vals = spark.range(0, n).select(xxhash64(col("id")).as("g"))
+      val (words, lb) = Bloom.buildSized(vals, col("g"))
+      assert((1L << lb) >= math.min(n * 32, 1L << 30), s"n=$n lb=$lb")
+      assert(lb >= 14 && lb <= 30)
+      // saturation check: well under half the bits set
+      val setBits = words.map(java.lang.Long.bitCount).sum.toLong
+      assert(setBits * 4 < (1L << lb), s"n=$n: $setBits of ${1L << lb} set")
+      // and still no false negatives
+      assert(vals.filter(!Bloom.probe(words, col("g"), lb)).count() == 0)
+    }
+  }
+
   test("bitset size is fixed by logBits, independent of input size") {
     val small = Bloom.build(
       spark.range(0, 10).select(xxhash64(col("id")).as("g")), col("g"), 16)
