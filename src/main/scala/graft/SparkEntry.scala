@@ -155,6 +155,7 @@ object SparkEntry {
     "text_pii" -> ((s, d) => Pipeline.textPii(t(s, d, "customer"))),
     "text_classify" -> ((s, d) => Pipeline.textClassify(t(s, d, "documents"))),
     "text_lm_score" -> ((s, d) => Pipeline.textLmScore(t(s, d, "documents"))),
+    "text_entropy" -> ((s, d) => Pipeline.textEntropy(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
     "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents")))
@@ -1878,6 +1879,25 @@ object SparkEntry {
         |       ELSE CAST(a.s // a.n AS BIGINT) END AS lm_score
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // E11: the LUT is the SAME Scala-computed integer literal the Spark
+    // plan embeds (TextOps.EntropyLut) — no engine evaluates a log, so
+    // cross-engine float drift is impossible by construction
+    "text_entropy" ->
+      s"""WITH lutv AS (SELECT [${graft.operators.TextOps.EntropyLut.mkString(",")}]::BIGINT[] AS l),
+        |cs AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]') AS cs FROM documents),
+        |b AS (SELECT doc_id, cs, len(cs)::BIGINT AS n,
+        |  list_transform(list_distinct(cs),
+        |    c -> len(list_filter(cs, x -> x = c))::BIGINT) AS cnt FROM cs),
+        |e AS (SELECT doc_id, n, len(cnt)::BIGINT AS n_distinct,
+        |  (CASE WHEN n = 0 THEN 0
+        |    ELSE list_sum(list_transform(cnt, c ->
+        |      c * l[greatest(1, (c * 1024) // n)])) // n END)::BIGINT
+        |    AS ent_scaled
+        |  FROM b, lutv)
+        |SELECT doc_id, n AS n_alnum, n_distinct, ent_scaled,
+        |  round(ent_scaled::DOUBLE / 1048576.0, 6) AS ent_bits
+        |FROM e ORDER BY doc_id""".stripMargin,
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

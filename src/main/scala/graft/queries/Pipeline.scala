@@ -509,6 +509,13 @@ object Pipeline {
     TextOps.lmScore(documents, "doc_id", "text",
       org.apache.spark.sql.functions.col("lang") === "en").orderBy("doc_id")
 
+  /** E11: quantized char-entropy quality signal; the integer LUT
+    * literal is shared verbatim with the oracle, so neither engine
+    * evaluates a log.
+    */
+  def textEntropy(documents: DataFrame): DataFrame =
+    TextOps.entropy(documents, "doc_id", "text").orderBy("doc_id")
+
   // ---- F. multimodal ---------------------------------------------------
 
   def mmManifest(documents: DataFrame): DataFrame =

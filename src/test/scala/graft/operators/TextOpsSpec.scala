@@ -238,4 +238,32 @@ class TextOpsSpec extends SparkSpec {
     assert(capped.map(_.toSeq.toList).toList ==
       capped2.map(_.toSeq.toList).toList)
   }
+
+  test("entropy: grid values exact on crafted docs, ordering sane, " +
+      "repartition-invariant") {
+    val docs = Seq(
+      (0L, "aaaa"),                   // one symbol -> 0 bits
+      (1L, "abab"),                   // two equal symbols -> exactly 1 bit
+      (2L, "abcdabcd"),               // four equal symbols -> exactly 2 bits
+      (3L, "the quick brown fox jumps over the lazy dog 0123456789"),
+      (4L, ",,,, !!!!"),              // no alphanumerics -> n=0, ent 0
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.entropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def ent(i: Int) = got(i).getAs[Long]("ent_scaled")
+    assert(ent(0) == 0L)
+    // counts c=2, n=4: q = 512, LUT(512) = 2^20 exactly -> 1.0 bits
+    assert(ent(1) == 1048576L, s"abab must be exactly 1 bit, got ${ent(1)}")
+    assert(got(1).getAs[Double]("ent_bits") == 1.0)
+    assert(ent(2) == 2L * 1048576L, "abcdabcd must be exactly 2 bits")
+    assert(ent(3) > ent(2), "pangram+digits must out-score 4 symbols")
+    assert(ent(4) == 0L && got(4).getAs[Long]("n_alnum") == 0L)
+    assert(ent(5) == 0L)
+    assert(got(3).getAs[Long]("n_distinct") == 36L) // pangram + 10 digits
+    val re = TextOps.entropy(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == re.map(_.toString).toSeq,
+      "integer grid must be partitioning-independent")
+  }
 }
