@@ -59,6 +59,7 @@ object SparkEntry {
       Core.rollupMerge(Core.rollup(t(s, d, "events"), "hour"))),
     "rollup_incremental" -> ((s, d) =>
       Core.rollupIncremental(t(s, d, "events"))),
+    "rollup_anomaly" -> ((s, d) => Core.rollupAnomaly(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -1145,6 +1146,26 @@ object SparkEntry {
         | MIN(value) AS min_value, MAX(value) AS max_value,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // A22: the z² > k² test multiplied through by n² — pure integer
+    // comparison (HUGEINT here, DECIMAL(38,0) in the Spark plan)
+    "rollup_anomaly" ->
+      """WITH hourly AS (SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  event_type, COUNT(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |  COUNT(cnt) OVER win AS base_n,
+        |  SUM(cnt) OVER win AS base_sum,
+        |  SUM(cnt::HUGEINT * cnt::HUGEINT) OVER win AS base_sumsq
+        |  FROM hourly WINDOW win AS (PARTITION BY event_type
+        |    ORDER BY bucket_ms ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |a AS (SELECT *,
+        |    (base_n::HUGEINT * cnt - base_sum::HUGEINT) AS dev,
+        |    (base_n::HUGEINT * base_sumsq - base_sum::HUGEINT * base_sum)
+        |      AS varn
+        |  FROM w WHERE base_n >= 12)
+        |SELECT event_type, bucket_ms, cnt, base_n::BIGINT AS base_n,
+        |  ((base_sum::HUGEINT * 1000) // base_n)::BIGINT AS mean_milli
+        |FROM a WHERE dev * dev > 9 * varn
+        |ORDER BY event_type, bucket_ms""".stripMargin,
     "rollup_daily" ->
       """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
         | COUNT(*) AS n_events,

@@ -208,6 +208,55 @@ object Core {
       .orderBy(col("bucket_ms"), col("event_type"))
   }
 
+  /** A22: trailing-window z-score anomaly detection on the hourly
+    * rollup series (the TSDB alerting read path): each
+    * (event_type, hour) count is tested against the mean/variance of
+    * its preceding `window` hours; rows with at least `minBase` base
+    * hours and |z| > k are emitted with the trailing mean.
+    *
+    * The z² > k² rule is cleared of divisions and square roots —
+    * `(n·x − S)² > k²·(n·Q − S²)` with S = Σxᵢ, Q = Σxᵢ² over the base
+    * window — so the whole test is EXACT integer arithmetic (DECIMAL(38)
+    * headroom for the squares: hourly counts up to ~10¹⁸ before
+    * overflow). No float drift, no summation-order surface, and a flat
+    * series with any deviation still flags (variance 0 ⇒ any dev² > 0
+    * trips, the correct alert for a constant baseline).
+    *
+    * Scale: the window function runs on the ROLLED-UP series —
+    * |event types| × |hours| rows (~10⁶/year at 100-type cardinality)
+    * — AFTER the one partial-agg rollup shuffle of the raw stream; the
+    * per-series sort rides the same exchange. The raw 100 TB never
+    * meets a window operator.
+    */
+  def rollupAnomaly(events: DataFrame, window: Int = 24, minBase: Int = 12,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val hourly = events
+      .groupBy(
+        expr("((ts DIV 1000000) DIV 3600000) * 3600000").as("bucket_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ms"))
+      .rowsBetween(-window, -1)
+    hourly
+      .withColumn("base_n", count(col("cnt")).over(w))
+      .withColumn("base_sum", sum(col("cnt")).over(w))
+      .withColumn("base_sumsq",
+        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).over(w))
+      .filter(col("base_n") >= minBase)
+      .withColumn("dev",
+        (col("base_n").cast(dec) * col("cnt") - col("base_sum")).cast(dec))
+      .withColumn("varn",
+        col("base_n").cast(dec) * col("base_sumsq") -
+          col("base_sum").cast(dec) * col("base_sum").cast(dec))
+      .filter(col("dev") * col("dev") > lit(k.toLong * k) * col("varn"))
+      .select(col("event_type"), col("bucket_ms"), col("cnt"),
+        col("base_n"),
+        expr("CAST((base_sum * 1000) DIV base_n AS LONG)").as("mean_milli"))
+      .orderBy(col("event_type"), col("bucket_ms"))
+  }
+
   /** A12: point-in-time lookup (as-of join): each event gets the user's
     * latest order at/before the event — the versioned-cell GET
     * (`Get.setTimeRange`) semantics of the reference's lookup path, as

@@ -97,4 +97,32 @@ class CoreSpec extends SparkSpec {
       assert(a == b, s"incremental row $a != full row $b")
     }
   }
+
+  test("rollupAnomaly flags an injected spike, keeps a steady series " +
+      "quiet, and is exact on a crafted variance boundary") {
+    import spark.implicits._
+    val hour = 3600000L
+    // steady series: 25 hours of ~constant count with one 10x spike at
+    // the end; quiet series: perfectly flat
+    def mk(tpe: String, counts: Seq[Int]): Seq[(Long, String)] =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (h * hour * 1000000L + i, tpe))
+      }
+    val spikey = mk("spike", Seq.fill(24)(5) :+ 50)
+    val flat = mk("flat", Seq.fill(25)(5))
+    // drift: counts 1..25 — last point is within 3 sigma of the ramp
+    val ramp = mk("ramp", (1 to 25))
+    val events = (spikey ++ flat ++ ramp).toDF("ts", "event_type")
+    val got = Core.rollupAnomaly(events).collect()
+    val byType = got.groupBy(_.getAs[String]("event_type"))
+    assert(byType.contains("spike"), s"spike not flagged: ${got.toSeq}")
+    val s = byType("spike").head
+    assert(s.getAs[Long]("cnt") == 50 && s.getAs[Long]("mean_milli") == 5000)
+    assert(!byType.contains("flat"), "flat series must stay quiet")
+    // flat-base + deviation edge: variance 0 means ANY dev flags
+    val flatDev = mk("flatdev", Seq.fill(24)(5) :+ 6)
+    val got2 = Core.rollupAnomaly(flatDev.toDF("ts", "event_type")).collect()
+    assert(got2.exists(r => r.getAs[String]("event_type") == "flatdev" &&
+      r.getAs[Long]("cnt") == 6), "zero-variance base must flag any dev")
+  }
 }
