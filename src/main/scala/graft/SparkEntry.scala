@@ -131,6 +131,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
+    "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) =>
@@ -897,6 +898,47 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D6: per-slice hyperplane keys (16-dim planes from the real
+    // kernel), token-level candidate buckets, per-(query, doc, qslice)
+    // max cosine quantized to the 2^20 grid, integer cross-slice sum
+    "knn_maxsim" ->
+      s"""WITH planes(p, pl) AS (VALUES ${planesValuesSql(96, 16, 11L)}),
+        |sl AS (SELECT vec_id, t.j::INT AS j,
+        |  list_transform(range(1, 17), i -> embedding[t.j*16 + i]::DOUBLE)
+        |    AS sv
+        |  FROM embeddings, range(0, 4) AS t(j)),
+        |dots AS (SELECT s.vec_id, s.j, planes.p,
+        |  list_sum(list_transform(range(1, 17), i -> s.sv[i] * planes.pl[i]))
+        |    AS dot
+        |  FROM sl s, planes),
+        |keys AS (SELECT vec_id, j, p // 6 AS band,
+        |  SUM(CASE WHEN dot > 0
+        |      THEN power(2, p % 6)::BIGINT ELSE 0 END)::BIGINT AS bkey
+        |  FROM dots GROUP BY vec_id, j, p // 6),
+        |cand AS (SELECT DISTINCT kc.vec_id AS neighbor_id,
+        |    kq.vec_id AS query_id
+        |  FROM keys kc JOIN keys kq
+        |    ON kc.band = kq.band AND kc.bkey = kq.bkey
+        |  WHERE kq.vec_id < 10 AND kc.vec_id <> kq.vec_id),
+        |px AS (SELECT c.query_id, c.neighbor_id, qs.j AS qsl,
+        |  max(floor((
+        |    list_sum(list_transform(range(1, 17), i -> qs.sv[i] * ds.sv[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, 17),
+        |        i -> qs.sv[i] * qs.sv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, 17),
+        |        i -> ds.sv[i] * ds.sv[i]))))
+        |    ) * 1048576.0 + 0.5)::BIGINT) AS mqs
+        |  FROM cand c JOIN sl qs ON qs.vec_id = c.query_id
+        |              JOIN sl ds ON ds.vec_id = c.neighbor_id
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, neighbor_id, SUM(mqs)::BIGINT AS score
+        |  FROM px GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, score, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, neighbor_id,
+        |  round(score::DOUBLE / 4194304.0, 6) AS maxsim
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "dedup_embedding" ->
       s"""WITH planes(p, pl) AS (VALUES ${planesValuesSql(72, 64, 7L)}),

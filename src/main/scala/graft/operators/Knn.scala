@@ -799,4 +799,70 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** D6: multi-vector late-interaction retrieval (the MaxSim rule
+    * ColBERT-style retrievers use): both sides split into m = dim/d
+    * sub-vectors ("token vectors");
+    * `score(q, doc) = Σ_{query slice} max_{doc slice} cosine`.
+    * Candidates are generated TOKEN-level — per-slice random-hyperplane
+    * LSH keys; a doc is a candidate when ANY of its slices shares a
+    * (band, key) bucket with ANY query slice — then exact MaxSim runs
+    * only on candidates: the token-ANN → doc-gather → exact-rescore
+    * shape production late-interaction systems use.
+    *
+    * Determinism: each per-(query, doc, query-slice) max cosine is
+    * quantized to the 2²⁰ integer grid BEFORE the cross-slice sum, so
+    * the score is an order-independent integer; ties break on
+    * neighbor_id. The fused [[graft.functions.vec.cosine]] kernel's
+    * sequential fold matches the oracle's list_sum bit-for-bit, so the
+    * quantization cannot straddle engines.
+    *
+    * Scale: the keyed stream is m small (band, key) rows per vector —
+    * vectors never ride that shuffle; query keys and query slices are
+    * broadcast, so candidate pruning and the m² slice cosines are
+    * map-side. The only corpus-sized shuffles are the candidate
+    * distinct and the slice gather keyed on vector ids. On clustered
+    * real embeddings the bucket match prunes most of the corpus; on
+    * structureless data it degrades to near-brute-force (the honest
+    * LSH floor), never worse.
+    */
+  def maxSim(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int, m: Int = 4,
+             bands: Int = 16, planesPerBand: Int = 6,
+             seed: Long = 11L): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    val planes = Dedup.hyperplanes(bands * planesPerBand, d, seed)
+    def slices(df: DataFrame, id: String, out: String) =
+      df.select(col(idCol).as(id),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+        .toDF(id, "sl", out)
+    def keyed(df: DataFrame, id: String) =
+      slices(df, id, "sv").select(col(id),
+          posexplode(graft.functions.vec.hyperplaneBuckets(col("sv"),
+            planes, planesPerBand)))
+        .toDF(id, "band", "bkey")
+    val cand = keyed(corpus, "neighbor_id")
+      .join(broadcast(keyed(queries, "query_id")), Seq("band", "bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qs = broadcast(slices(queries, "query_id", "qv")
+      .select(col("query_id"), col("sl").as("qsl"), col("qv")))
+    val cs = slices(corpus, "neighbor_id", "sv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cand.join(cs, "neighbor_id").join(qs, "query_id")
+      .withColumn("mq",
+        floor(graft.functions.vec.cosine(col("qv"), col("sv")) *
+          lit(1048576.0) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qsl"))
+      .agg(max(col("mq")).as("mqs"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("mqs")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("score").cast("double") / lit(1048576.0 * m)).as("maxsim"))
+  }
 }

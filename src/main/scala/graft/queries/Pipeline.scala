@@ -334,6 +334,16 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D6: token-level LSH candidates + exact MaxSim rescore; the score
+    * is an integer-grid sum, so the only float op in the output is one
+    * exact division.
+    */
+  def knnMaxsim(embeddings: DataFrame): DataFrame =
+    Knn.maxSim(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = EmbeddingDim, k = 5)
+      .withColumn("maxsim", round(col("maxsim"), 6))
+      .orderBy("query_id", "rank")
+
   /** D3: IVF cell-probe ANN, same queries. nProbe = 5 of the ~n/50
     * cells scans ~5% of the corpus for recall 0.74–0.76 vs brute force
     * at sf0.001/sf0.01 (spec floor 0.5).

@@ -328,4 +328,53 @@ class KnnSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.schema == out.schema)
   }
+
+  test("maxSim: scores match an exact driver-side MaxSim replay on the " +
+      "candidate-covered set; recall floors vs exact; repartition-stable") {
+    val m = 4; val d = 16
+    val got = Knn.maxSim(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5).collect()
+    assert(got.groupBy(_.getAs[Long]("query_id")).size == 10)
+    // exact reference: same quantized MaxSim over ALL pairs, plain Scala
+    val vecs: Map[Long, Array[Double]] =
+      emb.select("vec_id", "embedding").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def slices(v: Array[Double]) =
+      Array.tabulate(m)(j => v.slice(j * d, (j + 1) * d))
+    def score(q: Array[Double], c: Array[Double]): Long = {
+      val qs = slices(q); val cs = slices(c)
+      qs.map(qv => cs.map(cv =>
+        math.floor(cos(qv, cv) * 1048576.0 + 0.5).toLong).max).sum
+    }
+    val exactTop = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q)
+        .map(n => (n, score(vecs(q), vecs(n))))
+        .toSeq.sortBy { case (n, s) => (-s, n) }.take(5).map(_._1).toSet
+    }.toMap
+    val gotTop = got.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = (0L until 10L).map(q =>
+      (exactTop(q) & gotTop(q)).size.toDouble / 5).sum / 10
+    assert(recall >= 0.5, s"maxSim recall $recall below floor")
+    // returned scores must equal the exact quantized score (the LSH cut
+    // only affects WHICH pairs are scored, never the score itself)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      val want = score(vecs(q), vecs(n)).toDouble / (1048576.0 * m)
+      assert(math.abs(r.getAs[Double]("maxsim") - want) < 1e-12,
+        s"score mismatch for ($q, $n)")
+    }
+    val re = Knn.maxSim(emb.repartition(7), queries, "vec_id", "embedding",
+      dim = 64, k = 5).collect()
+    assert(got.map(_.toString).sorted.toSeq ==
+      re.map(_.toString).sorted.toSeq, "maxSim must be partition-stable")
+  }
 }
