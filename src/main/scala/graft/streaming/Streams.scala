@@ -22,6 +22,22 @@ case class BucketState(first: Long, n: Long)
 case class NearDupCandidate(doc_id: Long, first_id: Long, band: Int,
                             bkey: Long)
 
+/** Streamed anomaly alert (G13): hour `bucket_ms` of `event_type`
+  * closed with `cnt` events, deviating more than k sigma from its
+  * trailing `base_n`-hour mean (`mean_milli` = 1000× that mean,
+  * floor-divided — the same integer rule as the batch
+  * [[graft.queries.Core.rollupAnomaly]]).
+  */
+case class AnomalyAlert(event_type: String, bucket_ms: Long, cnt: Long,
+                        base_n: Long, mean_milli: Long)
+
+/** G13 per-key state: the open hour bucket plus the ring of the last
+  * `window` CLOSED (hour_ms, count) pairs, oldest first — O(window)
+  * longs per key, independent of throughput.
+  */
+case class AnomalyState(openHour: Long, openCnt: Long,
+                        closed: Seq[(Long, Long)])
+
 /** Structured Streaming surfaces (SURVEY.md §2 G-series) — the role the
   * reference delegates to its Flink runtime, re-expressed on Spark's
   * incremental engine. Batch and streaming share the same expression
@@ -254,6 +270,77 @@ object Streams {
           .as("hitters"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("n_events"), col("hitters"))
+
+  /** G13: streaming series-anomaly alerts — the incremental twin of the
+    * batch [[graft.queries.Core.rollupAnomaly]]: per event_type, each
+    * CLOSED hour's count is tested against the mean/variance of the
+    * trailing `window` closed hours with the same division-free
+    * integer rule, `(n·x − S)² > k²·(n·Q − S²)` (BigInt intermediates
+    * stand in for the batch plan's DECIMAL(38) headroom), and alerts
+    * stream out in append mode as hours close.
+    *
+    * An hour closes when a LATER-hour event for the same key arrives —
+    * so events may arrive in any order within the open hour, but an
+    * event for an already-closed hour is dropped (the stream analogue
+    * of the batch rollup's finality; feed a lateness-tolerant pipeline
+    * through [[rollupStream]]'s watermark instead if late arrivals
+    * must count). For in-order input the emitted alerts are EXACTLY
+    * the batch operator's rows for every closed hour — pinned by the
+    * parity spec.
+    *
+    * State is O(window) longs per key (the count ring), independent of
+    * event volume — the alerting monitor a 100 TB/day ingest needs:
+    * nothing about the raw stream is retained.
+    */
+  def anomalyStream(events: DataFrame, tsCol: String, typeCol: String,
+                    window: Int = 24, minBase: Int = 12, k: Int = 3,
+                    idleTimeoutMs: Long = 0L): Dataset[AnomalyAlert] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val typed = events.select(col(typeCol).cast("string"),
+        expr(s"(unix_millis($tsCol) DIV 3600000) * 3600000"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyAlert](
+        OutputMode.Append, timeoutConf) { (tpe, rows, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val hours = rows.map(_._2).toArray.sorted
+          var st = state.getOption
+            .getOrElse(AnomalyState(Long.MinValue, 0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[AnomalyAlert]()
+          def close(): Unit = if (st.openHour != Long.MinValue) {
+            val ring = st.closed
+            val n = ring.length.toLong
+            if (n >= minBase) {
+              val s = ring.iterator.map(_._2).sum
+              val q = ring.iterator.map(c => BigInt(c._2) * c._2).sum
+              val dev = BigInt(n) * st.openCnt - s
+              val varn = BigInt(n) * q - BigInt(s) * s
+              if (dev * dev > BigInt(k.toLong * k) * varn)
+                out += AnomalyAlert(tpe, st.openHour, st.openCnt, n,
+                  Math.floorDiv(s * 1000L, n))
+            }
+            st = st.copy(
+              closed = (ring :+ ((st.openHour, st.openCnt)))
+                .takeRight(window))
+          }
+          hours.foreach { h =>
+            if (h == st.openHour) st = st.copy(openCnt = st.openCnt + 1)
+            else if (h > st.openHour) {
+              close()
+              st = st.copy(openHour = h, openCnt = 1L)
+            } // h < openHour: late event for a closed hour — dropped
+          }
+          state.update(st)
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          out.iterator
+        }
+      }
+  }
 
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per

@@ -849,4 +849,55 @@ class StreamsSpec extends SparkSpec {
         "saturated bucket kept emitting")
     } finally q.stop()
   }
+
+  test("G13 streaming anomaly alerts match the batch rollupAnomaly rows " +
+      "for every closed hour, across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000L
+    // spike series (24 steady hours then 10x), flat series, plus a
+    // final sentinel hour per type so the stream closes the spike hour
+    def counts(tpe: String): Seq[Int] = tpe match {
+      case "spike" => Seq.fill(24)(5) ++ Seq(50, 1)
+      case _       => Seq.fill(25)(5) :+ 5
+    }
+    val rows: Seq[(Long, String)] = for {
+      tpe <- Seq("spike", "flat")
+      (c, h) <- counts(tpe).zipWithIndex
+      i <- 0 until c
+    } yield (h * hour + i, tpe)
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.anomalyStream(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type")
+    val q = out.writeStream.format("memory").queryName("anom_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("anom_ckpt").toString)
+      .start()
+    try {
+      val ordered = rows.sortBy(_._1).map { case (ms, t) => (ts(ms), t) }
+      // split mid-way so the ring state crosses a state-store round trip
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .orderBy("event_type", "bucket_ms").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_ms"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("base_n"),
+          r.getAs[Long]("mean_milli"))).toSeq
+      // batch twin on the same events (ts in nanos), sentinel hour
+      // excluded — the stream never closes the last open hour
+      val sentinelMs = 25L * hour
+      val batch = graft.queries.Core.rollupAnomaly(
+        rows.map { case (ms, t) => (ms * 1000000L, t) }
+          .toDF("ts", "event_type"))
+        .filter(col("bucket_ms") < sentinelMs)
+        .orderBy("event_type", "bucket_ms").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket_ms"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("base_n"),
+          r.getAs[Long]("mean_milli"))).toSeq
+      assert(batch.nonEmpty, "batch twin found no anomalies — bad fixture")
+      assert(got == batch,
+        s"stream alerts $got must equal batch anomalies $batch")
+    } finally q.stop()
+  }
 }
