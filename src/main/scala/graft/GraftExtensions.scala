@@ -201,6 +201,45 @@ object GraftExtensions {
         operators.Compaction.compact(spark, inDir, outDir,
           versions = versions)
         operators.BulkLoad.readHFiles(spark, outDir).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_knn"),
+      info("graft_knn",
+        "graft_knn(table, id_col, vec_col, dim, k[, max_query_id]) - " +
+          "LSH-pruned exact-rescored top-k cosine neighbors for every " +
+          "row with id < max_query_id (default 10)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_knn"))
+        val idCol = strArg(args(1), "graft_knn")
+        val vecCol = strArg(args(2), "graft_knn")
+        val dim = numArg(args(3), "graft_knn").toInt
+        val k = numArg(args(4), "graft_knn").toInt
+        val maxQ = if (args.length > 5) numArg(args(5), "graft_knn").toLong
+          else 10L
+        operators.Knn.lsh(df, df.filter(col(idCol) < maxQ), idCol, vecCol,
+          dim = dim, k = k).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_text_quality"),
+      info("graft_text_quality",
+        "graft_text_quality(table, id_col, text_col) - per-doc quality " +
+          "score with diversity/stopword/punctuation components"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_text_quality"))
+        operators.TextOps.quality(df,
+          strArg(args(1), "graft_text_quality"),
+          strArg(args(2), "graft_text_quality")).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_text_entropy"),
+      info("graft_text_entropy",
+        "graft_text_entropy(table, id_col, text_col) - quantized " +
+          "char-entropy quality signal (ent_bits ~ Shannon bits)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_text_entropy"))
+        operators.TextOps.entropy(df,
+          strArg(args(1), "graft_text_entropy"),
+          strArg(args(2), "graft_text_entropy")).queryExecution.logical
       }))
 }
 

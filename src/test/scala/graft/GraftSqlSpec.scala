@@ -77,4 +77,35 @@ class GraftSqlSpec extends SparkSpec {
     // the rewrite really landed in outDir
     assert(operators.BulkLoad.readHFiles(spark, out).count() == 2)
   }
+
+  test("graft_knn: SQL TVF matches Knn.lsh, max_query_id honored") {
+    sf("embeddings").createOrReplaceTempView("embeddings_v")
+    val viaSql = spark.sql(
+      "SELECT query_id, rank, neighbor_id, cosine FROM " +
+        "graft_knn('embeddings_v', 'vec_id', 'embedding', 64, 5)")
+      .collect().map(_.toString).sorted.toSeq
+    val viaScala = operators.Knn.lsh(sf("embeddings"),
+        sf("embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    val narrow = spark.sql(
+      "SELECT DISTINCT query_id FROM " +
+        "graft_knn('embeddings_v', 'vec_id', 'embedding', 64, 5, 3)")
+      .as[Long].collect().toSet
+    assert(narrow == Set(0L, 1L, 2L))
+  }
+
+  test("graft_text_quality / graft_text_entropy TVFs match the " +
+      "Scala operators") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val q = spark.sql("SELECT * FROM " +
+      "graft_text_quality('documents_v', 'doc_id', 'text')")
+    assert(q.except(operators.TextOps.quality(
+      sf("documents"), "doc_id", "text")).isEmpty && q.count() == 500)
+    val e = spark.sql("SELECT * FROM " +
+      "graft_text_entropy('documents_v', 'doc_id', 'text')")
+    assert(e.except(operators.TextOps.entropy(
+      sf("documents"), "doc_id", "text")).isEmpty && e.count() == 500)
+  }
 }
