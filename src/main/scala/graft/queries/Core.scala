@@ -237,13 +237,15 @@ object Core {
         expr("((ts DIV 1000000) DIV 3600000) * 3600000").as("bucket_ms"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+      // square projected BEFORE the window so all three frame aggs read
+      // plain attributes — one Window pass instead of two
+      .withColumn("cntsq", col("cnt").cast(dec) * col("cnt").cast(dec))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ms"))
       .rowsBetween(-window, -1)
     hourly
       .withColumn("base_n", count(col("cnt")).over(w))
       .withColumn("base_sum", sum(col("cnt")).over(w))
-      .withColumn("base_sumsq",
-        sum(col("cnt").cast(dec) * col("cnt").cast(dec)).over(w))
+      .withColumn("base_sumsq", sum(col("cntsq")).over(w))
       .filter(col("base_n") >= minBase)
       .withColumn("dev",
         (col("base_n").cast(dec) * col("cnt") - col("base_sum")).cast(dec))
