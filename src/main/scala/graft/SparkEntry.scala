@@ -116,6 +116,7 @@ object SparkEntry {
     "corpus_boilerplate" -> ((s, d) =>
       Pipeline.corpusBoilerplate(t(s, d, "documents"))),
     "corpus_budget" -> ((s, d) => Pipeline.corpusBudget(t(s, d, "documents"))),
+    "corpus_dsir" -> ((s, d) => Pipeline.corpusDsir(t(s, d, "documents"))),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "corpus_shuffle" -> ((s, d) =>
       Pipeline.corpusShuffle(t(s, d, "documents"))),
@@ -1940,6 +1941,31 @@ object SparkEntry {
         |  CAST(coalesce(a.s, 0) AS BIGINT) AS lm_sum,
         |  CASE WHEN a.n IS NULL THEN NULL
         |       ELSE CAST(a.s // a.n AS BIGINT) END AS lm_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // C24: per-bigram SIGN of the smoothed DSIR probability difference,
+    // cross-multiplied so the replay is pure integer (HUGEINT) — target
+    // table = lang='en' slice, source = the whole pool; totals computed
+    // in-SQL exactly as the operator's driver-side table sums
+    "corpus_dsir" ->
+      s"""WITH $wordFnvCte,
+        |${shingleSeqTail(2, "g")},
+        |ttb AS (SELECT g5.v % 65536 AS b, count(*) AS c
+        |  FROM g5 JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        |  GROUP BY 1),
+        |tsb AS (SELECT g5.v % 65536 AS b, count(*) AS c FROM g5 GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM ttb) + 65536 AS tt,
+        |               (SELECT coalesce(sum(c), 0) FROM tsb) + 65536 AS ts),
+        |q AS (SELECT g.doc_id,
+        |    SIGN((coalesce(bt.c, 0) + 1)::HUGEINT * t.ts
+        |       - (coalesce(bs.c, 0) + 1)::HUGEINT * t.tt)::BIGINT AS v
+        |  FROM g5 g CROSS JOIN tot t
+        |  LEFT JOIN ttb bt ON bt.b = g.v % 65536
+        |  LEFT JOIN tsb bs ON bs.b = g.v % 65536),
+        |agg AS (SELECT doc_id, count(*) AS n, sum(v) AS sv FROM q GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(a.sv AS BIGINT) AS dsir_vote,
+        |  coalesce(a.sv > 0, false) AS selected
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // E11: the LUT is the SAME Scala-computed integer literal the Spark

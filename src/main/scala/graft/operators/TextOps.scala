@@ -347,22 +347,33 @@ object TextOps {
     * corpus's hottest stopword bucket sits orders below; the loud
     * require beats silent wraparound.
     */
+  /** One hashed-gram training pass (E10/C24 shared): counts of k-word
+    * positional shingle hashes folded into `buckets` power-of-two
+    * buckets over the `refFilter` slice of `docs` — a partial-agg
+    * groupBy on ≤`buckets` keys (hot stopword buckets absorb
+    * map-side), then a ≤`buckets`-row collect.
+    */
+  private def gramBucketCounts(docs: DataFrame, textCol: String,
+                               refFilter: Column, k: Int,
+                               buckets: Int): Array[Long] = {
+    val arr = new Array[Long](buckets)
+    docs.filter(refFilter)
+      .select(explode(txt.wordShingleSeq(col(textCol), k)).as("h"))
+      .groupBy(col("h").bitwiseAND(lit((buckets - 1).toLong))
+        .cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               refFilter: Column, uniBuckets: Int = 4096,
               bigBuckets: Int = 65536): DataFrame = {
     require(uniBuckets > 0 && (uniBuckets & (uniBuckets - 1)) == 0 &&
       bigBuckets > 0 && (bigBuckets & (bigBuckets - 1)) == 0,
       "bucket counts must be powers of two")
-    def bucketCounts(k: Int, buckets: Int): Array[Long] = {
-      val arr = new Array[Long](buckets)
-      docs.filter(refFilter)
-        .select(explode(txt.wordShingleSeq(col(textCol), k)).as("h"))
-        .groupBy(col("h").bitwiseAND(lit((buckets - 1).toLong))
-          .cast("int").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
-      arr
-    }
+    def bucketCounts(k: Int, buckets: Int): Array[Long] =
+      gramBucketCounts(docs, textCol, refFilter, k, buckets)
     val cu = bucketCounts(1, uniBuckets)
     val cb = bucketCounts(2, bigBuckets)
     require(cb.max <= (Long.MaxValue >> 20) - 1,
@@ -438,5 +449,64 @@ object TextOps {
             "cast(greatest(1L, (c * 1024) DIV _n) as int))) DIV _n"))
           .as("ent_scaled"))
       .withColumn("ent_bits", round(col("ent_scaled") / lit(1048576.0), 6))
+  }
+
+  /** C24: DSIR-style importance selection (data selection via
+    * importance resampling): every doc is scored by which of TWO hashed
+    * bigram LMs — target (`targetFilter`, the distribution you want
+    * more of: wiki-grade text) vs source (`sourceFilter`, the raw
+    * pool; default everything) — makes each of its bigrams more
+    * likely, and survives on a majority.
+    *
+    * Per bigram with bucket counts cT/cS and table totals totT/totS,
+    * the DSIR log-ratio's SIGN is exact in integers:
+    * `sign(p_t − p_s) = sign((cT+1)·(totS+B) − (cS+1)·(totT+B))`
+    * (add-one smoothing, B = bigBuckets) — cross-multiplied so no
+    * division, no log, no float: DECIMAL(38) / HUGEINT products hold
+    * to ~10³⁷ (a 100 TB corpus' totals are ~10¹³). A doc's
+    * `dsir_vote` = Σ signs and `selected = dsir_vote > 0` — the
+    * sign-vote (median-of-evidence) variant of the importance weight:
+    * scale-free, so it cannot be swamped by the corpora's size
+    * difference the way a raw count or probability grid can.
+    *
+    * Plan shape: TWO bounded training passes ([[gramBucketCounts]],
+    * bigram tables for target and source — each a partial-agg groupBy
+    * on ≤`bigBuckets` keys + a ≤65536-row collect; totals are Scala
+    * constants after that), then scoring is ONE pure map with both
+    * count tables as plan literals — zero shuffles, zero joins,
+    * scan-speed on any corpus. Docs without bigrams get a null vote
+    * and `selected = false`.
+    */
+  def dsir(docs: DataFrame, idCol: String, textCol: String,
+           targetFilter: Column, sourceFilter: Column = lit(true),
+           bigBuckets: Int = 65536): DataFrame = {
+    require(bigBuckets > 0 && (bigBuckets & (bigBuckets - 1)) == 0,
+      "bucket count must be a power of two")
+    val cbT = gramBucketCounts(docs, textCol, targetFilter, 2, bigBuckets)
+    val cbS = gramBucketCounts(docs, textCol, sourceFilter, 2, bigBuckets)
+    val totT = cbT.sum + bigBuckets
+    val totS = cbS.sum + bigBuckets
+    val base = docs.select(col(idCol),
+        txt.wordShingleSeq(col(textCol), 2).as("bg"))
+      .withColumn("_cbt", typedLit(cbT.toSeq))
+      .withColumn("_cbs", typedLit(cbS.toSeq))
+    // per-gram sign of the smoothed probability difference, exact via
+    // cross-multiplication in DECIMAL(38)
+    val votes = expr(
+      s"transform(bg, bh -> CAST(SIGN(" +
+        s"CAST(element_at(_cbt, cast(bh & ${bigBuckets - 1} as int) + 1) " +
+        s"+ 1 AS DECIMAL(38,0)) * CAST($totS AS DECIMAL(38,0)) - " +
+        s"CAST(element_at(_cbs, cast(bh & ${bigBuckets - 1} as int) + 1) " +
+        s"+ 1 AS DECIMAL(38,0)) * CAST($totT AS DECIMAL(38,0))" +
+        s") AS LONG))")
+    base.withColumn("v", votes)
+      .select(col(idCol),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        expr("aggregate(v, 0L, (acc, x) -> acc + x)").as("_sv"))
+      .withColumn("dsir_vote",
+        when(col("n_bigrams") === 0, lit(null).cast("long"))
+          .otherwise(col("_sv")))
+      .withColumn("selected", coalesce(col("dsir_vote") > 0, lit(false)))
+      .drop("_sv")
   }
 }

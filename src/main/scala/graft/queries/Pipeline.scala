@@ -519,6 +519,16 @@ object Pipeline {
     TextOps.lmScore(documents, "doc_id", "text",
       org.apache.spark.sql.functions.col("lang") === "en").orderBy("doc_id")
 
+  /** C24: DSIR importance selection — target LM = the labeled
+    * `lang = 'en'` slice (standing in for the wiki-grade target
+    * distribution), source LM = the whole pool; a doc survives when its
+    * transitions look more target-like than pool-like on the shared
+    * integer grid.
+    */
+  def corpusDsir(documents: DataFrame): DataFrame =
+    TextOps.dsir(documents, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en").orderBy("doc_id")
+
   /** E11: quantized char-entropy quality signal; the integer LUT
     * literal is shared verbatim with the oracle, so neither engine
     * evaluates a log.

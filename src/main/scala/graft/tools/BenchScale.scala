@@ -52,7 +52,10 @@ object BenchScale {
     // round 10: budget histogram, incremental index build, partial
     // merge, bloom gram explode, and the rewritten prefix-scan lookup
     "corpus_budget", "dedup_incremental", "rollup_incremental",
-    "corpus_decontaminate_bloom", "hfile_prefix_scan")
+    "corpus_decontaminate_bloom", "hfile_prefix_scan",
+    // round 10b: corpus-bytes entropy scan, token-level MaxSim ANN,
+    // series anomaly window
+    "text_entropy", "knn_maxsim", "rollup_anomaly")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

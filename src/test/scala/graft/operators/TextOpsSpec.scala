@@ -266,4 +266,55 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == re.map(_.toString).toSeq,
       "integer grid must be partitioning-independent")
   }
+
+  test("dsir: target-like docs select, pool-typical docs don't; votes " +
+      "match a driver-side sign-rule replay; repartition-invariant") {
+    val B = 128 // small smoothing so a tiny fixture's counts dominate
+    // target slice: canonical transitions; the pool is dominated by a
+    // different phrase, so its bigrams are source-likelier
+    val docs = (
+      (0L to 2L).map(i => (i, "the cat sat on the mat", "en")) ++
+      (3L to 9L).map(i => (i, "buy cheap pills online now fast", "xx")) ++
+      Seq((10L, "the cat sat on the mat", "xx"),     // target-like, unlabeled
+          (11L, "buy cheap pills online now fast", "xx"),
+          (12L, "one", "xx")))                        // no bigrams
+      .toDF("doc_id", "text", "lang")
+    // driver-side replay with the REAL hash kernel: per-doc bucket
+    // sequences, bucket count tables, the exact sign rule
+    val grams: Map[Long, Seq[Long]] = docs
+      .select(col("doc_id"),
+        graft.functions.txt.wordShingleSeq(col("text"), 2).as("g"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[Long]]("g").map(h => h & (B - 1))).toMap
+    val enIds = (0L to 2L).toSet
+    def counts(ids: Iterable[Long]): Map[Long, Long] =
+      ids.toSeq.flatMap(grams).groupBy(identity)
+        .map { case (b, o) => b -> o.size.toLong }
+    val cT = counts(grams.keys.filter(enIds)); val cS = counts(grams.keys)
+    val tT = cT.values.sum + B; val tS = cS.values.sum + B
+    def expVote(id: Long): Long = grams(id).map { b =>
+      val l = (cT.getOrElse(b, 0L) + 1) * tS
+      val r = (cS.getOrElse(b, 0L) + 1) * tT
+      if (l > r) 1L else if (l < r) -1L else 0L
+    }.sum
+    val got = TextOps.dsir(docs, "doc_id", "text", col("lang") === "en",
+      bigBuckets = B).orderBy("doc_id").collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    got.filter(_.getAs[Long]("n_bigrams") > 0).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("dsir_vote") == expVote(id),
+        s"doc $id vote != driver replay")
+    }
+    assert(byId(10L).getAs[Boolean]("selected"),
+      s"target-like doc must be selected (vote ${expVote(10L)})")
+    assert(!byId(11L).getAs[Boolean]("selected"),
+      s"pool-typical doc must not be selected (vote ${expVote(11L)})")
+    assert(!byId(12L).getAs[Boolean]("selected") &&
+      byId(12L).isNullAt(byId(12L).fieldIndex("dsir_vote")),
+      "no-bigram doc: null vote, not selected")
+    val re = TextOps.dsir(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en", bigBuckets = B).orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == re.map(_.toString).toSeq)
+  }
 }
