@@ -133,6 +133,7 @@ object SparkEntry {
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
+    "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) =>
@@ -899,6 +900,31 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D7: knn_lsh's identical plane table and key chain, with the label
+    // equality fused into the candidate join (pre-filtering)
+    "knn_filtered" ->
+      s"""WITH planes(p, pl) AS (VALUES ${planesValuesSql(288, 64, 7L)}),
+        |${lshKeysCte(6)},
+        |lk AS (SELECT k.vec_id, k.band, k.bkey, e.label
+        |  FROM keys k JOIN embeddings e USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, label, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT kc.vec_id AS neighbor_id, kq.vec_id AS query_id
+        |  FROM lk kc JOIN lk kq ON kc.band = kq.band AND kc.bkey = kq.bkey
+        |    AND kc.label = kq.label
+        |  JOIN q ON kq.vec_id = q.query_id
+        |  WHERE kc.vec_id <> kq.vec_id),
+        |d AS (
+        |  SELECT c.query_id, q.label, c.neighbor_id,
+        |    ${cosineSql("q.qe", "e.embedding")} AS c
+        |  FROM cand c JOIN q ON c.query_id = q.query_id
+        |              JOIN embeddings e ON c.neighbor_id = e.vec_id),
+        |r AS (SELECT query_id, label, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM d)
+        |SELECT query_id, label, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // D6: per-slice hyperplane keys (16-dim planes from the real
     // kernel), token-level candidate buckets, per-(query, doc, qslice)

@@ -800,6 +800,54 @@ object Knn {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** D7: filtered ANN — top-k cosine neighbors among corpus rows that
+    * MATCH the query's `filterCol` value (label / language / tenant
+    * partition: the metadata-constrained vector search real stores
+    * serve). The filter key is fused INTO the LSH bucket join key, so
+    * candidates are generated ALREADY filtered (pre-filtering): at
+    * selective filters this beats generating a global candidate set
+    * and post-filtering it — the classic filtered-vector-search
+    * failure mode, where post-filtering a top-R shortlist leaves fewer
+    * than k survivors and recall collapses. Same hyperplane kernel,
+    * bands and exact-rescore shape as [[lsh]]; a candidate pair must
+    * share (filter value, band, key).
+    *
+    * Scale: identical to [[lsh]] — the fused key adds selectivity to
+    * the bucket join (strictly FEWER candidates), query keys stay
+    * broadcast, and the per-label bucket population is what bounds
+    * per-task work; a degenerate single-label corpus degrades exactly
+    * to [[lsh]], never worse.
+    */
+  def filteredLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, filterCol: String, dim: Int, k: Int,
+                  bands: Int = 32, planesPerBand: Int = 6,
+                  seed: Long = 7L): DataFrame = {
+    val planes = Dedup.hyperplanes(bands * planesPerBand, dim, seed)
+    def keyed(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(filterCol).as("fkey"),
+          posexplode(graft.functions.vec.hyperplaneBuckets(
+            asDouble(col(vecCol)), planes, planesPerBand)))
+        .toDF(id, "fkey", "band", "bkey")
+    val candIds = keyed(corpus, "neighbor_id")
+      .join(broadcast(keyed(queries, "query_id")),
+        Seq("fkey", "band", "bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(filterCol).as("label"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candIds.join(c, "neighbor_id").join(q, "query_id")
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** D6: multi-vector late-interaction retrieval (the MaxSim rule
     * ColBERT-style retrievers use): both sides split into m = dim/d
     * sub-vectors ("token vectors");

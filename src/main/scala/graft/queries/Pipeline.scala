@@ -334,6 +334,16 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D7: label-constrained ANN — neighbors must share the query's
+    * `label`; the label is fused into the LSH bucket key so candidates
+    * are born filtered.
+    */
+  def knnFiltered(embeddings: DataFrame): DataFrame =
+    Knn.filteredLsh(embeddings, querySet(embeddings), "vec_id",
+        "embedding", "label", dim = EmbeddingDim, k = 5, bands = 48)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   /** D6: token-level LSH candidates + exact MaxSim rescore; the score
     * is an integer-grid sum, so the only float op in the output is one
     * exact division.

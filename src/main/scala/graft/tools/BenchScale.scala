@@ -54,8 +54,9 @@ object BenchScale {
     "corpus_budget", "dedup_incremental", "rollup_incremental",
     "corpus_decontaminate_bloom", "hfile_prefix_scan",
     // round 10b: corpus-bytes entropy scan, token-level MaxSim ANN,
-    // series anomaly window
-    "text_entropy", "knn_maxsim", "rollup_anomaly")
+    // series anomaly window, DSIR double-training, label-fused ANN
+    "text_entropy", "knn_maxsim", "rollup_anomaly", "corpus_dsir",
+    "knn_filtered")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -329,6 +329,43 @@ class KnnSpec extends SparkSpec {
     assert(empty.schema == out.schema)
   }
 
+  test("filteredLsh: every neighbor shares the query's label, results " +
+      "equal lsh run per-label, recall floors vs filtered brute force") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val got = Knn.filteredLsh(emb, queries, "vec_id", "embedding",
+      "label", dim = 64, k = 5, bands = 48).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) ==
+        labels(r.getAs[Long]("query_id")),
+        "cross-label neighbor leaked through the fused key")
+    }
+    // equivalence: fusing the label into the bucket key = running plain
+    // lsh within each label slice
+    val perLabel = labels.values.toSet.toSeq.flatMap { l: Int =>
+      val slice = emb.filter(col("label") === l)
+      Knn.lsh(slice, slice.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, k = 5, bands = 48).collect()
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))
+    assert(got.map(key).toSet == perLabel.map(key).toSet,
+      "fused-key results must equal per-label lsh")
+    // recall vs same-label brute force
+    val bfPairs = labels.values.toSet.toSeq.flatMap { l: Int =>
+      val slice = emb.filter(col("label") === l)
+      Knn.bruteForce(slice, slice.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5).collect()
+    }.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val gotPairs = got.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bfPairs & gotPairs).size.toDouble / bfPairs.size
+    assert(recall >= 0.5, s"filtered recall $recall below floor")
+  }
+
   test("maxSim: scores match an exact driver-side MaxSim replay on the " +
       "candidate-covered set; recall floors vs exact; repartition-stable") {
     val m = 4; val d = 16
