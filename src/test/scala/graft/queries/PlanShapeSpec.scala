@@ -173,4 +173,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
     assert(p.contains("FileScan parquet"), p.take(400))
   }
+
+  test("text_entropy / corpus_dsir: zero shuffles except the " +
+      "presentation sort — scoring never leaves the scan stage") {
+    for (q <- Seq("text_entropy", "corpus_dsir")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(400)}")
+      assert(!p.toLowerCase.contains("hashpartitioning"),
+        s"$q must not hash-shuffle: ${p.take(400)}")
+      val rangeEx = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+      assert(rangeEx <= 1, s"$q: only the presentation sort allowed")
+    }
+  }
+
+  test("rollup_anomaly: one series window pass after the rollup " +
+      "shuffle; the z-test is a pure filter") {
+    val p = plan("rollup_anomaly")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"all three frame aggs must share ONE Window pass: ${p.take(600)}")
+    assert(p.contains("partial_count"), "rollup must partial-aggregate")
+    assert(!p.contains("Join"), "the anomaly rule must not join")
+  }
+
+  test("knn_maxsim: token pruning and slice cosines are map-side — " +
+      "query keys/slices broadcast, vectors never in the bucket shuffle") {
+    val p = plan("knn_maxsim")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bucket probe and query-slice joins must be broadcast")
+    // the candidate distinct is the only pre-topk hash exchange keyed
+    // on ids; the band/bkey bucket join itself must not shuffle the
+    // corpus slices (they arrive via broadcast probe)
+    assert(p.contains("partial_max") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"), "maxsim must partial-aggregate")
+  }
 }
