@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -798,6 +798,161 @@ object Knn {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** D8 (build): persisted IVF×PQ index — the "build once, search
+    * many" lifecycle production vector stores run, as a parquet layout
+    * Spark can partition-prune:
+    *
+    *   dir/coarse/           (cell_id, centroid)    — coarseCells rows
+    *   dir/codebooks/        (sub, cell_id, cvec)   — m·ksub rows
+    *   dir/codes/cell_id=C/  (neighbor_id, codes)   — one Hive
+    *                         partition per coarse cell
+    *
+    * Both quantizers are the trained k-means tables
+    * ([[kmeansSubCodebooks]], count-capped sample); assignment and
+    * encode are the same broadcast + partial-agg reductions [[ivfpq]]
+    * plans inline. The payoff over the in-plan path: the corpus-sized
+    * train/assign/encode cost is paid ONCE at build, and every later
+    * search scans only its probed `cell_id=` partitions — file-layer
+    * pruning, no per-run encode.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      dir: String, dim: Int, m: Int = 8, ksub: Int = 16,
+                      coarseCells: Int = 16, iters: Int = 2,
+                      trainMod: Int = 2): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    val coarse = kmeansSubCodebooks(corpus, idCol, vecCol, dim, 1,
+        coarseCells, iters, trainMod)
+      .select(col("cell_id"), col("cvec").as("centroid"))
+    val cbs = kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      iters, trainMod)
+    val coarseB = broadcast(coarse.select(col("cell_id"),
+      asDouble(col("centroid")).as("centroid")))
+    val cells = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .join(coarseB)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
+        .as("cell_id"))
+    val subs = corpus.select(col(idCol).as("neighbor_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+      .toDF("neighbor_id", "sub", "subvec")
+    val codes = subs.join(broadcast(cbs), "sub")
+      .withColumn("dist", l2sqD(col("subvec"), col("cvec")))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
+        .as("code"))
+      .groupBy(col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("neighbor_id"),
+        transform(col("sc"), s => s("code")).as("codes"))
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.join(cells, "neighbor_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/codes")
+  }
+
+  /** D8 (search): probe a [[buildIvfPqIndex]] layout. Coarse +
+    * codebooks are tiny reads (broadcast); each query's nProbe cells
+    * become a `cell_id IN (...)` partition filter on the codes dir —
+    * only probed partitions' FILES are read (Hive-style pruning shown
+    * as PartitionFilters in the scan, pinned by the spec). ADC +
+    * shortlist + optional exact re-rank mirror [[ivfpq]] exactly, so
+    * with `rescoreWith` = the corpus the results are identical to the
+    * in-plan trained ivfpq — the spec asserts row equality.
+    */
+  def searchIvfPqIndex(spark: SparkSession, dir: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, k: Int, nProbe: Int = 5,
+                       overscan: Int = 4, salts: Int = 32,
+                       rescoreWith: Option[DataFrame] = scala.None)
+      : DataFrame = {
+    val coarseDf = broadcast(spark.read.parquet(s"$dir/coarse")
+      .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+    val mk = cbs.agg(max(col("sub")).as("m"), max(col("cell_id")).as("c"))
+      .head()
+    val m = mk.getInt(0) + 1
+    val ksub = mk.getLong(1).toInt + 1
+    require(dim % m == 0, s"dim $dim not divisible by index m $m")
+    val d = dim / m
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell_id"))
+    val probes = broadcast(q.join(coarseDf)
+      .withColumn("qsim", cosineD(col("qv"), col("centroid")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("query_id"), col("cell_id")))
+    // O(|queries|·nProbe) driver-side cell list -> a partition filter
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell_id").isin(probedCells: _*))
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+      .toDF("query_id", "sub", "subvec")
+    val qtab = broadcast(qsubs.join(broadcast(cbs), "sub")
+      .withColumn("qdist", l2sqD(col("subvec"), col("cvec")))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"),
+        col("cell_id").cast("long").as("code"), col("qdist")))).as("e"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(ksub - 1)), c =>
+            element_at(col("e"), (j * ksub + c + 1).cast("int"))("qdist")))
+          .as("tbl")))
+    val approx = codes
+      .join(probes, "cell_id")
+      .join(qtab, "query_id")
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(
+            element_at(col("tbl"), (j + lit(1)).cast("int")),
+            (element_at(col("codes"), (j + lit(1)).cast("int")) + lit(1))
+              .cast("int"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    rescoreWith match {
+      case scala.None =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))
+        approx.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("adist"))
+      case Some(corpus) =>
+        val wLocal = Window.partitionBy(col("query_id"), col("salt"))
+          .orderBy(col("adist"), col("neighbor_id"))
+        val wShort = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))
+        val shortlist = approx
+          .withColumn("salt", pmod(col("neighbor_id"), lit(salts)))
+          .withColumn("lrn", row_number().over(wLocal))
+          .filter(col("lrn") <= k * overscan)
+          .withColumn("srn", row_number().over(wShort))
+          .filter(col("srn") <= k * overscan)
+          .select(col("query_id"), col("neighbor_id"))
+        val qv = broadcast(queries.select(col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("qv")))
+        val cv = corpus.select(col(idCol).as("neighbor_id"),
+          asDouble(col(vecCol)).as("cv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        shortlist.join(cv, "neighbor_id").join(qv, "query_id")
+          .withColumn("cosine", cosineD(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("cosine"))
+    }
   }
 
   /** D7: filtered ANN — top-k cosine neighbors among corpus rows that

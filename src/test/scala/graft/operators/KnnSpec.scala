@@ -329,6 +329,42 @@ class KnnSpec extends SparkSpec {
     assert(empty.schema == out.schema)
   }
 
+  test("persisted IVFxPQ index: layout is cell-partitioned, the search " +
+      "scan partition-prunes to probed cells, and rescored results " +
+      "equal the in-plan trained ivfpq") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    // layout: Hive-partitioned codes
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName)
+    assert(cellDirs.length > 1, s"expected cell_id= partitions: $cellDirs")
+    val got = Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5, rescoreWith = Some(emb))
+    // file-layer pruning: the codes scan carries a cell_id partition
+    // filter (only probed partitions' files are read)
+    val plan = got.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq
+    assert(pf.exists(_.contains("cell_id")),
+      s"codes scan must partition-filter on cell_id: ${pf.mkString(" | ")}")
+    // equality with the in-plan path under the SAME trained tables
+    val coarse = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 1, ksub = 16, iters = 2, trainMod = 2)
+      .select(col("cell_id"), col("cvec").as("centroid"))
+    val cbs = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 2)
+    val direct = Knn.ivfpq(emb, queries, "vec_id", "embedding", dim = 64,
+      k = 5, codebooks = Some(cbs), coarse = Some(coarse))
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq,
+      "index search must equal the in-plan trained ivfpq")
+    // ADC-only mode (no rescore corpus): k rows per query, self excluded
+    val adc = Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5).collect()
+    assert(adc.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    assert(!adc.exists(r =>
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+  }
+
   test("filteredLsh: every neighbor shares the query's label, results " +
       "equal lsh run per-label, recall floors vs filtered brute force") {
     val labels = emb.select("vec_id", "label").collect()
