@@ -858,6 +858,52 @@ object Knn {
       .parquet(s"$dir/codes")
   }
 
+  /** D8 (append): add new vectors to a [[buildIvfPqIndex]] layout
+    * WITHOUT retraining — the FAISS `add` lifecycle an ingest cycle
+    * runs: the stored coarse table and sub-codebooks are read back
+    * (frozen), the delta is assigned + encoded with the same broadcast
+    * partial-agg reductions, and its codes APPEND into the existing
+    * `cell_id=` partitions (dynamic partition append — untouched cells'
+    * files are not rewritten). Quantization drifts as the corpus grows
+    * away from the training distribution — the accepted trade
+    * production stores make between per-batch retrains; rebuild when
+    * recall decays.
+    */
+  def appendToIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+                         dir: String, dim: Int): Unit = {
+    val spark = delta.sparkSession
+    val coarseB = broadcast(spark.read.parquet(s"$dir/coarse")
+      .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+    val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
+    require(dim % m == 0, s"dim $dim not divisible by index m $m")
+    val d = dim / m
+    val cells = delta
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .join(coarseB)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
+        .as("cell_id"))
+    val subs = delta.select(col(idCol).as("neighbor_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
+      .toDF("neighbor_id", "sub", "subvec")
+    val codes = subs.join(broadcast(cbs), "sub")
+      .withColumn("dist", l2sqD(col("subvec"), col("cvec")))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
+        .as("code"))
+      .groupBy(col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
+        .as("sc"))
+      .select(col("neighbor_id"),
+        transform(col("sc"), s => s("code")).as("codes"))
+    codes.join(cells, "neighbor_id")
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/codes")
+  }
+
   /** D8 (search): probe a [[buildIvfPqIndex]] layout. Coarse +
     * codebooks are tiny reads (broadcast); each query's nProbe cells
     * become a `cell_id IN (...)` partition filter on the codes dir —

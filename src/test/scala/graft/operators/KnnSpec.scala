@@ -365,6 +365,30 @@ class KnnSpec extends SparkSpec {
       r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
   }
 
+  test("index append: delta encodes under the FROZEN codebooks, lands " +
+      "in existing partitions, and search covers old + new vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val delta = emb.filter($"vec_id" % 2 === 1)
+    Knn.buildIvfPqIndex(old, "vec_id", "embedding", dir, dim = 64)
+    val cbsBefore = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(_.toString).sorted.toSeq
+    Knn.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    // codebooks untouched (frozen), every corpus id present exactly once
+    assert(spark.read.parquet(s"$dir/codebooks").collect()
+      .map(_.toString).sorted.toSeq == cbsBefore)
+    val ids = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 500L).toSeq,
+      s"append must cover all ids once, got ${ids.length}")
+    // a search after append can return delta-only neighbors
+    val got = Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5, rescoreWith = Some(emb)).collect()
+    assert(got.exists(_.getAs[Long]("neighbor_id") % 2 == 1),
+      "appended (odd-id) vectors must be searchable")
+    assert(got.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+  }
+
   test("filteredLsh: every neighbor shares the query's label, results " +
       "equal lsh run per-label, recall floors vs filtered brute force") {
     val labels = emb.select("vec_id", "label").collect()
