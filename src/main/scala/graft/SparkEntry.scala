@@ -2000,7 +2000,8 @@ object SparkEntry {
     "text_entropy" ->
       s"""WITH lutv AS (SELECT [${graft.operators.TextOps.EntropyLut.mkString(",")}]::BIGINT[] AS l),
         |cs AS (SELECT doc_id,
-        |  regexp_extract_all(lower(text), '[a-z0-9]') AS cs FROM documents),
+        |  list_transform(regexp_extract_all(text, '[A-Za-z0-9]'),
+        |    c -> lower(c)) AS cs FROM documents),
         |b AS (SELECT doc_id, cs, len(cs)::BIGINT AS n,
         |  list_transform(list_distinct(cs),
         |    c -> len(list_filter(cs, x -> x = c))::BIGINT) AS cnt FROM cs),

@@ -170,10 +170,24 @@ case class PunctCount(child: Expression) extends StringInput {
     copy(child = newChild)
 }
 
+/** Fused [n_alnum, n_distinct, ent_scaled] char-entropy kernel (E11). */
+case class CharEntropyStats(child: Expression) extends StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.charEntropyStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.charEntropyStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object txt {
   def punctCount(s: Column): Column =
     ColumnBridge.column(PunctCount(ColumnBridge.expression(s)))
+  def charEntropyStats(s: Column): Column =
+    ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(s)))
   def wordShingleHashes(s: Column, k: Int): Column =
     ColumnBridge.column(WordShingleHashes(ColumnBridge.expression(s), k))
   def wordShingleSeq(s: Column, k: Int): Column =

@@ -191,6 +191,63 @@ object TextHashes {
     * regex's codepoint-unit class semantics. `\s` here is Java's
     * `[ \t\n\x0B\f\r]`, which RE2 (the DuckDB oracle) agrees with.
     */
+  /** Quantized-entropy lookup table shared by [[charEntropyStats]],
+    * `TextOps.entropy` and the DuckDB oracle: `EntropyLut(q-1)` =
+    * round(−log2(q/1024) · 2²⁰) for q in 1..1024 — the information
+    * content (in 2⁻²⁰-bit units) of a probability quantized to the
+    * q/1024 grid. Computed ONCE here and inlined as the SAME integer
+    * literal into the oracle SQL, so no engine evaluates a
+    * transcendental.
+    */
+  val EntropyLut: Array[Long] = Array.tabulate(1024) { i =>
+    val q = i + 1
+    math.round(-(math.log(q / 1024.0) / math.log(2.0)) * 1048576.0)
+  }
+
+  /** Fused per-doc char-entropy statistics:
+    * `[n_alnum, n_distinct, ent_scaled]` over the ASCII-alphanumeric
+    * alphabet, case-folded byte-wise (`'A'..'Z' | 0x20`) — one O(bytes)
+    * pass with a 36-slot count table, zero allocation beyond the
+    * 3-element result. `ent_scaled = (Σ c·L(max(1, c·1024 DIV n)))
+    * DIV n` with L = [[EntropyLut]]. Non-ASCII codepoints are never
+    * counted (continuation bytes can't collide with ASCII: every
+    * non-ASCII UTF-8 byte has the high bit set). Replaces the
+    * higher-order-function composition (`array_distinct` +
+    * per-distinct `filter` = O(n·36) with two array allocations per
+    * row) that made text_entropy the bench's slowest corpus-bytes
+    * scan.
+    */
+  def charEntropyStats(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val counts = new Array[Long](36)
+    var n = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c >= '0' && c <= '9') { counts(26 + (c - '0')) += 1; n += 1 }
+      else {
+        val lc = c | 0x20
+        if (lc >= 'a' && lc <= 'z') { counts(lc - 'a') += 1; n += 1 }
+      }
+      i += 1
+    }
+    var distinct = 0L
+    var ent = 0L
+    var j = 0
+    while (j < 36) {
+      val c = counts(j)
+      if (c > 0) {
+        distinct += 1
+        var q = c * 1024L / n
+        if (q < 1) q = 1
+        ent += c * EntropyLut((q - 1).toInt)
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(n, distinct, if (n > 0) ent / n else 0L))
+  }
+
   def punctCount(s: UTF8String): Long = {
     val b = s.getBytes
     var i = 0

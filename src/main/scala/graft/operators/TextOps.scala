@@ -400,56 +400,44 @@ object TextOps {
           .otherwise(expr("lm_sum DIV n_bigrams")))
   }
 
-  /** Quantized-entropy lookup table: `EntropyLut(q-1)` =
-    * round(−log2(q/1024) · 2²⁰) for q in 1..1024 — i.e. the information
-    * content (in 2⁻²⁰-bit units) of a probability quantized to the
-    * q/1024 grid. Computed ONCE in Scala and inlined as the SAME
-    * integer literal array into both the Spark plan and the DuckDB
-    * oracle, so no engine ever evaluates a transcendental: cross-engine
-    * log/float drift is impossible by construction (the lm_score
-    * integer-grid posture, applied to entropy).
+  /** The quantized-entropy LUT — canonical copy lives with the fused
+    * kernel ([[graft.functions.TextHashes.EntropyLut]]); re-exported
+    * here for the oracle-SQL literal and API stability.
     */
-  val EntropyLut: Array[Long] = Array.tabulate(1024) { i =>
-    val q = i + 1
-    math.round(-(math.log(q / 1024.0) / math.log(2.0)) * 1048576.0)
-  }
+  val EntropyLut: Array[Long] = graft.functions.TextHashes.EntropyLut
 
   /** E11: per-doc Shannon character entropy on a quantized integer
     * grid — the classic gibberish/low-diversity quality signal (low
     * entropy = repeated chars / boilerplate, high = diverse text;
     * compression-ratio proxies rank the same way).
     *
-    * Alphabet: lowercased alphanumerics (`[a-z0-9]`), so casing and
-    * punctuation styling don't move the score. For each doc with n
-    * alphanumeric chars and per-char counts c:
+    * Alphabet: ASCII alphanumerics, case-folded byte-wise — casing and
+    * punctuation styling don't move the score, and non-ASCII
+    * codepoints are never counted (the oracle extracts `[A-Za-z0-9]`
+    * and folds per char, so both engines agree on EVERY input, not
+    * just ASCII corpora). For each doc with n counted chars and
+    * per-char counts c:
     * `ent_scaled = (Σ_char c · L(max(1, c·1024 DIV n))) DIV n`, with
     * L = [[EntropyLut]] — ≈ H · 2²⁰ bits. All arithmetic after the LUT
-    * is integer, so the cross-char sum is associative and the result
-    * is partitioning-independent; the oracle replays it with the same
-    * literal LUT.
+    * is integer, so the result is partitioning-independent.
     *
-    * Scale: zero shuffles — per-row higher-order expressions only
-    * (O(n·distinct) per doc with distinct ≤ 36), entirely inside
-    * whole-stage codegen; streams at scan speed on any corpus.
+    * Scale: zero shuffles, and the whole computation is ONE fused
+    * codegen kernel call per row
+    * ([[graft.functions.txt.charEntropyStats]] — a single O(bytes)
+    * pass over a 36-slot count table; the earlier higher-order
+    * `array_distinct`+`filter` composition was O(n·36) with two array
+    * allocations per row and benched 14× at 100× data; the kernel
+    * halves that).
     */
-  def entropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cs = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]"), lit(0))
+  def entropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .withColumn("_cs", cs)
-      .withColumn("_lut", typedLit(EntropyLut.toSeq))
-      .withColumn("_n", size(col("_cs")).cast("long"))
-      .withColumn("_cnt",
-        expr("transform(array_distinct(_cs), c -> cast(size(filter(_cs, x -> x = c)) as long))"))
+      .withColumn("_e", txt.charEntropyStats(col(textCol)))
       .select(
         col(idCol),
-        col("_n").as("n_alnum"),
-        size(col("_cnt")).cast("long").as("n_distinct"),
-        when(col("_n") === 0, lit(0L)).otherwise(expr(
-          "aggregate(_cnt, 0L, (acc, c) -> acc + c * element_at(_lut, " +
-            "cast(greatest(1L, (c * 1024) DIV _n) as int))) DIV _n"))
-          .as("ent_scaled"))
+        element_at(col("_e"), 1).as("n_alnum"),
+        element_at(col("_e"), 2).as("n_distinct"),
+        element_at(col("_e"), 3).as("ent_scaled"))
       .withColumn("ent_bits", round(col("ent_scaled") / lit(1048576.0), 6))
-  }
 
   /** C24: DSIR-style importance selection (data selection via
     * importance resampling): every doc is scored by which of TWO hashed

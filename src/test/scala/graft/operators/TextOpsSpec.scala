@@ -265,6 +265,25 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(got.map(_.toString).toSeq == re.map(_.toString).toSeq,
       "integer grid must be partitioning-independent")
+    // fused kernel vs a straight Scala recount on adversarial input:
+    // case folds, digits, unicode skipped, whitespace/punct ignored
+    val adversarial = Seq("MiXeD CaSe 123", "中文 only 中文", "ÀÉÎ øü",
+      "a" * 5000 + "B" * 5000, "\t\n  ", "0012300")
+    adversarial.zipWithIndex.foreach { case (s, i) =>
+      val r = TextOps.entropy(Seq((i.toLong, s)).toDF("doc_id", "text"),
+        "doc_id", "text").head()
+      val folded = s.filter(_ < 128).toLowerCase.filter(c =>
+        c.isDigit || (c >= 'a' && c <= 'z'))
+      val counts = folded.groupBy(identity).map(_._2.length.toLong)
+      val n = folded.length.toLong
+      val want =
+        if (n == 0) 0L
+        else counts.map(c => c * TextOps.EntropyLut(
+          (math.max(1L, c * 1024 / n) - 1).toInt)).sum / n
+      assert(r.getAs[Long]("n_alnum") == n &&
+        r.getAs[Long]("ent_scaled") == want,
+        s"kernel mismatch on '$s'")
+    }
   }
 
   test("dsir: target-like docs select, pool-typical docs don't; votes " +
