@@ -60,6 +60,10 @@ object SparkEntry {
     "rollup_incremental" -> ((s, d) =>
       Core.rollupIncremental(t(s, d, "events"))),
     "rollup_anomaly" -> ((s, d) => Core.rollupAnomaly(t(s, d, "events"))),
+    "events_props_extract" -> ((s, d) =>
+      Core.eventsPropsExtract(t(s, d, "events"))),
+    "rollup_timeweighted" -> ((s, d) =>
+      Core.rollupTimeWeighted(t(s, d, "events"))),
     // ---- B. HBase data model & bulkload ---------------------------------
     "rowkey_encode" -> ((s, d) => HModel.rowkeyEncode(t(s, d, "customer"))),
     "cells_extract" -> ((s, d) => HModel.cellsExtract(t(s, d, "orders"))),
@@ -1235,6 +1239,30 @@ object SparkEntry {
         |  ((base_sum::HUGEINT * 1000) // base_n)::BIGINT AS mean_milli
         |FROM a WHERE dev * dev > 9 * varn
         |ORDER BY event_type, bucket_ms""".stripMargin,
+    "events_props_extract" ->
+      """WITH k AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, k // 10 AS k_decile, COUNT(*) AS n_events,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM k WHERE k IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // A24: integer-millis holding-time weights through exact DECIMAL;
+    // the only float op is the final division of identical inputs
+    "rollup_timeweighted" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |    epoch_ms(ts) AS ts_ms, event_id, value FROM events),
+        |wd AS (SELECT *, coalesce(lead(ts_ms) OVER (
+        |    PARTITION BY event_type, bucket_ms
+        |    ORDER BY ts_ms, event_id) - ts_ms, 0) AS w_ms FROM b),
+        |a AS (SELECT event_type, bucket_ms, COUNT(*) AS n_samples,
+        |    MAX(ts_ms) - MIN(ts_ms) AS span_ms,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * w_ms) AS DOUBLE)
+        |      AS tw_sum
+        |  FROM wd GROUP BY 1, 2)
+        |SELECT event_type, bucket_ms, n_samples, span_ms,
+        |  tw_sum / span_ms AS twavg
+        |FROM a WHERE span_ms > 0 ORDER BY 1, 2""".stripMargin,
     "rollup_daily" ->
       """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
         | COUNT(*) AS n_events,

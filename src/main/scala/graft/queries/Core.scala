@@ -259,6 +259,65 @@ object Core {
       .orderBy(col("event_type"), col("bucket_ms"))
   }
 
+  /** A23: semi-structured ingest — `props` carries a JSON payload (the
+    * tag/attribute blob every event pipeline ships); typed fields are
+    * extracted AT SCAN TIME (`get_json_object` is codegen'd — the
+    * extraction is a pure scan-stage map, no UDF), then aggregated per
+    * (event_type, k-decile) through one partial-agg shuffle. Rows whose
+    * payload lacks the field drop out before the shuffle.
+    */
+  def eventsPropsExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("k_decile", expr("k DIV 10"))
+      .groupBy(col("event_type"), col("k_decile"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_decile"))
+
+  /** A24: time-weighted hourly average — the irregular-sample
+    * downsample semantics a TSDB needs when samples are not evenly
+    * spaced (OpenTSDB/Prometheus-style): within each (event_type,
+    * hour) bucket, each sample's value is weighted by its holding time
+    * (the millis until the bucket's next sample) and
+    * `twavg = Σ vᵢ·wᵢ / (t_last − t_first)`. An evenly-spaced series
+    * gives the plain mean; a series that parks at a value for most of
+    * the hour is dominated by it — which a plain mean gets wrong.
+    * Buckets with no span (single sample / all simultaneous) are
+    * dropped (no holding time to weight by).
+    *
+    * Determinism: weights are exact integer millis, values weight
+    * through exact DECIMAL, and the one float step (`tw_sum / span`)
+    * is a single division of identical inputs in both engines.
+    *
+    * Scale: the lead() window partitions by (type, hour) — bounded by
+    * one bucket's samples — and rides the same hash exchange the
+    * final groupBy uses; one shuffle total.
+    */
+  def rollupTimeWeighted(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = expr("((ts DIV 1000000) DIV 3600000) * 3600000")
+    val w = Window.partitionBy(col("event_type"), col("bucket_ms"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("event_type"), bucket.as("bucket_ms"),
+        expr("ts DIV 1000000").as("ts_ms"), col("event_id"), col("value"))
+      .withColumn("w_ms", coalesce(lead(col("ts_ms"), 1).over(w) -
+        col("ts_ms"), lit(0L)))
+      .groupBy(col("event_type"), col("bucket_ms"))
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("span_ms"),
+        sum(col("value").cast(DecimalType(18, 4)) * col("w_ms"))
+          .cast("double").as("tw_sum"))
+      .filter(col("span_ms") > 0)
+      .withColumn("twavg", col("tw_sum") / col("span_ms"))
+      .select(col("event_type"), col("bucket_ms"), col("n_samples"),
+        col("span_ms"), col("twavg"))
+      .orderBy(col("event_type"), col("bucket_ms"))
+  }
+
   /** A12: point-in-time lookup (as-of join): each event gets the user's
     * latest order at/before the event — the versioned-cell GET
     * (`Get.setTimeRange`) semantics of the reference's lookup path, as

@@ -98,6 +98,60 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("rollupTimeWeighted: parked values dominate, even spacing gives " +
+      "the plain mean, zero-span buckets drop") {
+    import spark.implicits._
+    // one hour: value 10 held for 54 min, then 100 for the last 6 min
+    // (sampled at minute marks) -> twavg must sit near 10, far from the
+    // plain mean of the SAMPLES
+    val parked = (0 until 60 by 6).map(m =>
+      (m * 60000L * 1000000L, "parked", 1000L + m,
+        if (m < 54) 10.0 else 100.0))
+    // evenly spaced 0..59 min alternating 0/20 -> twavg ~ plain mean 10
+    val even = (0 until 60).map(m =>
+      (m * 60000L * 1000000L, "even", 2000L + m,
+        if (m % 2 == 0) 0.0 else 20.0))
+    val single = Seq((3600000L * 1000000L * 5, "single", 9000L, 42.0))
+    val df = (parked ++ even ++ single)
+      .toDF("ts", "event_type", "event_id", "value")
+    val got = Core.rollupTimeWeighted(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(!got.contains("single"), "zero-span bucket must drop")
+    val p = got("parked").getAs[Double]("twavg")
+    // exact: (9 samples * 6min * 10 + 54->60min holds 100 for 0... the
+    // last sample has no successor (weight 0): Σw = span = 54 min;
+    // 10*(6*9=54min? samples at 0,6..48 hold 10 for 6min each = 54min of
+    // weight... sample at 54 holds 100, weight 0) -> twavg = 10 exactly
+    assert(math.abs(p - 10.0) < 1e-9, s"parked twavg $p")
+    val e = got("even").getAs[Double]("twavg")
+    // samples 0..58 weighted 1min each, sample 59 weight 0: mean of
+    // 0,20 alternating over 59 weights = (29*20)/59... compute directly
+    assert(math.abs(e - (29 * 20.0 * 60000 / (59 * 60000))) < 1e-9,
+      s"even twavg $e")
+    assert(got("even").getAs[Long]("span_ms") == 59L * 60000)
+  }
+
+  test("eventsPropsExtract: JSON field lands typed; malformed and " +
+      "missing payloads drop before the aggregate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", """{"k": 7}"""),
+      (2L, "a", """{"k": 13}"""),
+      (3L, "a", """{"other": 1}"""),   // missing field
+      (4L, "b", "not json"),           // malformed
+      (5L, "b", """{"k": 25}"""))
+      .toDF("event_id", "event_type", "props")
+    val got = Core.eventsPropsExtract(df).collect()
+    val a0 = got.find(r => r.getAs[String]("event_type") == "a" &&
+      r.getAs[Long]("k_decile") == 0L).get
+    assert(a0.getAs[Long]("n_events") == 1 && a0.getAs[Long]("sum_k") == 7)
+    val a1 = got.find(r => r.getAs[String]("event_type") == "a" &&
+      r.getAs[Long]("k_decile") == 1L).get
+    assert(a1.getAs[Long]("max_k") == 13)
+    assert(got.count(_.getAs[String]("event_type") == "b") == 1,
+      "malformed payload must drop, valid b row must stay")
+  }
+
   test("rollupAnomaly flags an injected spike, keeps a steady series " +
       "quiet, and is exact on a crafted variance boundary") {
     import spark.implicits._
