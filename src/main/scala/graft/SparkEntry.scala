@@ -93,6 +93,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Pipeline.dedupExact(t(s, d, "documents"))),
     "dedup_exact_normalized" -> ((s, d) =>
       Pipeline.dedupExactNormalized(t(s, d, "documents"))),
+    "dedup_fuzzy_incremental" -> ((s, d) =>
+      Pipeline.dedupFuzzyIncremental(t(s, d, "documents"))),
     "dedup_incremental" -> ((s, d) =>
       Pipeline.dedupIncremental(t(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -1043,6 +1045,20 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
         |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
         |FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+    // C25: the C3 chain restricted to cross-set (corpus x batch) pairs —
+    // exactly the pairs the broadcast batch probe of the corpus index
+    // can produce (batch = doc_id % 10 == 0, C22's split)
+    "dedup_fuzzy_incremental" ->
+      s"""WITH $minhashCte,
+        |sel AS (SELECT
+        |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS batch_id,
+        |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id,
+        |    n_common, na, nb
+        |  FROM jac WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0))
+        |SELECT batch_id, corpus_id,
+        |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+        |FROM sel WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "corpus_mix" -> {
       val wts = (0 until 20).map(i =>
         s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")

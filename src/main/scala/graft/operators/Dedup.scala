@@ -87,6 +87,61 @@ object Dedup {
           .as("keep"))
   }
 
+  /** C25: incremental NEAR-dup — the fuzzy twin of [[incremental]],
+    * the other half of a production crawl cycle: each incoming batch
+    * doc is checked for MinHash-LSH near-duplicates against the
+    * already-indexed corpus. The aggregated per-(band, key) corpus
+    * bucket table built here IS the persisted LSH index such a cycle
+    * maintains (build once, probe per batch); the BATCH side's band
+    * keys are broadcast, so the index is probed map-side — history is
+    * never re-shuffled when a batch arrives — and only colliding
+    * (corpus, batch) pairs reach exact-Jaccard verification, bounded
+    * by the batch's collision set. Bucket membership is capped at
+    * `maxBucket` smallest ids (deterministic: sorted before the cut),
+    * so a degenerate boilerplate bucket cannot explode a batch probe.
+    * Batch-internal near-dups are the batch's own [[minhashLsh]] run
+    * at batch scale.
+    */
+  def incrementalMinhash(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         perms: Int = 128, bands: Int = 16,
+                         threshold: Double = 0.7,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    val rpb = perms / bands
+    def keys(df: DataFrame, out: String) = {
+      val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb)))
+            .as("bkey")))
+      df.select(col(idCol).as(out),
+          txt.minhash(shingleHashes(col(textCol), k), perms).as("sig"))
+        .select(col(out), explode(bandKeys).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+          col(out))
+    }
+    val index = keys(corpus, "corpus_id")
+      .groupBy(col("band"), col("bkey"))
+      .agg(slice(sort_array(collect_list(col("corpus_id"))), 1, maxBucket)
+        .as("ids"))
+    val cand = index
+      .join(broadcast(keys(batch, "batch_id")
+        .select(col("band"), col("bkey"), col("batch_id")).distinct()),
+        Seq("band", "bkey"))
+      .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
+      .distinct()
+    val cs = corpus.select(col(idCol).as("corpus_id"),
+      shingleHashes(col(textCol), k).as("pa"))
+    val bs = batch.select(col(idCol).as("batch_id"),
+      shingleHashes(col(textCol), k).as("pb"))
+    cand.join(cs, "corpus_id").join(broadcast(bs), "batch_id")
+      .withColumn("_inter", size(array_intersect(col("pa"), col("pb"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("pa")) + size(col("pb")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** C15: paragraph-level exact dedup — the Dolma/RefinedWeb
     * line-granularity pass: explode docs into newline-separated
     * paragraphs, keep ONE canonical occurrence of every distinct

@@ -43,6 +43,19 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C25: incremental near-dup — the `doc_id % 10 == 0` slice plays
+    * the incoming batch, the rest the indexed corpus (C22's split);
+    * batch keys broadcast against the aggregated corpus LSH index.
+    */
+  def dedupFuzzyIncremental(documents: DataFrame): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    Dedup.incrementalMinhash(documents.filter(!isDelta),
+        documents.filter(isDelta), "doc_id", "text",
+        k = 3, perms = 128, bands = 16, threshold = 0.7)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** C3: MinHash(128) + 16-band LSH, verified Jaccard ≥ 0.7. */
   def dedupMinhashLsh(documents: DataFrame): DataFrame =
     Dedup.minhashLsh(documents, "doc_id", "text",

@@ -56,7 +56,8 @@ object BenchScale {
     // round 10b: corpus-bytes entropy scan, token-level MaxSim ANN,
     // series anomaly window, DSIR double-training, label-fused ANN
     "text_entropy", "knn_maxsim", "rollup_anomaly", "corpus_dsir",
-    "knn_filtered", "events_props_extract", "rollup_timeweighted")
+    "knn_filtered", "events_props_extract", "rollup_timeweighted",
+    "dedup_fuzzy_incremental")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -384,4 +384,46 @@ class DedupSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "index probe not broadcast")
   }
+
+  test("incrementalMinhash: crafted near-copy found, unique batch doc " +
+      "silent; equals full minhashLsh restricted to cross-set pairs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((1L, base),
+      (2L, "totally different words entirely here about other topics one"),
+      (3L, "yet another unrelated corpus document text body goes here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " phi"),                           // near-copy of 1
+      (20L, "nothing in common with any corpus doc at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
+      .collect()
+    assert(got.length == 1 &&
+      got.head.getAs[Long]("batch_id") == 10L &&
+      got.head.getAs[Long]("corpus_id") == 1L,
+      s"expected only (10, 1): ${got.toSeq}")
+    // probe side broadcast: history not shuffled on batch arrival
+    val plan = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "batch keys not broadcast")
+    // sf parity with the full pair run restricted to cross-set pairs
+    val docs = sf("documents")
+    val isDelta = col("doc_id") % 10 === 0
+    def key(b: Long, c: Long, j: Double) = (b, c, math.round(j * 1e6))
+    val inc = Dedup.incrementalMinhash(docs.filter(!isDelta),
+        docs.filter(isDelta), "doc_id", "text").collect()
+      .map(r => key(r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = Dedup.minhashLsh(docs, "doc_id", "text").collect()
+      .flatMap { r =>
+        val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+        val j = r.getAs[Double]("jaccard")
+        if ((a % 10 == 0) != (b % 10 == 0))
+          Some(if (a % 10 == 0) key(a, b, j) else key(b, a, j))
+        else scala.None
+      }.toSet
+    assert(inc == full, s"incremental $inc != restricted full $full")
+  }
 }
