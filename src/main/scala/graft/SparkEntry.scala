@@ -168,7 +168,8 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => Pipeline.textEntropy(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
-    "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents")))
+    "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents"))),
+    "mm_phash" -> ((s, d) => Pipeline.mmPhash(t(s, d, "documents")))
   )
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
@@ -2105,6 +2106,41 @@ object SparkEntry {
         |  FROM documents)
         |SELECT kind, md5(pay) AS fp, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies, MIN(strlen(pay)) AS size_bytes
-        |FROM p GROUP BY 1, 2 ORDER BY kind, fp""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY kind, fp""".stripMargin,
+    // F5: byte-exact aHash replay (64 byte-window cells, integer
+    // cross-multiplied mean threshold, signed-64 wrap), then exact
+    // all-pairs hamming — lossless vs the operator's banding by the
+    // pigeonhole rule (4 bands, <=3 differing bits). Text is pure
+    // ASCII at every SF (checked), so ord(substr) = payload byte.
+    "mm_phash" ->
+      """WITH p AS (SELECT doc_id,
+        |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS kind,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'PLACEHOLDER_ASSET_v1'
+        |       ELSE text END AS pay
+        |  FROM documents),
+        |bytes AS (SELECT doc_id, kind, t.i,
+        |    ord(substr(pay, t.i::INT, 1))::BIGINT AS b,
+        |    strlen(pay)::BIGINT AS len
+        |  FROM p, unnest(range(1, strlen(pay) + 1)) AS t(i)),
+        |cells AS (SELECT doc_id, kind, len, ((i - 1) * 64) // len AS j,
+        |    SUM(b)::BIGINT AS s, COUNT(*)::BIGINT AS c
+        |  FROM bytes GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT doc_id, SUM(s)::BIGINT AS total
+        |  FROM cells GROUP BY 1),
+        |sigh AS (SELECT c.doc_id, c.kind,
+        |    SUM(CASE WHEN c.s * c.len > t.total * c.c
+        |        THEN (1::HUGEINT << c.j::INT) ELSE 0::HUGEINT END) AS sh
+        |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, kind,
+        |    (CASE WHEN sh >= 9223372036854775808::HUGEINT
+        |      THEN sh - 18446744073709551616::HUGEINT ELSE sh END)::BIGINT
+        |      AS sig
+        |  FROM sigh)
+        |SELECT a.kind AS kind, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.sig, b.sig))::INT AS hamming
+        |FROM sig a JOIN sig b ON a.kind = b.kind AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY a.kind, doc_a, doc_b""".stripMargin
   )
 }

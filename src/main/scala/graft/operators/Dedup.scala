@@ -535,36 +535,51 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val nBands = maxHamming + 1
     val sigs = docs.select(col(idCol),
       graft.functions.txt.simhash(shingleHashes(col(textCol), k)).as("sig"))
+    hammingPairs(sigs, idCol, "sig", Seq.empty, maxHamming, maxBucket)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+  }
+
+  /** Exact hamming-bounded pair generation over ANY 64-bit signature
+    * column — the C4/F5 shared machinery. Pigeonhole-exact: with
+    * `maxHamming + 1` bands, two sigs within the bound MUST agree on
+    * at least one whole band, so banding loses nothing. `extraKeys`
+    * scope buckets (e.g. per media kind) and come back on every pair.
+    * The signature is 8 bytes, so it rides through the banding shuffle
+    * (collect_list of (id, sig) structs) instead of being re-joined —
+    * the sig kernel is evaluated once per row and verification is
+    * join-free.
+    */
+  private[graft] def hammingPairs(sigs: DataFrame, idCol: String,
+                                  sigCol: String, extraKeys: Seq[String],
+                                  maxHamming: Int,
+                                  maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBands = maxHamming + 1
     // band b covers bits [offsets(b), offsets(b+1)): widths 64/n rounded
     val offsets = (0 to nBands).map(b => b * 64 / nBands)
     val bandKeys = array((0 until nBands).map { b =>
       val width = offsets(b + 1) - offsets(b)
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), offsets(b)).bitwiseAND(lit(mask))
+        shiftrightunsigned(col(sigCol), offsets(b)).bitwiseAND(lit(mask))
           .as("bkey"))
     }: _*)
-    // the signature is 8 bytes, so it rides through the banding shuffle
-    // (collect_list of (id, sig) structs) instead of being re-joined —
-    // the SimHash kernel is evaluated exactly once per document and the
-    // verification is join-free
+    val ek = extraKeys.map(col)
     sigs
-      .select(col(idCol).as("_m_id"), col("sig"), explode(bandKeys).as("bk"))
-      .groupBy(col("bk.band"), col("bk.bkey"))
-      .agg(sort_array(collect_list(struct(col("_m_id").as("id"), col("sig"))))
-        .as("members"))
+      .select((ek :+ col(idCol).as("_m_id")) :+ col(sigCol).as("_m_sig") :+
+        explode(bandKeys).as("bk"): _*)
+      .groupBy(ek :+ col("bk.band") :+ col("bk.bkey"): _*)
+      .agg(sort_array(collect_list(struct(col("_m_id").as("id"),
+        col("_m_sig").as("sig")))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(pairsOf(col("members"))).as("p"))
-      .select(col("p.a.id").as("a"), col("p.b.id").as("b"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
+      .select(ek :+ explode(pairsOf(col("members"))).as("p"): _*)
+      .select(ek :+ col("p.a.id").as("a") :+ col("p.b.id").as("b") :+
+        col("p.a.sig").as("sig_a") :+ col("p.b.sig").as("sig_b"): _*)
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
   }
 
   // ---- embedding near-dup ---------------------------------------------

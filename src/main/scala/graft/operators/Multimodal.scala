@@ -56,6 +56,32 @@ object Multimodal {
       .orderBy(col("kind"), col("fp"))
   }
 
+  /** F5: perceptual near-dup — the SECOND pass of a media dedup
+    * pipeline, after F4's exact byte dedup: re-encoded / slightly
+    * edited copies of the same asset that md5 can never group. Each
+    * payload gets a 64-bit average-hash
+    * ([[graft.functions.MediaHashes.avgHash64]] — real aHash
+    * thresholding over the F2-stub "decoded grid"), and pairs within
+    * `maxHamming` bits surface per kind via the C4 pigeonhole-exact
+    * banding (no near pair can be missed; buckets scoped by kind and
+    * capped at `maxBucket`). Output: (kind, doc_a, doc_b, hamming) —
+    * hamming 0 pairs are byte-permutation-level copies, 1..maxHamming
+    * the perceptual near-dups. Scale shape = C4's: 8-byte sigs ride
+    * the banding shuffle, verification is join-free, payload bytes die
+    * at the map side after hashing.
+    */
+  def nearDupPayloads(media: DataFrame, idCol: String, kindCol: String,
+                      payloadCol: String, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sigs = media.select(col(idCol), col(kindCol).as("kind"),
+      graft.functions.media.avgHash64(col(payloadCol)).as("sig"))
+    Dedup.hammingPairs(sigs, idCol, "sig", Seq("kind"), maxHamming,
+        maxBucket)
+      .select(col("kind"), col("a").as("doc_a"), col("b").as("doc_b"),
+        col("hamming"))
+      .orderBy(col("kind"), col("doc_a"), col("doc_b"))
+  }
+
   /** Kind column derivation shared by [[manifest]] and the mm queries. */
   def kindOf(idCol: String): org.apache.spark.sql.Column =
     element_at(typedLit(Kinds), (pmod(col(idCol), lit(3)) + 1).cast("int"))

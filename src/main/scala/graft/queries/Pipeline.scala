@@ -580,4 +580,18 @@ object Pipeline {
       Multimodal.kindOf("doc_id").as("kind"), payload.as("payload"))
     Multimodal.dedupPayloads(media, "doc_id", "kind", "payload")
   }
+
+  /** F5: perceptual near-dup over the SAME payload construction as
+    * [[mmDedup]] — placeholder copies land at hamming 0, near-dup text
+    * payloads within a few bits.
+    */
+  def mmPhash(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = when(pmod(col("doc_id"), lit(10)) === 0,
+      encode(lit("PLACEHOLDER_ASSET_v1"), "UTF-8"))
+      .otherwise(encode(col("text"), "UTF-8"))
+    val media = documents.select(col("doc_id"),
+      Multimodal.kindOf("doc_id").as("kind"), payload.as("payload"))
+    Multimodal.nearDupPayloads(media, "doc_id", "kind", "payload")
+  }
 }

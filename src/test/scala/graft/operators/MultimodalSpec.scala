@@ -94,4 +94,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSet == Set(("image", 1L, 2L), ("image", 3L, 1L),
       ("audio", 10L, 1L)))
   }
+
+  test("nearDupPayloads: identical payloads at hamming 0, a few-byte " +
+      "edit within the bound, different content silent, kinds scoped") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val edited = base.updated(10, 'X').updated(200, 'Y') // tiny local edit
+    val media = Seq(
+      (1L, "image", base), (2L, "image", base),      // exact copy pair
+      (3L, "image", edited),                          // near-dup of 1, 2
+      (4L, "image", "completely different content about other topics " +
+        "with unrelated words throughout this whole payload body text"),
+      (5L, "audio", base))                            // other kind: scoped
+      .toDF("doc_id", "kind", "s")
+      .withColumn("payload", encode(col("s"), "UTF-8")).drop("s")
+    val got = Multimodal
+      .nearDupPayloads(media, "doc_id", "kind", "payload")
+      .collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    val pairs = got.map(t => (t._2, t._3)).toSet
+    assert(pairs.contains((1L, 2L)), s"exact copies must pair: ${got.toSeq}")
+    assert(got.find(t => t._2 == 1L && t._3 == 2L).get._4 == 0,
+      "identical payloads must be hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"few-byte edit must stay within the bound: ${got.toSeq}")
+    assert(!got.exists(t => t._2 == 4L || t._3 == 4L),
+      "different content must not pair")
+    assert(!got.exists(t => t._3 == 5L),
+      "pairs must be scoped per kind")
+    // kernel sanity: hash is a pure function, edit moves few bits
+    val h1 = graft.functions.MediaHashes.avgHash64(base.getBytes("UTF-8"))
+    val h3 = graft.functions.MediaHashes.avgHash64(edited.getBytes("UTF-8"))
+    assert(h1 == graft.functions.MediaHashes.avgHash64(base.getBytes("UTF-8")))
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 3,
+      s"local edit moved ${java.lang.Long.bitCount(h1 ^ h3)} bits")
+  }
 }
