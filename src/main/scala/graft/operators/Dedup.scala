@@ -96,45 +96,64 @@ object Dedup {
     * keys are broadcast, so the index is probed map-side — history is
     * never re-shuffled when a batch arrives — and only colliding
     * (corpus, batch) pairs reach exact-Jaccard verification, bounded
-    * by the batch's collision set. Bucket membership is capped at
-    * `maxBucket` smallest ids (deterministic: sorted before the cut),
-    * so a degenerate boilerplate bucket cannot explode a batch probe.
-    * Batch-internal near-dups are the batch's own [[minhashLsh]] run
-    * at batch scale.
+    * by the batch's collision set. Degenerate buckets whose COMBINED
+    * corpus + batch membership exceeds `maxBucket` emit NOTHING — the
+    * SAME drop rule (and the same count) as [[lshCandidatePairs]], so
+    * the incremental result stays exactly the full [[minhashLsh]] run
+    * restricted to cross-set pairs (the parity the spec pins,
+    * including a deliberately-flooded bucket) even when a boilerplate
+    * text floods one bucket. The (id, shingles) projections are persisted for the run
+    * (the [[lshVerifiedPairs]] cacheShingles rationale: the shingle
+    * kernel feeds both the band keys and the verification join);
+    * `cacheShingles = false` opts out. Batch-internal near-dups are
+    * the batch's own [[minhashLsh]] run at batch scale.
     */
   def incrementalMinhash(corpus: DataFrame, batch: DataFrame,
                          idCol: String, textCol: String, k: Int = 3,
                          perms: Int = 128, bands: Int = 16,
                          threshold: Double = 0.7,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = 1000,
+                         cacheShingles: Boolean = true): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     val rpb = perms / bands
-    def keys(df: DataFrame, out: String) = {
+    def shingled(df: DataFrame, out: String) = {
+      val p = df.select(col(idCol).as(out),
+        shingleHashes(col(textCol), k).as("sh"))
+      if (cacheShingles)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else p
+    }
+    val cs = shingled(corpus, "corpus_id")
+    val bs = shingled(batch, "batch_id")
+    def keys(sh: DataFrame, out: String) = {
       val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb)))
             .as("bkey")))
-      df.select(col(idCol).as(out),
-          txt.minhash(shingleHashes(col(textCol), k), perms).as("sig"))
+      sh.select(col(out), txt.minhash(col("sh"), perms).as("sig"))
         .select(col(out), explode(bandKeys).as("bk"))
         .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
           col(out))
     }
-    val index = keys(corpus, "corpus_id")
+    val index = keys(cs, "corpus_id")
       .groupBy(col("band"), col("bkey"))
-      .agg(slice(sort_array(collect_list(col("corpus_id"))), 1, maxBucket)
-        .as("ids"))
+      .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+    val batchKeys = keys(bs, "batch_id")
+      .select(col("band"), col("bkey"), col("batch_id")).distinct()
+    // the full-run cap counts BOTH sides' bucket members; replicate it
+    // exactly so parity holds even on degenerate buckets
+    val batchCnt = batchKeys.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("_bcnt"))
     val cand = index
-      .join(broadcast(keys(batch, "batch_id")
-        .select(col("band"), col("bkey"), col("batch_id")).distinct()),
-        Seq("band", "bkey"))
+      .join(broadcast(batchKeys), Seq("band", "bkey"))
+      .join(broadcast(batchCnt), Seq("band", "bkey"))
+      .filter(size(col("ids")) + col("_bcnt") <= maxBucket)
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
       .distinct()
-    val cs = corpus.select(col(idCol).as("corpus_id"),
-      shingleHashes(col(textCol), k).as("pa"))
-    val bs = batch.select(col(idCol).as("batch_id"),
-      shingleHashes(col(textCol), k).as("pb"))
-    cand.join(cs, "corpus_id").join(broadcast(bs), "batch_id")
+    cand
+      .join(cs.select(col("corpus_id"), col("sh").as("pa")), "corpus_id")
+      .join(broadcast(bs.select(col("batch_id"), col("sh").as("pb"))),
+        "batch_id")
       .withColumn("_inter", size(array_intersect(col("pa"), col("pb"))))
       .withColumn("jaccard", col("_inter").cast("double") /
         (size(col("pa")) + size(col("pb")) - col("_inter")))

@@ -68,21 +68,39 @@ object Knn {
     */
   def lsh(corpus: DataFrame, queries: DataFrame, idCol: String,
           vecCol: String, dim: Int, k: Int, bands: Int = 32,
-          planesPerBand: Int = 6, seed: Long = 7L): DataFrame = {
+          planesPerBand: Int = 6, seed: Long = 7L): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, dim, k, bands, planesPerBand,
+        seed, filterCol = scala.None)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+
+  /** [[lsh]] and [[filteredLsh]]'s one shared body: band keys only ride
+    * the bucket shuffle (vectors stay out of the exploded stream),
+    * query keys broadcast, exact-cosine rescore of the distinct
+    * candidate set. With `filterCol` set, the filter value joins the
+    * bucket key (candidates born filtered) and comes back as `label`.
+    */
+  private def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, dim: Int, k: Int, bands: Int,
+                      planesPerBand: Int, seed: Long,
+                      filterCol: Option[String]): DataFrame = {
     val planes = Dedup.hyperplanes(bands * planesPerBand, dim, seed)
-    // band keys only — vectors stay out of the exploded/deduped stream
+    val fk = filterCol.toSeq
     def keyed(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id),
+      df.select(col(idCol).as(id) +: fk.map(col) :+
           posexplode(graft.functions.vec.hyperplaneBuckets(
-            asDouble(col(vecCol)), planes, planesPerBand)))
-        .toDF(id, "band", "bkey")
+            asDouble(col(vecCol)), planes, planesPerBand)): _*)
+        .toDF(Seq(id) ++ fk ++ Seq("band", "bkey"): _*)
     val candIds = keyed(corpus, "neighbor_id")
-      .join(broadcast(keyed(queries, "query_id")), Seq("band", "bkey"))
+      .join(broadcast(keyed(queries, "query_id")),
+        fk ++ Seq("band", "bkey"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .distinct() // a pair can collide in several bands
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv")))
+    val q = broadcast(queries.select(
+      Seq(col(idCol).as("query_id")) ++
+        fk.map(c => col(c).as("label")) :+
+        asDouble(col(vecCol)).as("qv"): _*))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -91,7 +109,6 @@ object Knn {
       .withColumn("cosine", cosineD(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** IVF-style ANN: a deterministic coarse codebook (every `stride`-th
@@ -828,16 +845,33 @@ object Knn {
       .select(col("cell_id"), col("cvec").as("centroid"))
     val cbs = kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
       iters, trainMod)
-    val coarseB = broadcast(coarse.select(col("cell_id"),
-      asDouble(col("centroid")).as("centroid")))
-    val cells = corpus
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
+    assignAndEncode(corpus, idCol, vecCol,
+        broadcast(coarse.select(col("cell_id"),
+          asDouble(col("centroid")).as("centroid"))), cbs, m, d)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/codes")
+  }
+
+  /** The ONE coarse-assign + PQ-encode pipeline shared by
+    * [[buildIvfPqIndex]] and [[appendToIvfPqIndex]] (build-vs-append
+    * drift would silently corrupt the persisted index): broadcast
+    * argmax cell assignment (ties toward the smallest cell_id — the
+    * [[ivfpq]] rule), broadcast argmin sub-code encode, both
+    * partial-agg reductions; returns `(neighbor_id, codes, cell_id)`.
+    */
+  private def assignAndEncode(rows: DataFrame, idCol: String,
+                              vecCol: String, coarseB: DataFrame,
+                              cbs: DataFrame, m: Int, d: Int): DataFrame = {
+    val cells = rows
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .join(coarseB)
       .withColumn("csim", cosineD(col("cv"), col("centroid")))
       .groupBy(col("neighbor_id"))
       .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
         .as("cell_id"))
-    val subs = corpus.select(col(idCol).as("neighbor_id"),
+    val subs = rows.select(col(idCol).as("neighbor_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
       .toDF("neighbor_id", "sub", "subvec")
@@ -851,11 +885,7 @@ object Knn {
         .as("sc"))
       .select(col("neighbor_id"),
         transform(col("sc"), s => s("code")).as("codes"))
-    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
-    cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.join(cells, "neighbor_id")
-      .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$dir/codes")
   }
 
   /** D8 (append): add new vectors to a [[buildIvfPqIndex]] layout
@@ -877,29 +907,7 @@ object Knn {
     val cbs = spark.read.parquet(s"$dir/codebooks")
     val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
     require(dim % m == 0, s"dim $dim not divisible by index m $m")
-    val d = dim / m
-    val cells = delta
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .join(coarseB)
-      .withColumn("csim", cosineD(col("cv"), col("centroid")))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(col("cell_id"), struct(col("csim"), -col("cell_id")))
-        .as("cell_id"))
-    val subs = delta.select(col(idCol).as("neighbor_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
-      .toDF("neighbor_id", "sub", "subvec")
-    val codes = subs.join(broadcast(cbs), "sub")
-      .withColumn("dist", l2sqD(col("subvec"), col("cvec")))
-      .groupBy(col("neighbor_id"), col("sub"))
-      .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
-        .as("code"))
-      .groupBy(col("neighbor_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("code"))))
-        .as("sc"))
-      .select(col("neighbor_id"),
-        transform(col("sc"), s => s("code")).as("codes"))
-    codes.join(cells, "neighbor_id")
+    assignAndEncode(delta, idCol, vecCol, coarseB, cbs, m, dim / m)
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$dir/codes")
   }
@@ -911,7 +919,12 @@ object Knn {
     * as PartitionFilters in the scan, pinned by the spec). ADC +
     * shortlist + optional exact re-rank mirror [[ivfpq]] exactly, so
     * with `rescoreWith` = the corpus the results are identical to the
-    * in-plan trained ivfpq — the spec asserts row equality.
+    * in-plan trained ivfpq — the spec asserts row equality. The qtab /
+    * ADC / salted-shortlist block below deliberately MIRRORS
+    * [[ivfpq]]'s (the spec's row-equality assertion is the drift
+    * guard); it reads codes from the index instead of encoding, so the
+    * two cannot share one body without threading the whole search
+    * through an indirection that obscures both.
     */
   def searchIvfPqIndex(spark: SparkSession, dir: String,
                        queries: DataFrame, idCol: String, vecCol: String,
@@ -1022,32 +1035,11 @@ object Knn {
   def filteredLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, filterCol: String, dim: Int, k: Int,
                   bands: Int = 32, planesPerBand: Int = 6,
-                  seed: Long = 7L): DataFrame = {
-    val planes = Dedup.hyperplanes(bands * planesPerBand, dim, seed)
-    def keyed(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), col(filterCol).as("fkey"),
-          posexplode(graft.functions.vec.hyperplaneBuckets(
-            asDouble(col(vecCol)), planes, planesPerBand)))
-        .toDF(id, "fkey", "band", "bkey")
-    val candIds = keyed(corpus, "neighbor_id")
-      .join(broadcast(keyed(queries, "query_id")),
-        Seq("fkey", "band", "bkey"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(filterCol).as("label"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    candIds.join(c, "neighbor_id").join(q, "query_id")
-      .withColumn("cosine", cosineD(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+                  seed: Long = 7L): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, dim, k, bands, planesPerBand,
+        seed, filterCol = Some(filterCol))
       .select(col("query_id"), col("label"), col("rank"),
         col("neighbor_id"), col("cosine"))
-  }
 
   /** D6: multi-vector late-interaction retrieval (the MaxSim rule
     * ColBERT-style retrievers use): both sides split into m = dim/d

@@ -271,7 +271,10 @@ object Core {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
-      .withColumn("k_decile", expr("k DIV 10"))
+      // floor division (not Spark's truncating DIV): (k - pmod) is a
+      // multiple of 10, so the DIV is exact — matches DuckDB's `//`
+      // on negative values too
+      .withColumn("k_decile", expr("(k - pmod(k, 10)) DIV 10"))
       .groupBy(col("event_type"), col("k_decile"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))

@@ -571,27 +571,27 @@ object Pipeline {
     * A real caller hands [[Multimodal.dedupPayloads]] its own binary
     * payload column untouched.
     */
-  def mmDedup(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val payload = when(pmod(col("doc_id"), lit(10)) === 0,
-      encode(lit("PLACEHOLDER_ASSET_v1"), "UTF-8"))
-      .otherwise(encode(col("text"), "UTF-8"))
-    val media = documents.select(col("doc_id"),
-      Multimodal.kindOf("doc_id").as("kind"), payload.as("payload"))
-    Multimodal.dedupPayloads(media, "doc_id", "kind", "payload")
-  }
+  def mmDedup(documents: DataFrame): DataFrame =
+    Multimodal.dedupPayloads(mediaFrame(documents), "doc_id", "kind",
+      "payload")
 
   /** F5: perceptual near-dup over the SAME payload construction as
     * [[mmDedup]] — placeholder copies land at hamming 0, near-dup text
     * payloads within a few bits.
     */
-  def mmPhash(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
+  def mmPhash(documents: DataFrame): DataFrame =
+    Multimodal.nearDupPayloads(mediaFrame(documents), "doc_id", "kind",
+      "payload")
+
+  /** The F4/F5 shared synthetic media frame: every 10th doc carries THE
+    * placeholder asset so a byte-identical duplicate class exists on
+    * the test corpus; both oracles replay this construction verbatim.
+    */
+  private def mediaFrame(documents: DataFrame): DataFrame = {
     val payload = when(pmod(col("doc_id"), lit(10)) === 0,
       encode(lit("PLACEHOLDER_ASSET_v1"), "UTF-8"))
       .otherwise(encode(col("text"), "UTF-8"))
-    val media = documents.select(col("doc_id"),
+    documents.select(col("doc_id"),
       Multimodal.kindOf("doc_id").as("kind"), payload.as("payload"))
-    Multimodal.nearDupPayloads(media, "doc_id", "kind", "payload")
   }
 }

@@ -291,6 +291,14 @@ object Streams {
     * State is O(window) longs per key (the count ring), independent of
     * event volume — the alerting monitor a 100 TB/day ingest needs:
     * nothing about the raw stream is retained.
+    *
+    * `idleTimeoutMs` caveat (the G12 timeout note's analogue): eviction
+    * discards the key's WHOLE state — the open hour's partial count
+    * AND the base ring — so a merely-idle key that later resumes
+    * restarts cold: its re-opened hour counts only post-resume events
+    * and no alert fires until `minBase` fresh hours rebuild. Use it
+    * only for keys that are truly gone (retired metrics), not bursty
+    * ones; off by default.
     */
   def anomalyStream(events: DataFrame, tsCol: String, typeCol: String,
                     window: Int = 24, minBase: Int = 12, k: Int = 3,

@@ -425,5 +425,20 @@ class DedupSpec extends SparkSpec {
         else scala.None
       }.toSet
     assert(inc == full, s"incremental $inc != restricted full $full")
+    // degenerate-bucket parity: a text flooded past maxBucket emits
+    // nothing in the full run — the incremental probe must drop the
+    // SAME bucket (combined-count rule), not truncate-and-emit
+    val flood = (0L until 8L).map(i => (i, base)).toDF("doc_id", "text")
+    val fIncr = Dedup.incrementalMinhash(
+      flood.filter(col("doc_id") % 2 === 0),
+      flood.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", maxBucket = 5)
+    assert(fIncr.count() == 0,
+      "flooded bucket must drop entirely, matching the full-run cap")
+    val fIncrOk = Dedup.incrementalMinhash(
+      flood.filter(col("doc_id") % 2 === 0),
+      flood.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", maxBucket = 8)
+    assert(fIncrOk.count() == 16, "within-cap bucket emits all cross pairs")
   }
 }
