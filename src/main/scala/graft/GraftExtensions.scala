@@ -78,6 +78,16 @@ object GraftExtensions {
           "sequence (duplicates retained, document order)"),
       (args: Seq[Expression]) =>
         WordShingleSeq(args(0), intArg(args(1), "graft_shingle_seq"))),
+    (FunctionIdentifier("graft_avg_hash"),
+      info("graft_avg_hash",
+        "graft_avg_hash(payload) - 64-bit average-hash perceptual " +
+          "fingerprint of a BINARY payload"),
+      (args: Seq[Expression]) => AvgHash64(args(0))),
+    (FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - [n_alnum, n_distinct, ent_scaled] " +
+          "quantized-grid char entropy (ent_scaled ~ bits * 2^20)"),
+      (args: Seq[Expression]) => CharEntropyStats(args(0))),
     (FunctionIdentifier("graft_tag_ttl"),
       info("graft_tag_ttl",
         "graft_tag_ttl(tags) - cell TTL ms from an HBase tag block " +

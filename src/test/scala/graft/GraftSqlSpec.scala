@@ -96,6 +96,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(narrow == Set(0L, 1L, 2L))
   }
 
+  test("graft_avg_hash / graft_char_entropy expression functions " +
+      "match their kernels") {
+    val r = spark.sql(
+      "SELECT graft_avg_hash(encode('hello world hello', 'UTF-8')) AS h, " +
+        "graft_char_entropy('abab') AS e").head()
+    assert(r.getAs[Long]("h") ==
+      graft.functions.MediaHashes.avgHash64(
+        "hello world hello".getBytes("UTF-8")))
+    assert(r.getAs[scala.collection.Seq[Long]]("e").toSeq ==
+      Seq(4L, 2L, 1048576L))
+  }
+
   test("graft_text_quality / graft_text_entropy TVFs match the " +
       "Scala operators") {
     sf("documents").createOrReplaceTempView("documents_v")
