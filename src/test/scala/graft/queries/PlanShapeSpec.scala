@@ -206,4 +206,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("partial_sum") ||
       p.contains("HashAggregate"), "maxsim must partial-aggregate")
   }
+
+  test("rollup_timeweighted: the bucket window and the final aggregate " +
+      "share ONE hash exchange") {
+    val p = plan("rollup_timeweighted")
+    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).size
+    // tree + detail sections each print the single exchange once
+    assert(hashEx <= 2, s"window and groupBy must reuse one exchange: " +
+      s"$hashEx hash exchanges in ${p.take(500)}")
+    assert("Window \\[".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("events_props_extract: JSON extraction is scan-stage, only the " +
+      "needed columns are read, one partial-agg shuffle") {
+    val p = plan("events_props_extract")
+    val rs = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(rs.contains("props") && rs.contains("event_type") &&
+      !rs.contains("user_id") && !rs.contains("value"), rs)
+    assert(p.contains("partial_count"), "aggregate must partial-reduce")
+    assert(!p.contains("Join") && !p.contains("BatchEvalPython"),
+      "extraction must be a pure codegen map")
+  }
+
+  test("dedup_fuzzy_incremental: the corpus index is probed by a " +
+      "BROADCAST of the batch keys — history never shuffle-joins") {
+    val p = plan("dedup_fuzzy_incremental")
+    assert(p.contains("BroadcastExchange"), "batch keys must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus index must never shuffle-join against the batch")
+  }
+
+  test("mm_phash: signatures computed in the scan stage, banding is " +
+      "the only corpus shuffle, no shuffle-join anywhere") {
+    val p = plan("mm_phash")
+    assert(p.contains("avghash64") || p.contains("AvgHash64") ||
+      p.toLowerCase.contains("avghash"), s"native kernel missing: ${p.take(300)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "verification must be join-free (sigs ride the banding shuffle)")
+  }
 }
