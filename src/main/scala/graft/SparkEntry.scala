@@ -166,6 +166,11 @@ object SparkEntry {
     "text_classify" -> ((s, d) => Pipeline.textClassify(t(s, d, "documents"))),
     "text_lm_score" -> ((s, d) => Pipeline.textLmScore(t(s, d, "documents"))),
     "text_entropy" -> ((s, d) => Pipeline.textEntropy(t(s, d, "documents"))),
+    // E12: no oracleSql entry BY DESIGN — iterative BPE merge training
+    // is not reasonably SQL-expressible; the driver records a rows-only
+    // check and BpeSpec pins the trainer against a driver-side
+    // reference implementation
+    "text_bpe" -> ((s, d) => Pipeline.textBpe(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
     "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents"))),

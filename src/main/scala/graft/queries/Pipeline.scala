@@ -552,6 +552,20 @@ object Pipeline {
     TextOps.dsir(documents, "doc_id", "text",
       org.apache.spark.sql.functions.col("lang") === "en").orderBy("doc_id")
 
+  /** E12: BPE tokenizer — 24 merges trained on the corpus' own
+    * word-frequency table (driver-side merge list, like the other
+    * trained plans), then per-doc token counts in one kernel pass.
+    * No SQL oracle (iterative merge training is not reasonably
+    * SQL-expressible); the driver records a rows-only check and the
+    * spec pins the trainer against a driver-side reference
+    * implementation.
+    */
+  def textBpe(documents: DataFrame): DataFrame = {
+    val merges = graft.operators.Bpe.train(documents, "text", nMerges = 24)
+    graft.operators.Bpe.tokenStats(documents, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** E11: quantized char-entropy quality signal; the integer LUT
     * literal is shared verbatim with the oracle, so neither engine
     * evaluates a log.

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.BpeKernel
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference trainer: same word-frequency table, same
+    * overlap-included pair counting, same left-to-right non-overlap
+    * merge rule, same (count DESC, UTF-8-byte key ASC) tie-break —
+    * written independently of the distributed plan.
+    */
+  private def referenceTrain(texts: Seq[String],
+                             nMerges: Int): Seq[(String, String)] = {
+    val freq = texts.flatMap(_.split("\\s+")).filter(_.length > 1)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    implicit val byteOrd: Ordering[String] = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    while (merges.length < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      freq.foreach { case (w, f) =>
+        val s = BpeKernel.segment(w, merges.map(_._1).toArray,
+          merges.map(_._2).toArray)
+        var i = 0
+        while (i + 1 < s.length) {
+          val key = s(i) + " " + s(i + 1)
+          counts(key) = counts.getOrElse(key, 0L) + f
+          i += 1
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val key = eligible.toSeq.minBy { case (k, c) => (-c, k) }._1
+        val sep = key.indexOf(' ')
+        merges :+= ((key.substring(0, sep), key.substring(sep + 1)))
+      }
+    }
+    merges
+  }
+
+  test("kernel: left-to-right non-overlap merges, overlap-included " +
+      "pair counting, token round-trip") {
+    // "aaa" under (a,a): two counted pairs, but one applied merge
+    val pairs = BpeKernel.adjacentPairs(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaa"),
+      Array.empty, Array.empty)
+    assert(pairs.numElements() == 2)
+    assert(BpeKernel.segment("aaa", Array("a"), Array("a")).toSeq ==
+      Seq("aa", "a"))
+    // ordered merges compose: (a,b) then (ab,c)
+    assert(BpeKernel.segment("abcabc", Array("a", "ab"), Array("b", "c"))
+      .toSeq == Seq("abc", "abc"))
+    // segments always concatenate back to the word
+    for (w <- Seq("tokenize", "aaaa", "xy", "a"))
+      assert(BpeKernel.segment(w, Array("a", "to", "en"),
+        Array("a", "k", "i")).mkString == w)
+  }
+
+  test("train: distributed merges equal the reference trainer on a " +
+      "crafted corpus AND on the sf documents table") {
+    val crafted = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "low lower newest widest widest newest")
+    val df = crafted.toDF("text")
+    val got = Bpe.train(df, "text", nMerges = 12)
+    val want = referenceTrain(crafted, 12)
+    assert(got == want, s"crafted: $got != $want")
+    // real corpus: trainer must agree under real skew/partitioning
+    val docs = sf("documents")
+    val gotSf = Bpe.train(docs, "text", nMerges = 8)
+    val wantSf = referenceTrain(
+      docs.select("text").as[String].collect().toSeq, 8)
+    assert(gotSf == wantSf, s"sf: $gotSf != $wantSf")
+    assert(gotSf.length == 8, "sf corpus must support 8 merges")
+    // partitioning independence
+    val gotRe = Bpe.train(df.repartition(7), "text", nMerges = 12)
+    assert(gotRe == got)
+  }
+
+  test("tokenStats: counts shrink as merges apply, compression grows, " +
+      "empty doc is null-safe") {
+    val docs = Seq((0L, "banana banana bandana"), (1L, ""))
+      .toDF("doc_id", "text")
+    val none = Bpe.tokenStats(docs, "doc_id", "text", Seq.empty)
+      .orderBy("doc_id").collect()
+    // no merges: every char of every word is a token
+    assert(none(0).getAs[Long]("n_bpe") == 19L)
+    assert(none(1).getAs[Long]("n_bpe") == 0L &&
+      none(1).isNullAt(none(1).fieldIndex("compression")))
+    val merges = Bpe.train(docs, "text", nMerges = 6)
+    assert(merges.nonEmpty)
+    val trained = Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(trained(0).getAs[Long]("n_bpe") < 19L,
+      "merges must reduce the token count")
+    assert(trained(0).getAs[Double]("compression") >
+      none(0).getAs[Double]("compression"))
+  }
+}
