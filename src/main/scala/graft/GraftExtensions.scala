@@ -250,6 +250,22 @@ object GraftExtensions {
         operators.TextOps.entropy(df,
           strArg(args(1), "graft_text_entropy"),
           strArg(args(2), "graft_text_entropy")).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_bpe_tokens"),
+      info("graft_bpe_tokens",
+        "graft_bpe_tokens(table, id_col, text_col[, n_merges]) - " +
+          "CALL-style: train a BPE merge list on the table's corpus " +
+          "(default 24 merges), return per-row token stats under it"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_bpe_tokens"))
+        val idCol = strArg(args(1), "graft_bpe_tokens")
+        val textCol = strArg(args(2), "graft_bpe_tokens")
+        val n = if (args.length > 3) numArg(args(3), "graft_bpe_tokens").toInt
+          else 24
+        val merges = operators.Bpe.train(df, textCol, n)
+        operators.Bpe.tokenStats(df, idCol, textCol, merges)
+          .queryExecution.logical
       }))
 }
 

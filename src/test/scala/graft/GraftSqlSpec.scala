@@ -108,6 +108,18 @@ class GraftSqlSpec extends SparkSpec {
       Seq(4L, 2L, 1048576L))
   }
 
+  test("graft_bpe_tokens: CALL-style TVF trains and scores like the " +
+      "Scala entry points") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val viaSql = spark.sql("SELECT * FROM " +
+      "graft_bpe_tokens('documents_v', 'doc_id', 'text', 8)")
+    val merges = operators.Bpe.train(sf("documents"), "text", 8)
+    val viaScala = operators.Bpe.tokenStats(sf("documents"), "doc_id",
+      "text", merges)
+    assert(viaSql.except(viaScala).isEmpty &&
+      viaScala.except(viaSql).isEmpty && viaSql.count() == 500)
+  }
+
   test("graft_text_quality / graft_text_entropy TVFs match the " +
       "Scala operators") {
     sf("documents").createOrReplaceTempView("documents_v")
