@@ -31,6 +31,17 @@ object Bpe {
   /** Train `nMerges` ordered merges on the corpus' whitespace words.
     * Stops early if no pair repeats. Returns (left, right) symbol
     * pairs in merge order.
+    *
+    * Iteration m re-segments each vocab word under all m−1 earlier
+    * merges inside the fused kernel — O(N²·vocab) symbol work in
+    * total. The "incremental" alternative (persist the segmented
+    * vocab, apply only the newest merge per iteration) was built and
+    * MEASURED SLOWER at these merge counts: its per-iteration
+    * materialization (persist + count + growing plan) costs more than
+    * the kernel's re-segmentation, which is trivial while N ≤ a few
+    * hundred and the vocab is Zipf-bounded. Revisit only for
+    * vocab-scale tokenizers (tens of thousands of merges), where the
+    * quadratic term wins.
     */
   def train(docs: DataFrame, textCol: String,
             nMerges: Int = 32): Seq[(String, String)] = {
