@@ -1261,13 +1261,19 @@ object SparkEntry {
         |  ((base_sum::HUGEINT * 1000) // base_n)::BIGINT AS mean_milli
         |FROM a WHERE dev * dev > 9 * varn
         |ORDER BY event_type, bucket_ms""".stripMargin,
+    // A23: json_valid gate (DuckDB's json_extract ERRORS on malformed
+    // input where Spark's get_json_object nulls), integer-format regex
+    // (TRY_CAST('6.5') rounds to 7 there, Spark casts to 6), truncating
+    // integer `//` = Spark's DIV
     "events_props_extract" ->
-      """WITH k AS (SELECT event_type,
-        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      """WITH ks AS (SELECT event_type,
+        |    json_extract_string(props, '$.k') AS ks
+        |  FROM events WHERE json_valid(props)),
+        |k AS (SELECT event_type, CAST(ks AS BIGINT) AS k FROM ks
+        |  WHERE ks IS NOT NULL AND regexp_matches(ks, '^-?[0-9]+$'))
         |SELECT event_type, k // 10 AS k_decile, COUNT(*) AS n_events,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
-        |FROM k WHERE k IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // A24: integer-millis holding-time weights through exact DECIMAL;
     // the only float op is the final division of identical inputs
     "rollup_timeweighted" ->

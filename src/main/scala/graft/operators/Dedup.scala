@@ -125,16 +125,12 @@ object Dedup {
     }
     val cs = shingled(corpus, "corpus_id")
     val bs = shingled(batch, "batch_id")
-    def keys(sh: DataFrame, out: String) = {
-      val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb)))
-            .as("bkey")))
+    def keys(sh: DataFrame, out: String) =
       sh.select(col(out), txt.minhash(col("sh"), perms).as("sig"))
-        .select(col(out), explode(bandKeys).as("bk"))
+        .select(col(out),
+          explode(minhashBandKeys("sig", bands, rpb)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
           col(out))
-    }
     val index = keys(cs, "corpus_id")
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
@@ -150,13 +146,15 @@ object Dedup {
       .filter(size(col("ids")) + col("_bcnt") <= maxBucket)
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
       .distinct()
-    cand
-      .join(cs.select(col("corpus_id"), col("sh").as("pa")), "corpus_id")
-      .join(broadcast(bs.select(col("batch_id"), col("sh").as("pb"))),
-        "batch_id")
-      .withColumn("_inter", size(array_intersect(col("pa"), col("pb"))))
-      .withColumn("jaccard", col("_inter").cast("double") /
-        (size(col("pa")) + size(col("pb")) - col("_inter")))
+    // verification: the corpus shingle table is probed BY the
+    // batch-bounded candidate set (broadcast) — history is never
+    // shuffle-joined on batch arrival — then the batch payloads
+    // (broadcastable by definition) attach, and the shared
+    // [[withJaccard]] rule scores each pair
+    withJaccard(cs.select(col("corpus_id"), col("sh").as("pa"))
+        .join(broadcast(cand), "corpus_id")
+        .join(broadcast(bs.select(col("batch_id"), col("sh").as("pb"))),
+          "batch_id"))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
@@ -283,13 +281,21 @@ object Dedup {
     * row into (band, band-hash) keys, group, and emit pairs per bucket.
     * Buckets larger than `maxBucket` are dropped (degenerate keys).
     */
+  /** The ONE MinHash band-key expression (C3's and C25's shared
+    * blocking key — the incremental-vs-full parity guarantee depends
+    * on both paths hashing identical slices identically).
+    */
+  private def minhashBandKeys(sigCol: String, bands: Int,
+                              rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1,
+          lit(rowsPerBand))).as("bkey")))
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int,
                         maxBucket: Int = 1000): DataFrame = {
-    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("bkey")))
+    val bandKeys = minhashBandKeys(sigCol, bands, rowsPerBand)
     sigs
       .select(col(idCol), explode(bandKeys).as("bk"))
       .groupBy(col("bk.band"), col("bk.bkey"))

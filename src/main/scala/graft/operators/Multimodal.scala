@@ -73,8 +73,13 @@ object Multimodal {
   def nearDupPayloads(media: DataFrame, idCol: String, kindCol: String,
                       payloadCol: String, maxHamming: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
-    val sigs = media.select(col(idCol), col(kindCol).as("kind"),
-      graft.functions.media.avgHash64(col(payloadCol)).as("sig"))
+    // empty payloads carry no perceptual content and would otherwise
+    // hash to 0 and pair with constant-byte payloads (also sig 0) —
+    // drop them, which is also the oracle's byte-expansion semantics
+    val sigs = media
+      .filter(octet_length(col(payloadCol)) > 0)
+      .select(col(idCol), col(kindCol).as("kind"),
+        graft.functions.media.avgHash64(col(payloadCol)).as("sig"))
     Dedup.hammingPairs(sigs, idCol, "sig", Seq("kind"), maxHamming,
         maxBucket)
       .select(col("kind"), col("a").as("doc_a"), col("b").as("doc_b"),

@@ -269,12 +269,17 @@ object Core {
   def eventsPropsExtract(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
-      // floor division (not Spark's truncating DIV): (k - pmod) is a
-      // multiple of 10, so the DIV is exact — matches DuckDB's `//`
-      // on negative values too
-      .withColumn("k_decile", expr("(k - pmod(k, 10)) DIV 10"))
+        get_json_object(col("props"), "$.k").as("ks"))
+      // integer-formatted values only: '6.5' would CAST to 6 in Spark
+      // but round to 7 under DuckDB's TRY_CAST — gate the format so
+      // both engines see identical longs (malformed JSON already
+      // surfaces as null from get_json_object)
+      .filter(col("ks").rlike("^-?[0-9]+$"))
+      .withColumn("k", col("ks").cast("long"))
+      // truncating division on BOTH sides: DuckDB's integer `//`
+      // truncates toward zero exactly like Spark's DIV (verified:
+      // -7 // 10 = 0 there too)
+      .withColumn("k_decile", expr("k DIV 10"))
       .groupBy(col("event_type"), col("k_decile"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))

@@ -60,6 +60,19 @@ class BpeSpec extends SparkSpec {
     for (w <- Seq("tokenize", "aaaa", "xy", "a"))
       assert(BpeKernel.segment(w, Array("a", "to", "en"),
         Array("a", "k", "i")).mkString == w)
+    // non-BMP codepoints stay whole symbols (a per-char split would
+    // yield lone surrogates that UTF8String encodes lossily as '?')
+    val emoji = "😀😀" // two identical emoji
+    val esyms = BpeKernel.segment(emoji, Array.empty, Array.empty)
+    assert(esyms.length == 2 && esyms.forall(_ == "😀"))
+    val epairs = BpeKernel.adjacentPairs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(emoji),
+      Array.empty, Array.empty)
+    assert(epairs.numElements() == 1 &&
+      epairs.getUTF8String(0).toString == "😀 😀",
+      "pair key must carry the whole codepoints")
+    assert(BpeKernel.segment(emoji, Array("😀"),
+      Array("😀")).length == 1, "non-BMP merge must apply")
   }
 
   test("train: distributed merges equal the reference trainer on a " +
