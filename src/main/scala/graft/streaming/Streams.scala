@@ -350,6 +350,36 @@ object Streams {
       }
   }
 
+  /** G14: streaming token-throughput monitor — the ingest dashboard
+    * feed a training-data pipeline watches: per closed (window, source)
+    * the document count, BPE token count under a FIXED trained merge
+    * list (E12's `Bpe.train` output, a plan constant — training stays
+    * a batch job; the stream only encodes), and tokens/sec. Stateless
+    * kernel work per row + one watermarked windowed aggregate, so
+    * state is O(open windows × sources) regardless of volume. The
+    * token count is the same fused kernel as the batch `tokenStats`,
+    * so a rate alert here reconciles exactly with batch accounting.
+    */
+  def tokenRateStream(docs: DataFrame, tsCol: String, sourceCol: String,
+                      textCol: String,
+                      merges: Seq[(String, String)],
+                      windowLen: String = "1 minute",
+                      lateness: String = "1 minute"): DataFrame =
+    docs
+      .withColumn("_tok",
+        graft.functions.bpe.tokenCount(col(textCol), merges))
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        unix_millis(col("window.end")).as("end_ms"),
+        col(sourceCol), col("n_docs"), col("n_tokens"))
+      .withColumn("tokens_per_sec",
+        round(col("n_tokens") /
+          ((col("end_ms") - col("bucket_ms")) / lit(1000.0)), 6))
+      .drop("end_ms")
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

@@ -850,6 +850,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G14 streaming token rate: closed windows carry exact per-source " +
+      "BPE token counts that reconcile with the batch tokenStats") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq("low low lower", "newest newest", "low widest")
+    val merges = graft.operators.Bpe.train(
+      texts.toDF("text"), "text", nMerges = 4)
+    assert(merges.nonEmpty)
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = Streams.tokenRateStream(
+      input.toDF().toDF("ts", "source", "text"), "ts", "source", "text",
+      merges, windowLen = "1 minute", lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tokrate_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tokrate_ckpt").toString)
+      .start()
+    try {
+      // window [0, 60s): sources a (2 docs) and b (1 doc); split across
+      // two micro-batches
+      input.addData((ts(1000L), "a", texts(0)), (ts(2000L), "b", texts(1)))
+      q.processAllAvailable()
+      input.addData((ts(3000L), "a", texts(2)))
+      q.processAllAvailable()
+      input.addData((ts(130000L), "a", "x")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("tokrate_out")
+        .orderBy("source").collect()
+      assert(rows.length == 2, s"two sources expected: ${rows.toSeq}")
+      // exact reconciliation with the batch kernel
+      val batch = graft.operators.Bpe.tokenStats(
+        Seq((0L, texts(0)), (1L, texts(2))).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+        .agg(org.apache.spark.sql.functions.sum("n_bpe")).head().getLong(0)
+      val a = rows.head
+      assert(a.getAs[String]("source") == "a" &&
+        a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_tokens") == batch,
+        s"stream tokens must equal batch kernel: $a vs $batch")
+      assert(a.getAs[Double]("tokens_per_sec") ==
+        math.rint(batch / 60.0 * 1e6) / 1e6)
+    } finally q.stop()
+  }
+
   test("G13 streaming anomaly alerts match the batch rollupAnomaly rows " +
       "for every closed hour, across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
