@@ -140,6 +140,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
     "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
+    "knn_recall" -> ((s, d) => Pipeline.knnRecall(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) =>
@@ -913,6 +914,38 @@ object SparkEntry {
         |  FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D9: the exact top-5 chain and knn_lsh's banded chain composed,
+    // then a per-query hit count over the truth rows
+    "knn_recall" ->
+      s"""WITH planes(p, pl) AS (VALUES ${planesValuesSql(192, 64, 7L)}),
+        |${lshKeysCte(6)},
+        |q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |bd AS (SELECT query_id, vec_id AS neighbor_id,
+        |    ${cosineSql("qe", "embedding")} AS c
+        |  FROM q, embeddings WHERE vec_id <> query_id),
+        |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM bd),
+        |ex AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+        |cand AS (
+        |  SELECT DISTINCT kc.vec_id AS neighbor_id, kq.vec_id AS query_id
+        |  FROM keys kc JOIN keys kq ON kc.band = kq.band AND kc.bkey = kq.bkey
+        |  JOIN q ON kq.vec_id = q.query_id
+        |  WHERE kc.vec_id <> kq.vec_id),
+        |ld AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    ${cosineSql("q.qe", "e.embedding")} AS c2
+        |  FROM cand c JOIN q ON c.query_id = q.query_id
+        |              JOIN embeddings e ON c.neighbor_id = e.vec_id),
+        |lr AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY c2 DESC, neighbor_id) AS rank
+        |  FROM ld),
+        |ap AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5)
+        |SELECT e.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hits,
+        |  round(COUNT(a.neighbor_id) / 5.0, 6) AS recall
+        |FROM ex e LEFT JOIN ap a USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // D7: knn_lsh's identical plane table and key chain, with the label
     // equality fused into the candidate join (pre-filtering)
     "knn_filtered" ->

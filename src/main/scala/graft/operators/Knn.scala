@@ -817,6 +817,30 @@ object Knn {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** D9: in-engine recall@k evaluation — the index-quality report a
+    * production vector store runs continuously (an ANN index silently
+    * decays as the corpus drifts from its training distribution; D8's
+    * append scaladoc says "rebuild when recall decays" — THIS is the
+    * operator that notices). Per query: how many of the exact top-k
+    * rows (`exact`) the approximate result (`approx`) recovered, and
+    * the recall fraction. A left join from truth to the approx set,
+    * one per-query partial-agg count — both inputs are top-k-bounded
+    * (k rows per query), so the whole report is O(|queries|·k)
+    * whatever the corpus size; the expensive part is producing `exact`,
+    * which an operations cadence amortizes over a SAMPLED query set.
+    */
+  def recall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k), 6))
+      .orderBy("query_id")
+  }
+
   /** D8 (build): persisted IVF×PQ index — the "build once, search
     * many" lifecycle production vector stores run, as a parquet layout
     * Spark can partition-prune:

@@ -357,6 +357,18 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** D9: recall@5 of the D2 LSH index against exact truth — the
+    * continuous index-quality report.
+    */
+  def knnRecall(embeddings: DataFrame): DataFrame = {
+    val q = querySet(embeddings)
+    Knn.recall(
+      Knn.bruteForce(embeddings, q, "vec_id", "embedding", k = 5),
+      Knn.lsh(embeddings, q, "vec_id", "embedding",
+        dim = EmbeddingDim, k = 5, bands = 32, planesPerBand = 6),
+      k = 5)
+  }
+
   /** D6: token-level LSH candidates + exact MaxSim rescore; the score
     * is an integer-grid sum, so the only float op in the output is one
     * exact division.

@@ -329,6 +329,37 @@ class KnnSpec extends SparkSpec {
     assert(empty.schema == out.schema)
   }
 
+  test("recall report: self-recall is 1.0, disjoint is 0.0, and the " +
+      "lsh report equals the set-intersection computation") {
+    val exact = Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5)
+    // perfect index: recall of truth vs itself
+    val self = Knn.recall(exact, exact, k = 5).collect()
+    assert(self.length == 10 &&
+      self.forall(_.getAs[Double]("recall") == 1.0))
+    // broken index: empty approx set
+    val broken = Knn.recall(exact, exact.filter(lit(false)), k = 5)
+      .collect()
+    assert(broken.forall(r => r.getAs[Long]("n_hits") == 0L &&
+      r.getAs[Double]("recall") == 0.0))
+    // real report vs a driver-side set intersection
+    val approx = Knn.lsh(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5)
+    val report = Knn.recall(exact, approx, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    val exactSets = exact.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approxSets = approx.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    exactSets.foreach { case (q, ex) =>
+      val hits = (ex & approxSets.getOrElse(q, Set.empty)).size.toLong
+      assert(report(q) == (hits, math.rint(hits / 5.0 * 1e6) / 1e6),
+        s"query $q: ${report(q)} != $hits hits")
+    }
+  }
+
   test("persisted IVFxPQ index: layout is cell-partitioned, the search " +
       "scan partition-prunes to probed cells, and rescored results " +
       "equal the in-plan trained ivfpq") {
