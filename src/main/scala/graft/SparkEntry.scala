@@ -943,7 +943,8 @@ object SparkEntry {
         |  FROM ld),
         |ap AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5)
         |SELECT e.query_id, COUNT(a.neighbor_id)::BIGINT AS n_hits,
-        |  round(COUNT(a.neighbor_id) / 5.0, 6) AS recall
+        |  COUNT(*)::BIGINT AS n_exact,
+        |  round(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall
         |FROM ex e LEFT JOIN ap a USING (query_id, neighbor_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // D7: knn_lsh's identical plane table and key chain, with the label

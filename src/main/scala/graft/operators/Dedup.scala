@@ -113,9 +113,20 @@ object Dedup {
                          perms: Int = 128, bands: Int = 16,
                          threshold: Double = 0.7,
                          maxBucket: Int = 1000,
-                         cacheShingles: Boolean = true): DataFrame = {
+                         cacheShingles: Boolean = true,
+                         broadcastBatch: Boolean = true): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     val rpb = perms / bands
+    // `broadcastBatch = true` asserts the ingest delta (keys, counts,
+    // candidate set, AND shingle payloads) fits the broadcast budget —
+    // the normal posture for an ingest cycle, and what keeps the
+    // corpus index from ever re-shuffling on batch arrival. A caller
+    // landing a jumbo batch passes false: the same plan runs with
+    // unhinted joins (AQE picks sides; the corpus side then may
+    // shuffle for that one oversized batch). Results are identical
+    // either way (spec-pinned).
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
     def shingled(df: DataFrame, out: String) = {
       val p = df.select(col(idCol).as(out),
         shingleHashes(col(textCol), k).as("sh"))
@@ -141,19 +152,19 @@ object Dedup {
     val batchCnt = batchKeys.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("_bcnt"))
     val cand = index
-      .join(broadcast(batchKeys), Seq("band", "bkey"))
-      .join(broadcast(batchCnt), Seq("band", "bkey"))
+      .join(bc(batchKeys), Seq("band", "bkey"))
+      .join(bc(batchCnt), Seq("band", "bkey"))
       .filter(size(col("ids")) + col("_bcnt") <= maxBucket)
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
       .distinct()
     // verification: the corpus shingle table is probed BY the
-    // batch-bounded candidate set (broadcast) — history is never
-    // shuffle-joined on batch arrival — then the batch payloads
-    // (broadcastable by definition) attach, and the shared
-    // [[withJaccard]] rule scores each pair
+    // batch-bounded candidate set — history is never shuffle-joined
+    // on batch arrival under the default broadcast posture — then the
+    // batch payloads attach, and the shared [[withJaccard]] rule
+    // scores each pair
     withJaccard(cs.select(col("corpus_id"), col("sh").as("pa"))
-        .join(broadcast(cand), "corpus_id")
-        .join(broadcast(bs.select(col("batch_id"), col("sh").as("pb"))),
+        .join(bc(cand), "corpus_id")
+        .join(bc(bs.select(col("batch_id"), col("sh").as("pb"))),
           "batch_id"))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))

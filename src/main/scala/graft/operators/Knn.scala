@@ -831,13 +831,18 @@ object Knn {
     */
   def recall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // denominator = the per-query count of exact rows, NOT the k
+    // parameter: a query whose truth set has fewer than k rows (corpus
+    // smaller than k+1, or a filtered slice) must still be able to
+    // score 1.0 when the index recovered everything recoverable
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"))
         .withColumn("_hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
-      .withColumn("recall", round(col("n_hits") / lit(k), 6))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))
       .orderBy("query_id")
   }
 
@@ -912,6 +917,20 @@ object Knn {
     codes.join(cells, "neighbor_id")
   }
 
+  /** The stored build dim of a [[buildIvfPqIndex]] layout is the
+    * coarse centroid length; append/search must match it EXACTLY — a
+    * caller whose dim merely shares divisibility by m would otherwise
+    * slice mismatched-length subvectors and silently corrupt the
+    * persisted codes (one tiny-read head() against the coarse table).
+    */
+  private def requireIndexDim(spark: SparkSession, dir: String,
+                              dim: Int): Unit = {
+    val stored = spark.read.parquet(s"$dir/coarse")
+      .select(size(col("centroid"))).head().getInt(0)
+    require(stored == dim,
+      s"index at $dir was built with dim $stored, caller passed $dim")
+  }
+
   /** D8 (append): add new vectors to a [[buildIvfPqIndex]] layout
     * WITHOUT retraining — the FAISS `add` lifecycle an ingest cycle
     * runs: the stored coarse table and sub-codebooks are read back
@@ -926,6 +945,7 @@ object Knn {
   def appendToIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
                          dir: String, dim: Int): Unit = {
     val spark = delta.sparkSession
+    requireIndexDim(spark, dir, dim)
     val coarseB = broadcast(spark.read.parquet(s"$dir/coarse")
       .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
     val cbs = spark.read.parquet(s"$dir/codebooks")
@@ -956,6 +976,7 @@ object Knn {
                        overscan: Int = 4, salts: Int = 32,
                        rescoreWith: Option[DataFrame] = scala.None)
       : DataFrame = {
+    requireIndexDim(spark, dir, dim)
     val coarseDf = broadcast(spark.read.parquet(s"$dir/coarse")
       .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
     val cbs = spark.read.parquet(s"$dir/codebooks")

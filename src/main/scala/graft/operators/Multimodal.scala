@@ -75,9 +75,13 @@ object Multimodal {
                       maxBucket: Int = 1000): DataFrame = {
     // empty payloads carry no perceptual content and would otherwise
     // hash to 0 and pair with constant-byte payloads (also sig 0) —
-    // drop them, which is also the oracle's byte-expansion semantics
+    // drop them, which is also the oracle's byte-expansion semantics.
+    // Oversized payloads (>= 2^27 bytes, avgHash64's exact-integer
+    // bound) are skipped the same way instead of failing the whole
+    // job on one jumbo asset.
     val sigs = media
-      .filter(octet_length(col(payloadCol)) > 0)
+      .filter(octet_length(col(payloadCol)) > 0 &&
+        octet_length(col(payloadCol)) < (1 << 27))
       .select(col(idCol), col(kindCol).as("kind"),
         graft.functions.media.avgHash64(col(payloadCol)).as("sig"))
     Dedup.hammingPairs(sigs, idCol, "sig", Seq("kind"), maxHamming,

@@ -408,6 +408,13 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.incrementalMinhash(corpus, batch, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), "batch keys not broadcast")
+    // jumbo-batch posture: identical rows with the broadcast hints off
+    // (AQE picks join sides instead of asserting the batch fits)
+    val unhinted = Dedup.incrementalMinhash(corpus, batch, "doc_id",
+      "text", broadcastBatch = false).collect()
+    assert(unhinted.toSeq.map(_.toString).sorted ==
+      got.toSeq.map(_.toString).sorted,
+      "broadcastBatch=false must not change results")
     // sf parity with the full pair run restricted to cross-set pairs
     val docs = sf("documents")
     val isDelta = col("doc_id") % 10 === 0

@@ -341,6 +341,13 @@ class KnnSpec extends SparkSpec {
       .collect()
     assert(broken.forall(r => r.getAs[Long]("n_hits") == 0L &&
       r.getAs[Double]("recall") == 0.0))
+    // truth set smaller than k (filtered slice): the denominator is
+    // the per-query exact count, so a perfect index still scores 1.0
+    val short = Knn.recall(exact.filter($"rank" <= 3), exact, k = 5)
+      .collect()
+    assert(short.forall(r => r.getAs[Long]("n_exact") == 3L &&
+      r.getAs[Double]("recall") == 1.0),
+      "recall must reach 1.0 when every exact row is recovered")
     // real report vs a driver-side set intersection
     val approx = Knn.lsh(emb, queries, "vec_id", "embedding",
       dim = 64, k = 5)
@@ -418,6 +425,17 @@ class KnnSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("neighbor_id") % 2 == 1),
       "appended (odd-id) vectors must be searchable")
     assert(got.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    // dim mismatch rejected even when still divisible by m (a silent
+    // pass here would encode mismatched-length subvectors)
+    val e1 = intercept[IllegalArgumentException] {
+      Knn.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, dim = 32)
+    }
+    assert(e1.getMessage.contains("built with dim 64"))
+    val e2 = intercept[IllegalArgumentException] {
+      Knn.searchIvfPqIndex(spark, dir, queries, "vec_id", "embedding",
+        dim = 32, k = 5)
+    }
+    assert(e2.getMessage.contains("built with dim 64"))
   }
 
   test("filteredLsh: every neighbor shares the query's label, results " +
