@@ -83,6 +83,8 @@ object SparkEntry {
     "cells_versions" -> ((s, d) =>
       HModel.cellsVersions(t(s, d, "events"), n = 3)),
     "zorder_layout" -> ((s, d) => HModel.zorderLayout(t(s, d, "events"))),
+    "zorder_range_scan" -> ((s, d) =>
+      HModel.zorderRangeScan(t(s, d, "events"), d)),
     "hfile_point_lookup" -> ((s, d) =>
       HModel.hfilePointLookup(t(s, d, "events"), d)),
     "hfile_multi_get" -> ((s, d) =>
@@ -134,6 +136,8 @@ object SparkEntry {
     "corpus_curate_fuzzy" -> ((s, d) =>
       Pipeline.corpusCurate(t(s, d, "documents"), fuzzy = true)),
     "seq_packing" -> ((s, d) => Pipeline.seqPacking(t(s, d, "documents"))),
+    "corpus_export" -> ((s, d) =>
+      Pipeline.corpusExport(t(s, d, "documents"))),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
@@ -172,6 +176,9 @@ object SparkEntry {
     // check and BpeSpec pins the trainer against a driver-side
     // reference implementation
     "text_bpe" -> ((s, d) => Pipeline.textBpe(t(s, d, "documents"))),
+    // E12 encode half: frozen tokenizer artifact, fully oracle-checked
+    "text_bpe_encode" ->
+      ((s, d) => Pipeline.textBpeEncode(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
     "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents"))),
@@ -433,6 +440,62 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
+  /** The full C10-fuzzy curation chain as CTEs ending in `surv`
+    * (survivor doc_id, lang, quality, split) — shared verbatim by the
+    * corpus_curate_fuzzy oracle and the composed corpus_export oracle
+    * so the two can never drift.
+    */
+  private def curateFuzzySurvCtes: String =
+    s"""$wordFnvCte,
+      |${shingleSetTail(5, "")},
+      |${shingleSetTail(3, "m")},
+      |${minhashBody("mf5")},
+      |good AS (SELECT doc_a, doc_b FROM jac
+      |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |  UNION SELECT doc_b, doc_a FROM good),
+      |reach(node, peer) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+      |noncanon AS (SELECT node AS doc_id FROM reach
+      |  GROUP BY node HAVING node <> MIN(peer)),
+      |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
+      |cont AS (SELECT DISTINCT t.doc_id FROM f5 t
+      |  JOIN ev ON t.v = ev.v
+      |  WHERE NOT (t.doc_id % 7 = 0 AND t.doc_id < 50000)),
+      |q AS (SELECT doc_id, lang, text,
+      |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),
+      |c AS (SELECT doc_id, lang, text,
+      |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+      |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',
+      |    'is','on','for')))::DOUBLE / len(ws) AS stop_ratio,
+      |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+      |    / length(text)::DOUBLE AS punct_ratio,
+      |  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
+      |    AS len_score
+      | FROM q),
+      |s AS (SELECT doc_id, lang, text,
+      |  round(len_score * 0.25 + diversity * 0.25
+      |    + least(stop_ratio * 4, 1.0) * 0.25
+      |    + greatest(1.0 - punct_ratio * 10, 0.0) * 0.25, 6) AS quality
+      | FROM c),
+      |f AS (SELECT *,
+      |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      | FROM s WHERE quality >= 0.7
+      |   AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      |k AS (SELECT doc_id, lang, quality,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+      |surv AS (SELECT doc_id, lang, quality,
+      | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+      |        < '${operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+      |      WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
+      |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM k WHERE rn = 1
+      |  AND doc_id NOT IN (SELECT doc_id FROM noncanon))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "knn_ivf" ->
       s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
@@ -1519,6 +1582,17 @@ object SparkEntry {
         |SELECT user_id, epoch_hour, z, COUNT(*) AS n_events
         |FROM z GROUP BY user_id, epoch_hour, z
         |ORDER BY z LIMIT 100""".stripMargin,
+    // B12 read side: the Morton-range scan + residual box + rollup
+    // reduce to a plain box predicate over the source table
+    "zorder_range_scan" ->
+      """SELECT user_id, epoch_ms(ts) // 1000 // 3600 AS epoch_hour,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80
+        |  AND epoch_ms(ts) // 1000 // 3600 BETWEEN 473500 AND 473599
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "hfile_point_lookup" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, value
         |FROM events WHERE user_id = 7
@@ -1728,56 +1802,32 @@ object SparkEntry {
     // of quality + decontamination + exact collapse then drop every
     // non-canonical cluster member.
     "corpus_curate_fuzzy" ->
-      s"""WITH RECURSIVE $wordFnvCte,
-        |${shingleSetTail(5, "")},
-        |${shingleSetTail(3, "m")},
-        |${minhashBody("mf5")},
-        |good AS (SELECT doc_a, doc_b FROM jac
-        |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
-        |  UNION SELECT doc_b, doc_a FROM good),
-        |reach(node, peer) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
-        |noncanon AS (SELECT node AS doc_id FROM reach
-        |  GROUP BY node HAVING node <> MIN(peer)),
-        |ev AS (SELECT DISTINCT v FROM f5 WHERE doc_id % 7 = 0 AND doc_id < 50000),
-        |cont AS (SELECT DISTINCT t.doc_id FROM f5 t
-        |  JOIN ev ON t.v = ev.v
-        |  WHERE NOT (t.doc_id % 7 = 0 AND t.doc_id < 50000)),
-        |q AS (SELECT doc_id, lang, text,
-        |  regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
-        |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 50000)),
-        |c AS (SELECT doc_id, lang, text,
-        |  len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
-        |  len(list_filter(ws, w -> w IN ('the','a','an','and','of','to','in',
-        |    'is','on','for')))::DOUBLE / len(ws) AS stop_ratio,
-        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
-        |    / length(text)::DOUBLE AS punct_ratio,
-        |  CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
-        |    AS len_score
-        | FROM q),
-        |s AS (SELECT doc_id, lang, text,
-        |  round(len_score * 0.25 + diversity * 0.25
-        |    + least(stop_ratio * 4, 1.0) * 0.25
-        |    + greatest(1.0 - punct_ratio * 10, 0.0) * 0.25, 6) AS quality
-        | FROM c),
-        |f AS (SELECT *,
-        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-        | FROM s WHERE quality >= 0.7
-        |   AND doc_id NOT IN (SELECT doc_id FROM cont)),
-        |k AS (SELECT doc_id, lang, quality,
-        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
-        |SELECT doc_id, lang, quality,
-        | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
-        |        < '${operators.Sampling.hexThreshold(0.8)}' THEN 'train'
-        |      WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
-        |        < '${operators.Sampling.hexThreshold(0.9)}' THEN 'val'
-        |      ELSE 'test' END AS split
-        |FROM k WHERE rn = 1
-        |  AND doc_id NOT IN (SELECT doc_id FROM noncanon)
+      s"""WITH RECURSIVE $curateFuzzySurvCtes
+        |SELECT doc_id, lang, quality, split FROM surv
         |ORDER BY doc_id""".stripMargin,
+    // C26: the same survivor CTEs, then packing's exclusive prefix sum
+    // and the shuffle-shard rank formula over the SURVIVOR set
+    "corpus_export" ->
+      s"""WITH RECURSIVE $curateFuzzySurvCtes,
+        |tok AS (SELECT d.doc_id,
+        |    len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT
+        |      AS n_tokens
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |pack AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok FROM tok),
+        |shuf AS (SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY substr(md5(doc_id::VARCHAR || ':42'), 1, 4), doc_id)
+        |    - 1 AS r
+        |  FROM surv)
+        |SELECT s.doc_id, s.lang, s.quality, s.split,
+        |  p.n_tokens, p.start_tok,
+        |  p.start_tok // 2048 AS seq_id, p.start_tok % 2048 AS offset,
+        |  (h.r % 8)::BIGINT AS shard, (h.r // 8)::BIGINT AS pos
+        |FROM surv s JOIN pack p USING (doc_id) JOIN shuf h USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "seq_packing" ->
       """WITH t AS (SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
@@ -2104,6 +2154,45 @@ object SparkEntry {
         |SELECT doc_id, n AS n_alnum, n_distinct, ent_scaled,
         |  round(ent_scaled::DOUBLE / 1048576.0, 6) AS ent_bits
         |FROM e ORDER BY doc_id""".stripMargin,
+    // E12 encode: the frozen merge list is the SAME Scala constant the
+    // Spark plan embeds (Bpe.frozenMerges); segmentation is replayed as
+    // a recursive CTE over the DISTINCT-word table — symbols ride a
+    // chr(31)-wrapped encoding (each symbol individually fenced, so a
+    // replace of the fenced pair can only fire on exact whole-symbol
+    // adjacency, and adjacent matches never share a fence), and one
+    // replace per merge IS the left-to-right non-overlapping rule
+    "text_bpe_encode" -> {
+      val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+      val nm = graft.operators.Bpe.frozenMerges.length
+      s"""WITH RECURSIVE mg(m, a, b) AS (VALUES $mergeVals),
+        |dw AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |dist AS (SELECT DISTINCT w FROM dw WHERE length(w) > 1),
+        |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
+        |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
+        |rec AS (
+        |  SELECT w, 0 AS m, s FROM init
+        |  UNION ALL
+        |  SELECT r.w, r.m + 1,
+        |    replace(r.s, chr(31)||mg.a||chr(31)||chr(31)||mg.b||chr(31),
+        |      chr(31)||mg.a||mg.b||chr(31))
+        |  FROM rec r JOIN mg ON mg.m = r.m),
+        |seg AS (SELECT w,
+        |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
+        |  FROM rec WHERE m = $nm),
+        |tok AS (SELECT d.doc_id,
+        |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
+        |      AS n_bpe
+        |  FROM dw d LEFT JOIN seg s ON d.w = s.w GROUP BY 1)
+        |SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
+        |  coalesce(t.n_bpe, 0)::BIGINT AS n_bpe,
+        |  CASE WHEN coalesce(t.n_bpe, 0) = 0 THEN NULL
+        |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
+        |FROM documents doc LEFT JOIN tok t USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin
+    },
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

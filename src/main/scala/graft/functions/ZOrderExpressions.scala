@@ -52,6 +52,59 @@ object ZOrderKernel {
 
   /** Second coordinate back out of [[interleave]]. */
   def bOf(z: Long): Long = compact(z)
+
+  /** Covering Morton intervals for the coordinate box [a0,a1]×[b0,b1]
+    * (inclusive bounds, both coordinates in [0, 2³¹)): the read-side
+    * half of a Z-order layout. BFS quadtree refinement — split
+    * partially-overlapping cells breadth-first until the range budget
+    * is reached, emit each cell's contiguous z-interval `[start, end)`,
+    * then sort and merge adjacent intervals. The same fixed-depth quad
+    * decomposition BIGMIN-style readers use: a budget-capped cover may
+    * OVER-cover (callers re-apply the exact box predicate after the
+    * scan — the standard residual rule; a full-depth cover is exact),
+    * but it can never under-cover, and intervals come back sorted and
+    * disjoint — ready to push as rowkey ranges so file/region pruning
+    * reads only the curve segments that can intersect the box.
+    */
+  def queryRanges(a0: Long, a1: Long, b0: Long, b1: Long,
+                  maxRanges: Int = 32): Seq[(Long, Long)] = {
+    require(a0 <= a1 && b0 <= b1, s"empty box ($a0..$a1)x($b0..$b1)")
+    require(a0 >= 0 && b0 >= 0 && a1 < (1L << 31) && b1 < (1L << 31),
+      "coordinates must be in [0, 2^31)")
+    require(maxRanges >= 4, s"maxRanges must be >= 4, got $maxRanges")
+    final case class Cell(ca: Long, cb: Long, size: Long, z0: Long)
+    def fullyInside(c: Cell): Boolean =
+      c.ca >= a0 && c.ca + c.size - 1 <= a1 &&
+        c.cb >= b0 && c.cb + c.size - 1 <= b1
+    def overlaps(c: Cell): Boolean =
+      c.ca <= a1 && c.ca + c.size - 1 >= a0 &&
+        c.cb <= b1 && c.cb + c.size - 1 >= b0
+    var out = List.empty[(Long, Long)]
+    // the box always sits inside the (a<2^31, b<2^31) quadrant, whose
+    // z-interval tops out at 2^62 — no 64-bit overflow anywhere below
+    val partials = scala.collection.mutable.Queue(Cell(0L, 0L, 1L << 31, 0L))
+    while (partials.nonEmpty) {
+      val c = partials.dequeue()
+      if (fullyInside(c) || c.size == 1L ||
+          out.size + partials.size + 4 > maxRanges)
+        out ::= (c.z0, c.z0 + c.size * c.size)
+      else {
+        val h = c.size / 2
+        val q = h * h
+        // z-quadrant order inside a cell: (a_hi, b_hi) lexicographic,
+        // a riding the odd (higher) bit positions
+        Seq(Cell(c.ca, c.cb, h, c.z0), Cell(c.ca, c.cb + h, h, c.z0 + q),
+            Cell(c.ca + h, c.cb, h, c.z0 + 2 * q),
+            Cell(c.ca + h, c.cb + h, h, c.z0 + 3 * q))
+          .filter(overlaps).foreach(partials.enqueue(_))
+      }
+    }
+    out.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((ps, pe) :: tail, (s, e)) if s <= pe =>
+        (ps, math.max(pe, e)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+  }
 }
 
 /** `zorder(a, b)` as a whole-stage-codegen Catalyst expression over two

@@ -11,14 +11,14 @@ import graft.functions.bpe
   *
   * Scale posture (the textbook trick, distributed): training runs on
   * the WORD-FREQUENCY TABLE, not the corpus — one corpus-wide
-  * `groupBy(word)` pass builds `(word, freq)` (persisted,
-  * O(distinct words) ≪ corpus at any scale; Zipf caps it in the
-  * millions at 100 TB), and every merge iteration is then one bounded
-  * pass over that table: a codegen kernel emits each word's
-  * adjacent-symbol pairs under the current merges, a partial-agg
-  * `groupBy(pair)` sums frequencies, and ONE row (the argmax) comes
-  * back to the driver. N merges = N bounded passes — the Lloyd-chain
-  * shape the trained-PQ family uses, applied to tokenization.
+  * `groupBy(word)` pass builds `(word, freq)` (O(distinct words) ≪
+  * corpus at any scale; Zipf caps it in the millions at 100 TB, and
+  * `maxVocab` hard-caps it), and the merge loop then runs over that
+  * bounded table with incremental pair-count maintenance: per merge,
+  * only words containing the winning pair are re-segmented and their
+  * count deltas applied — cost independent of merges already learned,
+  * so real 32k–100k-merge vocabularies train linearly (see
+  * [[train]]).
   *
   * Determinism: pair counts are exact integer sums (partial-agg safe);
   * the winner is argmax by (count DESC, pair key ASC) — Spark's
@@ -28,49 +28,238 @@ import graft.functions.bpe
   */
 object Bpe {
 
+  /** A FROZEN 48-merge tokenizer artifact — [[train]]'s deterministic
+    * output on the sf0.01 documents table, embedded as a constant
+    * (regenerate with `runMain graft.tools.BpeFreeze`). Encoding always
+    * runs under a frozen tokenizer in production (the tokenizer.json
+    * posture: train once, freeze, encode everywhere); freezing also
+    * makes the encode path exactly SQL-replayable, because the merge
+    * list is a plan constant in BOTH engines (the text_bpe_encode
+    * oracle replays these merges with a recursive-CTE segmentation).
+    */
+  val frozenMerges: Vector[(String, String)] = Vector(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
+    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"))
+
   /** Train `nMerges` ordered merges on the corpus' whitespace words.
     * Stops early if no pair repeats. Returns (left, right) symbol
     * pairs in merge order.
     *
-    * Iteration m re-segments each vocab word under all m−1 earlier
-    * merges inside the fused kernel — O(N²·vocab) symbol work in
-    * total. The "incremental" alternative (persist the segmented
-    * vocab, apply only the newest merge per iteration) was built and
-    * MEASURED SLOWER at these merge counts: its per-iteration
-    * materialization (persist + count + growing plan) costs more than
-    * the kernel's re-segmentation, which is trivial while N ≤ a few
-    * hundred and the vocab is Zipf-bounded. Revisit only for
-    * vocab-scale tokenizers (tens of thousands of merges), where the
-    * quadratic term wins.
+    * Architecture (the production-tokenizer shape — HF tokenizers,
+    * SentencePiece, and the original GPT-2 trainer all work this way):
+    * the CORPUS-scale work is one distributed pass — `groupBy(word)`
+    * word counts, partial-agg combined, capped at `maxVocab` rows by
+    * (freq DESC, word ASC) — and the merge loop then runs over that
+    * bounded word-frequency table on the driver with INCREMENTAL
+    * pair-count maintenance: after picking merge (a,b), only the words
+    * whose symbol stream actually contains (a,b) are re-segmented
+    * (tracked by a pair→words index), their pair-count deltas applied,
+    * and the argmax served by a lazily-invalidated max-heap. Per-merge
+    * cost is O(words containing the pair · word length) — INDEPENDENT
+    * of how many merges were already learned — so 32k–100k-merge
+    * tokenizer runs are linear, not quadratic ([[trainIncremental]]).
+    *
+    * Why the loop is not N Spark jobs: a vocab-scale run is tens of
+    * thousands of inherently sequential iterations, each touching a
+    * Zipf-bounded table (~10⁷ distinct words ≈ low-hundreds of MB at
+    * 100 TB corpus scale, and `maxVocab` hard-caps it) — per-iteration
+    * job overhead would dominate by orders of magnitude. The capped
+    * collect is the same bounded-driver-endgame posture as the
+    * union-find endgame (GraphOps) and the k-means codebooks (Knn):
+    * corpus-sized work stays distributed, the provably-small state
+    * crosses to the driver once. The cap itself is the standard
+    * min-frequency truncation every real trainer applies — Zipf mass
+    * makes the dropped tail irrelevant to merge ranks (and at the test
+    * scales the vocab is far below the cap, so the result is exactly
+    * the uncapped one — parity-spec-pinned against an independent
+    * reference trainer).
     */
-  def train(docs: DataFrame, textCol: String,
-            nMerges: Int = 32): Seq[(String, String)] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int = 32,
+            maxVocab: Int = 1 << 21): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val vocab = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(length(col("w")) > 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var merges = Vector.empty[(String, String)]
-      var done = false
-      while (merges.length < nMerges && !done) {
-        val top = vocab
-          .select(explode(bpe.adjacentPairs(col("w"), merges)).as("p"),
-            col("freq"))
-          .groupBy("p").agg(sum(col("freq")).as("cnt"))
-          .filter(col("cnt") >= 2) // a pair seen once gains nothing
-          .orderBy(col("cnt").desc, col("p"))
-          .limit(1).collect()
-        if (top.isEmpty) done = true
-        else {
-          val key = top.head.getString(0)
-          val sep = key.indexOf(' ')
-          merges :+= ((key.substring(0, sep), key.substring(sep + 1)))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxVocab)
+      .collect()
+    trainIncremental(vocab.map(_.getString(0)),
+      vocab.map(_.getLong(1)), nMerges)
+  }
+
+  /** One heap entry: a pair's count at push time (stale entries are
+    * discarded at poll by comparing against the live count). Key bytes
+    * are cached so the tie-break comparison never re-encodes.
+    */
+  private final case class PairEntry(count: Long, key: String,
+                                     bytes: Array[Byte])
+
+  /** The in-memory incremental BPE merge loop over a word-frequency
+    * table. Semantics are EXACTLY the classic distributed recount
+    * (overlap-included pair counting, left-to-right non-overlapping
+    * merge application, a pair needs count ≥ 2, argmax tie-break by
+    * (count DESC, "a b" key ASC in unsigned UTF-8 byte order — the
+    * same order Spark's binary string sort gives)); only the cost
+    * model changes: per merge, only words containing the winning pair
+    * are re-segmented and their count deltas applied.
+    *
+    * A merged pair's count drains to zero through its own deltas; a
+    * pair key can legitimately REAPPEAR later (two merge paths can
+    * build the same symbol string) and is then eligible again, exactly
+    * as a full recount would see it.
+    */
+  private[graft] def trainIncremental(words: Array[String],
+                                      freqs: Array[Long],
+                                      nMerges: Int): Vector[(String, String)] = {
+    import graft.functions.BpeKernel
+    val n = words.length
+    val syms = new Array[Array[String]](n)
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    val occ = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+    def occAdd(k: String, i: Int): Unit =
+      occ.computeIfAbsent(k, _ => new java.util.ArrayList[Integer]())
+        .add(Integer.valueOf(i))
+    // overlap-included pair counts of one word's current symbols
+    def pairsOf(s: Array[String]): java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + 1 < s.length) {
+        m.merge(s(i) + " " + s(i + 1), Integer.valueOf(1),
+          (x, y) => Integer.valueOf(x.intValue + y.intValue))
+        i += 1
+      }
+      m
+    }
+    var i = 0
+    while (i < n) {
+      syms(i) = BpeKernel.segment(words(i), Array.empty, Array.empty)
+      val f = freqs(i)
+      val it = pairsOf(syms(i)).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        counts.merge(e.getKey, java.lang.Long.valueOf(e.getValue.longValue * f),
+          (x, y) => java.lang.Long.valueOf(x.longValue + y.longValue))
+        occAdd(e.getKey, i)
+      }
+      i += 1
+    }
+    val cmp = new java.util.Comparator[PairEntry] {
+      override def compare(x: PairEntry, y: PairEntry): Int = {
+        if (x.count != y.count) java.lang.Long.compare(y.count, x.count)
+        else java.util.Arrays.compareUnsigned(x.bytes, y.bytes)
+      }
+    }
+    val heap = new java.util.PriorityQueue[PairEntry](math.max(16, counts.size), cmp)
+    def push(k: String, c: Long): Unit =
+      if (c >= 2) heap.add(PairEntry(c, k,
+        k.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    counts.forEach((k, v) => push(k, v.longValue))
+
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      // poll past stale entries to the live max (an entry is live iff
+      // its pushed count equals the pair's current count)
+      var top: PairEntry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        val cur = counts.getOrDefault(e.key, java.lang.Long.valueOf(0L))
+        if (cur.longValue == e.count) top = e
+      }
+      if (top == null) done = true
+      else {
+        val sep = top.key.indexOf(' ')
+        val a = top.key.substring(0, sep)
+        val b = top.key.substring(sep + 1)
+        merges :+= ((a, b))
+        val delta = new java.util.HashMap[String, java.lang.Long]()
+        val ids = occ.remove(top.key)
+        val seen = new java.util.HashSet[Integer]()
+        if (ids != null) {
+          val it = ids.iterator()
+          while (it.hasNext) {
+            val idx = it.next()
+            if (seen.add(idx)) {
+              val s = syms(idx.intValue)
+              // the occ index is maintained lazily — skip words that
+              // no longer contain the pair adjacently
+              var has = false
+              var j = 0
+              while (j + 1 < s.length && !has) {
+                if (s(j) == a && s(j + 1) == b) has = true
+                j += 1
+              }
+              if (has) {
+                val f = freqs(idx.intValue)
+                val before = pairsOf(s)
+                val ns = new Array[String](mergedLen(s, a, b))
+                applyMergeInto(s, a, b, ns)
+                val after = pairsOf(ns)
+                after.forEach { (k, c) =>
+                  val prev = before.getOrDefault(k, Integer.valueOf(0))
+                  val d = c.intValue - prev.intValue
+                  if (d != 0)
+                    delta.merge(k, java.lang.Long.valueOf(d.toLong * f),
+                      (x, y) => java.lang.Long.valueOf(x.longValue + y.longValue))
+                  if (prev.intValue == 0) occAdd(k, idx.intValue)
+                }
+                before.forEach { (k, c) =>
+                  if (!after.containsKey(k))
+                    delta.merge(k, java.lang.Long.valueOf(-c.longValue * f),
+                      (x, y) => java.lang.Long.valueOf(x.longValue + y.longValue))
+                }
+                syms(idx.intValue) = ns
+              }
+            }
+          }
+        }
+        delta.forEach { (k, d) =>
+          if (d.longValue != 0L) {
+            val nv = counts.merge(k, d,
+              (x, y) => java.lang.Long.valueOf(x.longValue + y.longValue))
+            if (nv.longValue == 0L) counts.remove(k) else push(k, nv.longValue)
+          }
         }
       }
-      merges
-    } finally vocab.unpersist(blocking = false)
+    }
+    merges
+  }
+
+  /** Length of `s` after one left-to-right non-overlapping application
+    * of merge (a,b) — lets [[applyMergeInto]] fill a right-sized array.
+    */
+  private def mergedLen(s: Array[String], a: String, b: String): Int = {
+    var i = 0; var out = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += 1; i += 2 }
+      else { out += 1; i += 1 }
+    }
+    out
+  }
+
+  /** One left-to-right non-overlapping application of merge (a,b) —
+    * the same rule as one step of [[graft.functions.BpeKernel.segment]].
+    */
+  private def applyMergeInto(s: Array[String], a: String, b: String,
+                             out: Array[String]): Unit = {
+    var i = 0; var o = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out(o) = a + b; o += 1; i += 2
+      } else { out(o) = s(i); o += 1; i += 1 }
+    }
   }
 
   /** Per-doc token statistics under a trained merge list: char count,

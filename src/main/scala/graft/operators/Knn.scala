@@ -956,6 +956,61 @@ object Knn {
       .parquet(s"$dir/codes")
   }
 
+  /** D8 (remove): delete vectors from a [[buildIvfPqIndex]] layout —
+    * the GDPR-purge / retention lifecycle, WITHOUT a full rebuild and
+    * without touching the search path: only the `cell_id=` partitions
+    * that actually contain a purged id are rewritten (dynamic
+    * partition overwrite), every other partition's files stay
+    * byte-identical, and [[searchIvfPqIndex]] needs no tombstone
+    * awareness because deleted codes physically leave the layout. A
+    * cell whose every code is purged has its partition directory
+    * removed outright. Codebooks and coarse centroids are NOT retrained
+    * (same frozen-quantizer trade as [[appendToIvfPqIndex]] — rebuild
+    * when recall decays). The purge list is an id set (broadcast —
+    * deletion requests are bounded, nothing corpus-scale); the only
+    * driver-side materialization is the affected CELL list, ≤
+    * coarseCells rows by construction. Returns the number of codes
+    * removed.
+    */
+  def removeFromIvfPqIndex(deleteIds: DataFrame, idCol: String,
+                           dir: String): Long = {
+    val spark = deleteIds.sparkSession
+    val ids = deleteIds.select(col(idCol).cast("long").as("neighbor_id"))
+      .distinct()
+    val codes = spark.read.parquet(s"$dir/codes")
+    val affected = codes.join(broadcast(ids), "neighbor_id")
+    val cells = affected.select(col("cell_id")).distinct().collect()
+      .map(_.getAs[Number](0).intValue()).sorted
+    if (cells.isEmpty) return 0L
+    val removed = affected.count()
+    val remaining = codes
+      .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*))
+      .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keptCells = remaining.select(col("cell_id")).distinct().collect()
+        .map(_.getAs[Number](0).intValue()).toSet
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try remaining.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$dir/codes")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case scala.None => spark.conf.unset(key)
+      }
+      // dynamic overwrite only rewrites partitions present in the
+      // data — a fully-purged cell keeps its old files unless the
+      // directory is dropped explicitly
+      val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cells.filterNot(keptCells).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"cell_id=$c"), true)
+      }
+    } finally remaining.unpersist(blocking = false)
+    removed
+  }
+
   /** D8 (search): probe a [[buildIvfPqIndex]] layout. Coarse +
     * codebooks are tiny reads (broadcast); each query's nProbe cells
     * become a `cell_id IN (...)` partition filter on the codes dir —

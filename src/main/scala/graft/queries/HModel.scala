@@ -414,6 +414,92 @@ object HModel {
       .orderBy("z")
       .limit(limit)
 
+  /** One Z-ORDERED bulk-load fixture per sf dir: events written as
+    * HFiles whose rowkey is `encode(interleave(user_id, epoch_hour)) ++
+    * encode(event_id)` — curve-sorted, UNSALTED (a Z-order layout
+    * replaces hash salting: multi-dimensional locality IS the
+    * spreading strategy, and salting would destroy the contiguous key
+    * ranges the read side prunes on), one bucket of non-overlapping
+    * sorted runs. Written once per JVM / machine like
+    * [[ensureLookupDir]].
+    */
+  private val zorderDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def ensureZorderDir(events: DataFrame,
+                                     sfDir: String): String =
+    zorderDirs.getOrElseUpdate(sfDir, {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        f"graft_zorder_v1_${math.abs(sfDir.hashCode)}%08x"
+      val spark = events.sparkSession
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(root, "_done")
+      if (!fs.exists(done)) {
+        val z = graft.functions.zo.zorder(col("user_id"),
+          expr("ts DIV 1000000000 DIV 3600"))
+        val cells = events.select(
+          concat(hb.encode(z), hb.encode(col("event_id"))).as("rowkey"),
+          lit("f").as("family"),
+          lit("v").as("qualifier"),
+          hb.encode(col("value")).as("value"),
+          expr("ts DIV 1000000").as("ms"))
+        val prepared = BulkLoad.prepare(cells, buckets = 1,
+          numPartitions = 16)
+        BulkLoad.writeHFiles(prepared, dir, tsCol = Some("ms"))
+        fs.create(done, true).close()
+      }
+      dir
+    })
+
+  /** B12 driven end-to-end: a (user-range × hour-range) BOX query
+    * against the Z-ordered bulk fixture — the reference's fuzzy
+    * hour-slice read pattern (TsdbScanner.java:16-53 walks salt×hour
+    * key ranges) done with a space-filling curve instead of
+    * enumerated salt prefixes. The box decomposes on the driver into
+    * ≤ `maxRanges` covering Morton intervals
+    * ([[graft.functions.ZOrderKernel.queryRanges]], fixed-depth quad
+    * decomposition with interval merging), each pushed as a
+    * `rowkey >= lo AND rowkey < hi` range the `graft-hfile` source
+    * prunes against its `_manifest` key ranges at plan time — so the
+    * scan opens only files whose curve segment can intersect the box,
+    * however large the fixture grows. The exact box predicate is
+    * re-applied on the decoded coordinates after the scan (the
+    * standard residual rule — a budget-capped cover may over-cover,
+    * never under-cover), then the hourly rollup aggregates per
+    * (user, hour). The oracle replays the box + rollup straight from
+    * the events table.
+    */
+  def zorderRangeScan(events: DataFrame, sfDir: String,
+                      userLo: Long = 40L, userHi: Long = 80L,
+                      hourLo: Long = 473500L, hourHi: Long = 473599L,
+                      maxRanges: Int = 32): DataFrame = {
+    import graft.functions.{BytesCodec, ZOrderKernel}
+    val spark = events.sparkSession
+    val dir = ensureZorderDir(events, sfDir)
+    val ranges = ZOrderKernel.queryRanges(userLo, userHi, hourLo, hourHi,
+      maxRanges)
+    val src = spark.read.format("graft-hfile").load(dir)
+    val scanned = ranges.map { case (zs, ze) =>
+      val lo = BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(zs)
+      val hi = BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(ze)
+      src.filter(col("bucket") === 0 &&
+        col("rowkey") >= lit(lo) && col("rowkey") < lit(hi))
+    }.reduce(_.union(_))
+    val z = hb.decode(expr("substring(rowkey, 3, 8)"), LongType)
+    scanned
+      .select(graft.functions.zo.zorderA(z).as("user_id"),
+        graft.functions.zo.zorderB(z).as("epoch_hour"),
+        hb.decode(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("value"))
+      .filter(col("user_id").between(userLo, userHi) &&
+        col("epoch_hour").between(hourLo, hourHi))
+      .groupBy(col("user_id"), col("epoch_hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("epoch_hour"))
+  }
+
   /** DuckDB closed form of java.util.Arrays.hashCode over the 8 big-endian
     * bytes of a non-negative BIGINT column: h = 31^8 + Σ 31^(7-i)·sbyte_i,
     * wrapped to int32. Shared by the B4/B5 oracles.

@@ -307,6 +307,36 @@ object Pipeline {
       "doc_id", "n_tokens", budget)
       .orderBy("doc_id")
 
+  /** C26: the composed export pipeline a training-data run actually
+    * ships — fuzzy curation (C10) → token counting → sequence packing
+    * (C11) over the survivor stream → deterministic shuffle-shard
+    * assignment (C19) — as ONE measured query, proving the stages
+    * compose without a hidden materialization cliff. The survivor set
+    * (ids + metadata, never text) is persisted ONCE and fans into all
+    * three consumers — without the persist the curation subtree (LSH +
+    * components + quality) would re-execute three times; packing's
+    * two-phase prefix sum and the shuffle's two-phase rank keep every
+    * stage distributed. The file-writing twin is
+    * [[graft.operators.Sampling.exportShards]], spec-reconciled
+    * against this query's token accounting.
+    */
+  def corpusExport(documents: DataFrame): DataFrame = {
+    val survivors = corpusCurate(documents, fuzzy = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val packed = Packing.packSequences(
+      survivors.select("doc_id").join(tokens, Seq("doc_id")),
+      "doc_id", "n_tokens", budget = 2048L)
+    val sharded = Sampling.shuffleShard(survivors.select("doc_id"),
+      "doc_id", shards = 8, seed = 42L)
+    survivors.join(packed, Seq("doc_id")).join(sharded, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("split"),
+        col("n_tokens"), col("start_tok"), col("seq_id"), col("offset"),
+        col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** C9 (oracle graph for C7's operator): connected components of the
     * high-quantity co-purchase graph — parts linked when one order
     * takes ≥48 units of both. Multi-hop (components up to ~10 parts
@@ -564,19 +594,34 @@ object Pipeline {
     TextOps.dsir(documents, "doc_id", "text",
       org.apache.spark.sql.functions.col("lang") === "en").orderBy("doc_id")
 
-  /** E12: BPE tokenizer — 24 merges trained on the corpus' own
-    * word-frequency table (driver-side merge list, like the other
-    * trained plans), then per-doc token counts in one kernel pass.
-    * No SQL oracle (iterative merge training is not reasonably
-    * SQL-expressible); the driver records a rows-only check and the
-    * spec pins the trainer against a driver-side reference
-    * implementation.
+  /** E12 (train+encode): BPE tokenizer trained at a vocab-scale
+    * request (1024 merges — the corpus trains to pair exhaustion,
+    * exercising the incremental trainer's full loop and early stop),
+    * then per-doc token counts in one kernel pass. No SQL oracle
+    * (iterative merge training is not reasonably SQL-expressible);
+    * the driver records a rows-only check and the spec pins the
+    * trainer against a driver-side reference implementation at
+    * >= 1000 learned merges. The encode half IS oracle-checked — see
+    * [[textBpeEncode]].
     */
   def textBpe(documents: DataFrame): DataFrame = {
-    val merges = graft.operators.Bpe.train(documents, "text", nMerges = 24)
+    val merges = graft.operators.Bpe.train(documents, "text",
+      nMerges = 1024)
     graft.operators.Bpe.tokenStats(documents, "doc_id", "text", merges)
       .orderBy("doc_id")
   }
+
+  /** E12 (encode): per-doc token stats under the FROZEN tokenizer
+    * artifact ([[graft.operators.Bpe.frozenMerges]]) — the production
+    * encode posture (a tokenizer is trained once and shipped as a
+    * constant), and exactly SQL-replayable: the oracle inlines the
+    * same 48 merges and replays the left-to-right non-overlapping
+    * segmentation as a recursive CTE over the distinct-word table.
+    */
+  def textBpeEncode(documents: DataFrame): DataFrame =
+    graft.operators.Bpe.tokenStats(documents, "doc_id", "text",
+        graft.operators.Bpe.frozenMerges)
+      .orderBy("doc_id")
 
   /** E11: quantized char-entropy quality signal; the integer LUT
     * literal is shared verbatim with the oracle, so neither engine

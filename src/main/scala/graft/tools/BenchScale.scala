@@ -57,7 +57,9 @@ object BenchScale {
     // series anomaly window, DSIR double-training, label-fused ANN
     "text_entropy", "knn_maxsim", "rollup_anomaly", "corpus_dsir",
     "knn_filtered", "events_props_extract", "rollup_timeweighted",
-    "dedup_fuzzy_incremental", "mm_phash", "text_bpe", "knn_recall")
+    "dedup_fuzzy_incremental", "mm_phash", "text_bpe", "knn_recall",
+    // round 11: frozen-tokenizer encode pass and the composed export
+    "text_bpe_encode", "corpus_export")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

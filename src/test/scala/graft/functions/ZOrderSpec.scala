@@ -50,6 +50,37 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("queryRanges: uncapped covers are exact, capped covers are " +
+      "supersets, intervals always sorted disjoint and within budget") {
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 0 until 40) {
+      val a0 = rnd.nextInt(60); val a1 = a0 + rnd.nextInt(60)
+      val b0 = rnd.nextInt(60); val b1 = b0 + rnd.nextInt(60)
+      val box = for (a <- a0 to a1; b <- b0 to b1)
+        yield ZOrderKernel.interleave(a, b)
+      val boxSet = box.toSet
+      // generous budget: the cover is EXACT — covered z-volume equals
+      // the box volume and every box point is covered
+      val exact = ZOrderKernel.queryRanges(a0, a1, b0, b1,
+        maxRanges = 100000)
+      assert(exact.map { case (s, e) => e - s }.sum == boxSet.size.toLong,
+        s"box ($a0..$a1)x($b0..$b1): uncapped cover must be exact")
+      assert(boxSet.forall(z => exact.exists { case (s, e) => z >= s && z < e }))
+      // capped budget: never more than maxRanges intervals, still a
+      // superset (over-cover allowed, under-cover never)
+      val capped = ZOrderKernel.queryRanges(a0, a1, b0, b1, maxRanges = 8)
+      assert(capped.size <= 8)
+      assert(boxSet.forall(z => capped.exists { case (s, e) => z >= s && z < e }),
+        s"box ($a0..$a1)x($b0..$b1): capped cover lost a point")
+      // sorted, disjoint, merged (no two touching intervals survive)
+      for (Seq((_, e1), (s2, _)) <- capped.sliding(2) if capped.size > 1)
+        assert(e1 < s2, s"intervals must be sorted disjoint: $capped")
+    }
+    // real-coordinate smoke: the sf-style (user x hour) box stays small
+    val r = ZOrderKernel.queryRanges(40, 80, 473500, 473599, maxRanges = 32)
+    assert(r.nonEmpty && r.size <= 32)
+  }
+
   test("locality: sorting by z clusters both dimensions") {
     // points on a 32x32 grid; walk the z-sorted order and measure the
     // average Chebyshev step — the Morton curve guarantees mostly-small

@@ -10,22 +10,32 @@ class BpeSpec extends SparkSpec {
   /** Driver-side reference trainer: same word-frequency table, same
     * overlap-included pair counting, same left-to-right non-overlap
     * merge rule, same (count DESC, UTF-8-byte key ASC) tie-break —
-    * written independently of the distributed plan.
+    * written independently of the production trainer's bookkeeping.
+    * Segmentations are CACHED (applying only the newest merge each
+    * iteration is definitionally the same as re-segmenting under the
+    * whole list — [[BpeKernel.segment]] is a fold over merges), but
+    * the pair COUNTS are rebuilt from scratch every iteration, so this
+    * reference exercises none of the production trainer's delta
+    * maintenance, occurrence index, or lazy heap — a count-level drift
+    * in any of those breaks the parity assertions below.
     */
   private def referenceTrain(texts: Seq[String],
                              nMerges: Int): Seq[(String, String)] = {
-    val freq = texts.flatMap(_.split("\\s+")).filter(_.length > 1)
-      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
-    var merges = Vector.empty[(String, String)]
-    var done = false
     implicit val byteOrd: Ordering[String] = (x: String, y: String) =>
       java.util.Arrays.compareUnsigned(
         x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    val freq = texts.flatMap(_.split("\\s+")).filter(_.length > 1)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val segs = scala.collection.mutable.LinkedHashMap.empty[String, Array[String]]
+    freq.keys.toSeq.sorted.foreach { w =>
+      segs(w) = BpeKernel.segment(w, Array.empty, Array.empty)
+    }
+    var merges = Vector.empty[(String, String)]
+    var done = false
     while (merges.length < nMerges && !done) {
       val counts = scala.collection.mutable.Map.empty[String, Long]
-      freq.foreach { case (w, f) =>
-        val s = BpeKernel.segment(w, merges.map(_._1).toArray,
-          merges.map(_._2).toArray)
+      segs.foreach { case (w, s) =>
+        val f = freq(w)
         var i = 0
         while (i + 1 < s.length) {
           val key = s(i) + " " + s(i + 1)
@@ -38,7 +48,20 @@ class BpeSpec extends SparkSpec {
       else {
         val key = eligible.toSeq.minBy { case (k, c) => (-c, k) }._1
         val sep = key.indexOf(' ')
-        merges :+= ((key.substring(0, sep), key.substring(sep + 1)))
+        val a = key.substring(0, sep)
+        val b = key.substring(sep + 1)
+        merges :+= ((a, b))
+        segs.keys.foreach { w =>
+          val s = segs(w)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += s(i); i += 1 }
+          }
+          segs(w) = out.toArray
+        }
       }
     }
     merges
@@ -94,6 +117,40 @@ class BpeSpec extends SparkSpec {
     // partitioning independence
     val gotRe = Bpe.train(df.repartition(7), "text", nMerges = 12)
     assert(gotRe == got)
+  }
+
+  test("train: vocab-scale parity — >=1000 learned merges on a rich " +
+      "corpus equal the reference, and the sf table trains to exhaustion") {
+    // deterministic rich corpus: 1500 distinct pseudo-random words,
+    // each repeated 2..5 times, so every adjacent pair is eligible
+    // (count >= 2) and thousands of merges are learnable — the regime
+    // where the old per-iteration full recount was quadratic
+    val rnd = new scala.util.Random(20260814L)
+    val words = (0 until 1500).map { _ =>
+      val len = 8 + rnd.nextInt(8)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val texts = rnd.shuffle(words.flatMap(w =>
+      Seq.fill(2 + rnd.nextInt(4))(w)))
+      .grouped(40).map(_.mkString(" ")).toSeq
+    val df = texts.toDF("text")
+    val got = Bpe.train(df, "text", nMerges = 1200)
+    assert(got.length == 1200, s"rich corpus must support 1200 merges")
+    val want = referenceTrain(texts, 1200)
+    assert(got == want, {
+      val i = got.zip(want).indexWhere { case (g, w) => g != w }
+      s"first divergence at merge $i: got=${got.lift(i)} want=${want.lift(i)}"
+    })
+    // requesting more merges than the corpus supports stops at
+    // exhaustion, and the full learned prefix still matches
+    val docs = sf("documents")
+    val gotEx = Bpe.train(docs, "text", nMerges = 1000)
+    val wantEx = referenceTrain(
+      docs.select("text").as[String].collect().toSeq, 1000)
+    assert(gotEx == wantEx, "exhaustion run must match the reference")
+    assert(gotEx.length < 1000 && gotEx.length > 30,
+      s"sf corpus should exhaust between 30 and 1000 merges, " +
+        s"got ${gotEx.length}")
   }
 
   test("tokenStats: counts shrink as merges apply, compression grows, " +

@@ -438,6 +438,48 @@ class KnnSpec extends SparkSpec {
     assert(e2.getMessage.contains("built with dim 64"))
   }
 
+  test("index remove: purged ids leave the layout, untouched cell " +
+      "partitions stay byte-identical, search needs no tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rm").toString
+    Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val byCell = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id", "cell_id").collect()
+      .groupBy(_.getAs[Number]("cell_id").intValue())
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("neighbor_id")).toSeq }
+    val cells = byCell.keys.toSeq.sorted
+    assert(cells.size >= 3, s"need >=3 populated cells, got ${cells.size}")
+    val partialCell = cells.maxBy(byCell(_).size)
+    val wipeCell = cells.filter(_ != partialCell).minBy(byCell(_).size)
+    val untouched = cells.filterNot(Set(partialCell, wipeCell)).head
+    val purge = byCell(partialCell).take(3) ++ byCell(wipeCell)
+    def fileSig(c: Int): Map[String, Int] =
+      new java.io.File(s"$dir/codes/cell_id=$c").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> java.util.Arrays.hashCode(
+          java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    val before = fileSig(untouched)
+    val n = Knn.removeFromIvfPqIndex(purge.toDF("vec_id"), "vec_id", dir)
+    assert(n == purge.size.toLong, s"removed $n of ${purge.size}")
+    val left = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((left & purge.toSet).isEmpty, "purged ids must leave the codes")
+    assert(left.size == 500 - purge.size, "only purged ids may leave")
+    assert(fileSig(untouched) == before,
+      "untouched cell partitions must stay byte-identical")
+    assert(!new java.io.File(s"$dir/codes/cell_id=$wipeCell").exists(),
+      "a fully-purged cell's partition directory must disappear")
+    // search is UNCHANGED code and needs no tombstones: full k rows per
+    // query, never a purged neighbor
+    val got = Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5, rescoreWith = Some(emb)).collect()
+    assert(got.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    assert(!got.exists(r => purge.contains(r.getAs[Long]("neighbor_id"))),
+      "a purged id surfaced in search results")
+    // purge is idempotent
+    assert(Knn.removeFromIvfPqIndex(purge.toDF("vec_id"), "vec_id",
+      dir) == 0L)
+  }
+
   test("filteredLsh: every neighbor shares the query's label, results " +
       "equal lsh run per-label, recall floors vs filtered brute force") {
     val labels = emb.select("vec_id", "label").collect()

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.operators.{Bpe, Sampling}
+import org.apache.spark.sql.functions._
+
+/** C26: the composed export pipeline — packing/shard invariants on the
+  * query output, and full reconciliation between the query's token
+  * accounting and the ACTUAL shard files [[Sampling.exportShards]]
+  * writes (doc-for-doc assignment match, whitespace-token totals, and
+  * E12 frozen-tokenizer BPE totals — the same accounting the G14
+  * streaming monitor reports).
+  */
+class CorpusExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus_export composes without drift and reconciles with the " +
+      "exported shard files' token accounting") {
+    val docs = sf("documents")
+    val export = Pipeline.corpusExport(docs).collect()
+    assert(export.length > 8, s"need enough survivors, ${export.length}")
+    // packing invariant: start_tok is the exclusive prefix sum of
+    // n_tokens in doc_id order, seq_id/offset derive from it
+    val byId = export.sortBy(_.getAs[Long]("doc_id"))
+    var acc = 0L
+    byId.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == acc,
+        s"doc ${r.getAs[Long]("doc_id")}: start_tok")
+      assert(r.getAs[Long]("seq_id") == acc / 2048L &&
+        r.getAs[Long]("offset") == acc % 2048L)
+      acc += r.getAs[Long]("n_tokens")
+    }
+    // shard deal: balanced within one row, dense pos per shard
+    val byShard = export.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("pos")).sorted }
+    val sizes = (0L until 8L).map(s => byShard.get(s).map(_.size).getOrElse(0))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    byShard.foreach { case (s, ps) =>
+      assert(ps.toSeq == (0L until ps.size.toLong).toList,
+        s"shard $s pos not dense")
+    }
+    // the file-writing twin: same corpus slice through exportShards
+    val outDir = java.nio.file.Files.createTempDirectory("export").toString
+    val survivorIds = export.map(_.getAs[Long]("doc_id")).toSet
+    val survDocs = docs.filter(col("doc_id").isInCollection(survivorIds))
+    Sampling.exportShards(survDocs, "doc_id", outDir, shards = 8)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == export.length.toLong)
+    // doc-for-doc assignment match between query and files
+    val fileAssign = back.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Number]("shard").longValue(),
+        r.getAs[Long]("pos"))).toSet
+    val queryAssign = export.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSet
+    assert(fileAssign == queryAssign,
+      "exported shard/pos must equal the query's assignment")
+    // token accounting: the files' whitespace-token total equals the
+    // query's packed total (last start_tok + last n_tokens)
+    val exportedTok = back
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(exportedTok == acc,
+      s"exported tokens $exportedTok != packed total $acc")
+    // E12 reconciliation: BPE totals under the frozen tokenizer agree
+    // between source survivors and exported files (text preserved)
+    def bpeTotal(df: org.apache.spark.sql.DataFrame): Long =
+      Bpe.tokenStats(df, "doc_id", "text", Bpe.frozenMerges)
+        .agg(sum("n_bpe")).head().getLong(0)
+    assert(bpeTotal(back.select("doc_id", "text")) ==
+      bpeTotal(survDocs.select("doc_id", "text")))
+  }
+}
