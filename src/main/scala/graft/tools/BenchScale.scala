@@ -58,8 +58,9 @@ object BenchScale {
     "text_entropy", "knn_maxsim", "rollup_anomaly", "corpus_dsir",
     "knn_filtered", "events_props_extract", "rollup_timeweighted",
     "dedup_fuzzy_incremental", "mm_phash", "text_bpe", "knn_recall",
-    // round 11: frozen-tokenizer encode pass and the composed export
-    "text_bpe_encode", "corpus_export")
+    // round 11: frozen-tokenizer encode pass, the composed export, and
+    // the Morton box scan (pruning must beat data growth, like B17's)
+    "text_bpe_encode", "corpus_export", "zorder_range_scan")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of
@@ -71,7 +72,16 @@ object BenchScale {
     */
   val skewQueries: Seq[String] =
     Seq("dedup_minhash_lsh", "corpus_boilerplate", "compact_cells",
-      "rollup_heavy_hitters")
+      "rollup_heavy_hitters",
+      // round 11: the incremental family sees a batch that is ~100%
+      // ONE duplicated doc (every 10th doc_id IS the batch slice and
+      // carries the hot text — a flooded LSH/fingerprint bucket on
+      // arrival); knn_filtered sees one label owning 90% of the
+      // corpus (the fused label-bucket keys' stress case); and
+      // events_props_extract sees one hot event_type (partial-agg
+      // absorption test)
+      "dedup_incremental", "dedup_fuzzy_incremental", "knn_filtered",
+      "events_props_extract")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the
@@ -179,7 +189,8 @@ object BenchScale {
     */
   private def ensureSkewed(srcScaled: String, dst: String,
                            cpus: String): Unit = {
-    val done = new File(dst, "_done")
+    // v2: adds the hot event_type and the 90%-label embeddings table
+    val done = new File(dst, "_done_v2")
     if (done.exists()) return
     Console.err.println(s"genskew: $srcScaled -> $dst")
     val spark = Bench.newSession(cpus)
@@ -198,11 +209,26 @@ object BenchScale {
       val uType = ev.schema("user_id").dataType
       val hotUser = ev.agg(min(col("user_id"))).head.getAs[Number](0)
         .longValue()
+      val hotType = ev.agg(min(col("event_type"))).head.getString(0)
       ev.withColumn("user_id",
           when(pmod(col("event_id"), lit(10)) === 0, lit(hotUser))
             .otherwise(col("user_id")).cast(uType))
+        .withColumn("event_type",
+          when(pmod(col("event_id"), lit(10)) === 0, lit(hotType))
+            .otherwise(col("event_type")))
         .repartition(16).write.mode("overwrite")
         .parquet(s"$dst/events.parquet")
+      // one label owning ~90% of the vectors — knn_filtered's fused
+      // label-bucket keys must absorb the giant label, not die on it
+      val emb = spark.read.parquet(s"$srcScaled/embeddings.parquet")
+      val lType = emb.schema("label").dataType
+      val hotLabel = emb.agg(min(col("label"))).head.getAs[Number](0)
+        .longValue()
+      emb.withColumn("label",
+          when(pmod(col("vec_id"), lit(10)) =!= 0, lit(hotLabel))
+            .otherwise(col("label")).cast(lType))
+        .repartition(8).write.mode("overwrite")
+        .parquet(s"$dst/embeddings.parquet")
     } finally spark.stop()
     done.getParentFile.mkdirs()
     new PrintWriter(done) { print("skew"); close() }
