@@ -2162,6 +2162,14 @@ object SparkEntry {
     // adjacency, and adjacent matches never share a fence), and one
     // replace per merge IS the left-to-right non-overlapping rule
     "text_bpe_encode" -> {
+      // the artifact is inlined into single-quoted SQL literals and a
+      // chr(31)-fenced symbol encoding: a regenerated merge list must
+      // stay plain-alphanumeric (an apostrophe-bearing symbol would
+      // emit unparseable SQL; a chr(31)-bearing one would break the
+      // fences) — fail loudly at dump time, not with a wrong oracle
+      require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
+        (a + b).matches("[A-Za-z0-9]+") },
+        "frozenMerges must be alphanumeric for SQL literal inlining")
       val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
         .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
       val nm = graft.operators.Bpe.frozenMerges.length

@@ -829,14 +829,16 @@ object Knn {
     * whatever the corpus size; the expensive part is producing `exact`,
     * which an operations cadence amortizes over a SAMPLED query set.
     */
-  def recall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    // denominator = the per-query count of exact rows, NOT the k
-    // parameter: a query whose truth set has fewer than k rows (corpus
-    // smaller than k+1, or a filtered slice) must still be able to
-    // score 1.0 when the index recovered everything recoverable
+  def recall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    // denominator = the per-query count of exact rows (recall@k when
+    // `exact` is a top-k table): a truth set with fewer than k rows
+    // (corpus smaller than k+1, or a filtered slice) must still score
+    // 1.0 when the index recovered everything recoverable. The approx
+    // side is deduped first so a caller handing a non-deduped
+    // candidate list can't fan out joined truth rows and corrupt both
+    // counts.
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")).distinct()
         .withColumn("_hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -923,12 +925,39 @@ object Knn {
     * slice mismatched-length subvectors and silently corrupt the
     * persisted codes (one tiny-read head() against the coarse table).
     */
-  private def requireIndexDim(spark: SparkSession, dir: String,
+  private def requireIndexDim(coarse: DataFrame, dir: String,
                               dim: Int): Unit = {
-    val stored = spark.read.parquet(s"$dir/coarse")
-      .select(size(col("centroid"))).head().getInt(0)
+    val stored = coarse.select(size(col("centroid"))).head().getInt(0)
     require(stored == dim,
       s"index at $dir was built with dim $stored, caller passed $dim")
+  }
+
+  /** The codes table's read schema (partition column last, as parquet
+    * partition inference returns it). */
+  private val CodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("neighbor_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("cell_id",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Read `dir/codes`, tolerating the fully-purged state (a legal
+    * retention outcome — [[removeFromIvfPqIndex]] drops every
+    * `cell_id=` partition when the whole corpus is purged): an empty
+    * frame with the layout's schema comes back instead of a parquet
+    * schema-inference failure, so search answers "no neighbors" and a
+    * later append restores the index.
+    */
+  private def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCells = fs.exists(root) && fs.listStatus(root).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("cell_id="))
+    if (hasCells) spark.read.parquet(s"$dir/codes")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CodesSchema)
   }
 
   /** D8 (append): add new vectors to a [[buildIvfPqIndex]] layout
@@ -945,8 +974,9 @@ object Knn {
   def appendToIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
                          dir: String, dim: Int): Unit = {
     val spark = delta.sparkSession
-    requireIndexDim(spark, dir, dim)
-    val coarseB = broadcast(spark.read.parquet(s"$dir/coarse")
+    val coarseRaw = spark.read.parquet(s"$dir/coarse")
+    requireIndexDim(coarseRaw, dir, dim)
+    val coarseB = broadcast(coarseRaw
       .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
     val cbs = spark.read.parquet(s"$dir/codebooks")
     val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
@@ -977,7 +1007,7 @@ object Knn {
     val spark = deleteIds.sparkSession
     val ids = deleteIds.select(col(idCol).cast("long").as("neighbor_id"))
       .distinct()
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readCodes(spark, dir)
     val affected = codes.join(broadcast(ids), "neighbor_id")
     val cells = affected.select(col("cell_id")).distinct().collect()
       .map(_.getAs[Number](0).intValue()).sorted
@@ -1031,8 +1061,9 @@ object Knn {
                        overscan: Int = 4, salts: Int = 32,
                        rescoreWith: Option[DataFrame] = scala.None)
       : DataFrame = {
-    requireIndexDim(spark, dir, dim)
-    val coarseDf = broadcast(spark.read.parquet(s"$dir/coarse")
+    val coarseRaw = spark.read.parquet(s"$dir/coarse")
+    requireIndexDim(coarseRaw, dir, dim)
+    val coarseDf = broadcast(coarseRaw
       .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
     val cbs = spark.read.parquet(s"$dir/codebooks")
     val mk = cbs.agg(max(col("sub")).as("m"), max(col("cell_id")).as("c"))
@@ -1053,7 +1084,7 @@ object Knn {
     // O(|queries|·nProbe) driver-side cell list -> a partition filter
     val probedCells = probes.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readCodes(spark, dir)
       .filter(col("cell_id").isin(probedCells: _*))
     val qsubs = queries.select(col(idCol).as("query_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),

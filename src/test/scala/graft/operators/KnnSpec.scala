@@ -333,17 +333,17 @@ class KnnSpec extends SparkSpec {
       "lsh report equals the set-intersection computation") {
     val exact = Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5)
     // perfect index: recall of truth vs itself
-    val self = Knn.recall(exact, exact, k = 5).collect()
+    val self = Knn.recall(exact, exact).collect()
     assert(self.length == 10 &&
       self.forall(_.getAs[Double]("recall") == 1.0))
     // broken index: empty approx set
-    val broken = Knn.recall(exact, exact.filter(lit(false)), k = 5)
+    val broken = Knn.recall(exact, exact.filter(lit(false)))
       .collect()
     assert(broken.forall(r => r.getAs[Long]("n_hits") == 0L &&
       r.getAs[Double]("recall") == 0.0))
     // truth set smaller than k (filtered slice): the denominator is
     // the per-query exact count, so a perfect index still scores 1.0
-    val short = Knn.recall(exact.filter($"rank" <= 3), exact, k = 5)
+    val short = Knn.recall(exact.filter($"rank" <= 3), exact)
       .collect()
     assert(short.forall(r => r.getAs[Long]("n_exact") == 3L &&
       r.getAs[Double]("recall") == 1.0),
@@ -351,7 +351,7 @@ class KnnSpec extends SparkSpec {
     // real report vs a driver-side set intersection
     val approx = Knn.lsh(emb, queries, "vec_id", "embedding",
       dim = 64, k = 5)
-    val report = Knn.recall(exact, approx, k = 5).collect()
+    val report = Knn.recall(exact, approx).collect()
       .map(r => r.getAs[Long]("query_id") ->
         (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
     val exactSets = exact.collect()
@@ -478,6 +478,21 @@ class KnnSpec extends SparkSpec {
     // purge is idempotent
     assert(Knn.removeFromIvfPqIndex(purge.toDF("vec_id"), "vec_id",
       dir) == 0L)
+    // a TOTAL purge is a legal retention outcome: the layout must stay
+    // readable (empty), remove stays idempotent, search answers "no
+    // neighbors", and an append restores the index
+    assert(Knn.removeFromIvfPqIndex(emb.select("vec_id"), "vec_id",
+      dir) == 500L - purge.size)
+    assert(Knn.removeFromIvfPqIndex(emb.select("vec_id"), "vec_id",
+      dir) == 0L, "remove on an empty index must be a no-op")
+    assert(Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5).collect().isEmpty,
+      "an empty index answers no neighbors, not an error")
+    Knn.appendToIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val restored = Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5, rescoreWith = Some(emb)).collect()
+    assert(restored.groupBy(_.getAs[Long]("query_id"))
+      .forall(_._2.length == 5), "append must restore a purged index")
   }
 
   test("filteredLsh: every neighbor shares the query's label, results " +
