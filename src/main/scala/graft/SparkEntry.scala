@@ -136,6 +136,7 @@ object SparkEntry {
     "corpus_curate_fuzzy" -> ((s, d) =>
       Pipeline.corpusCurate(t(s, d, "documents"), fuzzy = true)),
     "seq_packing" -> ((s, d) => Pipeline.seqPacking(t(s, d, "documents"))),
+    "seq_spans" -> ((s, d) => Pipeline.seqSpans(t(s, d, "documents"))),
     "corpus_export" -> ((s, d) =>
       Pipeline.corpusExport(t(s, d, "documents"))),
     // ---- D. similarity search -------------------------------------------
@@ -1839,6 +1840,26 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_tok,
         | start_tok // 2048 AS seq_id, start_tok % 2048 AS offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // C11b: the packing CTE, then one range-unnest per doc over the
+    // sequences it straddles — span arithmetic mirrors the Spark side
+    "seq_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok FROM t),
+        |s AS (SELECT doc_id, n_tokens, start_tok,
+        |  unnest(range(start_tok // 2048,
+        |    (start_tok + n_tokens - 1) // 2048 + 1)) AS seq_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT seq_id, doc_id,
+        |  greatest(start_tok, seq_id * 2048) - seq_id * 2048 AS offset,
+        |  least(start_tok + n_tokens, (seq_id + 1) * 2048)
+        |    - greatest(start_tok, seq_id * 2048) AS span_len,
+        |  greatest(start_tok, seq_id * 2048) - start_tok AS pos_in_doc
+        |FROM s ORDER BY 1, 3""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE
         |pairs AS (

@@ -63,4 +63,41 @@ object Packing {
       .withColumn("offset", col("start_tok") % budget)
       .drop("_pid")
   }
+
+  /** C11b: the per-sequence DOCUMENT-SPAN manifest a packed-pretraining
+    * data loader actually consumes: [[packSequences]] lays docs
+    * back-to-back and cuts at `budget`, so a document can straddle a
+    * cut — this explodes each doc into one row per training sequence
+    * it occupies, with the span's position inside the sequence
+    * (`offset`), its length (`span_len`), and where the span starts
+    * inside the document (`pos_in_doc` — the resume point for the
+    * continuation row). Loaders use exactly this to build attention
+    * masks / document-boundary resets per packed sequence.
+    *
+    * Plan shape: packSequences' two-phase prefix sum, then ONE
+    * codegen-friendly `explode(sequence(first_seq, last_seq))` per doc
+    * — a doc emits `ceil(n/budget)+1`-ish rows, so the explode is
+    * output-proportional, never corpus-quadratic; zero-token docs emit
+    * nothing. Per sequence the spans tile `[0, fill)` gaplessly
+    * (spec-asserted), the last sequence may be partial.
+    */
+  def sequenceSpans(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, numPartitions: Int = 0): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, budget, numPartitions)
+    packed
+      .filter(col(tokensCol) > 0)
+      .select(col(idCol), col(tokensCol), col("start_tok"),
+        explode(sequence(col("seq_id"),
+          floor((col("start_tok") + col(tokensCol) - 1) / budget)))
+          .as("seq_id"))
+      .withColumn("_sstart",
+        greatest(col("start_tok"), col("seq_id") * budget))
+      .withColumn("_send",
+        least(col("start_tok") + col(tokensCol),
+          (col("seq_id") + 1) * budget))
+      .select(col("seq_id"), col(idCol),
+        (col("_sstart") - col("seq_id") * budget).as("offset"),
+        (col("_send") - col("_sstart")).as("span_len"),
+        (col("_sstart") - col("start_tok")).as("pos_in_doc"))
+  }
 }

@@ -307,6 +307,16 @@ object Pipeline {
       "doc_id", "n_tokens", budget)
       .orderBy("doc_id")
 
+  /** C11b: the loader-facing view of seq_packing — docs straddling a
+    * 2048-token cut split into per-sequence continuation spans.
+    */
+  def seqSpans(documents: DataFrame, budget: Long = 2048L): DataFrame =
+    Packing.sequenceSpans(
+      documents.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget)
+      .orderBy("seq_id", "offset")
+
   /** C26: the composed export pipeline a training-data run actually
     * ships — fuzzy curation (C10) → token counting → sequence packing
     * (C11) over the survivor stream → deterministic shuffle-shard

@@ -24,6 +24,38 @@ class PackingSpec extends SparkSpec {
     assert(out.last._3 + out.last._2 == docs.map(_._2).sum)
   }
 
+  test("sequenceSpans: spans tile each sequence gaplessly, reassemble " +
+      "every doc exactly, and zero-token docs emit nothing") {
+    val budget = 100L
+    val data = Seq((0L, 40L), (1L, 0L), (2L, 250L), (3L, 10L), (4L, 100L))
+    val out = Packing.sequenceSpans(data.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget, numPartitions = 3)
+      .orderBy("seq_id", "offset")
+      .select("seq_id", "doc_id", "offset", "span_len", "pos_in_doc")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 1 (0 tokens) never appears
+    assert(!out.exists(_._2 == 1L))
+    // per-doc reassembly: spans in pos_in_doc order concatenate to the doc
+    data.filter(_._2 > 0).foreach { case (id, n) =>
+      val spans = out.filter(_._2 == id).sortBy(_._5)
+      assert(spans.map(_._4).sum == n, s"doc $id length")
+      var pos = 0L
+      spans.foreach { s => assert(s._5 == pos, s"doc $id resume"); pos += s._4 }
+    }
+    // per-sequence tiling: offsets are gapless from 0, never past budget
+    out.groupBy(_._1).foreach { case (seq, spans) =>
+      var cur = 0L
+      spans.sortBy(_._3).foreach { s =>
+        assert(s._3 == cur, s"seq $seq gap at ${s._3}")
+        cur += s._4
+      }
+      assert(cur <= budget)
+    }
+    // doc 2 (250 tokens from start 40) straddles: spans 60 + 100 + 90
+    assert(out.filter(_._2 == 2L).sortBy(_._5).map(_._4).toSeq ==
+      Seq(60L, 100L, 90L))
+  }
+
   test("result is independent of partitioning (two-phase scan is exact)") {
     val df = docs.toDF("doc_id", "n_tokens")
     val one = Packing.packSequences(df, "doc_id", "n_tokens", 512L,
