@@ -262,6 +262,28 @@ object Bpe {
     }
   }
 
+  /** Persist a trained merge list as a tokenizer ARTIFACT — this
+    * engine's tokenizer.json: one tiny parquet of (m, left, right) in
+    * merge order. The lifecycle is the same as the persisted ANN
+    * index's (train once, save, serve everywhere): the serving path
+    * ([[tokenStats]] under [[loadMerges]]) carries the merges as plan
+    * constants and never trains.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("m", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a [[saveMerges]] artifact back in merge order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Vector[(String, String)] =
+    spark.read.parquet(dir).orderBy(col("m")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toVector
+
   /** Per-doc token statistics under a trained merge list: char count,
     * BPE token count (one fused kernel call per doc — zero shuffles),
     * and the chars-per-token compression ratio (null for empty docs).

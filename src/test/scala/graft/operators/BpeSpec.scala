@@ -153,6 +153,26 @@ class BpeSpec extends SparkSpec {
         s"got ${gotEx.length}")
   }
 
+  test("merge artifact: save/load round-trips the trained list and " +
+      "serves identical tokenStats") {
+    val docs = sf("documents")
+    val merges = Bpe.train(docs, "text", nMerges = 16)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    Bpe.saveMerges(spark, merges, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == merges.toVector, "artifact must round-trip in order")
+    val a = Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = Bpe.tokenStats(docs, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b, "serving under the loaded artifact must be identical")
+    // overwrite with a refreshed (longer) training run — the artifact
+    // lifecycle a periodic re-train follows
+    val more = Bpe.train(docs, "text", nMerges = 24)
+    Bpe.saveMerges(spark, more, dir)
+    assert(Bpe.loadMerges(spark, dir) == more.toVector)
+  }
+
   test("tokenStats: counts shrink as merges apply, compression grows, " +
       "empty doc is null-safe") {
     val docs = Seq((0L, "banana banana bandana"), (1L, ""))
