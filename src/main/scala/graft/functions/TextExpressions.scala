@@ -182,10 +182,26 @@ case class CharEntropyStats(child: Expression) extends StringInput {
     copy(child = newChild)
 }
 
+/** Fused [n_tokens, n_bpe_tokens, n_punct, n_digits, n_spaces]
+  * char-class kernel (E1).
+  */
+case class CharClassStats(child: Expression) extends StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.charClassStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.charClassStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharClassStats =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object txt {
   def punctCount(s: Column): Column =
     ColumnBridge.column(PunctCount(ColumnBridge.expression(s)))
+  def charClassStats(s: Column): Column =
+    ColumnBridge.column(CharClassStats(ColumnBridge.expression(s)))
   def charEntropyStats(s: Column): Column =
     ColumnBridge.column(CharEntropyStats(ColumnBridge.expression(s)))
   def wordShingleHashes(s: Column, k: Int): Column =

@@ -59,6 +59,43 @@ class TextOpsSpec extends SparkSpec {
     assert(mismatches == 0 && native.count() == docs.count())
   }
 
+  test("charClassStats kernel == the split/regexp_extract_all chain it " +
+      "replaced, on adversarial inputs and the sf corpus") {
+    val cases = Seq(
+      "plain ascii words only",
+      "  leading and trailing spaces  ",
+      "\ttab-led means a leading empty split element",
+      "punct! mid-word, and... (nested) [brackets] ab12cd runs",
+      "tabs\tnewlines\nvtabformfeed\fcarriage\rspaces   end",
+      "中文字符都算标点 per the regex class 的",
+      "mixed 中en文 puncts!?;: 99 bottles", "", "   ", " \t ",
+      "emoji 😀 counts once", "1234567890", "!@#$%^&*()",
+      "a", " a ", "a  b", "12ab34", "a1b2c3")
+    val df = cases.toDF("text")
+    def chain(t: org.apache.spark.sql.Column) = Seq(
+      size(split(trim(t), "\\s+")).cast("long"),
+      size(regexp_extract_all(t, lit(TextOps.BpeTokenRe), lit(0)))
+        .cast("long"),
+      size(regexp_extract_all(t, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long"),
+      size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long"),
+      (length(t) - length(regexp_replace(t, " ", ""))).cast("long"))
+    val got = df.select(
+      graft.functions.txt.charClassStats(col("text")).as("k"),
+      array(chain(col("text")): _*).as("r")).collect()
+    got.zip(cases).foreach { case (row, s) =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+        s"kernel mismatch on '$s': ${row.getSeq[Long](0)} != ${row.getSeq[Long](1)}")
+    }
+    // whole corpus: zero disagreements, any column
+    val docs = sf("documents")
+    val bad = docs.select(
+        graft.functions.txt.charClassStats(col("text")).as("k"),
+        array(chain(col("text")): _*).as("r"))
+      .filter(col("k") =!= col("r")).count()
+    assert(bad == 0, s"$bad corpus docs disagree with the regex chain")
+  }
+
   test("langid: marker argmax with fixed tie order, unknown on zero hits") {
     val df = Seq(
       (1L, "xx", "the cat and the hat is on the mat"),
