@@ -86,12 +86,20 @@ object BpeKernel {
   private final class Memo {
     var ma: Array[String] = _
     var mb: Array[String] = _
+    var chars = 0L // total memoized key chars — the real memory bound
     val counts = new java.util.HashMap[String, java.lang.Long]()
   }
   private val memo = new ThreadLocal[Memo] {
     override def initialValue(): Memo = new Memo
   }
+  // the ThreadLocal lives as long as the executor thread, so the cache
+  // must be SMALL in bytes, not just entries: cap entry count AND
+  // total key chars (~8 MB/thread worst case), and never memoize a
+  // pathological whitespace-free mega-"word" — its segment cost is
+  // paid once either way
   private val MemoCap = 1 << 16
+  private val MemoMaxChars = 1L << 22
+  private val MemoMaxWordLen = 1 << 10
 
   /** Total BPE token count of a string's whitespace words under the
     * merges (single-char words count 1 token each).
@@ -100,7 +108,7 @@ object BpeKernel {
                  mb: Array[String]): Long = {
     val m = memo.get()
     if (!(m.ma eq ma) || !(m.mb eq mb)) {
-      m.ma = ma; m.mb = mb; m.counts.clear()
+      m.ma = ma; m.mb = mb; m.chars = 0L; m.counts.clear()
     }
     var n = 0L
     text.toString.split("\\s+").foreach { w =>
@@ -111,8 +119,11 @@ object BpeKernel {
           if (hit != null) n += hit.longValue
           else {
             val c = segment(w, ma, mb).length.toLong
-            if (m.counts.size < MemoCap)
+            if (w.length <= MemoMaxWordLen && m.counts.size < MemoCap &&
+                m.chars + w.length <= MemoMaxChars) {
               m.counts.put(w, java.lang.Long.valueOf(c))
+              m.chars += w.length
+            }
             n += c
           }
         }

@@ -59,7 +59,10 @@ object Packing {
       .withColumn("start_tok",
         element_at(mapExpr, col("_pid")) +
           coalesce(sum(col(tokensCol)).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col("start_tok") / budget))
+      // integer DIV, not floor(double /): a double quotient near an
+      // integer ulp misrounds once start_tok approaches 2^53 — exact
+      // integer division matches the oracle's `//` at every scale
+      .withColumn("seq_id", expr(s"start_tok DIV ${budget}L"))
       .withColumn("offset", col("start_tok") % budget)
       .drop("_pid")
   }
@@ -88,7 +91,7 @@ object Packing {
       .filter(col(tokensCol) > 0)
       .select(col(idCol), col(tokensCol), col("start_tok"),
         explode(sequence(col("seq_id"),
-          floor((col("start_tok") + col(tokensCol) - 1) / budget)))
+          expr(s"(start_tok + `$tokensCol` - 1) DIV ${budget}L")))
           .as("seq_id"))
       .withColumn("_sstart",
         greatest(col("start_tok"), col("seq_id") * budget))

@@ -27,8 +27,8 @@ object TextOps {
     * allocation kernel pass ([[graft.functions.txt.charClassStats]])
     * instead of the split + three `regexp_extract_all` expression
     * chain it replaced, which allocated a string per match and went
-    * allocation-bound at scale (t100 44.7 s → measured after the fuse;
-    * semantics identical, spec-pinned against the regex chain).
+    * allocation-bound at scale (t100 44.7 s → 0.84 s, ratio100 55 →
+    * 2.2; semantics identical, spec-pinned against the regex chain).
     */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -13,6 +13,13 @@ object Pipeline {
 
   val EmbeddingDim = 64
 
+  /** THE whitespace token count (one definition — seq_packing,
+    * seq_spans, corpus_budget and corpus_export must agree on where
+    * token boundaries and sequence cuts fall).
+    */
+  private def wsTokenCount: org.apache.spark.sql.Column =
+    size(split(trim(col("text")), "\\s+")).cast("long")
+
   // ---- C. dedup --------------------------------------------------------
 
   /** C1: exact dedup by md5 content fingerprint. */
@@ -239,8 +246,7 @@ object Pipeline {
   def corpusBudget(documents: DataFrame): DataFrame =
     Sampling.budgetSelect(
       documents.select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long")
-          .as("n_tokens")),
+        wsTokenCount.as("n_tokens")),
       "doc_id", "source", "n_tokens", budget = 800L, seed = 42L)
       .orderBy("doc_id")
 
@@ -303,7 +309,7 @@ object Pipeline {
   def seqPacking(documents: DataFrame, budget: Long = 2048L): DataFrame =
     Packing.packSequences(
       documents.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        wsTokenCount.as("n_tokens")),
       "doc_id", "n_tokens", budget)
       .orderBy("doc_id")
 
@@ -313,7 +319,7 @@ object Pipeline {
   def seqSpans(documents: DataFrame, budget: Long = 2048L): DataFrame =
     Packing.sequenceSpans(
       documents.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        wsTokenCount.as("n_tokens")),
       "doc_id", "n_tokens", budget)
       .orderBy("seq_id", "offset")
 
@@ -339,7 +345,7 @@ object Pipeline {
     // lifetime (bench reruns would stack them)
     val survivors = corpusCurate(documents, fuzzy = true).localCheckpoint()
     val tokens = documents.select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      wsTokenCount.as("n_tokens"))
     val packed = Packing.packSequences(
       survivors.select("doc_id").join(tokens, Seq("doc_id")),
       "doc_id", "n_tokens", budget = 2048L)
