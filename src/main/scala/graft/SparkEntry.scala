@@ -1427,7 +1427,7 @@ object SparkEntry {
         |iv AS (SELECT event_id AS window_id,
         |        epoch_ms(ts) - epoch_ms(ts) % 3600000 AS start_ms,
         |        epoch_ms(ts) - epoch_ms(ts) % 3600000 + 21600000 AS end_ms
-        |       FROM events WHERE event_id % 997 = 0)
+        |       FROM events WHERE event_id % 997 = 0 AND event_id < 100000)
         |SELECT window_id, start_ms, end_ms, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM iv JOIN p ON p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
