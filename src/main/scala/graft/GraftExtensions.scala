@@ -212,6 +212,23 @@ object GraftExtensions {
           versions = versions)
         operators.BulkLoad.readHFiles(spark, outDir).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_zorder_ranges"),
+      info("graft_zorder_ranges",
+        "graft_zorder_ranges(a0, a1, b0, b1[, max_ranges]) - covering " +
+          "Morton z-intervals [z_start, z_end) for the inclusive " +
+          "coordinate box, sorted disjoint (the B18 read-side planner " +
+          "from SQL; push each interval as a rowkey range)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val n = "graft_zorder_ranges"
+        val maxRanges =
+          if (args.length > 4) numArg(args(4), n).toInt else 32
+        functions.ZOrderKernel
+          .queryRanges(numArg(args(0), n).toLong, numArg(args(1), n).toLong,
+            numArg(args(2), n).toLong, numArg(args(3), n).toLong, maxRanges)
+          .toDF("z_start", "z_end").queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn"),
       info("graft_knn",
         "graft_knn(table, id_col, vec_col, dim, k[, max_query_id]) - " +

@@ -108,6 +108,18 @@ class GraftSqlSpec extends SparkSpec {
       Seq(4L, 2L, 1048576L))
   }
 
+  test("graft_zorder_ranges: SQL TVF returns the kernel's covering " +
+      "intervals, budget honored") {
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_zorder_ranges(3, 10, 473500, 473599)")
+      .collect().map(r => (r.getAs[Long]("z_start"), r.getAs[Long]("z_end")))
+    assert(viaSql.toSeq ==
+      graft.functions.ZOrderKernel.queryRanges(3, 10, 473500, 473599, 32))
+    val capped = spark.sql(
+      "SELECT * FROM graft_zorder_ranges(0, 63, 0, 63, 8)").count()
+    assert(capped <= 8)
+  }
+
   test("graft_bpe_tokens: CALL-style TVF trains and scores like the " +
       "Scala entry points") {
     sf("documents").createOrReplaceTempView("documents_v")
