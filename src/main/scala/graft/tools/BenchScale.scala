@@ -81,7 +81,11 @@ object BenchScale {
       // events_props_extract sees one hot event_type (partial-agg
       // absorption test)
       "dedup_incremental", "dedup_fuzzy_incremental", "knn_filtered",
-      "events_props_extract")
+      "events_props_extract",
+      // the composed deliverable under a 10%-duplicated crawl: the
+      // curation stage's LSH caps and unhinted anti join must absorb
+      // the hot near-dup cluster inside the full composition
+      "corpus_export")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the
