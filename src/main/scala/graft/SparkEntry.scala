@@ -2284,7 +2284,8 @@ object SparkEntry {
         |bytes AS (SELECT doc_id, kind, t.i,
         |    ord(substr(pay, t.i::INT, 1))::BIGINT AS b,
         |    strlen(pay)::BIGINT AS len
-        |  FROM p, unnest(range(1, strlen(pay) + 1)) AS t(i)),
+        |  FROM p, unnest(range(1, strlen(pay) + 1)) AS t(i)
+        |  WHERE strlen(pay) < 134217728),
         |cells AS (SELECT doc_id, kind, len, ((i - 1) * 64) // len AS j,
         |    SUM(b)::BIGINT AS s, COUNT(*)::BIGINT AS c
         |  FROM bytes GROUP BY 1, 2, 3, 4),

@@ -93,12 +93,18 @@ object BpeKernel {
     override def initialValue(): Memo = new Memo
   }
   // the ThreadLocal lives as long as the executor thread, so the cache
-  // must be SMALL in bytes, not just entries: cap entry count AND
-  // total key chars (~8 MB/thread worst case), and never memoize a
-  // pathological whitespace-free mega-"word" — its segment cost is
-  // paid once either way
+  // must be SMALL in bytes, not just entries: cap entry count AND a
+  // retained-size budget, and never memoize a pathological
+  // whitespace-free mega-"word" — its segment cost is paid once
+  // either way. Each entry is charged key length + MemoEntryOverhead
+  // units (HashMap node + String/Long object headers, ~64 machine
+  // bytes beyond the chars), so the 2^22-unit budget bounds the REAL
+  // worst-case footprint at ~2 bytes/unit ≈ 8 MB/thread even for an
+  // adversarial all-short-key vocabulary (4M/64 = 65536 entries, the
+  // same ceiling MemoCap enforces).
   private val MemoCap = 1 << 16
   private val MemoMaxChars = 1L << 22
+  private val MemoEntryOverhead = 64L
   private val MemoMaxWordLen = 1 << 10
 
   /** Total BPE token count of a string's whitespace words under the
@@ -120,9 +126,9 @@ object BpeKernel {
           else {
             val c = segment(w, ma, mb).length.toLong
             if (w.length <= MemoMaxWordLen && m.counts.size < MemoCap &&
-                m.chars + w.length <= MemoMaxChars) {
+                m.chars + w.length + MemoEntryOverhead <= MemoMaxChars) {
               m.counts.put(w, java.lang.Long.valueOf(c))
-              m.chars += w.length
+              m.chars += w.length + MemoEntryOverhead
             }
             n += c
           }

@@ -836,8 +836,11 @@ object Knn {
     // 1.0 when the index recovered everything recoverable. The approx
     // side is deduped first so a caller handing a non-deduped
     // candidate list can't fan out joined truth rows and corrupt both
-    // counts.
-    exact.select(col("query_id"), col("neighbor_id"))
+    // counts. The exact projection is deduped for the same reason: a
+    // truth table with duplicate (query_id, neighbor_id) rows would
+    // fan out the join and inflate n_hits and n_exact together,
+    // silently skewing recall.
+    exact.select(col("query_id"), col("neighbor_id")).distinct()
       .join(approx.select(col("query_id"), col("neighbor_id")).distinct()
         .withColumn("_hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
@@ -1013,10 +1016,16 @@ object Knn {
       .map(_.getAs[Number](0).intValue()).sorted
     if (cells.isEmpty) return 0L
     val removed = affected.count()
+    // localCheckpoint (not persist): the write below dynamically
+    // OVERWRITES $dir/codes, the very path this frame's lineage reads.
+    // A cached plan can lose blocks (executor death) mid-commit and
+    // recompute from partially-swapped source files, persisting
+    // corrupt codes; checkpointing truncates the lineage so the write
+    // plan has no path back to the directory being replaced.
     val remaining = codes
       .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*))
       .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     try {
       val keptCells = remaining.select(col("cell_id")).distinct().collect()
         .map(_.getAs[Number](0).intValue()).toSet

@@ -78,7 +78,9 @@ object Multimodal {
     // drop them, which is also the oracle's byte-expansion semantics.
     // Oversized payloads (>= 2^27 bytes, avgHash64's exact-integer
     // bound) are skipped the same way instead of failing the whole
-    // job on one jumbo asset.
+    // job on one jumbo asset; the mm_phash oracle mirrors the bound
+    // (strlen(pay) < 134217728) so engine and replay can never
+    // silently diverge on a jumbo asset.
     val sigs = media
       .filter(octet_length(col(payloadCol)) > 0 &&
         octet_length(col(payloadCol)) < (1 << 27))

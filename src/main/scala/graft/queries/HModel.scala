@@ -231,7 +231,7 @@ object HModel {
                                      buckets: Int): String =
     lookupDirs.getOrElseUpdate((sfDir, buckets), {
       val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-        f"graft_lookup_v1_b$buckets%d_${math.abs(sfDir.hashCode)}%08x"
+        s"graft_lookup_v1_b${buckets}_${dirKey(sfDir)}"
       val spark = events.sparkSession
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -425,11 +425,22 @@ object HModel {
     */
   private val zorderDirs =
     scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Collision-free fixture-dir key for an sf path: 16 hex chars of
+    * md5 over the FULL path. A 32-bit `String.hashCode` can collide
+    * across two sf dirs (silently serving the wrong fixture) and
+    * `math.abs(Int.MinValue)` stays negative (malformed dir name) —
+    * md5 has neither failure mode.
+    */
+  private[graft] def dirKey(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
   private[graft] def ensureZorderDir(events: DataFrame,
                                      sfDir: String): String =
     zorderDirs.getOrElseUpdate(sfDir, {
       val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-        f"graft_zorder_v1_${math.abs(sfDir.hashCode)}%08x"
+        s"graft_zorder_v1_${dirKey(sfDir)}"
       val spark = events.sparkSession
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
