@@ -180,6 +180,9 @@ object SparkEntry {
     // E12 encode half: frozen tokenizer artifact, fully oracle-checked
     "text_bpe_encode" ->
       ((s, d) => Pipeline.textBpeEncode(t(s, d, "documents"))),
+    // E12 encode-to-ids: the loader-facing token-ID stream, oracle-checked
+    "text_bpe_ids" ->
+      ((s, d) => Pipeline.textBpeIds(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
     "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents"))),
@@ -2221,6 +2224,55 @@ object SparkEntry {
         |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
         |FROM documents doc LEFT JOIN tok t USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin
+    },
+    // E12 encode-to-ids: the same recursive-CTE segmentation replay,
+    // extended with the stable-vocab symbol→id CASE (ASCII base =
+    // ord(sym), merge output = 128 + FIRST producing merge index —
+    // the mergeIdMap putIfAbsent rule — else the reserved <unk> id)
+    // and a per-doc (word, symbol) ordinal walk for pos
+    "text_bpe_ids" -> {
+      require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
+        (a + b).matches("[A-Za-z0-9]+") },
+        "frozenMerges must be alphanumeric for SQL literal inlining")
+      val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+      val nm = graft.operators.Bpe.frozenMerges.length
+      val unk = graft.functions.bpe.unkId(graft.operators.Bpe.frozenMerges)
+      s"""WITH RECURSIVE mg(m, a, b) AS (VALUES $mergeVals),
+        |words AS (SELECT doc_id, wi, ws[wi::INT] AS w FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(text, '\\s+'),
+        |        x -> x <> '') AS ws
+        |    FROM documents), unnest(range(1, len(ws) + 1)) AS t(wi)),
+        |dist AS (SELECT DISTINCT w FROM words WHERE length(w) > 1),
+        |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
+        |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
+        |rec AS (
+        |  SELECT w, 0 AS m, s FROM init
+        |  UNION ALL
+        |  SELECT r.w, r.m + 1,
+        |    replace(r.s, chr(31)||mg.a||chr(31)||chr(31)||mg.b||chr(31),
+        |      chr(31)||mg.a||mg.b||chr(31))
+        |  FROM rec r JOIN mg ON mg.m = r.m),
+        |seg AS (SELECT w,
+        |    string_split(substr(s, 2, length(s) - 2), chr(31)||chr(31))
+        |      AS syms
+        |  FROM rec WHERE m = $nm),
+        |vmap AS (SELECT a || b AS tok, 128 + MIN(m) AS vid
+        |  FROM mg GROUP BY 1),
+        |wsyms AS (SELECT w.doc_id, w.wi, coalesce(s.syms, [w.w]) AS syms
+        |  FROM words w LEFT JOIN seg s ON w.w = s.w),
+        |toks AS (SELECT doc_id, wi, si, syms[si::INT] AS sym
+        |  FROM wsyms, unnest(range(1, len(syms) + 1)) AS t(si)),
+        |ids AS (SELECT t.doc_id, t.wi, t.si,
+        |  CASE WHEN length(t.sym) = 1 AND ord(t.sym) < 128 THEN ord(t.sym)
+        |       ELSE coalesce(v.vid, $unk) END AS id
+        |  FROM toks t LEFT JOIN vmap v ON v.tok = t.sym)
+        |SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1)::INT
+        |    AS pos,
+        |  id::INT AS id
+        |FROM ids ORDER BY doc_id, pos""".stripMargin
     },
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,

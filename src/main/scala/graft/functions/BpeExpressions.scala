@@ -107,6 +107,71 @@ object BpeKernel {
   private val MemoEntryOverhead = 64L
   private val MemoMaxWordLen = 1 << 10
 
+  /** Per-thread word→ids memo for [[encodeIds]] — same identity /
+    * cap / retained-size discipline as the token-count [[Memo]]
+    * (ids add 4 bytes per token, charged below).
+    */
+  private final class IdMemo {
+    var ma: Array[String] = _
+    var mb: Array[String] = _
+    var chars = 0L
+    val ids = new java.util.HashMap[String, Array[Int]]()
+  }
+  private val idMemo = new ThreadLocal[IdMemo] {
+    override def initialValue(): IdMemo = new IdMemo
+  }
+
+  /** Token-ID array of a string under the merges — the thing a
+    * training loader actually consumes. Symbol→id is the GPT-2 vocab
+    * convention: a single ASCII codepoint is its own id (base vocab
+    * 0..127), merge i's output symbol is id 128+i (first merge wins
+    * on a duplicate output), anything else (non-ASCII base symbol the
+    * frozen vocab never saw) is `unk`. Whitespace carries no id —
+    * ids concatenate across words, so `ids.length` equals
+    * [[tokenCount]] exactly (spec-pinned on the whole sf table).
+    */
+  def encodeIds(text: UTF8String, ma: Array[String], mb: Array[String],
+                idMap: java.util.HashMap[String, Integer],
+                unk: Int): ArrayData = {
+    val m = idMemo.get()
+    if (!(m.ma eq ma) || !(m.mb eq mb)) {
+      m.ma = ma; m.mb = mb; m.chars = 0L; m.ids.clear()
+    }
+    def idOf(sym: String): Int =
+      if (sym.codePointCount(0, sym.length) == 1) {
+        val cp = sym.codePointAt(0)
+        if (cp < 128) cp else unk
+      } else {
+        val v = idMap.get(sym)
+        if (v == null) unk else v.intValue
+      }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    text.toString.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        if (w.codePointCount(0, w.length) == 1) out += idOf(w)
+        else {
+          val hit = m.ids.get(w)
+          if (hit != null) { var i = 0; while (i < hit.length) { out += hit(i); i += 1 } }
+          else {
+            val syms = segment(w, ma, mb)
+            val ids = new Array[Int](syms.length)
+            var i = 0
+            while (i < syms.length) { ids(i) = idOf(syms(i)); i += 1 }
+            val charge = w.length + 2L * ids.length + MemoEntryOverhead
+            if (w.length <= MemoMaxWordLen && m.ids.size < MemoCap &&
+                m.chars + charge <= MemoMaxChars) {
+              m.ids.put(w, ids)
+              m.chars += charge
+            }
+            i = 0
+            while (i < ids.length) { out += ids(i); i += 1 }
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Total BPE token count of a string's whitespace words under the
     * merges (single-char words count 1 token each).
     */
@@ -182,6 +247,29 @@ case class BpeTokenCount(child: Expression, ma: Array[String],
     copy(child = newChild)
 }
 
+/** Token-ID array of a text under the merge-list + vocab constants
+  * ([[BpeKernel.encodeIds]]).
+  */
+case class BpeEncodeIds(child: Expression, ma: Array[String],
+                        mb: Array[String],
+                        idMap: java.util.HashMap[String, Integer],
+                        unk: Int) extends BpeStringInput {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.encodeIds(input.asInstanceOf[UTF8String], ma, mb, idMap, unk)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("bpeMa", ma, "java.lang.String[]")
+    val rb = ctx.addReferenceObj("bpeMb", mb, "java.lang.String[]")
+    val rm = ctx.addReferenceObj("bpeIds", idMap,
+      "java.util.HashMap<java.lang.String, java.lang.Integer>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeKernel.encodeIds($c, $ra, $rb, $rm, $unk)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the BPE kernels. */
 object bpe {
   def adjacentPairs(text: Column, merges: Seq[(String, String)]): Column =
@@ -190,4 +278,26 @@ object bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text),
       merges.map(_._1).toArray, merges.map(_._2).toArray))
+
+  /** Merge-output→id map (id = 128 + first merge index producing the
+    * symbol) — the non-base half of the stable vocab; shared by
+    * [[encodeIds]] and [[graft.operators.Bpe.vocab]] so the encode
+    * kernel and the persisted vocab artifact can never disagree.
+    */
+  def mergeIdMap(merges: Seq[(String, String)])
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, Integer.valueOf(128 + i))
+    }
+    m
+  }
+
+  /** The reserved unknown-symbol id: one past the merge id block. */
+  def unkId(merges: Seq[(String, String)]): Int = 128 + merges.length
+
+  def encodeIds(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeIds(ColumnBridge.expression(text),
+      merges.map(_._1).toArray, merges.map(_._2).toArray,
+      mergeIdMap(merges), unkId(merges)))
 }

@@ -262,27 +262,60 @@ object Bpe {
     }
   }
 
+  /** The STABLE VOCAB a merge list induces — the id↔token table a
+    * training loader ships next to its tokenizer.json: base ids 0..127
+    * are the ASCII codepoints (every single-ASCII-char symbol is its
+    * own id, the GPT-2 byte-level convention restricted to ASCII),
+    * merge i's output symbol is id 128+i (on a duplicate output —
+    * two merge paths CAN build the same string — the FIRST merge owns
+    * the id and later indices are dead, exactly the
+    * [[graft.functions.bpe.mergeIdMap]] rule the encode kernel
+    * applies), and one reserved `<unk>` id caps the table for
+    * out-of-vocab base symbols. Ids are dense-by-construction except
+    * dead duplicate slots, and encode/vocab share one map so they can
+    * never disagree.
+    */
+  def vocab(merges: Seq[(String, String)]): Seq[(Int, String)] = {
+    val m = graft.functions.bpe.mergeIdMap(merges)
+    val base = (0 until 128).map(cp => (cp, cp.toChar.toString))
+    val merged = merges.zipWithIndex.collect {
+      case ((a, b), i) if m.get(a + b).intValue == 128 + i =>
+        (128 + i, a + b)
+    }
+    base ++ merged :+ (graft.functions.bpe.unkId(merges), "<unk>")
+  }
+
   /** Persist a trained merge list as a tokenizer ARTIFACT — this
-    * engine's tokenizer.json: one tiny parquet of (m, left, right) in
-    * merge order. The lifecycle is the same as the persisted ANN
-    * index's (train once, save, serve everywhere): the serving path
-    * ([[tokenStats]] under [[loadMerges]]) carries the merges as plan
-    * constants and never trains.
+    * engine's tokenizer.json: `dir/merges` = (m, left, right) in merge
+    * order, `dir/vocab` = the [[vocab]] id↔token table (what a loader
+    * needs to decode ids or embed the id space). The lifecycle is the
+    * same as the persisted ANN index's (train once, save, serve
+    * everywhere): the serving path ([[tokenStats]] / encode-to-ids
+    * under [[loadMerges]]) carries the merges as plan constants and
+    * never trains.
     */
   def saveMerges(spark: org.apache.spark.sql.SparkSession,
                  merges: Seq[(String, String)], dir: String): Unit = {
     import spark.implicits._
     merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
       .toDF("m", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    vocab(merges).toDF("id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
   }
 
   /** Read a [[saveMerges]] artifact back in merge order. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  dir: String): Vector[(String, String)] =
-    spark.read.parquet(dir).orderBy(col("m")).collect()
+    spark.read.parquet(s"$dir/merges").orderBy(col("m")).collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
       .toVector
+
+  /** Read a [[saveMerges]] artifact's vocab table as an id→token map. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Map[Int, String] =
+    spark.read.parquet(s"$dir/vocab").collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[String]("token")).toMap
 
   /** Per-doc token statistics under a trained merge list: char count,
     * BPE token count (one fused kernel call per doc — zero shuffles),

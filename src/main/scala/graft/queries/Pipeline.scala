@@ -643,6 +643,26 @@ object Pipeline {
         graft.operators.Bpe.frozenMerges)
       .orderBy("doc_id")
 
+  /** E12 (encode-to-ids): the token-ID stream a training loader
+    * actually consumes — one `encode(text) → array<int>` kernel call
+    * per doc under the frozen tokenizer, exploded to
+    * (doc_id, pos, id) rows so the oracle can replay it column-wise
+    * (ids follow the stable [[graft.operators.Bpe.vocab]] convention:
+    * ASCII base 0..127, merge i → 128+i, reserved `<unk>`). The
+    * oracle extends the recursive-CTE segmentation replay with the
+    * same symbol→id CASE; docs with no words yield no rows in both
+    * engines.
+    */
+  def textBpeIds(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    documents
+      .select(col("doc_id"),
+        posexplode(graft.functions.bpe.encodeIds(col("text"),
+          graft.operators.Bpe.frozenMerges)))
+      .toDF("doc_id", "pos", "id")
+      .orderBy("doc_id", "pos")
+  }
+
   /** E11: quantized char-entropy quality signal; the integer LUT
     * literal is shared verbatim with the oracle, so neither engine
     * evaluates a log.

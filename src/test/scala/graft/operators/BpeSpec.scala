@@ -173,6 +173,57 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadMerges(spark, dir) == more.toVector)
   }
 
+  test("encodeIds: id-stream length equals tokenStats.n_bpe on the " +
+      "whole sf table, and ids round-trip to the doc's symbols") {
+    val docs = sf("documents")
+    val merges = Bpe.frozenMerges
+    // 1) size(ids) == n_bpe, every doc — the loader-facing array and
+    // the count kernel must agree exactly or packing budgets drift
+    val joined = Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"),
+        graft.functions.bpe.encodeIds(col("text"), merges).as("ids")),
+        "doc_id")
+    assert(joined.filter(size(col("ids")) =!= col("n_bpe")).count() == 0L,
+      "size(ids) must equal n_bpe for every doc")
+    // 2) decode ids through the persisted vocab and compare against
+    // the whitespace-stripped text — the round-trip a loader's
+    // detokenizer performs
+    val id2tok = Bpe.vocab(merges).toMap
+    val rows = docs.select(col("doc_id"), col("text"),
+        graft.functions.bpe.encodeIds(col("text"), merges).as("ids"))
+      .collect()
+    rows.foreach { r =>
+      val want = r.getAs[String]("text").split("\\s+")
+        .filter(_.nonEmpty).mkString("")
+      val got = r.getAs[scala.collection.Seq[Int]]("ids").map(id2tok).mkString("")
+      assert(got == want, s"doc ${r.getLong(0)}: ids must decode back " +
+        "to the concatenated word symbols")
+    }
+  }
+
+  test("encodeIds: vocab convention — ASCII base ids, merge ids " +
+      "first-wins on duplicate outputs, <unk> for out-of-vocab symbols") {
+    // (a,bc) and (ab,c) both output "abc": the FIRST merge owns the id
+    val dup = Seq(("b", "c"), ("a", "bc"), ("ab", "c"))
+    val vm = graft.functions.bpe.mergeIdMap(dup)
+    assert(vm.get("abc").intValue == 128 + 1, "first producing merge wins")
+    val voc = Bpe.vocab(dup)
+    assert(voc.count(_._2 == "abc") == 1, "vocab lists a token once")
+    assert(voc.contains((128 + 0, "bc")) && voc.contains((128 + 1, "abc")))
+    assert(voc.last == (graft.functions.bpe.unkId(dup), "<unk>"))
+    val docs = Seq((0L, "abc xé")).toDF("doc_id", "text")
+    val ids = docs.select(graft.functions.bpe.encodeIds(col("text"), dup))
+      .head().getAs[scala.collection.Seq[Int]](0)
+    // "abc" -> bc then abc (id 129); "xé" -> 'x' (120) + é (non-ASCII
+    // base symbol) -> <unk>
+    assert(ids.toSeq == Seq(129, 'x'.toInt, graft.functions.bpe.unkId(dup)),
+      s"got $ids")
+    // the artifact persists the same table encodeIds uses
+    val dir = java.nio.file.Files.createTempDirectory("bpe_voc").toString
+    Bpe.saveMerges(spark, dup, dir)
+    assert(Bpe.loadVocab(spark, dir) == voc.toMap)
+  }
+
   test("tokenStats: counts shrink as merges apply, compression grows, " +
       "empty doc is null-safe") {
     val docs = Seq((0L, "banana banana bandana"), (1L, ""))
