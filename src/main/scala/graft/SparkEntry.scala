@@ -444,6 +444,43 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
+  /** The frozen-BPE per-doc token-count replay as b-prefixed CTEs
+    * ending in `btok` (doc_id, n_bpe) — the recursive-CTE
+    * segmentation from the text_bpe_encode oracle, shared by the
+    * seq_packing / seq_spans / corpus_export oracles so packing's
+    * token units are the TOKENIZER's own counts in both engines (a
+    * doc with no words has no btok row — join with coalesce 0).
+    */
+  private def bpeTokCtes: String = {
+    require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
+      (a + b).matches("[A-Za-z0-9]+") },
+      "frozenMerges must be alphanumeric for SQL literal inlining")
+    val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+    val nm = graft.operators.Bpe.frozenMerges.length
+    s"""bmg(m, a, b) AS (VALUES $mergeVals),
+      |bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
+      |    unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |bdist AS (SELECT DISTINCT w FROM bdw WHERE length(w) > 1),
+      |binit AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
+      |    chr(31) || chr(31)) || chr(31) AS s FROM bdist),
+      |brec AS (
+      |  SELECT w, 0 AS m, s FROM binit
+      |  UNION ALL
+      |  SELECT r.w, r.m + 1,
+      |    replace(r.s, chr(31)||g.a||chr(31)||chr(31)||g.b||chr(31),
+      |      chr(31)||g.a||g.b||chr(31))
+      |  FROM brec r JOIN bmg g ON g.m = r.m),
+      |bseg AS (SELECT w,
+      |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
+      |  FROM brec WHERE m = $nm),
+      |btok AS (SELECT d.doc_id,
+      |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
+      |      AS n_bpe
+      |  FROM bdw d LEFT JOIN bseg s ON d.w = s.w GROUP BY 1)""".stripMargin
+  }
+
   /** The full C10-fuzzy curation chain as CTEs ending in `surv`
     * (survivor doc_id, lang, quality, split) — shared verbatim by the
     * corpus_curate_fuzzy oracle and the composed corpus_export oracle
@@ -1810,13 +1847,13 @@ object SparkEntry {
         |SELECT doc_id, lang, quality, split FROM surv
         |ORDER BY doc_id""".stripMargin,
     // C26: the same survivor CTEs, then packing's exclusive prefix sum
-    // and the shuffle-shard rank formula over the SURVIVOR set
+    // (in frozen-BPE token units — the bpeTokCtes replay) and the
+    // shuffle-shard rank formula over the SURVIVOR set
     "corpus_export" ->
       s"""WITH RECURSIVE $curateFuzzySurvCtes,
-        |tok AS (SELECT d.doc_id,
-        |    len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT
-        |      AS n_tokens
-        |  FROM documents d JOIN surv USING (doc_id)),
+        |$bpeTokCtes,
+        |tok AS (SELECT s.doc_id, coalesce(b.n_bpe, 0)::BIGINT AS n_tokens
+        |  FROM surv s LEFT JOIN btok b USING (doc_id)),
         |pack AS (SELECT doc_id, n_tokens,
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -1832,10 +1869,11 @@ object SparkEntry {
         |  (h.r % 8)::BIGINT AS shard, (h.r // 8)::BIGINT AS pos
         |FROM surv s JOIN pack p USING (doc_id) JOIN shuf h USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+    // C11: packing's prefix sum in frozen-BPE token units (bpeTokCtes)
     "seq_packing" ->
-      """WITH t AS (SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
-        | FROM documents),
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |t AS (SELECT d.doc_id, coalesce(b.n_bpe, 0)::BIGINT AS n_tokens
+        | FROM documents d LEFT JOIN btok b USING (doc_id)),
         |c AS (SELECT doc_id, n_tokens,
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -1846,9 +1884,9 @@ object SparkEntry {
     // C11b: the packing CTE, then one range-unnest per doc over the
     // sequences it straddles — span arithmetic mirrors the Spark side
     "seq_spans" ->
-      """WITH t AS (SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
-        | FROM documents),
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |t AS (SELECT d.doc_id, coalesce(b.n_bpe, 0)::BIGINT AS n_tokens
+        | FROM documents d LEFT JOIN btok b USING (doc_id)),
         |c AS (SELECT doc_id, n_tokens,
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -2185,46 +2223,20 @@ object SparkEntry {
     // replace of the fenced pair can only fire on exact whole-symbol
     // adjacency, and adjacent matches never share a fence), and one
     // replace per merge IS the left-to-right non-overlapping rule
-    "text_bpe_encode" -> {
-      // the artifact is inlined into single-quoted SQL literals and a
-      // chr(31)-fenced symbol encoding: a regenerated merge list must
-      // stay plain-alphanumeric (an apostrophe-bearing symbol would
-      // emit unparseable SQL; a chr(31)-bearing one would break the
-      // fences) — fail loudly at dump time, not with a wrong oracle
-      require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
-        (a + b).matches("[A-Za-z0-9]+") },
-        "frozenMerges must be alphanumeric for SQL literal inlining")
-      val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
-        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
-      val nm = graft.operators.Bpe.frozenMerges.length
-      s"""WITH RECURSIVE mg(m, a, b) AS (VALUES $mergeVals),
-        |dw AS (SELECT doc_id, w FROM (SELECT doc_id,
-        |    unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
-        |  WHERE w <> ''),
-        |dist AS (SELECT DISTINCT w FROM dw WHERE length(w) > 1),
-        |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
-        |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
-        |rec AS (
-        |  SELECT w, 0 AS m, s FROM init
-        |  UNION ALL
-        |  SELECT r.w, r.m + 1,
-        |    replace(r.s, chr(31)||mg.a||chr(31)||chr(31)||mg.b||chr(31),
-        |      chr(31)||mg.a||mg.b||chr(31))
-        |  FROM rec r JOIN mg ON mg.m = r.m),
-        |seg AS (SELECT w,
-        |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
-        |  FROM rec WHERE m = $nm),
-        |tok AS (SELECT d.doc_id,
-        |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
-        |      AS n_bpe
-        |  FROM dw d LEFT JOIN seg s ON d.w = s.w GROUP BY 1)
+    // E12 encode: the frozen-merge segmentation replay (bpeTokCtes —
+    // the artifact inlined into single-quoted SQL literals with a
+    // chr(31)-fenced symbol encoding; one replace per merge IS the
+    // left-to-right non-overlapping rule, and the require() inside
+    // bpeTokCtes fails loudly at dump time if a regenerated merge
+    // list ever stops being alphanumeric)
+    "text_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeTokCtes
         |SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
         |  coalesce(t.n_bpe, 0)::BIGINT AS n_bpe,
         |  CASE WHEN coalesce(t.n_bpe, 0) = 0 THEN NULL
         |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
-        |FROM documents doc LEFT JOIN tok t USING (doc_id)
-        |ORDER BY doc.doc_id""".stripMargin
-    },
+        |FROM documents doc LEFT JOIN btok t USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
     // E12 encode-to-ids: the same recursive-CTE segmentation replay,
     // extended with the stable-vocab symbol→id CASE (ASCII base =
     // ord(sym), merge output = 128 + FIRST producing merge index —

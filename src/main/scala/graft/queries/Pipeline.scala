@@ -13,12 +13,24 @@ object Pipeline {
 
   val EmbeddingDim = 64
 
-  /** THE whitespace token count (one definition — seq_packing,
-    * seq_spans, corpus_budget and corpus_export must agree on where
-    * token boundaries and sequence cuts fall).
+  /** THE whitespace token count — corpus_budget's cheap budget-line
+    * estimate (a mixture budget needs a fast, tokenizer-agnostic
+    * proxy).
     */
   private def wsTokenCount: org.apache.spark.sql.Column =
     size(split(trim(col("text")), "\\s+")).cast("long")
+
+  /** THE tokenizer-faithful token count — the frozen-BPE kernel count
+    * (one definition: seq_packing, seq_spans and corpus_export must
+    * agree on where token boundaries and sequence cuts fall, and it
+    * must be the count the training loader's tokenizer will actually
+    * produce, not a whitespace proxy — otherwise `offset`/`span_len`/
+    * `pos_in_doc` drift from real token units and packed sequences
+    * over/under-fill).
+    */
+  private def bpeTokenCount: org.apache.spark.sql.Column =
+    graft.functions.bpe.tokenCount(col("text"),
+      graft.operators.Bpe.frozenMerges)
 
   // ---- C. dedup --------------------------------------------------------
 
@@ -304,22 +316,31 @@ object Pipeline {
     * order and cut into 2048-token training sequences via the
     * distributed two-phase prefix sum in [[Packing.packSequences]]
     * (range partition → parallel partials → O(partitions) driver scan →
-    * parallel finish; no global single-task window).
+    * parallel finish; no global single-task window). Counts are in
+    * TOKENIZER units by default ([[bpeTokenCount]], the frozen-BPE
+    * kernel — what the training loader's tokenizer will actually
+    * produce); pass `tokenCounts=` to pack under a different counting
+    * rule.
     */
-  def seqPacking(documents: DataFrame, budget: Long = 2048L): DataFrame =
+  def seqPacking(documents: DataFrame, budget: Long = 2048L,
+                 tokenCounts: org.apache.spark.sql.Column = bpeTokenCount)
+      : DataFrame =
     Packing.packSequences(
       documents.select(col("doc_id"),
-        wsTokenCount.as("n_tokens")),
+        tokenCounts.as("n_tokens")),
       "doc_id", "n_tokens", budget)
       .orderBy("doc_id")
 
   /** C11b: the loader-facing view of seq_packing — docs straddling a
-    * 2048-token cut split into per-sequence continuation spans.
+    * 2048-token cut split into per-sequence continuation spans, in the
+    * same tokenizer units as [[seqPacking]].
     */
-  def seqSpans(documents: DataFrame, budget: Long = 2048L): DataFrame =
+  def seqSpans(documents: DataFrame, budget: Long = 2048L,
+               tokenCounts: org.apache.spark.sql.Column = bpeTokenCount)
+      : DataFrame =
     Packing.sequenceSpans(
       documents.select(col("doc_id"),
-        wsTokenCount.as("n_tokens")),
+        tokenCounts.as("n_tokens")),
       "doc_id", "n_tokens", budget)
       .orderBy("seq_id", "offset")
 
@@ -336,7 +357,9 @@ object Pipeline {
     * [[graft.operators.Sampling.exportShards]], spec-reconciled
     * against this query's token accounting.
     */
-  def corpusExport(documents: DataFrame): DataFrame = {
+  def corpusExport(documents: DataFrame,
+                   tokenCounts: org.apache.spark.sql.Column = bpeTokenCount)
+      : DataFrame = {
     // localCheckpoint, not persist: the curation subtree executes once
     // (packing/shuffle materialize their inputs at construction
     // anyway), lineage truncates for all three consumers, and the
@@ -345,7 +368,7 @@ object Pipeline {
     // lifetime (bench reruns would stack them)
     val survivors = corpusCurate(documents, fuzzy = true).localCheckpoint()
     val tokens = documents.select(col("doc_id"),
-      wsTokenCount.as("n_tokens"))
+      tokenCounts.as("n_tokens"))
     val packed = Packing.packSequences(
       survivors.select("doc_id").join(tokens, Seq("doc_id")),
       "doc_id", "n_tokens", budget = 2048L)

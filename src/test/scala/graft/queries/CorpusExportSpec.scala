@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** C26: the composed export pipeline — packing/shard invariants on the
   * query output, and full reconciliation between the query's token
   * accounting and the ACTUAL shard files [[Sampling.exportShards]]
-  * writes (doc-for-doc assignment match, whitespace-token totals, and
-  * E12 frozen-tokenizer BPE totals — the same accounting the G14
-  * streaming monitor reports).
+  * writes (doc-for-doc assignment match; packing counts in the frozen
+  * tokenizer's own units, so the packed total must equal the files'
+  * E12 BPE total exactly — the same accounting the G14 streaming
+  * monitor reports).
   */
 class CorpusExportSpec extends SparkSpec {
   import spark.implicits._
@@ -54,19 +55,16 @@ class CorpusExportSpec extends SparkSpec {
       r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSet
     assert(fileAssign == queryAssign,
       "exported shard/pos must equal the query's assignment")
-    // token accounting: the files' whitespace-token total equals the
-    // query's packed total (last start_tok + last n_tokens)
-    val exportedTok = back
-      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
-      .agg(sum("t")).head().getLong(0)
-    assert(exportedTok == acc,
-      s"exported tokens $exportedTok != packed total $acc")
-    // E12 reconciliation: BPE totals under the frozen tokenizer agree
-    // between source survivors and exported files (text preserved)
+    // token accounting: packing now counts in the frozen tokenizer's
+    // OWN units, so the packed total (sum of n_tokens) must equal the
+    // frozen-BPE total of the exported files AND of the source
+    // survivors exactly — no parallel counting rule to reconcile
     def bpeTotal(df: org.apache.spark.sql.DataFrame): Long =
       Bpe.tokenStats(df, "doc_id", "text", Bpe.frozenMerges)
         .agg(sum("n_bpe")).head().getLong(0)
-    assert(bpeTotal(back.select("doc_id", "text")) ==
-      bpeTotal(survDocs.select("doc_id", "text")))
+    assert(bpeTotal(back.select("doc_id", "text")) == acc,
+      "exported files' BPE total must equal the packed total")
+    assert(bpeTotal(survDocs.select("doc_id", "text")) == acc,
+      "source survivors' BPE total must equal the packed total")
   }
 }
