@@ -172,10 +172,11 @@ object SparkEntry {
     "text_classify" -> ((s, d) => Pipeline.textClassify(t(s, d, "documents"))),
     "text_lm_score" -> ((s, d) => Pipeline.textLmScore(t(s, d, "documents"))),
     "text_entropy" -> ((s, d) => Pipeline.textEntropy(t(s, d, "documents"))),
-    // E12: no oracleSql entry BY DESIGN — iterative BPE merge training
-    // is not reasonably SQL-expressible; the driver records a rows-only
-    // check and BpeSpec pins the trainer against a driver-side
-    // reference implementation
+    // E12: train + encode, fully oracle-checked — the training loop
+    // replays in DuckDB as a recursive CTE over the word-frequency
+    // table (per-step freq-weighted pair counts + argmax on
+    // (count DESC, pair ASC)); BpeSpec additionally pins the trainer
+    // against a driver-side reference implementation at >=1000 merges
     "text_bpe" -> ((s, d) => Pipeline.textBpe(t(s, d, "documents"))),
     // E12 encode half: frozen tokenizer artifact, fully oracle-checked
     "text_bpe_encode" ->
@@ -2223,6 +2224,65 @@ object SparkEntry {
     // replace of the fenced pair can only fire on exact whole-symbol
     // adjacency, and adjacent matches never share a fence), and one
     // replace per merge IS the left-to-right non-overlapping rule
+    // E12 train+encode: the FULL training loop replayed sequentially —
+    // the recursive `steps` CTE carries every vocab word's fenced
+    // segmentation state; each iteration computes freq-weighted
+    // overlap-included pair counts across the carried rows, picks the
+    // argmax by (count DESC, pair key ASC — ASCII keys, so VARCHAR
+    // order IS Spark's UTF-8 byte order), and applies it with the
+    // one-replace left-to-right rule. Recursion stops at pair
+    // exhaustion (the argmax subquery returns no row at count < 2) or
+    // the 1024-merge request cap, exactly like the trainer; the final
+    // step's segmentations then serve the per-doc token counts. No
+    // maxVocab truncation here: the sf vocab (~30 words) is far below
+    // the trainer's 2^21 cap, where capped and uncapped results are
+    // identical (the train() scaladoc's argument, parity-spec-pinned).
+    "text_bpe" ->
+      """WITH RECURSIVE
+        |bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |vocab AS (SELECT w, count(*)::BIGINT AS f FROM bdw
+        |  WHERE length(w) > 1 GROUP BY 1),
+        |steps AS (
+        |  SELECT 0 AS step, w, f,
+        |    chr(31) || array_to_string(string_split(w, ''),
+        |      chr(31)||chr(31)) || chr(31) AS s
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT t.step + 1, t.w, t.f,
+        |    replace(t.s, chr(31)||p.a||chr(31)||chr(31)||p.b||chr(31),
+        |      chr(31)||p.a||p.b||chr(31))
+        |  FROM steps t, (
+        |    SELECT string_split(pk, ' ')[1] AS a,
+        |           string_split(pk, ' ')[2] AS b
+        |    FROM (
+        |      SELECT pk, sum(cnt) AS c FROM (
+        |        SELECT u.f AS cnt,
+        |          syms[i::INT] || ' ' || syms[(i+1)::INT] AS pk
+        |        FROM (SELECT f,
+        |            string_split(substr(s, 2, length(s) - 2),
+        |              chr(31)||chr(31)) AS syms
+        |          FROM steps) u, unnest(range(1, len(syms))) AS t2(i)
+        |      ) q GROUP BY pk
+        |    ) agg WHERE c >= 2
+        |    ORDER BY c DESC, pk LIMIT 1
+        |  ) p
+        |  WHERE t.step < 1024
+        |),
+        |final AS (SELECT w,
+        |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
+        |  FROM steps WHERE step = (SELECT max(step) FROM steps)),
+        |tok AS (SELECT d.doc_id,
+        |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
+        |      AS n_bpe
+        |  FROM bdw d LEFT JOIN final s ON d.w = s.w GROUP BY 1)
+        |SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
+        |  coalesce(t.n_bpe, 0)::BIGINT AS n_bpe,
+        |  CASE WHEN coalesce(t.n_bpe, 0) = 0 THEN NULL
+        |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
+        |FROM documents doc LEFT JOIN tok t USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
     // E12 encode: the frozen-merge segmentation replay (bpeTokCtes —
     // the artifact inlined into single-quoted SQL literals with a
     // chr(31)-fenced symbol encoding; one replace per merge IS the
