@@ -469,11 +469,13 @@ object HModel {
     * enumerated salt prefixes. The box decomposes on the driver into
     * ≤ `maxRanges` covering Morton intervals
     * ([[graft.functions.ZOrderKernel.queryRanges]], fixed-depth quad
-    * decomposition with interval merging), each pushed as a
-    * `rowkey >= lo AND rowkey < hi` range the `graft-hfile` source
-    * prunes against its `_manifest` key ranges at plan time — so the
-    * scan opens only files whose curve segment can intersect the box,
-    * however large the fixture grows. The exact box predicate is
+    * decomposition with interval merging), pushed as ONE
+    * `(rowkey >= lo AND rowkey < hi) OR …` disjunction that the
+    * `graft-hfile` source prunes against its `_manifest` key ranges at
+    * plan time from a single scan node (one directory listing, one
+    * manifest read, whatever maxRanges is) — so the scan opens only
+    * files whose curve segment can intersect the box, however large
+    * the fixture grows. The exact box predicate is
     * re-applied on the decoded coordinates after the scan (the
     * standard residual rule — a budget-capped cover may over-cover,
     * never under-cover), then the hourly rollup aggregates per
@@ -490,12 +492,16 @@ object HModel {
     val ranges = ZOrderKernel.queryRanges(userLo, userHi, hourLo, hourHi,
       maxRanges)
     val src = spark.read.format("graft-hfile").load(dir)
-    val scanned = ranges.map { case (zs, ze) =>
+    // ONE scan carrying the whole interval set as a pushed disjunction:
+    // the source prunes files against every interval from a single
+    // (listing, manifest) read — a union of per-interval branches would
+    // cost O(maxRanges × listing) plan-time IO and a 32-armed plan
+    val rangeDisj = ranges.map { case (zs, ze) =>
       val lo = BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(zs)
       val hi = BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(ze)
-      src.filter(col("bucket") === 0 &&
-        col("rowkey") >= lit(lo) && col("rowkey") < lit(hi))
-    }.reduce(_.union(_))
+      col("rowkey") >= lit(lo) && col("rowkey") < lit(hi)
+    }.reduce(_ || _)
+    val scanned = src.filter(col("bucket") === 0 && rangeDisj)
     val z = hb.decode(expr("substring(rowkey, 3, 8)"), LongType)
     scanned
       .select(graft.functions.zo.zorderA(z).as("user_id"),

@@ -160,22 +160,36 @@ class HFileScanBuilder(path: String) extends ScanBuilder
     case _                         => false
   }
 
-  /** Accepts `bucket` equality/membership and `rowkey` comparisons for
-    * FILE pruning. Bucket filters are CONSUMED (the `bucket=N` directory
-    * name is authoritative, so directory pruning evaluates them exactly);
-    * rowkey filters come back as residuals — the source skips whole
-    * files whose key range / bloom can't match, it does not filter rows.
+  private def isRowkeyLeaf(f: Filter): Boolean = f match {
+    case GreaterThan("rowkey", _: Array[Byte])        => true
+    case GreaterThanOrEqual("rowkey", _: Array[Byte]) => true
+    case LessThan("rowkey", _: Array[Byte])           => true
+    case LessThanOrEqual("rowkey", _: Array[Byte])    => true
+    case EqualTo("rowkey", _: Array[Byte])            => true
+    case _                                            => false
+  }
+
+  /** And/Or trees over acceptable leaves prune too — the multi-range
+    * shape a Z-order box scan pushes as ONE disjunction
+    * (`(k>=a AND k<b) OR (k>=c AND k<d) OR …`), so an interval set
+    * needs one scan node and one directory listing, not one branch
+    * per interval.
+    */
+  private def acceptableTree(f: Filter): Boolean = f match {
+    case And(l, r) => acceptableTree(l) && acceptableTree(r)
+    case Or(l, r)  => acceptableTree(l) && acceptableTree(r)
+    case leaf      => isRowkeyLeaf(leaf) || isExactBucketFilter(leaf)
+  }
+
+  /** Accepts `bucket` equality/membership, `rowkey` comparisons, and
+    * And/Or trees of those, for FILE pruning. Top-level bucket filters
+    * are CONSUMED (the `bucket=N` directory name is authoritative, so
+    * directory pruning evaluates them exactly); everything else comes
+    * back as residual — the source skips whole files whose key range /
+    * bloom can't match, it does not filter rows.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case f if isExactBucketFilter(f)           => true
-      case GreaterThan("rowkey", _: Array[Byte]) => true
-      case GreaterThanOrEqual("rowkey", _: Array[Byte]) => true
-      case LessThan("rowkey", _: Array[Byte])    => true
-      case LessThanOrEqual("rowkey", _: Array[Byte]) => true
-      case EqualTo("rowkey", _: Array[Byte])     => true
-      case _                                     => false
-    }
+    pushed = filters.filter(acceptableTree)
     filters.filterNot(isExactBucketFilter)
   }
 
@@ -360,10 +374,17 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
 
   /** File survives iff every pushed predicate can match somewhere in the
     * file's [first, last] rowkey range (conservative: any doubt keeps
-    * the file).
+    * the file). And/Or trees recurse — an Or of ranges keeps the file
+    * iff ANY disjunct can match, which is exactly the multi-interval
+    * pruning a Z-order box scan needs from its single pushed
+    * disjunction.
     */
   private def mayMatch(bucket: Int, range: Option[(Array[Byte], Array[Byte])],
                        f: Filter): Boolean = f match {
+    case And(l, r) =>
+      mayMatch(bucket, range, l) && mayMatch(bucket, range, r)
+    case Or(l, r) =>
+      mayMatch(bucket, range, l) || mayMatch(bucket, range, r)
     case EqualTo("bucket", v: Int) => bucket == v
     case In("bucket", vs) => vs.exists {
       case v: Int => v == bucket
@@ -396,8 +417,10 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
       require(fs.exists(root), s"no HFiles found under $path")
       return Array.empty
     }
+    // anything touching rowkey (leaf OR tree) must see the file's key
+    // range; only rowkey-free filters may evaluate with range = None
     val (bucketFilters, rowkeyFilters) =
-      pushed.partition(_.references.contains("bucket"))
+      pushed.partition(!_.references.contains("rowkey"))
     // directory-name pruning first: costs nothing, avoids the trailer
     // reads for buckets that can't match
     val bucketSurvivors = files
@@ -483,21 +506,31 @@ class HFileScan(path: String, required: StructType, pushed: Array[Filter],
       if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b
     def minKey(a: Array[Byte], b: Array[Byte]) =
       if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
-    var lower: Option[Array[Byte]] = None
-    var upper: Option[Array[Byte]] = None
-    pushed.foreach {
-      case GreaterThan("rowkey", v: Array[Byte]) =>
-        lower = Some(lower.fold(v)(maxKey(_, v)))
-      case GreaterThanOrEqual("rowkey", v: Array[Byte]) =>
-        lower = Some(lower.fold(v)(maxKey(_, v)))
-      case LessThan("rowkey", v: Array[Byte]) =>
-        upper = Some(upper.fold(v)(minKey(_, v)))
-      case LessThanOrEqual("rowkey", v: Array[Byte]) =>
-        upper = Some(upper.fold(v)(minKey(_, v)))
-      case EqualTo("rowkey", v: Array[Byte]) =>
-        lower = Some(lower.fold(v)(maxKey(_, v)))
-        upper = Some(upper.fold(v)(minKey(_, v)))
-      case _ =>
+    // inclusive [lo, hi] envelope of rowkeys a filter can accept
+    // (None = unbounded on that side): And intersects envelopes, Or
+    // unions them — so a pushed multi-range disjunction still gives
+    // the task a tight outer seek window over all its intervals
+    def env(f: Filter): (Option[Array[Byte]], Option[Array[Byte]]) =
+      f match {
+        case And(l, r) =>
+          val (ll, lu) = env(l); val (rl, ru) = env(r)
+          ((ll ++ rl).reduceOption(maxKey), (lu ++ ru).reduceOption(minKey))
+        case Or(l, r) =>
+          val (ll, lu) = env(l); val (rl, ru) = env(r)
+          (for (a <- ll; b <- rl) yield minKey(a, b),
+            for (a <- lu; b <- ru) yield maxKey(a, b))
+        case GreaterThan("rowkey", v: Array[Byte])        => (Some(v), None)
+        case GreaterThanOrEqual("rowkey", v: Array[Byte]) => (Some(v), None)
+        case LessThan("rowkey", v: Array[Byte])           => (None, Some(v))
+        case LessThanOrEqual("rowkey", v: Array[Byte])    => (None, Some(v))
+        case EqualTo("rowkey", v: Array[Byte]) => (Some(v), Some(v))
+        case _                                 => (None, None)
+      }
+    // top-level filters are conjunctive
+    val (lower, upper) = pushed.map(env).foldLeft(
+      (Option.empty[Array[Byte]], Option.empty[Array[Byte]])) {
+      case ((lo, hi), (l, u)) =>
+        ((lo ++ l).reduceOption(maxKey), (hi ++ u).reduceOption(minKey))
     }
     new HFileReaderFactory(required, confMap, lower, upper)
   }

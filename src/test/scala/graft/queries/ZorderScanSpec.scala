@@ -77,4 +77,54 @@ class ZorderScanSpec extends SparkSpec {
     assert(tiny.size <= 2,
       s"a point-ish box should touch at most a file or two, got ${tiny.size}")
   }
+
+  test("the interval set rides ONE scan node as a pushed disjunction, " +
+      "pruning exactly the files the per-range union form opens") {
+    import graft.sources.{HFileInputPartition, HFileScan, HFileScanBuilder, HFileTable}
+    import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThanOrEqual, LessThan, Or}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val events = sf("events")
+    val dir = HModel.ensureZorderDir(events, sfDir)
+    val df = HModel.zorderRangeScan(events, sfDir, userLo = 3L, userHi = 10L)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(rels.size == 1,
+      s"the box query must plan exactly ONE graft-hfile scan, ${rels.size}")
+    assert(rels.head.scan.description().contains("Or("),
+      "the interval disjunction must reach the source as a pushed filter")
+    val onePass = rels.head.scan.asInstanceOf[HFileScan]
+      .toBatch.planInputPartitions()
+      .map(_.asInstanceOf[HFileInputPartition].file).toSet
+    // the union form: prune per interval, union the opened files
+    def filesFor(fs: Filter*): Set[String] = {
+      val sb = new HFileTable(dir)
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+        .asInstanceOf[HFileScanBuilder]
+      sb.pushFilters(fs.toArray)
+      sb.build().toBatch.planInputPartitions()
+        .map(_.asInstanceOf[HFileInputPartition].file).toSet
+    }
+    val ranges = ZOrderKernel.queryRanges(3, 10, 473500, 473599,
+      maxRanges = 32)
+    val unionForm = ranges.flatMap { case (zs, ze) =>
+      filesFor(EqualTo("bucket", 0),
+        GreaterThanOrEqual("rowkey",
+          BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(zs)),
+        LessThan("rowkey",
+          BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(ze)))
+    }.toSet
+    assert(onePass == unionForm,
+      s"single-scan pruning must equal the union form: " +
+        s"${onePass.size} vs ${unionForm.size}")
+    // and the hand-built Or tree prunes identically through pushFilters
+    val orTree = ranges.map { case (zs, ze) =>
+      And(GreaterThanOrEqual("rowkey",
+        BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(zs)),
+        LessThan("rowkey",
+          BytesCodec.encodeShort(0.toShort) ++ BytesCodec.encodeLong(ze)))
+        : Filter
+    }.reduce(Or(_, _))
+    assert(filesFor(EqualTo("bucket", 0), orTree) == unionForm)
+  }
 }
