@@ -114,7 +114,9 @@ object Dedup {
                          threshold: Double = 0.7,
                          maxBucket: Int = 1000,
                          cacheShingles: Boolean = true,
-                         broadcastBatch: Boolean = true): DataFrame = {
+                         broadcastBatch: Boolean = true,
+                         bucketIndex: Option[DataFrame] = scala.None)
+      : DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     val rpb = perms / bands
     // `broadcastBatch = true` asserts the ingest delta (keys, counts,
@@ -142,11 +144,28 @@ object Dedup {
           explode(minhashBandKeys("sig", bands, rpb)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
           col(out))
-    val index = keys(cs, "corpus_id")
-      .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
     val batchKeys = keys(bs, "batch_id")
       .select(col("band"), col("bkey"), col("batch_id")).distinct()
+    // the per-(band, key) corpus bucket table: either built in-plan
+    // from the corpus text (one minhash pass per call), or served from
+    // a [[buildLshIndex]] layout — then the corpus text is never
+    // re-hashed on batch arrival; the flat index is FILTERED to the
+    // batch's colliding keys map-side (band-partition + broadcast-key
+    // pruning) before aggregating, so the aggregation is
+    // collision-bounded, and because the filter keeps every member of
+    // a colliding bucket the maxBucket count below is still the FULL
+    // bucket membership — cap parity with the in-plan form holds
+    val index = bucketIndex match {
+      case Some(flat) =>
+        flat.join(bc(batchKeys.select(col("band"), col("bkey")).distinct()),
+            Seq("band", "bkey"))
+          .groupBy(col("band"), col("bkey"))
+          .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+      case scala.None =>
+        keys(cs, "corpus_id")
+          .groupBy(col("band"), col("bkey"))
+          .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+    }
     // the full-run cap counts BOTH sides' bucket members; replicate it
     // exactly so parity holds even on degenerate buckets
     val batchCnt = batchKeys.groupBy(col("band"), col("bkey"))
@@ -168,6 +187,94 @@ object Dedup {
           "batch_id"))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** The flat (band, bkey, corpus_id) band-key table one LSH pass
+    * produces — the row layout of the persisted index. */
+  private def lshBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, perms: Int, bands: Int): DataFrame = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    docs.select(col(idCol).as("corpus_id"),
+        shingleHashes(col(textCol), k).as("sh"))
+      .select(col("corpus_id"), txt.minhash(col("sh"), perms).as("sig"))
+      .select(col("corpus_id"),
+        explode(minhashBandKeys("sig", bands, perms / bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("corpus_id"))
+  }
+
+  /** C25 lifecycle (build): PERSIST the corpus LSH bucket index a
+    * crawl cycle maintains — the D8 posture (build once, probe every
+    * batch, append survivors) applied to incremental near-dup:
+    *
+    *   dir/params/           (k, perms, bands)     — 1 row
+    *   dir/buckets/band=B/   (bkey, corpus_id)     — flat band keys,
+    *                         one Hive partition per band
+    *
+    * The layout is FLAT rows, not pre-aggregated (band, key) → ids
+    * lists: every batch touches every band, so an aggregated layout
+    * would rewrite the whole index per append, while flat rows make
+    * append PURE file-adds (no partition rewritten, spec-pinned
+    * byte-identical) and the probe aggregates only the batch's
+    * colliding buckets. Signature params ride a sidecar so a probe or
+    * append under different (k, perms, bands) fails loudly instead of
+    * silently mixing incompatible signatures
+    * ([[graft.operators.Knn]] requireIndexDim precedent).
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+                    dir: String, k: Int = 3, perms: Int = 128,
+                    bands: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((k, perms, bands)).toDF("k", "perms", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    lshBandKeys(corpus, idCol, textCol, k, perms, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/buckets")
+  }
+
+  /** C25 lifecycle (params): read the index's signature sidecar. */
+  def lshIndexParams(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("k"), r.getAs[Int]("perms"), r.getAs[Int]("bands"))
+  }
+
+  /** C25 lifecycle (append): add a batch's surviving docs to the
+    * index under its FROZEN signature — dynamic partition APPEND of
+    * flat band-key rows; existing files are never rewritten (a pure
+    * file-add per band directory).
+    */
+  def appendToLshIndex(survivors: DataFrame, idCol: String,
+                       textCol: String, dir: String): Unit = {
+    val (k, perms, bands) =
+      lshIndexParams(survivors.sparkSession, dir)
+    lshBandKeys(survivors, idCol, textCol, k, perms, bands)
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$dir/buckets")
+  }
+
+  /** C25 lifecycle (probe): [[incrementalMinhash]] served from a
+    * [[buildLshIndex]] layout instead of re-hashing the corpus text
+    * per call — the corpus side of the plan reads ONLY the flat
+    * bucket table (filtered map-side to the batch's colliding keys)
+    * plus the candidate docs' shingles for verification; results are
+    * identical to the in-plan run by the shared body (spec-pinned).
+    * `k`/`perms`/`bands` come from the index's own sidecar.
+    */
+  def incrementalMinhashIndexed(dir: String, corpus: DataFrame,
+                                batch: DataFrame, idCol: String,
+                                textCol: String, threshold: Double = 0.7,
+                                maxBucket: Int = 1000,
+                                cacheShingles: Boolean = true,
+                                broadcastBatch: Boolean = true)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val (k, perms, bands) = lshIndexParams(spark, dir)
+    incrementalMinhash(corpus, batch, idCol, textCol, k, perms, bands,
+      threshold, maxBucket, cacheShingles, broadcastBatch,
+      bucketIndex = Some(spark.read.parquet(s"$dir/buckets")
+        .select(col("band"), col("bkey"), col("corpus_id"))))
   }
 
   /** C15: paragraph-level exact dedup — the Dolma/RefinedWeb

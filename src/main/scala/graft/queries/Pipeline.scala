@@ -65,6 +65,11 @@ object Pipeline {
   /** C25: incremental near-dup — the `doc_id % 10 == 0` slice plays
     * the incoming batch, the rest the indexed corpus (C22's split);
     * batch keys broadcast against the aggregated corpus LSH index.
+    * Built in-plan here so the oracle row is self-contained; a real
+    * crawl cycle persists the bucket table once and probes it from
+    * disk per batch via [[graft.operators.Dedup.buildLshIndex]] /
+    * [[graft.operators.Dedup.incrementalMinhashIndexed]] (results
+    * identical, spec-pinned).
     */
   def dedupFuzzyIncremental(documents: DataFrame): DataFrame = {
     val isDelta = col("doc_id") % 10 === 0

@@ -448,4 +448,56 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", maxBucket = 8)
     assert(fIncrOk.count() == 16, "within-cap bucket emits all cross pairs")
   }
+
+  test("persisted LSH index: probe-from-disk equals the in-plan C25 " +
+      "run, append is a pure file-add, and the lifecycle tracks the " +
+      "growing corpus") {
+    val docs = sf("documents")
+    val isBatch = col("doc_id") % 10 === 0
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    Dedup.buildLshIndex(corpus, "doc_id", "text", dir)
+    assert(Dedup.lshIndexParams(spark, dir) == ((3, 128, 16)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        math.round(r.getAs[Double]("jaccard") * 1e6))).toSet
+    val inPlan = rows(Dedup.incrementalMinhash(corpus, batch,
+      "doc_id", "text"))
+    val fromDisk = rows(Dedup.incrementalMinhashIndexed(dir, corpus, batch,
+      "doc_id", "text"))
+    assert(fromDisk == inPlan,
+      s"disk probe must equal the in-plan run: $fromDisk vs $inPlan")
+    assert(fromDisk.nonEmpty, "the sf batch should have near-dups")
+    // append = pure file-add: every pre-existing bucket file stays
+    // byte-identical (hash-pinned), new files only ADD
+    def bucketFiles(): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir, "buckets")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          p.toString -> h.map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    val before = bucketFiles()
+    Dedup.appendToLshIndex(batch, "doc_id", "text", dir)
+    val after = bucketFiles()
+    assert(before.forall { case (f, h) => after.get(f).contains(h) },
+      "append must never rewrite an existing bucket file")
+    assert(after.size > before.size, "append must add files")
+    // the appended index serves the grown corpus: a fresh disjoint
+    // batch probes corpus+batch exactly like the in-plan run would
+    val batch2 = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val grown = docs // corpus ∪ batch
+    val inPlan2 = rows(Dedup.incrementalMinhash(grown, batch2,
+      "doc_id", "text"))
+    val fromDisk2 = rows(Dedup.incrementalMinhashIndexed(dir, grown, batch2,
+      "doc_id", "text"))
+    assert(fromDisk2 == inPlan2)
+    assert(fromDisk2.nonEmpty)
+  }
 }
