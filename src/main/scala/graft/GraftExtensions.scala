@@ -229,6 +229,29 @@ object GraftExtensions {
             numArg(args(2), n).toLong, numArg(args(3), n).toLong, maxRanges)
           .toDF("z_start", "z_end").queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_search"),
+      info("graft_knn_index_search",
+        "graft_knn_index_search(dir, table, id_col, vec_col, k" +
+          "[, n_probe]) - probe a persisted IVFxPQ index " +
+          "(buildIvfPqIndex layout) with the table's query vectors: " +
+          "the build-once/search-many lifecycle from SQL. dim comes " +
+          "from the index's own coarse table, so the caller cannot " +
+          "drift from what was built"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_knn_index_search"
+        val dir = strArg(args(0), n)
+        val queries = spark.table(strArg(args(1), n))
+        val idCol = strArg(args(2), n)
+        val vecCol = strArg(args(3), n)
+        val k = numArg(args(4), n).toInt
+        val nProbe = if (args.length > 5) numArg(args(5), n).toInt else 5
+        val dim = spark.read.parquet(s"$dir/coarse")
+          .select(org.apache.spark.sql.functions.size(col("centroid")))
+          .head().getInt(0)
+        operators.Knn.searchIvfPqIndex(spark, dir, queries, idCol, vecCol,
+          dim, k, nProbe).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn"),
       info("graft_knn",
         "graft_knn(table, id_col, vec_col, dim, k[, max_query_id]) - " +

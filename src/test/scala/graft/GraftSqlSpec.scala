@@ -96,6 +96,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(narrow == Set(0L, 1L, 2L))
   }
 
+  test("graft_knn_index_search: SQL TVF equals searchIvfPqIndex on a " +
+      "persisted index (dim self-served from the layout)") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("sql_ivfpq").toString
+    operators.Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    emb.filter(col("vec_id") < 10)
+      .createOrReplaceTempView("knn_queries_v")
+    val viaSql = spark.sql(
+      "SELECT query_id, rank, neighbor_id FROM " +
+        s"graft_knn_index_search('$dir', 'knn_queries_v', 'vec_id', " +
+        "'embedding', 5)")
+      .collect().map(_.toString).sorted.toSeq
+    val viaScala = operators.Knn.searchIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty,
+      s"TVF must equal the operator: ${viaSql.size} vs ${viaScala.size}")
+    // n_probe is honored (narrower probe = possibly different rows,
+    // but never an error and never more than k per query)
+    val narrow = spark.sql(
+      "SELECT * FROM graft_knn_index_search(" +
+        s"'$dir', 'knn_queries_v', 'vec_id', 'embedding', 5, 1)")
+    val counts = narrow.groupBy("query_id").count()
+      .collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= 5L))
+  }
+
   test("graft_avg_hash / graft_char_entropy expression functions " +
       "match their kernels") {
     val r = spark.sql(
