@@ -60,7 +60,9 @@ object BenchScale {
     "dedup_fuzzy_incremental", "mm_phash", "text_bpe", "knn_recall",
     // round 11: frozen-tokenizer encode pass, the composed export, and
     // the Morton box scan (pruning must beat data growth, like B17's)
-    "text_bpe_encode", "corpus_export", "zorder_range_scan")
+    "text_bpe_encode", "corpus_export", "zorder_range_scan",
+    // round 12: the loader-facing token-ID stream (output grows ~100x)
+    "text_bpe_ids")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of
@@ -86,6 +88,20 @@ object BenchScale {
       // curation stage's LSH caps and unhinted anti join must absorb
       // the hot near-dup cluster inside the full composition
       "corpus_export")
+
+  /** Round 12: the suite's three highest STRUCTURAL ratio100 rows
+    * re-measured at 100x under a hot key (the 10x harness never
+    * stressed them at the scale their "structural, sub-linear" claims
+    * are about): text_pii sees every 10th customer carrying ONE name
+    * (10% identical synthesized PII docs), knn_ivf sees every 10th
+    * vector replaced by ONE vector (a 10%-of-corpus hot IVF cell +
+    * identical-distance ties), cells_extract sees every 10th order
+    * re-keyed to ONE hot o_orderkey (a hot rowkey in the global
+    * cell-sort). Compared against the query's own uniform t100 with
+    * the same `flagRatioSkew` line.
+    */
+  val skew100Queries: Seq[String] =
+    Seq("text_pii", "knn_ivf", "cells_extract")
 
   /** Flag threshold for 10x data: >15x wall is super-linear beyond what
     * fixed overhead explains (VERDICT r6 criterion). For 100x data the
@@ -157,13 +173,40 @@ object BenchScale {
         }
       }
 
+    // skewed-100x pass for the structural-ratio100 rows: hot-key x100
+    // data, baseline is the query's own uniform t100
+    val x100Skew = s"$work/x100skew"
+    val skew100Rows =
+      if (skipSkew || skip100) Seq.empty
+      else {
+        val wanted = skew100Queries.filter(n => only.forall(_.contains(n)))
+        if (wanted.isEmpty) Seq.empty
+        else {
+          ensureSkewed100(x100, x100Skew, cpus)
+          wanted.flatMap { name =>
+            val base = rows.find(_._1 == name).flatMap(_._4)
+              .orElse(Bench.forkQuery(name, x100, cpus))
+            val ts = Bench.forkQuery(name, x100Skew, cpus)
+            (base, ts) match {
+              case (Some(b), Some(s)) =>
+                Console.err.println(f"skew100 $name t100=$b%.3f " +
+                  f"tskew100=$s%.3f ratio=${s / b}%.2f")
+                Some((name, b, s))
+              case _ => failed += s"skew100:$name"; None
+            }
+          }
+        }
+      }
+
     val qJson = rows.map { case (name, a, b, c) =>
       val base = f""""$name":{"t1":$a%.4f,"t10":$b%.4f,"ratio10":${b / a}%.3f"""
       base + c.map(t => f""","t100":$t%.4f,"ratio100":${t / a}%.3f""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
-    val skewJson = skewRows.map { case (name, b, s) =>
+    val skewJson = (skewRows.map { case (name, b, s) =>
       f""""$name":{"t10":$b%.4f,"tskew10":$s%.4f,"ratio_skew":${s / b}%.3f}"""
-    }.mkString("{", ",", "}")
+    } ++ skew100Rows.map { case (name, b, s) =>
+      f""""$name@100":{"t100":$b%.4f,"tskew100":$s%.4f,"ratio_skew":${s / b}%.3f}"""
+    }).mkString("{", ",", "}")
     val maxR10 = if (rows.nonEmpty) rows.map(r => r._3 / r._2).max else 0.0
     val heavyRows = rows.filter(_._4.isDefined)
     val maxR100 =
@@ -171,7 +214,9 @@ object BenchScale {
     val flagged = (rows.filter(r => r._3 / r._2 > flagRatio10).map(_._1) ++
       heavyRows.filter(r => r._4.get / r._2 > flagRatio100).map(_._1) ++
       skewRows.filter(r => r._3 / r._2 > flagRatioSkew)
-        .map(r => s"skew:${r._1}")).distinct
+        .map(r => s"skew:${r._1}") ++
+      skew100Rows.filter(r => r._3 / r._2 > flagRatioSkew)
+        .map(r => s"skew100:${r._1}")).distinct
     val json =
       f"""{"metric":"scale_ratio","action":"noop-sink write (Bench.timeQuery)","src":"$src","factors":[10,100],"cpus":$cpus,""" +
         f""""queries":$qJson,"skew":$skewJson,""" +
@@ -236,6 +281,52 @@ object BenchScale {
     } finally spark.stop()
     done.getParentFile.mkdirs()
     new PrintWriter(done) { print("skew"); close() }
+  }
+
+  /** Skewed variant of the x100 dir for [[skew100Queries]] (once,
+    * _done marker): orders with every 10th order re-keyed to ONE hot
+    * o_orderkey, customer with every 10th row carrying ONE hot
+    * c_name, embeddings with every 10th vector replaced by ONE hot
+    * vector. Only these three tables are written — they are all the
+    * skew100 queries read.
+    */
+  private def ensureSkewed100(srcScaled: String, dst: String,
+                              cpus: String): Unit = {
+    val done = new File(dst, "_done_v1")
+    if (done.exists()) return
+    Console.err.println(s"genskew100: $srcScaled -> $dst")
+    val spark = Bench.newSession(cpus)
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = graft.Tables(spark, srcScaled, "orders")
+      val kType = orders.schema("o_orderkey").dataType
+      val hotKey = orders.agg(min(col("o_orderkey"))).head.getAs[Number](0)
+        .longValue()
+      orders.withColumn("o_orderkey",
+          when(pmod(col("o_orderkey"), lit(10)) === 0, lit(hotKey))
+            .otherwise(col("o_orderkey")).cast(kType))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$dst/orders.parquet")
+      val cust = graft.Tables(spark, srcScaled, "customer")
+      val hotName = cust.agg(min(col("c_name"))).head.getString(0)
+      cust.withColumn("c_name",
+          when(pmod(col("c_custkey"), lit(10)) === 0, lit(hotName))
+            .otherwise(col("c_name")))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$dst/customer.parquet")
+      val emb = spark.read.parquet(s"$srcScaled/embeddings.parquet")
+      val vType = emb.schema("embedding").dataType
+      val hotVec = emb.orderBy("vec_id").limit(1).select("embedding")
+        .head.getAs[scala.collection.Seq[Float]](0).toSeq
+      emb.withColumn("embedding",
+          when(pmod(col("vec_id"), lit(10)) === 0,
+            typedLit(hotVec).cast(vType))
+            .otherwise(col("embedding")))
+        .repartition(8).write.mode("overwrite")
+        .parquet(s"$dst/embeddings.parquet")
+    } finally spark.stop()
+    done.getParentFile.mkdirs()
+    new PrintWriter(done) { print("skew100"); close() }
   }
 
   /** GenData `src -> dst` at `factor`, once per machine (_done marker). */
