@@ -145,13 +145,28 @@ object BpeKernel {
         val v = idMap.get(sym)
         if (v == null) unk else v.intValue
       }
-    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    // primitive accumulator: the output row count on this path grows
+    // ~100x at bench scale, so per-token boxing (Integer + Object[]
+    // array) would dominate the kernel's own work; grow a raw int
+    // buffer and hand Spark a primitive-backed UnsafeArrayData
+    var buf = new Array[Int](64)
+    var n = 0
+    def push(id: Int): Unit = {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+      buf(n) = id; n += 1
+    }
+    def pushAll(ids: Array[Int]): Unit = {
+      if (n + ids.length > buf.length)
+        buf = java.util.Arrays.copyOf(buf,
+          math.max(buf.length << 1, n + ids.length))
+      System.arraycopy(ids, 0, buf, n, ids.length); n += ids.length
+    }
     text.toString.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        if (w.codePointCount(0, w.length) == 1) out += idOf(w)
+        if (w.codePointCount(0, w.length) == 1) push(idOf(w))
         else {
           val hit = m.ids.get(w)
-          if (hit != null) { var i = 0; while (i < hit.length) { out += hit(i); i += 1 } }
+          if (hit != null) pushAll(hit)
           else {
             val syms = segment(w, ma, mb)
             val ids = new Array[Int](syms.length)
@@ -163,13 +178,13 @@ object BpeKernel {
               m.ids.put(w, ids)
               m.chars += charge
             }
-            i = 0
-            while (i < ids.length) { out += ids(i); i += 1 }
+            pushAll(ids)
           }
         }
       }
     }
-    new GenericArrayData(out.toArray)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, n))
   }
 
   /** Total BPE token count of a string's whitespace words under the

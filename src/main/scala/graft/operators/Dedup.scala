@@ -136,15 +136,8 @@ object Dedup {
         p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else p
     }
-    val cs = shingled(corpus, "corpus_id")
     val bs = shingled(batch, "batch_id")
-    def keys(sh: DataFrame, out: String) =
-      sh.select(col(out), txt.minhash(col("sh"), perms).as("sig"))
-        .select(col(out),
-          explode(minhashBandKeys("sig", bands, rpb)).as("bk"))
-        .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
-          col(out))
-    val batchKeys = keys(bs, "batch_id")
+    val batchKeys = bandKeysOf(bs, "batch_id", perms, rpb, bands)
       .select(col("band"), col("bkey"), col("batch_id")).distinct()
     // the per-(band, key) corpus bucket table: either built in-plan
     // from the corpus text (one minhash pass per call), or served from
@@ -155,6 +148,10 @@ object Dedup {
     // collision-bounded, and because the filter keeps every member of
     // a colliding bucket the maxBucket count below is still the FULL
     // bucket membership — cap parity with the in-plan form holds
+    // the in-plan form shingles the corpus ONCE (persisted) and feeds
+    // both the band keys and the verification join; the indexed form
+    // never touches corpus text until the candidate set is known
+    lazy val cs = shingled(corpus, "corpus_id")
     val index = bucketIndex match {
       case Some(flat) =>
         flat.join(bc(batchKeys.select(col("band"), col("bkey")).distinct()),
@@ -162,7 +159,7 @@ object Dedup {
           .groupBy(col("band"), col("bkey"))
           .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
       case scala.None =>
-        keys(cs, "corpus_id")
+        bandKeysOf(cs, "corpus_id", perms, rpb, bands)
           .groupBy(col("band"), col("bkey"))
           .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
     }
@@ -180,8 +177,32 @@ object Dedup {
     // batch-bounded candidate set — history is never shuffle-joined
     // on batch arrival under the default broadcast posture — then the
     // batch payloads attach, and the shared [[withJaccard]] rule
-    // scores each pair
-    withJaccard(cs.select(col("corpus_id"), col("sh").as("pa"))
+    // scores each pair. The indexed form shingles ONLY the candidate
+    // docs (corpus rows are pruned by a broadcast right-outer join
+    // BEFORE the shingle kernel runs), so a probe's corpus-side CPU is
+    // bounded by the batch's collision set — the cost posture the
+    // persisted index exists for; a candidate id the passed corpus df
+    // no longer covers (index/corpus drift, e.g. probing an appended
+    // index with a pre-append corpus snapshot) raises in-plan instead
+    // of silently dropping the pair.
+    val verifySh = bucketIndex match {
+      case Some(_) =>
+        val candIds = cand.select(col("corpus_id")).distinct()
+        val candDocs = corpus
+          .select(col(idCol).as("corpus_id"), col(textCol).as("_vtext"),
+            lit(true).as("_present"))
+          .join(bc(candIds), Seq("corpus_id"), "right")
+          .select(col("corpus_id").as(idCol),
+            when(col("_present").isNull, raise_error(concat(
+              lit("LSH index corpus_id "), col("corpus_id").cast("string"),
+              lit(" is absent from the passed corpus DataFrame — index " +
+                "and corpus have drifted (probe with the corpus the " +
+                "index was built/appended from)"))))
+              .otherwise(col("_vtext")).as(textCol))
+        shingled(candDocs, "corpus_id")
+      case scala.None => cs
+    }
+    withJaccard(verifySh.select(col("corpus_id"), col("sh").as("pa"))
         .join(bc(cand), "corpus_id")
         .join(bc(bs.select(col("batch_id"), col("sh").as("pb"))),
           "batch_id"))
@@ -189,18 +210,30 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Band keys of a shingled `(out, sh)` projection: minhash signature
+    * → banded slices → one (band, bkey, out) row per band. The ONE
+    * body behind the in-plan corpus index, the batch probe keys, and
+    * the persisted [[buildLshIndex]] layout — any drift between those
+    * three makes persisted buckets silently stop colliding with probe
+    * keys, so they all call here.
+    */
+  private def bandKeysOf(sh: DataFrame, out: String, perms: Int,
+                         rpb: Int, bands: Int): DataFrame =
+    sh.select(col(out), txt.minhash(col("sh"), perms).as("sig"))
+      .select(col(out),
+        explode(minhashBandKeys("sig", bands, rpb)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col(out))
+
   /** The flat (band, bkey, corpus_id) band-key table one LSH pass
     * produces — the row layout of the persisted index. */
   private def lshBandKeys(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
-    docs.select(col(idCol).as("corpus_id"),
-        shingleHashes(col(textCol), k).as("sh"))
-      .select(col("corpus_id"), txt.minhash(col("sh"), perms).as("sig"))
-      .select(col("corpus_id"),
-        explode(minhashBandKeys("sig", bands, perms / bands)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
-        col("corpus_id"))
+    bandKeysOf(
+      docs.select(col(idCol).as("corpus_id"),
+        shingleHashes(col(textCol), k).as("sh")),
+      "corpus_id", perms, perms / bands, bands)
   }
 
   /** C25 lifecycle (build): PERSIST the corpus LSH bucket index a

@@ -1022,6 +1022,14 @@ object Knn {
     // recompute from partially-swapped source files, persisting
     // corrupt codes; checkpointing truncates the lineage so the write
     // plan has no path back to the directory being replaced.
+    // Dataset.unpersist only releases CacheManager entries and never
+    // touches the RDD-level blocks a localCheckpoint pins, so snapshot
+    // the persistent-RDD set and free exactly the checkpoint's blocks
+    // in the finally below — otherwise every purge leaks a
+    // cells-sized block set until RDD GC. (Assumes no concurrent
+    // persist in this session between the snapshot and the diff — the
+    // single-writer posture this maintenance API already requires.)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val remaining = codes
       .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*))
       .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
@@ -1046,7 +1054,11 @@ object Knn {
       cells.filterNot(keptCells).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"cell_id=$c"), true)
       }
-    } finally remaining.unpersist(blocking = false)
+    } finally {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet diff persistedBefore)
+        .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    }
     removed
   }
 

@@ -499,5 +499,20 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text"))
     assert(fromDisk2 == inPlan2)
     assert(fromDisk2.nonEmpty)
+    // index/corpus drift is LOUD: probing with a corpus snapshot that
+    // lacks a doc the index surfaces as a candidate must raise, not
+    // silently drop the pairs whose shingles the stale corpus can't
+    // serve (drop a KNOWN candidate so the guard provably fires)
+    val missingId = fromDisk2.head._2
+    val stale = grown.filter(col("doc_id") =!= missingId)
+    val drift = intercept[Exception] {
+      Dedup.incrementalMinhashIndexed(dir, stale, batch2,
+        "doc_id", "text").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(drift).contains("absent from the passed corpus"),
+      s"expected the drift guard, got: ${rootMsg(drift).take(400)}")
   }
 }
