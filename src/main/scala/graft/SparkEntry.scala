@@ -128,6 +128,10 @@ object SparkEntry {
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "corpus_shuffle" -> ((s, d) =>
       Pipeline.corpusShuffle(t(s, d, "documents"))),
+    "corpus_interleave" -> ((s, d) =>
+      Pipeline.corpusInterleave(t(s, d, "documents"))),
+    "corpus_shard_stats" -> ((s, d) =>
+      Pipeline.corpusShardStats(t(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       Pipeline.sampleStratified(t(s, d, "documents"))),
     "graph_components" -> ((s, d) =>
@@ -137,11 +141,14 @@ object SparkEntry {
       Pipeline.corpusCurate(t(s, d, "documents"), fuzzy = true)),
     "seq_packing" -> ((s, d) => Pipeline.seqPacking(t(s, d, "documents"))),
     "seq_spans" -> ((s, d) => Pipeline.seqSpans(t(s, d, "documents"))),
+    "corpus_chunk" ->
+      ((s, d) => Pipeline.corpusChunk(t(s, d, "documents"))),
     "corpus_export" -> ((s, d) =>
       Pipeline.corpusExport(t(s, d, "documents"))),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
+    "knn_range" -> ((s, d) => Pipeline.knnRange(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
     "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
@@ -445,6 +452,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
+  /** The frozen merge list as guarded SQL VALUES rows `(i,'a','b')`.
+    * The require is the SQL-injection/parse guard for literal
+    * inlining — ONE copy, shared by [[bpeTokCtes]] and the
+    * text_bpe_ids oracle, so a tightened safety rule can never fix one
+    * call site and leave the other emitting unguarded literals.
+    */
+  private def frozenMergeSqlValues: String = {
+    require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
+      (a + b).matches("[A-Za-z0-9]+") },
+      "frozenMerges must be alphanumeric for SQL literal inlining")
+    graft.operators.Bpe.frozenMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+  }
+
   /** The frozen-BPE per-doc token-count replay as b-prefixed CTEs
     * ending in `btok` (doc_id, n_bpe) — the recursive-CTE
     * segmentation from the text_bpe_encode oracle, shared by the
@@ -453,11 +474,7 @@ object SparkEntry {
     * doc with no words has no btok row — join with coalesce 0).
     */
   private def bpeTokCtes: String = {
-    require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
-      (a + b).matches("[A-Za-z0-9]+") },
-      "frozenMerges must be alphanumeric for SQL literal inlining")
-    val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
-      .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+    val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
     s"""bmg(m, a, b) AS (VALUES $mergeVals),
       |bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
@@ -480,6 +497,57 @@ object SparkEntry {
       |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
       |      AS n_bpe
       |  FROM bdw d LEFT JOIN bseg s ON d.w = s.w GROUP BY 1)""".stripMargin
+  }
+
+  /** The frozen-BPE per-doc token-ID stream as CTEs ending in
+    * `bids(doc_id, pos, id)` — the recursive-CTE segmentation replay
+    * extended with the stable-vocab symbol→id CASE (ASCII base =
+    * ord(sym), merge output = 128 + FIRST producing merge index — the
+    * mergeIdMap putIfAbsent rule — else the reserved `<unk>` id) and a
+    * per-doc (word, symbol) ordinal walk for pos. Shared by the
+    * text_bpe_ids and corpus_chunk oracles so the chunker's windows
+    * are sliced from the SAME replayed id stream the encode oracle
+    * checks.
+    */
+  private def bpeIdsCtes: String = {
+    val mergeVals = frozenMergeSqlValues
+    val nm = graft.operators.Bpe.frozenMerges.length
+    val unk = graft.functions.bpe.unkId(graft.operators.Bpe.frozenMerges)
+    s"""mg(m, a, b) AS (VALUES $mergeVals),
+      |words AS (SELECT doc_id, wi, ws[wi::INT] AS w FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split_regex(text, '\\s+'),
+      |        x -> x <> '') AS ws
+      |    FROM documents), unnest(range(1, len(ws) + 1)) AS t(wi)),
+      |dist AS (SELECT DISTINCT w FROM words WHERE length(w) > 1),
+      |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
+      |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
+      |rec AS (
+      |  SELECT w, 0 AS m, s FROM init
+      |  UNION ALL
+      |  SELECT r.w, r.m + 1,
+      |    replace(r.s, chr(31)||mg.a||chr(31)||chr(31)||mg.b||chr(31),
+      |      chr(31)||mg.a||mg.b||chr(31))
+      |  FROM rec r JOIN mg ON mg.m = r.m),
+      |seg AS (SELECT w,
+      |    string_split(substr(s, 2, length(s) - 2), chr(31)||chr(31))
+      |      AS syms
+      |  FROM rec WHERE m = $nm),
+      |vmap AS (SELECT a || b AS tok, 128 + MIN(m) AS vid
+      |  FROM mg GROUP BY 1),
+      |wsyms AS (SELECT w.doc_id, w.wi, coalesce(s.syms, [w.w]) AS syms
+      |  FROM words w LEFT JOIN seg s ON w.w = s.w),
+      |toks AS (SELECT doc_id, wi, si, syms[si::INT] AS sym
+      |  FROM wsyms, unnest(range(1, len(syms) + 1)) AS t(si)),
+      |rawids AS (SELECT t.doc_id, t.wi, t.si,
+      |  CASE WHEN length(t.sym) = 1 AND ord(t.sym) < 128 THEN ord(t.sym)
+      |       ELSE coalesce(v.vid, $unk) END AS id
+      |  FROM toks t LEFT JOIN vmap v ON v.tok = t.sym),
+      |bids AS (SELECT doc_id,
+      |  (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1)::INT
+      |    AS pos,
+      |  id::INT AS id
+      |FROM rawids)""".stripMargin
   }
 
   /** The full C10-fuzzy curation chain as CTEs ending in `surv`
@@ -1204,6 +1272,47 @@ object SparkEntry {
         |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
         |FROM sel WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7
         |ORDER BY batch_id, corpus_id""".stripMargin,
+    // C29: C19's rank replay + the frozen-BPE token-count CTE, rolled
+    // up per shard; order_checksum pins the exact (doc -> position)
+    // assignment (DuckDB SUM(BIGINT) is HUGEINT -- cast back)
+    "corpus_shard_stats" ->
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY substr(md5(doc_id::VARCHAR || ':42'), 1, 4), doc_id)
+        |      - 1 AS r
+        |  FROM documents),
+        |a AS (SELECT r.doc_id, (r.r % 8)::BIGINT AS shard,
+        |    (r.r // 8)::BIGINT AS pos,
+        |    coalesce(b.n_bpe, 0)::BIGINT AS nt
+        |  FROM r LEFT JOIN btok b USING (doc_id))
+        |SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens,
+        |  MIN(pos)::BIGINT AS min_pos, MAX(pos)::BIGINT AS max_pos,
+        |  SUM(doc_id * (pos + 1))::BIGINT AS order_checksum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // C28: the NAIVE double-window replay of the interleave schedule —
+    // rank within source over the salted key, exact-rational position
+    // key (2r-1)*(L/w) with L = lcm(3,2,1) = 6, then the global rank
+    // the engine computes in closed form (ties across sources broken
+    // by source name; same-source ties are impossible)
+    "corpus_interleave" -> {
+      val wts = (0 until 20).map(i =>
+        s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
+      s"""WITH wts(source, w) AS (VALUES $wts),
+        |keyed AS (SELECT d.doc_id, d.source, w.w,
+        |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
+        |  FROM documents d JOIN wts w ON d.source = w.source),
+        |r AS (SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY source ORDER BY k4, doc_id)
+        |      AS r
+        |  FROM keyed),
+        |k AS (SELECT doc_id, source,
+        |    (2 * r - 1)::BIGINT * (6 // w) AS key FROM r)
+        |SELECT (row_number() OVER (ORDER BY key, source, doc_id) - 1)::BIGINT
+        |    AS ord,
+        |  doc_id, source
+        |FROM k ORDER BY ord""".stripMargin
+    },
     "corpus_mix" -> {
       val wts = (0 until 20).map(i =>
         s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
@@ -1902,6 +2011,27 @@ object SparkEntry {
         |    - greatest(start_tok, seq_id * 2048) AS span_len,
         |  greatest(start_tok, seq_id * 2048) - start_tok AS pos_in_doc
         |FROM s ORDER BY 1, 3""".stripMargin,
+    // C27: the replayed token-ID stream (bpeIdsCtes, shared with
+    // text_bpe_ids), then per-doc window starts every 6 tokens and a
+    // range join slicing each 8-token window; id_wsum replays the
+    // order-sensitive Σ (1-based pos in chunk) · id checksum, so the
+    // window CONTENT is checked, not just its shape
+    "corpus_chunk" ->
+      s"""WITH RECURSIVE $bpeIdsCtes,
+        |cnum AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM bids GROUP BY doc_id),
+        |cstart AS (SELECT doc_id, ts AS tok_start
+        |  FROM cnum, unnest(range(0, n, 6)) AS t(ts)),
+        |cj AS (SELECT s.doc_id, s.tok_start, b.pos, b.id
+        |  FROM cstart s JOIN bids b ON b.doc_id = s.doc_id
+        |    AND b.pos >= s.tok_start AND b.pos < s.tok_start + 8)
+        |SELECT doc_id, (tok_start // 6)::INT AS chunk_idx,
+        |  tok_start::INT AS tok_start, COUNT(*)::INT AS n_tok,
+        |  arg_min(id, pos)::INT AS first_id,
+        |  arg_max(id, pos)::INT AS last_id,
+        |  SUM((pos - tok_start + 1)::BIGINT * id)::BIGINT AS id_wsum
+        |FROM cj GROUP BY doc_id, tok_start
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE
         |pairs AS (
@@ -1932,6 +2062,21 @@ object SparkEntry {
         |    AS rank FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D10: the same cosine replay, thresholded instead of ranked (the
+    // filter runs on the UNROUNDED value, as on the Spark side)
+    "knn_range" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> qe[i]::DOUBLE * embedding[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS c
+        | FROM q, embeddings WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, round(c, 6) AS cosine
+        |FROM d WHERE c >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -2302,50 +2447,10 @@ object SparkEntry {
     // ord(sym), merge output = 128 + FIRST producing merge index —
     // the mergeIdMap putIfAbsent rule — else the reserved <unk> id)
     // and a per-doc (word, symbol) ordinal walk for pos
-    "text_bpe_ids" -> {
-      require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
-        (a + b).matches("[A-Za-z0-9]+") },
-        "frozenMerges must be alphanumeric for SQL literal inlining")
-      val mergeVals = graft.operators.Bpe.frozenMerges.zipWithIndex
-        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
-      val nm = graft.operators.Bpe.frozenMerges.length
-      val unk = graft.functions.bpe.unkId(graft.operators.Bpe.frozenMerges)
-      s"""WITH RECURSIVE mg(m, a, b) AS (VALUES $mergeVals),
-        |words AS (SELECT doc_id, wi, ws[wi::INT] AS w FROM (
-        |    SELECT doc_id,
-        |      list_filter(string_split_regex(text, '\\s+'),
-        |        x -> x <> '') AS ws
-        |    FROM documents), unnest(range(1, len(ws) + 1)) AS t(wi)),
-        |dist AS (SELECT DISTINCT w FROM words WHERE length(w) > 1),
-        |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
-        |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
-        |rec AS (
-        |  SELECT w, 0 AS m, s FROM init
-        |  UNION ALL
-        |  SELECT r.w, r.m + 1,
-        |    replace(r.s, chr(31)||mg.a||chr(31)||chr(31)||mg.b||chr(31),
-        |      chr(31)||mg.a||mg.b||chr(31))
-        |  FROM rec r JOIN mg ON mg.m = r.m),
-        |seg AS (SELECT w,
-        |    string_split(substr(s, 2, length(s) - 2), chr(31)||chr(31))
-        |      AS syms
-        |  FROM rec WHERE m = $nm),
-        |vmap AS (SELECT a || b AS tok, 128 + MIN(m) AS vid
-        |  FROM mg GROUP BY 1),
-        |wsyms AS (SELECT w.doc_id, w.wi, coalesce(s.syms, [w.w]) AS syms
-        |  FROM words w LEFT JOIN seg s ON w.w = s.w),
-        |toks AS (SELECT doc_id, wi, si, syms[si::INT] AS sym
-        |  FROM wsyms, unnest(range(1, len(syms) + 1)) AS t(si)),
-        |ids AS (SELECT t.doc_id, t.wi, t.si,
-        |  CASE WHEN length(t.sym) = 1 AND ord(t.sym) < 128 THEN ord(t.sym)
-        |       ELSE coalesce(v.vid, $unk) END AS id
-        |  FROM toks t LEFT JOIN vmap v ON v.tok = t.sym)
-        |SELECT doc_id,
-        |  (row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1)::INT
-        |    AS pos,
-        |  id::INT AS id
-        |FROM ids ORDER BY doc_id, pos""".stripMargin
-    },
+    "text_bpe_ids" ->
+      s"""WITH RECURSIVE $bpeIdsCtes
+        |SELECT doc_id, pos, id FROM bids
+        |ORDER BY doc_id, pos""".stripMargin,
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

@@ -54,6 +54,30 @@ object Knn {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** D10: radius (range) search — ALL corpus vectors within cosine ≥
+    * `tau` of each query, unbounded by k (the other half of the ANN
+    * API surface: top-k answers "the best few", radius answers
+    * "everything this similar" — candidate generation for clustering,
+    * near-dup audits, recall denominators). Entirely MAP-SIDE: queries
+    * broadcast, the fused cosine kernel scores each (corpus × query)
+    * pair inside the scan's stage and the threshold filters there too
+    * — the per-query window top-k pays never runs, so the plan has NO
+    * shuffle at all and scales with scan bandwidth × |queries|. Output
+    * size is data-dependent (that is the point of radius search);
+    * callers bound it with `tau`, not a cap.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, tau: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .filter(col("cosine") >= tau)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH ANN: corpus and queries are bucketed by
     * `bands` independent sign-bit keys; a candidate is any corpus
     * vector sharing ≥1 bucket with the query; exact cosine re-ranks

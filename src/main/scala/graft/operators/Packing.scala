@@ -103,4 +103,51 @@ object Packing {
         (col("_send") - col("_sstart")).as("span_len"),
         (col("_sstart") - col("start_tok")).as("pos_in_doc"))
   }
+
+  /** C27: token-window chunking — the sliding-window slicing pass a
+    * RAG indexer or long-context curriculum uses: each document's
+    * token-ID array is cut into windows of `chunkTok` tokens starting
+    * every `stride` tokens (stride < chunkTok ⇒ overlapping windows;
+    * stride == chunkTok ⇒ a partition). Every token position is
+    * covered, the first window starts at 0, and the tail window may be
+    * shorter than `chunkTok` (standard sliding-window semantics — a
+    * short tail is kept, never padded or dropped). A document with an
+    * empty id array emits nothing.
+    *
+    * Output: (idCol, chunk_idx, tok_start, n_tok, first_id, last_id,
+    * id_wsum, chunk) — `chunk` is the window's id slice;
+    * `id_wsum = Σ (1-based pos in chunk) · id` is the order-sensitive
+    * integer checksum the oracle replays so chunk CONTENT (not just
+    * shape) is cross-engine-checked without hashing arrays.
+    *
+    * Plan shape: map-only — one `explode(sequence)` per doc (fanout
+    * `ceil(n/stride)`, output-proportional) and per-chunk `slice` /
+    * array folds; NO shuffle anywhere, so the operator scales with
+    * scan bandwidth alone and inherits the source's partitioning — at
+    * 100 TB it is exactly as parallel as the parquet scan feeding it.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, idsCol: String,
+                  chunkTok: Int, stride: Int): DataFrame = {
+    require(chunkTok > 0, s"chunkTok must be positive, got $chunkTok")
+    require(stride > 0 && stride <= chunkTok,
+      s"stride must be in [1, chunkTok], got $stride (chunkTok=$chunkTok)")
+    df.select(col(idCol), col(idsCol).as("_ids"))
+      .withColumn("_n", size(col("_ids")))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_ids"),
+        explode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as("tok_start"))
+      .withColumn("chunk",
+        slice(col("_ids"), col("tok_start") + 1, lit(chunkTok)))
+      .select(col(idCol),
+        expr(s"CAST(tok_start DIV $stride AS INT)").as("chunk_idx"),
+        col("tok_start").cast("int").as("tok_start"),
+        size(col("chunk")).as("n_tok"),
+        element_at(col("chunk"), 1).as("first_id"),
+        element_at(col("chunk"), -1).as("last_id"),
+        expr("aggregate(zip_with(chunk, sequence(1, size(chunk)), " +
+          "(x, i) -> CAST(x AS BIGINT) * i), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)").as("id_wsum"),
+        col("chunk"))
+  }
 }

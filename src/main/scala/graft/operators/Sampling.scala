@@ -299,6 +299,98 @@ object Sampling {
       col(weightCol))
   }
 
+  /** C28: deterministic proportional interleave — the training-order
+    * SCHEDULE a loader consumes, where [[mixBySource]] decides WHAT is
+    * in the mixture and this decides in WHICH ORDER it streams: at any
+    * prefix of the output, each stratum's share of rows tracks its
+    * weight (the Megatron-style stride schedule), with every stratum's
+    * own rows in deterministic pseudorandom ([[hashKey]]) order.
+    * Returns `(ord, idCol, strataCol)` — `ord` is the 0-based global
+    * training position; rows whose stratum has no weight are dropped
+    * (the [[mixBySource]] contract).
+    *
+    * The schedule is exact integer arithmetic: stratum s with weight w
+    * places its r-th row (1-based) at rational position (2r−1)/(2w) —
+    * scaled by L = lcm(weights) to the integer key K = (2r−1)·(L/w),
+    * totally ordered by (K, stratum). Same-stratum keys are strictly
+    * increasing, so ties only occur ACROSS strata and are broken by
+    * stratum name — both engines replay the order bit-for-bit.
+    *
+    * Scale shape (the reason this is not two global windows): the
+    * naive form is rank-within-stratum + a SECOND global rank over K —
+    * two total-order shuffles. Here only the first rank runs (the
+    * two-phase distributed scan: range partition, per-(partition,
+    * stratum) counts — O(partitions × strata) driver rows — broadcast
+    * offsets, per-partition window). The global position is then a
+    * CLOSED FORM, computed map-side: ord = Σ over strata s' of
+    * #{r' ≤ n_s' : K_s'(r') < K} (+1 for an equal key in a
+    * lexicographically-smaller stratum), since #odd multiples below a
+    * bound is one integer division. The second total-order exchange —
+    * the one that would re-shuffle the corpus at 100 TB — never runs.
+    */
+  def interleaveOrder(df: DataFrame, idCol: String, strataCol: String,
+                      weights: Seq[(String, Int)], seed: Long = 42L,
+                      numPartitions: Int = 0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate stratum in weights")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = weights.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    // key = (2r-1)·(L/w) stays far below 2^63 for any real corpus as
+    // long as L is bounded; 2^20 allows e.g. per-mille weight grids
+    require(L <= (1L << 20), s"lcm of weights too large: $L")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+    val wdf = broadcast(
+      weights.map { case (s, w) => (s, L / w) }.toDF("_s", "_m"))
+    val keyed = df.select(col(strataCol).as("_s"), col(idCol),
+        hashKey(col(idCol), seed).as("_k"))
+      .join(wdf, "_s")
+      .repartitionByRange(n, col("_s"), col("_k"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin partitioning: counts and window must agree
+    val cnts = keyed.groupBy("_pid", "_s").agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getAs[Int]("_pid"), r.getAs[String]("_s"),
+        r.getAs[Long]("_c")))
+    val nPerStratum: Map[String, Long] =
+      cnts.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val offsets: Seq[(String, Long)] = cnts.groupBy(_._2).toSeq.flatMap {
+      case (s, rs) =>
+        val sorted = rs.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).init)
+          .map { case (p, o) => (s"$p|$s", o) }
+    }
+    val offExpr = element_at(
+      map(offsets.flatMap { case (k, o) => Seq(lit(k), lit(o)) }: _*),
+      concat(col("_pid").cast("string"), lit("|"), col("_s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"), col("_s")).orderBy(col("_k"), col(idCol))
+    val ranked = keyed
+      .withColumn("_r", offExpr + row_number().over(w)) // 1-based in-stratum
+      .withColumn("_K", (lit(2L) * col("_r") - lit(1L)) * col("_m"))
+    // ord = rows strictly before (K, stratum): per stratum s', the odd
+    // multiples of m' below K are (((K-1) DIV m') + 1) DIV 2, capped at
+    // n_s'; an exact key tie counts iff s' sorts before this stratum
+    val terms = weights.map { case (s2, w2) =>
+      val m2 = L / w2
+      val n2 = nPerStratum.getOrElse(s2, 0L)
+      val sLit = s2.replace("'", "''")
+      s"""(least(${n2}L, (((_K - 1) DIV ${m2}L) + 1) DIV 2) +
+         | (CASE WHEN _s > '$sLit' AND _K % ${m2}L = 0
+         |   AND (_K DIV ${m2}L) % 2 = 1
+         |   AND ((_K DIV ${m2}L) + 1) DIV 2 <= ${n2}L
+         |  THEN 1L ELSE 0L END))""".stripMargin
+    }
+    ranked
+      .withColumn("ord", expr(terms.mkString("", " + ", "")))
+      .select(col("ord"), col(idCol), col("_s").as(strataCol))
+  }
+
   def exportShards(df: DataFrame, idCol: String, outDir: String,
                    shards: Int, seed: Long = 42L): Unit = {
     // the assignment join introduces `shard` and `pos`: if the input

@@ -239,6 +239,43 @@ object Pipeline {
     Sampling.shuffleShard(documents, "doc_id", shards = 8, seed = 42L)
       .orderBy("doc_id")
 
+  /** C29: the shard MANIFEST a training loader validates against —
+    * per-shard document count, frozen-BPE token total (the loader's
+    * own units, E12's kernel), the position range, and an
+    * order-sensitive checksum `order_checksum = Σ doc_id·(pos+1)` that
+    * pins the exact (doc → position) assignment, not just shard
+    * membership. One C19 rank + one partial-agg shuffle over 8 groups;
+    * the balanced-deal invariants (sizes differ by ≤1, positions tile
+    * 0..n_docs−1 gaplessly) become assertable numbers: min_pos = 0 and
+    * max_pos = n_docs − 1 in every row.
+    */
+  def corpusShardStats(documents: DataFrame): DataFrame =
+    Sampling.shuffleShard(documents, "doc_id", shards = 8, seed = 42L)
+      .join(documents.select(col("doc_id"), bpeTokenCount.as("_nt")),
+        Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"),
+        sum(col("doc_id") * (col("pos") + lit(1L))).as("order_checksum"))
+      .orderBy("shard")
+
+  /** C28: deterministic proportional interleave — the 3:2:1 mixture of
+    * [[corpusMix]] expressed as a training-order SCHEDULE: every doc
+    * gets a 0-based global position such that any prefix of the stream
+    * holds sources in ~3:2:1 proportion, pseudorandomly shuffled
+    * within each source ([[Sampling.interleaveOrder]]: ONE in-stratum
+    * two-phase rank + a map-side closed form — the second global
+    * exchange the naive double-window form pays never runs).
+    */
+  def corpusInterleave(documents: DataFrame): DataFrame = {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1))
+    Sampling.interleaveOrder(documents, "doc_id", "source", weights,
+        seed = 42L)
+      .orderBy("ord")
+  }
+
   /** C13: domain-mixture sampling — sources src0-4:src5-9:src10-19
     * targeted at 3:2:1 per-document proportions; the binding domain
     * caps the total and every source is deterministically downsampled
@@ -349,6 +386,27 @@ object Pipeline {
       "doc_id", "n_tokens", budget)
       .orderBy("seq_id", "offset")
 
+  /** C27: token-window chunking in FROZEN-BPE id units — each doc's
+    * [[graft.functions.bpe.encodeIds]] stream cut into overlapping
+    * `chunkTok`-token windows every `stride` tokens
+    * ([[Packing.tokenChunks]], a map-only plan: no shuffle). The
+    * fixture sizes (8/6) give the sf corpus' ~125-token docs ~20
+    * overlapping windows each, so multi-chunk paths are exercised
+    * densely; a real RAG indexer passes e.g. (512, 384). The query emits the scalar
+    * chunk summary (shape + order-sensitive id_wsum content check) —
+    * the `chunk` id arrays themselves stay engine-side (spec-checked
+    * against driver-recomputed slices).
+    */
+  def corpusChunk(documents: DataFrame, chunkTok: Int = 8,
+                  stride: Int = 6): DataFrame =
+    Packing.tokenChunks(
+      documents.select(col("doc_id"),
+        graft.functions.bpe.encodeIds(col("text"),
+          graft.operators.Bpe.frozenMerges).as("ids")),
+      "doc_id", "ids", chunkTok, stride)
+      .drop("chunk")
+      .orderBy("doc_id", "chunk_idx")
+
   /** C26: the composed export pipeline a training-data run actually
     * ships — fuzzy curation (C10) → token counting → sequence packing
     * (C11) over the survivor stream → deterministic shuffle-shard
@@ -415,6 +473,17 @@ object Pipeline {
     Knn.bruteForce(embeddings, querySet(embeddings), "vec_id", "embedding", k = 5)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
+
+  /** D10: radius search — every corpus vector with cosine ≥ 0.3 of
+    * each query (the synthetic corpus' max cosine is ~0.5, so 0.3
+    * returns a meaningful, bounded set). Shuffle-free plan: broadcast
+    * queries, fused kernel, threshold in the scan stage.
+    */
+  def knnRange(embeddings: DataFrame): DataFrame =
+    Knn.rangeSearch(embeddings, querySet(embeddings), "vec_id",
+        "embedding", tau = 0.3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "neighbor_id")
 
   /** D2: hyperplane-LSH ANN, same queries (recall vs D1 ≥ 0.5 in the
     * spec; 32 bands × 6 planes measures 0.88 at sf0.001, 0.90 at

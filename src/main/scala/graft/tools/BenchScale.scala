@@ -61,8 +61,13 @@ object BenchScale {
     // round 11: frozen-tokenizer encode pass, the composed export, and
     // the Morton box scan (pruning must beat data growth, like B17's)
     "text_bpe_encode", "corpus_export", "zorder_range_scan",
-    // round 12: the loader-facing token-ID stream (output grows ~100x)
-    "text_bpe_ids")
+    // round 12: the loader-facing token-ID stream (output grows ~100x),
+    // the map-only token-window chunker (fanout grows with output), the
+    // closed-form mixture interleave (ONE total-order exchange — the
+    // row that proves the second one never runs), and the shard
+    // manifest rollup
+    "text_bpe_ids", "corpus_chunk", "corpus_interleave",
+    "corpus_shard_stats", "knn_range")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -27,6 +27,28 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("rangeSearch: exactly the pairs at or above tau, self excluded, " +
+      "and consistent with brute-force top-k on both sides of the line") {
+    val tau = 0.25
+    val range = Knn.rangeSearch(emb, queries, "vec_id", "embedding", tau)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    assert(range.nonEmpty, "tau=0.25 should return neighbors on sf data")
+    assert(range.forall(_._3 >= tau))
+    assert(range.forall { case (q, n, _) => q != n }, "self excluded")
+    // a large-k brute force is the ground truth: its >= tau rows are
+    // exactly the radius answer, and its < tau rows are absent
+    val n = emb.count().toInt
+    val bf = Knn.bruteForce(emb, queries, "vec_id", "embedding", k = n)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+    val expect = bf.filter(_._3 >= tau).map(t => (t._1, t._2)).toSet
+    assert(range.map(t => (t._1, t._2)).toSet == expect,
+      "radius set must equal the thresholded exact ranking")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(1)
       .select(Knn.cosineD(Knn.asDouble(col("embedding")),

@@ -64,4 +64,49 @@ class PackingSpec extends SparkSpec {
       "n_tokens", 512L, numPartitions = 11).orderBy("doc_id").collect()
     assert(one.toSeq == many.toSeq)
   }
+
+  test("tokenChunks: windows are exact array slices, cover every " +
+      "position, and the scalar summary matches the slice") {
+    val chunkTok = 8
+    val stride = 6
+    val data = Seq(
+      0L -> Array.empty[Int],
+      1L -> Array(7),
+      2L -> (1 to 5).toArray,
+      3L -> (10 until 18).toArray, // exactly one full window
+      4L -> (0 until 13).toArray, // tail window shorter than overlap
+      5L -> (100 until 120).toArray) // several windows
+    val out = Packing.tokenChunks(
+        data.toDF("doc_id", "ids"), "doc_id", "ids", chunkTok, stride)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "tok_start", "n_tok", "first_id",
+        "last_id", "id_wsum", "chunk")
+      .as[(Long, Int, Int, Int, Int, Int, Long, Seq[Int])].collect()
+    assert(!out.exists(_._1 == 0L), "empty doc emits nothing")
+    data.filter(_._2.nonEmpty).foreach { case (id, ids) =>
+      val rows = out.filter(_._1 == id).sortBy(_._2)
+      val expStarts = 0 until ids.length by stride
+      assert(rows.map(_._3).toSeq == expStarts.toSeq, s"doc $id starts")
+      rows.foreach { case (_, ci, start, n, first, last, wsum, chunk) =>
+        val exp = ids.slice(start, start + chunkTok).toSeq
+        assert(chunk == exp, s"doc $id chunk $ci content")
+        assert(ci == start / stride && n == exp.length)
+        assert(first == exp.head && last == exp.last)
+        assert(wsum ==
+          exp.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum)
+      }
+      // coverage: every token position falls in some window
+      val covered = rows.flatMap(r => r._3 until (r._3 + r._4)).toSet
+      assert(covered == ids.indices.toSet, s"doc $id coverage")
+    }
+    // stride == chunkTok partitions the stream: no overlap, exact tiling
+    val part = Packing.tokenChunks(
+        data.toDF("doc_id", "ids"), "doc_id", "ids", 6, 6)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk").as[(Long, Seq[Int])].collect()
+    data.filter(_._2.nonEmpty).foreach { case (id, ids) =>
+      assert(part.filter(_._1 == id).flatMap(_._2).toSeq == ids.toSeq,
+        s"doc $id tiling")
+    }
+  }
 }

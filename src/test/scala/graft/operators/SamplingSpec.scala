@@ -203,4 +203,46 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.budgetSelect(df.repartition(17), "id", "s", "w", 80L)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("interleaveOrder: closed-form positions equal the naive " +
+      "double-window rank, including cross-stratum key ties") {
+    import org.apache.spark.sql.expressions.Window
+    // equal weights force key ties at EVERY rank (K = 2r-1 for both),
+    // the third stratum stresses the unequal-stride interleave; sizes
+    // deliberately unequal so the n_s' caps bind
+    val weights = Seq("a" -> 2, "b" -> 2, "c" -> 3)
+    val df = spark.range(0, 211)
+      .select(col("id"),
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("zzz")),
+          (pmod(col("id"), lit(7)) % 4 + 1).cast("int")).as("s"))
+    val out = Sampling.interleaveOrder(df, "id", "s", weights,
+        seed = 9L, numPartitions = 5)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // weightless stratum rows are dropped, everything else is kept
+    val kept = df.filter(col("s") =!= "zzz").count()
+    assert(out.length == kept && !out.exists(_._3 == "zzz"))
+    // ord is a permutation of 0..n-1
+    assert(out.map(_._1).toSeq == (0L until kept).toSeq)
+    // naive replay: rank within stratum, exact key, global double rank
+    val L = 6L
+    val wcol = when(col("s") === "a", 2L).when(col("s") === "b", 2L)
+      .otherwise(3L)
+    val r = df.filter(col("s") =!= "zzz")
+      .withColumn("_k", Sampling.hashKey(col("id"), 9L))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("s").orderBy(col("_k"), col("id"))))
+      .withColumn("key", (lit(2L) * col("r") - 1L) * (lit(L) / wcol)
+        .cast("long"))
+      .withColumn("ord", row_number().over(
+        Window.orderBy(col("key"), col("s"), col("id"))) - 1L)
+      .select(col("ord"), col("id"), col("s"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == r.toSeq,
+      "closed form must equal the naive double-window order")
+    // proportionality: in a long prefix the 2:2:3 weights hold ±1 slot
+    // per L-window; check a loose global bound on the first 140 rows
+    val prefix = out.take(140).groupBy(_._3).view.mapValues(_.length)
+    assert(math.abs(prefix("a") - 40) <= 6 &&
+      math.abs(prefix("c") - 60) <= 6, s"prefix shares: $prefix")
+  }
 }

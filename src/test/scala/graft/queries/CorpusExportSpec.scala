@@ -67,4 +67,32 @@ class CorpusExportSpec extends SparkSpec {
     assert(bpeTotal(survDocs.select("doc_id", "text")) == acc,
       "source survivors' BPE total must equal the packed total")
   }
+
+  test("corpus_shard_stats: the manifest pins the balanced deal, the " +
+      "exact positional assignment, and the tokenizer's own totals") {
+    val docs = sf("documents")
+    val stats = Pipeline.corpusShardStats(docs).collect()
+    assert(stats.length == 8)
+    val sizes = stats.map(_.getAs[Long]("n_docs"))
+    assert(sizes.sum == docs.count())
+    assert(sizes.max - sizes.min <= 1, "balanced deal: sizes within 1")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("min_pos") == 0L)
+      assert(r.getAs[Long]("max_pos") == r.getAs[Long]("n_docs") - 1,
+        "positions tile 0..n_docs-1 gaplessly")
+    }
+    // the checksum pins the exact (doc -> position) assignment
+    val manual = Sampling.shuffleShard(docs, "doc_id", 8, 42L)
+      .groupBy("shard")
+      .agg(sum(col("doc_id") * (col("pos") + lit(1L))).as("cs"))
+      .as[(Long, Long)].collect().toMap
+    stats.foreach { r =>
+      assert(r.getAs[Long]("order_checksum") ==
+        manual(r.getAs[Long]("shard")))
+    }
+    // token totals are the frozen tokenizer's units: sum to the corpus
+    val total = Bpe.tokenStats(docs, "doc_id", "text", Bpe.frozenMerges)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(stats.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
 }
