@@ -132,6 +132,8 @@ object SparkEntry {
       Pipeline.corpusInterleave(t(s, d, "documents"))),
     "corpus_shard_stats" -> ((s, d) =>
       Pipeline.corpusShardStats(t(s, d, "documents"))),
+    "corpus_pack_interleaved" -> ((s, d) =>
+      Pipeline.corpusPackInterleaved(t(s, d, "documents"))),
     "sample_stratified" -> ((s, d) =>
       Pipeline.sampleStratified(t(s, d, "documents"))),
     "graph_components" -> ((s, d) =>
@@ -1290,6 +1292,41 @@ object SparkEntry {
         |  MIN(pos)::BIGINT AS min_pos, MAX(pos)::BIGINT AS max_pos,
         |  SUM(doc_id * (pos + 1))::BIGINT AS order_checksum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // C30: the interleave schedule replay composed with the frozen-BPE
+    // token counts and the packing prefix sum IN SCHEDULE ORDER — the
+    // b-prefixed token CTEs and the interleave CTEs compose without
+    // name collisions
+    "corpus_pack_interleaved" -> {
+      val wts = (0 until 20).map(i =>
+        s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |wts(source, w) AS (VALUES $wts),
+        |keyed AS (SELECT d.doc_id, d.source, w.w,
+        |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
+        |  FROM documents d JOIN wts w ON d.source = w.source),
+        |r AS (SELECT doc_id, source, w,
+        |    row_number() OVER (PARTITION BY source ORDER BY k4, doc_id)
+        |      AS r
+        |  FROM keyed),
+        |k AS (SELECT doc_id, source,
+        |    (2 * r - 1)::BIGINT * (6 // w) AS key FROM r),
+        |o AS (SELECT
+        |    (row_number() OVER (ORDER BY key, source, doc_id) - 1)::BIGINT
+        |      AS ord,
+        |    doc_id, source
+        |  FROM k),
+        |tok AS (SELECT o.ord, o.doc_id, o.source,
+        |    coalesce(b.n_bpe, 0)::BIGINT AS n_tokens
+        |  FROM o LEFT JOIN btok b USING (doc_id)),
+        |c AS (SELECT ord, doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM tok)
+        |SELECT ord, doc_id, source, n_tokens, start_tok,
+        |  start_tok // 2048 AS seq_id, start_tok % 2048 AS offset
+        |FROM c ORDER BY ord""".stripMargin
+    },
     // C28: the NAIVE double-window replay of the interleave schedule —
     // rank within source over the salted key, exact-rational position
     // key (2r-1)*(L/w) with L = lcm(3,2,1) = 6, then the global rank

@@ -25,16 +25,21 @@ object Packing {
 
   /** Adds `start_tok` (exclusive global prefix sum of `tokensCol` in
     * `idCol` order), `seq_id` and `offset` for `budget`-token
-    * sequences. Output columns: idCol, tokensCol, start_tok, seq_id,
-    * offset.
+    * sequences. Output columns: idCol, tokensCol, [carryCols...],
+    * start_tok, seq_id, offset — `carryCols` ride through untouched
+    * (cheaper than a corpus-wide join-back when the caller needs its
+    * own columns next to the layout).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-                    budget: Long, numPartitions: Int = 0): DataFrame = {
+                    budget: Long, numPartitions: Int = 0,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(col(idCol), col(tokensCol).cast("long"))
+    val ranged = df
+      .select(col(idCol) +: col(tokensCol).cast("long").as(tokensCol) +:
+        carryCols.map(col): _*)
       .repartitionByRange(n, col(idCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint() // pin partitioning: sums and window must see the same pids

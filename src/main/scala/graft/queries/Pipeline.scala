@@ -276,6 +276,31 @@ object Pipeline {
       .orderBy("ord")
   }
 
+  /** C30: pack the INTERLEAVED stream — a real pretraining run packs
+    * sequences in TRAINING order, not doc_id order: C28's schedule
+    * assigns each doc its global position, then C11's two-phase prefix
+    * sum lays docs back-to-back in THAT order (packSequences is
+    * order-agnostic — `ord` is simply its idCol; doc_id/source ride
+    * the carryCols slot, so no corpus-wide join-back). The composed
+    * plan is one interleave exchange + one packing exchange — the
+    * closed-form interleave keeps the naive schedule's second
+    * total-order shuffle out of the composition too.
+    */
+  def corpusPackInterleaved(documents: DataFrame,
+                            budget: Long = 2048L): DataFrame = {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1))
+    val ordered = Sampling
+      .interleaveOrder(documents, "doc_id", "source", weights, seed = 42L)
+      .join(documents.select(col("doc_id"), bpeTokenCount.as("n_tokens")),
+        Seq("doc_id"))
+    Packing.packSequences(
+      ordered.select(col("ord"), col("n_tokens"), col("doc_id"),
+        col("source")),
+      "ord", "n_tokens", budget, carryCols = Seq("doc_id", "source"))
+      .orderBy("ord")
+  }
+
   /** C13: domain-mixture sampling — sources src0-4:src5-9:src10-19
     * targeted at 3:2:1 per-document proportions; the binding domain
     * caps the total and every source is deterministically downsampled

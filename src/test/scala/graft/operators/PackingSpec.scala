@@ -65,6 +65,22 @@ class PackingSpec extends SparkSpec {
     assert(one.toSeq == many.toSeq)
   }
 
+  test("packSequences carryCols ride through unchanged and never " +
+      "perturb the layout") {
+    val df = docs.toDF("doc_id", "n_tokens")
+      .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+    def layout(d: org.apache.spark.sql.DataFrame) = d
+      .select("doc_id", "start_tok", "seq_id", "offset")
+      .orderBy("doc_id").collect().toSeq
+    val plain = Packing.packSequences(df, "doc_id", "n_tokens", 1000L,
+      numPartitions = 7)
+    val carried = Packing.packSequences(df, "doc_id", "n_tokens", 1000L,
+      numPartitions = 7, carryCols = Seq("src"))
+    assert(layout(plain) == layout(carried))
+    carried.select("doc_id", "src").as[(Long, String)].collect()
+      .foreach { case (id, s) => assert(s == "s" + (id % 3)) }
+  }
+
   test("tokenChunks: windows are exact array slices, cover every " +
       "position, and the scalar summary matches the slice") {
     val chunkTok = 8
