@@ -380,6 +380,25 @@ object Streams {
           ((col("end_ms") - col("bucket_ms")) / lit(1000.0)), 6))
       .drop("end_ms")
 
+  /** G15: streaming chunk feed — the RAG-ingest twin of C27: documents
+    * arrive as a stream and each emits its token-window chunk rows
+    * (frozen-BPE ids, same chunkTok/stride semantics) in the same
+    * micro-batch. [[graft.operators.Packing.tokenChunks]] is MAP-ONLY
+    * (explode + slice, no shuffle, no state), so it is stream-safe
+    * verbatim and the streaming rows are bit-identical to a batch run
+    * over the same docs (spec-pinned): a downstream vector indexer
+    * consumes the stream and needs no reconciliation pass. Stateless ⇒
+    * append-mode, no watermark required, per-record cost identical to
+    * batch.
+    */
+  def chunkStream(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)], chunkTok: Int,
+                  stride: Int): DataFrame =
+    graft.operators.Packing.tokenChunks(
+      docs.select(col(idCol),
+        graft.functions.bpe.encodeIds(col(textCol), merges).as("_ids")),
+      idCol, "_ids", chunkTok, stride)
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

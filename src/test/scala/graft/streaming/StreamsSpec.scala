@@ -942,4 +942,38 @@ class StreamsSpec extends SparkSpec {
         s"stream alerts $got must equal batch anomalies $batch")
     } finally q.stop()
   }
+
+  test("G15 streaming chunk feed: rows are bit-identical to the batch " +
+      "chunker over the same docs, across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val merges = graft.operators.Bpe.frozenMerges
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a"),
+      (3L, ""), // no tokens: emits nothing
+      (4L, "one two three four five six seven eight nine ten eleven"))
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.chunkStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", merges, chunkTok = 8, stride = 6)
+    val q = out.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "chunk_idx", "tok_start", "n_tok", "first_id",
+          "last_id", "id_wsum")
+        .orderBy("doc_id", "chunk_idx")
+        .as[(Long, Int, Int, Int, Int, Int, Long)].collect().toSeq
+      val got = rows(spark.table("chunk_out"))
+      val batch = rows(graft.operators.Packing.tokenChunks(
+        docs.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            graft.functions.bpe.encodeIds(col("text"), merges).as("_ids")),
+        "doc_id", "_ids", 8, 6))
+      assert(batch.nonEmpty && !batch.exists(_._1 == 3L))
+      assert(got == batch, "streaming chunks must equal the batch run")
+    } finally q.stop()
+  }
 }
