@@ -151,6 +151,8 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
     "knn_range" -> ((s, d) => Pipeline.knnRange(t(s, d, "embeddings"))),
+    "knn_range_ivf" -> ((s, d) =>
+      Pipeline.knnRangeIvf(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
     "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
@@ -639,6 +641,35 @@ object SparkEntry {
         |  FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D10b: the knn_ivf chain, thresholded instead of ranked (the
+    // filter runs on the UNROUNDED value, as on the Spark side)
+    "knn_range_ivf" ->
+      s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
+        |  AS s FROM embeddings),
+        |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
+        |cent AS (SELECT vec_id AS cell_id, embedding AS ce
+        |         FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
+        |assign0 AS (
+        |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
+        |         ${cosineSql("e.embedding", "c.ce")} AS csim
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT neighbor_id, cv, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qe, cell_id FROM (
+        |    SELECT q.query_id, q.qe, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, cent c) WHERE qrn <= 5),
+        |d AS (
+        |  SELECT p.query_id, a.neighbor_id, ${cosineSql("p.qe", "a.cv")} AS c
+        |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        |  WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id, neighbor_id, round(c, 6) AS cosine
+        |FROM d WHERE c >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin,
     "knn_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

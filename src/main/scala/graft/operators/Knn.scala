@@ -194,13 +194,34 @@ object Knn {
         .withColumn("cosine", lit(null).cast("double")) // nullable, like cosineD's
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    ivfCandidates(corpus, queries, idCol, vecCol, stride, nProbe,
+        maxCells, coarse, knownCount = Some(n))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** The IVF candidate stream shared by top-k [[ivf]] and radius
+    * [[rangeSearchIvf]]: corpus assigned to its nearest coarse cell,
+    * queries probe their nProbe nearest cells (broadcast), exact
+    * cosine on the probed pairs, self excluded. The assignment is an
+    * argmax AGGREGATION (max_by is partial-aggregatable, so the
+    * broadcast-NLJ'd n×C rows reduce map-side to one row per vector —
+    * the n×C stream is never shuffled, unlike a row_number window
+    * which would materialize and sort it; ties on csim break toward
+    * the smallest cell_id).
+    */
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, stride: Int,
+                            nProbe: Int, maxCells: Int,
+                            coarse: Option[DataFrame],
+                            knownCount: Option[Long]): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
     val centroids = coarseTable(corpus, idCol, vecCol, stride, maxCells,
-      coarse, "ivf", knownCount = Some(n))
-    // assign: nearest centroid per corpus vector as an argmax AGGREGATION
-    // (max_by is partial-aggregatable, so the broadcast-NLJ'd n×C rows
-    // reduce map-side to one row per vector — the n×C stream is never
-    // shuffled, unlike a row_number window which would materialize and
-    // sort it; ties on csim break toward the smallest cell_id)
+      coarse, "ivf", knownCount)
     val cells = c.join(centroids)
       .withColumn("csim", cosineD(col("cv"), col("centroid")))
       .groupBy(col("neighbor_id"))
@@ -218,14 +239,37 @@ object Knn {
       .withColumn("qrn", row_number().over(wProbe))
       .filter(col("qrn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell_id")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     cells.join(probes, "cell_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineD(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** D10b: IVF-pruned radius search — the SCALE PATH for
+    * [[rangeSearch]]: brute-force radius scans the whole corpus for
+    * every query set, which is exactly right until the corpus is 100
+    * TB; here each query probes only its `nProbe` nearest coarse cells
+    * and thresholds exact cosine inside them, so the scanned fraction
+    * is ~nProbe/cells of the corpus. Approximate in precisely the
+    * [[ivf]] top-k sense (a neighbor assigned to an unprobed cell is
+    * missed — FAISS's range_search-on-IVF contract); the spec measures
+    * radius-recall against the exact [[rangeSearch]] answer and the
+    * registered query pins it ≥ the IVF top-k recall floor on the sf
+    * corpus.
+    */
+  def rangeSearchIvf(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, tau: Double,
+                     stride: Int = 50, nProbe: Int = 5,
+                     maxCells: Int = 256,
+                     coarse: Option[DataFrame] = scala.None): DataFrame = {
+    if (corpus.isEmpty) // empty corpus -> empty, correctly-shaped
+      return queries.limit(0).select(col(idCol).as("query_id"))
+        .crossJoin(corpus.limit(0).select(col(idCol).as("neighbor_id")))
+        .withColumn("cosine", lit(null).cast("double"))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    ivfCandidates(corpus, queries, idCol, vecCol, stride, nProbe,
+        maxCells, coarse, knownCount = scala.None)
+      .filter(col("cosine") >= tau)
   }
 
   /** Squared L2 over two ARRAY<DOUBLE> columns, sequential fold order

@@ -510,6 +510,17 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "neighbor_id")
 
+  /** D10b: IVF-pruned radius search — same τ and queries as
+    * [[knnRange]], so the two registered rows ARE the radius-recall
+    * measurement (every returned pair is exact-cosine verified; only
+    * unprobed-cell neighbors are missed).
+    */
+  def knnRangeIvf(embeddings: DataFrame): DataFrame =
+    Knn.rangeSearchIvf(embeddings, querySet(embeddings), "vec_id",
+        "embedding", tau = 0.3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "neighbor_id")
+
   /** D2: hyperplane-LSH ANN, same queries (recall vs D1 ≥ 0.5 in the
     * spec; 32 bands × 6 planes measures 0.88 at sf0.001, 0.90 at
     * sf0.01).

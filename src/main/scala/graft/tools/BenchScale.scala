@@ -67,7 +67,8 @@ object BenchScale {
     // row that proves the second one never runs), and the shard
     // manifest rollup
     "text_bpe_ids", "corpus_chunk", "corpus_interleave",
-    "corpus_shard_stats", "knn_range", "corpus_pack_interleaved")
+    "corpus_shard_stats", "knn_range", "corpus_pack_interleaved",
+    "knn_range_ivf")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

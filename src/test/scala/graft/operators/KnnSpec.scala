@@ -49,6 +49,23 @@ class KnnSpec extends SparkSpec {
       "radius set must equal the thresholded exact ranking")
   }
 
+  test("rangeSearchIvf: a strict subset of the exact radius answer " +
+      "(cell-pruned, exact-verified), with recall above the probe floor") {
+    val tau = 0.25
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = pairs(
+      Knn.rangeSearch(emb, queries, "vec_id", "embedding", tau))
+    val approx = pairs(
+      Knn.rangeSearchIvf(emb, queries, "vec_id", "embedding", tau))
+    assert(approx.nonEmpty && exact.nonEmpty)
+    assert(approx.subsetOf(exact),
+      "every IVF-radius pair must be exact-cosine verified")
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.3, s"radius recall $recall below the probe floor")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(1)
       .select(Knn.cosineD(Knn.asDouble(col("embedding")),
