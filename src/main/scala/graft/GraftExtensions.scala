@@ -101,6 +101,37 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         FreqItemsSketch(args(0), intArg(args(1), "graft_freq_items"))
           .toAggregateExpression()),
+    (FunctionIdentifier("graft_bpe_ids"),
+      info("graft_bpe_ids",
+        "graft_bpe_ids(text[, artifact_dir]) - frozen-vocab BPE " +
+          "token-ID array (E12's encode kernel); with a dir, encode " +
+          "under a saveMerges artifact's merges instead"),
+      (args: Seq[Expression]) => {
+        val merges =
+          if (args.length > 1)
+            operators.Bpe.loadMerges(
+              org.apache.spark.sql.SparkSession.active,
+              strArg(args(1), "graft_bpe_ids"))
+          else operators.Bpe.frozenMerges
+        BpeEncodeIds(args(0), merges.map(_._1).toArray,
+          merges.map(_._2).toArray, functions.bpe.mergeIdMap(merges),
+          functions.bpe.unkId(merges))
+      }),
+    (FunctionIdentifier("graft_bpe_count"),
+      info("graft_bpe_count",
+        "graft_bpe_count(text[, artifact_dir]) - frozen-vocab BPE " +
+          "token count (the loader's own units; equals " +
+          "size(graft_bpe_ids(text)))"),
+      (args: Seq[Expression]) => {
+        val merges =
+          if (args.length > 1)
+            operators.Bpe.loadMerges(
+              org.apache.spark.sql.SparkSession.active,
+              strArg(args(1), "graft_bpe_count"))
+          else operators.Bpe.frozenMerges
+        BpeTokenCount(args(0), merges.map(_._1).toArray,
+          merges.map(_._2).toArray)
+      }),
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",
         "graft_zorder(a, b) - 64-bit Z-order (Morton) interleave of two BIGINTs"),

@@ -173,4 +173,36 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.except(operators.TextOps.entropy(
       sf("documents"), "doc_id", "text")).isEmpty && e.count() == 500)
   }
+
+  test("graft_bpe_ids / graft_bpe_count scalar functions equal the " +
+      "encode kernel, including under a saved artifact's merges") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_bpe_ids(text) AS ids, " +
+        "graft_bpe_count(text) AS n FROM documents_v")
+      .as[(Long, Seq[Int], Long)].collect().sortBy(_._1)
+    val viaScala = sf("documents")
+      .select(col("doc_id"),
+        functions.bpe.encodeIds(col("text"),
+          operators.Bpe.frozenMerges).as("ids"),
+        functions.bpe.tokenCount(col("text"),
+          operators.Bpe.frozenMerges).as("n"))
+      .as[(Long, Seq[Int], Long)].collect().sortBy(_._1)
+    assert(viaSql.toSeq == viaScala.toSeq)
+    assert(viaSql.forall { case (_, ids, n) => ids.length == n })
+    // the artifact-dir variant encodes under a DIFFERENT (shorter)
+    // merge list and must visibly diverge from the frozen vocab
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    operators.Bpe.saveMerges(spark,
+      operators.Bpe.frozenMerges.take(4), dir)
+    val viaArt = spark.sql(
+      s"SELECT sum(graft_bpe_count(text, '$dir')) FROM documents_v")
+      .as[Long].head()
+    val expArt = sf("documents")
+      .select(sum(functions.bpe.tokenCount(col("text"),
+        operators.Bpe.frozenMerges.take(4)))).as[Long].head()
+    assert(viaArt == expArt)
+    assert(viaArt > viaSql.map(_._3).sum,
+      "fewer merges must mean more tokens")
+  }
 }
