@@ -40,6 +40,17 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Merge-list resolution shared by the BPE scalar functions: the
+    * engine's frozen merges, or a saveMerges artifact dir given as the
+    * optional second literal arg (resolved once at plan time).
+    */
+  private def mergesArg(args: Seq[Expression],
+                        fn: String): Seq[(String, String)] =
+    if (args.length > 1)
+      operators.Bpe.loadMerges(
+        org.apache.spark.sql.SparkSession.active, strArg(args(1), fn))
+    else operators.Bpe.frozenMerges
+
   val all: Seq[FnDef] = Seq(
     (FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes",
@@ -107,12 +118,7 @@ object GraftExtensions {
           "token-ID array (E12's encode kernel); with a dir, encode " +
           "under a saveMerges artifact's merges instead"),
       (args: Seq[Expression]) => {
-        val merges =
-          if (args.length > 1)
-            operators.Bpe.loadMerges(
-              org.apache.spark.sql.SparkSession.active,
-              strArg(args(1), "graft_bpe_ids"))
-          else operators.Bpe.frozenMerges
+        val merges = mergesArg(args, "graft_bpe_ids")
         BpeEncodeIds(args(0), merges.map(_._1).toArray,
           merges.map(_._2).toArray, functions.bpe.mergeIdMap(merges),
           functions.bpe.unkId(merges))
@@ -123,12 +129,7 @@ object GraftExtensions {
           "token count (the loader's own units; equals " +
           "size(graft_bpe_ids(text)))"),
       (args: Seq[Expression]) => {
-        val merges =
-          if (args.length > 1)
-            operators.Bpe.loadMerges(
-              org.apache.spark.sql.SparkSession.active,
-              strArg(args(1), "graft_bpe_count"))
-          else operators.Bpe.frozenMerges
+        val merges = mergesArg(args, "graft_bpe_count")
         BpeTokenCount(args(0), merges.map(_._1).toArray,
           merges.map(_._2).toArray)
       }),

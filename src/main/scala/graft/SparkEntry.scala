@@ -470,6 +470,15 @@ object SparkEntry {
       .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
   }
 
+  /** The registered 3:2:1 mixture as SQL VALUES rows — derived from
+    * [[queries.Pipeline.mixWeights]], so the corpus_mix /
+    * corpus_interleave / corpus_pack_interleaved oracles and the
+    * engine-side queries share ONE mixture definition.
+    */
+  private def mixWtsSql: String =
+    _root_.graft.queries.Pipeline.mixWeights
+      .map { case (src, w) => s"('$src', $w)" }.mkString(",")
+
   /** The frozen-BPE per-doc token-count replay as b-prefixed CTEs
     * ending in `btok` (doc_id, n_bpe) — the recursive-CTE
     * segmentation from the text_bpe_encode oracle, shared by the
@@ -1328,8 +1337,7 @@ object SparkEntry {
     // b-prefixed token CTEs and the interleave CTEs compose without
     // name collisions
     "corpus_pack_interleaved" -> {
-      val wts = (0 until 20).map(i =>
-        s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
+      val wts = mixWtsSql
       s"""WITH RECURSIVE $bpeTokCtes,
         |wts(source, w) AS (VALUES $wts),
         |keyed AS (SELECT d.doc_id, d.source, w.w,
@@ -1364,8 +1372,7 @@ object SparkEntry {
     // the engine computes in closed form (ties across sources broken
     // by source name; same-source ties are impossible)
     "corpus_interleave" -> {
-      val wts = (0 until 20).map(i =>
-        s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
+      val wts = mixWtsSql
       s"""WITH wts(source, w) AS (VALUES $wts),
         |keyed AS (SELECT d.doc_id, d.source, w.w,
         |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
@@ -1382,8 +1389,7 @@ object SparkEntry {
         |FROM k ORDER BY ord""".stripMargin
     },
     "corpus_mix" -> {
-      val wts = (0 until 20).map(i =>
-        s"('src$i', ${if (i < 5) 3 else if (i < 10) 2 else 1})").mkString(",")
+      val wts = mixWtsSql
       s"""WITH cnt AS (
         |  SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
         |wts(source, w) AS (VALUES $wts),

@@ -167,39 +167,51 @@ object Dedup {
     // exactly so parity holds even on degenerate buckets
     val batchCnt = batchKeys.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("_bcnt"))
-    val cand = index
+    val cand0 = index
       .join(bc(batchKeys), Seq("band", "bkey"))
       .join(bc(batchCnt), Seq("band", "bkey"))
       .filter(size(col("ids")) + col("_bcnt") <= maxBucket)
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
       .distinct()
+    // the indexed path consumes the candidate set twice (id derivation
+    // + the verify join): persist it so the on-disk bucket read and
+    // its aggregation run once per probe, not twice (MEMORY_AND_DISK,
+    // evictable — the cs/bs posture)
+    val cand =
+      if (bucketIndex.isDefined)
+        cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cand0
     // verification: the corpus shingle table is probed BY the
     // batch-bounded candidate set — history is never shuffle-joined
     // on batch arrival under the default broadcast posture — then the
     // batch payloads attach, and the shared [[withJaccard]] rule
     // scores each pair. The indexed form shingles ONLY the candidate
-    // docs (corpus rows are pruned by a broadcast right-outer join
-    // BEFORE the shingle kernel runs), so a probe's corpus-side CPU is
-    // bounded by the batch's collision set — the cost posture the
-    // persisted index exists for; a candidate id the passed corpus df
-    // no longer covers (index/corpus drift, e.g. probing an appended
-    // index with a pre-append corpus snapshot) raises in-plan instead
-    // of silently dropping the pair.
+    // docs: an INNER join with the broadcast candidate ids prunes
+    // corpus rows map-side BEFORE the shingle kernel runs (inner, not
+    // outer — an outer join preserving the small side cannot broadcast
+    // it, and would shuffle the whole corpus text), so a probe's
+    // corpus-side CPU is bounded by the batch's collision set — the
+    // cost posture the persisted index exists for. Because the inner
+    // join would SILENTLY drop a candidate id the passed corpus no
+    // longer covers (index/corpus drift, e.g. probing an appended
+    // index with a pre-append corpus snapshot), a separate bounded
+    // check raises first: candIds is collision-bounded and the anti
+    // join scans only the column-pruned corpus id column.
     val verifySh = bucketIndex match {
       case Some(_) =>
         val candIds = cand.select(col("corpus_id")).distinct()
-        val candDocs = corpus
-          .select(col(idCol).as("corpus_id"), col(textCol).as("_vtext"),
-            lit(true).as("_present"))
-          .join(bc(candIds), Seq("corpus_id"), "right")
-          .select(col("corpus_id").as(idCol),
-            when(col("_present").isNull, raise_error(concat(
-              lit("LSH index corpus_id "), col("corpus_id").cast("string"),
-              lit(" is absent from the passed corpus DataFrame — index " +
-                "and corpus have drifted (probe with the corpus the " +
-                "index was built/appended from)"))))
-              .otherwise(col("_vtext")).as(textCol))
-        shingled(candDocs, "corpus_id")
+        val missing = candIds
+          .join(corpus.select(col(idCol).as("corpus_id")),
+            Seq("corpus_id"), "left_anti")
+          .limit(1).collect()
+        require(missing.isEmpty,
+          s"LSH index corpus_id ${if (missing.nonEmpty) missing.head.get(0) else ""} " +
+            "is absent from the passed corpus DataFrame — index and " +
+            "corpus have drifted (probe with the corpus the index was " +
+            "built/appended from)")
+        shingled(corpus.select(col(idCol), col(textCol))
+          .join(bc(candIds.select(col("corpus_id").as(idCol))), Seq(idCol)),
+          "corpus_id")
       case scala.None => cs
     }
     withJaccard(verifySh.select(col("corpus_id"), col("sh").as("pa"))

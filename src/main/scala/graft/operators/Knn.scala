@@ -182,8 +182,6 @@ object Knn {
           vecCol: String, k: Int, stride: Int = 50,
           nProbe: Int = 5, maxCells: Int = 256,
           coarse: Option[DataFrame] = scala.None): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
     val n = corpus.count()
     if (n == 0) // empty corpus -> empty, correctly-shaped:
       // same column order and types as the normal path (neighbor_id
@@ -262,13 +260,16 @@ object Knn {
                      stride: Int = 50, nProbe: Int = 5,
                      maxCells: Int = 256,
                      coarse: Option[DataFrame] = scala.None): DataFrame = {
-    if (corpus.isEmpty) // empty corpus -> empty, correctly-shaped
+    // count once ([[ivf]]'s pattern): the same action serves the
+    // empty-corpus guard AND coarseTable's stride computation
+    val n = corpus.count()
+    if (n == 0) // empty corpus -> empty, correctly-shaped
       return queries.limit(0).select(col(idCol).as("query_id"))
         .crossJoin(corpus.limit(0).select(col(idCol).as("neighbor_id")))
         .withColumn("cosine", lit(null).cast("double"))
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
     ivfCandidates(corpus, queries, idCol, vecCol, stride, nProbe,
-        maxCells, coarse, knownCount = scala.None)
+        maxCells, coarse, knownCount = Some(n))
       .filter(col("cosine") >= tau)
   }
 

@@ -379,7 +379,11 @@ object Sampling {
     val terms = weights.map { case (s2, w2) =>
       val m2 = L / w2
       val n2 = nPerStratum.getOrElse(s2, 0L)
-      val sLit = s2.replace("'", "''")
+      // escape BOTH quote styles: Spark's default parser treats
+      // backslash as an escape inside string literals, so a stratum
+      // name containing one would otherwise mis-parse and silently
+      // corrupt the tie-break comparison
+      val sLit = s2.replace("\\", "\\\\").replace("'", "''")
       s"""(least(${n2}L, (((_K - 1) DIV ${m2}L) + 1) DIV 2) +
          | (CASE WHEN _s > '$sLit' AND _K % ${m2}L = 0
          |   AND (_K DIV ${m2}L) % 2 = 1

@@ -32,6 +32,16 @@ object Pipeline {
     graft.functions.bpe.tokenCount(col("text"),
       graft.operators.Bpe.frozenMerges)
 
+  /** The registered 3:2:1 source-mixture spec (src0-4 : src5-9 :
+    * src10-19) — ONE definition shared by corpus_mix,
+    * corpus_interleave, and corpus_pack_interleaved so the three query
+    * rows (and their oracles, via SparkEntry's one wts builder) can
+    * never disagree about the mixture.
+    */
+  private[graft] val mixWeights: Seq[(String, Int)] =
+    (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1))
+
   // ---- C. dedup --------------------------------------------------------
 
   /** C1: exact dedup by md5 content fingerprint. */
@@ -269,9 +279,7 @@ object Pipeline {
     * exchange the naive double-window form pays never runs).
     */
   def corpusInterleave(documents: DataFrame): DataFrame = {
-    val weights = (0 until 20).map(i =>
-      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1))
-    Sampling.interleaveOrder(documents, "doc_id", "source", weights,
+    Sampling.interleaveOrder(documents, "doc_id", "source", mixWeights,
         seed = 42L)
       .orderBy("ord")
   }
@@ -288,10 +296,9 @@ object Pipeline {
     */
   def corpusPackInterleaved(documents: DataFrame,
                             budget: Long = 2048L): DataFrame = {
-    val weights = (0 until 20).map(i =>
-      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1))
     val ordered = Sampling
-      .interleaveOrder(documents, "doc_id", "source", weights, seed = 42L)
+      .interleaveOrder(documents, "doc_id", "source", mixWeights,
+        seed = 42L)
       .join(documents.select(col("doc_id"), bpeTokenCount.as("n_tokens")),
         Seq("doc_id"))
     Packing.packSequences(
@@ -307,10 +314,8 @@ object Pipeline {
     * to its exact mixture share (no upsampling).
     */
   def corpusMix(documents: DataFrame): DataFrame = {
-    val weights = (0 until 20).map(i =>
-      s"src$i" -> (if (i < 5) 3L else if (i < 10) 2L else 1L))
-    Sampling.mixtureSample(documents, "doc_id", "source", weights,
-        seed = 11L)
+    Sampling.mixtureSample(documents, "doc_id", "source",
+        mixWeights.map { case (s, w) => s -> w.toLong }, seed = 11L)
       .select("doc_id", "source")
       .orderBy("doc_id")
   }
