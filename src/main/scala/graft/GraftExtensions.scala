@@ -284,6 +284,31 @@ object GraftExtensions {
         operators.Knn.searchIvfPqIndex(spark, dir, queries, idCol, vecCol,
           dim, k, nProbe).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_range"),
+      info("graft_knn_index_range",
+        "graft_knn_index_range(dir, query_table, corpus_table, " +
+          "id_col, vec_col, tau[, n_probe]) - radius search over a " +
+          "persisted IVFxPQ index: probed cell_id partitions prune " +
+          "the candidate read, every returned pair exact-cosine " +
+          "verified >= tau against corpus_table. dim comes from the " +
+          "index's own coarse table"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_knn_index_range"
+        val dir = strArg(args(0), n)
+        val queries = spark.table(strArg(args(1), n))
+        val corpus = spark.table(strArg(args(2), n))
+        val idCol = strArg(args(3), n)
+        val vecCol = strArg(args(4), n)
+        val tau = numArg(args(5), n)
+        val nProbe = if (args.length > 6) numArg(args(6), n).toInt else 5
+        val dim = spark.read.parquet(s"$dir/coarse")
+          .select(org.apache.spark.sql.functions.size(col("centroid")))
+          .head().getInt(0)
+        operators.Knn.rangeSearchIndexed(spark, dir, queries, idCol,
+            vecCol, dim, tau, corpus, nProbe)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn"),
       info("graft_knn",
         "graft_knn(table, id_col, vec_col, dim, k[, max_query_id]) - " +

@@ -158,6 +158,7 @@ object SparkEntry {
     "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
     "knn_recall" -> ((s, d) => Pipeline.knnRecall(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
+    "knn_sq" -> ((s, d) => Pipeline.knnSq(t(s, d, "embeddings"))),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) =>
       Pipeline.knnIvfTrained(t(s, d, "embeddings"))),
@@ -715,6 +716,39 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, c,
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
         |  FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // D11: SQ8 replay — per-dim [lo, hi] grid, floor(+0.5) codes
+    // clamped to [0, 255], affine reconstruction, asymmetric cosine
+    // shortlist (top-20), exact re-rank (top-5). Every step is the
+    // same double arithmetic the engine runs.
+    "knn_sq" ->
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |mm AS (SELECT j, MIN(v[j]) AS lo, MAX(v[j]) AS hi
+        |  FROM e, range(1, 65) AS t(j) GROUP BY j),
+        |sc AS (SELECT j, lo,
+        |  CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS s
+        |  FROM mm),
+        |rec AS (SELECT e.vec_id,
+        |  list(sc.lo + LEAST(255.0, GREATEST(0.0,
+        |    FLOOR((e.v[sc.j] - sc.lo) / sc.s + 0.5))) * sc.s
+        |    ORDER BY sc.j) AS rv
+        |  FROM e, sc GROUP BY e.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |a AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |  ${cosineSql("q.qv", "r.rv")} AS ac
+        |  FROM q, rec r WHERE r.vec_id <> q.query_id),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ac DESC, neighbor_id) AS srn FROM a) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  ${cosineSql("qe.v", "ne.v")} AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rank FROM d)
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "knn_pq" ->

@@ -1327,4 +1327,172 @@ object Knn {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (col("score").cast("double") / lit(1048576.0 * m)).as("maxsim"))
   }
+
+  // ---- D11: scalar quantization (SQ8) ----------------------------------
+
+  /** SQ8 training: per-dimension `[lo, hi]` over the corpus, returned
+    * as `(lo, scale)` with `scale = (hi-lo)/255` (1.0 on constant
+    * dimensions, where every code is 0 regardless). ONE partial-agg
+    * shuffle of `dim` groups (min/max combine map-side), and the
+    * collected result is `dim` rows — bounded by the vector width, not
+    * the corpus, exactly like the k-means centroid collect.
+    */
+  def sqTrain(corpus: DataFrame, vecCol: String, dim: Int)
+      : (Array[Double], Array[Double]) = {
+    val mm = corpus.select(posexplode(asDouble(col(vecCol))))
+      .toDF("j", "x")
+      .groupBy("j").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(mm.length == dim,
+      s"sqTrain: corpus vectors span ${mm.length} dimensions, caller " +
+        s"declared $dim — ragged or mis-declared vector column")
+    (mm.map(_._2),
+      mm.map { case (_, l, h) => if (h > l) (h - l) / 255.0 else 1.0 })
+  }
+
+  /** SQ8 encode: `code_j = clamp(floor((x_j - lo_j)/scale_j + 0.5),
+    * 0, 255)` — a pure map-side expression (the explicit `+0.5` floor
+    * keeps rounding identical across engines; banker's rounding would
+    * not replay). One byte of information per dimension: the 8×
+    * compression production stores run when PQ's codebook loss is too
+    * much and raw floats too big.
+    */
+  def sqCodes(vec: Column, lo: Array[Double], scale: Array[Double])
+      : Column = {
+    val loL = array(lo.map(lit(_)): _*)
+    val scL = array(scale.map(lit(_)): _*)
+    transform(asDouble(vec), (x, i) =>
+      least(lit(255L), greatest(lit(0L),
+        floor((x - element_at(loL, i + lit(1))) /
+          element_at(scL, i + lit(1)) + lit(0.5)))).cast("int"))
+  }
+
+  /** SQ8 reconstruction: `x̂_j = lo_j + code_j · scale_j` — what the
+    * scan scores against (within scale/2 of the original per
+    * dimension).
+    */
+  def sqRecon(codes: Column, lo: Array[Double], scale: Array[Double])
+      : Column = {
+    val loL = array(lo.map(lit(_)): _*)
+    val scL = array(scale.map(lit(_)): _*)
+    transform(codes, (c, i) =>
+      element_at(loL, i + lit(1)) +
+        c.cast("double") * element_at(scL, i + lit(1)))
+  }
+
+  /** D11: scalar-quantized ANN (FAISS `SQ8`) — the third compression
+    * point on the memory/recall dial, completing the family: Flat
+    * (exact, dim floats), SQ8 (dim bytes, near-lossless), PQ (m bytes,
+    * lossy). Each corpus vector stores one 8-bit code per dimension
+    * under a per-dimension affine `[lo, hi]` grid; the scan scores the
+    * full-precision query against the RECONSTRUCTED vector (the
+    * asymmetric rule — the query is never quantized), shortlists
+    * `overscan·k`, and re-ranks the shortlist by exact cosine.
+    *
+    * Scale posture: training is one `dim`-group partial-agg pass
+    * (constant output in corpus size); encode and the reconstruction
+    * scoring are map-side expressions against broadcast queries — the
+    * scan reads only the int codes, never the float vectors; the
+    * shortlist uses the same salted two-phase top-k as [[pq]] (no
+    * corpus-sized single-task sort); only the shortlist joins back to
+    * full-precision vectors. Every arithmetic step (floor-rounding,
+    * clamp, affine recon, sequential-fold cosine) is
+    * oracle-replayable.
+    */
+  def sq(corpus: DataFrame, queries: DataFrame, idCol: String,
+         vecCol: String, dim: Int, k: Int,
+         overscan: Int = 4, salts: Int = 32): DataFrame = {
+    val (lo, scale) = sqTrain(corpus, vecCol, dim)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      sqCodes(col(vecCol), lo, scale).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val approx = codes.join(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos",
+        cosineD(col("qv"), sqRecon(col("codes"), lo, scale)))
+    val wLocal = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = approx
+      .withColumn("salt", pmod(col("neighbor_id"), lit(salts)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k * overscan)
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= k * overscan)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(cv, "neighbor_id").join(q, "query_id")
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
+  /** D10c: radius search over the PERSISTED index — the scale path
+    * [[rangeSearchIvf]]'s scaladoc promises ("a production deployment
+    * amortizes the assignment across query batches via the D8
+    * persisted layout"): the corpus→cell assignment that dominates the
+    * in-plan row's cost (corpus-linear, paid per call) is read back
+    * from [[buildIvfPqIndex]]'s layout instead, so a query batch costs
+    * only its probes + the pruned-partition candidate read. Each query
+    * probes its `nProbe` nearest STORED coarse cells; the probed cell
+    * set becomes a `cell_id IN (...)` partition filter on `dir/codes`
+    * (only those partitions' files are read); candidates join back to
+    * `corpus` for exact cosine and the τ threshold.
+    *
+    * The radius contract returns exact-verified cosines, so the index
+    * contributes its ASSIGNMENT (the partition layout), not its PQ
+    * codes — ADC distances are L2-against-quantized and cannot decide
+    * a cosine threshold exactly. Approximation is precisely
+    * [[rangeSearchIvf]]'s: a neighbor assigned to an unprobed cell is
+    * missed; given the same coarse table the two return IDENTICAL
+    * rows (spec-pinned), this one without the per-call corpus pass.
+    *
+    * `corpus` must be the id+vector table the index was built from
+    * (ids are checked only by the join; a drifted corpus surfaces as
+    * missing candidates, same contract as [[searchIvfPqIndex]]'s
+    * `rescoreWith`).
+    */
+  def rangeSearchIndexed(spark: SparkSession, dir: String,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, dim: Int, tau: Double,
+                         corpus: DataFrame, nProbe: Int = 5)
+      : DataFrame = {
+    val coarseRaw = spark.read.parquet(s"$dir/coarse")
+    requireIndexDim(coarseRaw, dir, dim)
+    val coarseDf = broadcast(coarseRaw
+      .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell_id"))
+    val probes = broadcast(q.join(coarseDf)
+      .withColumn("qsim", cosineD(col("qv"), col("centroid")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id")))
+    // O(|queries|·nProbe) driver-side cell list -> a partition filter
+    // ([[searchIvfPqIndex]]'s pattern): only probed cells' FILES read
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = readCodes(spark, dir)
+      .filter(col("cell_id").isin(probedCells: _*))
+      .select(col("neighbor_id"), col("cell_id"))
+      .join(probes, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    cand.join(cv, "neighbor_id")
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .filter(col("cosine") >= tau)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
 }

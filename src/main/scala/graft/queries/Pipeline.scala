@@ -567,6 +567,17 @@ object Pipeline {
       .withColumn("maxsim", round(col("maxsim"), 6))
       .orderBy("query_id", "rank")
 
+  /** D11: scalar-quantized (SQ8) ANN — per-dimension affine 8-bit
+    * codes, asymmetric reconstruction scoring, exact re-rank. Training
+    * is one dim-group min/max pass, so the row measures the
+    * compressed-scan + shortlist cost.
+    */
+  def knnSq(embeddings: DataFrame): DataFrame =
+    Knn.sq(embeddings, querySet(embeddings), "vec_id", "embedding",
+        dim = EmbeddingDim, k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   /** D3: IVF cell-probe ANN, same queries. nProbe = 5 of the ~n/50
     * cells scans ~5% of the corpus for recall 0.74–0.76 vs brute force
     * at sf0.001/sf0.01 (spec floor 0.5).

@@ -125,6 +125,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_ <= 5L))
   }
 
+  test("graft_knn_index_range: SQL TVF equals rangeSearchIndexed on a " +
+      "persisted index") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("sql_ivfrng").toString
+    operators.Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    emb.createOrReplaceTempView("rng_corpus_v")
+    emb.filter(col("vec_id") < 10)
+      .createOrReplaceTempView("rng_queries_v")
+    val viaSql = spark.sql(
+      "SELECT query_id, neighbor_id, cosine FROM " +
+        s"graft_knn_index_range('$dir', 'rng_queries_v', " +
+        "'rng_corpus_v', 'vec_id', 'embedding', 0.25)")
+      .collect().map(_.toString).sorted.toSeq
+    val viaScala = operators.Knn.rangeSearchIndexed(spark, dir,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, tau = 0.25, corpus = emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty,
+      s"TVF must equal the operator: ${viaSql.size} vs ${viaScala.size}")
+  }
+
   test("graft_avg_hash / graft_char_entropy expression functions " +
       "match their kernels") {
     val r = spark.sql(

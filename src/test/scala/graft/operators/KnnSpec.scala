@@ -619,4 +619,81 @@ class KnnSpec extends SparkSpec {
     assert(got.map(_.toString).sorted.toSeq ==
       re.map(_.toString).sorted.toSeq, "maxSim must be partition-stable")
   }
+
+  test("sq: codes bounded to [0, 255], reconstruction within scale/2 " +
+      "per dimension, and the rescored top-k near-matches brute force") {
+    val (lo, scale) = Knn.sqTrain(emb, "embedding", dim = 64)
+    assert(lo.length == 64 && scale.forall(_ > 0.0))
+    val rows = emb.select(
+        Knn.asDouble(col("embedding")).as("v"),
+        Knn.sqCodes(col("embedding"), lo, scale).as("codes"))
+      .withColumn("recon", Knn.sqRecon(col("codes"), lo, scale))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.forall(c => c >= 0 && c <= 255),
+        s"code out of byte range: ${codes.filterNot(c => c >= 0 && c <= 255)}")
+      val v = r.getAs[scala.collection.Seq[Double]]("v")
+      val rec = r.getAs[scala.collection.Seq[Double]]("recon")
+      v.indices.foreach { j =>
+        assert(math.abs(v(j) - rec(j)) <= scale(j) / 2 + 1e-12,
+          s"dim $j reconstruction error ${math.abs(v(j) - rec(j))} " +
+            s"exceeds scale/2 = ${scale(j) / 2}")
+      }
+    }
+    val got = Knn.sq(emb, queries, "vec_id", "embedding", dim = 64, k = 5)
+      .collect()
+    // shape: 5 ranked rows per query, self excluded, cosine descending
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10 && byQuery.values.forall(_.length == 5))
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(!sorted.exists(_.getAs[Long]("neighbor_id") == q))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // SQ8 is near-lossless: the 4x-overscan shortlist + exact re-rank
+    // should recover essentially all of the exact top-5
+    val approx = got.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(
+      Knn.bruteForce(emb, queries, "vec_id", "embedding", k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+  }
+
+  test("rangeSearchIndexed: identical rows to rangeSearchIvf under the " +
+      "stored coarse table (the per-call assignment amortized into the " +
+      "layout), partition-pruned candidate read, subset of the exact " +
+      "radius answer") {
+    val tau = 0.25
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rng").toString
+    Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val got = Knn.rangeSearchIndexed(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, tau = tau, corpus = emb)
+    // the codes scan must carry a cell_id partition filter — only
+    // probed cells' files are read
+    val plan = got.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq
+    assert(pf.exists(_.contains("cell_id")),
+      s"candidate scan must partition-filter on cell_id: ${pf.mkString(" | ")}")
+    val gotRows = got.collect()
+    // exact parity with the in-plan radius search under the SAME
+    // (stored) coarse table: same assignment rule, same probe rule,
+    // same exact-cosine threshold
+    val inPlan = Knn.rangeSearchIvf(emb, queries, "vec_id", "embedding",
+        tau, coarse = Some(spark.read.parquet(s"$dir/coarse")))
+      .collect()
+    assert(gotRows.map(_.toString).sorted.toSeq ==
+      inPlan.map(_.toString).sorted.toSeq,
+      "indexed radius search must equal the in-plan form under the " +
+        "stored coarse table")
+    val gp = gotRows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    assert(gp.nonEmpty, "tau=0.25 should return neighbors on sf data")
+    val exact = pairs(
+      Knn.rangeSearch(emb, queries, "vec_id", "embedding", tau))
+    assert(gp.subsetOf(exact),
+      "every indexed-radius pair must be exact-cosine verified")
+  }
 }
