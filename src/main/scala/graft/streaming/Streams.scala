@@ -399,6 +399,46 @@ object Streams {
         graft.functions.bpe.encodeIds(col(textCol), merges).as("_ids")),
       idCol, "_ids", chunkTok, stride)
 
+  /** G16: streaming vector search — the ONLINE-SERVING half of the
+    * D8 "build once, search many" lifecycle: query vectors arrive as a
+    * stream and each micro-batch is searched against the PERSISTED
+    * IVF×PQ index ([[graft.operators.Knn.buildIvfPqIndex]] layout),
+    * results handed to `sink` (the production shape: an ingest topic
+    * of embeddings on one side, a frozen index on the other, no
+    * per-batch training or corpus pass). `foreachBatch` is the bridge
+    * — the search needs a driver-side probed-cell list and per-query
+    * windows, which a continuous streaming plan cannot host; inside
+    * the batch it is exactly [[graft.operators.Knn.searchIvfPqIndex]]:
+    * probes broadcast, `cell_id IN (...)` partition pruning, ADC +
+    * optional exact re-rank.
+    *
+    * Per-query results are independent (probes, ADC and the top-k
+    * window all partition by query_id), so the union over micro-batches
+    * is bit-identical to ONE batch search over the same queries
+    * (spec-pinned) — no reconciliation pass downstream. State-free:
+    * the index is the static side; nothing carries between batches.
+    * `dim` is self-served from the index's stored coarse table, the
+    * TVF's no-drift rule.
+    */
+  def indexSearchStream(queries: DataFrame, dir: String, idCol: String,
+                        vecCol: String, k: Int, nProbe: Int = 5,
+                        rescoreWith: Option[DataFrame] = None)
+                       (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dim = spark.read.parquet(s"$dir/coarse")
+            .select(org.apache.spark.sql.functions.size(col("centroid")))
+            .head().getInt(0)
+          sink(graft.operators.Knn.searchIvfPqIndex(spark, dir,
+            batch.toDF(), idCol, vecCol, dim, k, nProbe,
+            rescoreWith = rescoreWith), epochId)
+        }
+      }
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

@@ -976,4 +976,38 @@ class StreamsSpec extends SparkSpec {
       assert(got == batch, "streaming chunks must equal the batch run")
     } finally q.stop()
   }
+
+  test("G16 streaming index search: the union over micro-batches is " +
+      "bit-identical to one batch searchIvfPqIndex over the same queries") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("g16_idx").toString
+    graft.operators.Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      dim = 64)
+    val qrows = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val w = Streams.indexSearchStream(
+      input.toDF().toDF("vec_id", "embedding"), dir, "vec_id",
+      "embedding", k = 5, rescoreWith = Some(emb)) { (res, _) =>
+      val rows = res.collect().map(_.toString)
+      buf.synchronized { buf ++= rows }
+    }
+    val q = w.start()
+    try {
+      val (a, b) = qrows.splitAt(4)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val batch = graft.operators.Knn.searchIvfPqIndex(spark, dir,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dim = 64, k = 5, rescoreWith = Some(emb))
+        .collect().map(_.toString)
+      assert(batch.nonEmpty, "batch twin returned nothing — bad fixture")
+      assert(buf.sorted.toSeq == batch.sorted.toSeq,
+        s"stream union (${buf.size}) must equal the batch run " +
+          s"(${batch.length})")
+    } finally q.stop()
+  }
 }
