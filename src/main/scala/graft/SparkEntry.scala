@@ -128,6 +128,8 @@ object SparkEntry {
     "split_assign" -> ((s, d) => Pipeline.splitAssign(t(s, d, "documents"))),
     "corpus_shuffle" -> ((s, d) =>
       Pipeline.corpusShuffle(t(s, d, "documents"))),
+    "corpus_anneal" -> ((s, d) =>
+      Pipeline.corpusAnneal(t(s, d, "documents"))),
     "corpus_interleave" -> ((s, d) =>
       Pipeline.corpusInterleave(t(s, d, "documents"))),
     "corpus_shard_stats" -> ((s, d) =>
@@ -1405,6 +1407,73 @@ object SparkEntry {
     // key (2r-1)*(L/w) with L = lcm(3,2,1) = 6, then the global rank
     // the engine computes in closed form (ties across sources broken
     // by source name; same-source ties are impossible)
+    // C31: naive per-phase replay of the annealed schedule — the same
+    // literals as Pipeline.annealPhases (shared definition), boundaries
+    // in exact DECIMAL arithmetic (the engine's BigDecimal twin), rank
+    // within source, per-phase window + key, one global order
+    "corpus_anneal" -> {
+      val ph = _root_.graft.queries.Pipeline.annealPhases
+      require(ph.length == 2,
+        "corpus_anneal oracle builder replays exactly the 2-phase config")
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      def lcm(ws: Seq[Int]): Long =
+        ws.map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+      // literal-inlining guard, the frozenMergeSqlValues rule
+      def safe(s: String): String = {
+        require(s.matches("[A-Za-z0-9_]+"), s"unsafe SQL literal: $s")
+        s
+      }
+      def mValsOf(p: _root_.graft.operators.Sampling.AnnealPhase) = {
+        val l = lcm(p.weights.map(_._2))
+        p.weights.map { case (s, w) => s"('${safe(s)}', ${l / w})" }
+          .mkString(", ")
+      }
+      def fValsOf(p: _root_.graft.operators.Sampling.AnnealPhase) =
+        p.weights.map { case (s, _) => s"('${safe(s)}', ${p.frac(s)})" }
+          .mkString(", ")
+      val srcs = ph.flatMap(_.weights.map(_._1)).distinct
+        .map(s => s"('${safe(s)}')").mkString(", ")
+      s"""WITH srcs(source) AS (VALUES $srcs),
+        |w1(source, m) AS (VALUES ${mValsOf(ph(0))}),
+        |f1(source, f) AS (VALUES ${fValsOf(ph(0))}),
+        |w2(source, m) AS (VALUES ${mValsOf(ph(1))}),
+        |f2(source, f) AS (VALUES ${fValsOf(ph(1))}),
+        |keyed AS (SELECT d.doc_id, d.source,
+        |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
+        |  FROM documents d JOIN srcs s ON d.source = s.source),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY k4, doc_id)
+        |      AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM keyed),
+        |b AS (SELECT r.doc_id, r.source, r.r,
+        |    LEAST(r.ns, FLOOR(coalesce(f1.f, 0) * r.ns)::BIGINT) AS b1,
+        |    LEAST(r.ns, FLOOR((coalesce(f1.f, 0) + coalesce(f2.f, 0))
+        |      * r.ns)::BIGINT) AS b2,
+        |    w1.m AS m1, w2.m AS m2
+        |  FROM r LEFT JOIN f1 ON r.source = f1.source
+        |    LEFT JOIN f2 ON r.source = f2.source
+        |    LEFT JOIN w1 ON r.source = w1.source
+        |    LEFT JOIN w2 ON r.source = w2.source),
+        |phs AS (SELECT doc_id, source,
+        |    CASE WHEN m1 IS NOT NULL AND r <= b1 THEN 0
+        |         WHEN m2 IS NOT NULL AND r > b1 AND r <= b2 THEN 1
+        |    END AS ph,
+        |    CASE WHEN m1 IS NOT NULL AND r <= b1
+        |           THEN (2 * r - 1)::BIGINT * m1
+        |         WHEN m2 IS NOT NULL AND r > b1 AND r <= b2
+        |           THEN (2 * (r - b1) - 1)::BIGINT * m2
+        |    END AS key
+        |  FROM b)
+        |SELECT
+        |  (row_number() OVER (ORDER BY ph, key, source) - 1)::BIGINT
+        |    AS pos,
+        |  doc_id, source,
+        |  CASE ph WHEN 0 THEN '${safe(ph(0).name)}'
+        |    ELSE '${safe(ph(1).name)}' END AS phase
+        |FROM phs WHERE ph IS NOT NULL ORDER BY pos""".stripMargin
+    },
     "corpus_interleave" -> {
       val wts = mixWtsSql
       s"""WITH wts(source, w) AS (VALUES $wts),

@@ -335,21 +335,52 @@ object Sampling {
     require(weights.forall(_._2 > 0), "weights must be positive")
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate stratum in weights")
-    @annotation.tailrec
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val L = weights.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
-    // key = (2r-1)·(L/w) stays far below 2^63 for any real corpus as
-    // long as L is bounded; 2^20 allows e.g. per-mille weight grids
-    require(L <= (1L << 20), s"lcm of weights too large: $L")
+    val L = lcmOf(weights)
     val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
     import spark.implicits._
     val wdf = broadcast(
       weights.map { case (s, w) => (s, L / w) }.toDF("_s", "_m"))
-    val keyed = df.select(col(strataCol).as("_s"), col(idCol),
+    val keyed0 = df.select(col(strataCol).as("_s"), col(idCol),
         hashKey(col(idCol), seed).as("_k"))
       .join(wdf, "_s")
+    val (ranked, nPerStratum) =
+      rankedInStratum(keyed0, idCol, numPartitions)
+    val terms = ordTermsSql(weights.map { case (s2, w2) =>
+      (s2, L / w2, nPerStratum.getOrElse(s2, 0L)) })
+    ranked
+      .withColumn("_K", (lit(2L) * col("_r") - lit(1L)) * col("_m"))
+      .withColumn("ord", expr(terms))
+      .select(col("ord"), col(idCol), col("_s").as(strataCol))
+  }
+
+  /** lcm of the weights — the integer grid the (2r−1)·(L/w) schedule
+    * keys live on. `key = (2r-1)·(L/w)` stays far below 2^63 for any
+    * real corpus as long as L is bounded; 2^20 allows e.g. per-mille
+    * weight grids.
+    */
+  private def lcmOf(weights: Seq[(String, Int)]): Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = weights.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    require(L <= (1L << 20), s"lcm of weights too large: $L")
+    L
+  }
+
+  /** The ONE in-stratum pseudorandom rank exchange shared by
+    * [[interleaveOrder]] and [[annealOrder]] (the two schedules cannot
+    * drift on how rows are ranked): range partition on (_s, _k, id),
+    * per-(partition, stratum) counts — O(partitions × strata) driver
+    * rows — broadcast offsets, per-partition window. Input must carry
+    * `_s` (stratum) and `_k` (the [[hashKey]]); returns the frame with
+    * a 1-based in-stratum `_r` plus per-stratum totals.
+    */
+  private def rankedInStratum(keyed0: DataFrame, idCol: String,
+                              numPartitions: Int)
+      : (DataFrame, Map[String, Long]) = {
+    val spark = keyed0.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = keyed0
       .repartitionByRange(n, col("_s"), col("_k"), col(idCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint() // pin partitioning: counts and window must agree
@@ -370,15 +401,17 @@ object Sampling {
       concat(col("_pid").cast("string"), lit("|"), col("_s")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"), col("_s")).orderBy(col("_k"), col(idCol))
-    val ranked = keyed
-      .withColumn("_r", offExpr + row_number().over(w)) // 1-based in-stratum
-      .withColumn("_K", (lit(2L) * col("_r") - lit(1L)) * col("_m"))
-    // ord = rows strictly before (K, stratum): per stratum s', the odd
-    // multiples of m' below K are (((K-1) DIV m') + 1) DIV 2, capped at
-    // n_s'; an exact key tie counts iff s' sorts before this stratum
-    val terms = weights.map { case (s2, w2) =>
-      val m2 = L / w2
-      val n2 = nPerStratum.getOrElse(s2, 0L)
+    (keyed.withColumn("_r", offExpr + row_number().over(w)), nPerStratum)
+  }
+
+  /** The closed-form global-position SQL shared by [[interleaveOrder]]
+    * and [[annealOrder]]: rows strictly before (_K, _s). Per stratum
+    * (name, multiplier m', row count n'): the odd multiples of m' below
+    * _K are (((_K−1) DIV m') + 1) DIV 2, capped at n'; an exact key tie
+    * counts iff the stratum sorts before this row's.
+    */
+  private def ordTermsSql(strata: Seq[(String, Long, Long)]): String =
+    strata.map { case (s2, m2, n2) =>
       // escape BOTH quote styles: Spark's default parser treats
       // backslash as an escape inside string literals, so a stratum
       // name containing one would otherwise mis-parse and silently
@@ -389,10 +422,126 @@ object Sampling {
          |   AND (_K DIV ${m2}L) % 2 = 1
          |   AND ((_K DIV ${m2}L) + 1) DIV 2 <= ${n2}L
          |  THEN 1L ELSE 0L END))""".stripMargin
+    }.mkString("", " + ", "")
+
+  /** One phase of an [[annealOrder]] schedule: `weights` is the
+    * phase's source mixture (the [[interleaveOrder]] pacing rule) and
+    * `frac(s)` the fraction of source s's corpus this phase consumes.
+    * `frac`'s keys must equal the weighted sources — a source the
+    * phase paces must contribute rows and vice versa.
+    */
+  case class AnnealPhase(name: String, weights: Seq[(String, Int)],
+                         frac: Map[String, Double])
+
+  /** C31: the multi-phase annealed data schedule — the staged-mixture
+    * curriculum production pretraining runs use (web-heavy early, a
+    * high-quality-boosted mixture "annealed" at the end): each phase
+    * consumes a declared FRACTION of every source it weights, in its
+    * OWN [[interleaveOrder]] proportional order; phases concatenate
+    * into one global 0-based `pos`. Every document trains at most
+    * once: per source, phases consume disjoint contiguous windows of
+    * the source's pseudorandom rank sequence (the cumulative-threshold
+    * rule of [[deterministicSplit]], so rounding can never
+    * double-consume or skip a rank); rows beyond every phase's window
+    * — and sources no phase weights — are dropped, the
+    * [[mixtureSample]] contract.
+    *
+    * Scale shape: the ONE in-stratum rank exchange ([[rankedInStratum]],
+    * shared with C28) is the only shuffle whatever the phase count —
+    * phase assignment is a map-side boundary lookup on the rank,
+    * in-phase rank `_r − prev_boundary` is arithmetic, and the global
+    * position is the phase offset plus the SAME closed form C28 uses
+    * (per-phase realized counts are driver constants derived from the
+    * one counts collect). The naive form — a rank per phase plus a
+    * global total order — would be 2+K exchanges; none of them run.
+    */
+  def annealOrder(df: DataFrame, idCol: String, strataCol: String,
+                  phases: Seq[AnnealPhase], seed: Long = 42L,
+                  numPartitions: Int = 0): DataFrame = {
+    require(phases.nonEmpty, "phases must be non-empty")
+    require(phases.map(_.name).distinct.size == phases.size,
+      "duplicate phase name")
+    phases.foreach { p =>
+      require(p.weights.nonEmpty && p.weights.forall(_._2 > 0),
+        s"phase ${p.name}: weights must be non-empty and positive")
+      require(p.weights.map(_._1).distinct.size == p.weights.size,
+        s"phase ${p.name}: duplicate stratum in weights")
+      require(p.frac.keySet == p.weights.map(_._1).toSet,
+        s"phase ${p.name}: frac keys must equal the weighted sources")
+      require(p.frac.values.forall(f => f > 0 && f <= 1),
+        s"phase ${p.name}: fractions must be in (0, 1]")
     }
+    val allSources = phases.flatMap(_.weights.map(_._1)).distinct
+    allSources.foreach { s =>
+      val tot = phases.flatMap(_.frac.get(s)).sum
+      require(tot <= 1.0 + 1e-9,
+        s"source $s: cumulative fraction $tot exceeds 1 — a document " +
+          "would train twice")
+    }
+    val Ls = phases.map(p => lcmOf(p.weights))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val srcDf = broadcast(allSources.toDF("_s"))
+    val keyed0 = df.select(col(strataCol).as("_s"), col(idCol),
+        hashKey(col(idCol), seed).as("_k"))
+      .join(srcDf, "_s")
+    val (ranked, nPer) = rankedInStratum(keyed0, idCol, numPartitions)
+    // driver arithmetic on the collected per-stratum totals: cumulative
+    // per-source rank boundaries b = floor(cumFrac·n_s) (clamped), so
+    // phase k of source s consumes ranks (prev, b] — disjoint windows.
+    // EXACT decimal arithmetic (BigDecimal over each fraction's decimal
+    // rendering): a double sum like 0.7 + 0.3 lands at 0.99999…, and an
+    // epsilon nudge stops compensating once n_s · ulp-error crosses it —
+    // decimal matches what a SQL oracle computes from the same literals
+    // at ANY corpus size
+    var cum = Map[String, BigDecimal]().withDefault(_ => BigDecimal(0))
+    var prevB = Map[String, Long]().withDefault(_ => 0L)
+    val bounds: Seq[Map[String, (Long, Long)]] = phases.map { p =>
+      p.frac.map { case (s, f) =>
+        val ns = nPer.getOrElse(s, 0L)
+        val c = cum(s) + BigDecimal(f.toString)
+        val b = math.min(ns,
+          (c * ns).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+        val pb = prevB(s)
+        cum += (s -> c); prevB += (s -> b)
+        s -> ((pb, b))
+      }
+    }
+    val realized: Seq[Map[String, Long]] =
+      bounds.map(_.map { case (s, (pb, b)) => s -> (b - pb) })
+    val phaseSizes = realized.map(_.values.sum)
+    val phaseOffsets = phaseSizes.scanLeft(0L)(_ + _).init
+    def lookup(entries: Map[String, Long]): Column =
+      if (entries.isEmpty) lit(null).cast("long")
+      else element_at(
+        map(entries.flatMap { case (s, v) =>
+          Seq(lit(s), lit(v)) }.toSeq: _*), col("_s"))
+    val prevCols = bounds.map(b => lookup(b.map { case (s, (pb, _)) => s -> pb }))
+    val bCols = bounds.map(b => lookup(b.map { case (s, (_, hi)) => s -> hi }))
+    val mCols = phases.zipWithIndex.map { case (p, k) =>
+      lookup(p.weights.map { case (s, w) => s -> Ls(k) / w }.toMap) }
+    val conds = phases.indices.map(k =>
+      bCols(k).isNotNull && col("_r") > prevCols(k) && col("_r") <= bCols(k))
+    def phased(f: Int => Column): Column =
+      phases.indices.tail.foldLeft(when(conds(0), f(0))) {
+        (acc, k) => acc.when(conds(k), f(k))
+      }
+    val posSql = phases.indices.map { k =>
+      val strata = phases(k).weights.map { case (s2, w2) =>
+        (s2, Ls(k) / w2, realized(k).getOrElse(s2, 0L)) }
+      s"WHEN _ph = $k THEN ${phaseOffsets(k)}L + (${ordTermsSql(strata)})"
+    }.mkString("CASE ", " ", " END")
     ranked
-      .withColumn("ord", expr(terms.mkString("", " + ", "")))
-      .select(col("ord"), col(idCol), col("_s").as(strataCol))
+      .withColumn("_ph", phased(k => lit(k)))
+      .filter(col("_ph").isNotNull) // leftover ranks: never scheduled
+      .withColumn("_r2", phased(k => col("_r") - prevCols(k)))
+      .withColumn("_m", phased(k => mCols(k)))
+      .withColumn("_K", (lit(2L) * col("_r2") - lit(1L)) * col("_m"))
+      .withColumn("pos", expr(posSql))
+      .withColumn("phase", element_at(
+        array(phases.map(p => lit(p.name)): _*), col("_ph") + lit(1)))
+      .select(col("pos"), col(idCol), col("_s").as(strataCol),
+        col("phase"))
   }
 
   def exportShards(df: DataFrame, idCol: String, outDir: String,

@@ -284,6 +284,34 @@ object Pipeline {
       .orderBy("ord")
   }
 
+  /** C31's registered two-phase schedule — ONE definition shared with
+    * the oracle builder (SparkEntry) so the two cannot drift: phase 1
+    * ("web_heavy") streams 70% of src0-9 and 50% of src10-19 under the
+    * [[mixWeights]] 3:2:1 mixture; phase 2 ("anneal") streams the
+    * REMAINING 30% of the five high-weight sources plus another 50% of
+    * src10/src11 under a quality-boosted 1:3 mixture — the staged-data
+    * curriculum real pretraining runs end on. src12-19's second halves
+    * are leftover (never scheduled), pinning the drop semantics.
+    */
+  private[graft] val annealPhases: Seq[Sampling.AnnealPhase] = Seq(
+    Sampling.AnnealPhase("web_heavy", mixWeights,
+      (0 until 20).map(i =>
+        s"src$i" -> (if (i < 10) 0.7 else 0.5)).toMap),
+    Sampling.AnnealPhase("anneal",
+      (0 until 5).map(i => s"src$i" -> 1) ++
+        Seq("src10" -> 3, "src11" -> 3),
+      ((0 until 5).map(i => s"src$i" -> 0.3) ++
+        Seq("src10" -> 0.5, "src11" -> 0.5)).toMap))
+
+  /** C31: the multi-phase annealed schedule ([[Sampling.annealOrder]])
+    * under [[annealPhases]] — still ONE rank exchange however many
+    * phases the curriculum has.
+    */
+  def corpusAnneal(documents: DataFrame): DataFrame =
+    Sampling.annealOrder(documents, "doc_id", "source", annealPhases,
+        seed = 42L)
+      .orderBy("pos")
+
   /** C30: pack the INTERLEAVED stream — a real pretraining run packs
     * sequences in TRAINING order, not doc_id order: C28's schedule
     * assigns each doc its global position, then C11's two-phase prefix

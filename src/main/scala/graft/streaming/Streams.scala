@@ -439,6 +439,69 @@ object Streams {
         }
       }
 
+  /** G17: streaming ingest dedup — the crawl-ingest LOOP the C25
+    * persisted LSH index exists for, run as a stream: each micro-batch
+    * of documents probes the index
+    * ([[graft.operators.Dedup.incrementalMinhashIndexed]] — the flat
+    * bucket table filtered map-side to the batch's colliding keys,
+    * candidate docs' text served from `docStoreDir`), every batch doc
+    * gets a verdict row `(id, is_dup, match_id, best_jaccard)`, and the
+    * SURVIVORS (no history match) append to BOTH the index
+    * (`appendToLshIndex` — a pure file-add) and the doc store, so the
+    * next micro-batch dedups against them. Caller bootstraps the two
+    * directories consistently: `buildLshIndex(corpus, …, indexDir)` and
+    * the same corpus' `(id, text)` written to `docStoreDir` (an empty
+    * corpus is a legal bootstrap).
+    *
+    * Contract notes: duplicates are judged vs HISTORY (the index as of
+    * the batch's arrival) — two near-dup docs inside ONE micro-batch
+    * both survive and both enter the index, exactly like the
+    * sequential batch loop this is spec-pinned against (a corpus-level
+    * C3/C10 pass owns in-corpus dedup); the probe result is
+    * localCheckpointed BEFORE the append, because the probe plan reads
+    * `indexDir/buckets` lazily and a post-append action would re-list
+    * the directory and match the batch against itself. State lives in
+    * the two directories, not the stream — a restart resumes from
+    * whatever was durably appended.
+    */
+  def dedupIngestStream(docs: DataFrame, idCol: String, textCol: String,
+                        indexDir: String, docStoreDir: String,
+                        threshold: Double = 0.7, maxBucket: Int = 1000)
+                       (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: Dataset[Row], epochId: Long) =>
+        val batch = batch0.toDF()
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val corpus = spark.read.parquet(docStoreDir)
+          // EAGER: pin the probe result before the appends below
+          // mutate the directories its plan reads
+          val pairs = graft.operators.Dedup.incrementalMinhashIndexed(
+              indexDir, corpus, batch, idCol, textCol, threshold,
+              maxBucket)
+            .localCheckpoint()
+          val best = pairs.groupBy(col("batch_id"))
+            .agg(max_by(col("corpus_id"),
+                struct(col("jaccard"), -col("corpus_id"))).as("match_id"),
+              max(col("jaccard")).as("best_jaccard"))
+          val verdict = batch.select(col(idCol))
+            .join(best, batch(idCol) === best("batch_id"), "left")
+            .select(col(idCol), col("match_id").isNotNull.as("is_dup"),
+              col("match_id"), col("best_jaccard"))
+            .localCheckpoint()
+          val survivors = batch.select(col(idCol), col(textCol))
+            .join(pairs.select(col("batch_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .localCheckpoint()
+          graft.operators.Dedup.appendToLshIndex(survivors, idCol,
+            textCol, indexDir)
+          survivors.write.mode("append").parquet(docStoreDir)
+          sink(verdict, epochId)
+        }
+      }
+
   /** G4: streaming enrichment lookup join — the reference's
     * HBaseRowDataLookupFunction role (point-GET a dimension row per
     * stream record): a stream-static LEFT join with the dimension

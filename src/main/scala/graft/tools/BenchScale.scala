@@ -68,7 +68,11 @@ object BenchScale {
     // manifest rollup
     "text_bpe_ids", "corpus_chunk", "corpus_interleave",
     "corpus_shard_stats", "knn_range", "corpus_pack_interleaved",
-    "knn_range_ivf")
+    "knn_range_ivf",
+    // round 12, second half: the SQ8 compressed linear scan — the
+    // byte-codes read path must stay the plan at 100x — and the
+    // multi-phase schedule (still ONE rank exchange, like C28)
+    "knn_sq", "corpus_anneal")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -245,4 +245,71 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(prefix("a") - 40) <= 6 &&
       math.abs(prefix("c") - 60) <= 6, s"prefix shares: $prefix")
   }
+
+  test("annealOrder: positions equal the naive per-phase replay, phase " +
+      "windows follow the cumulative-floor rule, blocks are contiguous, " +
+      "leftovers and unweighted sources drop") {
+    import org.apache.spark.sql.expressions.Window
+    // same tie-stressed fixture as interleaveOrder's spec; phase 2
+    // re-weights a and c only (b's second half is LEFTOVER), and its
+    // equal-K ties stress the cross-stratum tie-break inside a phase
+    val df = spark.range(0, 211)
+      .select(col("id"),
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("zzz")),
+          (pmod(col("id"), lit(7)) % 4 + 1).cast("int")).as("s"))
+    val phases = Seq(
+      Sampling.AnnealPhase("warm", Seq("a" -> 2, "b" -> 2, "c" -> 3),
+        Map("a" -> 0.6, "b" -> 0.5, "c" -> 0.7)),
+      Sampling.AnnealPhase("anneal", Seq("a" -> 1, "c" -> 3),
+        Map("a" -> 0.4, "c" -> 0.2)))
+    val out = Sampling.annealOrder(df, "id", "s", phases, seed = 9L,
+        numPartitions = 5)
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(!out.exists(_._3 == "zzz"), "unweighted source must drop")
+    // driver replay: rank within source on (hashKey, id), boundaries
+    // b_k = floor(cumFrac * n_s), phase k consumes ranks (b_{k-1}, b_k]
+    val ranked = df.filter(col("s").isin("a", "b", "c"))
+      .withColumn("_k", Sampling.hashKey(col("id"), 9L))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("s").orderBy(col("_k"), col("id"))))
+      .select("id", "s", "r")
+      .as[(Long, String, Int)].collect()
+    val ns = ranked.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def bound(s: String, cum: Double) = // exact decimal, like the engine
+      math.min(ns(s), (BigDecimal(cum.toString) * ns(s))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    val b1 = Map("a" -> bound("a", 0.6), "b" -> bound("b", 0.5),
+      "c" -> bound("c", 0.7))
+    val b2 = Map("a" -> bound("a", 1.0), "c" -> bound("c", 0.9))
+    val m1 = Map("a" -> 3L, "b" -> 3L, "c" -> 2L) // L=6 over 2:2:3
+    val m2 = Map("a" -> 3L, "c" -> 1L)            // L=3 over 1:3
+    val expected = ranked.flatMap { case (id, s, r) =>
+      if (r <= b1(s))
+        Some((0, (2L * r - 1) * m1(s), s, id))
+      else if (b2.contains(s) && r <= b2(s))
+        Some((1, (2L * (r - b1(s)) - 1) * m2(s), s, id))
+      else None
+    }.sortBy(t => (t._1, t._2, t._3))
+      .zipWithIndex
+      .map { case ((k, _, s, id), i) =>
+        (i.toLong, id, s, if (k == 0) "warm" else "anneal") }
+    assert(out.toSeq == expected.toSeq,
+      "closed form must equal the naive per-phase double-window order")
+    // dense positions, contiguous phase blocks, leftovers dropped
+    assert(out.map(_._1).toSeq == (0L until expected.length).toSeq)
+    val warmMax = out.filter(_._4 == "warm").map(_._1).max
+    val annealMin = out.filter(_._4 == "anneal").map(_._1).min
+    assert(warmMax < annealMin, "phase blocks must be contiguous")
+    assert(!out.exists(t => t._4 == "anneal" && t._3 == "b"),
+      "b is unweighted in phase 2")
+    assert(out.count(_._3 == "b") == b1("b"),
+      "b's second half is leftover and must drop")
+    // every source's phase-1 rows are exactly its first b1 ranks
+    val warmIds = out.filter(t => t._4 == "warm" && t._3 == "a")
+      .map(_._2).toSet
+    val firstRanksA = ranked.filter(t => t._2 == "a" && t._3 <= b1("a"))
+      .map(_._1).toSet
+    assert(warmIds == firstRanksA,
+      "phase-1 window must be the source's first b1 ranks")
+  }
 }
