@@ -977,6 +977,78 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G17 streaming ingest dedup: verdicts and index growth equal " +
+      "the sequential batch loop (probe -> filter survivors -> append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") % 10 =!= 5)
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    def bootstrap(): (String, String) = {
+      val idx = java.nio.file.Files.createTempDirectory("g17_idx").toString
+      val store = java.nio.file.Files.createTempDirectory("g17_doc").toString
+      graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text", idx)
+      corpus.write.mode("overwrite").parquet(store)
+      (idx, store)
+    }
+    // reference: the sequential batch ingest loop, two cycles
+    val (refIdx, refStore) = bootstrap()
+    def refCycle(batch: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Boolean, Option[Long])] = {
+      val hist = spark.read.parquet(refStore)
+      val pairs = graft.operators.Dedup.incrementalMinhashIndexed(
+        refIdx, hist, batch, "doc_id", "text").localCheckpoint()
+      val dupIds = pairs.select("batch_id").distinct()
+        .as[Long].collect().toSet
+      val best = pairs.collect()
+        .groupBy(_.getAs[Long]("batch_id"))
+        .map { case (b, rs) =>
+          b -> rs.maxBy(r =>
+            (r.getAs[Double]("jaccard"), -r.getAs[Long]("corpus_id")))
+            .getAs[Long]("corpus_id") }
+      val survivors = batch.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+      graft.operators.Dedup.appendToLshIndex(survivors, "doc_id",
+        "text", refIdx)
+      survivors.write.mode("append").parquet(refStore)
+      batch.select("doc_id").as[Long].collect().toSet.map { (id: Long) =>
+        (id, dupIds(id), best.get(id)) }
+    }
+    val want = refCycle(b1) ++ refCycle(b2)
+    // stream: same two batches through dedupIngestStream
+    val (strIdx, strStore) = bootstrap()
+    val input = MemoryStream[(Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Boolean,
+      Option[Long])]()
+    val w = Streams.dedupIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      strIdx, strStore) { (verdict, _) =>
+      val rows = verdict.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("is_dup"),
+        Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)))
+      buf.synchronized { buf ++= rows }
+    }
+    val q = w.start()
+    try {
+      input.addData(b1.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      assert(want.exists(_._2) && want.exists(!_._2),
+        "fixture should produce both dups and survivors")
+      assert(buf.toSet == want,
+        s"stream verdicts must equal the sequential loop: " +
+          s"${buf.size} vs ${want.size}")
+      // the two index layouts hold the same bucket rows
+      def bucketRows(dir: String) = spark.read
+        .parquet(s"$dir/buckets")
+        .select("band", "bkey", "corpus_id")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(bucketRows(strIdx) == bucketRows(refIdx),
+        "stream index must grow exactly like the batch loop's")
+    } finally q.stop()
+  }
+
   test("G16 streaming index search: the union over micro-batches is " +
       "bit-identical to one batch searchIvfPqIndex over the same queries") {
     implicit val sqlCtx = spark.sqlContext
