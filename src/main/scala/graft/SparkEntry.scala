@@ -130,6 +130,8 @@ object SparkEntry {
       Pipeline.corpusShuffle(t(s, d, "documents"))),
     "corpus_anneal" -> ((s, d) =>
       Pipeline.corpusAnneal(t(s, d, "documents"))),
+    "corpus_pack_ids" -> ((s, d) =>
+      Pipeline.corpusPackIds(t(s, d, "documents"))),
     "corpus_interleave" -> ((s, d) =>
       Pipeline.corpusInterleave(t(s, d, "documents"))),
     "corpus_shard_stats" -> ((s, d) =>
@@ -2188,6 +2190,29 @@ object SparkEntry {
         |    - greatest(start_tok, seq_id * 2048) AS span_len,
         |  greatest(start_tok, seq_id * 2048) - start_tok AS pos_in_doc
         |FROM s ORDER BY 1, 3""".stripMargin,
+    // C32: sequences from GLOBAL token positions — the replayed id
+    // stream (bpeIdsCtes, the same chain text_bpe_ids / corpus_chunk
+    // check), doc start offsets as a running sum in doc_id order (the
+    // packing rule), then seq_id = gpos DIV 2048 and the in-sequence
+    // 1-based position for the order-sensitive checksum
+    "corpus_pack_ids" ->
+      s"""WITH RECURSIVE $bpeIdsCtes,
+        |cnum AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM bids GROUP BY doc_id),
+        |starts AS (SELECT doc_id,
+        |    coalesce(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM cnum),
+        |g AS (SELECT b.id, s.start_tok + b.pos AS gpos
+        |  FROM bids b JOIN starts s USING (doc_id)),
+        |q AS (SELECT gpos // 2048 AS seq_id,
+        |    (gpos % 2048 + 1)::BIGINT AS p1, id FROM g)
+        |SELECT seq_id::BIGINT AS seq_id, COUNT(*)::BIGINT AS n_tokens,
+        |  arg_min(id, p1)::INT AS first_id,
+        |  arg_max(id, p1)::INT AS last_id,
+        |  SUM(p1 * id)::BIGINT AS id_wsum
+        |FROM q GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // C27: the replayed token-ID stream (bpeIdsCtes, shared with
     // text_bpe_ids), then per-doc window starts every 6 tokens and a
     // range join slicing each 8-token window; id_wsum replays the

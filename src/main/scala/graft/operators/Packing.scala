@@ -155,4 +155,41 @@ object Packing {
           "(acc, v) -> acc + v)").as("id_wsum"),
         col("chunk"))
   }
+
+  /** C32: materialize the PACKED training sequences' token-ID arrays —
+    * the actual tensor rows a pretraining loader feeds the model
+    * (Megatron/GPT-NeoX pretokenized shards): [[sequenceSpans]] says
+    * WHERE each doc's tokens land; this GATHERS them — per span,
+    * `slice(ids, pos_in_doc+1, span_len)`; per sequence, spans
+    * concatenate in offset order. Every sequence is exactly `budget`
+    * tokens except the final one; the concatenation of all sequences
+    * IS the id-order concatenation of all docs' id streams
+    * (spec-pinned both ways).
+    *
+    * Plan shape: the span manifest is output-proportional (one
+    * explode past the C11 prefix sum); the only corpus-sized join is
+    * spans ⋈ id arrays on the doc id (id-keyed, never text); the slice
+    * is map-side; the final `groupBy(seq_id)` holds at most `budget`
+    * tokens of agg state per group (a sequence's spans sum to ≤
+    * budget), so per-group memory is bounded by the TRAINING config,
+    * not by document length — a 1M-token doc contributes 1-token and
+    * budget-token slices to many sequences, never one giant buffer.
+    *
+    * Output: (seq_id, n_tokens, ids).
+    */
+  def packTokenIds(df: DataFrame, idCol: String, idsCol: String,
+                   budget: Long, numPartitions: Int = 0): DataFrame = {
+    val spans = sequenceSpans(
+      df.select(col(idCol), size(col(idsCol)).cast("long").as("_n")),
+      idCol, "_n", budget, numPartitions)
+    spans.join(df.select(col(idCol), col(idsCol).as("_ids")), Seq(idCol))
+      .withColumn("_slice", slice(col("_ids"),
+        (col("pos_in_doc") + 1).cast("int"), col("span_len").cast("int")))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("offset"), col("_slice")))),
+        s => s("_slice"))).as("ids"))
+      .select(col("seq_id"), size(col("ids")).cast("long").as("n_tokens"),
+        col("ids"))
+  }
 }

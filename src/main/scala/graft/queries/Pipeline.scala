@@ -284,6 +284,28 @@ object Pipeline {
       .orderBy("ord")
   }
 
+  /** C32: the packed-sequence token TENSOR rows under the frozen
+    * tokenizer ([[Packing.packTokenIds]]) — seq_id, n_tokens, first /
+    * last id and the order-sensitive `id_wsum` checksum (the C27
+    * rule), so each 2048-token training row's CONTENT is cross-engine
+    * checked; the id arrays stay engine-side (PackingSpec pins exact
+    * gather-vs-concatenation equality).
+    */
+  def corpusPackIds(documents: DataFrame, budget: Long = 2048L)
+      : DataFrame =
+    Packing.packTokenIds(
+      documents.select(col("doc_id"),
+        graft.functions.bpe.encodeIds(col("text"),
+          graft.operators.Bpe.frozenMerges).as("ids")),
+      "doc_id", "ids", budget)
+      .select(col("seq_id"), col("n_tokens"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        expr("aggregate(zip_with(ids, sequence(1, size(ids)), " +
+          "(x, i) -> CAST(x AS BIGINT) * i), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)").as("id_wsum"))
+      .orderBy("seq_id")
+
   /** C31's registered two-phase schedule — ONE definition shared with
     * the oracle builder (SparkEntry) so the two cannot drift: phase 1
     * ("web_heavy") streams 70% of src0-9 and 50% of src10-19 under the

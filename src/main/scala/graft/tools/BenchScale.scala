@@ -71,8 +71,9 @@ object BenchScale {
     "knn_range_ivf",
     // round 12, second half: the SQ8 compressed linear scan — the
     // byte-codes read path must stay the plan at 100x — and the
-    // multi-phase schedule (still ONE rank exchange, like C28)
-    "knn_sq", "corpus_anneal")
+    // multi-phase schedule (still ONE rank exchange, like C28), and
+    // the packed-tensor gather (output ~ corpus tokens)
+    "knn_sq", "corpus_anneal", "corpus_pack_ids")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

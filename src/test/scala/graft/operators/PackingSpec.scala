@@ -125,4 +125,37 @@ class PackingSpec extends SparkSpec {
         s"doc $id tiling")
     }
   }
+
+  test("packTokenIds: every sequence is exactly budget tokens except " +
+      "the last, and the gathered sequences concatenate to the doc-order " +
+      "id stream (straddle case pinned)") {
+    // 60 + 100 + 90 over budget 100: doc 2 straddles the first cut,
+    // doc 3 the second; doc 4 is empty and must vanish
+    val docs = Seq(
+      (1L, (1 to 60).toSeq),
+      (2L, (61 to 160).toSeq),
+      (3L, (161 to 250).toSeq),
+      (4L, Seq.empty[Int]))
+    val df = docs.toDF("doc_id", "ids")
+    val out = Packing.packTokenIds(df, "doc_id", "ids", budget = 100L)
+      .orderBy("seq_id")
+      .as[(Long, Long, Seq[Int])].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_._2).toSeq == Seq(100L, 100L, 50L),
+      "full sequences then the short tail")
+    assert(out.forall { case (_, n, ids) => ids.length.toLong == n })
+    // the straddle: seq 0 = doc1 + doc2's first 40; seq 1 = doc2's
+    // last 60 + doc3's first 40; seq 2 = doc3's last 50
+    assert(out(0)._3 == (1 to 100).toSeq)
+    assert(out(1)._3 == (101 to 200).toSeq)
+    assert(out(2)._3 == (201 to 250).toSeq)
+    // global invariant, re-stated directly: concatenation in seq order
+    // IS the doc-order concatenation
+    assert(out.flatMap(_._3).toSeq == (1 to 250).toSeq)
+    // partitioning independence (the C11 two-phase scan underneath)
+    val re = Packing.packTokenIds(df.repartition(7), "doc_id", "ids",
+        budget = 100L)
+      .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
+    assert(re.toSeq == out.toSeq)
+  }
 }
