@@ -476,12 +476,23 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val corpus = spark.read.parquet(docStoreDir)
+          // the probe registers internal persists (shingle tables +
+          // candidate set) for within-plan reuse; a long-running
+          // stream would accumulate one set of cache entries per
+          // micro-batch, so capture the call's own cache delta and
+          // release it once the checkpoint has materialized the result
+          val sc = spark.sparkContext
+          val cachedBefore = sc.getPersistentRDDs.keySet
+          val rawPairs = graft.operators.Dedup.incrementalMinhashIndexed(
+            indexDir, corpus, batch, idCol, textCol, threshold,
+            maxBucket)
+          val probeCaches = sc.getPersistentRDDs.keySet -- cachedBefore
           // EAGER: pin the probe result before the appends below
           // mutate the directories its plan reads
-          val pairs = graft.operators.Dedup.incrementalMinhashIndexed(
-              indexDir, corpus, batch, idCol, textCol, threshold,
-              maxBucket)
-            .localCheckpoint()
+          val pairs = rawPairs.localCheckpoint()
+          sc.getPersistentRDDs
+            .filter { case (id, _) => probeCaches.contains(id) }
+            .values.foreach(_.unpersist(blocking = false))
           val best = pairs.groupBy(col("batch_id"))
             .agg(max_by(col("corpus_id"),
                 struct(col("jaccard"), -col("corpus_id"))).as("match_id"),
