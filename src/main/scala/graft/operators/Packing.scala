@@ -192,4 +192,42 @@ object Packing {
       .select(col("seq_id"), size(col("ids")).cast("long").as("n_tokens"),
         col("ids"))
   }
+
+  /** C33: export the packed token tensors as a SHARDED pretokenized
+    * dataset — the on-disk artifact a Megatron-style loader actually
+    * opens: [[packTokenIds]] rows land in `shards` CONTIGUOUS
+    * sequence ranges (`shard = seq_id DIV ceil(n/shards)`), one Hive
+    * partition per shard, so a data-parallel rank streams ITS shard
+    * sequentially in training order. Contrast with C20's doc-level
+    * `exportShards`, whose shuffle-deal IMPOSES an order — here the
+    * order is already the schedule's (C28/C30/C31 upstream of the
+    * packing) and must be preserved, so sharding is a pure range
+    * split: no shuffle beyond the write's own partitioning, no
+    * re-ranking.
+    *
+    * Writes `outDir/shard=S/` parquet of (seq_id, n_tokens, ids) plus
+    * an `_manifest` sidecar (underscore-prefixed: invisible to a
+    * partition-discovering read of `outDir`) with per-shard n_seqs /
+    * n_tokens / first_seq / last_seq — the numbers a loader validates
+    * before training. Returns the manifest.
+    */
+  def exportTokenShards(packed: DataFrame, outDir: String,
+                        shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val n = packed.count()
+    val per = math.max(1L, (n + shards - 1) / shards)
+    val withShard = packed
+      .withColumn("shard", expr(s"CAST(seq_id DIV ${per}L AS INT)"))
+    withShard.write.mode("overwrite").partitionBy("shard")
+      .parquet(outDir)
+    val manifest = withShard.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("seq_id")).as("first_seq"),
+        max(col("seq_id")).as("last_seq"))
+      .orderBy("shard")
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_manifest")
+    manifest
+  }
 }

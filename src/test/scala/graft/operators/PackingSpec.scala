@@ -158,4 +158,45 @@ class PackingSpec extends SparkSpec {
       .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
     assert(re.toSeq == out.toSeq)
   }
+
+  test("exportTokenShards: contiguous range shards reconcile file-for-" +
+      "file with the packed rows, manifest numbers match the files, " +
+      "and shard order concatenates to training order") {
+    // 23 sequences over 4 shards: ceil = 6, so ranges 0-5/6-11/12-17/
+    // 18-22 — the last shard is short, the general case
+    val docs = (1L to 23L).map(i =>
+      (i, ((i * 100) until (i * 100 + 100)).map(_.toInt)))
+    val df = docs.toDF("doc_id", "ids")
+    val packed = Packing.packTokenIds(df, "doc_id", "ids", budget = 100L)
+    val dir = java.nio.file.Files.createTempDirectory("tok_shards").toString
+    val manifest = Packing.exportTokenShards(packed, dir, shards = 4)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(manifest.map(_._2).toSeq == Seq(6L, 6L, 6L, 5L),
+      "ceil-sized ranges with a short tail shard")
+    assert(manifest.forall { case (s, _, _, first, last) =>
+      first == s * 6L && last == first + (if (s == 3) 4 else 5) },
+      "shards must be contiguous seq_id ranges")
+    // file reconciliation: the partition-discovering read returns
+    // exactly the packed rows, and each shard dir holds its range
+    val back = spark.read.parquet(dir)
+    assert(back.select("seq_id", "n_tokens", "ids")
+        .as[(Long, Long, Seq[Int])].collect().toSet ==
+      packed.as[(Long, Long, Seq[Int])].collect().toSet,
+      "read-back must equal the packed rows (the _manifest dir is " +
+        "invisible to partition discovery)")
+    val shard2 = spark.read.parquet(s"$dir/shard=2")
+      .select("seq_id").as[Long].collect().sorted.toSeq
+    assert(shard2 == (12L to 17L).toSeq, "shard dir holds its range")
+    // manifest token totals equal the actual files' totals
+    val fileTotals = back.groupBy("shard")
+      .agg(sum("n_tokens").as("t")).as[(Int, Long)].collect().toMap
+    assert(manifest.forall { case (s, _, t, _, _) => fileTotals(s) == t })
+    // concatenating shards 0..3, each sorted by seq_id, IS training
+    // order 0..22
+    val streamOrder = (0 to 3).flatMap(s =>
+      spark.read.parquet(s"$dir/shard=$s")
+        .select("seq_id").as[Long].collect().sorted)
+    assert(streamOrder == (0L until 23L).toSeq)
+  }
 }
