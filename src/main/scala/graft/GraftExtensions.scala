@@ -309,6 +309,44 @@ object GraftExtensions {
             vecCol, dim, tau, corpus, nProbe)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_chunk"),
+      info("graft_chunk",
+        "graft_chunk(table, id_col, text_col, chunk_tok, stride) - " +
+          "frozen-BPE token-window chunks (C27's map-only slicing: " +
+          "id, chunk_idx, tok_start, n_tok, first/last id, id_wsum, " +
+          "chunk array)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_chunk"
+        val df = spark.table(strArg(args(0), n))
+        val idCol = strArg(args(1), n)
+        val textCol = strArg(args(2), n)
+        operators.Packing.tokenChunks(
+            df.select(col(idCol),
+              functions.bpe.encodeIds(col(textCol),
+                operators.Bpe.frozenMerges).as("_ids")),
+            idCol, "_ids", numArg(args(3), n).toInt,
+            numArg(args(4), n).toInt)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_pack_ids"),
+      info("graft_pack_ids",
+        "graft_pack_ids(table, id_col, text_col, budget) - the packed " +
+          "training sequences' frozen-BPE token-ID tensor rows (C32: " +
+          "seq_id, n_tokens, ids)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_pack_ids"
+        val df = spark.table(strArg(args(0), n))
+        val idCol = strArg(args(1), n)
+        val textCol = strArg(args(2), n)
+        operators.Packing.packTokenIds(
+            df.select(col(idCol),
+              functions.bpe.encodeIds(col(textCol),
+                operators.Bpe.frozenMerges).as("_ids")),
+            idCol, "_ids", numArg(args(3), n).toLong)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn"),
       info("graft_knn",
         "graft_knn(table, id_col, vec_col, dim, k[, max_query_id]) - " +

@@ -146,6 +146,33 @@ class GraftSqlSpec extends SparkSpec {
       s"TVF must equal the operator: ${viaSql.size} vs ${viaScala.size}")
   }
 
+  test("graft_chunk / graft_pack_ids: loader-family TVFs equal the " +
+      "Scala operators under the frozen tokenizer") {
+    sf("documents").createOrReplaceTempView("docs_loader_v")
+    val merges = graft.operators.Bpe.frozenMerges
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.bpe.encodeIds(col("text"), merges).as("_ids"))
+    val chunkSql = spark.sql(
+      "SELECT doc_id, chunk_idx, id_wsum FROM " +
+        "graft_chunk('docs_loader_v', 'doc_id', 'text', 8, 6)")
+      .collect().map(_.toString).sorted.toSeq
+    val chunkScala = graft.operators.Packing.tokenChunks(
+        ids(sf("documents")), "doc_id", "_ids", 8, 6)
+      .select("doc_id", "chunk_idx", "id_wsum")
+      .collect().map(_.toString).sorted.toSeq
+    assert(chunkSql == chunkScala && chunkSql.nonEmpty)
+    val packSql = spark.sql(
+      "SELECT seq_id, n_tokens FROM " +
+        "graft_pack_ids('docs_loader_v', 'doc_id', 'text', 2048)")
+      .collect().map(_.toString).sorted.toSeq
+    val packScala = graft.operators.Packing.packTokenIds(
+        ids(sf("documents")), "doc_id", "_ids", 2048L)
+      .select("seq_id", "n_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    assert(packSql == packScala && packSql.nonEmpty)
+  }
+
   test("graft_avg_hash / graft_char_entropy expression functions " +
       "match their kernels") {
     val r = spark.sql(
