@@ -214,13 +214,19 @@ object Packing {
   def exportTokenShards(packed: DataFrame, outDir: String,
                         shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
+    // the tensor gather runs ONCE (the write): the count prunes the
+    // ids column (Catalyst drops the unused collect/flatten agg), and
+    // the manifest aggregates the WRITTEN files — which also makes it
+    // an actual-artifact reconciliation, not a parallel computation
     val n = packed.count()
     val per = math.max(1L, (n + shards - 1) / shards)
-    val withShard = packed
+    packed
       .withColumn("shard", expr(s"CAST(seq_id DIV ${per}L AS INT)"))
-    withShard.write.mode("overwrite").partitionBy("shard")
+      .write.mode("overwrite").partitionBy("shard")
       .parquet(outDir)
-    val manifest = withShard.groupBy(col("shard"))
+    val spark = packed.sparkSession
+    val manifest = spark.read.parquet(outDir)
+      .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_seqs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("seq_id")).as("first_seq"),
