@@ -132,6 +132,8 @@ object SparkEntry {
       Pipeline.corpusAnneal(t(s, d, "documents"))),
     "corpus_pack_ids" -> ((s, d) =>
       Pipeline.corpusPackIds(t(s, d, "documents"))),
+    "corpus_pack_annealed" -> ((s, d) =>
+      Pipeline.corpusPackAnnealed(t(s, d, "documents"))),
     "corpus_interleave" -> ((s, d) =>
       Pipeline.corpusInterleave(t(s, d, "documents"))),
     "corpus_shard_stats" -> ((s, d) =>
@@ -566,6 +568,78 @@ object SparkEntry {
       |    AS pos,
       |  id::INT AS id
       |FROM rawids)""".stripMargin
+  }
+
+  /** The naive per-phase replay of the C31 annealed schedule as CTEs
+    * ending in `apos(pos, doc_id, source, phase)` — literals generated
+    * from `Pipeline.annealPhases` (the ONE phase definition), rank
+    * boundaries in exact DECIMAL arithmetic (the engine's BigDecimal
+    * twin). Shared by the corpus_anneal oracle and the composed
+    * corpus_pack_annealed oracle so the two cannot drift; names are
+    * a-prefixed to compose with the b-prefixed [[bpeTokCtes]].
+    */
+  private def annealPosCtes: String = {
+    val ph = _root_.graft.queries.Pipeline.annealPhases
+    require(ph.length == 2,
+      "the anneal oracle builder replays exactly the 2-phase config")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    def lcm(ws: Seq[Int]): Long =
+      ws.map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    // literal-inlining guard, the frozenMergeSqlValues rule
+    def safe(s: String): String = {
+      require(s.matches("[A-Za-z0-9_]+"), s"unsafe SQL literal: $s")
+      s
+    }
+    def mValsOf(p: _root_.graft.operators.Sampling.AnnealPhase) = {
+      val l = lcm(p.weights.map(_._2))
+      p.weights.map { case (s, w) => s"('${safe(s)}', ${l / w})" }
+        .mkString(", ")
+    }
+    def fValsOf(p: _root_.graft.operators.Sampling.AnnealPhase) =
+      p.weights.map { case (s, _) => s"('${safe(s)}', ${p.frac(s)})" }
+        .mkString(", ")
+    val srcs = ph.flatMap(_.weights.map(_._1)).distinct
+      .map(s => s"('${safe(s)}')").mkString(", ")
+    s"""asrcs(source) AS (VALUES $srcs),
+      |aw1(source, m) AS (VALUES ${mValsOf(ph(0))}),
+      |af1(source, f) AS (VALUES ${fValsOf(ph(0))}),
+      |aw2(source, m) AS (VALUES ${mValsOf(ph(1))}),
+      |af2(source, f) AS (VALUES ${fValsOf(ph(1))}),
+      |akeyed AS (SELECT d.doc_id, d.source,
+      |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
+      |  FROM documents d JOIN asrcs s ON d.source = s.source),
+      |ar AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY k4, doc_id)
+      |      AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS ns
+      |  FROM akeyed),
+      |abnd AS (SELECT ar.doc_id, ar.source, ar.r,
+      |    LEAST(ar.ns, FLOOR(coalesce(af1.f, 0) * ar.ns)::BIGINT) AS b1,
+      |    LEAST(ar.ns, FLOOR((coalesce(af1.f, 0) + coalesce(af2.f, 0))
+      |      * ar.ns)::BIGINT) AS b2,
+      |    aw1.m AS m1, aw2.m AS m2
+      |  FROM ar LEFT JOIN af1 ON ar.source = af1.source
+      |    LEFT JOIN af2 ON ar.source = af2.source
+      |    LEFT JOIN aw1 ON ar.source = aw1.source
+      |    LEFT JOIN aw2 ON ar.source = aw2.source),
+      |aphs AS (SELECT doc_id, source,
+      |    CASE WHEN m1 IS NOT NULL AND r <= b1 THEN 0
+      |         WHEN m2 IS NOT NULL AND r > b1 AND r <= b2 THEN 1
+      |    END AS ph,
+      |    CASE WHEN m1 IS NOT NULL AND r <= b1
+      |           THEN (2 * r - 1)::BIGINT * m1
+      |         WHEN m2 IS NOT NULL AND r > b1 AND r <= b2
+      |           THEN (2 * (r - b1) - 1)::BIGINT * m2
+      |    END AS key
+      |  FROM abnd),
+      |apos AS (SELECT
+      |    (row_number() OVER (ORDER BY ph, key, source) - 1)::BIGINT
+      |      AS pos,
+      |    doc_id, source,
+      |    CASE ph WHEN 0 THEN '${safe(ph(0).name)}'
+      |      ELSE '${safe(ph(1).name)}' END AS phase
+      |  FROM aphs WHERE ph IS NOT NULL)""".stripMargin
   }
 
   /** The full C10-fuzzy curation chain as CTEs ending in `surv`
@@ -1409,73 +1483,30 @@ object SparkEntry {
     // key (2r-1)*(L/w) with L = lcm(3,2,1) = 6, then the global rank
     // the engine computes in closed form (ties across sources broken
     // by source name; same-source ties are impossible)
-    // C31: naive per-phase replay of the annealed schedule — the same
-    // literals as Pipeline.annealPhases (shared definition), boundaries
-    // in exact DECIMAL arithmetic (the engine's BigDecimal twin), rank
-    // within source, per-phase window + key, one global order
-    "corpus_anneal" -> {
-      val ph = _root_.graft.queries.Pipeline.annealPhases
-      require(ph.length == 2,
-        "corpus_anneal oracle builder replays exactly the 2-phase config")
-      @annotation.tailrec
-      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-      def lcm(ws: Seq[Int]): Long =
-        ws.map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
-      // literal-inlining guard, the frozenMergeSqlValues rule
-      def safe(s: String): String = {
-        require(s.matches("[A-Za-z0-9_]+"), s"unsafe SQL literal: $s")
-        s
-      }
-      def mValsOf(p: _root_.graft.operators.Sampling.AnnealPhase) = {
-        val l = lcm(p.weights.map(_._2))
-        p.weights.map { case (s, w) => s"('${safe(s)}', ${l / w})" }
-          .mkString(", ")
-      }
-      def fValsOf(p: _root_.graft.operators.Sampling.AnnealPhase) =
-        p.weights.map { case (s, _) => s"('${safe(s)}', ${p.frac(s)})" }
-          .mkString(", ")
-      val srcs = ph.flatMap(_.weights.map(_._1)).distinct
-        .map(s => s"('${safe(s)}')").mkString(", ")
-      s"""WITH srcs(source) AS (VALUES $srcs),
-        |w1(source, m) AS (VALUES ${mValsOf(ph(0))}),
-        |f1(source, f) AS (VALUES ${fValsOf(ph(0))}),
-        |w2(source, m) AS (VALUES ${mValsOf(ph(1))}),
-        |f2(source, f) AS (VALUES ${fValsOf(ph(1))}),
-        |keyed AS (SELECT d.doc_id, d.source,
-        |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
-        |  FROM documents d JOIN srcs s ON d.source = s.source),
-        |r AS (SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY k4, doc_id)
-        |      AS r,
-        |    COUNT(*) OVER (PARTITION BY source) AS ns
-        |  FROM keyed),
-        |b AS (SELECT r.doc_id, r.source, r.r,
-        |    LEAST(r.ns, FLOOR(coalesce(f1.f, 0) * r.ns)::BIGINT) AS b1,
-        |    LEAST(r.ns, FLOOR((coalesce(f1.f, 0) + coalesce(f2.f, 0))
-        |      * r.ns)::BIGINT) AS b2,
-        |    w1.m AS m1, w2.m AS m2
-        |  FROM r LEFT JOIN f1 ON r.source = f1.source
-        |    LEFT JOIN f2 ON r.source = f2.source
-        |    LEFT JOIN w1 ON r.source = w1.source
-        |    LEFT JOIN w2 ON r.source = w2.source),
-        |phs AS (SELECT doc_id, source,
-        |    CASE WHEN m1 IS NOT NULL AND r <= b1 THEN 0
-        |         WHEN m2 IS NOT NULL AND r > b1 AND r <= b2 THEN 1
-        |    END AS ph,
-        |    CASE WHEN m1 IS NOT NULL AND r <= b1
-        |           THEN (2 * r - 1)::BIGINT * m1
-        |         WHEN m2 IS NOT NULL AND r > b1 AND r <= b2
-        |           THEN (2 * (r - b1) - 1)::BIGINT * m2
-        |    END AS key
-        |  FROM b)
-        |SELECT
-        |  (row_number() OVER (ORDER BY ph, key, source) - 1)::BIGINT
-        |    AS pos,
-        |  doc_id, source,
-        |  CASE ph WHEN 0 THEN '${safe(ph(0).name)}'
-        |    ELSE '${safe(ph(1).name)}' END AS phase
-        |FROM phs WHERE ph IS NOT NULL ORDER BY pos""".stripMargin
-    },
+    // C31: naive per-phase replay of the annealed schedule (the shared
+    // annealPosCtes chain — same literals as Pipeline.annealPhases)
+    "corpus_anneal" ->
+      s"""WITH $annealPosCtes
+        |SELECT pos, doc_id, source, phase FROM apos
+        |ORDER BY pos""".stripMargin,
+    // C31 ∘ C11: packing replayed over the ANNEAL schedule's order —
+    // the same chain corpus_anneal checks (shared annealPosCtes), the
+    // same frozen-BPE counts packing checks (shared bpeTokCtes), and a
+    // running-sum cut in schedule order (the C30 rule)
+    "corpus_pack_annealed" ->
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |$annealPosCtes,
+        |tok AS (SELECT a.pos, a.doc_id, a.source, a.phase,
+        |    coalesce(b.n_bpe, 0)::BIGINT AS n_tokens
+        |  FROM apos a LEFT JOIN btok b USING (doc_id)),
+        |c AS (SELECT pos, doc_id, source, phase, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM tok)
+        |SELECT pos, doc_id, source, phase, n_tokens, start_tok,
+        |  start_tok // 2048 AS seq_id, start_tok % 2048 AS offset
+        |FROM c ORDER BY pos""".stripMargin,
     "corpus_interleave" -> {
       val wts = mixWtsSql
       s"""WITH wts(source, w) AS (VALUES $wts),

@@ -334,6 +334,29 @@ object Pipeline {
         seed = 42L)
       .orderBy("pos")
 
+  /** C31 ∘ C11: pack the ANNEALED stream — the full staged-curriculum
+    * run laid out as training sequences: [[corpusAnneal]]'s schedule
+    * assigns each doc its global position (phases concatenated), then
+    * C11's prefix sum cuts 2048-token sequences in THAT order;
+    * doc_id/source/phase ride the `carryCols=` passthrough. Same
+    * composed shape as C30: one rank exchange (the anneal's only
+    * shuffle) + one packing exchange.
+    */
+  def corpusPackAnnealed(documents: DataFrame,
+                         budget: Long = 2048L): DataFrame = {
+    val ordered = Sampling
+      .annealOrder(documents, "doc_id", "source", annealPhases,
+        seed = 42L)
+      .join(documents.select(col("doc_id"), bpeTokenCount.as("n_tokens")),
+        Seq("doc_id"))
+    Packing.packSequences(
+      ordered.select(col("pos"), col("n_tokens"), col("doc_id"),
+        col("source"), col("phase")),
+      "pos", "n_tokens", budget,
+      carryCols = Seq("doc_id", "source", "phase"))
+      .orderBy("pos")
+  }
+
   /** C30: pack the INTERLEAVED stream — a real pretraining run packs
     * sequences in TRAINING order, not doc_id order: C28's schedule
     * assigns each doc its global position, then C11's two-phase prefix

@@ -73,7 +73,8 @@ object BenchScale {
     // byte-codes read path must stay the plan at 100x — and the
     // multi-phase schedule (still ONE rank exchange, like C28), and
     // the packed-tensor gather (output ~ corpus tokens)
-    "knn_sq", "corpus_anneal", "corpus_pack_ids")
+    "knn_sq", "corpus_anneal", "corpus_pack_ids",
+    "corpus_pack_annealed")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of
