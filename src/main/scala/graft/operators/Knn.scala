@@ -1405,14 +1405,16 @@ object Knn {
          vecCol: String, dim: Int, k: Int,
          overscan: Int = 4, salts: Int = 32): DataFrame = {
     val (lo, scale) = sqTrain(corpus, vecCol, dim)
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
-      sqCodes(col(vecCol), lo, scale).as("codes"))
+    // reconstruct ONCE per corpus row (a projection below the join) —
+    // the per-pair work is then only the cosine fold, not a recon per
+    // query; decode-then-scan is exactly how an SQ flat scan runs
+    val recon = corpus.select(col(idCol).as("neighbor_id"),
+      sqRecon(sqCodes(col(vecCol), lo, scale), lo, scale).as("rv"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))
-    val approx = codes.join(q)
+    val approx = recon.join(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("acos",
-        cosineD(col("qv"), sqRecon(col("codes"), lo, scale)))
+      .withColumn("acos", cosineD(col("qv"), col("rv")))
     val wLocal = Window.partitionBy(col("query_id"), col("salt"))
       .orderBy(col("acos").desc, col("neighbor_id"))
     val wShort = Window.partitionBy(col("query_id"))
