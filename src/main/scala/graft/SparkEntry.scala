@@ -159,6 +159,8 @@ object SparkEntry {
     "knn_range" -> ((s, d) => Pipeline.knnRange(t(s, d, "embeddings"))),
     "knn_range_ivf" -> ((s, d) =>
       Pipeline.knnRangeIvf(t(s, d, "embeddings"))),
+    "knn_range_indexed" -> ((s, d) =>
+      Pipeline.knnRangeIndexed(t(s, d, "embeddings"), d)),
     "knn_lsh" -> ((s, d) => Pipeline.knnLsh(t(s, d, "embeddings"))),
     "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
     "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
@@ -247,7 +249,7 @@ object SparkEntry {
       |  SELECT doc_id, n, bs,
       |         CASE WHEN n = 0 THEN 0::HUGEINT ELSE
       |           list_reduce(bs, (acc, x) ->
-      |             (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT)
+      |             (acc * 1000003::HUGEINT + x) & 18446744073709551615::HUGEINT)
       |         END AS fp
       |  FROM b),
       |win AS (
@@ -255,41 +257,41 @@ object SparkEntry {
       |         CASE WHEN n < 16 THEN [fp] ELSE
       |           list_transform(range(1, n - 16 + 2), i ->
       |             list_reduce(bs[i : i + 15], (acc, x) ->
-      |               (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT))
+      |               (acc * 1000003::HUGEINT + x) & 18446744073709551615::HUGEINT))
       |         END AS ws
       |  FROM poly),
-      |m1 AS (SELECT doc_id, fp, list_transform(ws, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM win),
+      |m1 AS (SELECT doc_id, fp, list_transform(ws, h -> xor(h, h >> 33)) AS v FROM win),
       |m2 AS (SELECT doc_id, fp, list_transform(v, h ->
-      |        ((h % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
-      |         + (((h // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % 18446744073709551616::HUGEINT) AS v FROM m1),
-      |m3 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m2),
+      |        ((h & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT
+      |         + (((h >> 32) * 18397679294719823053::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & 18446744073709551615::HUGEINT) AS v FROM m1),
+      |m3 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h >> 33)) AS v FROM m2),
       |m4 AS (SELECT doc_id, fp, list_transform(v, h ->
-      |        ((h % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
-      |         + (((h // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % 18446744073709551616::HUGEINT) AS v FROM m3),
-      |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h // 8589934592::HUGEINT)) AS v FROM m4)""".stripMargin
+      |        ((h & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT
+      |         + (((h >> 32) * 14181476777654086739::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & 18446744073709551615::HUGEINT) AS v FROM m3),
+      |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h >> 33)) AS v FROM m4)""".stripMargin
 
   /** The shared `w` (positioned words) + `fnv` (FNV-1a per word) CTE
     * prefix every word-shingle replay builds on.
     */
   private def wordFnvCte: String = {
-    val M64 = "18446744073709551616::HUGEINT"
+    val M64 = "18446744073709551615::HUGEINT"
     s"""w AS (
       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
       |  FROM (SELECT doc_id,
       |          list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS ws
       |        FROM documents)),
-      |fnv AS (
+      |fnv AS MATERIALIZED (
       |  SELECT doc_id, idx,
       |    list_reduce(
       |      list_prepend(14695981039346656037::HUGEINT,
       |        list_transform(range(1, octet_length(encode(word)) + 1),
       |          i -> (strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i-1, 1)) * 16
       |              + strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i, 1)))::HUGEINT)),
-      |      (acc, b) -> ((xor(acc, b) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
-      |         + (((acc // 4294967296::HUGEINT) * 1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64) AS h
+      |      (acc, b) -> ((xor(acc, b) & 4294967295::HUGEINT) * 1099511628211::HUGEINT
+      |         + (((acc >> 32) * 1099511628211::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64) AS h
       |  FROM w)""".stripMargin
   }
 
@@ -300,24 +302,24 @@ object SparkEntry {
     * position. Callers emit [[wordFnvCte]] once before any tails.
     */
   private def shingleSeqTail(k: Int, p: String): String = {
-    val M64 = "18446744073709551616::HUGEINT"
+    val M64 = "18446744073709551615::HUGEINT"
     val joins = (1 until k).map(i =>
       s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
       .mkString("\n             ")
     val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
-      s"(($acc * 31 + t$i.h) % $M64)")
+      s"(($acc * 31 + t$i.h) & $M64)")
     s"""${p}0 AS (
       |  SELECT t0.doc_id, t0.idx, $chain AS v
       |  FROM fnv t0 $joins),
-      |${p}1 AS (SELECT doc_id, idx, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}0),
-      |${p}2 AS (SELECT doc_id, idx, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
-      |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM ${p}1),
-      |${p}3 AS (SELECT doc_id, idx, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}2),
-      |${p}4 AS (SELECT doc_id, idx, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
-      |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM ${p}3),
-      |${p}5 AS (SELECT doc_id, idx, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}4)"""
+      |${p}1 AS (SELECT doc_id, idx, xor(v, v >> 33) AS v FROM ${p}0),
+      |${p}2 AS (SELECT doc_id, idx, ((v & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT
+      |        + (((v >> 32) * 18397679294719823053::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64 AS v FROM ${p}1),
+      |${p}3 AS (SELECT doc_id, idx, xor(v, v >> 33) AS v FROM ${p}2),
+      |${p}4 AS (SELECT doc_id, idx, ((v & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT
+      |        + (((v >> 32) * 14181476777654086739::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64 AS v FROM ${p}3),
+      |${p}5 AS (SELECT doc_id, idx, xor(v, v >> 33) AS v FROM ${p}4)"""
       .stripMargin
   }
 
@@ -332,24 +334,24 @@ object SparkEntry {
     * `p = ""` reproduces [[shingleSetCte]]'s names byte-for-byte.
     */
   private def shingleSetTail(k: Int, p: String): String = {
-    val M64 = "18446744073709551616::HUGEINT"
+    val M64 = "18446744073709551615::HUGEINT"
     val joins = (1 until k).map(i =>
       s"JOIN fnv t$i ON t0.doc_id = t$i.doc_id AND t$i.idx = t0.idx + $i")
       .mkString("\n             ")
     val chain = (0 until k).foldLeft("1::HUGEINT")((acc, i) =>
-      s"(($acc * 31 + t$i.h) % $M64)")
+      s"(($acc * 31 + t$i.h) & $M64)")
     s"""${p}sh0 AS (
       |  SELECT t0.doc_id, $chain AS c0
       |  FROM fnv t0 $joins),
-      |${p}f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM ${p}sh0),
-      |${p}f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
-      |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM ${p}f1),
-      |${p}f3 AS (SELECT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}f2),
-      |${p}f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
-      |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM ${p}f3),
-      |${p}f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM ${p}f4)"""
+      |${p}f1 AS (SELECT doc_id, xor(c0, c0 >> 33) AS v FROM ${p}sh0),
+      |${p}f2 AS (SELECT doc_id, ((v & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT
+      |        + (((v >> 32) * 18397679294719823053::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64 AS v FROM ${p}f1),
+      |${p}f3 AS (SELECT doc_id, xor(v, v >> 33) AS v FROM ${p}f2),
+      |${p}f4 AS (SELECT doc_id, ((v & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT
+      |        + (((v >> 32) * 14181476777654086739::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64 AS v FROM ${p}f3),
+      |${p}f5 AS MATERIALIZED (SELECT DISTINCT doc_id, xor(v, v >> 33) AS v FROM ${p}f4)"""
       .stripMargin
   }
 
@@ -363,26 +365,26 @@ object SparkEntry {
     val seeds = (0 until 128).map(j =>
       s"($j, ${java.lang.Long.toUnsignedString(
         graft.functions.TextHashes.permSeed(j))}::HUGEINT)").mkString(",")
-    val M64 = "18446744073709551616::HUGEINT"
+    val M64 = "18446744073709551615::HUGEINT"
     s"""seeds(j, s) AS (VALUES $seeds),
       |perm0 AS (SELECT doc_id, j, xor(v, s) AS v FROM $src, seeds),
-      |p2 AS (SELECT doc_id, j, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
-      |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM perm0)),
-      |p3 AS (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM p2),
-      |p4 AS (SELECT doc_id, j, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
-      |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-      |        % $M64 AS v FROM p3),
-      |p5 AS (SELECT doc_id, j, xor(v, v // 8589934592::HUGEINT) AS v FROM p4),
+      |p2 AS (SELECT doc_id, j, ((v & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT
+      |        + (((v >> 32) * 18397679294719823053::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64 AS v FROM (SELECT doc_id, j, xor(v, v >> 33) AS v FROM perm0)),
+      |p3 AS (SELECT doc_id, j, xor(v, v >> 33) AS v FROM p2),
+      |p4 AS (SELECT doc_id, j, ((v & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT
+      |        + (((v >> 32) * 14181476777654086739::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+      |        & $M64 AS v FROM p3),
+      |p5 AS (SELECT doc_id, j, xor(v, v >> 33) AS v FROM p4),
       |sig AS (SELECT doc_id, j, MIN(v) AS mh FROM p5 GROUP BY doc_id, j),
-      |bandkeys AS (
+      |bandkeys AS MATERIALIZED (
       |  SELECT doc_id, j // 8 AS band, list(mh ORDER BY j) AS bkey
       |  FROM sig GROUP BY doc_id, j // 8),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bandkeys a JOIN bandkeys b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      |sets AS (SELECT doc_id, list(v ORDER BY v) AS sh, COUNT(*) AS n FROM $src GROUP BY doc_id),
+      |sets AS MATERIALIZED (SELECT doc_id, list(v ORDER BY v) AS sh, COUNT(*) AS n FROM $src GROUP BY doc_id),
       |jac AS (
       |  SELECT c.doc_a, c.doc_b,
       |    length(list_intersect(sa.sh, sb.sh)) AS n_common,
@@ -431,6 +433,10 @@ object SparkEntry {
     * codebook `(sub, cell_id, cvec)`. The `pfx`/`samp` knobs let TWO
     * independent Lloyd chains coexist in one oracle (the composed
     * knn_ivfpq_trained trains a coarse quantizer AND sub-codebooks).
+    * `c$n` is `AS MATERIALIZED`: it is referenced twice per following
+    * iteration (distance + empty-cluster carry-forward), so inlining
+    * re-executed earlier iterations exponentially — 40 s of the
+    * knn_ivfpq_res_trained oracle's replay before, ~3 s after.
     */
   private def kmeansIterCte(n: Int, prev: String, d: Int = 8,
                             samp: String = "samp",
@@ -451,7 +457,7 @@ object SparkEntry {
       |${pfx}g$n AS (SELECT sub, code AS cell_id,
       |  list(sq::DOUBLE / cnt / 1048576.0 ORDER BY i) AS cvec
       |  FROM ${pfx}u$n GROUP BY 1, 2),
-      |${pfx}c$n AS (SELECT p.sub, p.cell_id, coalesce(g.cvec, p.cvec) AS cvec
+      |${pfx}c$n AS MATERIALIZED (SELECT p.sub, p.cell_id, coalesce(g.cvec, p.cvec) AS cvec
       |  FROM $prev p LEFT JOIN ${pfx}g$n g
       |    ON p.sub = g.sub AND p.cell_id = g.cell_id)""".stripMargin
 
@@ -646,6 +652,14 @@ object SparkEntry {
     * (survivor doc_id, lang, quality, split) — shared verbatim by the
     * corpus_curate_fuzzy oracle and the composed corpus_export oracle
     * so the two can never drift.
+    *
+    * `edges` and `surv` are `AS MATERIALIZED`: DuckDB inlines plain
+    * CTEs at every reference, so the recursive `reach` step was
+    * re-executing the ENTIRE MinHash chain on every closure iteration
+    * (~16x) and `corpus_export`'s three `surv` consumers re-ran the
+    * curation three times — 165-178 s per oracle at sf0.01, the bulk
+    * of the r12 gate's ~35-min DuckDB sweep and the likely cause of
+    * the driver's empty CORRECTNESS_r12.json. Materialized: ~12 s.
     */
   private def curateFuzzySurvCtes: String =
     s"""$wordFnvCte,
@@ -654,7 +668,7 @@ object SparkEntry {
       |${minhashBody("mf5")},
       |good AS (SELECT doc_a, doc_b FROM jac
       |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM good
       |  UNION SELECT doc_b, doc_a FROM good),
       |reach(node, peer) AS (
       |  SELECT src, src FROM edges
@@ -689,7 +703,7 @@ object SparkEntry {
       |   AND doc_id NOT IN (SELECT doc_id FROM cont)),
       |k AS (SELECT doc_id, lang, quality,
       |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
-      |surv AS (SELECT doc_id, lang, quality,
+      |surv AS MATERIALIZED (SELECT doc_id, lang, quality,
       | CASE WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
       |        < '${operators.Sampling.hexThreshold(0.8)}' THEN 'train'
       |      WHEN substr(md5(doc_id::VARCHAR || ':42'), 1, 4)
@@ -697,6 +711,40 @@ object SparkEntry {
       |      ELSE 'test' END AS split
       |FROM k WHERE rn = 1
       |  AND doc_id NOT IN (SELECT doc_id FROM noncanon))""".stripMargin
+
+  /** The D10b radius replay — shared verbatim by `knn_range_ivf` (the
+    * in-plan assignment) and `knn_range_indexed` (the same assignment
+    * frozen into the persisted layout at build time): strideCoarse
+    * cells, argmax assignment (ties to smallest cell), 5-probe,
+    * exact-cosine τ=0.3 on the unrounded value.
+    */
+  private val knnRangeIvfSql: String =
+    s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
+      |  AS s FROM embeddings),
+      |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
+      |cent AS (SELECT vec_id AS cell_id, embedding AS ce
+      |         FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
+      |assign0 AS (
+      |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
+      |         ${cosineSql("e.embedding", "c.ce")} AS csim
+      |  FROM embeddings e, cent c),
+      |assign AS (
+      |  SELECT neighbor_id, cv, cell_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+      |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qe, cell_id FROM (
+      |    SELECT q.query_id, q.qe, c.cell_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+      |    FROM q, cent c) WHERE qrn <= 5),
+      |d AS (
+      |  SELECT p.query_id, a.neighbor_id, ${cosineSql("p.qe", "a.cv")} AS c
+      |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+      |  WHERE a.neighbor_id <> p.query_id)
+      |SELECT query_id, neighbor_id, round(c, 6) AS cosine
+      |FROM d WHERE c >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "knn_ivf" ->
@@ -731,33 +779,12 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // D10b: the knn_ivf chain, thresholded instead of ranked (the
     // filter runs on the UNROUNDED value, as on the Spark side)
-    "knn_range_ivf" ->
-      s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
-        |  AS s FROM embeddings),
-        |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
-        |cent AS (SELECT vec_id AS cell_id, embedding AS ce
-        |         FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
-        |assign0 AS (
-        |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
-        |         ${cosineSql("e.embedding", "c.ce")} AS csim
-        |  FROM embeddings e, cent c),
-        |assign AS (
-        |  SELECT neighbor_id, cv, cell_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
-        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, qe, cell_id FROM (
-        |    SELECT q.query_id, q.qe, c.cell_id,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
-        |    FROM q, cent c) WHERE qrn <= 5),
-        |d AS (
-        |  SELECT p.query_id, a.neighbor_id, ${cosineSql("p.qe", "a.cv")} AS c
-        |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id
-        |  WHERE a.neighbor_id <> p.query_id)
-        |SELECT query_id, neighbor_id, round(c, 6) AS cosine
-        |FROM d WHERE c >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin,
+    "knn_range_ivf" -> knnRangeIvfSql,
+    // D10c: the persisted-index radius path — the index's FROZEN
+    // coarse table IS the strideCoarse D10b derives in-plan (the
+    // build froze it, KnnSpec pins row parity), so the stored
+    // assignment replays with D10b's SQL verbatim
+    "knn_range_indexed" -> knnRangeIvfSql,
     "knn_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -1596,7 +1623,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $minhashCte,
         |good AS (SELECT doc_a, doc_b FROM jac
         |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM good
         |  UNION SELECT doc_b, doc_a FROM good),
         |reach(node, peer) AS (
         |  SELECT src, src FROM edges
@@ -1986,25 +2013,25 @@ object SparkEntry {
         |        list_transform(range(1, octet_length(encode(word)) + 1),
         |          i -> (strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i-1, 1)) * 16
         |              + strpos('123456789ABCDEF', substr(hex(encode(word)), 2*i, 1)))::HUGEINT)),
-        |      (acc, b) -> ((xor(acc, b) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
-        |         + (((acc // 4294967296::HUGEINT) * 1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-        |        % 18446744073709551616::HUGEINT) AS h
+        |      (acc, b) -> ((xor(acc, b) & 4294967295::HUGEINT) * 1099511628211::HUGEINT
+        |         + (((acc >> 32) * 1099511628211::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+        |        & 18446744073709551615::HUGEINT) AS h
         |  FROM w),
         |sh0 AS (
         |  SELECT a.doc_id,
-        |    ((((1::HUGEINT * 31 + a.h) % 18446744073709551616::HUGEINT) * 31 + b.h)
-        |      % 18446744073709551616::HUGEINT * 31 + c.h) % 18446744073709551616::HUGEINT AS c0
+        |    (((((1::HUGEINT * 31 + a.h) & 18446744073709551615::HUGEINT) * 31 + b.h)
+        |      & 18446744073709551615::HUGEINT) * 31 + c.h) & 18446744073709551615::HUGEINT AS c0
         |  FROM fnv a JOIN fnv b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
         |             JOIN fnv c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
-        |f1 AS (SELECT doc_id, xor(c0, c0 // 8589934592::HUGEINT) AS v FROM sh0),
-        |f2 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
-        |        + (((v // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-        |        % 18446744073709551616::HUGEINT AS v FROM f1),
-        |f3 AS (SELECT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f2),
-        |f4 AS (SELECT doc_id, ((v % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
-        |        + (((v // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
-        |        % 18446744073709551616::HUGEINT AS v FROM f3),
-        |f5 AS (SELECT DISTINCT doc_id, xor(v, v // 8589934592::HUGEINT) AS v FROM f4),
+        |f1 AS (SELECT doc_id, xor(c0, c0 >> 33) AS v FROM sh0),
+        |f2 AS (SELECT doc_id, ((v & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT
+        |        + (((v >> 32) * 18397679294719823053::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+        |        & 18446744073709551615::HUGEINT AS v FROM f1),
+        |f3 AS (SELECT doc_id, xor(v, v >> 33) AS v FROM f2),
+        |f4 AS (SELECT doc_id, ((v & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT
+        |        + (((v >> 32) * 14181476777654086739::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
+        |        & 18446744073709551615::HUGEINT AS v FROM f3),
+        |f5 AS (SELECT DISTINCT doc_id, xor(v, v >> 33) AS v FROM f4),
         |votes AS (
         |  SELECT doc_id, b, SUM(CASE WHEN (v // power(2::HUGEINT, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
         |  FROM f5, range(0, 64) t(b) GROUP BY doc_id, b),
@@ -2272,7 +2299,7 @@ object SparkEntry {
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
-        |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |edges AS MATERIALIZED (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
         |reach(node, peer) AS (
         |  SELECT src, src FROM edges
         |  UNION

@@ -159,6 +159,18 @@ object Knn {
     * centroids if the anchor were hardcoded to residue 0). `knownCount`
     * skips the count action when the caller already has it.
     */
+  /** The anchored-stride systematic coarse codebook, public so callers
+    * can FREEZE it into a persisted layout ([[buildIvfPqIndex]]'s
+    * `coarse` override) and still replay the assignment in a plain-SQL
+    * oracle — the deterministic twin of a trained
+    * [[kmeansSubCodebooks]] coarse table. Returns broadcast-hinted
+    * `(cell_id, centroid: array<double>)`.
+    */
+  def strideCoarse(corpus: DataFrame, idCol: String, vecCol: String,
+                   stride: Int = 50, maxCells: Int = 256): DataFrame =
+    coarseTable(corpus, idCol, vecCol, stride, maxCells, scala.None,
+      "strideCoarse")
+
   private def coarseTable(corpus: DataFrame, idCol: String, vecCol: String,
                           stride: Int, maxCells: Int,
                           coarse: Option[DataFrame], who: String,
@@ -940,18 +952,26 @@ object Knn {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       dir: String, dim: Int, m: Int = 8, ksub: Int = 16,
                       coarseCells: Int = 16, iters: Int = 2,
-                      trainMod: Int = 2): Unit = {
+                      trainMod: Int = 2,
+                      coarse: Option[DataFrame] = scala.None): Unit = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    val coarse = kmeansSubCodebooks(corpus, idCol, vecCol, dim, 1,
-        coarseCells, iters, trainMod)
-      .select(col("cell_id"), col("cvec").as("centroid"))
+    // `coarse` override = FAISS's pretrained-quantizer constructor
+    // (IndexIVFPQ takes an already-trained coarse index): callers can
+    // freeze e.g. [[strideCoarse]] — whose assignment a plain-SQL
+    // oracle can replay — or a coarse trained on a reference
+    // distribution; default trains full-vector k-means here.
+    val coarseTab = coarse.map(_.select(col("cell_id"),
+        col("centroid")))
+      .getOrElse(kmeansSubCodebooks(corpus, idCol, vecCol, dim, 1,
+          coarseCells, iters, trainMod)
+        .select(col("cell_id"), col("cvec").as("centroid")))
     val cbs = kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
       iters, trainMod)
-    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    coarseTab.write.mode("overwrite").parquet(s"$dir/coarse")
     cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
     assignAndEncode(corpus, idCol, vecCol,
-        broadcast(coarse.select(col("cell_id"),
+        broadcast(coarseTab.select(col("cell_id"),
           asDouble(col("centroid")).as("centroid"))), cbs, m, d)
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$dir/codes")
@@ -1393,8 +1413,14 @@ object Knn {
     *
     * Scale posture: training is one `dim`-group partial-agg pass
     * (constant output in corpus size); encode and the reconstruction
-    * scoring are map-side expressions against broadcast queries — the
-    * scan reads only the int codes, never the float vectors; the
+    * scoring are map-side expressions against broadcast queries. NOTE
+    * on the IO posture: this in-plan variant derives the codes from
+    * the full-precision column (encode∘decode as a projection below
+    * the join), so the scan still reads floats — the ARITHMETIC
+    * models the SQ8 scan, not its 8× memory footprint. The persisted
+    * byte-codes store that realizes the footprint is
+    * [[buildSqIndex]]/[[searchSqIndex]], whose scan reads ONLY the
+    * int-code column off disk. The
     * shortlist uses the same salted two-phase top-k as [[pq]] (no
     * corpus-sized single-task sort); only the shortlist joins back to
     * full-precision vectors. Every arithmetic step (floor-rounding,

@@ -214,24 +214,34 @@ object Packing {
   def exportTokenShards(packed: DataFrame, outDir: String,
                         shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    // the tensor gather runs ONCE (the write): the count prunes the
-    // ids column (Catalyst drops the unused collect/flatten agg), and
-    // the manifest aggregates the WRITTEN files — which also makes it
-    // an actual-artifact reconciliation, not a parallel computation
-    val n = packed.count()
+    // ONE pass over the gather: pin the packed tensors in the block
+    // manager (MEMORY_AND_DISK — spills, never OOMs) so the count and
+    // the write both read blocks instead of re-running the span-join
+    // stage above packSequences' prefix-sum checkpoint. Before this
+    // pin, the count's plan pruned the ids gather agg but still
+    // re-executed the corpus-sized spans-to-ids join.
+    val pinned = packed.localCheckpoint()
+    val n = pinned.count()
     val per = math.max(1L, (n + shards - 1) / shards)
-    packed
+    val withShard = pinned
       .withColumn("shard", expr(s"CAST(seq_id DIV ${per}L AS INT)"))
-      .write.mode("overwrite").partitionBy("shard")
+    withShard.write.mode("overwrite").partitionBy("shard")
       .parquet(outDir)
     val spark = packed.sparkSession
-    val manifest = spark.read.parquet(outDir)
+    def shardStats(df: DataFrame): DataFrame = df
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_seqs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("seq_id")).as("first_seq"),
         max(col("seq_id")).as("last_seq"))
       .orderBy("shard")
+    // the manifest aggregates the WRITTEN files — an actual-artifact
+    // reconciliation, not a parallel computation. Except n == 0: a
+    // partitioned write of an empty frame emits no data files, so a
+    // schema-inferring read-back throws — synthesize the (empty)
+    // manifest from the in-memory frame, which has the same schema.
+    val manifest = shardStats(
+      if (n == 0) withShard else spark.read.parquet(outDir))
     manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_manifest")
     manifest

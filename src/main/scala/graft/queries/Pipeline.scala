@@ -533,11 +533,19 @@ object Pipeline {
     // persist would pin one copy per invocation for the session
     // lifetime (bench reruns would stack them)
     val survivors = corpusCurate(documents, fuzzy = true).localCheckpoint()
-    val tokens = documents.select(col("doc_id"),
-      tokenCounts.as("n_tokens"))
+    // Survivor-first token counting: join the (cheap) id set to the raw
+    // docs BEFORE projecting the BPE count, so the tokenizer kernel —
+    // the plan's most expensive per-row expression — runs only on
+    // survivor rows. Projecting the count off `documents` first would
+    // tokenize the full corpus and then discard 30-50% of the work at
+    // the join (on a web corpus that is 1.4-2x wasted compute).
+    // Expressions evaluate where declared: Catalyst's ColumnPruning
+    // moves attribute reads, not computed projections, below the join.
+    val tokens = survivors.select("doc_id")
+      .join(documents, Seq("doc_id"))
+      .select(col("doc_id"), tokenCounts.as("n_tokens"))
     val packed = Packing.packSequences(
-      survivors.select("doc_id").join(tokens, Seq("doc_id")),
-      "doc_id", "n_tokens", budget = 2048L)
+      tokens, "doc_id", "n_tokens", budget = 2048L)
     val sharded = Sampling.shuffleShard(survivors.select("doc_id"),
       "doc_id", shards = 8, seed = 42L)
     survivors.join(packed, Seq("doc_id")).join(sharded, Seq("doc_id"))
@@ -596,6 +604,52 @@ object Pipeline {
   def knnRangeIvf(embeddings: DataFrame): DataFrame =
     Knn.rangeSearchIvf(embeddings, querySet(embeddings), "vec_id",
         "embedding", tau = 0.3)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "neighbor_id")
+
+  /** One persisted IVF×PQ layout per sf dir for [[knnRangeIndexed]],
+    * built ONCE (TrieMap per JVM, `_done` marker per machine — bench
+    * reruns and the verify run reuse it; [[HModel.ensureLookupDir]]'s
+    * precedent). The coarse table is the FROZEN [[Knn.strideCoarse]]
+    * — identical to the one D10b derives in-plan — so the registered
+    * row's answers equal knn_range_ivf's and the plain-SQL oracle
+    * replays the stored assignment without replaying a k-means train.
+    */
+  private val knnIndexDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def ensureKnnIndexDir(embeddings: DataFrame,
+                                       sfDir: String): String =
+    knnIndexDirs.getOrElseUpdate(sfDir, {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_knnidx_v1_${HModel.dirKey(sfDir)}"
+      val spark = embeddings.sparkSession
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(root, "_done")
+      if (!fs.exists(done)) {
+        Knn.buildIvfPqIndex(embeddings, "vec_id", "embedding", dir,
+          dim = EmbeddingDim,
+          coarse = Some(Knn.strideCoarse(embeddings, "vec_id",
+            "embedding")))
+        fs.create(done, true).close()
+      }
+      dir
+    })
+
+  /** D10c registered: radius search off the PERSISTED index — the
+    * production path [[knnRangeIvf]]'s scaladoc promises. The
+    * corpus→cell assignment (D10b's corpus-linear per-call cost, the
+    * suite's worst ratio100) is read back from the layout; a query
+    * batch pays only its probes + the pruned `cell_id=` partition
+    * read + exact-cosine verification. Same τ, queries, and stored
+    * coarse as D10b ⇒ identical answers (KnnSpec pins parity), so the
+    * oracle SQL is D10b's verbatim.
+    */
+  def knnRangeIndexed(embeddings: DataFrame, sfDir: String): DataFrame =
+    Knn.rangeSearchIndexed(embeddings.sparkSession,
+        ensureKnnIndexDir(embeddings, sfDir), querySet(embeddings),
+        "vec_id", "embedding", dim = EmbeddingDim, tau = 0.3,
+        corpus = embeddings)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "neighbor_id")
 

@@ -69,8 +69,9 @@ object BenchScale {
     "text_bpe_ids", "corpus_chunk", "corpus_interleave",
     "corpus_shard_stats", "knn_range", "corpus_pack_interleaved",
     "knn_range_ivf",
-    // round 12, second half: the SQ8 compressed linear scan — the
-    // byte-codes read path must stay the plan at 100x — and the
+    // round 12, second half: the SQ8 linear scan — codes derived
+    // in-plan from the float column (sq() scaladoc: the arithmetic,
+    // not the IO, models SQ8), must stay linear at 100x — and the
     // multi-phase schedule (still ONE rank exchange, like C28), and
     // the packed-tensor gather (output ~ corpus tokens)
     "knn_sq", "corpus_anneal", "corpus_pack_ids",
