@@ -299,6 +299,62 @@ object Dedup {
       .parquet(s"$dir/buckets")
   }
 
+  /** C25 lifecycle (remove): purge docs from a [[buildLshIndex]]
+    * layout — the GDPR/retention path the IVF×PQ index got in
+    * [[graft.operators.Knn.removeFromIvfPqIndex]], adapted to the
+    * flat band-key format. A doc's rows land in EVERY `band=`
+    * partition (one key per band), so partition-level rewrite would
+    * always rewrite the whole index; instead the surgery is
+    * FILE-level: `input_file_name()` finds the files that actually
+    * contain a purged id (bounded by the purge batch's append files,
+    * not the corpus), their surviving rows append back as new files,
+    * and the old files are deleted — every untouched file stays
+    * byte-identical (spec-pinned), and the probe path needs no
+    * tombstone awareness because purged keys physically leave the
+    * layout. Crash window: surviving rows are appended BEFORE the old
+    * files are deleted, so a crash in between leaves duplicate bucket
+    * rows (harmless — the probe's candidate set is `.distinct()`) and
+    * purged rows still present; re-running the purge converges.
+    * Single-writer posture, like every maintenance API here. Returns
+    * the number of bucket rows removed.
+    */
+  def removeFromLshIndex(deleteIds: DataFrame, idCol: String,
+                         dir: String): Long = {
+    val spark = deleteIds.sparkSession
+    val ids = deleteIds.select(col(idCol).cast("long").as("corpus_id"))
+      .distinct()
+    val buckets = spark.read.parquet(s"$dir/buckets")
+      .withColumn("_file", input_file_name())
+    val affected = buckets.join(broadcast(ids), "corpus_id")
+      .select(col("_file")).distinct().collect()
+      .map(_.getString(0)).sorted
+    if (affected.isEmpty) return 0L
+    val touched = buckets.filter(col("_file").isin(affected: _*))
+    val removed = touched.join(broadcast(ids), "corpus_id").count()
+    // localCheckpoint (eager) before deleting the very files the
+    // lineage reads — the removeFromIvfPqIndex rationale; snapshot
+    // the persistent-RDD set so exactly the checkpoint's blocks free
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val remaining = touched
+      .join(broadcast(ids), Seq("corpus_id"), "left_anti")
+      .select(col("bkey"), col("corpus_id"), col("band"))
+      .localCheckpoint()
+    try {
+      remaining.write.mode("append").partitionBy("band")
+        .parquet(s"$dir/buckets")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+    } finally {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet diff persistedBefore)
+        .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    removed
+  }
+
   /** C25 lifecycle (probe): [[incrementalMinhash]] served from a
     * [[buildLshIndex]] layout instead of re-hashing the corpus text
     * per call — the corpus side of the plan reads ONLY the flat

@@ -424,20 +424,24 @@ object Streams {
                         vecCol: String, k: Int, nProbe: Int = 5,
                         rescoreWith: Option[DataFrame] = None)
                        (sink: (DataFrame, Long) => Unit)
-      : DataStreamWriter[Row] =
+      : DataStreamWriter[Row] = {
+    // dim resolved ONCE at stream definition: the contract already
+    // freezes the index for the stream's lifetime, so the former
+    // per-batch coarse read + head() was pure driver IO and latency
+    // for a constant
+    val dim = queries.sparkSession.read.parquet(s"$dir/coarse")
+      .select(org.apache.spark.sql.functions.size(col("centroid")))
+      .head().getInt(0)
     queries.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val dim = spark.read.parquet(s"$dir/coarse")
-            .select(org.apache.spark.sql.functions.size(col("centroid")))
-            .head().getInt(0)
-          sink(graft.operators.Knn.searchIvfPqIndex(spark, dir,
-            batch.toDF(), idCol, vecCol, dim, k, nProbe,
+          sink(graft.operators.Knn.searchIvfPqIndex(batch.sparkSession,
+            dir, batch.toDF(), idCol, vecCol, dim, k, nProbe,
             rescoreWith = rescoreWith), epochId)
         }
       }
+  }
 
   /** G17: streaming ingest dedup — the crawl-ingest LOOP the C25
     * persisted LSH index exists for, run as a stream: each micro-batch
@@ -463,17 +467,58 @@ object Streams {
     * the directory and match the batch against itself. State lives in
     * the two directories, not the stream — a restart resumes from
     * whatever was durably appended.
+    *
+    * At-least-once hardening: Spark's `foreachBatch` contract may
+    * re-deliver an epoch after a partial failure, and this body runs
+    * three non-atomic mutations (index append, doc-store append,
+    * sink). Three guards make a redelivery converge instead of
+    * corrupting state: (1) an `_epochs/<id>.done` marker in
+    * `indexDir` skips fully-committed epochs outright; (2) the probe
+    * EXCLUDES pairs whose history side is one of the batch's own ids,
+    * so a retry whose earlier attempt already appended survivors
+    * reproduces the ORIGINAL verdict (batch docs never match
+    * themselves or same-batch peers through the half-committed
+    * index); (3) per-mutation markers (`.idx`, `.doc`) make each
+    * append run at most once across retries. Residual window: a crash
+    * BETWEEN an append completing and its marker write re-appends
+    * that batch's rows on retry — verdicts stay correct (guard 2, and
+    * the per-pair max_by is duplicate-insensitive) but the index
+    * carries duplicate bucket rows until a rebuild; closing it fully
+    * would need an atomic-rename staging layout, which the flat
+    * band-partitioned format deliberately trades away to keep appends
+    * pure file-adds.
+    *
+    * `streamId` namespaces the epoch markers
+    * (`_epochs/<streamId>/<epoch>.*`): epoch numbers restart at 0
+    * with a FRESH checkpoint, so a new logical stream over an
+    * existing index must pass a new streamId (or its early epochs
+    * would be skipped as already-committed), while a
+    * restart-from-checkpoint keeps the same one so redelivered
+    * epochs ARE recognized.
     */
   def dedupIngestStream(docs: DataFrame, idCol: String, textCol: String,
                         indexDir: String, docStoreDir: String,
-                        threshold: Double = 0.7, maxBucket: Int = 1000)
+                        threshold: Double = 0.7, maxBucket: Int = 1000,
+                        streamId: String = "default")
                        (sink: (DataFrame, Long) => Unit)
       : DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch0: Dataset[Row], epochId: Long) =>
         val batch = batch0.toDF()
-        if (!batch.isEmpty) {
+        val spark0 = batch0.sparkSession
+        val epochsRoot = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(indexDir, "_epochs"), streamId)
+        val fs = epochsRoot.getFileSystem(
+          spark0.sparkContext.hadoopConfiguration)
+        def marker(suffix: String) =
+          new org.apache.hadoop.fs.Path(epochsRoot, s"$epochId.$suffix")
+        def commit(suffix: String): Unit =
+          fs.create(marker(suffix), true).close()
+        if (fs.exists(marker("done"))) {
+          // redelivered fully-committed epoch (at-least-once
+          // foreachBatch): every mutation and the sink already ran
+        } else if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val corpus = spark.read.parquet(docStoreDir)
           // the probe registers internal persists (shingle tables +
@@ -483,9 +528,16 @@ object Streams {
           // release it once the checkpoint has materialized the result
           val sc = spark.sparkContext
           val cachedBefore = sc.getPersistentRDDs.keySet
+          // guard (2): drop pairs whose HISTORY side is a batch id —
+          // on a clean run no such pair exists (the batch was never in
+          // the index), and on a retry after a half-committed append
+          // the probe reproduces the original verdict instead of
+          // matching batch docs against their own earlier append
           val rawPairs = graft.operators.Dedup.incrementalMinhashIndexed(
-            indexDir, corpus, batch, idCol, textCol, threshold,
-            maxBucket)
+              indexDir, corpus, batch, idCol, textCol, threshold,
+              maxBucket)
+            .join(batch.select(batch(idCol).as("corpus_id")),
+              Seq("corpus_id"), "left_anti")
           val probeCaches = sc.getPersistentRDDs.keySet -- cachedBefore
           // EAGER: pin the probe result before the appends below
           // mutate the directories its plan reads
@@ -506,10 +558,20 @@ object Streams {
             .join(pairs.select(col("batch_id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
             .localCheckpoint()
-          graft.operators.Dedup.appendToLshIndex(survivors, idCol,
-            textCol, indexDir)
-          survivors.write.mode("append").parquet(docStoreDir)
+          // guard (3): each append at most once across redeliveries
+          if (!fs.exists(marker("idx"))) {
+            graft.operators.Dedup.appendToLshIndex(survivors, idCol,
+              textCol, indexDir)
+            commit("idx")
+          }
+          if (!fs.exists(marker("doc"))) {
+            survivors.write.mode("append").parquet(docStoreDir)
+            commit("doc")
+          }
           sink(verdict, epochId)
+          commit("done")
+        } else {
+          commit("done") // empty epoch: nothing to mutate, mark applied
         }
       }
 

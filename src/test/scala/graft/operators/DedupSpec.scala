@@ -515,4 +515,69 @@ class DedupSpec extends SparkSpec {
     assert(rootMsg(drift).contains("absent from the passed corpus"),
       s"expected the drift guard, got: ${rootMsg(drift).take(400)}")
   }
+
+  test("removeFromLshIndex: file-level purge — untouched files stay " +
+      "byte-identical, purged docs vanish from probes, and the " +
+      "surviving rows equal a fresh build of the shrunk corpus") {
+    val docs = sf("documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val wave = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_purge").toString
+    Dedup.buildLshIndex(corpus, "doc_id", "text", dir)
+    def bucketFiles(): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir, "buckets")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          p.toString -> h.map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    val buildFiles = bucketFiles()
+    Dedup.appendToLshIndex(wave, "doc_id", "text", dir)
+    // purge 1: exactly the appended wave — its rows live only in the
+    // appended files, so every BUILD file must survive byte-identical
+    // and the wave's files must physically leave the layout
+    val removed = Dedup.removeFromLshIndex(
+      wave.select("doc_id"), "doc_id", dir)
+    assert(removed == wave.count() * 16,
+      s"one bucket row per band per purged doc, got $removed")
+    val afterPurge1 = bucketFiles()
+    assert(buildFiles.forall { case (f, h) =>
+      afterPurge1.get(f).contains(h) },
+      "purging appended docs must not touch the build's files")
+    // purged ids are gone: re-ingesting the wave text (shifted ids)
+    // probes the index exactly like the original corpus-only index
+    val probe = wave.select((col("doc_id") + 2000000L).as("doc_id"),
+      col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        math.round(r.getAs[Double]("jaccard") * 1e6))).toSet
+    val fromDisk = rows(Dedup.incrementalMinhashIndexed(dir, corpus,
+      probe, "doc_id", "text"))
+    val waveIds = wave.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!fromDisk.exists(p => waveIds(p._2)),
+      "purged docs must never come back as candidates")
+    assert(fromDisk == rows(Dedup.incrementalMinhash(corpus, probe,
+      "doc_id", "text")), "post-purge probe must equal the in-plan run")
+    // purge 2: a slice of the ORIGINAL corpus — now build files get
+    // file-level rewrites; the surviving row set must equal a fresh
+    // build of the shrunk corpus (content equality, layout-free)
+    val gone = corpus.filter(col("doc_id") % 7 === 1).select("doc_id")
+    val removed2 = Dedup.removeFromLshIndex(gone, "doc_id", dir)
+    assert(removed2 == gone.count() * 16)
+    val fresh = java.nio.file.Files.createTempDirectory("lsh_fresh").toString
+    Dedup.buildLshIndex(corpus.join(gone, Seq("doc_id"), "left_anti"),
+      "doc_id", "text", fresh)
+    def bucketRows(d: String) = spark.read.parquet(s"$d/buckets")
+      .select("band", "bkey", "corpus_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketRows(dir) == bucketRows(fresh),
+      "surviving rows must equal a fresh build of the shrunk corpus")
+    // idempotence: purging the same ids again is a no-op
+    assert(Dedup.removeFromLshIndex(gone, "doc_id", dir) == 0L)
+  }
 }

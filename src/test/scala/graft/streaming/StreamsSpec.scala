@@ -1046,6 +1046,43 @@ class StreamsSpec extends SparkSpec {
         .as[(Int, Long, Long)].collect().toSet
       assert(bucketRows(strIdx) == bucketRows(refIdx),
         "stream index must grow exactly like the batch loop's")
+      // at-least-once redelivery: a second query with the SAME
+      // streamId restarts epoch numbering at 0, exactly like a
+      // post-failure re-delivery of an already-committed epoch — the
+      // _epochs markers must skip it wholesale: no sink call, no
+      // index growth, no doc-store growth
+      val filesBefore = bucketRows(strIdx)
+      val sizeBefore = buf.size
+      val input2 = MemoryStream[(Long, String)]
+      val q2 = Streams.dedupIngestStream(
+        input2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        strIdx, strStore) { (verdict, _) =>
+        buf.synchronized { buf += ((verdict.count(), false, None)) }
+      }.start()
+      try {
+        input2.addData(b1.as[(Long, String)].collect().toSeq: _*)
+        q2.processAllAvailable()
+        assert(buf.size == sizeBefore,
+          "a redelivered committed epoch must not reach the sink")
+        assert(bucketRows(strIdx) == filesBefore,
+          "a redelivered committed epoch must not mutate the index")
+      } finally q2.stop()
+      // a NEW logical stream (fresh streamId) over the same index is
+      // NOT skipped: its epoch 0 is a genuinely new batch
+      val input3 = MemoryStream[(Long, String)]
+      val seen3 = new java.util.concurrent.atomic.AtomicLong(-1)
+      val q3 = Streams.dedupIngestStream(
+        input3.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        strIdx, strStore, streamId = "run2") { (verdict, _) =>
+        seen3.set(verdict.count())
+      }.start()
+      try {
+        input3.addData(b1.as[(Long, String)].collect().toSeq: _*)
+        q3.processAllAvailable()
+        // b1's survivors are now history -> every b1 doc is a dup
+        assert(seen3.get() == b1.count(),
+          "a fresh streamId must process its epoch 0")
+      } finally q3.stop()
     } finally q.stop()
   }
 
