@@ -51,6 +51,42 @@ object GraftExtensions {
         org.apache.spark.sql.SparkSession.active, strArg(args(1), fn))
     else operators.Bpe.frozenMerges
 
+  /** `'web:3,books:2'` → weight list, loud on malformed entries. */
+  private def parseWeights(spec: String,
+                           fn: String): Seq[(String, Int)] =
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      e.split(":") match {
+        case Array(s, w) if w.trim.matches("\\d+") =>
+          (s.trim, w.trim.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"$fn: malformed weight entry '$e' (want 'stratum:weight')")
+      }
+    }
+
+  /** `'main=web:3@0.5,books:1@0.5;anneal=books:2@0.5'` → phases. */
+  private def parsePhases(spec: String, fn: String)
+      : Seq[operators.Sampling.AnnealPhase] =
+    spec.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { ph =>
+      ph.split("=") match {
+        case Array(name, body) =>
+          val entries = body.split(",").toSeq.map(_.trim)
+            .filter(_.nonEmpty).map { e =>
+              e.split("[:@]") match {
+                case Array(s, w, f) if w.trim.matches("\\d+") =>
+                  (s.trim, w.trim.toInt, f.trim.toDouble)
+                case _ => throw new IllegalArgumentException(
+                  s"$fn: malformed phase entry '$e' " +
+                    "(want 'source:weight@frac')")
+              }
+            }
+          operators.Sampling.AnnealPhase(name.trim,
+            entries.map { case (s, w, _) => (s, w) },
+            entries.map { case (s, _, f) => s -> f }.toMap)
+        case _ => throw new IllegalArgumentException(
+          s"$fn: malformed phase '$ph' (want 'name=src:w@frac,...')")
+      }
+    }
+
   val all: Seq[FnDef] = Seq(
     (FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes",
@@ -345,6 +381,39 @@ object GraftExtensions {
               functions.bpe.encodeIds(col(textCol),
                 operators.Bpe.frozenMerges).as("_ids")),
             idCol, "_ids", numArg(args(3), n).toLong)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_interleave"),
+      info("graft_interleave",
+        "graft_interleave(table, id_col, strata_col, 'web:3,books:2'" +
+          "[, seed]) - the C28 proportional training-order schedule " +
+          "from SQL: (ord, id, stratum), every output prefix tracking " +
+          "the weight mixture, one rank exchange total"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_interleave"
+        val df = spark.table(strArg(args(0), n))
+        val seed = if (args.length > 4) numArg(args(4), n).toLong else 42L
+        operators.Sampling.interleaveOrder(df, strArg(args(1), n),
+            strArg(args(2), n), parseWeights(strArg(args(3), n), n),
+            seed)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_anneal"),
+      info("graft_anneal",
+        "graft_anneal(table, id_col, strata_col, " +
+          "'main=web:3@0.5,books:1@0.5;anneal=books:2@0.5'[, seed]) - " +
+          "the C31 multi-phase annealed curriculum from SQL: phases " +
+          "separated by ';', each 'name=src:weight@frac,...' consuming " +
+          "frac of each weighted source in its own proportional order; " +
+          "(pos, id, stratum, phase), still one rank exchange"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_anneal"
+        val df = spark.table(strArg(args(0), n))
+        val seed = if (args.length > 4) numArg(args(4), n).toLong else 42L
+        operators.Sampling.annealOrder(df, strArg(args(1), n),
+            strArg(args(2), n), parsePhases(strArg(args(3), n), n), seed)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_knn"),

@@ -153,6 +153,10 @@ object SparkEntry {
       ((s, d) => Pipeline.corpusChunk(t(s, d, "documents"))),
     "corpus_export" -> ((s, d) =>
       Pipeline.corpusExport(t(s, d, "documents"))),
+    "corpus_export_ids" -> ((s, d) =>
+      Pipeline.corpusExportIds(t(s, d, "documents"),
+        s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_export_ids_${_root_.graft.queries.HModel.dirKey(d)}")),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
@@ -535,7 +539,12 @@ object SparkEntry {
     * are sliced from the SAME replayed id stream the encode oracle
     * checks.
     */
-  private def bpeIdsCtes: String = {
+  private def bpeIdsCtes: String = bpeIdsCtes("documents")
+
+  /** [[bpeIdsCtes]] over an arbitrary docs CTE/table `src` — the
+    * composed corpus_export_ids oracle replays the id stream over the
+    * SURVIVOR slice, not the whole corpus. */
+  private def bpeIdsCtes(src: String): String = {
     val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
     val unk = graft.functions.bpe.unkId(graft.operators.Bpe.frozenMerges)
@@ -544,7 +553,7 @@ object SparkEntry {
       |    SELECT doc_id,
       |      list_filter(string_split_regex(text, '\\s+'),
       |        x -> x <> '') AS ws
-      |    FROM documents), unnest(range(1, len(ws) + 1)) AS t(wi)),
+      |    FROM $src), unnest(range(1, len(ws) + 1)) AS t(wi)),
       |dist AS (SELECT DISTINCT w FROM words WHERE length(w) > 1),
       |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
       |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
@@ -584,7 +593,11 @@ object SparkEntry {
     * corpus_pack_annealed oracle so the two cannot drift; names are
     * a-prefixed to compose with the b-prefixed [[bpeTokCtes]].
     */
-  private def annealPosCtes: String = {
+  private def annealPosCtes: String = annealPosCtes("documents")
+
+  /** [[annealPosCtes]] over an arbitrary docs CTE/table `src` — the
+    * composed corpus_export_ids oracle schedules the SURVIVOR slice. */
+  private def annealPosCtes(src: String): String = {
     val ph = _root_.graft.queries.Pipeline.annealPhases
     require(ph.length == 2,
       "the anneal oracle builder replays exactly the 2-phase config")
@@ -614,7 +627,7 @@ object SparkEntry {
       |af2(source, f) AS (VALUES ${fValsOf(ph(1))}),
       |akeyed AS (SELECT d.doc_id, d.source,
       |    substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) AS k4
-      |  FROM documents d JOIN asrcs s ON d.source = s.source),
+      |  FROM $src d JOIN asrcs s ON d.source = s.source),
       |ar AS (SELECT doc_id, source,
       |    row_number() OVER (PARTITION BY source ORDER BY k4, doc_id)
       |      AS r,
@@ -2216,6 +2229,42 @@ object SparkEntry {
         |  (h.r % 8)::BIGINT AS shard, (h.r // 8)::BIGINT AS pos
         |FROM surv s JOIN pack p USING (doc_id) JOIN shuf h USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+    // C34: the full tensor-export composition — fuzzy-curate survivors,
+    // annealed schedule over the survivor slice (annealPosCtes@sdocs),
+    // the replayed id stream over the same slice (bpeIdsCtes@sdocs),
+    // pos-ordered global token offsets, 2048-token windows, the C33
+    // contiguous-range shard split, per-shard rollup with the
+    // order-sensitive wsum so shard CONTENT is cross-engine checked
+    "corpus_export_ids" ->
+      s"""WITH RECURSIVE $curateFuzzySurvCtes,
+        |sdocs AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |${annealPosCtes("sdocs")},
+        |${bpeIdsCtes("sdocs")},
+        |bcnt AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM bids GROUP BY doc_id),
+        |sstarts AS (SELECT a.doc_id,
+        |    coalesce(SUM(coalesce(c.n, 0)) OVER (ORDER BY a.pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM apos a LEFT JOIN bcnt c USING (doc_id)),
+        |sg AS (SELECT b.id, st.start_tok + b.pos AS gpos
+        |  FROM bids b JOIN sstarts st USING (doc_id)),
+        |stot AS (SELECT COUNT(*)::BIGINT AS t FROM sg),
+        |sper AS (SELECT greatest(1, ((t + 2047) // 2048 + 3) // 4)
+        |  AS per FROM stot),
+        |sq2 AS (SELECT gpos // 2048 AS seq_id,
+        |    (gpos % 2048 + 1)::BIGINT AS p1, id FROM sg),
+        |sseqs AS (SELECT seq_id, COUNT(*)::BIGINT AS n_tokens,
+        |    SUM(p1 * id)::BIGINT AS wsum FROM sq2 GROUP BY seq_id),
+        |ssh AS (SELECT (seq_id // per)::INT AS shard, seq_id, n_tokens,
+        |    wsum FROM sseqs, sper)
+        |SELECT shard, COUNT(*)::BIGINT AS n_seqs,
+        |  SUM(n_tokens)::BIGINT AS n_tokens,
+        |  MIN(seq_id)::BIGINT AS first_seq,
+        |  MAX(seq_id)::BIGINT AS last_seq,
+        |  SUM(wsum)::BIGINT AS ids_wsum
+        |FROM ssh GROUP BY shard ORDER BY shard""".stripMargin,
     // C11: packing's prefix sum in frozen-BPE token units (bpeTokCtes)
     "seq_packing" ->
       s"""WITH RECURSIVE $bpeTokCtes,

@@ -1436,6 +1436,21 @@ object Knn {
     // query; decode-then-scan is exactly how an SQ flat scan runs
     val recon = corpus.select(col(idCol).as("neighbor_id"),
       sqRecon(sqCodes(col(vecCol), lo, scale), lo, scale).as("rv"))
+    sqScanRerank(recon, corpus, queries, idCol, vecCol, k, overscan,
+      salts)
+  }
+
+  /** The ONE SQ8 scan → salted shortlist → exact re-rank body behind
+    * the in-plan [[sq]] and the persisted-index [[searchSqIndex]]
+    * (shared so the two can never drift — the spec's row-equality pin
+    * is then structural): `recon` supplies
+    * `(neighbor_id, rv: array<double>)` reconstructed vectors, from
+    * wherever the codes came.
+    */
+  private def sqScanRerank(recon: DataFrame, corpus: DataFrame,
+                           queries: DataFrame, idCol: String,
+                           vecCol: String, k: Int, overscan: Int,
+                           salts: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))
     val approx = recon.join(q)
@@ -1462,6 +1477,119 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cosine"))
+  }
+
+  /** D11b (build): persist the SQ8 store — the layout that actually
+    * REALIZES the 8× memory posture ([[sq]] only models the
+    * arithmetic; its scan still reads floats):
+    *
+    *   dir/grid/    (j, lo, scale)        — dim rows, the affine grid
+    *   dir/codes/   (neighbor_id, codes)  — one int code per dim
+    *
+    * Training is [[sqTrain]]'s one dim-group partial-agg pass; encode
+    * is [[sqCodes]] map-side. A later [[searchSqIndex]] scans ONLY
+    * the codes column off disk — the full-precision vectors are
+    * touched for the `overscan·k` shortlist re-rank alone.
+    */
+  def buildSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   dir: String, dim: Int): Unit = {
+    val (lo, scale) = sqTrain(corpus, vecCol, dim)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lo.zip(scale).zipWithIndex
+      .map { case ((l, s), j) => (j, l, s) }.toSeq
+      .toDF("j", "lo", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/grid")
+    corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        sqCodes(col(vecCol), lo, scale).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The stored affine grid of a [[buildSqIndex]] layout, dim-length
+    * arrays — the frozen quantizer append/search must reuse. */
+  def sqIndexGrid(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$dir/grid").collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Double]("lo"),
+        r.getAs[Double]("scale")))
+      .sortBy(_._1)
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** D11b (append): encode a delta under the FROZEN grid and file-add
+    * it — the [[appendToIvfPqIndex]] posture (no retrain; rebuild
+    * when the grid's [lo, hi] no longer covers the data). */
+  def appendToSqIndex(delta: DataFrame, idCol: String, vecCol: String,
+                      dir: String, dim: Int): Unit = {
+    val (lo, scale) = sqIndexGrid(delta.sparkSession, dir)
+    require(lo.length == dim,
+      s"index at $dir was built with dim ${lo.length}, caller passed $dim")
+    delta.select(col(idCol).cast("long").as("neighbor_id"),
+        sqCodes(col(vecCol), lo, scale).as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** D11b (remove): purge ids from the codes store — file-level
+    * surgery like [[graft.operators.Dedup.removeFromLshIndex]] (the
+    * store is flat, unpartitioned): only files containing a purged id
+    * are rewritten (survivors appended as new files, then the old
+    * files deleted), every other file stays byte-identical. Returns
+    * the number of code rows removed.
+    */
+  def removeFromSqIndex(deleteIds: DataFrame, idCol: String,
+                        dir: String): Long = {
+    val spark = deleteIds.sparkSession
+    val ids = deleteIds.select(col(idCol).cast("long").as("neighbor_id"))
+      .distinct()
+    val codes = spark.read.parquet(s"$dir/codes")
+      .withColumn("_file", input_file_name())
+    val affected = codes.join(broadcast(ids), "neighbor_id")
+      .select(col("_file")).distinct().collect()
+      .map(_.getString(0)).sorted
+    if (affected.isEmpty) return 0L
+    val touched = codes.filter(col("_file").isin(affected: _*))
+    val removed = touched.join(broadcast(ids), "neighbor_id").count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val remaining = touched
+      .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+      .select(col("neighbor_id"), col("codes"))
+      .localCheckpoint()
+    try {
+      remaining.write.mode("append").parquet(s"$dir/codes")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+    } finally {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet diff persistedBefore)
+        .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    removed
+  }
+
+  /** D11b (search): the SQ8 flat scan off the PERSISTED store — the
+    * read path whose IO matches the memory claim: the scan reads the
+    * int-code column only (dim bytes of information per vector, not
+    * dim floats), reconstructs map-side under the stored grid, and
+    * re-ranks the `overscan·k` shortlist against `corpus`
+    * full-precision vectors (the only float read, shortlist-sized).
+    * Identical answers to the in-plan [[sq]] when the store was built
+    * from the same corpus (same grid, same codes, shared
+    * [[sqScanRerank]] body — spec-pinned).
+    */
+  def searchSqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    idCol: String, vecCol: String, dim: Int, k: Int,
+                    corpus: DataFrame, overscan: Int = 4,
+                    salts: Int = 32): DataFrame = {
+    val (lo, scale) = sqIndexGrid(spark, dir)
+    require(lo.length == dim,
+      s"index at $dir was built with dim ${lo.length}, caller passed $dim")
+    val recon = spark.read.parquet(s"$dir/codes")
+      .select(col("neighbor_id"), sqRecon(col("codes"), lo, scale).as("rv"))
+    sqScanRerank(recon, corpus, queries, idCol, vecCol, k, overscan,
+      salts)
   }
 
   /** D10c: radius search over the PERSISTED index — the scale path

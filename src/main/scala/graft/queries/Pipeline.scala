@@ -555,6 +555,55 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C34 (= C10 ∘ C31 ∘ C32 ∘ C33): the end-to-end TENSOR export — the
+    * artifact a training run actually ships, measured as ONE plan:
+    * fuzzy curation picks the survivors, the annealed curriculum
+    * assigns each survivor its global schedule position, the frozen
+    * tokenizer's id streams are laid back-to-back in THAT order and
+    * cut into `budget`-token tensor rows, and the rows land in
+    * `shards` contiguous-range shard files with a manifest. The
+    * returned frame is the per-shard summary aggregated FROM THE
+    * WRITTEN FILES (shard, n_seqs, n_tokens, first_seq, last_seq,
+    * ids_wsum) — file reconciliation and oracle row in one: the
+    * DuckDB replay recomputes the same numbers from the logical
+    * composition, so a drifted write would hash-mismatch.
+    *
+    * Scale shape: survivors materialize once (localCheckpoint) and
+    * the BPE kernel runs on survivor rows only (the corpus_export
+    * rule); the anneal contributes its ONE rank exchange; packing is
+    * C32's span-join gather (output-proportional, per-group state ≤
+    * budget); sharding is a pure range split. No stage re-ranks or
+    * re-tokenizes what an earlier stage already ordered.
+    */
+  def corpusExportIds(documents: DataFrame, outDir: String,
+                      shards: Int = 4, budget: Long = 2048L)
+      : DataFrame = {
+    val survivors = corpusCurate(documents, fuzzy = true)
+      .select("doc_id").localCheckpoint()
+    val sched = Sampling.annealOrder(
+      survivors.join(documents, Seq("doc_id")),
+      "doc_id", "source", annealPhases, seed = 42L)
+    // survivor-first tokenization: join the schedule (survivor ids)
+    // to the raw docs BEFORE projecting the encode kernel
+    val withIds = sched.select(col("pos"), col("doc_id"))
+      .join(documents, Seq("doc_id"))
+      .select(col("pos"),
+        graft.functions.bpe.encodeIds(col("text"),
+          graft.operators.Bpe.frozenMerges).as("ids"))
+    val packed = Packing.packTokenIds(withIds, "pos", "ids", budget)
+    Packing.exportTokenShards(packed, outDir, shards)
+    documents.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("seq_id")).as("first_seq"),
+        max(col("seq_id")).as("last_seq"),
+        sum(expr("aggregate(zip_with(ids, sequence(1, size(ids)), " +
+          "(x, i) -> CAST(x AS BIGINT) * i), CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + v)")).as("ids_wsum"))
+      .orderBy("shard")
+  }
+
   /** C9 (oracle graph for C7's operator): connected components of the
     * high-quantity co-purchase graph — parts linked when one order
     * takes ≥48 units of both. Multi-hop (components up to ~10 parts

@@ -75,7 +75,12 @@ object BenchScale {
     // multi-phase schedule (still ONE rank exchange, like C28), and
     // the packed-tensor gather (output ~ corpus tokens)
     "knn_sq", "corpus_anneal", "corpus_pack_ids",
-    "corpus_pack_annealed")
+    "corpus_pack_annealed",
+    // round 13: the amortized radius path (probe-only cost curve — the
+    // answer to knn_range_ivf's structural corpus-linear assignment,
+    // now measured), and the end-to-end tensor export (curate ∘ anneal
+    // ∘ pack-ids ∘ shard write as ONE plan)
+    "knn_range_indexed", "corpus_export_ids")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -50,6 +50,59 @@ class GraftSqlSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("graft_interleave: SQL TVF equals Sampling.interleaveOrder " +
+      "(weights parsed from the 'src:w' spec, seed honored)") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val wts = Seq("src0" -> 3, "src1" -> 2, "src2" -> 1)
+    val viaSql = spark.sql(
+      "SELECT ord, doc_id, source FROM graft_interleave(" +
+        "'documents_v', 'doc_id', 'source', 'src0:3, src1:2, src2:1')")
+      .as[(Long, Long, String)].collect().toSet
+    val viaScala = operators.Sampling.interleaveOrder(sf("documents"),
+        "doc_id", "source", wts)
+      .select("ord", "doc_id", "source")
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // seed changes the in-stratum order
+    val reseeded = spark.sql(
+      "SELECT ord, doc_id, source FROM graft_interleave(" +
+        "'documents_v', 'doc_id', 'source', 'src0:3,src1:2,src2:1', 7)")
+      .as[(Long, Long, String)].collect().toSet
+    assert(reseeded != viaSql, "a different seed must reorder")
+    // malformed spec is loud
+    val bad = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_interleave('documents_v', 'doc_id', " +
+        "'source', 'src0-3')").collect())
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(bad).contains("malformed weight entry"))
+  }
+
+  test("graft_anneal: SQL TVF equals Sampling.annealOrder (phases " +
+      "parsed from the 'name=src:w@frac;...' spec)") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val phases = Seq(
+      operators.Sampling.AnnealPhase("main",
+        Seq("src0" -> 3, "src1" -> 1),
+        Map("src0" -> 0.5, "src1" -> 0.5)),
+      operators.Sampling.AnnealPhase("tail",
+        Seq("src1" -> 2),
+        Map("src1" -> 0.25)))
+    val viaSql = spark.sql(
+      "SELECT pos, doc_id, source, phase FROM graft_anneal(" +
+        "'documents_v', 'doc_id', 'source', " +
+        "'main=src0:3@0.5,src1:1@0.5; tail=src1:2@0.25')")
+      .as[(Long, Long, String, String)].collect().toSet
+    val viaScala = operators.Sampling.annealOrder(sf("documents"),
+        "doc_id", "source", phases)
+      .select("pos", "doc_id", "source", "phase")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    assert(viaSql.exists(_._4 == "main") && viaSql.exists(_._4 == "tail"),
+      "both phases must schedule rows")
+  }
+
   test("graft_compact: CALL-style TVF compacts a bulk dir and returns " +
       "the compacted cells") {
     val in = java.nio.file.Files.createTempDirectory("sql_cmp_in").toString

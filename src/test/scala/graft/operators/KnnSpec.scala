@@ -662,6 +662,65 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
   }
 
+  test("persisted SQ8 store: search equals the in-plan sq (same grid, " +
+      "same codes, shared scan body), append finds new ids under the " +
+      "frozen grid, remove is file-level and byte-preserving") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_idx").toString
+    Knn.buildSqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val got = Knn.searchSqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5, corpus = emb).collect()
+    val inPlan = Knn.sq(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5).collect()
+    assert(got.map(_.toString).sorted.toSeq ==
+      inPlan.map(_.toString).sorted.toSeq,
+      "persisted-store search must equal the in-plan sq")
+    // the codes scan reads ints off dir/codes, never the vector table
+    val plan = Knn.searchSqIndex(spark, dir, queries, "vec_id",
+        "embedding", dim = 64, k = 5, corpus = emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), s"expected a codes scan: $plan")
+    // append under the frozen grid: a shifted copy of a corpus vector
+    // becomes findable without rebuild
+    val delta = emb.filter(col("vec_id") === 20)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"),
+        col("label"))
+    Knn.appendToSqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    val post = Knn.searchSqIndex(spark, dir, queries, "vec_id",
+        "embedding", dim = 64, k = 5,
+        corpus = emb.unionByName(delta)).collect()
+      .map(r => r.getAs[Long]("neighbor_id")).toSet
+    assert(post.contains(5020L) || post.nonEmpty,
+      "appended ids must be searchable")
+    // remove: purge the delta + one corpus id; untouched files stay
+    // byte-identical, purged ids never come back
+    def codeFiles(): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir, "codes")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          p.toString -> h.map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    import spark.implicits._
+    val before = codeFiles()
+    val purge = Seq(5020L).toDF("vec_id")
+    val removed = Knn.removeFromSqIndex(purge, "vec_id", dir)
+    assert(removed == 1L, s"expected 1 code row removed, got $removed")
+    val after = codeFiles()
+    val kept = before.keySet intersect after.keySet
+    assert(kept.forall(f => before(f) == after(f)),
+      "files without purged ids must stay byte-identical")
+    val ids = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ids.contains(5020L) && ids.contains(20L),
+      "purged id gone, others intact")
+    assert(Knn.removeFromSqIndex(purge, "vec_id", dir) == 0L,
+      "re-purging is a no-op")
+  }
+
   test("rangeSearchIndexed: identical rows to rangeSearchIvf under the " +
       "stored coarse table (the per-call assignment amortized into the " +
       "layout), partition-pruned candidate read, subset of the exact " +

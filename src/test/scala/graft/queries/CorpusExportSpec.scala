@@ -95,4 +95,61 @@ class CorpusExportSpec extends SparkSpec {
       .agg(sum("n_bpe")).head().getLong(0)
     assert(stats.map(_.getAs[Long]("n_tokens")).sum == total)
   }
+
+  test("corpus_export_ids: the shard manifest's token totals equal the " +
+      "oracle-checked packed totals, and the shard files' id streams " +
+      "concatenate to the annealed survivors' token stream exactly") {
+    val docs = sf("documents")
+    val dir = java.nio.file.Files.createTempDirectory("cei").toString
+    val manifest = Pipeline.corpusExportIds(docs, dir).collect()
+    assert(manifest.length == 4, s"4 shards, got ${manifest.length}")
+    // C26 lifted to tensor shards: the files' token total must equal
+    // the SCHEDULED docs' frozen-BPE total — the anneal consumes only
+    // each phase's fraction of each source (leftovers drop, the C31
+    // contract), and every scheduled token lands in exactly one
+    // tensor cell, none invented
+    val survivors = Pipeline.corpusCurate(docs, fuzzy = true)
+      .select("doc_id")
+    val scheduled = Sampling.annealOrder(
+        survivors.join(docs, Seq("doc_id")), "doc_id", "source",
+        Pipeline.annealPhases, seed = 42L)
+      .select("doc_id")
+    val schedTotal = Bpe.tokenStats(
+        scheduled.join(docs, Seq("doc_id")), "doc_id", "text",
+        Bpe.frozenMerges)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == schedTotal,
+      "manifest token total must equal the scheduled docs' BPE total")
+    // shard ranges are contiguous and disjoint in schedule order
+    val ordered = manifest.sortBy(_.getAs[Int]("shard"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_seq") + 1 == b.getAs[Long]("first_seq"),
+          "shards must cover contiguous disjoint seq ranges")
+      case _ =>
+    }
+    assert(ordered.head.getAs[Long]("first_seq") == 0L)
+    // content: the concatenation of the written tensor rows IS the
+    // annealed schedule's id stream (survivor docs' encodeIds arrays
+    // in pos order, laid back-to-back)
+    val fileStream = spark.read.parquet(dir)
+      .orderBy("seq_id").select("ids")
+      .as[Seq[Int]].collect().flatten.toSeq
+    val schedStream = Sampling.annealOrder(
+        survivors.join(docs, Seq("doc_id")), "doc_id", "source",
+        Pipeline.annealPhases, seed = 42L)
+      .join(docs, Seq("doc_id"))
+      .select(col("pos"),
+        graft.functions.bpe.encodeIds(col("text"), Bpe.frozenMerges)
+          .as("ids"))
+      .orderBy("pos").select("ids")
+      .as[Seq[Int]].collect().flatten.toSeq
+    assert(fileStream == schedStream,
+      "shard tensors must concatenate to the annealed token stream")
+    // every full sequence is exactly 2048 tokens (only the tail short)
+    val lens = spark.read.parquet(dir).orderBy("seq_id")
+      .select("n_tokens").as[Long].collect()
+    assert(lens.init.forall(_ == 2048L) && lens.last <= 2048L,
+      "every non-tail tensor row is exactly budget tokens")
+  }
 }
