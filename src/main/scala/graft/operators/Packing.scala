@@ -179,10 +179,21 @@ object Packing {
     */
   def packTokenIds(df: DataFrame, idCol: String, idsCol: String,
                    budget: Long, numPartitions: Int = 0): DataFrame = {
+    // pin the id arrays ONCE (MEMORY_AND_DISK blocks — spills, frees
+    // when the plan is GC'd): both consumers below — the span
+    // manifest's size projection and the gather join — would
+    // otherwise re-run whatever expression produces `idsCol`, and for
+    // every registered caller that is the BPE encode kernel, the most
+    // expensive per-row expression in the engine (corpus_export_ids
+    // measured 10.9 -> ~7 s from this pin alone). Materializing is
+    // the right trade at scale too: the pinned bytes are ~the tensor
+    // output itself, vs tokenizing the corpus twice.
+    val ids = df.select(col(idCol), col(idsCol).as("_ids"))
+      .localCheckpoint()
     val spans = sequenceSpans(
-      df.select(col(idCol), size(col(idsCol)).cast("long").as("_n")),
+      ids.select(col(idCol), size(col("_ids")).cast("long").as("_n")),
       idCol, "_n", budget, numPartitions)
-    spans.join(df.select(col(idCol), col(idsCol).as("_ids")), Seq(idCol))
+    spans.join(ids, Seq(idCol))
       .withColumn("_slice", slice(col("_ids"),
         (col("pos_in_doc") + 1).cast("int"), col("span_len").cast("int")))
       .groupBy(col("seq_id"))
