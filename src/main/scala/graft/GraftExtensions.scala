@@ -345,6 +345,26 @@ object GraftExtensions {
             vecCol, dim, tau, corpus, nProbe)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_sq"),
+      info("graft_knn_index_sq",
+        "graft_knn_index_sq(dir, query_table, corpus_table, id_col, " +
+          "vec_col, k) - top-k search over a persisted SQ8 byte-codes " +
+          "store (buildSqIndex layout): the scan reads only the int " +
+          "codes, the shortlist re-ranks against corpus_table. dim " +
+          "comes from the store's own grid sidecar"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_knn_index_sq"
+        val dir = strArg(args(0), n)
+        val queries = spark.table(strArg(args(1), n))
+        val corpus = spark.table(strArg(args(2), n))
+        val idCol = strArg(args(3), n)
+        val vecCol = strArg(args(4), n)
+        val k = numArg(args(5), n).toInt
+        val dim = operators.Knn.sqIndexGrid(spark, dir)._1.length
+        operators.Knn.searchSqIndex(spark, dir, queries, idCol, vecCol,
+          dim, k, corpus).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_chunk"),
       info("graft_chunk",
         "graft_chunk(table, id_col, text_col, chunk_tok, stride) - " +

@@ -171,6 +171,8 @@ object SparkEntry {
     "knn_recall" -> ((s, d) => Pipeline.knnRecall(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_sq" -> ((s, d) => Pipeline.knnSq(t(s, d, "embeddings"))),
+    "knn_sq_indexed" -> ((s, d) =>
+      Pipeline.knnSqIndexed(t(s, d, "embeddings"), d)),
     "knn_pq" -> ((s, d) => Pipeline.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) =>
       Pipeline.knnIvfTrained(t(s, d, "embeddings"))),
@@ -759,6 +761,42 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, round(c, 6) AS cosine
       |FROM d WHERE c >= 0.3 ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** The D11 SQ8 replay — shared verbatim by `knn_sq` (in-plan codes)
+    * and `knn_sq_indexed` (the same grid + codes frozen into the
+    * persisted store at build time): min/max grid, floor/clamp codes,
+    * affine reconstruction, asymmetric-cosine shortlist, exact
+    * re-rank.
+    */
+  private val knnSqSql: String =
+      s"""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |mm AS (SELECT j, MIN(v[j]) AS lo, MAX(v[j]) AS hi
+        |  FROM e, range(1, 65) AS t(j) GROUP BY j),
+        |sc AS (SELECT j, lo,
+        |  CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS s
+        |  FROM mm),
+        |rec AS (SELECT e.vec_id,
+        |  list(sc.lo + LEAST(255.0, GREATEST(0.0,
+        |    FLOOR((e.v[sc.j] - sc.lo) / sc.s + 0.5))) * sc.s
+        |    ORDER BY sc.j) AS rv
+        |  FROM e, sc GROUP BY e.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |a AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |  ${cosineSql("q.qv", "r.rv")} AS ac
+        |  FROM q, rec r WHERE r.vec_id <> q.query_id),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ac DESC, neighbor_id) AS srn FROM a) WHERE srn <= 20),
+        |d AS (SELECT s.query_id, s.neighbor_id,
+        |  ${cosineSql("qe.v", "ne.v")} AS c
+        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, neighbor_id) AS rank FROM d)
+        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "knn_ivf" ->
       s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
@@ -840,35 +878,11 @@ object SparkEntry {
     // clamped to [0, 255], affine reconstruction, asymmetric cosine
     // shortlist (top-20), exact re-rank (top-5). Every step is the
     // same double arithmetic the engine runs.
-    "knn_sq" ->
-      s"""WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |mm AS (SELECT j, MIN(v[j]) AS lo, MAX(v[j]) AS hi
-        |  FROM e, range(1, 65) AS t(j) GROUP BY j),
-        |sc AS (SELECT j, lo,
-        |  CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS s
-        |  FROM mm),
-        |rec AS (SELECT e.vec_id,
-        |  list(sc.lo + LEAST(255.0, GREATEST(0.0,
-        |    FLOOR((e.v[sc.j] - sc.lo) / sc.s + 0.5))) * sc.s
-        |    ORDER BY sc.j) AS rv
-        |  FROM e, sc GROUP BY e.vec_id),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |a AS (SELECT q.query_id, r.vec_id AS neighbor_id,
-        |  ${cosineSql("q.qv", "r.rv")} AS ac
-        |  FROM q, rec r WHERE r.vec_id <> q.query_id),
-        |short AS (SELECT query_id, neighbor_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY ac DESC, neighbor_id) AS srn FROM a) WHERE srn <= 20),
-        |d AS (SELECT s.query_id, s.neighbor_id,
-        |  ${cosineSql("qe.v", "ne.v")} AS c
-        |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
-        |  JOIN e ne ON ne.vec_id = s.neighbor_id),
-        |r AS (SELECT query_id, neighbor_id, c,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY c DESC, neighbor_id) AS rank FROM d)
-        |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_sq" -> knnSqSql,
+    // D11b: the persisted byte-codes store probed off disk — the grid
+    // and codes were frozen from the SAME corpus at build, so answers
+    // equal the in-plan row and the oracle is knn_sq's verbatim
+    "knn_sq_indexed" -> knnSqSql,
     "knn_pq" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -754,6 +754,45 @@ object Pipeline {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("query_id", "rank")
 
+  /** One persisted SQ8 store per sf dir for [[knnSqIndexed]] —
+    * [[ensureKnnIndexDir]]'s build-once pattern applied to the D11b
+    * byte-codes layout. Grid and codes are trained/encoded from the
+    * full embeddings table, so the stored state equals what the
+    * in-plan [[knnSq]] derives and the oracle is knn_sq's verbatim.
+    */
+  private val sqIndexDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def ensureSqIndexDir(embeddings: DataFrame,
+                                      sfDir: String): String =
+    sqIndexDirs.getOrElseUpdate(sfDir, {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_sqidx_v1_${HModel.dirKey(sfDir)}"
+      val spark = embeddings.sparkSession
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(root, "_done")
+      if (!fs.exists(done)) {
+        Knn.buildSqIndex(embeddings, "vec_id", "embedding", dir,
+          dim = EmbeddingDim)
+        fs.create(done, true).close()
+      }
+      dir
+    })
+
+  /** D11b registered: the SQ8 flat scan off the PERSISTED byte-codes
+    * store — the read path whose IO matches the 8× memory claim (the
+    * in-plan [[knnSq]] models only the arithmetic). Same grid, codes,
+    * queries, and shortlist rules as D11 ⇒ identical answers
+    * (KnnSpec pins parity), oracle = knn_sq's SQL verbatim.
+    */
+  def knnSqIndexed(embeddings: DataFrame, sfDir: String): DataFrame =
+    Knn.searchSqIndex(embeddings.sparkSession,
+        ensureSqIndexDir(embeddings, sfDir), querySet(embeddings),
+        "vec_id", "embedding", dim = EmbeddingDim, k = 5,
+        corpus = embeddings)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("query_id", "rank")
+
   /** D3: IVF cell-probe ANN, same queries. nProbe = 5 of the ~n/50
     * cells scans ~5% of the corpus for recall 0.74–0.76 vs brute force
     * at sf0.001/sf0.01 (spec floor 0.5).

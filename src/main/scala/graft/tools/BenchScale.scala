@@ -80,7 +80,7 @@ object BenchScale {
     // answer to knn_range_ivf's structural corpus-linear assignment,
     // now measured), and the end-to-end tensor export (curate ∘ anneal
     // ∘ pack-ids ∘ shard write as ONE plan)
-    "knn_range_indexed", "corpus_export_ids")
+    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -103,6 +103,23 @@ class GraftSqlSpec extends SparkSpec {
       "both phases must schedule rows")
   }
 
+  test("graft_knn_index_sq: SQL TVF equals searchSqIndex on a " +
+      "persisted byte-codes store") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("sql_sq").toString
+    operators.Knn.buildSqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    emb.createOrReplaceTempView("emb_v")
+    emb.filter(col("vec_id") < 10).createOrReplaceTempView("embq_v")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_knn_index_sq('$dir', 'embq_v', 'emb_v', " +
+        "'vec_id', 'embedding', 5)").collect().map(_.toString).sorted
+    val viaScala = operators.Knn.searchSqIndex(spark, dir,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, corpus = emb)
+      .collect().map(_.toString).sorted
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaScala.toSeq)
+  }
+
   test("graft_compact: CALL-style TVF compacts a bulk dir and returns " +
       "the compacted cells") {
     val in = java.nio.file.Files.createTempDirectory("sql_cmp_in").toString
