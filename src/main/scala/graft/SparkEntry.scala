@@ -104,6 +104,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Pipeline.dedupSimhash(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Pipeline.dedupNgramJaccard(t(s, d, "documents"))),
+    "dedup_recall" -> ((s, d) =>
+      Pipeline.dedupRecall(t(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
     "dedup_semantic" -> ((s, d) =>
@@ -149,6 +151,10 @@ object SparkEntry {
       Pipeline.corpusCurate(t(s, d, "documents"), fuzzy = true)),
     "seq_packing" -> ((s, d) => Pipeline.seqPacking(t(s, d, "documents"))),
     "seq_spans" -> ((s, d) => Pipeline.seqSpans(t(s, d, "documents"))),
+    "packing_stats" -> ((s, d) =>
+      Pipeline.packingStats(t(s, d, "documents"))),
+    "corpus_tokenizer_stats" -> ((s, d) =>
+      Pipeline.corpusTokenizerStats(t(s, d, "documents"))),
     "corpus_chunk" ->
       ((s, d) => Pipeline.corpusChunk(t(s, d, "documents"))),
     "corpus_export" -> ((s, d) =>
@@ -1466,6 +1472,27 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
         |  round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
         |FROM jac ORDER BY doc_a, doc_b""".stripMargin,
+    // C35: exact threshold truth from the shingle inverted index
+    // (every J >= 0.7 pair shares a shingle, so the f5 self-join finds
+    // them all) left-joined with the pairs the banding surfaced (the
+    // C3 chain) — COUNT(non-null) is the hit count
+    "dedup_recall" ->
+      s"""WITH $minhashCte,
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS c
+        |  FROM f5 a JOIN f5 b ON a.v = b.v AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT s.doc_a, s.doc_b
+        |  FROM shared s JOIN sets sa ON s.doc_a = sa.doc_id
+        |                JOIN sets sb ON s.doc_b = sb.doc_id
+        |  WHERE s.c::DOUBLE / (sa.n + sb.n - s.c) >= 0.7),
+        |found AS (SELECT doc_a, doc_b FROM jac
+        |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7)
+        |SELECT COUNT(*)::BIGINT AS n_truth,
+        |  COUNT(f.doc_a)::BIGINT AS n_found,
+        |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
+        |FROM truth t LEFT JOIN found f
+        |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
     // C25: the C3 chain restricted to cross-set (corpus x batch) pairs —
     // exactly the pairs the broadcast batch probe of the corpus index
     // can produce (batch = doc_id % 10 == 0, C22's split)
@@ -2311,6 +2338,49 @@ object SparkEntry {
         |    - greatest(start_tok, seq_id * 2048) AS span_len,
         |  greatest(start_tok, seq_id * 2048) - start_tok AS pos_in_doc
         |FROM s ORDER BY 1, 3""".stripMargin,
+    // C36: the seq_spans chain rolled up per sequence — the
+    // attention-boundary census (docs spanned, carry-in, fill)
+    "packing_stats" ->
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |t AS (SELECT d.doc_id, coalesce(b.n_bpe, 0)::BIGINT AS n_tokens
+        | FROM documents d LEFT JOIN btok b USING (doc_id)),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_tok FROM t),
+        |s AS (SELECT doc_id, n_tokens, start_tok,
+        |  unnest(range(start_tok // 2048,
+        |    (start_tok + n_tokens - 1) // 2048 + 1)) AS seq_id
+        |  FROM c WHERE n_tokens > 0),
+        |sp AS (SELECT seq_id, doc_id,
+        |  greatest(start_tok, seq_id * 2048) - seq_id * 2048 AS off,
+        |  least(start_tok + n_tokens, (seq_id + 1) * 2048)
+        |    - greatest(start_tok, seq_id * 2048) AS span_len,
+        |  greatest(start_tok, seq_id * 2048) - start_tok AS pos_in_doc
+        |  FROM s)
+        |SELECT seq_id, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(span_len)::BIGINT AS n_tokens,
+        |  MAX(CASE WHEN off = 0 AND pos_in_doc > 0
+        |    THEN 1 ELSE 0 END)::BIGINT AS carry_in,
+        |  MIN(doc_id)::BIGINT AS first_doc,
+        |  MAX(doc_id)::BIGINT AS last_doc
+        |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // E13: the frozen-BPE count chain joined back to documents, one
+    // roll-up per language; the word side is corpus_budget's
+    // whitespace proxy so the fertility ratio compares the two
+    // counting rules the pipeline already uses
+    "corpus_tokenizer_stats" ->
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |base AS (SELECT d.lang, length(d.text)::BIGINT AS nc,
+        |    len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS nw,
+        |    coalesce(b.n_bpe, 0)::BIGINT AS nt
+        |  FROM documents d LEFT JOIN btok b USING (doc_id))
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(nc)::BIGINT AS n_chars, SUM(nw)::BIGINT AS n_words,
+        |  SUM(nt)::BIGINT AS n_tokens,
+        |  round(SUM(nc)::DOUBLE / SUM(nt), 6) AS chars_per_token,
+        |  round(SUM(nt)::DOUBLE / SUM(nw), 6) AS tokens_per_word
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
     // C32: sequences from GLOBAL token positions — the replayed id
     // stream (bpeIdsCtes, the same chain text_bpe_ids / corpus_chunk
     // check), doc start offsets as a running sum in doc_id order (the

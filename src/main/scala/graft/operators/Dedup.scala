@@ -355,6 +355,22 @@ object Dedup {
     removed
   }
 
+  /** C25 lifecycle (compact): coalesce fragmented `band=` partitions —
+    * every [[appendToLshIndex]] batch adds one file per band, so a
+    * crawl loop that ingested B batches leaves B+1 files in EVERY band
+    * directory and each probe pays the per-file open tax across all of
+    * them. Only bands over `maxFilesPerBand` files are read
+    * (partition-pruned) and rewritten to one file each; bands at or
+    * under the threshold stay byte-identical (spec-pinned). Bucket
+    * rows are unchanged, so probe results cannot move. Returns
+    * (bandsCompacted, filesBefore, filesAfter).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, maxFilesPerBand: Int = 1)
+      : (Int, Long, Long) =
+    StoreMaintenance.compactPartitioned(spark, s"$dir/buckets", "band",
+      maxFilesPerBand)
+
   /** C25 lifecycle (probe): [[incrementalMinhash]] served from a
     * [[buildLshIndex]] layout instead of re-hashing the corpus text
     * per call — the corpus side of the plan reads ONLY the flat
@@ -599,6 +615,56 @@ object Dedup {
     lshVerifiedPairs(docs, idCol, textCol, k, perms, bands, cacheShingles)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("_inter").cast("long").as("n_common"), col("jaccard"))
+
+  /** C35: banding recall evaluation — the [[graft.operators.Knn.recall]]
+    * discipline applied to the dedup family: how much of the EXACT
+    * threshold-τ near-dup truth the banded MinHash-LSH pipeline
+    * actually surfaced. Tuning bands/rows without this number is
+    * guesswork (too few bands silently drops dup pairs forever; too
+    * many explodes candidate verification cost).
+    *
+    * Truth is exact, not sampled hashes: a pair at Jaccard ≥ τ > 0
+    * shares at least one shingle, so the shingle inverted-index
+    * self-join finds EVERY qualifying pair — shared counts from one
+    * pair-keyed partial agg, set sizes per doc, J = c/(nₐ+n_b−c).
+    * The surfaced side ([[minhashLsh]]) verifies exact Jaccard on its
+    * candidates, so it is a SUBSET of truth by construction and
+    * recall = |found| / |truth| measures the BANDING's misses alone.
+    *
+    * Returns ONE row: (n_truth, n_found, recall).
+    *
+    * Scale posture: the inverted-index join's cost is Σ_shingle df²
+    * — fine wherever exact truth is affordable (eval slices, CI
+    * corpora); at 100 TB you run it on a sampled doc slice (pass the
+    * sample as `docs`, the knn_recall amortization) and/or cap hot
+    * shingles' df upstream. The LSH side is the production pipeline
+    * unchanged.
+    */
+  def lshRecall(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, perms: Int = 128, bands: Int = 16,
+                threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), k)).as("v"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val truth = shared
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val found = minhashLsh(docs, idCol, textCol, k, perms, bands,
+        threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_truth"), 6))
+  }
 
   // ---- decontamination -------------------------------------------------
 

@@ -1151,6 +1151,44 @@ object Knn {
     removed
   }
 
+  /** D8 (compact): coalesce fragmented `cell_id=` partitions after an
+    * append-heavy ingest cycle — every [[appendToIvfPqIndex]] is a
+    * pure file-add, so a store that ingested B batches carries up to
+    * B+1 files per probed cell, and each [[searchIvfPqIndex]] pays
+    * per-file open/footer/task costs on KB-sized splits (the classic
+    * small-files tax at cluster scale). Only cells over
+    * `maxFilesPerCell` files are read (partition-pruned) and
+    * rewritten to one file each; every other cell's files stay
+    * byte-identical (spec-pinned), the row set is unchanged, and the
+    * search path needs no awareness (same rows, fewer files). Frozen
+    * quantizers are untouched — compaction is file surgery, not a
+    * rebuild. Returns (cellsCompacted, filesBefore, filesAfter).
+    */
+  def compactIvfPqIndex(spark: SparkSession, dir: String,
+                        maxFilesPerCell: Int = 1): (Int, Long, Long) =
+    StoreMaintenance.compactPartitioned(spark, s"$dir/codes", "cell_id",
+      maxFilesPerCell)
+
+  /** D8 (stats): per-cell health of a [[buildIvfPqIndex]] layout —
+    * (cell_id, n_codes, n_files, bytes) — the report that drives the
+    * compact/rebuild decision (file fragmentation → [[compactIvfPqIndex]];
+    * cell-count imbalance → recall drift, rebuild). The listing side
+    * is O(coarseCells) driver work; the count side is one
+    * column-pruned partial aggregation over the codes.
+    */
+  def ivfPqIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = StoreMaintenance
+      .partitionFileStats(spark, s"$dir/codes", "cell_id")
+      .toDF("cell_id", "n_files", "bytes")
+    readCodes(spark, dir)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_codes"))
+      .join(files, Seq("cell_id"), "right")
+      .withColumn("n_codes", coalesce(col("n_codes"), lit(0L)))
+      .select(col("cell_id"), col("n_codes"), col("n_files"), col("bytes"))
+      .orderBy("cell_id")
+  }
+
   /** D8 (search): probe a [[buildIvfPqIndex]] layout. Coarse +
     * codebooks are tiny reads (broadcast); each query's nProbe cells
     * become a `cell_id IN (...)` partition filter on the codes dir —
@@ -1568,6 +1606,18 @@ object Knn {
     }
     removed
   }
+
+  /** D11b (compact): combine the small files an append-per-batch
+    * ingest leaves in the flat codes store — files under `minBytes`
+    * merge into one, files at or over it stay byte-identical
+    * (spec-pinned). [[StoreMaintenance.compactFlat]]'s
+    * append-before-delete crash caveat applies (duplicate rows in the
+    * window; single-writer contract bounds it to one call). Returns
+    * (filesCompacted, filesBefore, filesAfter).
+    */
+  def compactSqIndex(spark: SparkSession, dir: String,
+                     minBytes: Long = 4L << 20): (Int, Long, Long) =
+    StoreMaintenance.compactFlat(spark, s"$dir/codes", minBytes)
 
   /** D11b (search): the SQ8 flat scan off the PERSISTED store — the
     * read path whose IO matches the memory claim: the scan reads the

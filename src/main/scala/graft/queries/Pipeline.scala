@@ -109,6 +109,15 @@ object Pipeline {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
+  /** C35: banding recall report — exact threshold-0.7 truth (shingle
+    * inverted index) vs what the C3 MinHash banding surfaced, the D9
+    * knn_recall discipline for the dedup family. One row:
+    * (n_truth, n_found, recall).
+    */
+  def dedupRecall(documents: DataFrame): DataFrame =
+    Dedup.lshRecall(documents, "doc_id", "text",
+      k = 3, perms = 128, bands = 16, threshold = 0.7)
+
   /** C6: embedding-cosine near-dup pairs (θ ≥ 0.4 — the synthetic
     * embeddings top out near cosine 0.51) via hyperplane LSH blocking.
     * 12 bands × 6 planes: recall ~0.62–0.68 vs brute-force truth
@@ -269,6 +278,32 @@ object Pipeline {
         min("pos").as("min_pos"), max("pos").as("max_pos"),
         sum(col("doc_id") * (col("pos") + lit(1L))).as("order_checksum"))
       .orderBy("shard")
+
+  /** E13: tokenizer fertility report per language — the number a
+    * multilingual pretraining mix checks before committing a
+    * tokenizer: chars-per-token and tokens-per-word under the FROZEN
+    * BPE (E12's kernel, the loader's own units) expose which
+    * languages the vocab over-fragments — fertility regressions are
+    * how low-resource languages silently eat token budget. One
+    * partial-agg shuffle over |langs| groups; the count kernel is the
+    * same codegen expression every packing row runs, and the word
+    * count is the corpus_budget whitespace proxy, so the ratio
+    * compares the two counting rules the pipeline already uses.
+    */
+  def corpusTokenizerStats(documents: DataFrame): DataFrame =
+    documents.select(col("lang"),
+        length(col("text")).cast("long").as("_nc"),
+        wsTokenCount.as("_nw"), bpeTokenCount.as("_nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_nc").as("n_chars"),
+        sum("_nw").as("n_words"),
+        sum("_nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .orderBy("lang")
 
   /** C28: deterministic proportional interleave — the 3:2:1 mixture of
     * [[corpusMix]] expressed as a training-order SCHEDULE: every doc
@@ -488,6 +523,28 @@ object Pipeline {
         tokenCounts.as("n_tokens")),
       "doc_id", "n_tokens", budget)
       .orderBy("seq_id", "offset")
+
+  /** C36: per-sequence packing diagnostics — the attention-boundary
+    * census of every 2048-token training row the C11 packing
+    * produces: how many documents it spans (n_docs − 1 cross-doc
+    * boundaries an attention mask must cut), whether it opens
+    * mid-document (`carry_in`: the previous row's tail continues
+    * here), and its token fill. The distribution drives the
+    * block-size / masking decision a loader makes; computed as one
+    * |seqs|-group partial agg over the C11b span table — no new
+    * shuffle shape.
+    */
+  def packingStats(documents: DataFrame, budget: Long = 2048L)
+      : DataFrame =
+    seqSpans(documents, budget)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("span_len").as("n_tokens"),
+        max(when(col("offset") === 0 && col("pos_in_doc") > 0, 1L)
+          .otherwise(0L)).as("carry_in"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
 
   /** C27: token-window chunking in FROZEN-BPE id units — each doc's
     * [[graft.functions.bpe.encodeIds]] stream cut into overlapping

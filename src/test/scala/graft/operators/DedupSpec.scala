@@ -516,6 +516,61 @@ class DedupSpec extends SparkSpec {
       s"expected the drift guard, got: ${rootMsg(drift).take(400)}")
   }
 
+  test("compactLshIndex: fragmented bands coalesce to one file each, " +
+      "bucket rows and probe results are unchanged, and the " +
+      "threshold leaves calm bands byte-identical") {
+    val docs = sf("documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_cp").toString
+    Dedup.buildLshIndex(corpus.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir)
+    Dedup.appendToLshIndex(corpus.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", dir)
+    Dedup.appendToLshIndex(corpus.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", dir)
+    def bandFiles(b: Int): Array[java.io.File] =
+      new java.io.File(s"$dir/buckets/band=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+    val bands = new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.getName.startsWith("band="))
+      .map(_.getName.stripPrefix("band=").toInt)
+    assert(bands.exists(bandFiles(_).length >= 3),
+      "two appends must fragment the band dirs")
+    val rowsBefore = spark.read.parquet(s"$dir/buckets").collect()
+      .map(_.toString).sorted.toSeq
+    def probe() = Dedup.incrementalMinhashIndexed(dir, corpus, batch,
+        "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    val probeBefore = probe()
+    assert(probeBefore.nonEmpty, "the sf batch should have near-dups")
+    val countsBefore = bands.map(b => b -> bandFiles(b).length).toMap
+    val filesBefore = countsBefore.values.map(_.toLong).sum
+    val (nb, fb, fa) = Dedup.compactLshIndex(spark, dir)
+    assert(fb == filesBefore && fa == bands.length.toLong,
+      s"one file per band after compaction: $fb -> $fa")
+    assert(nb == countsBefore.count(_._2 > 1),
+      s"every fragmented band compacts: $nb of $countsBefore")
+    bands.foreach(b => assert(bandFiles(b).length == 1))
+    assert(spark.read.parquet(s"$dir/buckets").collect()
+      .map(_.toString).sorted.toSeq == rowsBefore,
+      "compaction must not change the bucket rows")
+    assert(probe() == probeBefore,
+      "probe results must be identical after compaction")
+    // one more append, then a threshold ABOVE the new census is a
+    // listing-only no-op and every file stays byte-identical
+    Dedup.appendToLshIndex(batch, "doc_id", "text", dir)
+    def sigs(): Map[String, Int] = bands.flatMap(b => bandFiles(b).map(
+      f => f.getPath -> java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(f.toPath)))).toMap
+    val before2 = sigs()
+    val total2 = bands.map(bandFiles(_).length.toLong).sum
+    val maxPer = bands.map(bandFiles(_).length).max
+    assert(Dedup.compactLshIndex(spark, dir, maxFilesPerBand = maxPer) ==
+      ((0, total2, total2)))
+    assert(sigs() == before2,
+      "an under-threshold census must leave every file byte-identical")
+  }
+
   test("removeFromLshIndex: file-level purge — untouched files stay " +
       "byte-identical, purged docs vanish from probes, and the " +
       "surviving rows equal a fresh build of the shrunk corpus") {
@@ -580,4 +635,31 @@ class DedupSpec extends SparkSpec {
     // idempotence: purging the same ids again is a no-op
     assert(Dedup.removeFromLshIndex(gone, "doc_id", dir) == 0L)
   }
+
+  test("lshRecall: truth matches a driver-side exact all-pairs replay, " +
+      "found is a subset of truth, and the report arithmetic holds") {
+    val r = Dedup.lshRecall(docs, "doc_id", "text").collect()
+    assert(r.length == 1)
+    val (nTruth, nFound, recall) = (r(0).getAs[Long]("n_truth"),
+      r(0).getAs[Long]("n_found"), r(0).getAs[Double]("recall"))
+    // exact truth replay: collected distinct shingle sets, all pairs
+    val sets = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        x.getSeq[Long](1).toSet).toSeq.sortBy(_._1)
+    var expect = 0L
+    for (i <- sets.indices; j <- (i + 1) until sets.length) {
+      val (_, a) = sets(i); val (_, b) = sets(j)
+      val inter = (a & b).size
+      if (a.nonEmpty && b.nonEmpty &&
+          inter.toDouble / (a.size + b.size - inter) >= 0.7) expect += 1L
+    }
+    assert(nTruth == expect, s"truth $nTruth vs exact replay $expect")
+    assert(nFound <= nTruth && nFound > 0,
+      s"found must be a nonempty subset: $nFound of $nTruth")
+    assert(math.abs(recall - nFound.toDouble / nTruth) < 1e-6)
+    // the sf banding is tuned to find everything it verifies here
+    assert(recall >= 0.5, s"sf recall collapsed: $recall")
+  }
+
 }

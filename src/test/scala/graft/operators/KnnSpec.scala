@@ -534,6 +534,106 @@ class KnnSpec extends SparkSpec {
       .forall(_._2.length == 5), "append must restore a purged index")
   }
 
+  test("index compact: fragmented cells coalesce to one file, cells " +
+      "under the threshold stay byte-identical, rows and search " +
+      "results are unchanged, and a re-run is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cp").toString
+    Knn.buildIvfPqIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, dim = 64)
+    // normalize to one file per cell, then two small appends fragment
+    // ONLY the cells their vectors map to — the calm cells' files are
+    // the byte-identity witnesses
+    Knn.compactIvfPqIndex(spark, dir)
+    Knn.appendToIvfPqIndex(
+      emb.filter($"vec_id" % 2 === 1 && $"vec_id" < 20), "vec_id",
+      "embedding", dir, dim = 64)
+    Knn.appendToIvfPqIndex(
+      emb.filter($"vec_id" % 2 === 1 && $"vec_id" >= 20 && $"vec_id" < 40),
+      "vec_id", "embedding", dir, dim = 64)
+    def filesOf(c: Int): Array[java.io.File] =
+      new java.io.File(s"$dir/codes/cell_id=$c").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell_id="))
+      .map(_.getName.stripPrefix("cell_id=").toInt)
+    val counts = cells.map(c => c -> filesOf(c).length).toMap
+    val fragged = cells.filter(counts(_) > 1)
+    val calm = cells.filter(counts(_) == 1)
+    assert(fragged.nonEmpty, s"appends should fragment: $counts")
+    assert(calm.nonEmpty, s"20 delta vectors must miss some cell: $counts")
+    def sig(c: Int): Map[String, Int] = filesOf(c).map(f =>
+      f.getName -> java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    val calmSigs = calm.map(c => c -> sig(c)).toMap
+    val rowsBefore = spark.read.parquet(s"$dir/codes").collect()
+      .map(_.toString).sorted.toSeq
+    val searchBefore = Knn.searchIvfPqIndex(spark, dir, queries,
+        "vec_id", "embedding", dim = 64, k = 5, rescoreWith = Some(emb))
+      .collect().map(_.toString).sorted.toSeq
+    val (nc, fb, fa) = Knn.compactIvfPqIndex(spark, dir)
+    assert(nc == fragged.length, s"compacted $nc of $counts")
+    assert(fb == counts.values.sum.toLong && fa == cells.length.toLong,
+      s"file census must end at one per cell: $fb -> $fa")
+    cells.foreach(c => assert(filesOf(c).length == 1,
+      s"cell $c not coalesced"))
+    calm.foreach(c => assert(sig(c) == calmSigs(c),
+      s"cell $c under the threshold must stay byte-identical"))
+    assert(spark.read.parquet(s"$dir/codes").collect()
+      .map(_.toString).sorted.toSeq == rowsBefore,
+      "compaction must not change the row set")
+    assert(Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+        "embedding", dim = 64, k = 5, rescoreWith = Some(emb))
+      .collect().map(_.toString).sorted.toSeq == searchBefore,
+      "search results must be identical after compaction")
+    // a re-run is a pure listing (no-op)
+    assert(Knn.compactIvfPqIndex(spark, dir) == ((0, fa, fa)))
+    // stats report: every cell row, counts reconcile with the corpus
+    val stats = Knn.ivfPqIndexStats(spark, dir).collect()
+    assert(stats.map(_.getAs[Int]("cell_id")).toSeq == cells.sorted.toSeq)
+    assert(stats.map(_.getAs[Long]("n_codes")).sum == 270L)
+    assert(stats.forall(_.getAs[Int]("n_files") == 1))
+  }
+
+  test("sq store compact: small files merge, files over the threshold " +
+      "stay byte-identical, and search is unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_cp").toString
+    Knn.buildSqIndex(emb.filter($"vec_id" >= 20), "vec_id", "embedding",
+      dir, dim = 64)
+    Knn.appendToSqIndex(emb.filter($"vec_id" < 10), "vec_id",
+      "embedding", dir, dim = 64)
+    Knn.appendToSqIndex(emb.filter($"vec_id" >= 10 && $"vec_id" < 20),
+      "vec_id", "embedding", dir, dim = 64)
+    def files(): Map[String, Long] =
+      new java.io.File(s"$dir/codes").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    val before = files()
+    assert(before.size >= 3, s"appends should fragment: $before")
+    val big = before.maxBy(_._2)
+    val bigBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/codes/${big._1}"))
+    val searchBefore = Knn.searchSqIndex(spark, dir, queries, "vec_id",
+        "embedding", dim = 64, k = 5, corpus = emb)
+      .collect().map(_.toString).sorted.toSeq
+    // threshold at the big file's size: strictly-smaller files merge
+    val (nc, fb, fa) = Knn.compactSqIndex(spark, dir, minBytes = big._2)
+    assert(nc == before.size - 1 && fb == before.size.toLong,
+      s"expected all but the largest to merge: $nc of $before")
+    assert(fa == 2L, s"one merged file + the untouched big one: ${files()}")
+    assert(java.util.Arrays.equals(bigBytes,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/codes/${big._1}"))),
+      "the over-threshold file must stay byte-identical")
+    assert(spark.read.parquet(s"$dir/codes").count() == 500L)
+    assert(Knn.searchSqIndex(spark, dir, queries, "vec_id", "embedding",
+        dim = 64, k = 5, corpus = emb)
+      .collect().map(_.toString).sorted.toSeq == searchBefore,
+      "search results must be identical after compaction")
+    // a single remaining small file is left alone (needs two to act)
+    assert(Knn.compactSqIndex(spark, dir, minBytes = big._2) ==
+      ((0, 2L, 2L)))
+  }
+
   test("filteredLsh: every neighbor shares the query's label, results " +
       "equal lsh run per-label, recall floors vs filtered brute force") {
     val labels = emb.select("vec_id", "label").collect()

@@ -199,4 +199,34 @@ class PackingSpec extends SparkSpec {
         .select("seq_id").as[Long].collect().sorted)
     assert(streamOrder == (0L until 23L).toSeq)
   }
+
+  test("packingStats: per-sequence census equals a driver-side roll-up " +
+      "of the span table, carry-in marks exactly the mid-doc openers") {
+    val docs = sf("documents")
+    val spans = graft.queries.Pipeline.seqSpans(docs).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("offset"), r.getAs[Long]("span_len"),
+        r.getAs[Long]("pos_in_doc")))
+    val expect = spans.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (seq, ss) => (seq, ss.length.toLong, ss.map(_._4).sum,
+        if (ss.exists(s => s._3 == 0 && s._5 > 0)) 1L else 0L,
+        ss.map(_._2).min, ss.map(_._2).max)
+    }
+    val got = graft.queries.Pipeline.packingStats(docs).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("carry_in"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    assert(got.toSeq == expect, s"stats drifted from the span table")
+    // every full sequence holds exactly the budget; only the tail may be short
+    val full = got.dropRight(1)
+    assert(full.forall(_._3 == 2048L), "interior sequences must be full")
+    // a carry-in sequence's first doc continues from the previous row
+    got.sliding(2).foreach {
+      case Array(prev, cur) if cur._4 == 1L =>
+        assert(prev._6 == cur._5,
+          s"carry-in seq ${cur._1} must open with the previous tail doc")
+      case _ =>
+    }
+  }
+
 }

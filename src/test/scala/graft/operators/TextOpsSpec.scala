@@ -373,4 +373,34 @@ class TextOpsSpec extends SparkSpec {
       col("lang") === "en", bigBuckets = B).orderBy("doc_id").collect()
     assert(got.map(_.toString).toSeq == re.map(_.toString).toSeq)
   }
+
+  test("corpusTokenizerStats: per-lang totals equal per-doc kernel " +
+      "sums, ratios reconcile, every lang covered once") {
+    val docs = sf("documents")
+    val got = graft.queries.Pipeline.corpusTokenizerStats(docs).collect()
+    val perDoc = docs.select(col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nw"),
+        graft.functions.bpe.tokenCount(col("text"),
+          graft.operators.Bpe.frozenMerges).as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expect = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, rs) => (lang, rs.length.toLong, rs.map(_._2).sum,
+        rs.map(_._3).sum, rs.map(_._4).sum)
+    }
+    assert(got.map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_chars"), r.getAs[Long]("n_words"),
+      r.getAs[Long]("n_tokens"))).toSeq == expect)
+    got.foreach { r =>
+      val (nc, nw, nt) = (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      assert(math.abs(r.getAs[Double]("chars_per_token") -
+        (math.rint(nc.toDouble / nt * 1e6) / 1e6)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("tokens_per_word") -
+        (math.rint(nt.toDouble / nw * 1e6) / 1e6)) < 1e-9)
+      assert(nt >= nw, "BPE splits words, never merges across them")
+    }
+  }
+
 }
