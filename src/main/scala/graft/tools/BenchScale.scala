@@ -80,7 +80,13 @@ object BenchScale {
     // answer to knn_range_ivf's structural corpus-linear assignment,
     // now measured), and the end-to-end tensor export (curate ∘ anneal
     // ∘ pack-ids ∘ shard write as ONE plan)
-    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed")
+    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed",
+    // round 13, second half: the exact-truth recall report — its
+    // inverted-index self-join is the suite's only Σ df² shape, so the
+    // 100x row is the proof the vocabulary keeps df (and the join)
+    // linear on uniform growth (the hot-duplicate case is documented
+    // as sample/cap territory in lshRecall's scaladoc, not benched)
+    "dedup_recall")
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of
