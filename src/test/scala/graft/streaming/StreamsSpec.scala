@@ -1086,6 +1086,70 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G17 + compactLshIndex: compaction between ingest sessions is " +
+      "invisible — verdicts and final bucket rows equal the " +
+      "uncompacted run, with fewer files") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") % 10 =!= 5)
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    // two identical stream pipelines; one compacts between sessions
+    def run(compactBetween: Boolean)
+        : (Set[(Long, Boolean, Option[Long])], String) = {
+      val idx = java.nio.file.Files.createTempDirectory("g17c_idx").toString
+      val store = java.nio.file.Files.createTempDirectory("g17c_doc").toString
+      graft.operators.Dedup.buildLshIndex(corpus, "doc_id", "text", idx)
+      corpus.write.mode("overwrite").parquet(store)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Boolean,
+        Option[Long])]()
+      def session(batch: org.apache.spark.sql.DataFrame,
+                  sid: String): Unit = {
+        val input = MemoryStream[(Long, String)]
+        val q = Streams.dedupIngestStream(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          idx, store, streamId = sid) { (verdict, _) =>
+          val rows = verdict.collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Boolean]("is_dup"),
+            Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)))
+          buf.synchronized { buf ++= rows }
+        }.start()
+        try {
+          input.addData(batch.as[(Long, String)].collect().toSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      session(b1, "s1")
+      if (compactBetween) {
+        // single-writer window: the stream is stopped; maintenance
+        // runs, then ingest resumes against the compacted layout
+        val (nb, fb, fa) = graft.operators.Dedup.compactLshIndex(
+          spark, idx)
+        assert(nb > 0 && fa < fb,
+          s"bootstrap+append must leave fragmented bands: $nb $fb->$fa")
+      }
+      session(b2, "s2")
+      (buf.toSet, idx)
+    }
+    val (plainVerdicts, plainIdx) = run(compactBetween = false)
+    val (compVerdicts, compIdx) = run(compactBetween = true)
+    assert(compVerdicts == plainVerdicts,
+      "compaction between sessions must not change any verdict")
+    def bucketRows(dir: String) = spark.read.parquet(s"$dir/buckets")
+      .select("band", "bkey", "corpus_id")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(bucketRows(compIdx) == bucketRows(plainIdx),
+      "compaction must not change the final bucket rows")
+    def nFiles(dir: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "buckets"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(nFiles(compIdx) < nFiles(plainIdx),
+      "the compacted run must carry fewer files into steady state")
+  }
+
   test("G16 streaming index search: the union over micro-batches is " +
       "bit-identical to one batch searchIvfPqIndex over the same queries") {
     implicit val sqlCtx = spark.sqlContext
