@@ -1189,6 +1189,76 @@ object Knn {
       .orderBy("cell_id")
   }
 
+  /** D8 (drift): the REBUILD TRIGGER's number — append/remove run
+    * under frozen quantizers, and "rebuild when recall decays" is
+    * folklore until something measures the decay. Per cell:
+    *
+    *   - `recon_cos`: mean cosine between each indexed code's PQ
+    *     reconstruction and the corpus's CURRENT vector — decaying
+    *     recon fidelity means the codebooks no longer describe the
+    *     data (the ADC scores search ranks by degrade with it);
+    *   - `frac_misassigned`: fraction of rows whose current vector's
+    *     nearest coarse centroid is no longer its STORED cell — probes
+    *     open the stored cell, so a misassigned row is invisible to
+    *     exactly the queries that should find it.
+    *
+    * A fresh build scores misassignment 0 by construction; monitor
+    * the trend after append cycles and rebuild on the knee. Cost is
+    * one corpus-linear pass: codes explode to (id, sub, code), the
+    * cosine decomposes per sub-slice (Σⱼ dot(cvecⱼ, sliceⱼ) over the
+    * sub-norm products) against broadcast codebooks, assignment is
+    * the same broadcast argmax as the build — partial-agg reductions,
+    * no corpus-side window.
+    */
+  def ivfPqIndexDrift(spark: SparkSession, dir: String, corpus: DataFrame,
+                      idCol: String, vecCol: String): DataFrame = {
+    val coarseRaw = spark.read.parquet(s"$dir/coarse")
+    val dim = coarseRaw.select(size(col("centroid"))).head().getInt(0)
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+    val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
+    val d = dim / m
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val codes = readCodes(spark, dir)
+    // recon cosine, decomposed per sub: dot(recon, v) = Σ_j dot(cvec_j,
+    // slice_j), |recon|² = Σ_j |cvec_j|², |v|² computed once
+    val parts = codes
+      .select(col("neighbor_id"), col("cell_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(cbs.select(col("sub"),
+        col("cell_id").as("code"), col("cvec"))), Seq("sub", "code"))
+      .join(vecs, "neighbor_id")
+      .withColumn("slice", slice(col("cv"), col("sub") * d + 1, lit(d)))
+      .groupBy(col("neighbor_id"), col("cell_id"))
+      .agg(
+        sum(aggregate(zip_with(col("cvec"), col("slice"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)).as("dot"),
+        sum(aggregate(col("cvec"), lit(0.0),
+          (acc, x) => acc + x * x)).as("rn2"))
+    val recon = parts.join(vecs, "neighbor_id")
+      .withColumn("vn2", aggregate(col("cv"), lit(0.0),
+        (acc, x) => acc + x * x))
+      .withColumn("rcos", col("dot") / (sqrt(col("rn2")) * sqrt(col("vn2"))))
+      .select(col("neighbor_id"), col("cell_id"), col("rcos"))
+    // current-nearest coarse cell vs the stored one — the build's own
+    // argmax rule (ties toward the smallest cell_id)
+    val coarseB = broadcast(coarseRaw.select(col("cell_id").as("ncell"),
+      asDouble(col("centroid")).as("centroid")))
+    val nearest = codes.select(col("neighbor_id")).join(vecs, "neighbor_id")
+      .join(coarseB)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("ncell"), struct(col("csim"), -col("ncell")))
+        .as("ncell"))
+    recon.join(nearest, "neighbor_id")
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_codes"),
+        round(avg(col("rcos")), 6).as("recon_cos"),
+        round(avg(when(col("ncell") =!= col("cell_id"), 1.0)
+          .otherwise(0.0)), 6).as("frac_misassigned"))
+      .orderBy("cell_id")
+  }
+
   /** D8 (search): probe a [[buildIvfPqIndex]] layout. Coarse +
     * codebooks are tiny reads (broadcast); each query's nProbe cells
     * become a `cell_id IN (...)` partition filter on the codes dir —

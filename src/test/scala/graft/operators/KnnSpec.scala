@@ -594,6 +594,35 @@ class KnnSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Int]("n_files") == 1))
   }
 
+  test("ivfPqIndexDrift: a fresh build scores zero misassignment, and " +
+      "a drifted corpus degrades both fidelity numbers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_dr").toString
+    Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val fresh = Knn.ivfPqIndexDrift(spark, dir, emb, "vec_id",
+      "embedding").collect()
+    assert(fresh.map(_.getAs[Long]("n_codes")).sum == 500L)
+    assert(fresh.forall(_.getAs[Double]("frac_misassigned") == 0.0),
+      "assignment just happened under the same rule — drift must be 0")
+    assert(fresh.forall(_.getAs[Double]("recon_cos") > 0.3),
+      s"fresh PQ recon fidelity collapsed: ${fresh.mkString(",")}")
+    def meanCos(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => r.getAs[Double]("recon_cos") *
+        r.getAs[Long]("n_codes")).sum / rows.map(_.getAs[Long]("n_codes")).sum
+    // the corpus drifts away from the frozen quantizers: every even
+    // dimension flips sign — most vectors change nearest centroid
+    val drifted = emb.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        when(i % 2 === 0, -x).otherwise(x)))
+    val dr = Knn.ivfPqIndexDrift(spark, dir, drifted, "vec_id",
+      "embedding").collect()
+    assert(dr.map(_.getAs[Long]("n_codes")).sum == 500L)
+    val mis = dr.map(r => r.getAs[Double]("frac_misassigned") *
+      r.getAs[Long]("n_codes")).sum / 500.0
+    assert(mis > 0.2, s"sign-flipped corpus must misassign broadly: $mis")
+    assert(meanCos(dr) < meanCos(fresh) - 0.2,
+      s"recon fidelity must decay: ${meanCos(dr)} vs ${meanCos(fresh)}")
+  }
+
   test("sq store compact: small files merge, files over the threshold " +
       "stay byte-identical, and search is unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("sq_cp").toString
