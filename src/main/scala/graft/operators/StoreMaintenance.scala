@@ -64,7 +64,8 @@ private[graft] object StoreMaintenance {
     */
   def compactPartitioned(spark: SparkSession, root: String,
                          partCol: String,
-                         maxFilesPerPartition: Int = 1): (Int, Long, Long) = {
+                         maxFilesPerPartition: Int = 1,
+                         maxRecordsPerFile: Long = 0L): (Int, Long, Long) = {
     require(maxFilesPerPartition >= 1,
       s"maxFilesPerPartition must be >= 1, got $maxFilesPerPartition")
     val rootPath = new Path(root)
@@ -90,8 +91,16 @@ private[graft] object StoreMaintenance {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
-      try rows.repartition(fragged.size, col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(root)
+      // maxRecordsPerFile > 0 re-splits a giant partition's single
+      // task output into bounded files (at 100 TB a hot cell compacted
+      // to literally ONE file would recreate the unsplittable-blob
+      // problem compaction exists to avoid); default 0 = one file per
+      // partition, right at test/ops scale
+      val w = rows.repartition(fragged.size, col(partCol))
+        .write.mode("overwrite")
+      val w2 = if (maxRecordsPerFile > 0L)
+        w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+      try w2.partitionBy(partCol).parquet(root)
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case scala.None => spark.conf.unset(key)
@@ -120,14 +129,21 @@ private[graft] object StoreMaintenance {
     * (filesCompacted, dataFilesBefore, dataFilesAfter).
     */
   def compactFlat(spark: SparkSession, dir: String,
-                  minBytes: Long): (Int, Long, Long) = {
+                  minBytes: Long,
+                  targetBytes: Long = 128L << 20): (Int, Long, Long) = {
     val dirPath = new Path(dir)
     val before = dataFiles(spark, dirPath)
-    val small = before.filter(_._2 < minBytes).map(_._1)
+    val smallStats = before.filter(_._2 < minBytes)
+    val small = smallStats.map(_._1)
     if (small.size < 2) return (0, before.size.toLong, before.size.toLong)
+    // combined output lands in ~targetBytes files, not one blob — a
+    // year of small appends should not merge into a single
+    // unsplittable giant
+    val nOut = math.max(1L,
+      (smallStats.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val rows = spark.read.parquet(small.map(_.toString): _*)
-      .coalesce(1).localCheckpoint()
+      .coalesce(nOut).localCheckpoint()
     try {
       rows.write.mode("append").parquet(dir)
       val fs = dirPath.getFileSystem(
