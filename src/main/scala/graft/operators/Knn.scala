@@ -1229,15 +1229,16 @@ object Knn {
         col("cell_id").as("code"), col("cvec"))), Seq("sub", "code"))
       .join(vecs, "neighbor_id")
       .withColumn("slice", slice(col("cv"), col("sub") * d + 1, lit(d)))
+      .withColumn("vn2", aggregate(col("cv"), lit(0.0),
+        (acc, x) => acc + x * x))
       .groupBy(col("neighbor_id"), col("cell_id"))
       .agg(
         sum(aggregate(zip_with(col("cvec"), col("slice"), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x)).as("dot"),
         sum(aggregate(col("cvec"), lit(0.0),
-          (acc, x) => acc + x * x)).as("rn2"))
-    val recon = parts.join(vecs, "neighbor_id")
-      .withColumn("vn2", aggregate(col("cv"), lit(0.0),
-        (acc, x) => acc + x * x))
+          (acc, x) => acc + x * x)).as("rn2"),
+        first(col("vn2")).as("vn2"))
+    val recon = parts
       .withColumn("rcos", col("dot") / (sqrt(col("rn2")) * sqrt(col("vn2"))))
       .select(col("neighbor_id"), col("cell_id"), col("rcos"))
     // current-nearest coarse cell vs the stored one — the build's own
