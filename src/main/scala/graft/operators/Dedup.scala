@@ -642,10 +642,19 @@ object Dedup {
     */
   def lshRecall(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3, perms: Int = 128, bands: Int = 16,
-                threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), k)).as("v"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+                threshold: Double = 0.7,
+                cacheShingles: Boolean = true): DataFrame = {
+    // one kernel evaluation feeds both truth legs (inverted index +
+    // set sizes) — the lshVerifiedPairs caching discipline; the LSH
+    // side caches its own pass internally
+    val setPlan = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), k).as("sh"))
+    val sets = if (cacheShingles)
+      setPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else setPlan
+    val sh = sets.select(col("id"), explode(col("sh")).as("v"))
+    val sizes = sets.select(col("id"),
+      size(col("sh")).cast("long").as("n"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
