@@ -80,13 +80,16 @@ object BenchScale {
     // answer to knn_range_ivf's structural corpus-linear assignment,
     // now measured), and the end-to-end tensor export (curate ∘ anneal
     // ∘ pack-ids ∘ shard write as ONE plan)
-    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed",
-    // round 13, second half: the exact-truth recall report — its
-    // inverted-index self-join is the suite's only Σ df² shape, so the
-    // 100x row is the proof the vocabulary keeps df (and the join)
-    // linear on uniform growth (the hot-duplicate case is documented
-    // as sample/cap territory in lshRecall's scaladoc, not benched)
-    "dedup_recall")
+    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed")
+  // dedup_recall (round 13, second half) is deliberately NOT in the
+  // 100x set: the replication's CLOSED ~30k-shingle vocabulary gives
+  // every doc hundreds of shingle-sharing partners at x100 (avg df
+  // ~870), so EXACT truth has a quadratic candidate space there by
+  // data construction, whatever the algorithm — measured: the naive
+  // inverted join OOMs, and even prefix-filtered candidates are ~2e9.
+  // That regime is exactly what lshRecall's documented sampled-slice
+  // posture is for; the 10x row (open-ish df, prefix filtering) is
+  // the linear-growth proof the harness can honestly provide.
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of
