@@ -245,4 +245,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "verification must be join-free (sigs ride the banding shuffle)")
   }
+
+  test("dedup_recall: prefix-filtered truth — equi-joins only, never a " +
+      "cartesian, and the report collapses to one row via partial aggs") {
+    val p = plan("dedup_recall")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"truth generation must stay an equi-join: cartesian found")
+    // the final (n_truth, n_found, recall) is a global agg over the
+    // pair table — partial aggregation, no window
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "report roll-up must partial-aggregate")
+    assert(!p.contains("Window"), "no window pass anywhere in the report")
+  }
+
+  test("corpus_tokenizer_stats: one partial-agg shuffle over langs, " +
+      "scan pruned to the used columns, no join, no window") {
+    val p = plan("corpus_tokenizer_stats")
+    assert(!p.contains("Join"), s"fertility report must not join")
+    assert(!p.contains("Window"), "no window pass")
+    assert(p.contains("partial"), "lang roll-up must partial-aggregate")
+    // only text + lang leave the scan (doc_id/source/n_chars pruned)
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("text") && read.contains("lang") &&
+      !read.contains("source") && !read.contains("n_chars"),
+      s"scan must prune to (lang, text): $read")
+  }
+
+  test("packing_stats: the census adds one partial agg on top of the " +
+      "span table — the packing's per-partition prefix sum, no new " +
+      "global window") {
+    val p = plan("packing_stats")
+    // seq_spans' discipline survives the roll-up: every Window is
+    // per-partition (the distributed prefix sum's _pid spec), never a
+    // global single-partition pass
+    val windows = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    windows.foreach(w => assert(w.contains("_pid"),
+      s"window not partitioned: $w"))
+    assert(p.contains("partial"), "census must partial-aggregate")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+  }
+
 }
