@@ -266,6 +266,55 @@ object GraftExtensions {
         operators.Dedup.minhashLsh(df, idCol, textCol,
           threshold = threshold).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_dedup_recall"),
+      info("graft_dedup_recall",
+        "graft_dedup_recall(table, id_col, text_col[, threshold]) - " +
+          "banding recall report (n_truth, n_found, recall): exact " +
+          "prefix-filtered threshold truth vs the surfaced LSH pairs"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_dedup_recall"))
+        val idCol = strArg(args(1), "graft_dedup_recall")
+        val textCol = strArg(args(2), "graft_dedup_recall")
+        val threshold =
+          if (args.length > 3) numArg(args(3), "graft_dedup_recall")
+          else 0.7
+        operators.Dedup.lshRecall(df, idCol, textCol,
+          threshold = threshold).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_tokenizer_stats"),
+      info("graft_tokenizer_stats",
+        "graft_tokenizer_stats(table, group_col, text_col) - tokenizer " +
+          "fertility per group under the frozen BPE (n_docs, n_chars, " +
+          "n_words, n_tokens, chars_per_token, tokens_per_word)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_tokenizer_stats"))
+        val groupCol = strArg(args(1), "graft_tokenizer_stats")
+        val textCol = strArg(args(2), "graft_tokenizer_stats")
+        operators.TextOps.tokenizerStats(df, groupCol, textCol,
+          operators.Bpe.frozenMerges).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_packing_stats"),
+      info("graft_packing_stats",
+        "graft_packing_stats(table, id_col, text_col[, budget]) - " +
+          "per-sequence packing census under the frozen BPE (n_docs, " +
+          "n_tokens, carry_in, first_doc, last_doc)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_packing_stats"))
+        val idCol = strArg(args(1), "graft_packing_stats")
+        val textCol = strArg(args(2), "graft_packing_stats")
+        val budget =
+          if (args.length > 3) numArg(args(3), "graft_packing_stats").toLong
+          else 2048L
+        val counted = df.select(col(idCol),
+          graft.functions.bpe.tokenCount(col(textCol),
+            operators.Bpe.frozenMerges).as("n_tokens"))
+        operators.Packing.spanCensus(
+          operators.Packing.sequenceSpans(counted, idCol, "n_tokens",
+            budget), idCol).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_compact"),
       info("graft_compact",
         "graft_compact(in_dir, out_dir[, versions]) - CALL-style: major-" +

@@ -109,6 +109,22 @@ object Packing {
         (col("_sstart") - col("start_tok")).as("pos_in_doc"))
   }
 
+  /** C36: the per-sequence census over a [[sequenceSpans]] table —
+    * docs spanned, carry-in flag (the sequence opens mid-document),
+    * token fill, first/last doc: the attention-boundary distribution
+    * a loader's masking decision reads. One |seqs|-group partial agg;
+    * see [[graft.queries.Pipeline.packingStats]] for the registered
+    * row.
+    */
+  def spanCensus(spans: DataFrame, idCol: String): DataFrame =
+    spans.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("span_len").as("n_tokens"),
+        max(when(col("offset") === 0 && col("pos_in_doc") > 0, 1L)
+          .otherwise(0L)).as("carry_in"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+
   /** C27: token-window chunking — the sliding-window slicing pass a
     * RAG indexer or long-context curriculum uses: each document's
     * token-ID array is cut into windows of `chunkTok` tokens starting

@@ -18,6 +18,30 @@ object TextOps {
 
   private def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** E13: tokenizer fertility per group (usually language) — doc /
+    * char / word / BPE-token totals with chars-per-token and
+    * tokens-per-word under the given frozen merge list. One
+    * |groups|-sized partial agg; the count kernel is the same codegen
+    * expression the packing family runs. See
+    * [[graft.queries.Pipeline.corpusTokenizerStats]] for the
+    * registered row and rationale.
+    */
+  def tokenizerStats(docs: DataFrame, groupCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(groupCol),
+        length(col(textCol)).cast("long").as("_nc"),
+        size(words(col(textCol))).cast("long").as("_nw"),
+        graft.functions.bpe.tokenCount(col(textCol), merges).as("_nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_nc").as("n_chars"),
+        sum("_nw").as("n_words"),
+        sum("_nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single other
     * non-space chars — the standard byte-pair pre-split shape.
     */

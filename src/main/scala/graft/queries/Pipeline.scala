@@ -291,18 +291,8 @@ object Pipeline {
     * compares the two counting rules the pipeline already uses.
     */
   def corpusTokenizerStats(documents: DataFrame): DataFrame =
-    documents.select(col("lang"),
-        length(col("text")).cast("long").as("_nc"),
-        wsTokenCount.as("_nw"), bpeTokenCount.as("_nt"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("_nc").as("n_chars"),
-        sum("_nw").as("n_words"),
-        sum("_nt").as("n_tokens"))
-      .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_tokens"), 6))
-      .withColumn("tokens_per_word",
-        round(col("n_tokens").cast("double") / col("n_words"), 6))
+    TextOps.tokenizerStats(documents, "lang", "text",
+        graft.operators.Bpe.frozenMerges)
       .orderBy("lang")
 
   /** C28: deterministic proportional interleave — the 3:2:1 mixture of
@@ -536,14 +526,7 @@ object Pipeline {
     */
   def packingStats(documents: DataFrame, budget: Long = 2048L)
       : DataFrame =
-    seqSpans(documents, budget)
-      .groupBy("seq_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("span_len").as("n_tokens"),
-        max(when(col("offset") === 0 && col("pos_in_doc") > 0, 1L)
-          .otherwise(0L)).as("carry_in"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
+    Packing.spanCensus(seqSpans(documents, budget), "doc_id")
       .orderBy("seq_id")
 
   /** C27: token-window chunking in FROZEN-BPE id units — each doc's

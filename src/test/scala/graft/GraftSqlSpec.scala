@@ -323,4 +323,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaArt > viaSql.map(_._3).sum,
       "fewer merges must mean more tokens")
   }
+
+  test("graft_dedup_recall / graft_tokenizer_stats / graft_packing_stats: " +
+      "report TVFs equal their Scala operators") {
+    sf("documents").createOrReplaceTempView("documents_v")
+    val r1 = spark.sql(
+      "SELECT * FROM graft_dedup_recall('documents_v', 'doc_id', 'text')")
+      .collect().map(_.toString).toSeq
+    val e1 = graft.operators.Dedup.lshRecall(sf("documents"), "doc_id",
+      "text").collect().map(_.toString).toSeq
+    assert(r1 == e1, s"recall TVF drifted: $r1 vs $e1")
+    val r2 = spark.sql(
+      "SELECT * FROM graft_tokenizer_stats('documents_v', 'lang', 'text') " +
+        "ORDER BY lang").collect().map(_.toString).toSeq
+    val e2 = graft.queries.Pipeline.corpusTokenizerStats(sf("documents"))
+      .collect().map(_.toString).toSeq
+    assert(r2 == e2, s"tokenizer TVF drifted")
+    val r3 = spark.sql(
+      "SELECT * FROM graft_packing_stats('documents_v', 'doc_id', 'text') " +
+        "ORDER BY seq_id").collect().map(_.toString).toSeq
+    val e3 = graft.queries.Pipeline.packingStats(sf("documents"))
+      .collect().map(_.toString).toSeq
+    assert(r3 == e3, s"packing census TVF drifted")
+    // a smaller budget produces more, fuller sequences
+    val tight = spark.sql(
+      "SELECT count(*) FROM graft_packing_stats('documents_v', 'doc_id', " +
+        "'text', 256)").head().getLong(0)
+    assert(tight > e3.length, "budget knob must change the cut")
+  }
+
 }
