@@ -1189,6 +1189,83 @@ object Knn {
       .orderBy("cell_id")
   }
 
+  /** D8 (fsck): structural integrity check over a [[buildIvfPqIndex]]
+    * layout — the [[graft.operators.BulkLoad]] repair discipline for
+    * the vector store: after crashes, manual surgery, or a bad writer,
+    * an index can hold silently-corrupt state that search only
+    * surfaces as wrong answers. One report row per invariant:
+    * (check, ok, n_bad, detail).
+    *
+    *   - `coarse_uniform`: centroid lengths agree (the stored dim);
+    *   - `codebooks_complete`: subs tile 0..m−1, every sub carries the
+    *     same cell count, every cvec is dim/m long;
+    *   - `codes_len`: every code array is exactly m long;
+    *   - `codes_range`: every code falls in [0, ksub);
+    *   - `ids_unique`: no neighbor_id appears twice (a replayed append
+    *     or a mid-compaction crash duplicates rows — search would
+    *     return the same neighbor twice);
+    *   - `cells_known`: every stored cell_id has a coarse centroid
+    *     (an orphan partition is unreachable by any probe — rows
+    *     silently invisible).
+    *
+    * Cost: the metadata checks are tiny reads; the codes checks are
+    * one partial-agg pass plus one id-keyed shuffle for uniqueness —
+    * fsck cadence, not query cadence.
+    */
+  def fsckIvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val dimCounts = coarse.groupBy(size(col("centroid")).as("d"))
+      .count().collect()
+    val dim = dimCounts.map(r => (r.getInt(0), r.getLong(1)))
+      .maxBy(_._2)._1
+    val badDims = dimCounts.filter(_.getInt(0) != dim)
+      .map(_.getLong(1)).sum
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+    val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
+    val subStats = cbs.groupBy(col("sub"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(size(col("cvec"))).as("dl"),
+        max(size(col("cvec"))).as("dmax"))
+      .collect()
+    val ksub = subStats.map(_.getAs[Long]("k")).max.toInt
+    val cbBad =
+      (0 until m).count(s => !subStats.exists(_.getAs[Int]("sub") == s)) +
+        subStats.count(r => r.getAs[Long]("k") != ksub ||
+          r.getAs[Long]("dl") != 1L ||
+          r.getAs[Int]("dmax") != dim / m)
+    val codes = readCodes(spark, dir)
+    val known = coarse.select(col("cell_id")).distinct().collect()
+      .map(_.getAs[Number](0).intValue()).toSet
+    // one partial-agg pass for the per-row invariants
+    val rowBad = codes.agg(
+      sum(when(size(col("codes")) =!= m, 1L).otherwise(0L)).as("len"),
+      sum(when(exists(col("codes"),
+        c => c < 0 || c >= ksub), 1L).otherwise(0L)).as("rng"),
+      sum(when(!col("cell_id").isin(known.toSeq.map(Integer.valueOf): _*),
+        1L).otherwise(0L)).as("orphan"))
+      .collect().headOption
+    val (badLen, badRng, orphan) = rowBad match {
+      case Some(r) if !r.isNullAt(0) =>
+        (r.getAs[Long]("len"), r.getAs[Long]("rng"), r.getAs[Long]("orphan"))
+      case _ => (0L, 0L, 0L) // empty (fully-purged) store: all clean
+    }
+    val dupIds = codes.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    Seq(
+      ("coarse_uniform", badDims == 0L, badDims,
+        s"stored dim $dim, ${coarse.count()} centroids"),
+      ("codebooks_complete", cbBad == 0, cbBad.toLong,
+        s"m=$m ksub=$ksub subdim=${dim / m}"),
+      ("codes_len", badLen == 0L, badLen, s"expect $m codes per row"),
+      ("codes_range", badRng == 0L, badRng, s"expect codes in [0, $ksub)"),
+      ("ids_unique", dupIds == 0L, dupIds,
+        "duplicate neighbor_id rows (replayed append / crashed compact)"),
+      ("cells_known", orphan == 0L, orphan,
+        s"${known.size} coarse cells")
+    ).toDF("check", "ok", "n_bad", "detail")
+  }
+
   /** D8 (drift): the REBUILD TRIGGER's number — append/remove run
     * under frozen quantizers, and "rebuild when recall decays" is
     * folklore until something measures the decay. Per cell:

@@ -594,6 +594,43 @@ class KnnSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Int]("n_files") == 1))
   }
 
+  test("fsckIvfPqIndex: a healthy store passes every check; replayed " +
+      "appends, malformed code rows, and orphan cells are each flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_fsck").toString
+    Knn.buildIvfPqIndex(emb.filter($"vec_id" >= 100), "vec_id",
+      "embedding", dir, dim = 64)
+    val clean = Knn.fsckIvfPqIndex(spark, dir).collect()
+    assert(clean.length == 6 && clean.forall(_.getAs[Boolean]("ok")),
+      s"fresh build must fsck clean: ${clean.mkString(" | ")}")
+    // a replayed append duplicates its ids (the crash window the
+    // maintenance scaladocs document)
+    val delta = emb.filter($"vec_id" < 5)
+    Knn.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    Knn.appendToIvfPqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    // malformed rows: a short code array, an out-of-range code, and a
+    // row in a cell no coarse centroid knows
+    val someCell = spark.read.parquet(s"$dir/codes")
+      .select("cell_id").head().getAs[Number](0).intValue()
+    val bad = Seq(
+      (9001L, Seq(1L, 2L, 3L), someCell),
+      (9002L, Seq.fill(8)(99L), someCell),
+      (9003L, Seq.fill(8)(1L), 999))
+      .toDF("neighbor_id", "codes", "cell_id")
+    bad.write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/codes")
+    val r = Knn.fsckIvfPqIndex(spark, dir).collect()
+      .map(x => x.getAs[String]("check") ->
+        (x.getAs[Boolean]("ok"), x.getAs[Long]("n_bad"))).toMap
+    assert(r("ids_unique") == ((false, 5L)), s"dup ids: ${r("ids_unique")}")
+    assert(r("codes_len") == ((false, 1L)), s"short codes: ${r("codes_len")}")
+    assert(r("codes_range") == ((false, 1L)),
+      s"range: ${r("codes_range")}")
+    assert(r("cells_known") == ((false, 1L)),
+      s"orphan cell: ${r("cells_known")}")
+    assert(r("coarse_uniform")._1 && r("codebooks_complete")._1,
+      "quantizer checks must stay green")
+  }
+
   test("ivfPqIndexDrift: a fresh build scores zero misassignment, and " +
       "a drifted corpus degrades both fidelity numbers") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_dr").toString
