@@ -371,6 +371,53 @@ object Dedup {
     StoreMaintenance.compactPartitioned(spark, s"$dir/buckets", "band",
       maxFilesPerBand)
 
+  /** C25 lifecycle (fsck): integrity report over a [[buildLshIndex]]
+    * layout — (check, ok, n_bad, detail) per invariant:
+    *
+    *   - `params_valid`: the sidecar parses and `perms % bands == 0`;
+    *   - `bands_complete`: the `band=` partitions tile 0..bands−1
+    *     exactly (a missing band silently blinds every probe to 1/B of
+    *     the signature; an extra band is unreachable rows);
+    *   - `doc_coverage`: every indexed doc carries EXACTLY one key in
+    *     every band (fewer = a torn append, that doc under-recalls
+    *     forever; the check counts docs whose distinct-band count ≠
+    *     bands);
+    *   - `dup_rows`: repeated (band, bkey, corpus_id) rows — the
+    *     crashed-purge/compaction signature; probes absorb them via
+    *     `.distinct()` but they inflate every probe's shuffle.
+    *
+    * Two grouped partial aggs over the bucket rows — fsck cadence.
+    */
+  def fsckLshIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    import spark.implicits._
+    val (k, perms, bands) = lshIndexParams(spark, dir)
+    val paramsBad = if (k >= 1 && bands >= 1 && perms % bands == 0) 0L
+      else 1L
+    val stored = StoreMaintenance.partitionDirs(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/buckets"), "band")
+      .map(_._1).toSet
+    val bandBad = ((0 until bands).count(!stored(_)) +
+      stored.count(b => b < 0 || b >= bands)).toLong
+    val buckets = spark.read.parquet(s"$dir/buckets")
+      .select(col("band"), col("bkey"), col("corpus_id"))
+    val cover = buckets.groupBy(col("corpus_id"))
+      .agg(countDistinct(col("band")).as("nb"))
+      .filter(col("nb") =!= bands).count()
+    val dups = buckets.groupBy(col("band"), col("bkey"), col("corpus_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    Seq(
+      ("params_valid", paramsBad == 0L, paramsBad,
+        s"k=$k perms=$perms bands=$bands"),
+      ("bands_complete", bandBad == 0L, bandBad,
+        s"expect band= partitions 0..${bands - 1}"),
+      ("doc_coverage", cover == 0L, cover,
+        s"docs must key into all $bands bands (torn append)"),
+      ("dup_rows", dups == 0L, dups,
+        "repeated bucket rows (crashed purge/compaction)")
+    ).toDF("check", "ok", "n_bad", "detail")
+  }
+
   /** C25 lifecycle (probe): [[incrementalMinhash]] served from a
     * [[buildLshIndex]] layout instead of re-hashing the corpus text
     * per call — the corpus side of the plan reads ONLY the flat

@@ -1767,6 +1767,45 @@ object Knn {
                      minBytes: Long = 4L << 20): (Int, Long, Long) =
     StoreMaintenance.compactFlat(spark, s"$dir/codes", minBytes)
 
+  /** D11b (fsck): [[fsckIvfPqIndex]]'s discipline for the flat SQ8
+    * store — (check, ok, n_bad, detail) per invariant: the affine grid
+    * tiles dimensions 0..dim−1 exactly once with finite rows, every
+    * code array is dim long with codes in [0, 255], and neighbor_id is
+    * unique (the replayed-append / crashed-compaction signature). One
+    * partial-agg pass plus one id-keyed shuffle.
+    */
+  def fsckSqIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = spark.read.parquet(s"$dir/grid")
+      .select(col("j"), col("lo"), col("scale")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val dim = grid.map(_._1).max + 1
+    val gridBad =
+      (0 until dim).count(j => grid.count(_._1 == j) != 1).toLong +
+        grid.count(g => g._2.isNaN || g._3.isNaN || g._3 < 0).toLong
+    val codes = spark.read.parquet(s"$dir/codes")
+    val rowBad = codes.agg(
+      sum(when(size(col("codes")) =!= dim, 1L).otherwise(0L)).as("len"),
+      sum(when(exists(col("codes"),
+        c => c < 0 || c > 255), 1L).otherwise(0L)).as("rng"))
+      .collect().headOption
+    val (badLen, badRng) = rowBad match {
+      case Some(r) if !r.isNullAt(0) =>
+        (r.getAs[Long]("len"), r.getAs[Long]("rng"))
+      case _ => (0L, 0L)
+    }
+    val dupIds = codes.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    Seq(
+      ("grid_complete", gridBad == 0L, gridBad,
+        s"dim $dim affine rows"),
+      ("codes_len", badLen == 0L, badLen, s"expect $dim codes per row"),
+      ("codes_range", badRng == 0L, badRng, "expect codes in [0, 255]"),
+      ("ids_unique", dupIds == 0L, dupIds,
+        "duplicate neighbor_id rows (replayed append / crashed compact)")
+    ).toDF("check", "ok", "n_bad", "detail")
+  }
+
   /** D11b (search): the SQ8 flat scan off the PERSISTED store — the
     * read path whose IO matches the memory claim: the scan reads the
     * int-code column only (dim bytes of information per vector, not

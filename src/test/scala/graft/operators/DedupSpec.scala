@@ -662,4 +662,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"sf recall collapsed: $recall")
   }
 
+
+  test("fsckLshIndex: a clean build passes every check; a torn append " +
+      "and duplicated bucket rows are each flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_fsck").toString
+    Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", dir)
+    val clean = Dedup.fsckLshIndex(spark, dir).collect()
+    assert(clean.length == 4 && clean.forall(_.getAs[Boolean]("ok")),
+      s"fresh index must fsck clean: ${clean.mkString(" | ")}")
+    // a torn append (doc 8888 reached one band before the crash) and a
+    // crashed purge (doc 7777's row duplicated in one band)
+    val bad = Seq((1234L, 8888L, 0), (4321L, 7777L, 1), (4321L, 7777L, 1))
+      .toDF("bkey", "corpus_id", "band")
+    bad.write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+    val r = Dedup.fsckLshIndex(spark, dir).collect()
+      .map(x => x.getAs[String]("check") ->
+        (x.getAs[Boolean]("ok"), x.getAs[Long]("n_bad"))).toMap
+    assert(r("doc_coverage") == ((false, 2L)),
+      s"torn docs: ${r("doc_coverage")}")
+    assert(r("dup_rows") == ((false, 1L)), s"dups: ${r("dup_rows")}")
+    assert(r("params_valid")._1 && r("bands_complete")._1,
+      "params/band checks must stay green")
+  }
+
 }

@@ -921,4 +921,29 @@ class KnnSpec extends SparkSpec {
     assert(gp.subsetOf(exact),
       "every indexed-radius pair must be exact-cosine verified")
   }
+
+  test("fsckSqIndex: a clean store passes every check; malformed code " +
+      "rows and a replayed append are each flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_fsck").toString
+    Knn.buildSqIndex(emb.filter($"vec_id" >= 10), "vec_id", "embedding",
+      dir, dim = 64)
+    val clean = Knn.fsckSqIndex(spark, dir).collect()
+    assert(clean.length == 4 && clean.forall(_.getAs[Boolean]("ok")),
+      s"fresh store must fsck clean: ${clean.mkString(" | ")}")
+    val delta = emb.filter($"vec_id" < 5)
+    Knn.appendToSqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    Knn.appendToSqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    // the store's codes are array<int> — match the element type
+    Seq((9001L, Seq(1, 2)), (9002L, Seq.fill(64)(300)))
+      .toDF("neighbor_id", "codes")
+      .write.mode("append").parquet(s"$dir/codes")
+    val r = Knn.fsckSqIndex(spark, dir).collect()
+      .map(x => x.getAs[String]("check") ->
+        (x.getAs[Boolean]("ok"), x.getAs[Long]("n_bad"))).toMap
+    assert(r("codes_len") == ((false, 1L)), s"len: ${r("codes_len")}")
+    assert(r("codes_range") == ((false, 1L)), s"rng: ${r("codes_range")}")
+    assert(r("ids_unique") == ((false, 5L)), s"dups: ${r("ids_unique")}")
+    assert(r("grid_complete")._1, "grid check must stay green")
+  }
+
 }
