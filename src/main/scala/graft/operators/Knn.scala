@@ -1266,6 +1266,84 @@ object Knn {
     ).toDF("check", "ok", "n_bad", "detail")
   }
 
+  /** D8 (repair): fix what [[fsckIvfPqIndex]] flags, without a rebuild
+    * — the BulkLoad backup/repair discipline completing the store's
+    * lifecycle: duplicate neighbor_id rows collapse to ONE surviving
+    * copy (deterministic winner: smallest (cell_id, codes-hash), so
+    * re-running after a crash converges), malformed rows (wrong code
+    * length, out-of-range codes) drop — no ADC can score garbage —
+    * and orphan-cell partitions (no coarse centroid ⇒ unreachable by
+    * any probe) drop outright. File surgery only: the orphan dirs are
+    * deleted and ONLY the cells containing an offending row are
+    * rewritten (dynamic overwrite, localCheckpoint-before-overwrite
+    * lineage guard); every clean cell's files stay byte-identical.
+    * Returns (rowsDropped, cellsRewritten). Idempotent; quantizers
+    * untouched (a drifted quantizer is [[ivfPqIndexDrift]]'s rebuild
+    * territory, not repair's).
+    */
+  def repairIvfPqIndex(spark: SparkSession, dir: String): (Long, Int) = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val cbs = spark.read.parquet(s"$dir/codebooks")
+    val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
+    val ksub = cbs.groupBy(col("sub")).agg(count(lit(1)).as("k"))
+      .agg(max(col("k"))).head().getLong(0).toInt
+    val known = coarse.select(col("cell_id")).distinct().collect()
+      .map(_.getAs[Number](0).intValue()).toSet
+    val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // orphan partitions: unreachable, drop the directories outright
+    val orphanDirs = StoreMaintenance.partitionDirs(spark, root, "cell_id")
+      .filterNot(d => known(d._1))
+    val orphanRows = if (orphanDirs.isEmpty) 0L
+      else spark.read.parquet(orphanDirs.map(_._2.toString): _*).count()
+    orphanDirs.foreach(d => fs.delete(d._2, true))
+    val codes = readCodes(spark, dir)
+    val wellFormed = size(col("codes")) === m &&
+      !exists(col("codes"), c => c < 0 || c >= ksub)
+    // deterministic dup winner per id (well-formed copies outrank
+    // malformed ones, so a dup pair never loses both); losers +
+    // malformed rows leave
+    val ranked = codes.withColumn("_rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("neighbor_id"))
+        .orderBy(when(wellFormed, 0).otherwise(1),
+          col("cell_id"), hash(col("codes")))))
+    val offending = ranked.filter(!wellFormed || col("_rn") > 1)
+    val dropped = offending.count()
+    val cells = offending.select(col("cell_id")).distinct().collect()
+      .map(_.getAs[Number](0).intValue()).sorted
+    if (cells.nonEmpty) {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val keep = ranked
+        .filter(col("cell_id").isin(cells.map(Integer.valueOf): _*))
+        .filter(wellFormed && col("_rn") === 1)
+        .select(col("neighbor_id"), col("codes"), col("cell_id"))
+        .localCheckpoint()
+      try {
+        val keptCells = keep.select(col("cell_id")).distinct().collect()
+          .map(_.getAs[Number](0).intValue()).toSet
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try keep.write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$dir/codes")
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case scala.None => spark.conf.unset(key)
+        }
+        cells.filterNot(keptCells).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"cell_id=$c"),
+            true)
+        }
+      } finally {
+        val rdds = spark.sparkContext.getPersistentRDDs
+        (rdds.keySet diff persistedBefore)
+          .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+      }
+    }
+    (orphanRows + dropped, orphanDirs.size + cells.length)
+  }
+
   /** D8 (drift): the REBUILD TRIGGER's number — append/remove run
     * under frozen quantizers, and "rebuild when recall decays" is
     * folklore until something measures the decay. Per cell:

@@ -629,6 +629,42 @@ class KnnSpec extends SparkSpec {
       s"orphan cell: ${r("cells_known")}")
     assert(r("coarse_uniform")._1 && r("codebooks_complete")._1,
       "quantizer checks must stay green")
+    // repair: dup losers + malformed rows + the orphan partition leave;
+    // clean cells' files stay byte-identical; fsck comes back green
+    val dirtyCells = spark.read.parquet(s"$dir/codes")
+      .filter(col("neighbor_id") < 5 || col("neighbor_id") >= 9001L)
+      .select("cell_id").distinct().collect()
+      .map(_.getAs[Number](0).intValue()).toSet + 999
+    val cleanCell = new java.io.File(s"$dir/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("cell_id="))
+      .map(_.stripPrefix("cell_id=").toInt)
+      .filterNot(dirtyCells).head
+    def cleanSig(): Map[String, Int] =
+      new java.io.File(s"$dir/codes/cell_id=$cleanCell").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> java.util.Arrays.hashCode(
+          java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    val sigBefore = cleanSig()
+    val (nDropped, nRewritten) = Knn.repairIvfPqIndex(spark, dir)
+    // 5 dup losers + 2 malformed + 1 orphan row = 8
+    assert(nDropped == 8L, s"dropped $nDropped of 8 offending rows")
+    assert(nRewritten >= 1 && !new java.io.File(
+      s"$dir/codes/cell_id=999").exists(), "orphan dir must go")
+    assert(cleanSig() == sigBefore,
+      "clean cells must stay byte-identical through repair")
+    val after = Knn.fsckIvfPqIndex(spark, dir).collect()
+    assert(after.forall(_.getAs[Boolean]("ok")),
+      s"repair must fsck clean: ${after.mkString(" | ")}")
+    // every id exactly once, search shape intact
+    val ids = spark.read.parquet(s"$dir/codes")
+      .select("neighbor_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length && ids.length == 405,
+      s"400 build + 5 deduped appends, got ${ids.length}")
+    val got = Knn.searchIvfPqIndex(spark, dir, queries, "vec_id",
+      "embedding", dim = 64, k = 5, rescoreWith = Some(emb)).collect()
+    assert(got.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+    // idempotent
+    assert(Knn.repairIvfPqIndex(spark, dir) == ((0L, 0)))
   }
 
   test("ivfPqIndexDrift: a fresh build scores zero misassignment, and " +
