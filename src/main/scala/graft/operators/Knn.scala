@@ -1884,6 +1884,48 @@ object Knn {
     ).toDF("check", "ok", "n_bad", "detail")
   }
 
+  /** D11b (drift): the SQ store's rebuild trigger — the frozen affine
+    * grid was trained on the build corpus's per-dimension [lo, hi];
+    * "rebuild when the grid no longer covers the data" needs a number.
+    * Per dimension: the fraction of CURRENT corpus values falling
+    * outside the stored [lo, lo + 255·scale] (those clamp to the edge
+    * codes — reconstruction error unbounded), and the mean absolute
+    * reconstruction error in grid units (err / scale; a healthy
+    * quantizer sits ≤ 0.5 by construction, drifting data pushes it
+    * up). One map-side pass (posexplode + broadcast grid literals),
+    * one dim-group partial agg — dim rows out.
+    */
+  def sqIndexDrift(spark: SparkSession, dir: String, corpus: DataFrame,
+                   vecCol: String): DataFrame = {
+    val (lo, scale) = sqIndexGrid(spark, dir)
+    val loL = array(lo.map(lit(_)): _*)
+    val scL = array(scale.map(lit(_)): _*)
+    corpus.select(posexplode(asDouble(col(vecCol))).as(Seq("j", "x")))
+      .withColumn("_lo", element_at(loL, col("j") + 1))
+      .withColumn("_sc", element_at(scL, col("j") + 1))
+      .withColumn("_hi", col("_lo") + col("_sc") * 255.0)
+      .withColumn("_out",
+        when(col("x") < col("_lo") || col("x") > col("_hi"), 1.0)
+          .otherwise(0.0))
+      // the stored code this value would clamp to, and its recon error
+      // in grid units (scale 0 = a constant dim at build: any drift
+      // there is pure out-of-range, the error term stays 0)
+      .withColumn("_code",
+        when(col("_sc") > 0,
+          least(lit(255.0), greatest(lit(0.0),
+            floor((col("x") - col("_lo")) / col("_sc") + 0.5))))
+          .otherwise(lit(0.0)))
+      .withColumn("_gerr",
+        when(col("_sc") > 0,
+          abs(col("x") - (col("_lo") + col("_code") * col("_sc"))) /
+            col("_sc")).otherwise(lit(0.0)))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_out")), 6).as("frac_out_of_range"),
+        round(avg(col("_gerr")), 6).as("mean_err_grid_units"))
+      .orderBy("j")
+  }
+
   /** D11b (search): the SQ8 flat scan off the PERSISTED store — the
     * read path whose IO matches the memory claim: the scan reads the
     * int-code column only (dim bytes of information per vector, not

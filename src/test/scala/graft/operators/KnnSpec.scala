@@ -958,6 +958,30 @@ class KnnSpec extends SparkSpec {
       "every indexed-radius pair must be exact-cosine verified")
   }
 
+  test("sqIndexDrift: the build corpus sits inside the grid with " +
+      "sub-half-unit error; a shifted corpus drifts out of range") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_dr").toString
+    Knn.buildSqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    val fresh = Knn.sqIndexDrift(spark, dir, emb, "embedding").collect()
+    assert(fresh.length == 64)
+    assert(fresh.forall(_.getAs[Double]("frac_out_of_range") == 0.0),
+      "the training corpus defines the grid — nothing can fall outside")
+    assert(fresh.forall(_.getAs[Double]("mean_err_grid_units") <= 0.5),
+      "rounding error must stay within half a grid step")
+    // mild drift: doubled values push the distribution's tails out
+    val doubled = emb.withColumn("embedding",
+      transform(col("embedding"), x => x * 2.0f))
+    val d2 = Knn.sqIndexDrift(spark, dir, doubled, "embedding").collect()
+    val out2 = d2.map(_.getAs[Double]("frac_out_of_range")).sum / 64
+    assert(out2 > 0.05, s"doubled corpus must start leaving: $out2")
+    // gross drift: a constant shift beyond the grid — everything out
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), x => x + 10.0f))
+    val dr = Knn.sqIndexDrift(spark, dir, shifted, "embedding").collect()
+    val meanOut = dr.map(_.getAs[Double]("frac_out_of_range")).sum / 64
+    assert(meanOut > 0.99, s"shifted corpus must leave the grid: $meanOut")
+  }
+
   test("fsckSqIndex: a clean store passes every check; malformed code " +
       "rows and a replayed append are each flagged") {
     val dir = java.nio.file.Files.createTempDirectory("sq_fsck").toString
