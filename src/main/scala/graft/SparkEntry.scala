@@ -155,6 +155,8 @@ object SparkEntry {
       Pipeline.packingStats(t(s, d, "documents"))),
     "corpus_tokenizer_stats" -> ((s, d) =>
       Pipeline.corpusTokenizerStats(t(s, d, "documents"))),
+    "corpus_length_stats" -> ((s, d) =>
+      Pipeline.corpusLengthStats(t(s, d, "documents"))),
     "corpus_chunk" ->
       ((s, d) => Pipeline.corpusChunk(t(s, d, "documents"))),
     "corpus_export" -> ((s, d) =>
@@ -2381,6 +2383,20 @@ object SparkEntry {
         |  round(SUM(nc)::DOUBLE / SUM(nt), 6) AS chars_per_token,
         |  round(SUM(nt)::DOUBLE / SUM(nw), 6) AS tokens_per_word
         |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
+    // E14: the btok chain rolled up per source with exact interpolated
+    // percentiles (percentile == quantile_cont, the A15 pairing)
+    "corpus_length_stats" ->
+      s"""WITH RECURSIVE $bpeTokCtes,
+        |t AS (SELECT d.source, coalesce(b.n_bpe, 0)::BIGINT AS nt
+        |  FROM documents d LEFT JOIN btok b USING (doc_id))
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(nt)::BIGINT AS n_tokens, MIN(nt)::BIGINT AS min_tokens,
+        |  round(quantile_cont(nt, 0.25), 6) AS p25,
+        |  round(quantile_cont(nt, 0.5), 6) AS p50,
+        |  round(quantile_cont(nt, 0.75), 6) AS p75,
+        |  round(quantile_cont(nt, 0.95), 6) AS p95,
+        |  MAX(nt)::BIGINT AS max_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // C32: sequences from GLOBAL token positions — the replayed id
     // stream (bpeIdsCtes, the same chain text_bpe_ids / corpus_chunk
     // check), doc start offsets as a running sum in doc_id order (the

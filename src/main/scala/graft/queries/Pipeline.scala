@@ -295,6 +295,34 @@ object Pipeline {
         graft.operators.Bpe.frozenMerges)
       .orderBy("lang")
 
+  /** E14: doc-length distribution per source, in frozen-BPE tokens —
+    * the number that sizes every loader decision downstream: the
+    * packing budget (C11), chunk window/stride (C27), and shard
+    * granularity (C33) are all chosen against the length percentiles
+    * of the corpus they'll cut. Exact interpolated percentiles (the
+    * A15 `percentile`/`quantile_cont` cross-engine pairing); per-group
+    * exact percentile buffers hold that group's values, so at 100 TB
+    * switch to `approx_percentile` — the A15 posture — while the gate
+    * stays exact.
+    */
+  def corpusLengthStats(documents: DataFrame, exact: Boolean = true)
+      : DataFrame = {
+    val pct: Double => org.apache.spark.sql.Column =
+      if (exact) p => expr(s"percentile(_nt, $p)")
+      else p => expr(s"approx_percentile(_nt, $p, 10000)").cast("double")
+    documents.select(col("source"), bpeTokenCount.as("_nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_nt").as("n_tokens"),
+        min("_nt").as("min_tokens"),
+        round(pct(0.25), 6).as("p25"),
+        round(pct(0.5), 6).as("p50"),
+        round(pct(0.75), 6).as("p75"),
+        round(pct(0.95), 6).as("p95"),
+        max("_nt").as("max_tokens"))
+      .orderBy("source")
+  }
+
   /** C28: deterministic proportional interleave — the 3:2:1 mixture of
     * [[corpusMix]] expressed as a training-order SCHEDULE: every doc
     * gets a 0-based global position such that any prefix of the stream

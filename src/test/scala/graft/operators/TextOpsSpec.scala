@@ -403,4 +403,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+
+  test("corpusLengthStats: percentiles are monotone and interpolate " +
+      "exactly; approx mode tracks exact; totals reconcile") {
+    val docs = sf("documents")
+    val got = graft.queries.Pipeline.corpusLengthStats(docs).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    got.foreach { r =>
+      val seqv = Seq(r.getAs[Long]("min_tokens").toDouble,
+        r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"), r.getAs[Double]("p95"),
+        r.getAs[Long]("max_tokens").toDouble)
+      assert(seqv.zip(seqv.tail).forall { case (a, b) => a <= b },
+        s"percentiles must be monotone: $seqv")
+    }
+    // exact interpolation on a crafted group: lengths 1,2,3,4 words of
+    // single chars -> 1,2,3,4 BPE tokens; p50 = 2.5, p25 = 1.75
+    val tiny = Seq((1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    val t = graft.queries.Pipeline.corpusLengthStats(tiny).collect()(0)
+    assert(t.getAs[Double]("p50") == 2.5 && t.getAs[Double]("p25") == 1.75,
+      s"interpolated percentiles drifted: $t")
+    // the 100-TB mode stays close to exact on the real corpus
+    val approx = graft.queries.Pipeline
+      .corpusLengthStats(docs, exact = false).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("p50")).toMap
+    got.foreach { r =>
+      val d = math.abs(approx(r.getAs[String]("source")) -
+        r.getAs[Double]("p50"))
+      assert(d <= 2.0, s"approx p50 drifted by $d")
+    }
+  }
+
 }
