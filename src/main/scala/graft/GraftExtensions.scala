@@ -295,6 +295,19 @@ object GraftExtensions {
         operators.TextOps.tokenizerStats(df, groupCol, textCol,
           operators.Bpe.frozenMerges).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_length_stats"),
+      info("graft_length_stats",
+        "graft_length_stats(table, group_col, text_col) - per-group " +
+          "doc-length percentiles in frozen-BPE tokens (n_docs, " +
+          "n_tokens, min/p25/p50/p75/p95/max)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(strArg(args(0), "graft_length_stats"))
+        val groupCol = strArg(args(1), "graft_length_stats")
+        val textCol = strArg(args(2), "graft_length_stats")
+        operators.TextOps.lengthStats(df, groupCol, textCol,
+          operators.Bpe.frozenMerges).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_packing_stats"),
       info("graft_packing_stats",
         "graft_packing_stats(table, id_col, text_col[, budget]) - " +

@@ -18,6 +18,32 @@ object TextOps {
 
   private def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** E14: doc-length distribution per group in frozen-BPE tokens —
+    * exact interpolated percentiles by default (the cross-engine
+    * `percentile`/`quantile_cont` pairing); `exact = false` switches
+    * to `approx_percentile`, the 100-TB mode (exact per-group buffers
+    * hold the group's values). See
+    * [[graft.queries.Pipeline.corpusLengthStats]].
+    */
+  def lengthStats(docs: DataFrame, groupCol: String, textCol: String,
+                  merges: Seq[(String, String)],
+                  exact: Boolean = true): DataFrame = {
+    val pct: Double => Column =
+      if (exact) p => expr(s"percentile(_nt, $p)")
+      else p => expr(s"approx_percentile(_nt, $p, 10000)").cast("double")
+    docs.select(col(groupCol),
+        graft.functions.bpe.tokenCount(col(textCol), merges).as("_nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_nt").as("n_tokens"),
+        min("_nt").as("min_tokens"),
+        round(pct(0.25), 6).as("p25"),
+        round(pct(0.5), 6).as("p50"),
+        round(pct(0.75), 6).as("p75"),
+        round(pct(0.95), 6).as("p95"),
+        max("_nt").as("max_tokens"))
+  }
+
   /** E13: tokenizer fertility per group (usually language) — doc /
     * char / word / BPE-token totals with chars-per-token and
     * tokens-per-word under the given frozen merge list. One

@@ -306,22 +306,10 @@ object Pipeline {
     * stays exact.
     */
   def corpusLengthStats(documents: DataFrame, exact: Boolean = true)
-      : DataFrame = {
-    val pct: Double => org.apache.spark.sql.Column =
-      if (exact) p => expr(s"percentile(_nt, $p)")
-      else p => expr(s"approx_percentile(_nt, $p, 10000)").cast("double")
-    documents.select(col("source"), bpeTokenCount.as("_nt"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("_nt").as("n_tokens"),
-        min("_nt").as("min_tokens"),
-        round(pct(0.25), 6).as("p25"),
-        round(pct(0.5), 6).as("p50"),
-        round(pct(0.75), 6).as("p75"),
-        round(pct(0.95), 6).as("p95"),
-        max("_nt").as("max_tokens"))
+      : DataFrame =
+    TextOps.lengthStats(documents, "source", "text",
+        graft.operators.Bpe.frozenMerges, exact)
       .orderBy("source")
-  }
 
   /** C28: deterministic proportional interleave — the 3:2:1 mixture of
     * [[corpusMix]] expressed as a training-order SCHEDULE: every doc

@@ -350,6 +350,12 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT count(*) FROM graft_packing_stats('documents_v', 'doc_id', " +
         "'text', 256)").head().getLong(0)
     assert(tight > e3.length, "budget knob must change the cut")
+    val r4 = spark.sql(
+      "SELECT * FROM graft_length_stats('documents_v', 'source', 'text') " +
+        "ORDER BY source").collect().map(_.toString).toSeq
+    val e4 = graft.queries.Pipeline.corpusLengthStats(sf("documents"))
+      .collect().map(_.toString).toSeq
+    assert(r4 == e4, "length-stats TVF drifted")
   }
 
 }
