@@ -328,6 +328,24 @@ object GraftExtensions {
           operators.Packing.sequenceSpans(counted, idCol, "n_tokens",
             budget), idCol).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_fsck"),
+      info("graft_knn_index_fsck",
+        "graft_knn_index_fsck(dir) - integrity report over a persisted " +
+          "IVFxPQ index: (check, ok, n_bad, detail) per invariant"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        operators.Knn.fsckIvfPqIndex(spark,
+          strArg(args(0), "graft_knn_index_fsck")).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_knn_index_stats"),
+      info("graft_knn_index_stats",
+        "graft_knn_index_stats(dir) - per-cell health of a persisted " +
+          "IVFxPQ index: (cell_id, n_codes, n_files, bytes)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        operators.Knn.ivfPqIndexStats(spark,
+          strArg(args(0), "graft_knn_index_stats")).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_compact"),
       info("graft_compact",
         "graft_compact(in_dir, out_dir[, versions]) - CALL-style: major-" +

@@ -358,4 +358,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(r4 == e4, "length-stats TVF drifted")
   }
 
+
+  test("graft_knn_index_fsck / graft_knn_index_stats: ops TVFs equal " +
+      "the Scala maintenance reports") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("sql_fsck").toString
+    graft.operators.Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      dim = 64)
+    val f = spark.sql(s"SELECT * FROM graft_knn_index_fsck('$dir') " +
+      "ORDER BY check").collect().map(_.toString).toSeq
+    val ef = graft.operators.Knn.fsckIvfPqIndex(spark, dir)
+      .orderBy("check").collect().map(_.toString).toSeq
+    assert(f == ef && f.length == 6, "fsck TVF drifted")
+    val s = spark.sql(s"SELECT * FROM graft_knn_index_stats('$dir') " +
+      "ORDER BY cell_id").collect().map(_.toString).toSeq
+    val es = graft.operators.Knn.ivfPqIndexStats(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(s == es && s.nonEmpty, "stats TVF drifted")
+  }
+
 }

@@ -1183,4 +1183,50 @@ class StreamsSpec extends SparkSpec {
           s"(${batch.length})")
     } finally q.stop()
   }
+
+  test("G16 + compactIvfPqIndex: compaction between serving sessions " +
+      "is invisible — the stream's answers equal the uncompacted " +
+      "batch run over the appended store") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("g16c_idx").toString
+    graft.operators.Knn.buildIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir,
+      dim = 64)
+    graft.operators.Knn.appendToIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir,
+      dim = 64)
+    val qrows = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    // the reference answers come from the FRAGMENTED store
+    val batch = graft.operators.Knn.searchIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, rescoreWith = Some(emb))
+      .collect().map(_.toString)
+    def serve(rows: Seq[(Long, Seq[Float])],
+              buf: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.indexSearchStream(
+        input.toDF().toDF("vec_id", "embedding"), dir, "vec_id",
+        "embedding", k = 5, rescoreWith = Some(emb)) { (res, _) =>
+        val out = res.collect().map(_.toString)
+        buf.synchronized { buf ++= out }
+      }.start()
+      try { input.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val (a, b) = qrows.splitAt(4)
+    serve(a, buf)
+    // single-writer window between serving sessions: compact, then a
+    // fresh stream serves the rest off the one-file-per-cell layout
+    val (nc, fb, fa) = graft.operators.Knn.compactIvfPqIndex(spark, dir)
+    assert(nc > 0 && fa < fb, s"append must have fragmented: $nc $fb->$fa")
+    serve(b, buf)
+    assert(buf.sorted.toSeq == batch.sorted.toSeq,
+      s"answers must be identical across the compaction: " +
+        s"${buf.size} vs ${batch.length}")
+  }
+
 }
