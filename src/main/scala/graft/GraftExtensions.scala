@@ -337,6 +337,21 @@ object GraftExtensions {
         operators.Knn.fsckIvfPqIndex(spark,
           strArg(args(0), "graft_knn_index_fsck")).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_drift"),
+      info("graft_knn_index_drift",
+        "graft_knn_index_drift(dir, corpus_table, id_col, vec_col) - " +
+          "per-cell quantization drift of a persisted IVFxPQ index vs " +
+          "the CURRENT corpus: (cell_id, n_codes, recon_cos, " +
+          "frac_misassigned) - the rebuild trigger's number"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_knn_index_drift")
+        val df = spark.table(strArg(args(1), "graft_knn_index_drift"))
+        val idCol = strArg(args(2), "graft_knn_index_drift")
+        val vecCol = strArg(args(3), "graft_knn_index_drift")
+        operators.Knn.ivfPqIndexDrift(spark, dir, df, idCol, vecCol)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn_index_stats"),
       info("graft_knn_index_stats",
         "graft_knn_index_stats(dir) - per-cell health of a persisted " +

@@ -375,6 +375,13 @@ class GraftSqlSpec extends SparkSpec {
     val es = graft.operators.Knn.ivfPqIndexStats(spark, dir)
       .collect().map(_.toString).toSeq
     assert(s == es && s.nonEmpty, "stats TVF drifted")
+    emb.createOrReplaceTempView("drift_corpus_v")
+    val d = spark.sql(s"SELECT * FROM graft_knn_index_drift('$dir', " +
+      "'drift_corpus_v', 'vec_id', 'embedding') ORDER BY cell_id")
+      .collect().map(_.toString).toSeq
+    val ed = graft.operators.Knn.ivfPqIndexDrift(spark, dir, emb,
+      "vec_id", "embedding").collect().map(_.toString).toSeq
+    assert(d == ed && d.nonEmpty, "drift TVF drifted")
   }
 
 }

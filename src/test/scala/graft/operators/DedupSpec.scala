@@ -686,4 +686,28 @@ class DedupSpec extends SparkSpec {
       "params/band checks must stay green")
   }
 
+
+  test("lshRecall boundary: a pair at exactly J = 0.7 lands in truth — " +
+      "the prefix length and tau-scaled filters never round it out") {
+    // k=1 shingles (single words): |A| = |B| = 17, 14 shared ->
+    // J = 14 / 20 = 0.7 exactly
+    val shared = (1 to 14).map(i => s"w$i")
+    val a = shared ++ Seq("a1", "a2", "a3")
+    val b = shared ++ Seq("b1", "b2", "b3")
+    val docs2 = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(docs2, "doc_id", "text", k = 1,
+      threshold = 0.7).collect()(0)
+    assert(r.getAs[Long]("n_truth") == 1L,
+      s"the exact-boundary pair must be in truth: $r")
+    // and a pair strictly below stays out: 13 shared of 21 = 0.619
+    val c = (1 to 13).map(i => s"w$i") ++ Seq("c1", "c2", "c3", "c4")
+    val docs3 = Seq((1L, a.mkString(" ")), (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+    val r3 = Dedup.lshRecall(docs3, "doc_id", "text", k = 1,
+      threshold = 0.7).collect()(0)
+    assert(r3.getAs[Long]("n_truth") == 0L,
+      s"a below-threshold pair must stay out: $r3")
+  }
+
 }
