@@ -953,7 +953,8 @@ object Knn {
                       dir: String, dim: Int, m: Int = 8, ksub: Int = 16,
                       coarseCells: Int = 16, iters: Int = 2,
                       trainMod: Int = 2,
-                      coarse: Option[DataFrame] = scala.None): Unit = {
+                      coarse: Option[DataFrame] = scala.None,
+                      codebooks: Option[DataFrame] = scala.None): Unit = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
     // `coarse` override = FAISS's pretrained-quantizer constructor
@@ -961,13 +962,19 @@ object Knn {
     // freeze e.g. [[strideCoarse]] — whose assignment a plain-SQL
     // oracle can replay — or a coarse trained on a reference
     // distribution; default trains full-vector k-means here.
+    // `codebooks` is the same posture for the PQ side — REQUIRED when
+    // several shard builds must later [[mergeIvfPqIndexes]] (stores
+    // with independently-trained quantizers cannot merge: the same
+    // byte codes would decode to different subvectors).
     val coarseTab = coarse.map(_.select(col("cell_id"),
         col("centroid")))
       .getOrElse(kmeansSubCodebooks(corpus, idCol, vecCol, dim, 1,
           coarseCells, iters, trainMod)
         .select(col("cell_id"), col("cvec").as("centroid")))
-    val cbs = kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
-      iters, trainMod)
+    val cbs = codebooks
+      .map(_.select(col("sub"), col("cell_id"), col("cvec")))
+      .getOrElse(kmeansSubCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+        iters, trainMod))
     coarseTab.write.mode("overwrite").parquet(s"$dir/coarse")
     cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
     assignAndEncode(corpus, idCol, vecCol,
@@ -1264,6 +1271,61 @@ object Knn {
       ("cells_known", orphan == 0L, orphan,
         s"${known.size} coarse cells")
     ).toDF("check", "ok", "n_bad", "detail")
+  }
+
+  /** D8 (merge): combine stores built under the SAME frozen quantizers
+    * into one — FAISS `merge_from`, the distributed-build endgame:
+    * shard a billion-vector corpus, run [[buildIvfPqIndex]] per shard
+    * in parallel (each with the shared pretrained `coarse` +
+    * `codebooks` overrides), then merge = pure FILE CONCATENATION per
+    * `cell_id=` partition — no Spark job touches a code row, because
+    * identical quantizers mean identical cell assignment and byte
+    * semantics. Quantizer identity is VERIFIED (exact row-set equality
+    * of both sidecars, driver-side — they are tiny), not trusted: the
+    * same byte codes under different codebooks decode to different
+    * vectors, the silent-corruption worst case. Sources' files are
+    * copied with disambiguated names; `dst` may be one of the sources
+    * (in-place merge = copy the others in). Returns the number of
+    * code files copied. Single-writer posture; run
+    * [[fsckIvfPqIndex]] after (ids_unique catches shard overlap —
+    * merge does not dedup across shards, exactly like FAISS).
+    */
+  def mergeIvfPqIndexes(spark: SparkSession, dst: String,
+                        srcs: Seq[String]): Long = {
+    def sidecar(dir: String, name: String): Seq[String] =
+      spark.read.parquet(s"$dir/$name").collect()
+        .map(_.toString).sorted.toSeq
+    val wantCoarse = sidecar(dst, "coarse")
+    val wantCbs = sidecar(dst, "codebooks")
+    srcs.foreach { s =>
+      require(sidecar(s, "coarse") == wantCoarse,
+        s"$s was built under a DIFFERENT coarse quantizer than $dst — " +
+          "stores with independent quantizers cannot merge")
+      require(sidecar(s, "codebooks") == wantCbs,
+        s"$s was built under DIFFERENT codebooks than $dst")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstRoot = new org.apache.hadoop.fs.Path(s"$dst/codes")
+    val fs = dstRoot.getFileSystem(conf)
+    var copied = 0L
+    srcs.filterNot(_ == dst).zipWithIndex.foreach { case (src, i) =>
+      StoreMaintenance.partitionDirs(spark,
+          new org.apache.hadoop.fs.Path(s"$src/codes"), "cell_id")
+        .foreach { case (cell, p) =>
+          val out = new org.apache.hadoop.fs.Path(dstRoot,
+            s"cell_id=$cell")
+          fs.mkdirs(out)
+          StoreMaintenance.dataFiles(spark, p).foreach { case (f, _) =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              f.getFileSystem(conf), f, fs,
+              new org.apache.hadoop.fs.Path(out,
+                s"merge$i-${f.getName}"),
+              false, conf)
+            copied += 1L
+          }
+        }
+    }
+    copied
   }
 
   /** D8 (repair): fix what [[fsckIvfPqIndex]] flags, without a rebuild

@@ -594,6 +594,52 @@ class KnnSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Int]("n_files") == 1))
   }
 
+  test("mergeIvfPqIndexes: shard builds under shared pretrained " +
+      "quantizers merge by file copy into exactly the single-build " +
+      "store; independent quantizers are refused") {
+    val coarse = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 1, ksub = 16, iters = 2, trainMod = 2)
+      .select(col("cell_id"), col("cvec").as("centroid"))
+      .localCheckpoint()
+    val cbs = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 2)
+      .localCheckpoint()
+    def build(rows: org.apache.spark.sql.DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("ivfpq_mrg").toString
+      Knn.buildIvfPqIndex(rows, "vec_id", "embedding", d, dim = 64,
+        coarse = Some(coarse), codebooks = Some(cbs))
+      d
+    }
+    val dirA = build(emb.filter($"vec_id" % 2 === 0))
+    val dirB = build(emb.filter($"vec_id" % 2 === 1))
+    val dirFull = build(emb)
+    val copied = Knn.mergeIvfPqIndexes(spark, dirA, Seq(dirB))
+    assert(copied > 0L, "merge must copy the shard's code files")
+    def rows(d: String) = spark.read.parquet(s"$d/codes").collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows(dirA) == rows(dirFull),
+      "merged shards must equal the single-build store row-for-row")
+    assert(Knn.fsckIvfPqIndex(spark, dirA).collect()
+      .forall(_.getAs[Boolean]("ok")), "merged store must fsck clean")
+    val viaMerged = Knn.searchIvfPqIndex(spark, dirA, queries, "vec_id",
+        "embedding", dim = 64, k = 5, rescoreWith = Some(emb))
+      .collect().map(_.toString).sorted.toSeq
+    val viaFull = Knn.searchIvfPqIndex(spark, dirFull, queries, "vec_id",
+        "embedding", dim = 64, k = 5, rescoreWith = Some(emb))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaMerged == viaFull,
+      "search over the merged store must equal the single build")
+    // a store trained independently cannot merge — loud refusal
+    val alien = java.nio.file.Files.createTempDirectory("ivfpq_al").toString
+    Knn.buildIvfPqIndex(emb.filter($"vec_id" < 100), "vec_id",
+      "embedding", alien, dim = 64)
+    val e = intercept[IllegalArgumentException] {
+      Knn.mergeIvfPqIndexes(spark, dirFull, Seq(alien))
+    }
+    assert(e.getMessage.contains("DIFFERENT"),
+      s"expected the quantizer guard: ${e.getMessage.take(120)}")
+  }
+
   test("fsckIvfPqIndex: a healthy store passes every check; replayed " +
       "appends, malformed code rows, and orphan cells are each flagged") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_fsck").toString
