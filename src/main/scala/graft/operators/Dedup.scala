@@ -371,6 +371,45 @@ object Dedup {
     StoreMaintenance.compactPartitioned(spark, s"$dir/buckets", "band",
       maxFilesPerBand)
 
+  /** C25 lifecycle (merge): combine indexes built under the SAME
+    * (k, perms, bands) signature — parallel shard crawls merged into
+    * one history, the [[graft.operators.Knn.mergeIvfPqIndexes]]
+    * posture: signature identity VERIFIED against the params sidecars
+    * (different signatures produce incompatible band keys — silent
+    * missed-dup corruption), then pure file concatenation per `band=`
+    * partition. No dedup across shards (run [[fsckLshIndex]] after;
+    * its dup_rows check catches overlap). Returns files copied.
+    */
+  def mergeLshIndexes(spark: org.apache.spark.sql.SparkSession,
+                      dst: String, srcs: Seq[String]): Long = {
+    val want = lshIndexParams(spark, dst)
+    srcs.foreach { s =>
+      require(lshIndexParams(spark, s) == want,
+        s"$s was built under a DIFFERENT (k, perms, bands) signature " +
+          s"than $dst — band keys are incompatible")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstRoot = new org.apache.hadoop.fs.Path(s"$dst/buckets")
+    val fs = dstRoot.getFileSystem(conf)
+    var copied = 0L
+    srcs.filterNot(_ == dst).zipWithIndex.foreach { case (src, i) =>
+      StoreMaintenance.partitionDirs(spark,
+          new org.apache.hadoop.fs.Path(s"$src/buckets"), "band")
+        .foreach { case (band, p) =>
+          val out = new org.apache.hadoop.fs.Path(dstRoot, s"band=$band")
+          fs.mkdirs(out)
+          StoreMaintenance.dataFiles(spark, p).foreach { case (f, _) =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              f.getFileSystem(conf), f, fs,
+              new org.apache.hadoop.fs.Path(out, s"merge$i-${f.getName}"),
+              false, conf)
+            copied += 1L
+          }
+        }
+    }
+    copied
+  }
+
   /** C25 lifecycle (fsck): integrity report over a [[buildLshIndex]]
     * layout — (check, ok, n_bad, detail) per invariant:
     *

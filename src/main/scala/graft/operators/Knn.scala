@@ -1818,8 +1818,15 @@ object Knn {
     * touched for the `overscan·k` shortlist re-rank alone.
     */
   def buildSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                   dir: String, dim: Int): Unit = {
-    val (lo, scale) = sqTrain(corpus, vecCol, dim)
+                   dir: String, dim: Int,
+                   grid: Option[(Array[Double], Array[Double])] =
+                     scala.None): Unit = {
+    // `grid` override = the pretrained-quantizer slot (the
+    // buildIvfPqIndex coarse/codebooks posture): REQUIRED when shard
+    // builds must later [[mergeSqIndexes]]
+    val (lo, scale) = grid.getOrElse(sqTrain(corpus, vecCol, dim))
+    require(lo.length == dim && scale.length == dim,
+      s"grid override length ${lo.length}/${scale.length} != dim $dim")
     val spark = corpus.sparkSession
     import spark.implicits._
     lo.zip(scale).zipWithIndex
@@ -1906,6 +1913,40 @@ object Knn {
   def compactSqIndex(spark: SparkSession, dir: String,
                      minBytes: Long = 4L << 20): (Int, Long, Long) =
     StoreMaintenance.compactFlat(spark, s"$dir/codes", minBytes)
+
+  /** D11b (merge): combine SQ stores built under the SAME affine grid
+    * — the [[mergeIvfPqIndexes]] posture for the flat layout: grid
+    * identity VERIFIED (same bytes under different grids reconstruct
+    * different vectors), then flat file concatenation. Returns files
+    * copied; run [[fsckSqIndex]] after for shard-overlap dups.
+    */
+  def mergeSqIndexes(spark: SparkSession, dst: String,
+                     srcs: Seq[String]): Long = {
+    val (wlo, wsc) = sqIndexGrid(spark, dst)
+    srcs.foreach { s =>
+      val (lo, sc) = sqIndexGrid(spark, s)
+      require(lo.sameElements(wlo) && sc.sameElements(wsc),
+        s"$s was built under a DIFFERENT affine grid than $dst — " +
+          "codes are not comparable")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstRoot = new org.apache.hadoop.fs.Path(s"$dst/codes")
+    val fs = dstRoot.getFileSystem(conf)
+    var copied = 0L
+    srcs.filterNot(_ == dst).zipWithIndex.foreach { case (src, i) =>
+      StoreMaintenance.dataFiles(spark,
+          new org.apache.hadoop.fs.Path(s"$src/codes"))
+        .foreach { case (f, _) =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            f.getFileSystem(conf), f, fs,
+            new org.apache.hadoop.fs.Path(dstRoot,
+              s"merge$i-${f.getName}"),
+            false, conf)
+          copied += 1L
+        }
+    }
+    copied
+  }
 
   /** D11b (fsck): [[fsckIvfPqIndex]]'s discipline for the flat SQ8
     * store — (check, ok, n_bad, detail) per invariant: the affine grid

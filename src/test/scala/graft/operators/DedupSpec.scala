@@ -710,4 +710,40 @@ class DedupSpec extends SparkSpec {
       s"a below-threshold pair must stay out: $r3")
   }
 
+
+  test("mergeLshIndexes: same-signature shard indexes merge into the " +
+      "single-build bucket rows; a foreign signature is refused") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 =!= 0)
+    def build(rows: org.apache.spark.sql.DataFrame,
+              bands: Int = 16): String = {
+      val d = java.nio.file.Files.createTempDirectory("lsh_mrg").toString
+      Dedup.buildLshIndex(rows, "doc_id", "text", d, bands = bands)
+      d
+    }
+    val dirA = build(half1)
+    val dirB = build(half2)
+    val dirFull = build(corpus)
+    assert(Dedup.mergeLshIndexes(spark, dirA, Seq(dirB)) > 0L)
+    def rows(d: String) = spark.read.parquet(s"$d/buckets")
+      .select("band", "bkey", "corpus_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(dirA) == rows(dirFull),
+      "band keys are deterministic — merged rows must equal one build")
+    assert(Dedup.fsckLshIndex(spark, dirA).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    // the merged index probes identically to the single build
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def probe(d: String) = Dedup.incrementalMinhashIndexed(d, corpus,
+      batch, "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    val got = probe(dirA)
+    assert(got == probe(dirFull) && got.nonEmpty)
+    val alien = build(half1, bands = 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.mergeLshIndexes(spark, dirFull, Seq(alien))
+    }
+    assert(e.getMessage.contains("DIFFERENT"))
+  }
+
 }

@@ -1052,4 +1052,39 @@ class KnnSpec extends SparkSpec {
     assert(r("grid_complete")._1, "grid check must stay green")
   }
 
+
+  test("mergeSqIndexes: shard builds under a shared pretrained grid " +
+      "merge into the single-build store; a foreign grid is refused") {
+    val grid = Knn.sqTrain(emb, "embedding", dim = 64)
+    def build(rows: org.apache.spark.sql.DataFrame,
+              g: Option[(Array[Double], Array[Double])]): String = {
+      val d = java.nio.file.Files.createTempDirectory("sq_mrg").toString
+      Knn.buildSqIndex(rows, "vec_id", "embedding", d, dim = 64, grid = g)
+      d
+    }
+    val dirA = build(emb.filter($"vec_id" % 2 === 0), Some(grid))
+    val dirB = build(emb.filter($"vec_id" % 2 === 1), Some(grid))
+    val dirFull = build(emb, Some(grid))
+    assert(Knn.mergeSqIndexes(spark, dirA, Seq(dirB)) > 0L)
+    def rows(d: String) = spark.read.parquet(s"$d/codes").collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows(dirA) == rows(dirFull),
+      "merged shards must equal the single-build store")
+    assert(Knn.fsckSqIndex(spark, dirA).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    val viaMerged = Knn.searchSqIndex(spark, dirA, queries, "vec_id",
+        "embedding", dim = 64, k = 5, corpus = emb)
+      .collect().map(_.toString).sorted.toSeq
+    val viaFull = Knn.searchSqIndex(spark, dirFull, queries, "vec_id",
+        "embedding", dim = 64, k = 5, corpus = emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaMerged == viaFull)
+    // a shard that trained its own grid cannot merge
+    val alien = build(emb.filter($"vec_id" < 100), scala.None)
+    val e = intercept[IllegalArgumentException] {
+      Knn.mergeSqIndexes(spark, dirFull, Seq(alien))
+    }
+    assert(e.getMessage.contains("DIFFERENT"))
+  }
+
 }
