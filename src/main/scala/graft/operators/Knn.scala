@@ -1288,7 +1288,11 @@ object Knn {
     * (in-place merge = copy the others in). Returns the number of
     * code files copied. Single-writer posture; run
     * [[fsckIvfPqIndex]] after (ids_unique catches shard overlap —
-    * merge does not dedup across shards, exactly like FAISS).
+    * merge does not dedup across shards, exactly like FAISS). The
+    * copy loop is driver-side and sequential — right for ops cadence;
+    * the copies are fully independent, so a massive merge can hand
+    * the same (src, dst) list to any bulk-copy tool (distcp) and
+    * skip this loop entirely.
     */
   def mergeIvfPqIndexes(spark: SparkSession, dst: String,
                         srcs: Seq[String]): Long = {
