@@ -337,6 +337,31 @@ object GraftExtensions {
         operators.Knn.fsckIvfPqIndex(spark,
           strArg(args(0), "graft_knn_index_fsck")).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_compact"),
+      info("graft_knn_index_compact",
+        "graft_knn_index_compact(dir[, max_files_per_cell]) - " +
+          "CALL-style: coalesce fragmented cell partitions of a " +
+          "persisted IVFxPQ index, return the post-compaction " +
+          "per-cell stats"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_knn_index_compact")
+        val maxFiles = if (args.length > 1)
+          numArg(args(1), "graft_knn_index_compact").toInt else 1
+        operators.Knn.compactIvfPqIndex(spark, dir, maxFiles)
+        operators.Knn.ivfPqIndexStats(spark, dir).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_knn_index_repair"),
+      info("graft_knn_index_repair",
+        "graft_knn_index_repair(dir) - CALL-style: drop duplicate / " +
+          "malformed / orphan code rows from a persisted IVFxPQ " +
+          "index, return the post-repair fsck report"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_knn_index_repair")
+        operators.Knn.repairIvfPqIndex(spark, dir)
+        operators.Knn.fsckIvfPqIndex(spark, dir).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn_index_drift"),
       info("graft_knn_index_drift",
         "graft_knn_index_drift(dir, corpus_table, id_col, vec_col) - " +

@@ -384,4 +384,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(d == ed && d.nonEmpty, "drift TVF drifted")
   }
 
+
+  test("graft_knn_index_compact / graft_knn_index_repair: CALL-style " +
+      "maintenance from SQL — fragmented store compacts to one file " +
+      "per cell, corrupted store repairs to an all-green fsck") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("sql_mnt").toString
+    graft.operators.Knn.buildIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir,
+      dim = 64)
+    graft.operators.Knn.appendToIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir,
+      dim = 64)
+    val stats = spark.sql(
+      s"SELECT * FROM graft_knn_index_compact('$dir')").collect()
+    assert(stats.nonEmpty && stats.forall(_.getAs[Int]("n_files") == 1),
+      "CALL-style compact must leave one file per cell")
+    // corrupt (a replayed append), then repair from SQL
+    graft.operators.Knn.appendToIvfPqIndex(
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", dir, dim = 64)
+    assert(!graft.operators.Knn.fsckIvfPqIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "the replay must corrupt")
+    val report = spark.sql(
+      s"SELECT * FROM graft_knn_index_repair('$dir')").collect()
+    assert(report.length == 6 && report.forall(_.getAs[Boolean]("ok")),
+      s"repair TVF must return an all-green fsck: ${report.mkString(" | ")}")
+  }
+
 }
