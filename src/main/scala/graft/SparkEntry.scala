@@ -218,6 +218,18 @@ object SparkEntry {
     // E12 encode-to-ids: the loader-facing token-ID stream, oracle-checked
     "text_bpe_ids" ->
       ((s, d) => Pipeline.textBpeIds(t(s, d, "documents"))),
+    // E12/E13 non-ASCII coverage: the byte-level tokenizer exercised
+    // on a DERIVED multilingual slice (the fixture corpus is pure
+    // ASCII) — train, encode, ids, and per-language fertility, all
+    // oracle-checked against the same hex(encode(w)) byte replay
+    "text_bpe_utf8" ->
+      ((s, d) => Pipeline.textBpeUtf8(t(s, d, "documents"))),
+    "text_bpe_encode_utf8" ->
+      ((s, d) => Pipeline.textBpeEncodeUtf8(t(s, d, "documents"))),
+    "text_bpe_ids_utf8" ->
+      ((s, d) => Pipeline.textBpeIdsUtf8(t(s, d, "documents"))),
+    "corpus_tokenizer_stats_utf8" ->
+      ((s, d) => Pipeline.corpusTokenizerStatsUtf8(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
     "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents"))),
@@ -491,8 +503,9 @@ object SparkEntry {
     */
   private def frozenMergeSqlValues: String = {
     require(graft.operators.Bpe.frozenMerges.forall { case (a, b) =>
-      (a + b).matches("[A-Za-z0-9]+") },
-      "frozenMerges must be alphanumeric for SQL literal inlining")
+      (a + b).matches("[0-9A-F]+") && a.length % 2 == 0 &&
+        b.length % 2 == 0 },
+      "frozenMerges must be even-length uppercase-hex byte symbols")
     graft.operators.Bpe.frozenMerges.zipWithIndex
       .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
   }
@@ -512,17 +525,28 @@ object SparkEntry {
     * seq_packing / seq_spans / corpus_export oracles so packing's
     * token units are the TOKENIZER's own counts in both engines (a
     * doc with no words has no btok row — join with coalesce 0).
+    * Byte-level: a word's initial symbols are its UTF-8 bytes as
+    * 2-char hex pairs (`hex(encode(w))` split every 2 chars — the
+    * exact rendering the Scala kernel uses), a word is segmentable
+    * iff it has >= 2 BYTES (`strlen` = byte length in DuckDB), and
+    * single-byte words count 1 token.
     */
-  private def bpeTokCtes: String = {
+  private def bpeTokCtes: String = bpeTokCtes("documents")
+
+  /** [[bpeTokCtes]] over an arbitrary docs CTE/table `src` — the
+    * non-ASCII coverage rows replay token counts over the derived
+    * multilingual slice. */
+  private def bpeTokCtes(src: String): String = {
     val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
     s"""bmg(m, a, b) AS (VALUES $mergeVals),
       |bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
-      |    unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+      |    unnest(string_split_regex(text, '\\s+')) AS w FROM $src)
       |  WHERE w <> ''),
-      |bdist AS (SELECT DISTINCT w FROM bdw WHERE length(w) > 1),
-      |binit AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
-      |    chr(31) || chr(31)) || chr(31) AS s FROM bdist),
+      |bdist AS (SELECT DISTINCT w FROM bdw WHERE strlen(w) > 1),
+      |binit AS (SELECT w, chr(31) ||
+      |    array_to_string(regexp_extract_all(hex(encode(w)), '..'),
+      |      chr(31) || chr(31)) || chr(31) AS s FROM bdist),
       |brec AS (
       |  SELECT w, 0 AS m, s FROM binit
       |  UNION ALL
@@ -534,26 +558,119 @@ object SparkEntry {
       |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
       |  FROM brec WHERE m = $nm),
       |btok AS (SELECT d.doc_id,
-      |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
+      |    sum(CASE WHEN strlen(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
       |      AS n_bpe
       |  FROM bdw d LEFT JOIN bseg s ON d.w = s.w GROUP BY 1)""".stripMargin
   }
 
+  /** The FULL E12 training-loop replay over `src`, ending in the
+    * per-doc (doc_id, n_chars, n_bpe, compression) report — the
+    * recursive `steps` CTE carries every vocab word's fenced BYTE-hex
+    * segmentation state; each iteration computes freq-weighted
+    * overlap-included pair counts across the carried rows, picks the
+    * argmax by (count DESC, pair key ASC), and applies it with the
+    * one-replace left-to-right rule. Recursion stops at pair
+    * exhaustion (the argmax subquery returns no row at count < 2) or
+    * the 1024-merge request cap, exactly like the trainer; the final
+    * step's segmentations then serve the per-doc token counts. No
+    * maxVocab truncation here: the sf vocab (~30 words) is far below
+    * the trainer's 2^21 cap, where capped and uncapped results are
+    * identical (the train() scaladoc's argument, parity-spec-pinned).
+    */
+  private def bpeTrainOracleSql(src: String,
+                                prelude: String = ""): String =
+    s"""WITH RECURSIVE
+      |$prelude""".stripMargin.stripTrailing() + "\n" +
+    s"""bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
+      |    unnest(string_split_regex(text, '\\s+')) AS w FROM $src)
+      |  WHERE w <> ''),
+      |vocab AS (SELECT w, count(*)::BIGINT AS f FROM bdw
+      |  WHERE strlen(w) > 1 GROUP BY 1),
+      |steps AS (
+      |  SELECT 0 AS step, w, f,
+      |    chr(31) ||
+      |      array_to_string(regexp_extract_all(hex(encode(w)), '..'),
+      |      chr(31)||chr(31)) || chr(31) AS s
+      |  FROM vocab
+      |  UNION ALL
+      |  SELECT t.step + 1, t.w, t.f,
+      |    replace(t.s, chr(31)||p.a||chr(31)||chr(31)||p.b||chr(31),
+      |      chr(31)||p.a||p.b||chr(31))
+      |  FROM steps t, (
+      |    SELECT string_split(pk, ' ')[1] AS a,
+      |           string_split(pk, ' ')[2] AS b
+      |    FROM (
+      |      SELECT pk, sum(cnt) AS c FROM (
+      |        SELECT u.f AS cnt,
+      |          syms[i::INT] || ' ' || syms[(i+1)::INT] AS pk
+      |        FROM (SELECT f,
+      |            string_split(substr(s, 2, length(s) - 2),
+      |              chr(31)||chr(31)) AS syms
+      |          FROM steps) u, unnest(range(1, len(syms))) AS t2(i)
+      |      ) q GROUP BY pk
+      |    ) agg WHERE c >= 2
+      |    ORDER BY c DESC, pk LIMIT 1
+      |  ) p
+      |  WHERE t.step < 1024
+      |),
+      |final AS (SELECT w,
+      |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
+      |  FROM steps WHERE step = (SELECT max(step) FROM steps)),
+      |tok AS (SELECT d.doc_id,
+      |    sum(CASE WHEN strlen(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
+      |      AS n_bpe
+      |  FROM bdw d LEFT JOIN final s ON d.w = s.w GROUP BY 1)
+      |SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
+      |  coalesce(t.n_bpe, 0)::BIGINT AS n_bpe,
+      |  CASE WHEN coalesce(t.n_bpe, 0) = 0 THEN NULL
+      |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
+      |FROM $src doc LEFT JOIN tok t USING (doc_id)
+      |ORDER BY doc.doc_id""".stripMargin
+
+  /** The derived MULTILINGUAL doc slice as a CTE `mldocs(doc_id,
+    * lang, text, source)` — the fixture corpus is pure ASCII, so the
+    * byte-level tokenizer's non-ASCII behavior is exercised on a
+    * slice DERIVED deterministically from doc_id in BOTH engines:
+    * phrase literals come from ONE Scala constant
+    * ([[graft.queries.Pipeline.mlPhrases]], Greek / Russian / Chinese
+    * — two non-Latin alphabets and an unsegmented CJK script, 2- and
+    * 3-byte UTF-8), picked by doc_id % |phrases| and repeated
+    * 1 + doc_id % 4 times so words repeat enough to train merges.
+    */
+  private def mlDocsCte: String = {
+    val vals = _root_.graft.queries.Pipeline.mlPhrases.zipWithIndex
+      .map { case ((lang, p), i) =>
+        // literal-inlining guard, the frozenMergeSqlValues rule:
+        // phrases must be quote/backslash/control-free
+        require(!p.exists(c => c == '\'' || c == '\\' || c < ' ') &&
+          lang.matches("[a-z]+"), s"unsafe ml phrase literal: $p")
+        s"($i, '$lang', '$p')"
+      }.mkString(", ")
+    val n = _root_.graft.queries.Pipeline.mlPhrases.length
+    s"""mlp(i, lang, phrase) AS (VALUES $vals),
+      |mldocs AS (SELECT d.doc_id, m.lang,
+      |    trim(repeat(m.phrase || ' ', (1 + d.doc_id % 4)::INT)) AS text,
+      |    'ml_' || m.lang AS source
+      |  FROM documents d JOIN mlp m ON d.doc_id % $n = m.i)""".stripMargin
+  }
+
   /** The frozen-BPE per-doc token-ID stream as CTEs ending in
     * `bids(doc_id, pos, id)` — the recursive-CTE segmentation replay
-    * extended with the stable-vocab symbol→id CASE (ASCII base =
-    * ord(sym), merge output = 128 + FIRST producing merge index — the
-    * mergeIdMap putIfAbsent rule — else the reserved `<unk>` id) and a
-    * per-doc (word, symbol) ordinal walk for pos. Shared by the
-    * text_bpe_ids and corpus_chunk oracles so the chunker's windows
-    * are sliced from the SAME replayed id stream the encode oracle
-    * checks.
+    * extended with the stable-vocab symbol→id CASE (byte-level base:
+    * a 2-hex-char symbol parses straight to its byte value 0..255;
+    * merge output = 256 + FIRST producing merge index — the
+    * mergeIdMap putIfAbsent rule — else the reserved, unreachable
+    * `<unk>` id) and a per-doc (word, symbol) ordinal walk for pos.
+    * Shared by the text_bpe_ids and corpus_chunk oracles so the
+    * chunker's windows are sliced from the SAME replayed id stream
+    * the encode oracle checks.
     */
   private def bpeIdsCtes: String = bpeIdsCtes("documents")
 
   /** [[bpeIdsCtes]] over an arbitrary docs CTE/table `src` — the
     * composed corpus_export_ids oracle replays the id stream over the
-    * SURVIVOR slice, not the whole corpus. */
+    * SURVIVOR slice, not the whole corpus; the utf8 coverage row over
+    * the derived multilingual slice. */
   private def bpeIdsCtes(src: String): String = {
     val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
@@ -564,9 +681,10 @@ object SparkEntry {
       |      list_filter(string_split_regex(text, '\\s+'),
       |        x -> x <> '') AS ws
       |    FROM $src), unnest(range(1, len(ws) + 1)) AS t(wi)),
-      |dist AS (SELECT DISTINCT w FROM words WHERE length(w) > 1),
-      |init AS (SELECT w, chr(31) || array_to_string(string_split(w, ''),
-      |    chr(31) || chr(31)) || chr(31) AS s FROM dist),
+      |dist AS (SELECT DISTINCT w FROM words WHERE strlen(w) > 1),
+      |init AS (SELECT w, chr(31) ||
+      |    array_to_string(regexp_extract_all(hex(encode(w)), '..'),
+      |      chr(31) || chr(31)) || chr(31) AS s FROM dist),
       |rec AS (
       |  SELECT w, 0 AS m, s FROM init
       |  UNION ALL
@@ -578,14 +696,17 @@ object SparkEntry {
       |    string_split(substr(s, 2, length(s) - 2), chr(31)||chr(31))
       |      AS syms
       |  FROM rec WHERE m = $nm),
-      |vmap AS (SELECT a || b AS tok, 128 + MIN(m) AS vid
+      |vmap AS (SELECT a || b AS tok, 256 + MIN(m) AS vid
       |  FROM mg GROUP BY 1),
-      |wsyms AS (SELECT w.doc_id, w.wi, coalesce(s.syms, [w.w]) AS syms
+      |wsyms AS (SELECT w.doc_id, w.wi,
+      |    coalesce(s.syms, [hex(encode(w.w))]) AS syms
       |  FROM words w LEFT JOIN seg s ON w.w = s.w),
       |toks AS (SELECT doc_id, wi, si, syms[si::INT] AS sym
       |  FROM wsyms, unnest(range(1, len(syms) + 1)) AS t(si)),
       |rawids AS (SELECT t.doc_id, t.wi, t.si,
-      |  CASE WHEN length(t.sym) = 1 AND ord(t.sym) < 128 THEN ord(t.sym)
+      |  CASE WHEN length(t.sym) = 2 THEN
+      |      (strpos('0123456789ABCDEF', substr(t.sym, 1, 1)) - 1) * 16
+      |        + (strpos('0123456789ABCDEF', substr(t.sym, 2, 1)) - 1)
       |       ELSE coalesce(v.vid, $unk) END AS id
       |  FROM toks t LEFT JOIN vmap v ON v.tok = t.sym),
       |bids AS (SELECT doc_id,
@@ -2782,61 +2903,11 @@ object SparkEntry {
     // the recursive `steps` CTE carries every vocab word's fenced
     // segmentation state; each iteration computes freq-weighted
     // overlap-included pair counts across the carried rows, picks the
-    // argmax by (count DESC, pair key ASC — ASCII keys, so VARCHAR
-    // order IS Spark's UTF-8 byte order), and applies it with the
-    // one-replace left-to-right rule. Recursion stops at pair
-    // exhaustion (the argmax subquery returns no row at count < 2) or
-    // the 1024-merge request cap, exactly like the trainer; the final
-    // step's segmentations then serve the per-doc token counts. No
-    // maxVocab truncation here: the sf vocab (~30 words) is far below
-    // the trainer's 2^21 cap, where capped and uncapped results are
-    // identical (the train() scaladoc's argument, parity-spec-pinned).
-    "text_bpe" ->
-      """WITH RECURSIVE
-        |bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
-        |    unnest(string_split_regex(text, '\s+')) AS w FROM documents)
-        |  WHERE w <> ''),
-        |vocab AS (SELECT w, count(*)::BIGINT AS f FROM bdw
-        |  WHERE length(w) > 1 GROUP BY 1),
-        |steps AS (
-        |  SELECT 0 AS step, w, f,
-        |    chr(31) || array_to_string(string_split(w, ''),
-        |      chr(31)||chr(31)) || chr(31) AS s
-        |  FROM vocab
-        |  UNION ALL
-        |  SELECT t.step + 1, t.w, t.f,
-        |    replace(t.s, chr(31)||p.a||chr(31)||chr(31)||p.b||chr(31),
-        |      chr(31)||p.a||p.b||chr(31))
-        |  FROM steps t, (
-        |    SELECT string_split(pk, ' ')[1] AS a,
-        |           string_split(pk, ' ')[2] AS b
-        |    FROM (
-        |      SELECT pk, sum(cnt) AS c FROM (
-        |        SELECT u.f AS cnt,
-        |          syms[i::INT] || ' ' || syms[(i+1)::INT] AS pk
-        |        FROM (SELECT f,
-        |            string_split(substr(s, 2, length(s) - 2),
-        |              chr(31)||chr(31)) AS syms
-        |          FROM steps) u, unnest(range(1, len(syms))) AS t2(i)
-        |      ) q GROUP BY pk
-        |    ) agg WHERE c >= 2
-        |    ORDER BY c DESC, pk LIMIT 1
-        |  ) p
-        |  WHERE t.step < 1024
-        |),
-        |final AS (SELECT w,
-        |    (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_syms
-        |  FROM steps WHERE step = (SELECT max(step) FROM steps)),
-        |tok AS (SELECT d.doc_id,
-        |    sum(CASE WHEN length(d.w) = 1 THEN 1 ELSE s.n_syms END)::BIGINT
-        |      AS n_bpe
-        |  FROM bdw d LEFT JOIN final s ON d.w = s.w GROUP BY 1)
-        |SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
-        |  coalesce(t.n_bpe, 0)::BIGINT AS n_bpe,
-        |  CASE WHEN coalesce(t.n_bpe, 0) = 0 THEN NULL
-        |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
-        |FROM documents doc LEFT JOIN tok t USING (doc_id)
-        |ORDER BY doc.doc_id""".stripMargin,
+    // argmax by (count DESC, pair key ASC — hex keys are ASCII, so
+    // VARCHAR order IS Spark's UTF-8 byte order, and fixed-width
+    // monotone hex makes that equal byte-sequence order), and applies
+    // it with the one-replace left-to-right rule (see bpeTrainCtes).
+    "text_bpe" -> bpeTrainOracleSql("documents"),
     // E12 encode: the frozen-merge segmentation replay (bpeTokCtes —
     // the artifact inlined into single-quoted SQL literals with a
     // chr(31)-fenced symbol encoding; one replace per merge IS the
@@ -2860,6 +2931,42 @@ object SparkEntry {
       s"""WITH RECURSIVE $bpeIdsCtes
         |SELECT doc_id, pos, id FROM bids
         |ORDER BY doc_id, pos""".stripMargin,
+    // E12 non-ASCII coverage: the SAME byte-level replays, over the
+    // derived multilingual slice (mldocs — Greek/Russian/Chinese
+    // phrases picked and repeated by doc_id, one Scala constant in
+    // both engines). The trainer row learns non-ASCII merges; the
+    // encode/ids rows run the FROZEN vocab on text it never saw —
+    // every id must still be a real base byte or merge id.
+    "text_bpe_utf8" -> bpeTrainOracleSql("mldocs", s"$mlDocsCte,"),
+    "text_bpe_encode_utf8" ->
+      s"""WITH RECURSIVE $mlDocsCte,
+        |${bpeTokCtes("mldocs")}
+        |SELECT doc.doc_id, length(doc.text)::BIGINT AS n_chars,
+        |  coalesce(t.n_bpe, 0)::BIGINT AS n_bpe,
+        |  CASE WHEN coalesce(t.n_bpe, 0) = 0 THEN NULL
+        |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
+        |FROM mldocs doc LEFT JOIN btok t USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
+    "text_bpe_ids_utf8" ->
+      s"""WITH RECURSIVE $mlDocsCte,
+        |${bpeIdsCtes("mldocs")}
+        |SELECT doc_id, pos, id FROM bids
+        |ORDER BY doc_id, pos""".stripMargin,
+    // E13 non-ASCII coverage: per-language fertility over the slice —
+    // the report the byte-level base vocab exists to make meaningful
+    "corpus_tokenizer_stats_utf8" ->
+      s"""WITH RECURSIVE $mlDocsCte,
+        |${bpeTokCtes("mldocs")},
+        |base AS (SELECT d.lang, length(d.text)::BIGINT AS nc,
+        |    len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS nw,
+        |    coalesce(b.n_bpe, 0)::BIGINT AS nt
+        |  FROM mldocs d LEFT JOIN btok b USING (doc_id))
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(nc)::BIGINT AS n_chars, SUM(nw)::BIGINT AS n_words,
+        |  SUM(nt)::BIGINT AS n_tokens,
+        |  round(SUM(nc)::DOUBLE / SUM(nt), 6) AS chars_per_token,
+        |  round(SUM(nt)::DOUBLE / SUM(nw), 6) AS tokens_per_word
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
     "text_pii" ->
       """WITH doc AS (SELECT c_custkey AS id,
         |  'Contact ' || c_name || ' <'

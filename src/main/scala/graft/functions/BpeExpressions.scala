@@ -12,27 +12,60 @@ import org.apache.spark.unsafe.types.UTF8String
   * parallel String arrays (left/right symbol of each ordered merge) —
   * plan constants via `addReferenceObj`, exactly like the hyperplane
   * tables.
+  *
+  * BYTE-LEVEL base alphabet (the GPT-2 / tiktoken convention): a
+  * word's initial symbols are its UTF-8 BYTES, one symbol per byte,
+  * each rendered as a fixed-width 2-char UPPERCASE-HEX string (the
+  * same rendering DuckDB's `hex(encode(w))` produces, which is what
+  * makes the oracle replay byte-exact). Every possible text is
+  * representable in the 256-entry base vocab, so `<unk>` is
+  * unreachable by construction — the whole point of byte-level BPE.
+  * Uppercase hex is order-faithful: it is fixed-width and monotone
+  * per byte ('0'-'9' < 'A'-'F' in ASCII), so unsigned-byte comparison
+  * of hex-rendered symbol strings equals comparison of the underlying
+  * byte sequences — tie-breaks, and therefore learned merge lists,
+  * are a pure function of the corpus bytes. On a pure-ASCII corpus
+  * byte symbols coincide with the old codepoint symbols 1:1, so
+  * token COUNTS (and every n_bpe-derived number downstream) are
+  * unchanged; only the id space moved (base 0..255, merges 256+i).
   */
 object BpeKernel {
 
-  /** Apply the ordered merge list to one word's CODEPOINT symbols
-    * (surrogate pairs stay whole — a per-char split would hand
-    * UTF8String lone surrogates, which encode lossily to '?' and
-    * corrupt both training keys and learned merges on non-BMP text):
-    * for each merge (a, b) in order, replace adjacent (a, b) symbol
-    * occurrences LEFT-TO-RIGHT, NON-OVERLAPPING ("aaa" under (a,a) →
-    * [aa, a]) — the standard BPE application rule.
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** One word's initial BPE symbols: its UTF-8 bytes, one 2-char
+    * uppercase-hex symbol per byte.
+    */
+  def byteSyms(word: String): Array[String] = {
+    val bs = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val v = bs(i) & 0xff
+      out(i) = new String(
+        Array(HexDigits(v >>> 4), HexDigits(v & 0xf)))
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a 2-char uppercase-hex base symbol back to its byte value
+    * 0..255 — the base-vocab id.
+    */
+  def hexByte(sym: String): Int =
+    (Character.digit(sym.charAt(0), 16) << 4) |
+      Character.digit(sym.charAt(1), 16)
+
+  /** Apply the ordered merge list to one word's UTF-8 BYTE symbols
+    * ([[byteSyms]] — byte-level, so non-BMP text needs no surrogate
+    * special-casing and nothing is ever out-of-alphabet): for each
+    * merge (a, b) in order, replace adjacent (a, b) symbol
+    * occurrences LEFT-TO-RIGHT, NON-OVERLAPPING ("aaa" under
+    * (61,61) → [6161, 61]) — the standard BPE application rule.
     */
   def segment(word: String, ma: Array[String],
               mb: Array[String]): Array[String] = {
-    val syms0 = new scala.collection.mutable.ArrayBuffer[String]
-    var ci = 0
-    while (ci < word.length) {
-      val n = Character.charCount(word.codePointAt(ci))
-      syms0 += word.substring(ci, ci + n)
-      ci += n
-    }
-    var syms: Array[String] = syms0.toArray
+    var syms: Array[String] = byteSyms(word)
     var m = 0
     while (m < ma.length && syms.length > 1) {
       val a = ma(m); val b = mb(m)
@@ -49,18 +82,26 @@ object BpeKernel {
     syms
   }
 
-  /** All adjacent-symbol pair keys (`"a b"`, space-separated — symbols
-    * come from whitespace-split words so they can never contain a
-    * space, keeping the separator unambiguous) of one string's words
-    * under the current merges — OVERLAPS INCLUDED ("aaa" yields (a,a)
-    * twice), the standard BPE counting rule; the non-overlap rule
-    * applies at merge time, not count time.
+  /** True iff a word is a single ASCII char — exactly one UTF-8 byte,
+    * so one base symbol, no pairs, no merges: the fast path every
+    * byte-level kernel below takes (a single NON-ASCII char is
+    * multiple bytes and must go through [[segment]]).
+    */
+  @inline private def singleByte(w: String): Boolean =
+    w.length == 1 && w.charAt(0) < 0x80
+
+  /** All adjacent-symbol pair keys (`"a b"`, space-separated — hex
+    * symbols never contain a space, keeping the separator
+    * unambiguous) of one string's words under the current merges —
+    * OVERLAPS INCLUDED ("aaa" yields (61,61) twice), the standard BPE
+    * counting rule; the non-overlap rule applies at merge time, not
+    * count time.
     */
   def adjacentPairs(text: UTF8String, ma: Array[String],
                     mb: Array[String]): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     text.toString.split("\\s+").foreach { w =>
-      if (w.length > 1) {
+      if (w.nonEmpty && !singleByte(w)) {
         val s = segment(w, ma, mb)
         var i = 0
         while (i + 1 < s.length) {
@@ -122,13 +163,16 @@ object BpeKernel {
   }
 
   /** Token-ID array of a string under the merges — the thing a
-    * training loader actually consumes. Symbol→id is the GPT-2 vocab
-    * convention: a single ASCII codepoint is its own id (base vocab
-    * 0..127), merge i's output symbol is id 128+i (first merge wins
-    * on a duplicate output), anything else (non-ASCII base symbol the
-    * frozen vocab never saw) is `unk`. Whitespace carries no id —
-    * ids concatenate across words, so `ids.length` equals
-    * [[tokenCount]] exactly (spec-pinned on the whole sf table).
+    * training loader actually consumes. Symbol→id is the GPT-2
+    * byte-level vocab convention: a single UTF-8 byte is its own id
+    * (base vocab 0..255 — a 2-char hex symbol parses straight to its
+    * id), merge i's output symbol is id 256+i (first merge wins on a
+    * duplicate output). Every symbol [[segment]] can emit is either a
+    * base byte or a merge output, so the reserved `unk` id is
+    * unreachable by construction — kept only as a defensive sentinel.
+    * Whitespace carries no id — ids concatenate across words, so
+    * `ids.length` equals [[tokenCount]] exactly (spec-pinned on the
+    * whole sf table).
     */
   def encodeIds(text: UTF8String, ma: Array[String], mb: Array[String],
                 idMap: java.util.HashMap[String, Integer],
@@ -138,10 +182,8 @@ object BpeKernel {
       m.ma = ma; m.mb = mb; m.chars = 0L; m.ids.clear()
     }
     def idOf(sym: String): Int =
-      if (sym.codePointCount(0, sym.length) == 1) {
-        val cp = sym.codePointAt(0)
-        if (cp < 128) cp else unk
-      } else {
+      if (sym.length == 2) hexByte(sym) // base symbols are exactly 2
+      else {                            // hex chars; merged ones >= 4
         val v = idMap.get(sym)
         if (v == null) unk else v.intValue
       }
@@ -163,7 +205,7 @@ object BpeKernel {
     }
     text.toString.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        if (w.codePointCount(0, w.length) == 1) push(idOf(w))
+        if (singleByte(w)) push(w.charAt(0)) // one ASCII byte = its id
         else {
           val hit = m.ids.get(w)
           if (hit != null) pushAll(hit)
@@ -188,7 +230,9 @@ object BpeKernel {
   }
 
   /** Total BPE token count of a string's whitespace words under the
-    * merges (single-char words count 1 token each).
+    * merges (single-BYTE words — i.e. single ASCII chars — count 1
+    * token each; a single non-ASCII char is several base bytes and
+    * goes through the segmenter like any other word).
     */
   def tokenCount(text: UTF8String, ma: Array[String],
                  mb: Array[String]): Long = {
@@ -199,7 +243,7 @@ object BpeKernel {
     var n = 0L
     text.toString.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        if (w.length == 1) n += 1
+        if (singleByte(w)) n += 1
         else {
           val hit = m.counts.get(w)
           if (hit != null) n += hit.longValue
@@ -294,22 +338,27 @@ object bpe {
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text),
       merges.map(_._1).toArray, merges.map(_._2).toArray))
 
-  /** Merge-output→id map (id = 128 + first merge index producing the
-    * symbol) — the non-base half of the stable vocab; shared by
-    * [[encodeIds]] and [[graft.operators.Bpe.vocab]] so the encode
-    * kernel and the persisted vocab artifact can never disagree.
+  /** Merge-output→id map (id = 256 + first merge index producing the
+    * symbol — the byte-level base vocab owns 0..255) — the non-base
+    * half of the stable vocab; shared by [[encodeIds]] and
+    * [[graft.operators.Bpe.vocab]] so the encode kernel and the
+    * persisted vocab artifact can never disagree.
     */
   def mergeIdMap(merges: Seq[(String, String)])
       : java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + b, Integer.valueOf(128 + i))
+      m.putIfAbsent(a + b, Integer.valueOf(256 + i))
     }
     m
   }
 
-  /** The reserved unknown-symbol id: one past the merge id block. */
-  def unkId(merges: Seq[(String, String)]): Int = 128 + merges.length
+  /** The reserved unknown-symbol id: one past the merge id block.
+    * Unreachable by construction under the byte-level base vocab
+    * (every symbol is either a base byte or a merge output) — kept
+    * as a defensive sentinel so a corrupted artifact fails visibly.
+    */
+  def unkId(merges: Seq[(String, String)]): Int = 256 + merges.length
 
   def encodeIds(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeIds(ColumnBridge.expression(text),

@@ -30,26 +30,31 @@ object Bpe {
 
   /** A FROZEN 48-merge tokenizer artifact — [[train]]'s deterministic
     * output on the sf0.01 documents table, embedded as a constant
-    * (regenerate with `runMain graft.tools.BpeFreeze`). Encoding always
-    * runs under a frozen tokenizer in production (the tokenizer.json
-    * posture: train once, freeze, encode everywhere); freezing also
-    * makes the encode path exactly SQL-replayable, because the merge
-    * list is a plan constant in BOTH engines (the text_bpe_encode
-    * oracle replays these merges with a recursive-CTE segmentation).
+    * (regenerate with `runMain graft.tools.BpeFreeze`). Symbols are
+    * byte-level 2-char-hex (e.g. ("65","72") is the bytes of "er"):
+    * the sf corpus is pure ASCII, so these are exactly the old
+    * codepoint merges in hex clothing and every token COUNT is
+    * unchanged. Encoding always runs under a frozen tokenizer in
+    * production (the tokenizer.json posture: train once, freeze,
+    * encode everywhere); freezing also makes the encode path exactly
+    * SQL-replayable, because the merge list is a plan constant in
+    * BOTH engines (the text_bpe_encode oracle replays these merges
+    * with a recursive-CTE segmentation over `hex(encode(w))` byte
+    * pairs).
     */
   val frozenMerges: Vector[(String, String)] = Vector(
-    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
-    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
-    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
-    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
-    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
-    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
-    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
-    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
-    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
-    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
-    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
-    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"))
+    ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"),
+    ("73", "74"), ("6D", "6572"), ("61", "74"), ("6C", "75"),
+    ("61", "72"), ("70", "6172"), ("6A", "6F"), ("6A6F", "696E"),
+    ("61", "73"), ("6173", "68"), ("68", "617368"), ("72", "6F77"),
+    ("6174", "63"), ("617463", "68"), ("62", "61746368"), ("61", "6E"),
+    ("63", "616E"), ("73", "63616E"), ("63", "6F"), ("63", "75"),
+    ("636F", "6C75"), ("636F6C75", "6D"), ("636F6C756D", "6E"), ("6375", "7374"),
+    ("63757374", "6F"), ("637573746F", "6D6572"), ("66", "69"), ("6669", "6C"),
+    ("66696C", "74"), ("66696C74", "6572"), ("61", "6C"), ("616C", "6C"),
+    ("6D", "616C6C"), ("73", "6D616C6C"), ("67", "65"), ("6C", "6F77"),
+    ("6D6572", "6765"), ("73", "6C6F77"), ("63", "74"), ("6374", "6F72"),
+    ("64", "6572"), ("65", "63746F72"), ("6F72", "646572"), ("76", "6563746F72"))
 
   /** Train `nMerges` ordered merges on the corpus' whitespace words.
     * Stops early if no pair repeats. Returns (left, right) symbol
@@ -90,7 +95,9 @@ object Bpe {
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val vocab = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
-      .filter(length(col("w")) > 1)
+      // byte-level: a word is trainable iff it has >= 2 base symbols,
+      // i.e. >= 2 UTF-8 BYTES — a single non-ASCII char qualifies
+      .filter(octet_length(col("w")) > 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w"))
       .limit(maxVocab)
@@ -263,26 +270,49 @@ object Bpe {
   }
 
   /** The STABLE VOCAB a merge list induces — the id↔token table a
-    * training loader ships next to its tokenizer.json: base ids 0..127
-    * are the ASCII codepoints (every single-ASCII-char symbol is its
-    * own id, the GPT-2 byte-level convention restricted to ASCII),
-    * merge i's output symbol is id 128+i (on a duplicate output —
-    * two merge paths CAN build the same string — the FIRST merge owns
-    * the id and later indices are dead, exactly the
+    * training loader ships next to its tokenizer.json: base ids
+    * 0..255 are the UTF-8 BYTE values (the GPT-2 byte-level
+    * convention; the token string is the byte's 2-char uppercase-hex
+    * symbol, the same rendering every kernel and the DuckDB oracle
+    * use), merge i's output symbol is id 256+i (on a duplicate
+    * output — two merge paths CAN build the same string — the FIRST
+    * merge owns the id and later indices are dead, exactly the
     * [[graft.functions.bpe.mergeIdMap]] rule the encode kernel
-    * applies), and one reserved `<unk>` id caps the table for
-    * out-of-vocab base symbols. Ids are dense-by-construction except
-    * dead duplicate slots, and encode/vocab share one map so they can
-    * never disagree.
+    * applies), and one reserved `<unk>` id caps the table — it is
+    * unreachable by construction (every segmenter output is a base
+    * byte or a merge output) and exists only so a corrupted artifact
+    * fails visibly. Ids are dense-by-construction except dead
+    * duplicate slots, and encode/vocab share one map so they can
+    * never disagree. [[decodeIds]] is the inverse.
     */
   def vocab(merges: Seq[(String, String)]): Seq[(Int, String)] = {
     val m = graft.functions.bpe.mergeIdMap(merges)
-    val base = (0 until 128).map(cp => (cp, cp.toChar.toString))
+    val base = (0 until 256).map(b => (b, f"$b%02X"))
     val merged = merges.zipWithIndex.collect {
-      case ((a, b), i) if m.get(a + b).intValue == 128 + i =>
-        (128 + i, a + b)
+      case ((a, b), i) if m.get(a + b).intValue == 256 + i =>
+        (256 + i, a + b)
     }
     base ++ merged :+ (graft.functions.bpe.unkId(merges), "<unk>")
+  }
+
+  /** Detokenize an id stream through a [[vocab]] table: concatenate
+    * the tokens' hex symbols, parse back to UTF-8 bytes, decode — the
+    * loader-side inverse of [[graft.functions.bpe.encodeIds]]
+    * (whitespace is not recoverable; the round-trip target is the
+    * whitespace-stripped text, spec-pinned).
+    */
+  def decodeIds(ids: Seq[Int], id2tok: Map[Int, String]): String = {
+    val hex = ids.map(id2tok).mkString
+    require(hex.length % 2 == 0 && hex.forall(c =>
+      Character.digit(c, 16) >= 0), "vocab tokens must be hex symbols")
+    val bs = new Array[Byte](hex.length / 2)
+    var i = 0
+    while (i < bs.length) {
+      bs(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+        Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Persist a trained merge list as a tokenizer ARTIFACT — this

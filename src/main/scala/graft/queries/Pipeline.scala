@@ -279,6 +279,75 @@ object Pipeline {
         sum(col("doc_id") * (col("pos") + lit(1L))).as("order_checksum"))
       .orderBy("shard")
 
+  /** Phrases for the DERIVED multilingual slice — ONE definition
+    * shared with SparkEntry's `mldocs` oracle CTE. Greek and Russian
+    * (2-byte UTF-8 alphabets) plus Chinese (3-byte, unsegmented CJK):
+    * the scripts the byte-level tokenizer must represent without
+    * `<unk>`. Keep lowercase-ascii lang codes and quote-free phrases —
+    * the oracle builder inlines them as SQL literals under a guard.
+    */
+  val mlPhrases: Seq[(String, String)] = Seq(
+    ("el", "αλφα βητα γαμμα δελτα εψιλον ζητα"),
+    ("ru", "привет мир поток данных модель слово"),
+    ("zh", "数据 引擎 分词 测试 模型 向量"))
+
+  /** The derived MULTILINGUAL doc slice — the fixture corpus is pure
+    * ASCII, so non-ASCII tokenizer coverage (the whole point of the
+    * byte-level base vocab) is exercised on a slice DERIVED
+    * deterministically from doc_id, identically in both engines: each
+    * doc picks a phrase by doc_id % |phrases| and repeats it
+    * 1 + doc_id % 4 times (repeats make every adjacent byte pair
+    * trainable). Same schema as `documents` (doc_id, lang, text,
+    * source), so every documents-shaped query composes over it.
+    */
+  def multilingualSlice(documents: DataFrame): DataFrame = {
+    val n = mlPhrases.length
+    val pick = pmod(col("doc_id"), lit(n.toLong))
+    def chain(f: ((String, String)) => String) =
+      mlPhrases.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (lp, i)) => when(pick === i, lit(f(lp))).otherwise(acc)
+      }
+    documents
+      .select(col("doc_id"), chain(_._1).as("lang"),
+        chain(_._2).as("phrase"))
+      .select(col("doc_id"), col("lang"),
+        trim(expr(
+          "repeat(phrase || ' ', CAST(1 + doc_id % 4 AS INT))")).as("text"),
+        concat(lit("ml_"), col("lang")).as("source"))
+  }
+
+  /** E12 over the multilingual slice: TRAIN byte-level merges on
+    * non-ASCII text and report per-doc token stats under them — the
+    * row that proves training itself (pair keys, tie-breaks, the
+    * whole recursive replay) is byte-exact beyond ASCII.
+    */
+  def textBpeUtf8(documents: DataFrame): DataFrame =
+    textBpe(multilingualSlice(documents))
+
+  /** E12 encode over the multilingual slice under the FROZEN
+    * (ASCII-corpus-trained) merges — non-Latin words segment to their
+    * raw bytes (no merge fires), so n_bpe = UTF-8 byte count per
+    * word: high fertility, but REAL counts, not `<unk>` fiction.
+    */
+  def textBpeEncodeUtf8(documents: DataFrame): DataFrame =
+    textBpeEncode(multilingualSlice(documents))
+
+  /** E12 encode-to-ids over the multilingual slice — the id stream a
+    * loader would see on non-ASCII text: every id is a real base-byte
+    * or merge id (the unk sentinel is unreachable, spec-pinned).
+    */
+  def textBpeIdsUtf8(documents: DataFrame): DataFrame =
+    textBpeIds(multilingualSlice(documents))
+
+  /** E13 over the multilingual slice: per-language fertility that is
+    * now MEANINGFUL for non-Latin scripts — under the byte-level base
+    * vocab the chars-per-token ratio measures real byte fragmentation
+    * (e.g. a CJK char costs 3 base tokens until merges learn it), not
+    * an `<unk>` collapse.
+    */
+  def corpusTokenizerStatsUtf8(documents: DataFrame): DataFrame =
+    corpusTokenizerStats(multilingualSlice(documents))
+
   /** E13: tokenizer fertility report per language — the number a
     * multilingual pretraining mix checks before committing a
     * tokenizer: chars-per-token and tokens-per-word under the FROZEN

@@ -24,7 +24,8 @@ class BpeSpec extends SparkSpec {
     implicit val byteOrd: Ordering[String] = (x: String, y: String) =>
       java.util.Arrays.compareUnsigned(
         x.getBytes("UTF-8"), y.getBytes("UTF-8"))
-    val freq = texts.flatMap(_.split("\\s+")).filter(_.length > 1)
+    val freq = texts.flatMap(_.split("\\s+"))
+      .filter(_.getBytes("UTF-8").length > 1) // byte-level trainability
       .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
     val segs = scala.collection.mutable.LinkedHashMap.empty[String, Array[String]]
     freq.keys.toSeq.sorted.foreach { w =>
@@ -68,41 +69,47 @@ class BpeSpec extends SparkSpec {
   }
 
   test("kernel: left-to-right non-overlap merges, overlap-included " +
-      "pair counting, token round-trip") {
-    // "aaa" under (a,a): two counted pairs, but one applied merge
+      "pair counting, byte-hex symbols round-trip") {
+    // "aaa" = bytes 61 61 61 under (61,61): two counted pairs
+    // (overlap-included), but one applied merge (left-to-right)
     val pairs = BpeKernel.adjacentPairs(
       org.apache.spark.unsafe.types.UTF8String.fromString("aaa"),
       Array.empty, Array.empty)
-    assert(pairs.numElements() == 2)
-    assert(BpeKernel.segment("aaa", Array("a"), Array("a")).toSeq ==
-      Seq("aa", "a"))
-    // ordered merges compose: (a,b) then (ab,c)
-    assert(BpeKernel.segment("abcabc", Array("a", "ab"), Array("b", "c"))
-      .toSeq == Seq("abc", "abc"))
-    // segments always concatenate back to the word
-    for (w <- Seq("tokenize", "aaaa", "xy", "a"))
-      assert(BpeKernel.segment(w, Array("a", "to", "en"),
-        Array("a", "k", "i")).mkString == w)
-    // non-BMP codepoints stay whole symbols (a per-char split would
-    // yield lone surrogates that UTF8String encodes lossily as '?')
-    val emoji = "😀😀" // two identical emoji
+    assert(pairs.numElements() == 2 &&
+      pairs.getUTF8String(0).toString == "61 61")
+    assert(BpeKernel.segment("aaa", Array("61"), Array("61")).toSeq ==
+      Seq("6161", "61"))
+    // ordered merges compose: (61,62)="ab" then (6162,63)="abc"
+    assert(BpeKernel.segment("abcabc", Array("61", "6162"),
+      Array("62", "63")).toSeq == Seq("616263", "616263"))
+    // segments always concatenate back to the word's byte hex
+    for (w <- Seq("tokenize", "aaaa", "xy", "a", "héllo", "数据"))
+      assert(BpeKernel.segment(w, Array("61", "746F", "656E"),
+        Array("61", "6B", "69")).mkString ==
+        BpeKernel.byteSyms(w).mkString)
+    // non-ASCII is just bytes: one emoji = 4 UTF-8 bytes = 4 base
+    // symbols; a learned 2-byte merge applies inside the codepoint
+    val emoji = "😀😀" // F0 9F 98 80, twice
     val esyms = BpeKernel.segment(emoji, Array.empty, Array.empty)
-    assert(esyms.length == 2 && esyms.forall(_ == "😀"))
-    val epairs = BpeKernel.adjacentPairs(
-      org.apache.spark.unsafe.types.UTF8String.fromString(emoji),
+    assert(esyms.toSeq == Seq("F0", "9F", "98", "80",
+      "F0", "9F", "98", "80"))
+    assert(BpeKernel.segment(emoji, Array("F0"),
+      Array("9F")).length == 6, "merge must apply inside a codepoint")
+    // a single non-ASCII char is NOT single-byte: it has pairs
+    val cjk = BpeKernel.adjacentPairs(
+      org.apache.spark.unsafe.types.UTF8String.fromString("好"),
       Array.empty, Array.empty)
-    assert(epairs.numElements() == 1 &&
-      epairs.getUTF8String(0).toString == "😀 😀",
-      "pair key must carry the whole codepoints")
-    assert(BpeKernel.segment(emoji, Array("😀"),
-      Array("😀")).length == 1, "non-BMP merge must apply")
+    assert(cjk.numElements() == 2, "3-byte char yields 2 adjacent pairs")
   }
 
   test("train: distributed merges equal the reference trainer on a " +
       "crafted corpus AND on the sf documents table") {
     val crafted = Seq(
       "low low low lower lower newest newest newest newest widest",
-      "low lower newest widest widest newest")
+      "low lower newest widest widest newest",
+      // non-ASCII: byte-level pair keys and tie-breaks must agree
+      // with the reference beyond ASCII too
+      "данные данные 数据 数据 δελτα δελτα 好 好")
     val df = crafted.toDF("text")
     val got = Bpe.train(df, "text", nMerges = 12)
     val want = referenceTrain(crafted, 12)
@@ -187,7 +194,7 @@ class BpeSpec extends SparkSpec {
       "size(ids) must equal n_bpe for every doc")
     // 2) decode ids through the persisted vocab and compare against
     // the whitespace-stripped text — the round-trip a loader's
-    // detokenizer performs
+    // detokenizer performs (hex symbols -> bytes -> UTF-8)
     val id2tok = Bpe.vocab(merges).toMap
     val rows = docs.select(col("doc_id"), col("text"),
         graft.functions.bpe.encodeIds(col("text"), merges).as("ids"))
@@ -195,29 +202,70 @@ class BpeSpec extends SparkSpec {
     rows.foreach { r =>
       val want = r.getAs[String]("text").split("\\s+")
         .filter(_.nonEmpty).mkString("")
-      val got = r.getAs[scala.collection.Seq[Int]]("ids").map(id2tok).mkString("")
+      val got = Bpe.decodeIds(
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq, id2tok)
       assert(got == want, s"doc ${r.getLong(0)}: ids must decode back " +
-        "to the concatenated word symbols")
+        "to the concatenated words")
     }
   }
 
-  test("encodeIds: vocab convention — ASCII base ids, merge ids " +
-      "first-wins on duplicate outputs, <unk> for out-of-vocab symbols") {
-    // (a,bc) and (ab,c) both output "abc": the FIRST merge owns the id
-    val dup = Seq(("b", "c"), ("a", "bc"), ("ab", "c"))
+  test("encodeIds: non-ASCII text — size(ids) == n_bpe on the " +
+      "multilingual slice, zero unk ids, byte-exact decode round-trip") {
+    val ml = graft.queries.Pipeline.multilingualSlice(sf("documents"))
+    val merges = Bpe.frozenMerges
+    val unk = graft.functions.bpe.unkId(merges)
+    val joined = Bpe.tokenStats(ml, "doc_id", "text", merges)
+      .join(ml.select(col("doc_id"), col("text"),
+        graft.functions.bpe.encodeIds(col("text"), merges).as("ids")),
+        "doc_id")
+    assert(joined.filter(size(col("ids")) =!= col("n_bpe")).count() == 0L,
+      "size(ids) must equal n_bpe on non-ASCII text")
+    // the unk sentinel must be UNREACHABLE under the byte-level base
+    assert(joined.filter(array_contains(col("ids"), unk)).count() == 0L,
+      "no <unk> id may appear — byte-level base covers everything")
+    val id2tok = Bpe.vocab(merges).toMap
+    joined.select("doc_id", "text", "ids").collect().foreach { r =>
+      val want = r.getAs[String]("text").split("\\s+")
+        .filter(_.nonEmpty).mkString("")
+      val got = Bpe.decodeIds(
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq, id2tok)
+      assert(got == want,
+        s"doc ${r.getLong(0)}: non-ASCII ids must decode back exactly")
+    }
+    // and merges TRAINED on non-ASCII text compress it: the id stream
+    // under slice-trained merges is strictly shorter than base bytes
+    val trained = Bpe.train(ml, "text", nMerges = 24)
+    assert(trained.nonEmpty && trained.forall { case (a, b) =>
+      (a + b).matches("[0-9A-F]+") }, "learned symbols are byte hex")
+    val nBase = ml.select(sum(graft.functions.bpe.tokenCount(
+      col("text"), Seq.empty))).head().getLong(0)
+    val nTrained = ml.select(sum(graft.functions.bpe.tokenCount(
+      col("text"), trained))).head().getLong(0)
+    assert(nTrained < nBase,
+      s"trained merges must compress non-ASCII text: $nTrained >= $nBase")
+  }
+
+  test("encodeIds: vocab convention — byte base ids 0..255, merge ids " +
+      "256+i first-wins on duplicate outputs, non-ASCII is base bytes") {
+    // bytes: a=61 b=62 c=63. (61,6263) and (6162,63) both output
+    // "616263" ("abc"): the FIRST merge owns the id
+    val dup = Seq(("62", "63"), ("61", "6263"), ("6162", "63"))
     val vm = graft.functions.bpe.mergeIdMap(dup)
-    assert(vm.get("abc").intValue == 128 + 1, "first producing merge wins")
+    assert(vm.get("616263").intValue == 256 + 1,
+      "first producing merge wins")
     val voc = Bpe.vocab(dup)
-    assert(voc.count(_._2 == "abc") == 1, "vocab lists a token once")
-    assert(voc.contains((128 + 0, "bc")) && voc.contains((128 + 1, "abc")))
+    assert(voc.count(_._2 == "616263") == 1, "vocab lists a token once")
+    assert(voc.contains((256 + 0, "6263")) &&
+      voc.contains((256 + 1, "616263")))
     assert(voc.last == (graft.functions.bpe.unkId(dup), "<unk>"))
+    assert(voc.take(256).map(_._1) == (0 until 256) &&
+      voc(0xE5)._2 == "E5", "base vocab is the 256 byte values in hex")
     val docs = Seq((0L, "abc xé")).toDF("doc_id", "text")
     val ids = docs.select(graft.functions.bpe.encodeIds(col("text"), dup))
       .head().getAs[scala.collection.Seq[Int]](0)
-    // "abc" -> bc then abc (id 129); "xé" -> 'x' (120) + é (non-ASCII
-    // base symbol) -> <unk>
-    assert(ids.toSeq == Seq(129, 'x'.toInt, graft.functions.bpe.unkId(dup)),
-      s"got $ids")
+    // "abc" -> bc then abc (id 257); "xé" -> 'x' (0x78) + é's two
+    // UTF-8 bytes C3 A9 as base ids — NOT unk: byte-level covers it
+    assert(ids.toSeq == Seq(257, 0x78, 0xC3, 0xA9), s"got $ids")
     // the artifact persists the same table encodeIds uses
     val dir = java.nio.file.Files.createTempDirectory("bpe_voc").toString
     Bpe.saveMerges(spark, dup, dir)
