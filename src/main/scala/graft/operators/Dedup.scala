@@ -388,26 +388,21 @@ object Dedup {
         s"$s was built under a DIFFERENT (k, perms, bands) signature " +
           s"than $dst — band keys are incompatible")
     }
-    val conf = spark.sparkContext.hadoopConfiguration
     val dstRoot = new org.apache.hadoop.fs.Path(s"$dst/buckets")
-    val fs = dstRoot.getFileSystem(conf)
-    var copied = 0L
-    srcs.filterNot(_ == dst).zipWithIndex.foreach { case (src, i) =>
-      StoreMaintenance.partitionDirs(spark,
-          new org.apache.hadoop.fs.Path(s"$src/buckets"), "band")
-        .foreach { case (band, p) =>
-          val out = new org.apache.hadoop.fs.Path(dstRoot, s"band=$band")
-          fs.mkdirs(out)
-          StoreMaintenance.dataFiles(spark, p).foreach { case (f, _) =>
-            org.apache.hadoop.fs.FileUtil.copy(
-              f.getFileSystem(conf), f, fs,
-              new org.apache.hadoop.fs.Path(out, s"merge$i-${f.getName}"),
-              false, conf)
-            copied += 1L
+    // enumerate (src, dst) driver-side (O(bands × shards)), move the
+    // BYTES as a Spark job — merge bandwidth scales with the cluster
+    val pairs = srcs.filterNot(_ == dst).zipWithIndex.flatMap {
+      case (src, i) =>
+        StoreMaintenance.partitionDirs(spark,
+            new org.apache.hadoop.fs.Path(s"$src/buckets"), "band")
+          .flatMap { case (band, p) =>
+            StoreMaintenance.dataFiles(spark, p).map { case (f, _) =>
+              (f.toString, new org.apache.hadoop.fs.Path(dstRoot,
+                s"band=$band/merge$i-${f.getName}").toString)
+            }
           }
-        }
     }
-    copied
+    StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
   /** C25 lifecycle (fsck): integrity report over a [[buildLshIndex]]

@@ -1221,6 +1221,34 @@ object Knn {
     */
   def fsckIvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the integrity checker must REPORT a missing/empty/unreadable
+    // sidecar as the corruption it is, not crash on it (an empty max
+    // would NPE below and the fsck would die exactly when needed)
+    def tryRead(name: String): Either[String, DataFrame] =
+      try {
+        val df = spark.read.parquet(s"$dir/$name")
+        if (df.head(1).isEmpty) Left(s"$name sidecar is EMPTY")
+        else Right(df)
+      } catch {
+        case e: Exception =>
+          Left(s"$name sidecar unreadable: ${
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+      }
+    (tryRead("coarse"), tryRead("codebooks")) match {
+      case (cE, bE) if cE.isLeft || bE.isLeft =>
+        val skip = "skipped: quantizer sidecar corrupt"
+        return Seq(
+          ("coarse_uniform", cE.isRight, if (cE.isLeft) 1L else 0L,
+            cE.left.getOrElse("readable")),
+          ("codebooks_complete", bE.isRight, if (bE.isLeft) 1L else 0L,
+            bE.left.getOrElse("readable")),
+          ("codes_len", false, 0L, skip),
+          ("codes_range", false, 0L, skip),
+          ("ids_unique", false, 0L, skip),
+          ("cells_known", false, 0L, skip)
+        ).toDF("check", "ok", "n_bad", "detail")
+      case _ => ()
+    }
     val coarse = spark.read.parquet(s"$dir/coarse")
     val dimCounts = coarse.groupBy(size(col("centroid")).as("d"))
       .count().collect()
@@ -1289,47 +1317,58 @@ object Knn {
     * code files copied. Single-writer posture; run
     * [[fsckIvfPqIndex]] after (ids_unique catches shard overlap —
     * merge does not dedup across shards, exactly like FAISS). The
-    * copy loop is driver-side and sequential — right for ops cadence;
-    * the copies are fully independent, so a massive merge can hand
-    * the same (src, dst) list to any bulk-copy tool (distcp) and
-    * skip this loop entirely.
+    * (src, dst) file list is enumerated driver-side (O(partitions ×
+    * shards)) but the BYTES move as a Spark job
+    * ([[StoreMaintenance.copyFilesDistributed]]) — merge bandwidth
+    * scales with the cluster, the driver touches no data path.
     */
   def mergeIvfPqIndexes(spark: SparkSession, dst: String,
                         srcs: Seq[String]): Long = {
-    def sidecar(dir: String, name: String): Seq[String] =
-      spark.read.parquet(s"$dir/$name").collect()
-        .map(_.toString).sorted.toSeq
+    // quantizer identity compared on TYPED values (integer key fields
+    // + vector elements), not Row.toString renderings: string equality
+    // is brittle (double formatting, -0.0 vs 0.0) and would refuse a
+    // numerically-identical but re-serialized sidecar
+    def sidecar(dir: String, name: String): Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$dir/$name").collect().map { r =>
+        val (vecFields, keyFields) = r.schema.fields.partition(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        require(vecFields.length == 1,
+          s"$name sidecar must have exactly one vector column")
+        val key = keyFields.map(f =>
+          r.getAs[Number](f.name).intValue()).foldLeft(0)(
+            (h, v) => h * 1000003 + v)
+        (key, r.getAs[scala.collection.Seq[Number]](vecFields.head.name)
+          .map(_.doubleValue()).toSeq)
+      }.sortBy(_._1).toSeq
+    def sameSidecar(a: Seq[(Int, Seq[Double])],
+                    b: Seq[(Int, Seq[Double])]): Boolean =
+      a.size == b.size && a.zip(b).forall { case ((ka, va), (kb, vb)) =>
+        ka == kb && va.size == vb.size &&
+          va.zip(vb).forall { case (x, y) =>
+            java.lang.Double.compare(x + 0.0, y + 0.0) == 0 }
+      }
     val wantCoarse = sidecar(dst, "coarse")
     val wantCbs = sidecar(dst, "codebooks")
     srcs.foreach { s =>
-      require(sidecar(s, "coarse") == wantCoarse,
+      require(sameSidecar(sidecar(s, "coarse"), wantCoarse),
         s"$s was built under a DIFFERENT coarse quantizer than $dst — " +
           "stores with independent quantizers cannot merge")
-      require(sidecar(s, "codebooks") == wantCbs,
+      require(sameSidecar(sidecar(s, "codebooks"), wantCbs),
         s"$s was built under DIFFERENT codebooks than $dst")
     }
-    val conf = spark.sparkContext.hadoopConfiguration
     val dstRoot = new org.apache.hadoop.fs.Path(s"$dst/codes")
-    val fs = dstRoot.getFileSystem(conf)
-    var copied = 0L
-    srcs.filterNot(_ == dst).zipWithIndex.foreach { case (src, i) =>
-      StoreMaintenance.partitionDirs(spark,
-          new org.apache.hadoop.fs.Path(s"$src/codes"), "cell_id")
-        .foreach { case (cell, p) =>
-          val out = new org.apache.hadoop.fs.Path(dstRoot,
-            s"cell_id=$cell")
-          fs.mkdirs(out)
-          StoreMaintenance.dataFiles(spark, p).foreach { case (f, _) =>
-            org.apache.hadoop.fs.FileUtil.copy(
-              f.getFileSystem(conf), f, fs,
-              new org.apache.hadoop.fs.Path(out,
-                s"merge$i-${f.getName}"),
-              false, conf)
-            copied += 1L
+    val pairs = srcs.filterNot(_ == dst).zipWithIndex.flatMap {
+      case (src, i) =>
+        StoreMaintenance.partitionDirs(spark,
+            new org.apache.hadoop.fs.Path(s"$src/codes"), "cell_id")
+          .flatMap { case (cell, p) =>
+            StoreMaintenance.dataFiles(spark, p).map { case (f, _) =>
+              (f.toString, new org.apache.hadoop.fs.Path(dstRoot,
+                s"cell_id=$cell/merge$i-${f.getName}").toString)
+            }
           }
-        }
     }
-    copied
+    StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
   /** D8 (repair): fix what [[fsckIvfPqIndex]] flags, without a rebuild
@@ -1350,6 +1389,12 @@ object Knn {
   def repairIvfPqIndex(spark: SparkSession, dir: String): (Long, Int) = {
     val coarse = spark.read.parquet(s"$dir/coarse")
     val cbs = spark.read.parquet(s"$dir/codebooks")
+    // refuse loudly on an empty quantizer sidecar — repair has no
+    // basis to judge codes without one (fsck reports it; rebuilding
+    // or restoring the sidecar is the operator's call, not surgery's)
+    require(cbs.head(1).nonEmpty && coarse.head(1).nonEmpty,
+      s"$dir quantizer sidecars are empty — run fsckIvfPqIndex; " +
+        "repair cannot proceed without coarse + codebooks")
     val m = cbs.agg(max(col("sub"))).head().getInt(0) + 1
     val ksub = cbs.groupBy(col("sub")).agg(count(lit(1)).as("k"))
       .agg(max(col("k"))).head().getLong(0).toInt
@@ -1858,6 +1903,7 @@ object Knn {
     * when the grid's [lo, hi] no longer covers the data). */
   def appendToSqIndex(delta: DataFrame, idCol: String, vecCol: String,
                       dir: String, dim: Int): Unit = {
+    StoreMaintenance.recoverFlat(delta.sparkSession, s"$dir/codes")
     val (lo, scale) = sqIndexGrid(delta.sparkSession, dir)
     require(lo.length == dim,
       s"index at $dir was built with dim ${lo.length}, caller passed $dim")
@@ -1876,6 +1922,7 @@ object Knn {
   def removeFromSqIndex(deleteIds: DataFrame, idCol: String,
                         dir: String): Long = {
     val spark = deleteIds.sparkSession
+    StoreMaintenance.recoverFlat(spark, s"$dir/codes")
     val ids = deleteIds.select(col(idCol).cast("long").as("neighbor_id"))
       .distinct()
     val codes = spark.read.parquet(s"$dir/codes")
@@ -1909,10 +1956,11 @@ object Knn {
   /** D11b (compact): combine the small files an append-per-batch
     * ingest leaves in the flat codes store — files under `minBytes`
     * merge into one, files at or over it stay byte-identical
-    * (spec-pinned). [[StoreMaintenance.compactFlat]]'s
-    * append-before-delete crash caveat applies (duplicate rows in the
-    * window; single-writer contract bounds it to one call). Returns
-    * (filesCompacted, filesBefore, filesAfter).
+    * (spec-pinned). CRASH-SAFE via the staged-rename journal
+    * ([[StoreMaintenance.compactFlat]]): every open path of this
+    * store sweeps [[StoreMaintenance.recoverFlat]] first, so a
+    * mid-compaction crash can never leave duplicate or missing code
+    * rows at rest. Returns (filesCompacted, filesBefore, filesAfter).
     */
   def compactSqIndex(spark: SparkSession, dir: String,
                      minBytes: Long = 4L << 20): (Int, Long, Long) =
@@ -1921,7 +1969,9 @@ object Knn {
   /** D11b (merge): combine SQ stores built under the SAME affine grid
     * — the [[mergeIvfPqIndexes]] posture for the flat layout: grid
     * identity VERIFIED (same bytes under different grids reconstruct
-    * different vectors), then flat file concatenation. Returns files
+    * different vectors), then flat file concatenation — enumerated
+    * driver-side, BYTES moved as a Spark job
+    * ([[StoreMaintenance.copyFilesDistributed]]). Returns files
     * copied; run [[fsckSqIndex]] after for shard-overlap dups.
     */
   def mergeSqIndexes(spark: SparkSession, dst: String,
@@ -1933,23 +1983,17 @@ object Knn {
         s"$s was built under a DIFFERENT affine grid than $dst — " +
           "codes are not comparable")
     }
-    val conf = spark.sparkContext.hadoopConfiguration
     val dstRoot = new org.apache.hadoop.fs.Path(s"$dst/codes")
-    val fs = dstRoot.getFileSystem(conf)
-    var copied = 0L
-    srcs.filterNot(_ == dst).zipWithIndex.foreach { case (src, i) =>
-      StoreMaintenance.dataFiles(spark,
-          new org.apache.hadoop.fs.Path(s"$src/codes"))
-        .foreach { case (f, _) =>
-          org.apache.hadoop.fs.FileUtil.copy(
-            f.getFileSystem(conf), f, fs,
-            new org.apache.hadoop.fs.Path(dstRoot,
-              s"merge$i-${f.getName}"),
-            false, conf)
-          copied += 1L
-        }
+    val pairs = srcs.filterNot(_ == dst).zipWithIndex.flatMap {
+      case (src, i) =>
+        StoreMaintenance.dataFiles(spark,
+            new org.apache.hadoop.fs.Path(s"$src/codes"))
+          .map { case (f, _) =>
+            (f.toString, new org.apache.hadoop.fs.Path(dstRoot,
+              s"merge$i-${f.getName}").toString)
+          }
     }
-    copied
+    StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
   /** D11b (fsck): [[fsckIvfPqIndex]]'s discipline for the flat SQ8
@@ -1961,9 +2005,29 @@ object Knn {
     */
   def fsckSqIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grid = spark.read.parquet(s"$dir/grid")
-      .select(col("j"), col("lo"), col("scale")).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    StoreMaintenance.recoverFlat(spark, s"$dir/codes")
+    // report a missing/empty/unreadable grid sidecar instead of
+    // crashing on it — the fsckIvfPqIndex guard for the flat store
+    val gridE: Either[String, Array[(Int, Double, Double)]] =
+      try {
+        val g = spark.read.parquet(s"$dir/grid")
+          .select(col("j"), col("lo"), col("scale")).collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        if (g.isEmpty) Left("grid sidecar is EMPTY") else Right(g)
+      } catch {
+        case e: Exception => Left(s"grid sidecar unreadable: ${
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+      }
+    if (gridE.isLeft) {
+      val skip = "skipped: grid sidecar corrupt"
+      return Seq(
+        ("grid_complete", false, 1L, gridE.left.getOrElse("")),
+        ("codes_len", false, 0L, skip),
+        ("codes_range", false, 0L, skip),
+        ("ids_unique", false, 0L, skip)
+      ).toDF("check", "ok", "n_bad", "detail")
+    }
+    val grid = gridE.toOption.get
     val dim = grid.map(_._1).max + 1
     val gridBad =
       (0 until dim).count(j => grid.count(_._1 == j) != 1).toLong +
@@ -2047,6 +2111,7 @@ object Knn {
                     idCol: String, vecCol: String, dim: Int, k: Int,
                     corpus: DataFrame, overscan: Int = 4,
                     salts: Int = 32): DataFrame = {
+    StoreMaintenance.recoverFlat(spark, s"$dir/codes")
     val (lo, scale) = sqIndexGrid(spark, dir)
     require(lo.length == dim,
       s"index at $dir was built with dim ${lo.length}, caller passed $dim")

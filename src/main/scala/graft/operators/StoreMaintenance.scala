@@ -87,6 +87,27 @@ private[graft] object StoreMaintenance {
     val rows = spark.read.parquet(root)
       .filter(col(partCol).isin(fragged.map(Integer.valueOf): _*))
       .localCheckpoint()
+    // a fragmented partition whose files hold ZERO rows gets nothing
+    // from dynamic overwrite (it writes no output there, so the stale
+    // files would persist and every rerun would re-report the
+    // partition as compacted): delete those partition dirs directly
+    val nonEmpty = rows.groupBy(col(partCol)).agg(count(lit(1)))
+      .collect().map(_.getInt(0)).toSet
+    val emptyFragged = fragged.filterNot(nonEmpty)
+    if (emptyFragged.nonEmpty) {
+      val fs = rootPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      emptyFragged.foreach { v =>
+        fs.delete(new Path(rootPath, s"$partCol=$v"), true)
+      }
+    }
+    val liveFragged = fragged.filter(nonEmpty)
+    if (liveFragged.isEmpty) {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet diff persistedBefore)
+        .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+      return (fragged.size, nBefore, census().values.map(_.toLong).sum)
+    }
     try {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
@@ -96,7 +117,7 @@ private[graft] object StoreMaintenance {
       // to literally ONE file would recreate the unsplittable-blob
       // problem compaction exists to avoid); default 0 = one file per
       // partition, right at test/ops scale
-      val w = rows.repartition(fragged.size, col(partCol))
+      val w = rows.repartition(liveFragged.size, col(partCol))
         .write.mode("overwrite")
       val w2 = if (maxRecordsPerFile > 0L)
         w.option("maxRecordsPerFile", maxRecordsPerFile) else w
@@ -113,25 +134,112 @@ private[graft] object StoreMaintenance {
     (fragged.size, nBefore, census().values.map(_.toLong).sum)
   }
 
+  /** The flat-store compaction staging dir — `_`-prefixed, so every
+    * parquet reader treats it (and everything inside) as hidden. */
+  private val CompactTmp = "_compact_tmp"
+
+  /** Write a small text file (one string per line) at `p`, replacing
+    * any existing one. */
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                         lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Open-time sweep for a flat store: finish or undo a crashed
+    * [[compactFlat]] so the store's row set is EXACTLY correct at
+    * every recovery point — no duplicates, no loss. The journal is
+    * the staging dir itself (`dir/_compact_tmp`, hidden from parquet
+    * readers):
+    *
+    *  - no `staged.done` marker → the crash hit while staging:
+    *    nothing was published (publishing starts only after the
+    *    marker), so ROLL BACK — delete the staging dir; sources are
+    *    untouched.
+    *  - marker present, staged files remain → the crash hit
+    *    mid-publish: ROLL BACK — delete the published targets listed
+    *    in `publish.list` that made it out, then the staging dir;
+    *    sources are untouched (they are deleted only after publish
+    *    completes).
+    *  - marker present, no staged files left → publish completed: the
+    *    crash hit during source deletion. ROLL FORWARD — delete the
+    *    sources listed in `sources.list` that still exist, then the
+    *    staging dir.
+    *
+    * Idempotent (each pass converges to "no staging dir") and cheap
+    * (one listing when the dir is absent — the steady state). Returns
+    * true iff a crashed compaction was repaired.
+    */
+  def recoverFlat(spark: SparkSession, dir: String): Boolean = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dirPath, CompactTmp)
+    if (!fs.exists(tmp)) return false
+    val marker = new Path(tmp, "staged.done")
+    val staged = new Path(tmp, "staged")
+    if (!fs.exists(marker)) {
+      fs.delete(tmp, true) // staging never finished: nothing published
+      return true
+    }
+    val stagedLeft = dataFiles(spark, staged)
+    if (stagedLeft.nonEmpty) {
+      // publish incomplete: undo the published subset
+      readLines(fs, new Path(tmp, "publish.list"))
+        .map(n => new Path(dirPath, n))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+      fs.delete(tmp, true)
+    } else {
+      // publish complete: finish deleting the replaced sources
+      readLines(fs, new Path(tmp, "sources.list"))
+        .map(new Path(_))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+      fs.delete(tmp, true)
+    }
+    true
+  }
+
   /** Compact a FLAT store (`dir/part-*.parquet`, no partition dirs):
     * data files smaller than `minBytes` are read (by explicit path —
-    * nothing else is scanned), their rows appended back as one
-    * combined file, and the originals deleted; files at or over
-    * `minBytes` stay byte-identical. Needs at least two small files
-    * to act. Append-before-delete, the removeFromSqIndex crash
-    * posture: a crash between the append and the deletes leaves
-    * DUPLICATE rows (the old small files plus the combined file) —
-    * unlike the LSH probe path, a codes store's consumers do not
-    * dedup, so recovery after a mid-compaction crash is `remove` the
-    * duplicated ids and re-append them, or restore from the previous
-    * files; the single-writer contract makes the window one
-    * maintenance call, not steady state. Returns
-    * (filesCompacted, dataFilesBefore, dataFilesAfter).
+    * nothing else is scanned) and rewritten as one combined file
+    * (split at `targetBytes`); files at or over `minBytes` stay
+    * byte-identical. Needs at least two small files to act.
+    *
+    * CRASH-SAFE (the G7 `_compact_tmp` discipline): the combined
+    * output is staged under the hidden `dir/_compact_tmp/staged/`,
+    * journaled (`sources.list` = files to replace, `publish.list` =
+    * names to publish, `staged.done` = staging-complete marker),
+    * published into `dir` by per-file RENAME, and only then are the
+    * source files deleted and the staging dir dropped. A crash at ANY
+    * point leaves a store that [[recoverFlat]] — run here on entry
+    * and by the stores' open paths — restores to an exact row set:
+    * before the marker nothing is visible to readers; after it the
+    * journal decides roll-back (publish incomplete) vs roll-forward
+    * (source deletion incomplete). Duplicates can exist only INSIDE
+    * the publish window of a live, single-writer call — never at
+    * rest. Returns (filesCompacted, dataFilesBefore, dataFilesAfter).
     */
   def compactFlat(spark: SparkSession, dir: String,
                   minBytes: Long,
                   targetBytes: Long = 128L << 20): (Int, Long, Long) = {
+    recoverFlat(spark, dir) // sweep a previous crash first
     val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = dataFiles(spark, dirPath)
     val smallStats = before.filter(_._2 < minBytes)
     val small = smallStats.map(_._1)
@@ -141,14 +249,26 @@ private[graft] object StoreMaintenance {
     // unsplittable giant
     val nOut = math.max(1L,
       (smallStats.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(dirPath, CompactTmp)
+    val staged = new Path(tmp, "staged")
+    fs.mkdirs(tmp)
+    writeLines(fs, new Path(tmp, "sources.list"), small.map(_.toString))
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val rows = spark.read.parquet(small.map(_.toString): _*)
       .coalesce(nOut).localCheckpoint()
     try {
-      rows.write.mode("append").parquet(dir)
-      val fs = dirPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
+      rows.write.mode("overwrite").parquet(staged.toString)
+      // publish names carry the staged part names (job-UUID-unique),
+      // prefixed so a human can tell compaction output from appends
+      val parts = dataFiles(spark, staged).map(_._1)
+      val targets = parts.map(p => s"compact-${p.getName}")
+      writeLines(fs, new Path(tmp, "publish.list"), targets)
+      fs.create(new Path(tmp, "staged.done"), true).close()
+      parts.zip(targets).foreach { case (p, t) =>
+        fs.rename(p, new Path(dirPath, t))
+      }
       small.foreach(fs.delete(_, false))
+      fs.delete(tmp, true)
     } finally {
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet diff persistedBefore)
@@ -156,6 +276,40 @@ private[graft] object StoreMaintenance {
     }
     (small.size, before.size.toLong,
       dataFiles(spark, dirPath).size.toLong)
+  }
+
+  /** Copy (src, dst) file pairs AS A SPARK JOB — one task per file
+    * batch — so a store merge's bandwidth scales with the cluster
+    * instead of being a single-threaded `FileUtil.copy` loop on the
+    * driver (merging N 100-GB shard stores must not be a
+    * driver-NIC-bound job). This is the rare legitimate imperative-RDD
+    * case this repo reserves for per-partition FS IO with no row
+    * semantics. The copies are independent (distinct targets), so
+    * task retries and speculative duplicates are safe: `overwrite =
+    * true` makes the last writer win with identical bytes. Targets'
+    * parent dirs are created by the destination FS `create` call.
+    * Returns the number of files copied.
+    */
+  def copyFilesDistributed(spark: SparkSession,
+                           pairs: Seq[(String, String)],
+                           filesPerTask: Int = 4): Long = {
+    if (pairs.isEmpty) return 0L
+    val bc = org.apache.spark.graftbridge.ConfBridge
+      .broadcastConf(spark.sparkContext)
+    val slices = math.max(1,
+      (pairs.size + filesPerTask - 1) / filesPerTask)
+    spark.sparkContext.parallelize(pairs, slices)
+      .foreachPartition { it =>
+        val conf = org.apache.spark.graftbridge.ConfBridge.conf(bc)
+        it.foreach { case (s, d) =>
+          val sp = new Path(s)
+          val dp = new Path(d)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+            false, true, conf)
+        }
+      }
+    pairs.size.toLong
   }
 
   /** Per-partition health report for a Hive-partitioned store:

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Crash-safety of the flat-store compaction journal
+  * ([[StoreMaintenance.compactFlat]] / [[StoreMaintenance.recoverFlat]])
+  * — the FoldEconomicsSpec worst-window discipline for the SQ-style
+  * codes dir: every intermediate state a crash can leave is
+  * MANUFACTURED on disk exactly as the protocol would leave it, then
+  * the open-time sweep must restore an exact row set (no duplicates,
+  * no loss) and remove the journal.
+  */
+class StoreMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(batches: Int = 4,
+                         rowsPerBatch: Int = 50): (String, Set[Long]) = {
+    val dir = java.nio.file.Files.createTempDirectory("flat_store")
+      .toString
+    (0 until batches).foreach { b =>
+      (0 until rowsPerBatch).map(i => (b * 1000L + i, s"v$b-$i"))
+        .toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val want = spark.read.parquet(dir).select("id").as[Long]
+      .collect().toSet
+    (dir, want)
+  }
+
+  private def fs(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readIds(dir: String): Seq[Long] =
+    spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+
+  private def writeLines(dir: String, name: String,
+                         lines: Seq[String]): Unit = {
+    val out = fs(dir).create(new Path(dir, s"_compact_tmp/$name"), true)
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("compactFlat: end-to-end — small files merge, rows exact, " +
+      "journal gone, rerun is a no-op") {
+    val (dir, want) = freshStore()
+    val before = StoreMaintenance.dataFiles(spark, new Path(dir))
+    assert(before.size == 4)
+    val (n, fb, fa) = StoreMaintenance.compactFlat(spark, dir,
+      minBytes = 1L << 20)
+    assert(n == 4 && fb == 4L && fa == 1L)
+    assert(readIds(dir).sorted == want.toSeq.sorted, "row set unchanged")
+    assert(readIds(dir).size == want.size, "no duplicates")
+    assert(!fs(dir).exists(new Path(dir, "_compact_tmp")),
+      "journal removed on success")
+    val (n2, _, _) = StoreMaintenance.compactFlat(spark, dir, 1L << 20)
+    assert(n2 == 0, "rerun finds nothing to compact")
+  }
+
+  test("recoverFlat: crash BEFORE the staged.done marker rolls back — " +
+      "store reads the original rows, journal swept") {
+    val (dir, want) = freshStore()
+    val sources = StoreMaintenance.dataFiles(spark, new Path(dir))
+      .map(_._1.toString)
+    // manufacture the mid-staging state: journal + partial staged
+    // output, NO marker (publishing cannot have started)
+    writeLines(dir, "sources.list", sources)
+    spark.read.parquet(sources.head)
+      .write.mode("overwrite").parquet(s"$dir/_compact_tmp/staged")
+    assert(StoreMaintenance.recoverFlat(spark, dir), "repair reported")
+    assert(readIds(dir).sorted == want.toSeq.sorted,
+      "roll-back leaves the original row set")
+    assert(!fs(dir).exists(new Path(dir, "_compact_tmp")))
+    assert(!StoreMaintenance.recoverFlat(spark, dir), "sweep idempotent")
+  }
+
+  test("recoverFlat: crash MID-PUBLISH (marker present, staged files " +
+      "remain) rolls back the published subset — no duplicate rows") {
+    val (dir, want) = freshStore()
+    val sources = StoreMaintenance.dataFiles(spark, new Path(dir))
+      .map(_._1.toString)
+    // stage the REAL combined output, journal it, publish ONE file,
+    // leave the rest staged — the exact mid-publish crash frame
+    spark.read.parquet(sources: _*).repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/_compact_tmp/staged")
+    val staged = StoreMaintenance.dataFiles(spark,
+      new Path(s"$dir/_compact_tmp/staged")).map(_._1)
+    assert(staged.size == 3)
+    val targets = staged.map(p => s"compact-${p.getName}")
+    writeLines(dir, "sources.list", sources)
+    writeLines(dir, "publish.list", targets)
+    fs(dir).create(new Path(dir, "_compact_tmp/staged.done"), true).close()
+    fs(dir).rename(staged.head, new Path(dir, targets.head))
+    // a naive reader NOW would see duplicates; recovery must undo
+    assert(StoreMaintenance.recoverFlat(spark, dir))
+    val got = readIds(dir)
+    assert(got.sorted == want.toSeq.sorted && got.size == want.size,
+      "published subset rolled back: original rows, no dups")
+    assert(!fs(dir).exists(new Path(dir, "_compact_tmp")))
+  }
+
+  test("recoverFlat: crash AFTER publish, MID-SOURCE-DELETE rolls " +
+      "forward — combined rows only, no duplicates, no loss") {
+    val (dir, want) = freshStore()
+    val sources = StoreMaintenance.dataFiles(spark, new Path(dir))
+      .map(_._1.toString)
+    spark.read.parquet(sources: _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_compact_tmp/staged")
+    val staged = StoreMaintenance.dataFiles(spark,
+      new Path(s"$dir/_compact_tmp/staged")).map(_._1)
+    val targets = staged.map(p => s"compact-${p.getName}")
+    writeLines(dir, "sources.list", sources)
+    writeLines(dir, "publish.list", targets)
+    fs(dir).create(new Path(dir, "_compact_tmp/staged.done"), true).close()
+    staged.zip(targets).foreach { case (p, t) =>
+      fs(dir).rename(p, new Path(dir, t))
+    }
+    // crash frame: publish complete, only ONE source deleted so far
+    fs(dir).delete(new Path(sources.head), false)
+    assert(StoreMaintenance.recoverFlat(spark, dir))
+    val got = readIds(dir)
+    assert(got.sorted == want.toSeq.sorted && got.size == want.size,
+      "roll-forward finishes source deletion: exact combined rows")
+    val left = StoreMaintenance.dataFiles(spark, new Path(dir))
+    assert(left.size == 1 && left.head._1.getName.startsWith("compact-"),
+      "only the published combined file remains")
+  }
+
+  test("compactSqIndex: a crashed mid-publish compaction is swept by " +
+      "the store's own open paths — search answers are unaffected") {
+    val dim = 8
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("sq_crash")
+      .toString
+    Knn.buildSqIndex(corpus, "id", "vec", dir, dim)
+    // fragment the store with two appends, then manufacture the
+    // mid-publish crash frame against the REAL codes dir
+    val extra = (100L until 130L).map { i =>
+      (i, Array.tabulate(dim)(j => math.cos(i * 17 + j).toFloat))
+    }.toDF("id", "vec")
+    Knn.appendToSqIndex(extra, "id", "vec", dir, dim)
+    val codesDir = s"$dir/codes"
+    val sources = StoreMaintenance.dataFiles(spark, new Path(codesDir))
+      .map(_._1.toString)
+    val wantRows = spark.read.parquet(codesDir).count()
+    spark.read.parquet(sources: _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$codesDir/_compact_tmp/staged")
+    val staged = StoreMaintenance.dataFiles(spark,
+      new Path(s"$codesDir/_compact_tmp/staged")).map(_._1)
+    val targets = staged.map(p => s"compact-${p.getName}")
+    writeLines(codesDir, "sources.list", sources)
+    writeLines(codesDir, "publish.list", targets)
+    fs(codesDir).create(
+      new Path(codesDir, "_compact_tmp/staged.done"), true).close()
+    fs(codesDir).rename(staged.head, new Path(codesDir, targets.head))
+    // the next open (fsck here) must sweep, then see exact rows
+    val fsck = Knn.fsckSqIndex(spark, dir)
+    assert(fsck.filter(!col("ok")).count() == 0,
+      "post-recovery store is clean")
+    assert(spark.read.parquet(codesDir).count() == wantRows,
+      "no duplicate / missing code rows after recovery")
+  }
+
+  test("compactPartitioned: a fragmented partition whose files hold " +
+      "zero rows is deleted outright, not re-reported forever") {
+    val dir = java.nio.file.Files.createTempDirectory("part_store")
+      .toString
+    Seq((1, 10L), (1, 11L), (2, 20L)).toDF("cell", "v")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    // manufacture a fragmented EMPTY partition: two zero-row files
+    val empty = Seq.empty[(Int, Long)].toDF("cell", "v").coalesce(1)
+    val deadDir = s"$dir/cell=9"
+    empty.select(col("v")).write.mode("append").parquet(deadDir)
+    empty.select(col("v")).write.mode("append").parquet(deadDir)
+    assert(StoreMaintenance.dataFiles(spark, new Path(deadDir)).size == 2)
+    val (n1, _, _) = StoreMaintenance.compactPartitioned(spark, dir,
+      "cell", maxFilesPerPartition = 1)
+    assert(n1 >= 1, "the dead partition counts as compacted work")
+    assert(!fs(dir).exists(new Path(deadDir)),
+      "zero-row fragmented partition is deleted")
+    assert(spark.read.parquet(dir).count() == 3, "live rows unchanged")
+    val (n2, _, _) = StoreMaintenance.compactPartitioned(spark, dir,
+      "cell", maxFilesPerPartition = 1)
+    assert(n2 == 0, "rerun reports nothing — the leak is closed")
+  }
+}

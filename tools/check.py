@@ -32,10 +32,17 @@ def norm(tbl):
 def main():
     argv = list(sys.argv[1:])
     json_path = None
+    usage = "usage: check.py <sfDir> <verifyOutDir> [--json <path>] [query ...]"
     if "--json" in argv:
         i = argv.index("--json")
+        # a trailing --json with no path must die with a usage line, not
+        # an IndexError traceback after the expensive Spark run
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit(usage)
         json_path = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit(usage)
     sfdir, outdir = argv[0], argv[1]
     only = set(argv[2:])
     record = {}
