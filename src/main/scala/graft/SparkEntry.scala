@@ -106,6 +106,11 @@ object SparkEntry {
       Pipeline.dedupNgramJaccard(t(s, d, "documents"))),
     "dedup_recall" -> ((s, d) =>
       Pipeline.dedupRecall(t(s, d, "documents"))),
+    // C35 at corpus scale: same report over a deterministic 20%
+    // salted-hash doc slice (exact truth is duplicate-quadratic by
+    // construction; the slice is the 100x-recordable posture)
+    "dedup_recall_sampled" -> ((s, d) =>
+      Pipeline.dedupRecallSampled(t(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
     "dedup_semantic" -> ((s, d) =>
@@ -299,15 +304,19 @@ object SparkEntry {
       |m5 AS (SELECT doc_id, fp, list_transform(v, h -> xor(h, h >> 33)) AS v FROM m4)""".stripMargin
 
   /** The shared `w` (positioned words) + `fnv` (FNV-1a per word) CTE
-    * prefix every word-shingle replay builds on.
+    * prefix every word-shingle replay builds on; `src` lets the
+    * sampled-slice recall row point the whole chain at a filtered
+    * docs CTE.
     */
-  private def wordFnvCte: String = {
+  private def wordFnvCte: String = wordFnvCte("documents")
+
+  private def wordFnvCte(src: String): String = {
     val M64 = "18446744073709551615::HUGEINT"
     s"""w AS (
       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
       |  FROM (SELECT doc_id,
       |          list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS ws
-      |        FROM documents)),
+      |        FROM $src)),
       |fnv AS MATERIALIZED (
       |  SELECT doc_id, idx,
       |    list_reduce(
@@ -349,8 +358,10 @@ object SparkEntry {
       .stripMargin
   }
 
-  private def shingleSetCte(k: Int): String =
-    s"""$wordFnvCte,
+  private def shingleSetCte(k: Int): String = shingleSetCte(k, "documents")
+
+  private def shingleSetCte(k: Int, src: String): String =
+    s"""${wordFnvCte(src)},
       |${shingleSetTail(k, "")}""".stripMargin
 
   /** The distinct-shingle-set chain WITHOUT the shared [[wordFnvCte]]
@@ -421,6 +432,12 @@ object SparkEntry {
 
   private lazy val minhashCte: String =
     s"""${shingleSetCte(3)},
+      |${minhashBody("f5")}""".stripMargin
+
+  /** [[minhashCte]] over an arbitrary docs CTE/table — the
+    * sampled-slice recall row replays the C3 chain on the slice. */
+  private def minhashCteOver(src: String): String =
+    s"""${shingleSetCte(3, src)},
       |${minhashBody("f5")}""".stripMargin
 
   /** Hyperplane table for the LSH oracles, emitted from the REAL
@@ -1601,6 +1618,30 @@ object SparkEntry {
     // C3 chain) — COUNT(non-null) is the hit count
     "dedup_recall" ->
       s"""WITH $minhashCte,
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS c
+        |  FROM f5 a JOIN f5 b ON a.v = b.v AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT s.doc_a, s.doc_b
+        |  FROM shared s JOIN sets sa ON s.doc_a = sa.doc_id
+        |                JOIN sets sb ON s.doc_b = sb.doc_id
+        |  WHERE s.c::DOUBLE / (sa.n + sb.n - s.c) >= 0.7),
+        |found AS (SELECT doc_a, doc_b FROM jac
+        |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7)
+        |SELECT COUNT(*)::BIGINT AS n_truth,
+        |  COUNT(f.doc_a)::BIGINT AS n_found,
+        |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
+        |FROM truth t LEFT JOIN found f
+        |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
+    // C35 sampled: the SAME naive-truth replay, every CTE pointed at a
+    // deterministic salted-hash 20% slice (the C8 hashKey predicate,
+    // threshold derived from the ONE shared Scala constant)
+    "dedup_recall_sampled" ->
+      s"""WITH sdocs AS (SELECT * FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 4) <
+        |    '${_root_.graft.operators.Sampling.hexThreshold(
+               _root_.graft.queries.Pipeline.recallSampleFrac)}'),
+        |${minhashCteOver("sdocs")},
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    COUNT(*) AS c
         |  FROM f5 a JOIN f5 b ON a.v = b.v AND a.doc_id < b.doc_id

@@ -714,16 +714,35 @@ object Dedup {
     *
     * Returns ONE row: (n_truth, n_found, recall).
     *
-    * Scale posture: the inverted-index join's cost is Σ_shingle df²
-    * — fine wherever exact truth is affordable (eval slices, CI
-    * corpora); at 100 TB you run it on a sampled doc slice (pass the
-    * sample as `docs`, the knn_recall amortization) and/or cap hot
-    * shingles' df upstream. The LSH side is the production pipeline
-    * unchanged.
+    * Scale posture — `sampleFrac`: exact truth is quadratic in the
+    * duplicate structure BY CONSTRUCTION (even prefix-filtered, a
+    * duplicate-storm corpus where every doc shares shingles with
+    * hundreds of partners explodes), so at corpus scale the report
+    * runs on a deterministic salted-hash DOC SLICE (the C8
+    * machinery: membership depends only on (id, seed), never on
+    * partitioning): both the truth side and the LSH side see the
+    * same slice, so the ratio is banding recall over within-slice
+    * pairs — an unbiased estimate of the corpus number, at
+    * slice-quadratic cost (spec-pinned: the sampled report EQUALS
+    * the full report over the pre-filtered slice). `sampleFrac = 1`
+    * (the gate default) is the exact report; hot-shingle df caps
+    * upstream compose when even the slice is stormy.
     */
   def lshRecall(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3, perms: Int = 128, bands: Int = 16,
-                threshold: Double = 0.7): DataFrame = {
+                threshold: Double = 0.7, sampleFrac: Double = 1.0,
+                seed: Long = 42L): DataFrame = {
+    require(sampleFrac > 0 && sampleFrac <= 1,
+      s"sampleFrac must be in (0, 1], got $sampleFrac")
+    val docsIn = if (sampleFrac >= 1.0) docs
+      else docs.filter(Sampling.hashKey(col(idCol), seed) <
+        lit(Sampling.hexThreshold(sampleFrac)))
+    lshRecallExact(docsIn, idCol, textCol, k, perms, bands, threshold)
+  }
+
+  private def lshRecallExact(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int, perms: Int,
+                             bands: Int, threshold: Double): DataFrame = {
     // TRUTH via prefix filtering (the SSJoin/PPJoin family): a naive
     // shingle-inverted-index join is Σ_v df(v)² — quadratic wherever
     // hot shingles exist (a small shared vocabulary, boilerplate

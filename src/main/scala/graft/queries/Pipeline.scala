@@ -118,6 +118,24 @@ object Pipeline {
     Dedup.lshRecall(documents, "doc_id", "text",
       k = 3, perms = 128, bands = 16, threshold = 0.7)
 
+  /** The sampled-slice fraction of [[dedupRecallSampled]] — ONE
+    * constant shared with the oracle's slice predicate. */
+  val recallSampleFrac = 0.2
+
+  /** C35 at corpus scale: the same banding-recall report over a
+    * deterministic 20% salted-hash doc slice ([[Dedup.lshRecall]]'s
+    * `sampleFrac` — the C8 machinery). Exact truth is quadratic in
+    * the duplicate structure BY CONSTRUCTION, so the corpus-scale
+    * posture evaluates recall on a slice: both legs see the same
+    * docs, the ratio estimates the corpus number at slice-quadratic
+    * cost. This row is the one the 100× scale harness records —
+    * the full-truth row stays the gate's exact report.
+    */
+  def dedupRecallSampled(documents: DataFrame): DataFrame =
+    Dedup.lshRecall(documents, "doc_id", "text",
+      k = 3, perms = 128, bands = 16, threshold = 0.7,
+      sampleFrac = recallSampleFrac, seed = 42L)
+
   /** C6: embedding-cosine near-dup pairs (θ ≥ 0.4 — the synthetic
     * embeddings top out near cosine 0.51) via hyperplane LSH blocking.
     * 12 bands × 6 planes: recall ~0.62–0.68 vs brute-force truth

@@ -80,16 +80,20 @@ object BenchScale {
     // answer to knn_range_ivf's structural corpus-linear assignment,
     // now measured), and the end-to-end tensor export (curate ∘ anneal
     // ∘ pack-ids ∘ shard write as ONE plan)
-    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed")
+    "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed",
+    // round 14: the sampled-slice recall report — the posture that
+    // makes the recall number recordable at 100x (see below)
+    "dedup_recall_sampled")
   // dedup_recall (round 13, second half) is deliberately NOT in the
   // 100x set: the replication's CLOSED ~30k-shingle vocabulary gives
   // every doc hundreds of shingle-sharing partners at x100 (avg df
   // ~870), so EXACT truth has a quadratic candidate space there by
   // data construction, whatever the algorithm — measured: the naive
   // inverted join OOMs, and even prefix-filtered candidates are ~2e9.
-  // That regime is exactly what lshRecall's documented sampled-slice
-  // posture is for; the 10x row (open-ish df, prefix filtering) is
-  // the linear-growth proof the harness can honestly provide.
+  // That regime is exactly what lshRecall's sampled-slice mode is
+  // for — dedup_recall_sampled (20% slice ⇒ 4% of the pair space)
+  // IS in the 100x set and records the cell; the full-truth 10x row
+  // (open-ish df, prefix filtering) stays the linear-growth proof.
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -687,6 +687,31 @@ class DedupSpec extends SparkSpec {
   }
 
 
+  test("lshRecall sampleFrac: the sampled report EQUALS the full " +
+      "report over the pre-filtered slice, and the slice is the C8 " +
+      "salted-hash predicate") {
+    val frac = 0.4
+    val sampled = Dedup.lshRecall(docs, "doc_id", "text",
+      sampleFrac = frac, seed = 42L).collect()(0)
+    // the C8 predicate applied by hand, then the FULL exact report
+    val slice = docs.filter(Sampling.hashKey(col("doc_id"), 42L) <
+      lit(Sampling.hexThreshold(frac)))
+    val full = Dedup.lshRecall(slice, "doc_id", "text").collect()(0)
+    assert(sampled.toString == full.toString,
+      s"sampled $sampled != full-over-slice $full")
+    // the slice is real (strictly smaller than the corpus) and the
+    // sampled truth is a subset of the corpus truth
+    val nAll = Dedup.lshRecall(docs, "doc_id", "text").collect()(0)
+      .getAs[Long]("n_truth")
+    assert(slice.count() < docs.count() && slice.count() > 0)
+    assert(sampled.getAs[Long]("n_truth") <= nAll)
+    // frac = 1 is byte-identical to the default full report
+    val one = Dedup.lshRecall(docs, "doc_id", "text", sampleFrac = 1.0)
+      .collect()(0)
+    val base = Dedup.lshRecall(docs, "doc_id", "text").collect()(0)
+    assert(one.toString == base.toString)
+  }
+
   test("lshRecall boundary: a pair at exactly J = 0.7 lands in truth — " +
       "the prefix length and tau-scaled filters never round it out") {
     // k=1 shingles (single words): |A| = |B| = 17, 14 shared ->
