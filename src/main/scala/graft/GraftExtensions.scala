@@ -342,7 +342,8 @@ object GraftExtensions {
         "graft_knn_index_compact(dir[, max_files_per_cell]) - " +
           "CALL-style: coalesce fragmented cell partitions of a " +
           "persisted IVFxPQ index, return the post-compaction " +
-          "per-cell stats"),
+          "per-cell stats. The maintenance side effect runs at plan " +
+          "RESOLUTION (EXPLAIN triggers it too)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val dir = strArg(args(0), "graft_knn_index_compact")
@@ -355,7 +356,9 @@ object GraftExtensions {
       info("graft_knn_index_repair",
         "graft_knn_index_repair(dir) - CALL-style: drop duplicate / " +
           "malformed / orphan code rows from a persisted IVFxPQ " +
-          "index, return the post-repair fsck report"),
+          "index, return the post-repair fsck report. The maintenance " +
+          "side effect runs at plan RESOLUTION (EXPLAIN triggers it " +
+          "too)"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val dir = strArg(args(0), "graft_knn_index_repair")
@@ -385,6 +388,95 @@ object GraftExtensions {
         val spark = org.apache.spark.sql.SparkSession.active
         operators.Knn.ivfPqIndexStats(spark,
           strArg(args(0), "graft_knn_index_stats")).queryExecution.logical
+      }),
+    // ---- LSH index lifecycle (the graft_knn_index_* symmetry for the
+    // C25 bucket store) --------------------------------------------------
+    (FunctionIdentifier("graft_lsh_index_fsck"),
+      info("graft_lsh_index_fsck",
+        "graft_lsh_index_fsck(dir) - integrity report over a persisted " +
+          "MinHash-LSH index: (check, ok, n_bad, detail) per invariant"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        operators.Dedup.fsckLshIndex(spark,
+          strArg(args(0), "graft_lsh_index_fsck")).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_lsh_index_compact"),
+      info("graft_lsh_index_compact",
+        "graft_lsh_index_compact(dir[, max_files_per_band]) - " +
+          "CALL-style: coalesce fragmented band partitions of a " +
+          "persisted LSH index, return the post-compaction per-band " +
+          "stats. The maintenance side effect runs at plan RESOLUTION " +
+          "(EXPLAIN triggers it too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_lsh_index_compact")
+        val maxFiles = if (args.length > 1)
+          numArg(args(1), "graft_lsh_index_compact").toInt else 1
+        operators.Dedup.compactLshIndex(spark, dir, maxFiles)
+        operators.Dedup.lshIndexStats(spark, dir).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_lsh_index_stats"),
+      info("graft_lsh_index_stats",
+        "graft_lsh_index_stats(dir) - per-band health of a persisted " +
+          "LSH index: (band, n_rows, n_files, bytes)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        operators.Dedup.lshIndexStats(spark,
+          strArg(args(0), "graft_lsh_index_stats")).queryExecution.logical
+      }),
+    // ---- SQ index lifecycle (the symmetry for the D11b flat store) -----
+    (FunctionIdentifier("graft_sq_index_fsck"),
+      info("graft_sq_index_fsck",
+        "graft_sq_index_fsck(dir) - integrity report over a persisted " +
+          "SQ8 codes store: (check, ok, n_bad, detail) per invariant " +
+          "(sweeps a crashed compaction first, like every open path)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        operators.Knn.fsckSqIndex(spark,
+          strArg(args(0), "graft_sq_index_fsck")).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_sq_index_compact"),
+      info("graft_sq_index_compact",
+        "graft_sq_index_compact(dir[, min_bytes]) - CALL-style: merge " +
+          "the small files an append-per-batch ingest leaves in a " +
+          "persisted SQ8 store (crash-safe staged-rename journal), " +
+          "return the post-compaction stats. The maintenance side " +
+          "effect runs at plan RESOLUTION (EXPLAIN triggers it too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_sq_index_compact")
+        val minBytes = if (args.length > 1)
+          numArg(args(1), "graft_sq_index_compact").toLong else 4L << 20
+        operators.Knn.compactSqIndex(spark, dir, minBytes)
+        operators.Knn.sqIndexStats(spark, dir, minBytes)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_sq_index_drift"),
+      info("graft_sq_index_drift",
+        "graft_sq_index_drift(dir, corpus_table, vec_col) - per-" +
+          "dimension drift of a persisted SQ8 store vs the CURRENT " +
+          "corpus: (j, n, frac_out_of_range, mean_err_grid_units) - " +
+          "the rebuild trigger's number"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_sq_index_drift")
+        val df = spark.table(strArg(args(1), "graft_sq_index_drift"))
+        val vecCol = strArg(args(2), "graft_sq_index_drift")
+        operators.Knn.sqIndexDrift(spark, dir, df, vecCol)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_sq_index_stats"),
+      info("graft_sq_index_stats",
+        "graft_sq_index_stats(dir[, min_bytes]) - flat-store health of " +
+          "a persisted SQ8 index: ONE row (n_codes, n_files, bytes, " +
+          "n_small_files)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_sq_index_stats")
+        val minBytes = if (args.length > 1)
+          numArg(args(1), "graft_sq_index_stats").toLong else 4L << 20
+        operators.Knn.sqIndexStats(spark, dir, minBytes)
+          .queryExecution.logical
       }),
     (FunctionIdentifier("graft_compact"),
       info("graft_compact",

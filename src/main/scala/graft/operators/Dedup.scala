@@ -405,6 +405,27 @@ object Dedup {
     StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
+  /** C25 lifecycle (stats): per-band health of a [[buildLshIndex]]
+    * layout — (band, n_rows, n_files, bytes), the
+    * [[graft.operators.Knn.ivfPqIndexStats]] report for the bucket
+    * store: file fragmentation drives [[compactLshIndex]], row
+    * imbalance flags a hot band. Listing is O(bands) driver work; the
+    * count side is one column-pruned partial agg.
+    */
+  def lshIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import spark.implicits._
+    val files = StoreMaintenance
+      .partitionFileStats(spark, s"$dir/buckets", "band")
+      .toDF("band", "n_files", "bytes")
+    spark.read.parquet(s"$dir/buckets")
+      .groupBy(col("band")).agg(count(lit(1)).as("n_rows"))
+      .join(files, Seq("band"), "right")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .select(col("band"), col("n_rows"), col("n_files"), col("bytes"))
+      .orderBy("band")
+  }
+
   /** C25 lifecycle (fsck): integrity report over a [[buildLshIndex]]
     * layout — (check, ok, n_bad, detail) per invariant:
     *

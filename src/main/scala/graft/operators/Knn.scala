@@ -1966,6 +1966,25 @@ object Knn {
                      minBytes: Long = 4L << 20): (Int, Long, Long) =
     StoreMaintenance.compactFlat(spark, s"$dir/codes", minBytes)
 
+  /** D11b (stats): flat-store health — ONE row (n_codes, n_files,
+    * bytes, n_small_files), the [[ivfPqIndexStats]] report for the
+    * unpartitioned layout: `n_small_files` (under `minBytes`) is the
+    * [[compactSqIndex]] trigger. Listing is O(files) driver work; the
+    * count is one column-pruned pass.
+    */
+  def sqIndexStats(spark: SparkSession, dir: String,
+                   minBytes: Long = 4L << 20): DataFrame = {
+    import spark.implicits._
+    StoreMaintenance.recoverFlat(spark, s"$dir/codes")
+    val files = StoreMaintenance.dataFiles(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    val n = if (files.isEmpty) 0L
+      else spark.read.parquet(s"$dir/codes").count()
+    Seq((n, files.size.toLong, files.map(_._2).sum,
+        files.count(_._2 < minBytes).toLong))
+      .toDF("n_codes", "n_files", "bytes", "n_small_files")
+  }
+
   /** D11b (merge): combine SQ stores built under the SAME affine grid
     * — the [[mergeIvfPqIndexes]] posture for the flat layout: grid
     * identity VERIFIED (same bytes under different grids reconstruct

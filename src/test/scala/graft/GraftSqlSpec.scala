@@ -411,4 +411,69 @@ class GraftSqlSpec extends SparkSpec {
       s"repair TVF must return an all-green fsck: ${report.mkString(" | ")}")
   }
 
+  test("graft_lsh_index_*: the LSH store's lifecycle TVFs equal the " +
+      "Scala verbs, and CALL-style compact defragments from SQL") {
+    val docs = sf("documents")
+    val dir = java.nio.file.Files.createTempDirectory("sql_lsh").toString
+    graft.operators.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    graft.operators.Dedup.appendToLshIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+    val f = spark.sql(s"SELECT * FROM graft_lsh_index_fsck('$dir') " +
+      "ORDER BY check").collect().map(_.toString).toSeq
+    val ef = graft.operators.Dedup.fsckLshIndex(spark, dir)
+      .orderBy("check").collect().map(_.toString).toSeq
+    assert(f == ef && f.length == 4, "lsh fsck TVF drifted")
+    val s = spark.sql(s"SELECT * FROM graft_lsh_index_stats('$dir') " +
+      "ORDER BY band").collect()
+    val es = graft.operators.Dedup.lshIndexStats(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(s.map(_.toString).toSeq == es && s.nonEmpty,
+      "lsh stats TVF drifted")
+    assert(s.exists(_.getAs[Int]("n_files") > 1),
+      "the append must fragment at least one band")
+    val post = spark.sql(
+      s"SELECT * FROM graft_lsh_index_compact('$dir')").collect()
+    assert(post.nonEmpty && post.forall(_.getAs[Int]("n_files") == 1),
+      "CALL-style lsh compact must leave one file per band")
+  }
+
+  test("graft_sq_index_*: the SQ store's lifecycle TVFs equal the " +
+      "Scala verbs, and CALL-style compact merges the small files") {
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("sql_sq").toString
+    graft.operators.Knn.buildSqIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir, 64)
+    graft.operators.Knn.appendToSqIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir, 64)
+    val f = spark.sql(s"SELECT * FROM graft_sq_index_fsck('$dir') " +
+      "ORDER BY check").collect().map(_.toString).toSeq
+    val ef = graft.operators.Knn.fsckSqIndex(spark, dir)
+      .orderBy("check").collect().map(_.toString).toSeq
+    assert(f == ef && f.length == 4, "sq fsck TVF drifted")
+    val s = spark.sql(s"SELECT * FROM graft_sq_index_stats('$dir')")
+      .collect()
+    val es = graft.operators.Knn.sqIndexStats(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(s.map(_.toString).toSeq == es && s.length == 1,
+      "sq stats TVF drifted")
+    assert(s.head.getAs[Long]("n_files") >= 2 &&
+      s.head.getAs[Long]("n_small_files") >= 2,
+      "the append must leave small files")
+    emb.createOrReplaceTempView("sq_drift_corpus_v")
+    val d = spark.sql(s"SELECT * FROM graft_sq_index_drift('$dir', " +
+      "'sq_drift_corpus_v', 'embedding') ORDER BY j")
+      .collect().map(_.toString).toSeq
+    val ed = graft.operators.Knn.sqIndexDrift(spark, dir, emb,
+      "embedding").collect().map(_.toString).toSeq
+    assert(d == ed && d.nonEmpty, "sq drift TVF drifted")
+    val post = spark.sql(
+      s"SELECT * FROM graft_sq_index_compact('$dir')").collect()
+    assert(post.length == 1 && post.head.getAs[Long]("n_small_files") <= 1,
+      s"CALL-style sq compact must merge the small files: ${post.head}")
+    // row set unchanged by the SQL-driven compaction
+    assert(post.head.getAs[Long]("n_codes") ==
+      s.head.getAs[Long]("n_codes"))
+  }
+
 }
