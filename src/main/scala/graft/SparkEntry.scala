@@ -111,6 +111,10 @@ object SparkEntry {
     // construction; the slice is the 100x-recordable posture)
     "dedup_recall_sampled" -> ((s, d) =>
       Pipeline.dedupRecallSampled(t(s, d, "documents"))),
+    // C37: recall of the PERSISTED LSH index on the incoming batch —
+    // the D9-over-D8 twin for the dedup store (fixture index per sf)
+    "dedup_recall_indexed" -> ((s, d) =>
+      Pipeline.dedupRecallIndexed(t(s, d, "documents"), d)),
     "dedup_embedding" -> ((s, d) =>
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
     "dedup_semantic" -> ((s, d) =>
@@ -1657,6 +1661,34 @@ object SparkEntry {
         |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
         |FROM truth t LEFT JOIN found f
         |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
+    // C37: cross-set recall — exact batch×corpus threshold truth (the
+    // dedup_recall shared/truth CTEs restricted cross-set) vs the
+    // banded cross-set pairs (the dedup_fuzzy_incremental CASE over
+    // jac). The engine side serves `found` from the PERSISTED index;
+    // the fixture holds exactly the %10!=0 slice, so the logical
+    // replay needs no store (the knn_range_indexed oracle pattern)
+    "dedup_recall_indexed" ->
+      s"""WITH $minhashCte,
+        |shared AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    COUNT(*) AS c
+        |  FROM f5 a JOIN f5 b ON a.v = b.v
+        |    AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT s.batch_id, s.corpus_id
+        |  FROM shared s JOIN sets sa ON s.corpus_id = sa.doc_id
+        |                JOIN sets sb ON s.batch_id = sb.doc_id
+        |  WHERE s.c::DOUBLE / (sa.n + sb.n - s.c) >= 0.7),
+        |found AS (SELECT
+        |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS batch_id,
+        |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id
+        |  FROM jac WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+        |    AND n_common::DOUBLE / (na + nb - n_common) >= 0.7)
+        |SELECT COUNT(*)::BIGINT AS n_truth,
+        |  COUNT(f.batch_id)::BIGINT AS n_found,
+        |  round(COUNT(f.batch_id)::DOUBLE / COUNT(*), 6) AS recall
+        |FROM truth t LEFT JOIN found f
+        |  ON t.batch_id = f.batch_id AND t.corpus_id = f.corpus_id"""
+        .stripMargin,
     // C25: the C3 chain restricted to cross-set (corpus x batch) pairs —
     // exactly the pairs the broadcast batch probe of the corpus index
     // can produce (batch = doc_id % 10 == 0, C22's split)

@@ -347,6 +347,8 @@ object Dedup {
       affected.foreach { f =>
         fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
       }
+      // the deletes bypass the Spark writer: drop any cached listing
+      StoreMaintenance.refreshPath(spark, s"$dir/buckets")
     } finally {
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet diff persistedBefore)
@@ -494,6 +496,59 @@ object Dedup {
       threshold, maxBucket, cacheShingles, broadcastBatch,
       bucketIndex = Some(spark.read.parquet(s"$dir/buckets")
         .select(col("band"), col("bkey"), col("corpus_id"))))
+  }
+
+  /** C37: recall of the PERSISTED LSH index on an incoming batch —
+    * the D9-over-D8 discipline for the dedup store. C35 measures the
+    * banding in-plan; the ops question is whether the STORE, after
+    * append / purge / compact cycles, still surfaces the cross-set
+    * near-dup pairs exact truth says exist.
+    *
+    * Truth = exact threshold-τ batch×corpus pairs (cross-set shingle
+    * inverted join — shared counts from one pair-keyed partial agg,
+    * the decontaminate shape: cost Σ_v df_corpus(v)·df_batch(v),
+    * bounded by the BATCH side, never corpus-quadratic). The corpus
+    * leg is restricted to ids the index ACTUALLY HOLDS (distinct
+    * corpus_id from the bucket table), so a purged doc leaves BOTH
+    * legs and the report measures the banding + store, not the
+    * staleness of the caller's corpus view (spec-pinned: purge makes
+    * the purged doc's pairs leave the report entirely). Found =
+    * [[incrementalMinhashIndexed]]'s verified pairs off the stored
+    * buckets — a subset of truth by construction (it exact-verifies).
+    * `k`/`perms`/`bands` come from the index's own sidecar. Returns
+    * ONE row: (n_truth, n_found, recall).
+    */
+  def lshIndexRecall(dir: String, corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     threshold: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val (k, _, _) = lshIndexParams(spark, dir)
+    val indexed = spark.read.parquet(s"$dir/buckets")
+      .select(col("corpus_id")).distinct()
+    val corpusIn = corpus
+      .withColumn("_cid", col(idCol).cast("long"))
+      .join(indexed, col("_cid") === col("corpus_id"), "left_semi")
+    val csets = corpusIn.select(col("_cid").as("corpus_id"),
+      shingleHashes(col(textCol), k).as("shc"))
+    val bsets = batch.select(col(idCol).cast("long").as("batch_id"),
+      shingleHashes(col(textCol), k).as("shb"))
+    val csh = csets.select(col("corpus_id"), explode(col("shc")).as("v"))
+    val bsh = bsets.select(col("batch_id"), explode(col("shb")).as("v"))
+    val shared = csh.join(bsh, "v")
+      .groupBy(col("corpus_id"), col("batch_id"))
+      .agg(count(lit(1)).as("c"))
+    val truth = shared.join(csets, "corpus_id").join(bsets, "batch_id")
+      .filter(col("c").cast("double") /
+        (size(col("shc")) + size(col("shb")) - col("c")) >= threshold)
+      .select(col("batch_id"), col("corpus_id"))
+    val found = incrementalMinhashIndexed(dir, corpusIn.drop("_cid"),
+        batch, idCol, textCol, threshold)
+      .select(col("batch_id"), col("corpus_id"), lit(1L).as("_hit"))
+    truth.join(found, Seq("batch_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_truth"), 6))
   }
 
   /** C15: paragraph-level exact dedup — the Dolma/RefinedWeb

@@ -1150,6 +1150,7 @@ object Knn {
       cells.filterNot(keptCells).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"cell_id=$c"), true)
       }
+      StoreMaintenance.refreshPath(spark, s"$dir/codes")
     } finally {
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet diff persistedBefore)
@@ -1408,6 +1409,8 @@ object Knn {
     val orphanRows = if (orphanDirs.isEmpty) 0L
       else spark.read.parquet(orphanDirs.map(_._2.toString): _*).count()
     orphanDirs.foreach(d => fs.delete(d._2, true))
+    if (orphanDirs.nonEmpty)
+      StoreMaintenance.refreshPath(spark, s"$dir/codes")
     val codes = readCodes(spark, dir)
     val wellFormed = size(col("codes")) === m &&
       !exists(col("codes"), c => c < 0 || c >= ksub)
@@ -1446,6 +1449,7 @@ object Knn {
           fs.delete(new org.apache.hadoop.fs.Path(root, s"cell_id=$c"),
             true)
         }
+        StoreMaintenance.refreshPath(spark, s"$dir/codes")
       } finally {
         val rdds = spark.sparkContext.getPersistentRDDs
         (rdds.keySet diff persistedBefore)
@@ -1945,6 +1949,8 @@ object Knn {
       affected.foreach { f =>
         fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
       }
+      // the deletes bypass the Spark writer: drop any cached listing
+      StoreMaintenance.refreshPath(spark, s"$dir/codes")
     } finally {
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet diff persistedBefore)

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object StoreMaintenance {
 
+  /** Invalidate Spark's cached file listing (and any cached plans)
+    * for a path whose files were changed OUTSIDE the Spark writer —
+    * fs.delete / fs.rename / distributed copies bypass the writer's
+    * own refresh, and a stale `InMemoryFileIndex` entry would make
+    * the next read either fail on a deleted file or silently MISS a
+    * merged-in one. Every file-surgery verb calls this after its
+    * mutation.
+    */
+  def refreshPath(spark: SparkSession, path: String): Unit =
+    spark.catalog.refreshByPath(path)
+
   /** Data files directly under `dir` (parquet parts only — `_SUCCESS`
     * and other markers excluded), as (path, bytes). */
   def dataFiles(spark: SparkSession, dir: Path): Seq[(Path, Long)] = {
@@ -100,6 +111,7 @@ private[graft] object StoreMaintenance {
       emptyFragged.foreach { v =>
         fs.delete(new Path(rootPath, s"$partCol=$v"), true)
       }
+      refreshPath(spark, root)
     }
     val liveFragged = fragged.filter(nonEmpty)
     if (liveFragged.isEmpty) {
@@ -195,6 +207,7 @@ private[graft] object StoreMaintenance {
     val staged = new Path(tmp, "staged")
     if (!fs.exists(marker)) {
       fs.delete(tmp, true) // staging never finished: nothing published
+      refreshPath(spark, dir)
       return true
     }
     val stagedLeft = dataFiles(spark, staged)
@@ -211,6 +224,7 @@ private[graft] object StoreMaintenance {
         .foreach(p => if (fs.exists(p)) fs.delete(p, false))
       fs.delete(tmp, true)
     }
+    refreshPath(spark, dir)
     true
   }
 
@@ -269,6 +283,7 @@ private[graft] object StoreMaintenance {
       }
       small.foreach(fs.delete(_, false))
       fs.delete(tmp, true)
+      refreshPath(spark, dir)
     } finally {
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet diff persistedBefore)
@@ -309,6 +324,13 @@ private[graft] object StoreMaintenance {
             false, true, conf)
         }
       }
+    // the copies bypass the Spark writer: stale cached listings of the
+    // destination would silently MISS the merged-in files (refresh the
+    // leaf dirs AND their roots — partitioned stores are read at root)
+    pairs.flatMap { p =>
+      val parent = new Path(p._2).getParent
+      Seq(Option(parent), Option(parent.getParent)).flatten
+    }.map(_.toString).distinct.foreach(refreshPath(spark, _))
     pairs.size.toLong
   }
 

@@ -90,6 +90,46 @@ object Pipeline {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** One persisted LSH layout per sf dir for [[dedupRecallIndexed]],
+    * built ONCE over the corpus slice (doc_id % 10 != 0 — C22's
+    * split, the same corpus [[dedupFuzzyIncremental]] indexes
+    * in-plan); the [[ensureKnnIndexDir]] build-once pattern (TrieMap
+    * per JVM, `_done` marker per machine).
+    */
+  private val lshIndexDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def ensureLshIndexDir(documents: DataFrame,
+                                       sfDir: String): String =
+    lshIndexDirs.getOrElseUpdate(sfDir, {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_lshidx_v1_${HModel.dirKey(sfDir)}"
+      val spark = documents.sparkSession
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(root, "_done")
+      if (!fs.exists(done)) {
+        Dedup.buildLshIndex(documents.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", dir, k = 3, perms = 128, bands = 16)
+        fs.create(done, true).close()
+      }
+      dir
+    })
+
+  /** C37 registered: recall of the PERSISTED LSH index on the
+    * incoming batch (doc_id % 10 == 0) — truth is the exact cross-set
+    * threshold report, found is the store's own probe
+    * ([[graft.operators.Dedup.lshIndexRecall]]). The fixture index
+    * holds exactly the in-plan corpus slice, so the oracle replays
+    * the logical composition (cross-set exact truth vs the banded
+    * cross-set pairs) with no store in sight — equal answers from
+    * the persisted and in-plan forms, the knn_range_indexed pattern.
+    */
+  def dedupRecallIndexed(documents: DataFrame, sfDir: String): DataFrame =
+    Dedup.lshIndexRecall(ensureLshIndexDir(documents, sfDir),
+      documents.filter(col("doc_id") % 10 =!= 0),
+      documents.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", threshold = 0.7)
+
   /** C3: MinHash(128) + 16-band LSH, verified Jaccard ≥ 0.7. */
   def dedupMinhashLsh(documents: DataFrame): DataFrame =
     Dedup.minhashLsh(documents, "doc_id", "text",

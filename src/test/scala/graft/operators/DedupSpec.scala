@@ -712,6 +712,39 @@ class DedupSpec extends SparkSpec {
     assert(one.toString == base.toString)
   }
 
+  test("lshIndexRecall: report off the persisted store is exact, " +
+      "found is a subset of truth, and a PURGED doc's pairs leave " +
+      "the report (equal to a fresh build without it)") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_rec").toString
+    Dedup.buildLshIndex(corpus, "doc_id", "text", dir)
+    val r1 = Dedup.lshIndexRecall(dir, corpus, batch, "doc_id", "text")
+      .collect()(0)
+    val (t1, f1) = (r1.getAs[Long]("n_truth"), r1.getAs[Long]("n_found"))
+    assert(t1 > 0 && f1 > 0 && f1 <= t1, s"report degenerate: $r1")
+    assert(math.abs(r1.getAs[Double]("recall") - f1.toDouble / t1) < 1e-6)
+    // purge a corpus doc that participates in a FOUND pair
+    val victim = Dedup.incrementalMinhashIndexed(dir, corpus, batch,
+      "doc_id", "text").collect().head.getAs[Long]("corpus_id")
+    assert(Dedup.removeFromLshIndex(
+      Seq(victim).toDF("doc_id"), "doc_id", dir) > 0L)
+    val r2 = Dedup.lshIndexRecall(dir, corpus, batch, "doc_id", "text")
+      .collect()(0)
+    assert(r2.getAs[Long]("n_truth") < t1,
+      "the purged doc's truth pairs must leave the report")
+    // the purged store's report equals a FRESH build without the doc —
+    // purge leaves no residue in either leg
+    val fresh = java.nio.file.Files.createTempDirectory("lsh_rec2")
+      .toString
+    Dedup.buildLshIndex(corpus.filter(col("doc_id") =!= victim),
+      "doc_id", "text", fresh)
+    val rf = Dedup.lshIndexRecall(fresh, corpus, batch, "doc_id", "text")
+      .collect()(0)
+    assert(r2.toString == rf.toString,
+      s"purged-store report $r2 != fresh-build report $rf")
+  }
+
   test("lshRecall boundary: a pair at exactly J = 0.7 lands in truth — " +
       "the prefix length and tau-scaled filters never round it out") {
     // k=1 shingles (single words): |A| = |B| = 17, 14 shared ->
