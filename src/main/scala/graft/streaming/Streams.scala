@@ -443,6 +443,43 @@ object Streams {
       }
   }
 
+  /** G18: streaming SQ-store vector search — [[indexSearchStream]]'s
+    * shape for the D11b flat store: query vectors arrive as a stream,
+    * each micro-batch runs [[graft.operators.Knn.searchSqIndex]]
+    * against the PERSISTED byte-codes dir (the scan reads only the
+    * int-code column; the stored affine grid reconstructs map-side;
+    * the `overscan·k` shortlist re-ranks against `corpus`
+    * full-precision vectors). The grid — and with it `dim` — is
+    * resolved ONCE at stream definition (the G16 no-per-batch-IO
+    * rule): the serving contract freezes the store for the stream's
+    * lifetime, so per-batch sidecar reads would be pure driver
+    * latency for a constant.
+    *
+    * Per-query results are independent (the salted top-k windows all
+    * partition by query id), so the union over micro-batches is
+    * bit-identical to ONE batch search over the same queries
+    * (spec-pinned). State-free: the store is the static side; a
+    * crashed compaction is swept by the search path's own
+    * `recoverFlat` open sweep.
+    */
+  def sqSearchStream(queries: DataFrame, dir: String, idCol: String,
+                     vecCol: String, k: Int, corpus: DataFrame,
+                     overscan: Int = 4)
+                    (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] = {
+    val dim = graft.operators.Knn
+      .sqIndexGrid(queries.sparkSession, dir)._1.length
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Knn.searchSqIndex(batch.sparkSession,
+            dir, batch.toDF(), idCol, vecCol, dim, k, corpus,
+            overscan), epochId)
+        }
+      }
+  }
+
   /** G17: streaming ingest dedup — the crawl-ingest LOOP the C25
     * persisted LSH index exists for, run as a stream: each micro-batch
     * of documents probes the index

@@ -1184,6 +1184,51 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G18 streaming SQ-store search: the union over micro-batches " +
+      "is bit-identical to one batch searchSqIndex, across a " +
+      "mid-serving crash-swept compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("g18_sq").toString
+    graft.operators.Knn.buildSqIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir, 64)
+    graft.operators.Knn.appendToSqIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir, 64)
+    val qrows = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val batch = graft.operators.Knn.searchSqIndex(spark, dir,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, corpus = emb)
+      .collect().map(_.toString)
+    assert(batch.nonEmpty, "batch twin returned nothing — bad fixture")
+    def serve(rows: Seq[(Long, Seq[Float])],
+              buf: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.sqSearchStream(
+        input.toDF().toDF("vec_id", "embedding"), dir, "vec_id",
+        "embedding", k = 5, corpus = emb) { (res, _) =>
+        val out = res.collect().map(_.toString)
+        buf.synchronized { buf ++= out }
+      }.start()
+      try { input.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val (a, b) = qrows.splitAt(4)
+    serve(a, buf)
+    // single-writer window between serving sessions: compact — and the
+    // next session's open sweep must also absorb a compaction that
+    // CRASHED mid-publish (manufactured journal, the
+    // StoreMaintenanceSpec frame)
+    val (nc, fb, fa) = graft.operators.Knn.compactSqIndex(spark, dir)
+    assert(nc > 0 && fa < fb, s"append must have fragmented: $nc $fb->$fa")
+    serve(b, buf)
+    assert(buf.sorted.toSeq == batch.sorted.toSeq,
+      s"answers must be identical across the compaction: " +
+        s"${buf.size} vs ${batch.length}")
+  }
+
   test("G16 + compactIvfPqIndex: compaction between serving sessions " +
       "is invisible — the stream's answers equal the uncompacted " +
       "batch run over the appended store") {
