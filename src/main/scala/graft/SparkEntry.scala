@@ -1638,13 +1638,20 @@ object SparkEntry {
         |FROM truth t LEFT JOIN found f
         |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
     // C35 sampled: the SAME naive-truth replay, every CTE pointed at a
-    // deterministic salted-hash 20% slice (the C8 hashKey predicate,
-    // threshold derived from the ONE shared Scala constant)
+    // deterministic ~300-doc salted-hash slice (the C8 hashKey
+    // predicate; the threshold replays the engine's EXACT IEEE
+    // arithmetic — min(1, target/n) * 65536, floored, %04x — from
+    // DuckDB's own COUNT(*), target from the ONE shared constant)
     "dedup_recall_sampled" ->
-      s"""WITH sdocs AS (SELECT * FROM documents
-        |  WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 4) <
-        |    '${_root_.graft.operators.Sampling.hexThreshold(
-               _root_.graft.queries.Pipeline.recallSampleFrac)}'),
+      s"""WITH sthr AS (SELECT CASE
+        |    WHEN ${_root_.graft.queries.Pipeline.recallSampleDocs}.0
+        |      / COUNT(*) >= 1 THEN 'g'
+        |    ELSE printf('%04x', CAST(floor(LEAST(1.0,
+        |      ${_root_.graft.queries.Pipeline.recallSampleDocs}.0
+        |        / COUNT(*)) * 65536) AS BIGINT)) END AS t
+        |  FROM documents),
+        |sdocs AS (SELECT d.* FROM documents d, sthr
+        |  WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 4) < sthr.t),
         |${minhashCteOver("sdocs")},
         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    COUNT(*) AS c

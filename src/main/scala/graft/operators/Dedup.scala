@@ -816,6 +816,30 @@ object Dedup {
     lshRecallExact(docsIn, idCol, textCol, k, perms, bands, threshold)
   }
 
+  /** [[lshRecall]] over an ABSOLUTE-size salted-hash slice — the
+    * eval-sized posture whose cost stays flat as the corpus grows: a
+    * FRACTION slice's pair space still grows as (f·N)² (measured:
+    * 20% at the 100× replication = ratio100 177), while a fixed
+    * ~`sampleDocs` slice keeps the quadratic truth work constant and
+    * pays only the corpus-linear count + filter scan. On
+    * duplicate-heavy data the expected within-slice truth-pair count
+    * is replication-invariant (each doc's twin density scales with
+    * 1/N exactly as the slice's pair count scales with N), so the
+    * recall estimate keeps its signal. The fraction is derived as
+    * min(1, sampleDocs/n) with one count pass; the oracle replays
+    * the identical IEEE arithmetic from its own COUNT(*).
+    */
+  def lshRecallSlice(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, perms: Int = 128, bands: Int = 16,
+                     threshold: Double = 0.7, sampleDocs: Long = 300L,
+                     seed: Long = 42L): DataFrame = {
+    require(sampleDocs > 0, s"sampleDocs must be positive, got $sampleDocs")
+    val n = docs.count()
+    val p = math.min(1.0, sampleDocs.toDouble / n)
+    lshRecall(docs, idCol, textCol, k, perms, bands, threshold,
+      sampleFrac = p, seed = seed)
+  }
+
   private def lshRecallExact(docs: DataFrame, idCol: String,
                              textCol: String, k: Int, perms: Int,
                              bands: Int, threshold: Double): DataFrame = {

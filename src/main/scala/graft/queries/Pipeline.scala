@@ -158,23 +158,29 @@ object Pipeline {
     Dedup.lshRecall(documents, "doc_id", "text",
       k = 3, perms = 128, bands = 16, threshold = 0.7)
 
-  /** The sampled-slice fraction of [[dedupRecallSampled]] — ONE
+  /** The sampled-slice target size of [[dedupRecallSampled]] — ONE
     * constant shared with the oracle's slice predicate. */
-  val recallSampleFrac = 0.2
+  val recallSampleDocs = 300L
 
   /** C35 at corpus scale: the same banding-recall report over a
-    * deterministic 20% salted-hash doc slice ([[Dedup.lshRecall]]'s
-    * `sampleFrac` — the C8 machinery). Exact truth is quadratic in
-    * the duplicate structure BY CONSTRUCTION, so the corpus-scale
-    * posture evaluates recall on a slice: both legs see the same
-    * docs, the ratio estimates the corpus number at slice-quadratic
-    * cost. This row is the one the 100× scale harness records —
-    * the full-truth row stays the gate's exact report.
+    * deterministic ~300-doc salted-hash slice
+    * ([[Dedup.lshRecallSlice]] — the C8 machinery with an ABSOLUTE
+    * size target). Exact truth is quadratic in the duplicate
+    * structure BY CONSTRUCTION, and a FRACTION slice's pair space
+    * still grows as (f·N)² (measured ratio100 177 at 20%), so the
+    * recordable-at-100× posture is the eval-sized slice: quadratic
+    * work constant, only the count + filter scans grow with the
+    * corpus, and on duplicate-heavy data the expected within-slice
+    * truth-pair count is replication-invariant (the estimate keeps
+    * its signal). At the sf0.01 gate the slice is 60% of the corpus
+    * — real slicing, real pairs, oracle-replayed from DuckDB's own
+    * COUNT(*) with identical IEEE threshold arithmetic. The
+    * full-truth row stays the gate's exact report.
     */
   def dedupRecallSampled(documents: DataFrame): DataFrame =
-    Dedup.lshRecall(documents, "doc_id", "text",
+    Dedup.lshRecallSlice(documents, "doc_id", "text",
       k = 3, perms = 128, bands = 16, threshold = 0.7,
-      sampleFrac = recallSampleFrac, seed = 42L)
+      sampleDocs = recallSampleDocs, seed = 42L)
 
   /** C6: embedding-cosine near-dup pairs (θ ≥ 0.4 — the synthetic
     * embeddings top out near cosine 0.51) via hyperplane LSH blocking.

@@ -710,6 +710,18 @@ class DedupSpec extends SparkSpec {
       .collect()(0)
     val base = Dedup.lshRecall(docs, "doc_id", "text").collect()(0)
     assert(one.toString == base.toString)
+    // the ABSOLUTE-size slice is the derived fraction min(1, target/n)
+    val n = docs.count()
+    val capped = Dedup.lshRecallSlice(docs, "doc_id", "text",
+      sampleDocs = n / 2).collect()(0)
+    val viaFrac = Dedup.lshRecall(docs, "doc_id", "text",
+      sampleFrac = math.min(1.0, (n / 2).toDouble / n)).collect()(0)
+    assert(capped.toString == viaFrac.toString,
+      s"docs-capped slice $capped != derived-fraction slice $viaFrac")
+    // a target >= the corpus is the full report
+    val all = Dedup.lshRecallSlice(docs, "doc_id", "text",
+      sampleDocs = n * 2).collect()(0)
+    assert(all.toString == base.toString)
   }
 
   test("lshIndexRecall: report off the persisted store is exact, " +
