@@ -159,6 +159,17 @@ object GraftExtensions {
           merges.map(_._2).toArray, functions.bpe.mergeIdMap(merges),
           functions.bpe.unkId(merges))
       }),
+    (FunctionIdentifier("graft_bpe_decode"),
+      info("graft_bpe_decode",
+        "graft_bpe_decode(ids[, artifact_dir]) - detokenize a " +
+          "frozen-vocab BPE id array back to text (the loader-side " +
+          "inverse of graft_bpe_ids; whitespace carries no id, so " +
+          "decode(graft_bpe_ids(t)) is t without whitespace)"),
+      (args: Seq[Expression]) => {
+        val merges = mergesArg(args, "graft_bpe_decode")
+        functions.BpeDecodeIds(args(0),
+          functions.bpe.decodeTokTable(merges))
+      }),
     (FunctionIdentifier("graft_bpe_count"),
       info("graft_bpe_count",
         "graft_bpe_count(text[, artifact_dir]) - frozen-vocab BPE " +

@@ -237,6 +237,10 @@ object SparkEntry {
       ((s, d) => Pipeline.textBpeEncodeUtf8(t(s, d, "documents"))),
     "text_bpe_ids_utf8" ->
       ((s, d) => Pipeline.textBpeIdsUtf8(t(s, d, "documents"))),
+    // E12 decode: the detokenizer round trip, oracle = GROUND TRUTH
+    // (whitespace-stripped source), over ASCII + multilingual docs
+    "text_bpe_decode" ->
+      ((s, d) => Pipeline.textBpeDecode(t(s, d, "documents"))),
     "corpus_tokenizer_stats_utf8" ->
       ((s, d) => Pipeline.corpusTokenizerStatsUtf8(t(s, d, "documents"))),
     // ---- F. multimodal --------------------------------------------------
@@ -3032,6 +3036,20 @@ object SparkEntry {
         |${bpeIdsCtes("mldocs")}
         |SELECT doc_id, pos, id FROM bids
         |ORDER BY doc_id, pos""".stripMargin,
+    // E12 decode: the oracle is GROUND TRUTH, not a pipeline replay —
+    // whitespace carries no id, so a perfect encode→decode round trip
+    // equals the whitespace-stripped source text; any lossy step in
+    // encode, vocab, or decode hash-mismatches here
+    "text_bpe_decode" ->
+      s"""WITH $mlDocsCte
+        |SELECT doc_id,
+        |  regexp_replace(text, '\\s+', '', 'g') AS detok
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000,
+        |  regexp_replace(text, '\\s+', '', 'g') AS detok
+        |FROM mldocs
+        |ORDER BY doc_id""".stripMargin,
     // E13 non-ASCII coverage: per-language fertility over the slice —
     // the report the byte-level base vocab exists to make meaningful
     "corpus_tokenizer_stats_utf8" ->

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -229,6 +230,39 @@ object BpeKernel {
       .fromPrimitiveArray(java.util.Arrays.copyOf(buf, n))
   }
 
+  /** Detokenize one id array under an id→hex-symbol table (index =
+    * id; null slots = dead duplicate-merge ids and the unk sentinel):
+    * concatenate the tokens' hex, parse to UTF-8 bytes — the
+    * loader-side inverse of [[encodeIds]]. An out-of-range or dead id
+    * (a corrupted stream) returns NULL rather than garbage.
+    */
+  def decodeIds(ids: ArrayData, toks: Array[String]): UTF8String = {
+    val n = ids.numElements()
+    var hexLen = 0
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= toks.length || toks(id) == null) return null
+      hexLen += toks(id).length
+      i += 1
+    }
+    val bs = new Array[Byte](hexLen >> 1)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val t = toks(ids.getInt(i))
+      var j = 0
+      while (j < t.length) {
+        bs(o) = ((Character.digit(t.charAt(j), 16) << 4) |
+          Character.digit(t.charAt(j + 1), 16)).toByte
+        o += 1
+        j += 2
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bs)
+  }
+
   /** Total BPE token count of a string's whitespace words under the
     * merges (single-BYTE words — i.e. single ASCII chars — count 1
     * token each; a single non-ASCII char is several base bytes and
@@ -329,6 +363,45 @@ case class BpeEncodeIds(child: Expression, ma: Array[String],
     copy(child = newChild)
 }
 
+/** Detokenize an `array<int>` id column under the id→hex-symbol table
+  * constant ([[BpeKernel.decodeIds]]) — the loader-side inverse of
+  * [[BpeEncodeIds]].
+  */
+case class BpeDecodeIds(child: Expression, toks: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<INT>, got $other")
+    }
+  override def dataType: DataType = StringType
+  // a corrupted stream (out-of-range / dead id) decodes to NULL
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.decodeIds(input.asInstanceOf[ArrayData], toks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = ctx.addReferenceObj("bpeToks", toks, "java.lang.String[]")
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.BpeKernel.decodeIds(
+            ${childGen.value}, $rt);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the BPE kernels. */
 object bpe {
   def adjacentPairs(text: Column, merges: Seq[(String, String)]): Column =
@@ -364,4 +437,29 @@ object bpe {
     ColumnBridge.column(BpeEncodeIds(ColumnBridge.expression(text),
       merges.map(_._1).toArray, merges.map(_._2).toArray,
       mergeIdMap(merges), unkId(merges)))
+
+  /** The id-indexed hex-symbol table [[BpeDecodeIds]] decodes under —
+    * slot = id, base 0..255 then merge outputs (first-wins via
+    * [[mergeIdMap]], dead duplicate slots and the unk sentinel stay
+    * null so a corrupted stream decodes to NULL, not garbage).
+    */
+  def decodeTokTable(merges: Seq[(String, String)]): Array[String] = {
+    val m = mergeIdMap(merges)
+    val toks = new Array[String](256 + merges.length)
+    (0 until 256).foreach(b => toks(b) = f"$b%02X")
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      if (m.get(a + b).intValue == 256 + i) toks(256 + i) = a + b
+    }
+    toks
+  }
+
+  /** Detokenize an `array<int>` id column under the merges — the
+    * loader-side inverse of [[encodeIds]] ([[BpeDecodeIds]], one
+    * codegen kernel call). Whitespace carries no id, so the round
+    * trip's target is the whitespace-stripped text (oracle- and
+    * spec-pinned).
+    */
+  def decodeIds(ids: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeDecodeIds(ColumnBridge.expression(ids),
+      decodeTokTable(merges)))
 }

@@ -1216,6 +1216,30 @@ object Pipeline {
       .orderBy("doc_id", "pos")
   }
 
+  /** E12 (decode): the loader-side DETOKENIZER round trip, oracle-
+    * checked against GROUND TRUTH — encode each doc to ids under the
+    * frozen vocab ([[graft.functions.bpe.encodeIds]]), decode the ids
+    * back ([[graft.functions.bpe.decodeIds]]: plan-constant id→hex
+    * map + `unhex`/`decode` builtins), and emit the decoded text. The
+    * oracle is NOT a replay of the same pipeline: it is simply the
+    * whitespace-stripped source text (whitespace carries no id), so a
+    * lossy step ANYWHERE in encode→vocab→decode hash-mismatches.
+    * Runs over documents UNION the multilingual slice (ids offset to
+    * keep keys distinct), so the round trip is pinned on 1-, 2- and
+    * 3-byte UTF-8 in the same row.
+    */
+  def textBpeDecode(documents: DataFrame): DataFrame = {
+    val merges = graft.operators.Bpe.frozenMerges
+    val both = documents.select(col("doc_id"), col("text"))
+      .unionAll(multilingualSlice(documents)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    both.select(col("doc_id"),
+        graft.functions.bpe.decodeIds(
+          graft.functions.bpe.encodeIds(col("text"), merges), merges)
+          .as("detok"))
+      .orderBy("doc_id")
+  }
+
   /** E11: quantized char-entropy quality signal; the integer LUT
     * literal is shared verbatim with the oracle, so neither engine
     * evaluates a log.

@@ -324,6 +324,30 @@ class GraftSqlSpec extends SparkSpec {
       "fewer merges must mean more tokens")
   }
 
+  test("graft_bpe_decode: SQL detokenizer round-trips " +
+      "graft_bpe_ids to the whitespace-stripped text, ASCII and not") {
+    sf("documents").createOrReplaceTempView("documents_dec_v")
+    val bad = spark.sql(
+      "SELECT count(*) FROM documents_dec_v WHERE " +
+        "graft_bpe_decode(graft_bpe_ids(text)) <> " +
+        "regexp_replace(text, '\\\\s+', '')").as[Long].head()
+    assert(bad == 0L, s"$bad docs failed the SQL round trip")
+    // non-ASCII literal through the same SQL surface
+    val got = spark.sql(
+      "SELECT graft_bpe_decode(graft_bpe_ids('héllo 数据 мир'))")
+      .as[String].head()
+    assert(got == "héllo数据мир", s"got $got")
+    // artifact-dir variant decodes under the artifact's (shorter)
+    // merge list and still round-trips
+    val dir = java.nio.file.Files.createTempDirectory("bpe_dec").toString
+    operators.Bpe.saveMerges(spark,
+      operators.Bpe.frozenMerges.take(4), dir)
+    val gotArt = spark.sql(
+      s"SELECT graft_bpe_decode(graft_bpe_ids('scan order', '$dir'), " +
+        s"'$dir')").as[String].head()
+    assert(gotArt == "scanorder", s"got $gotArt")
+  }
+
   test("graft_dedup_recall / graft_tokenizer_stats / graft_packing_stats: " +
       "report TVFs equal their Scala operators") {
     sf("documents").createOrReplaceTempView("documents_v")
