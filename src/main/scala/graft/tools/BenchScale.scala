@@ -82,8 +82,10 @@ object BenchScale {
     // ∘ pack-ids ∘ shard write as ONE plan)
     "knn_range_indexed", "corpus_export_ids", "knn_sq_indexed",
     // round 14: the sampled-slice recall report — the posture that
-    // makes the recall number recordable at 100x (see below)
-    "dedup_recall_sampled")
+    // makes the recall number recordable at 100x (see below) — and
+    // the detokenizer round trip (output ~ corpus bytes, the
+    // text_bpe_ids growth shape)
+    "dedup_recall_sampled", "text_bpe_decode")
   // dedup_recall (round 13, second half) is deliberately NOT in the
   // 100x set: the replication's CLOSED ~30k-shingle vocabulary gives
   // every doc hundreds of shingle-sharing partners at x100 (avg df
