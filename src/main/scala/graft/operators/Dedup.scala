@@ -507,12 +507,21 @@ object Dedup {
     * Truth = exact threshold-τ batch×corpus pairs (cross-set shingle
     * inverted join — shared counts from one pair-keyed partial agg,
     * the decontaminate shape: cost Σ_v df_corpus(v)·df_batch(v),
-    * bounded by the BATCH side, never corpus-quadratic). The corpus
-    * leg is restricted to ids the index ACTUALLY HOLDS (distinct
-    * corpus_id from the bucket table), so a purged doc leaves BOTH
-    * legs and the report measures the banding + store, not the
-    * staleness of the caller's corpus view (spec-pinned: purge makes
-    * the purged doc's pairs leave the report entirely). Found =
+    * bounded by the BATCH side — in production an absolute-sized
+    * crawl micro-batch, so the join is corpus-linear × a small
+    * constant; a cross-set PREFIX-FILTERED variant was measured
+    * SLOWER at every recordable scale — t1 2.9→5.0 s, t10 6.9→8.6 s —
+    * because the df join + per-doc reassembly overhead exceeds what
+    * pruning saves below the storm regime, and the storm regime
+    * itself — the harness's PROPORTIONAL 10% batch on a closed
+    * vocabulary at 100× — OOMs under either algorithm; that regime is
+    * C35b's scale-flat sampled slice's territory, by design). The
+    * corpus leg is restricted to ids the index ACTUALLY HOLDS
+    * (distinct corpus_id from the bucket table), so a purged doc
+    * leaves BOTH legs and the report measures the banding + store,
+    * not the staleness of the caller's corpus view (spec-pinned:
+    * purge makes the purged doc's pairs leave the report entirely;
+    * truth equals a driver-side exact all-pairs replay). Found =
     * [[incrementalMinhashIndexed]]'s verified pairs off the stored
     * buckets — a subset of truth by construction (it exact-verifies).
     * `k`/`perms`/`bands` come from the index's own sidecar. Returns

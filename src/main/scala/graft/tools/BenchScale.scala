@@ -93,9 +93,18 @@ object BenchScale {
   // data construction, whatever the algorithm — measured: the naive
   // inverted join OOMs, and even prefix-filtered candidates are ~2e9.
   // That regime is exactly what lshRecall's sampled-slice mode is
-  // for — dedup_recall_sampled (20% slice ⇒ 4% of the pair space)
-  // IS in the 100x set and records the cell; the full-truth 10x row
+  // for — dedup_recall_sampled (an ABSOLUTE ~300-doc eval slice, so
+  // the quadratic work is scale-invariant) IS in the 100x set and
+  // records the cell (ratio100 1.06); the full-truth 10x row
   // (open-ish df, prefix filtering) stays the linear-growth proof.
+  // dedup_recall_indexed shares the posture: its cross-set truth is
+  // batch-side-bounded (ratio10 2.34; a prefix-filtered variant
+  // measured SLOWER at every recordable cell and still OOM'd at
+  // x100), but the harness batch is PROPORTIONAL (10% of corpus =
+  // 50k probe docs against 450k on the closed vocabulary at x100 —
+  // measured: the child OOMs), whereas a production probe batch is
+  // an absolute-sized crawl micro-batch; the scale-flat recall
+  // estimate at 100x is dedup_recall_sampled's recorded cell.
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

@@ -736,6 +736,19 @@ class DedupSpec extends SparkSpec {
     val (t1, f1) = (r1.getAs[Long]("n_truth"), r1.getAs[Long]("n_found"))
     assert(t1 > 0 && f1 > 0 && f1 <= t1, s"report degenerate: $r1")
     assert(math.abs(r1.getAs[Double]("recall") - f1.toDouble / t1) < 1e-6)
+    // the prefix-filtered truth equals a driver-side exact all-pairs
+    // cross-set replay — two independent algorithms, one answer
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3)
+        .as("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    var expect = 0L
+    for ((_, a) <- sets(corpus); (_, b) <- sets(batch)) {
+      val inter = (a & b).size
+      if (a.nonEmpty && b.nonEmpty &&
+          inter.toDouble / (a.size + b.size - inter) >= 0.7) expect += 1L
+    }
+    assert(t1 == expect, s"prefix-filtered truth $t1 != naive $expect")
     // purge a corpus doc that participates in a FOUND pair
     val victim = Dedup.incrementalMinhashIndexed(dir, corpus, batch,
       "doc_id", "text").collect().head.getAs[Long]("corpus_id")
