@@ -400,8 +400,38 @@ object GraftExtensions {
         operators.Knn.ivfPqIndexStats(spark,
           strArg(args(0), "graft_knn_index_stats")).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_merge"),
+      info("graft_knn_index_merge",
+        "graft_knn_index_merge(dst, srcs_csv) - CALL-style: merge " +
+          "same-quantizer shard IVFxPQ indexes into dst (bytes move " +
+          "as a Spark job), return the post-merge fsck report " +
+          "(ids_unique catches shard overlap). The maintenance side " +
+          "effect runs at plan RESOLUTION (EXPLAIN triggers it too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dst = strArg(args(0), "graft_knn_index_merge")
+        val srcs = strArg(args(1), "graft_knn_index_merge")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        operators.Knn.mergeIvfPqIndexes(spark, dst, srcs)
+        operators.Knn.fsckIvfPqIndex(spark, dst).queryExecution.logical
+      }),
     // ---- LSH index lifecycle (the graft_knn_index_* symmetry for the
     // C25 bucket store) --------------------------------------------------
+    (FunctionIdentifier("graft_lsh_index_merge"),
+      info("graft_lsh_index_merge",
+        "graft_lsh_index_merge(dst, srcs_csv) - CALL-style: merge " +
+          "same-signature shard LSH indexes into dst (bytes move as " +
+          "a Spark job), return the post-merge fsck report. The " +
+          "maintenance side effect runs at plan RESOLUTION (EXPLAIN " +
+          "triggers it too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dst = strArg(args(0), "graft_lsh_index_merge")
+        val srcs = strArg(args(1), "graft_lsh_index_merge")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        operators.Dedup.mergeLshIndexes(spark, dst, srcs)
+        operators.Dedup.fsckLshIndex(spark, dst).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_lsh_index_fsck"),
       info("graft_lsh_index_fsck",
         "graft_lsh_index_fsck(dir) - integrity report over a persisted " +
@@ -436,6 +466,21 @@ object GraftExtensions {
           strArg(args(0), "graft_lsh_index_stats")).queryExecution.logical
       }),
     // ---- SQ index lifecycle (the symmetry for the D11b flat store) -----
+    (FunctionIdentifier("graft_sq_index_merge"),
+      info("graft_sq_index_merge",
+        "graft_sq_index_merge(dst, srcs_csv) - CALL-style: merge " +
+          "same-grid shard SQ8 stores into dst (bytes move as a Spark " +
+          "job), return the post-merge fsck report. The maintenance " +
+          "side effect runs at plan RESOLUTION (EXPLAIN triggers it " +
+          "too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dst = strArg(args(0), "graft_sq_index_merge")
+        val srcs = strArg(args(1), "graft_sq_index_merge")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        operators.Knn.mergeSqIndexes(spark, dst, srcs)
+        operators.Knn.fsckSqIndex(spark, dst).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_sq_index_fsck"),
       info("graft_sq_index_fsck",
         "graft_sq_index_fsck(dir) - integrity report over a persisted " +

@@ -500,4 +500,52 @@ class GraftSqlSpec extends SparkSpec {
       s.head.getAs[Long]("n_codes"))
   }
 
+  test("graft_{lsh,sq,knn}_index_merge: CALL-style shard merges from " +
+      "SQL — merged rows equal the union, post-merge fsck returned") {
+    val docs = sf("documents")
+    val emb = sf("embeddings")
+    // LSH: two same-signature shards, merged into the first
+    val l1 = java.nio.file.Files.createTempDirectory("sqlm_l1").toString
+    val l2 = java.nio.file.Files.createTempDirectory("sqlm_l2").toString
+    graft.operators.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", l1)
+    graft.operators.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", l2)
+    val lr = spark.sql(
+      s"SELECT * FROM graft_lsh_index_merge('$l1', '$l2')").collect()
+    assert(lr.length == 4 && lr.forall(_.getAs[Boolean]("ok")),
+      s"post-merge lsh fsck must be green: ${lr.mkString(" | ")}")
+    val mergedDocs = spark.read.parquet(s"$l1/buckets")
+      .select(countDistinct(col("corpus_id"))).as[Long].head()
+    assert(mergedDocs == docs.count(),
+      "merged index must hold every shard's docs")
+    // SQ: shards under the SAME grid (build the second from the
+    // first's sidecar corpus so grids coincide: same build corpus)
+    val s1 = java.nio.file.Files.createTempDirectory("sqlm_s1").toString
+    val s2 = java.nio.file.Files.createTempDirectory("sqlm_s2").toString
+    graft.operators.Knn.buildSqIndex(emb, "vec_id", "embedding", s1, 64)
+    // wipe s1's codes to half, build s2 over the other half under the
+    // same grid by copying the grid sidecar
+    graft.operators.Knn.removeFromSqIndex(
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id"), "vec_id", s1)
+    graft.operators.Knn.buildSqIndex(emb, "vec_id", "embedding", s2, 64)
+    graft.operators.Knn.removeFromSqIndex(
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id", s2)
+    val sr = spark.sql(
+      s"SELECT * FROM graft_sq_index_merge('$s1', '$s2')").collect()
+    assert(sr.length == 4 && sr.forall(_.getAs[Boolean]("ok")),
+      s"post-merge sq fsck must be green: ${sr.mkString(" | ")}")
+    assert(spark.read.parquet(s"$s1/codes").count() == emb.count(),
+      "merged sq store must hold every vector once")
+    // KNN: srcs == dst is a no-op merge; the TVF still returns the
+    // fsck report (the full shard-merge semantics are KnnSpec-pinned)
+    val kd = java.nio.file.Files.createTempDirectory("sqlm_k").toString
+    graft.operators.Knn.buildIvfPqIndex(emb, "vec_id", "embedding", kd,
+      dim = 64)
+    val kr = spark.sql(
+      s"SELECT * FROM graft_knn_index_merge('$kd', '$kd')").collect()
+    assert(kr.length == 6 && kr.forall(_.getAs[Boolean]("ok")),
+      s"no-op knn merge must return a green fsck: ${kr.mkString(" | ")}")
+  }
+
 }

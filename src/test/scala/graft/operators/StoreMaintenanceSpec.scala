@@ -164,6 +164,32 @@ class StoreMaintenanceSpec extends SparkSpec {
       "no duplicate / missing code rows after recovery")
   }
 
+  test("copyFilesDistributed: bytes land byte-identical at every " +
+      "target, parents auto-created, rerun idempotent, listings fresh") {
+    val srcDir = java.nio.file.Files.createTempDirectory("cp_src")
+    val dstDir = java.nio.file.Files.createTempDirectory("cp_dst").toString
+    val rnd = new scala.util.Random(7L)
+    val pairs = (0 until 9).map { i =>
+      val p = srcDir.resolve(s"f$i.parquet")
+      val bytes = new Array[Byte](100 + rnd.nextInt(5000))
+      rnd.nextBytes(bytes)
+      java.nio.file.Files.write(p, bytes)
+      // nested targets: parent dirs must be created by the copy
+      (p.toString, s"$dstDir/part=${i % 3}/merge0-f$i.parquet")
+    }
+    assert(StoreMaintenance.copyFilesDistributed(spark, pairs,
+      filesPerTask = 2) == 9L)
+    pairs.foreach { case (s, d) =>
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d))
+      assert(java.util.Arrays.equals(a, b), s"$d differs from $s")
+    }
+    // rerun (a task retry) converges: same targets, same bytes
+    assert(StoreMaintenance.copyFilesDistributed(spark, pairs) == 9L)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dstDir))
+      .count() == 3, "exactly the three partition dirs")
+  }
+
   test("compactPartitioned: a fragmented partition whose files hold " +
       "zero rows is deleted outright, not re-reported forever") {
     val dir = java.nio.file.Files.createTempDirectory("part_store")
