@@ -456,6 +456,20 @@ object GraftExtensions {
         operators.Dedup.compactLshIndex(spark, dir, maxFiles)
         operators.Dedup.lshIndexStats(spark, dir).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_lsh_index_repair"),
+      info("graft_lsh_index_repair",
+        "graft_lsh_index_repair(dir) - CALL-style: drop duplicate " +
+          "bucket rows, torn-append docs, and out-of-range band " +
+          "partitions from a persisted LSH index (file surgery; " +
+          "refuses on a missing band partition), return the " +
+          "post-repair fsck report. The maintenance side effect runs " +
+          "at plan RESOLUTION (EXPLAIN triggers it too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_lsh_index_repair")
+        operators.Dedup.repairLshIndex(spark, dir)
+        operators.Dedup.fsckLshIndex(spark, dir).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_lsh_index_stats"),
       info("graft_lsh_index_stats",
         "graft_lsh_index_stats(dir) - per-band health of a persisted " +
@@ -506,6 +520,20 @@ object GraftExtensions {
         operators.Knn.compactSqIndex(spark, dir, minBytes)
         operators.Knn.sqIndexStats(spark, dir, minBytes)
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_sq_index_repair"),
+      info("graft_sq_index_repair",
+        "graft_sq_index_repair(dir) - CALL-style: drop malformed code " +
+          "rows and collapse duplicate neighbor_id rows in a " +
+          "persisted SQ8 store (file surgery; refuses on an empty " +
+          "grid sidecar), return the post-repair fsck report. The " +
+          "maintenance side effect runs at plan RESOLUTION (EXPLAIN " +
+          "triggers it too)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_sq_index_repair")
+        operators.Knn.repairSqIndex(spark, dir)
+        operators.Knn.fsckSqIndex(spark, dir).queryExecution.logical
       }),
     (FunctionIdentifier("graft_sq_index_drift"),
       info("graft_sq_index_drift",

@@ -535,6 +535,20 @@ object SparkEntry {
       .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
   }
 
+  /** The whitespace-faithful pretokenizer pattern as a SQL literal —
+    * THE shared constant ([[graft.operators.Bpe.PretokenRegex]]), so
+    * the Spark trainer, the encode kernels' scanner (semantics-pinned
+    * by spec), and every oracle replay pretokenize identically.
+    * DuckDB standard strings treat backslashes literally, so the
+    * pattern inlines verbatim; the guard is the literal-safety rule.
+    */
+  private def pretokRegexSql: String = {
+    val p = graft.operators.Bpe.PretokenRegex
+    require(!p.exists(c => c == '\'' || c < ' '),
+      "pretokenizer regex must be quote/control-free for SQL inlining")
+    p
+  }
+
   /** The registered 3:2:1 mixture as SQL VALUES rows — derived from
     * [[queries.Pipeline.mixWeights]], so the corpus_mix /
     * corpus_interleave / corpus_pack_interleaved oracles and the
@@ -565,9 +579,9 @@ object SparkEntry {
     val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
     s"""bmg(m, a, b) AS (VALUES $mergeVals),
-      |bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
-      |    unnest(string_split_regex(text, '\\s+')) AS w FROM $src)
-      |  WHERE w <> ''),
+      |bdw AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '$pretokRegexSql')) AS w
+      |  FROM $src),
       |bdist AS (SELECT DISTINCT w FROM bdw WHERE strlen(w) > 1),
       |binit AS (SELECT w, chr(31) ||
       |    array_to_string(regexp_extract_all(hex(encode(w)), '..'),
@@ -606,9 +620,9 @@ object SparkEntry {
                                 prelude: String = ""): String =
     s"""WITH RECURSIVE
       |$prelude""".stripMargin.stripTrailing() + "\n" +
-    s"""bdw AS (SELECT doc_id, w FROM (SELECT doc_id,
-      |    unnest(string_split_regex(text, '\\s+')) AS w FROM $src)
-      |  WHERE w <> ''),
+    s"""bdw AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '$pretokRegexSql')) AS w
+      |  FROM $src),
       |vocab AS (SELECT w, count(*)::BIGINT AS f FROM bdw
       |  WHERE strlen(w) > 1 GROUP BY 1),
       |steps AS (
@@ -703,8 +717,7 @@ object SparkEntry {
     s"""mg(m, a, b) AS (VALUES $mergeVals),
       |words AS (SELECT doc_id, wi, ws[wi::INT] AS w FROM (
       |    SELECT doc_id,
-      |      list_filter(string_split_regex(text, '\\s+'),
-      |        x -> x <> '') AS ws
+      |      regexp_extract_all(text, '$pretokRegexSql') AS ws
       |    FROM $src), unnest(range(1, len(ws) + 1)) AS t(wi)),
       |dist AS (SELECT DISTINCT w FROM words WHERE strlen(w) > 1),
       |init AS (SELECT w, chr(31) ||
@@ -3037,17 +3050,15 @@ object SparkEntry {
         |SELECT doc_id, pos, id FROM bids
         |ORDER BY doc_id, pos""".stripMargin,
     // E12 decode: the oracle is GROUND TRUTH, not a pipeline replay —
-    // whitespace carries no id, so a perfect encode→decode round trip
-    // equals the whitespace-stripped source text; any lossy step in
-    // encode, vocab, or decode hash-mismatches here
+    // pretokenization is whitespace-faithful, so a perfect
+    // encode→decode round trip equals the RAW source text exactly;
+    // any lossy step in encode, vocab, or decode hash-mismatches here
     "text_bpe_decode" ->
       s"""WITH $mlDocsCte
-        |SELECT doc_id,
-        |  regexp_replace(text, '\\s+', '', 'g') AS detok
+        |SELECT doc_id, text AS detok
         |FROM documents
         |UNION ALL
-        |SELECT doc_id + 10000000,
-        |  regexp_replace(text, '\\s+', '', 'g') AS detok
+        |SELECT doc_id + 10000000, text AS detok
         |FROM mldocs
         |ORDER BY doc_id""".stripMargin,
     // E13 non-ASCII coverage: per-language fertility over the slice —

@@ -25,14 +25,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * per byte ('0'-'9' < 'A'-'F' in ASCII), so unsigned-byte comparison
   * of hex-rendered symbol strings equals comparison of the underlying
   * byte sequences — tie-breaks, and therefore learned merge lists,
-  * are a pure function of the corpus bytes. On a pure-ASCII corpus
-  * byte symbols coincide with the old codepoint symbols 1:1, so
-  * token COUNTS (and every n_bpe-derived number downstream) are
-  * unchanged; only the id space moved (base 0..255, merges 256+i).
+  * are a pure function of the corpus bytes.
+  *
+  * Pretokenization is WHITESPACE-FAITHFUL ([[BpeKernel
+  * .foreachPretoken]], the GPT-2 space-prefix convention): separators
+  * fold into the following word's byte stream, so whitespace bytes
+  * carry ids, `" the"` and `"the"` are distinct tokens, and
+  * `decode(encode(text)) == text` exactly — token counts match what a
+  * deployed byte-level tokenizer produces.
   */
 object BpeKernel {
 
   private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** Java-regex `\s` char class — the one whitespace definition every
+    * kernel, the trainer, and the oracle's pretokenizer share.
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+
+  /** WHITESPACE-FAITHFUL pretokenization (the GPT-2 space-prefix
+    * convention): each whitespace run folds into the FOLLOWING word
+    * (`" the"` is a different pretoken than `"the"`), and a trailing
+    * run with no following word stands alone — exactly the regex
+    * `\s*\S+|\s+` scanned left-to-right ([[graft.operators.Bpe
+    * .PretokenRegex]], the same pattern the trainer's Spark plan and
+    * the DuckDB oracle replay). Pretokens CONCATENATE BACK TO THE
+    * EXACT SOURCE, so whitespace carries token ids (0x20 is a base
+    * byte symbol like any other) and `decode(encode(text)) == text`
+    * byte-for-byte. Calls `f` once per pretoken; pretokens are never
+    * empty.
+    */
+  def foreachPretoken(text: String)(f: String => Unit): Unit = {
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      val start = i
+      while (i < len && isWs(text.charAt(i))) i += 1
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      f(text.substring(start, i))
+    }
+  }
+
+  /** [[foreachPretoken]] materialized — spec/driver convenience. */
+  def pretokens(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    foreachPretoken(text)(out += _)
+    out.toArray
+  }
 
   /** One word's initial BPE symbols: its UTF-8 bytes, one 2-char
     * uppercase-hex symbol per byte.
@@ -93,16 +134,16 @@ object BpeKernel {
 
   /** All adjacent-symbol pair keys (`"a b"`, space-separated — hex
     * symbols never contain a space, keeping the separator
-    * unambiguous) of one string's words under the current merges —
-    * OVERLAPS INCLUDED ("aaa" yields (61,61) twice), the standard BPE
-    * counting rule; the non-overlap rule applies at merge time, not
-    * count time.
+    * unambiguous) of one string's PRETOKENS ([[foreachPretoken]] —
+    * whitespace-faithful) under the current merges — OVERLAPS
+    * INCLUDED ("aaa" yields (61,61) twice), the standard BPE counting
+    * rule; the non-overlap rule applies at merge time, not count time.
     */
   def adjacentPairs(text: UTF8String, ma: Array[String],
                     mb: Array[String]): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-    text.toString.split("\\s+").foreach { w =>
-      if (w.nonEmpty && !singleByte(w)) {
+    foreachPretoken(text.toString) { w =>
+      if (!singleByte(w)) {
         val s = segment(w, ma, mb)
         var i = 0
         while (i + 1 < s.length) {
@@ -171,9 +212,11 @@ object BpeKernel {
     * duplicate output). Every symbol [[segment]] can emit is either a
     * base byte or a merge output, so the reserved `unk` id is
     * unreachable by construction — kept only as a defensive sentinel.
-    * Whitespace carries no id — ids concatenate across words, so
-    * `ids.length` equals [[tokenCount]] exactly (spec-pinned on the
-    * whole sf table).
+    * Pretokens are WHITESPACE-FAITHFUL ([[foreachPretoken]]):
+    * whitespace bytes carry ids like any other byte, ids concatenate
+    * across pretokens, `ids.length` equals [[tokenCount]] exactly
+    * (spec-pinned on the whole sf table), and
+    * `decode(encode(text)) == text` byte-for-byte.
     */
   def encodeIds(text: UTF8String, ma: Array[String], mb: Array[String],
                 idMap: java.util.HashMap[String, Integer],
@@ -204,25 +247,23 @@ object BpeKernel {
           math.max(buf.length << 1, n + ids.length))
       System.arraycopy(ids, 0, buf, n, ids.length); n += ids.length
     }
-    text.toString.split("\\s+").foreach { w =>
-      if (w.nonEmpty) {
-        if (singleByte(w)) push(w.charAt(0)) // one ASCII byte = its id
+    foreachPretoken(text.toString) { w =>
+      if (singleByte(w)) push(w.charAt(0)) // one ASCII byte = its id
+      else {
+        val hit = m.ids.get(w)
+        if (hit != null) pushAll(hit)
         else {
-          val hit = m.ids.get(w)
-          if (hit != null) pushAll(hit)
-          else {
-            val syms = segment(w, ma, mb)
-            val ids = new Array[Int](syms.length)
-            var i = 0
-            while (i < syms.length) { ids(i) = idOf(syms(i)); i += 1 }
-            val charge = w.length + 2L * ids.length + MemoEntryOverhead
-            if (w.length <= MemoMaxWordLen && m.ids.size < MemoCap &&
-                m.chars + charge <= MemoMaxChars) {
-              m.ids.put(w, ids)
-              m.chars += charge
-            }
-            pushAll(ids)
+          val syms = segment(w, ma, mb)
+          val ids = new Array[Int](syms.length)
+          var i = 0
+          while (i < syms.length) { ids(i) = idOf(syms(i)); i += 1 }
+          val charge = w.length + 2L * ids.length + MemoEntryOverhead
+          if (w.length <= MemoMaxWordLen && m.ids.size < MemoCap &&
+              m.chars + charge <= MemoMaxChars) {
+            m.ids.put(w, ids)
+            m.chars += charge
           }
+          pushAll(ids)
         }
       }
     }
@@ -233,14 +274,17 @@ object BpeKernel {
   /** Detokenize one id array under an id→hex-symbol table (index =
     * id; null slots = dead duplicate-merge ids and the unk sentinel):
     * concatenate the tokens' hex, parse to UTF-8 bytes — the
-    * loader-side inverse of [[encodeIds]]. An out-of-range or dead id
-    * (a corrupted stream) returns NULL rather than garbage.
+    * loader-side inverse of [[encodeIds]]. An out-of-range, dead, or
+    * NULL-element id (a corrupted stream) returns NULL rather than
+    * garbage.
     */
   def decodeIds(ids: ArrayData, toks: Array[String]): UTF8String = {
     val n = ids.numElements()
     var hexLen = 0
     var i = 0
     while (i < n) {
+      // a null slot is a corrupted stream, same contract as a dead id
+      if (ids.isNullAt(i)) return null
       val id = ids.getInt(i)
       if (id < 0 || id >= toks.length || toks(id) == null) return null
       hexLen += toks(id).length
@@ -263,10 +307,11 @@ object BpeKernel {
     UTF8String.fromBytes(bs)
   }
 
-  /** Total BPE token count of a string's whitespace words under the
-    * merges (single-BYTE words — i.e. single ASCII chars — count 1
+  /** Total BPE token count of a string's whitespace-faithful
+    * PRETOKENS ([[foreachPretoken]]) under the merges (single-BYTE
+    * pretokens — single ASCII chars, including a lone space — count 1
     * token each; a single non-ASCII char is several base bytes and
-    * goes through the segmenter like any other word).
+    * goes through the segmenter like any other pretoken).
     */
   def tokenCount(text: UTF8String, ma: Array[String],
                  mb: Array[String]): Long = {
@@ -275,21 +320,19 @@ object BpeKernel {
       m.ma = ma; m.mb = mb; m.chars = 0L; m.counts.clear()
     }
     var n = 0L
-    text.toString.split("\\s+").foreach { w =>
-      if (w.nonEmpty) {
-        if (singleByte(w)) n += 1
+    foreachPretoken(text.toString) { w =>
+      if (singleByte(w)) n += 1
+      else {
+        val hit = m.counts.get(w)
+        if (hit != null) n += hit.longValue
         else {
-          val hit = m.counts.get(w)
-          if (hit != null) n += hit.longValue
-          else {
-            val c = segment(w, ma, mb).length.toLong
-            if (w.length <= MemoMaxWordLen && m.counts.size < MemoCap &&
-                m.chars + w.length + MemoEntryOverhead <= MemoMaxChars) {
-              m.counts.put(w, java.lang.Long.valueOf(c))
-              m.chars += w.length + MemoEntryOverhead
-            }
-            n += c
+          val c = segment(w, ma, mb).length.toLong
+          if (w.length <= MemoMaxWordLen && m.counts.size < MemoCap &&
+              m.chars + w.length + MemoEntryOverhead <= MemoMaxChars) {
+            m.counts.put(w, java.lang.Long.valueOf(c))
+            m.chars += w.length + MemoEntryOverhead
           }
+          n += c
         }
       }
     }
@@ -455,9 +498,9 @@ object bpe {
 
   /** Detokenize an `array<int>` id column under the merges — the
     * loader-side inverse of [[encodeIds]] ([[BpeDecodeIds]], one
-    * codegen kernel call). Whitespace carries no id, so the round
-    * trip's target is the whitespace-stripped text (oracle- and
-    * spec-pinned).
+    * codegen kernel call). Pretokenization is whitespace-faithful, so
+    * `decodeIds(encodeIds(text)) == text` EXACTLY (oracle- and
+    * spec-pinned against the raw source).
     */
   def decodeIds(ids: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeDecodeIds(ColumnBridge.expression(ids),

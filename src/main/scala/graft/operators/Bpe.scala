@@ -28,13 +28,25 @@ import graft.functions.bpe
   */
 object Bpe {
 
+  /** THE whitespace-faithful pretokenizer pattern (GPT-2 space-prefix
+    * convention): `\s*\S+` folds each separator run into the FOLLOWING
+    * word; a trailing run with no following word matches the `\s+`
+    * branch alone. Matches concatenate back to the exact source. ONE
+    * constant shared by the trainer's Spark plan (Java regex), the
+    * DuckDB oracle replays (RE2 — `\s` differs only on U+000B, absent
+    * from the corpora), and — semantics-pinned by spec — the hand
+    * scanner [[graft.functions.BpeKernel.foreachPretoken]] the encode
+    * kernels use.
+    */
+  val PretokenRegex: String = "\\s*\\S+|\\s+"
+
   /** A FROZEN 48-merge tokenizer artifact — [[train]]'s deterministic
     * output on the sf0.01 documents table, embedded as a constant
     * (regenerate with `runMain graft.tools.BpeFreeze`). Symbols are
-    * byte-level 2-char-hex (e.g. ("65","72") is the bytes of "er"):
-    * the sf corpus is pure ASCII, so these are exactly the old
-    * codepoint merges in hex clothing and every token COUNT is
-    * unchanged. Encoding always runs under a frozen tokenizer in
+    * byte-level 2-char-hex over WHITESPACE-FAITHFUL pretokens, so
+    * space-prefixed merges appear exactly as in a deployed GPT-2
+    * tokenizer (e.g. ("20","73") merges " s" — the space folds into
+    * the word). Encoding always runs under a frozen tokenizer in
     * production (the tokenizer.json posture: train once, freeze,
     * encode everywhere); freezing also makes the encode path exactly
     * SQL-replayable, because the merge list is a plan constant in
@@ -43,22 +55,23 @@ object Bpe {
     * pairs).
     */
   val frozenMerges: Vector[(String, String)] = Vector(
-    ("65", "72"), ("69", "6E"), ("6F", "77"), ("6F", "72"),
-    ("73", "74"), ("6D", "6572"), ("61", "74"), ("6C", "75"),
-    ("61", "72"), ("70", "6172"), ("6A", "6F"), ("6A6F", "696E"),
-    ("61", "73"), ("6173", "68"), ("68", "617368"), ("72", "6F77"),
-    ("6174", "63"), ("617463", "68"), ("62", "61746368"), ("61", "6E"),
-    ("63", "616E"), ("73", "63616E"), ("63", "6F"), ("63", "75"),
-    ("636F", "6C75"), ("636F6C75", "6D"), ("636F6C756D", "6E"), ("6375", "7374"),
-    ("63757374", "6F"), ("637573746F", "6D6572"), ("66", "69"), ("6669", "6C"),
-    ("66696C", "74"), ("66696C74", "6572"), ("61", "6C"), ("616C", "6C"),
-    ("6D", "616C6C"), ("73", "6D616C6C"), ("67", "65"), ("6C", "6F77"),
-    ("6D6572", "6765"), ("73", "6C6F77"), ("63", "74"), ("6374", "6F72"),
-    ("64", "6572"), ("65", "63746F72"), ("6F72", "646572"), ("76", "6563746F72"))
+    ("20", "73"), ("65", "72"), ("69", "6E"), ("6F", "77"),
+    ("6F", "72"), ("6D", "6572"), ("61", "74"), ("6C", "75"),
+    ("20", "63"), ("61", "73"), ("20", "62"), ("20", "76"),
+    ("61", "72"), ("70", "6172"), ("20", "66"), ("20", "61"),
+    ("20", "74"), ("6A", "6F"), ("6A6F", "696E"), ("6173", "68"),
+    ("68", "617368"), ("20", "6A6F696E"), ("73", "74"), ("72", "6F77"),
+    ("6174", "63"), ("617463", "68"), ("61", "6E"), ("63", "616E"),
+    ("6C75", "6D"), ("6C756D", "6E"), ("6F", "6C756D6E"), ("6F", "6D6572"),
+    ("7374", "6F6D6572"), ("75", "73746F6D6572"), ("69", "6C"), ("696C", "74"),
+    ("696C74", "6572"), ("20", "68617368"), ("61", "6C"), ("616C", "6C"),
+    ("6D", "616C6C"), ("20", "726F77"), ("2073", "63616E"), ("20", "64"),
+    ("2073", "6D616C6C"), ("67", "65"), ("6C", "6F77"), ("6D6572", "6765"))
 
-  /** Train `nMerges` ordered merges on the corpus' whitespace words.
-    * Stops early if no pair repeats. Returns (left, right) symbol
-    * pairs in merge order.
+  /** Train `nMerges` ordered merges on the corpus' whitespace-faithful
+    * pretokens ([[PretokenRegex]] — separators fold into the following
+    * word). Stops early if no pair repeats. Returns (left, right)
+    * symbol pairs in merge order.
     *
     * Architecture (the production-tokenizer shape — HF tokenizers,
     * SentencePiece, and the original GPT-2 trainer all work this way):
@@ -94,9 +107,14 @@ object Bpe {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val vocab = docs
-      .select(explode(split(col(textCol), "\\s+")).as("w"))
-      // byte-level: a word is trainable iff it has >= 2 base symbols,
-      // i.e. >= 2 UTF-8 BYTES — a single non-ASCII char qualifies
+      // whitespace-faithful pretokens ([[PretokenRegex]]): separators
+      // fold into the following word, so " the" and "the" train as
+      // distinct vocab entries — the GPT-2 convention
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(PretokenRegex), lit(0))).as("w"))
+      // byte-level: a pretoken is trainable iff it has >= 2 base
+      // symbols, i.e. >= 2 UTF-8 BYTES — a single non-ASCII char
+      // qualifies
       .filter(octet_length(col("w")) > 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w"))
@@ -297,9 +315,9 @@ object Bpe {
 
   /** Detokenize an id stream through a [[vocab]] table: concatenate
     * the tokens' hex symbols, parse back to UTF-8 bytes, decode — the
-    * loader-side inverse of [[graft.functions.bpe.encodeIds]]
-    * (whitespace is not recoverable; the round-trip target is the
-    * whitespace-stripped text, spec-pinned).
+    * loader-side inverse of [[graft.functions.bpe.encodeIds]].
+    * Pretokenization is whitespace-faithful, so the round trip is
+    * EXACT: `decodeIds(encodeIds(text)) == text` (spec-pinned).
     */
   def decodeIds(ids: Seq[Int], id2tok: Map[Int, String]): String = {
     val hex = ids.map(id2tok).mkString

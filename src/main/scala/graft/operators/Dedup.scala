@@ -475,6 +475,99 @@ object Dedup {
     ).toDF("check", "ok", "n_bad", "detail")
   }
 
+  /** C25 lifecycle (repair): fix what [[fsckLshIndex]] flags, without
+    * a rebuild — the [[graft.operators.Knn.repairIvfPqIndex]]
+    * discipline for the band-partitioned layout, per corruption
+    * class:
+    *
+    *   - out-of-range `band=` partitions (band < 0 or ≥ bands —
+    *     unreachable by any probe) are deleted outright, the D8
+    *     orphan-cell rule;
+    *   - duplicate (band, bkey, corpus_id) rows (crashed purge /
+    *     pre-journal compaction) collapse to ONE copy — the row IS
+    *     its three columns, so any survivor is the same value and
+    *     re-running converges;
+    *   - torn-append docs (distinct-band count ≠ bands: the append
+    *     died between band files; that doc under-recalls forever)
+    *     have ALL their bucket rows dropped — the doc simply leaves
+    *     the index, consistent and re-appendable.
+    *
+    * FILE surgery only: offender files (any file holding a duplicate
+    * copy or a torn doc's row — all copies of a dup are offender-
+    * resident by construction) are rewritten via append-then-delete;
+    * every clean file stays byte-identical (spec-pinned). Refuses
+    * loudly when a band partition in 0..bands−1 is MISSING entirely:
+    * under that data loss every doc looks torn and "repair" would
+    * drop the whole index — that is restore/rebuild territory, fsck
+    * keeps flagging it. Idempotent. Returns (rowsDropped,
+    * filesRewritten) — orphan-partition rows count in rowsDropped.
+    */
+  def repairLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Long, Int) = {
+    val (k, perms, bands) = lshIndexParams(spark, dir)
+    require(k >= 1 && bands >= 1 && perms % bands == 0,
+      s"$dir params sidecar is invalid (k=$k perms=$perms " +
+        s"bands=$bands) — repair cannot interpret the layout")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 1) unreachable out-of-range band partitions: delete the dirs
+    val dirs = StoreMaintenance.partitionDirs(spark, root, "band")
+    val orphan = dirs.filter { case (b, _) => b < 0 || b >= bands }
+    var dropped = 0L
+    if (orphan.nonEmpty) {
+      dropped += spark.read
+        .parquet(orphan.map(_._2.toString): _*).count()
+      orphan.foreach { case (_, p) => fs.delete(p, true) }
+      StoreMaintenance.refreshPath(spark, s"$dir/buckets")
+    }
+    val stored = StoreMaintenance.partitionDirs(spark, root, "band")
+      .map(_._1).toSet
+    require((0 until bands).forall(stored),
+      s"$dir is missing band partitions ${(0 until bands)
+        .filterNot(stored).mkString(",")} — under that loss every doc " +
+        "looks torn and surgery would drop the index; restore or " +
+        "rebuild instead")
+    // 2) dup rows + torn docs, file-level
+    val buckets = spark.read.parquet(s"$dir/buckets")
+      .withColumn("_file", input_file_name())
+    val dupKeys = buckets
+      .groupBy(col("band"), col("bkey"), col("corpus_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("band"), col("bkey"), col("corpus_id"))
+    val torn = buckets.groupBy(col("corpus_id"))
+      .agg(countDistinct(col("band")).as("nb"))
+      .filter(col("nb") =!= bands).select(col("corpus_id"))
+    val offenders = buckets
+      .join(dupKeys, Seq("band", "bkey", "corpus_id"))
+      .select(col("_file"))
+      .unionAll(buckets.join(torn, "corpus_id").select(col("_file")))
+      .distinct().collect().map(_.getString(0)).sorted
+    if (offenders.isEmpty) return (dropped, 0)
+    val touched = buckets.filter(col("_file").isin(offenders: _*))
+    val nTouched = touched.count()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val survivors = touched
+      .join(torn, Seq("corpus_id"), "left_anti")
+      .select(col("bkey"), col("corpus_id"), col("band"))
+      .dropDuplicates("band", "bkey", "corpus_id")
+      .localCheckpoint()
+    try {
+      val kept = survivors.count()
+      survivors.write.mode("append").partitionBy("band")
+        .parquet(s"$dir/buckets")
+      offenders.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+      // the deletes bypass the Spark writer: drop any cached listing
+      StoreMaintenance.refreshPath(spark, s"$dir/buckets")
+      (dropped + nTouched - kept, offenders.length)
+    } finally {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet diff persistedBefore)
+        .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
   /** C25 lifecycle (probe): [[incrementalMinhash]] served from a
     * [[buildLshIndex]] layout instead of re-hashing the corpus text
     * per call — the corpus side of the plan reads ONLY the flat
@@ -835,15 +928,24 @@ object Dedup {
     * is replication-invariant (each doc's twin density scales with
     * 1/N exactly as the slice's pair count scales with N), so the
     * recall estimate keeps its signal. The fraction is derived as
-    * min(1, sampleDocs/n) with one count pass; the oracle replays
-    * the identical IEEE arithmetic from its own COUNT(*).
+    * min(1, sampleDocs/n) with one count pass — or from
+    * `knownCount` when the caller already has a catalog count (the
+    * C13 `knownCounts` precedent), skipping the corpus scan: at
+    * 100 TB a full `count()` for one constant is a real job, and
+    * every warehouse catalog serves row counts for free. The report
+    * is IDENTICAL either way (spec-pinned): the fraction is the same
+    * IEEE arithmetic from the same integer. The oracle replays it
+    * from its own COUNT(*).
     */
   def lshRecallSlice(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, perms: Int = 128, bands: Int = 16,
                      threshold: Double = 0.7, sampleDocs: Long = 300L,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L,
+                     knownCount: Option[Long] = None): DataFrame = {
     require(sampleDocs > 0, s"sampleDocs must be positive, got $sampleDocs")
-    val n = docs.count()
+    require(knownCount.forall(_ > 0),
+      s"knownCount must be positive when given, got $knownCount")
+    val n = knownCount.getOrElse(docs.count())
     val p = math.min(1.0, sampleDocs.toDouble / n)
     lshRecall(docs, idCol, textCol, k, perms, bands, threshold,
       sampleFrac = p, seed = seed)

@@ -1328,21 +1328,28 @@ object Knn {
     // quantizer identity compared on TYPED values (integer key fields
     // + vector elements), not Row.toString renderings: string equality
     // is brittle (double formatting, -0.0 vs 0.0) and would refuse a
-    // numerically-identical but re-serialized sidecar
-    def sidecar(dir: String, name: String): Seq[(Int, Seq[Double])] =
+    // numerically-identical but re-serialized sidecar. The sort key is
+    // the TYPED key tuple (fields in name order, so a re-serialized
+    // sidecar with reordered columns still compares) — never a hash
+    // fold, whose collisions would make the sorted order depend on
+    // nondeterministic collect() order and spuriously refuse an
+    // identical sidecar
+    def sidecar(dir: String, name: String): Seq[(Seq[Int], Seq[Double])] =
       spark.read.parquet(s"$dir/$name").collect().map { r =>
         val (vecFields, keyFields) = r.schema.fields.partition(
           _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
         require(vecFields.length == 1,
           s"$name sidecar must have exactly one vector column")
-        val key = keyFields.map(f =>
-          r.getAs[Number](f.name).intValue()).foldLeft(0)(
-            (h, v) => h * 1000003 + v)
+        val key = keyFields.sortBy(_.name).map(f =>
+          r.getAs[Number](f.name).intValue()).toSeq
+        // normalize -0.0 to 0.0 AT READ so sorting and equality agree
         (key, r.getAs[scala.collection.Seq[Number]](vecFields.head.name)
-          .map(_.doubleValue()).toSeq)
-      }.sortBy(_._1).toSeq
-    def sameSidecar(a: Seq[(Int, Seq[Double])],
-                    b: Seq[(Int, Seq[Double])]): Boolean =
+          .map(_.doubleValue() + 0.0).toSeq)
+      }.sortBy(p => (p._1, p._2))(
+        Ordering.Tuple2(Ordering.Implicits.seqOrdering[Seq, Int],
+          Ordering.Implicits.seqOrdering[Seq, Double])).toSeq
+    def sameSidecar(a: Seq[(Seq[Int], Seq[Double])],
+                    b: Seq[(Seq[Int], Seq[Double])]): Boolean =
       a.size == b.size && a.zip(b).forall { case ((ka, va), (kb, vb)) =>
         ka == kb && va.size == vb.size &&
           va.zip(vb).forall { case (x, y) =>
@@ -2078,6 +2085,71 @@ object Knn {
       ("ids_unique", dupIds == 0L, dupIds,
         "duplicate neighbor_id rows (replayed append / crashed compact)")
     ).toDF("check", "ok", "n_bad", "detail")
+  }
+
+  /** D11b (repair): fix what [[fsckSqIndex]] flags, without a rebuild
+    * — [[repairIvfPqIndex]]'s discipline for the flat store: malformed
+    * rows (wrong code length, out-of-range codes) DROP — no scan can
+    * reconstruct garbage — and duplicate neighbor_id rows (replayed
+    * append / crashed pre-journal compaction) collapse to ONE
+    * deterministic survivor (smallest codes-hash, so re-running after
+    * a crash converges; a true replayed append's copies are
+    * byte-identical, so any survivor is the same row). FILE surgery
+    * only: offender files (those containing a malformed row or any
+    * copy of a duplicated id — all copies of a dup are offender-file
+    * resident by construction) are rewritten via append-then-delete;
+    * every clean file stays byte-identical (spec-pinned). Refuses
+    * loudly on an empty/unreadable grid sidecar — repair has no basis
+    * to judge code rows without the dim (fsck reports it; restoring
+    * the sidecar is the operator's call). Idempotent; the grid itself
+    * is never touched (a drifted grid is [[sqIndexDrift]]'s rebuild
+    * territory). Returns (rowsDropped, filesRewritten).
+    */
+  def repairSqIndex(spark: SparkSession, dir: String): (Long, Int) = {
+    StoreMaintenance.recoverFlat(spark, s"$dir/codes")
+    val (lo, _) = sqIndexGrid(spark, dir)
+    require(lo.nonEmpty,
+      s"$dir grid sidecar is empty — run fsckSqIndex; repair cannot " +
+        "judge code rows without the affine grid")
+    val dim = lo.length
+    val codes = spark.read.parquet(s"$dir/codes")
+      .withColumn("_file", input_file_name())
+    val isMalformed = size(col("codes")) =!= dim ||
+      exists(col("codes"), c => c < 0 || c > 255)
+    val dupIds = codes.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("neighbor_id"))
+    val offenders = codes.filter(isMalformed).select(col("_file"))
+      .unionAll(codes.join(dupIds, "neighbor_id").select(col("_file")))
+      .distinct().collect().map(_.getString(0)).sorted
+    if (offenders.isEmpty) return (0L, 0)
+    val touched = codes.filter(col("_file").isin(offenders: _*))
+    val nTouched = touched.count()
+    // survivors: well-formed rows, one deterministic copy per id
+    val wId = Window.partitionBy(col("neighbor_id"))
+      .orderBy(xxhash64(col("codes")))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val survivors = touched.filter(!isMalformed)
+      .withColumn("_rn", row_number().over(wId))
+      .filter(col("_rn") === 1)
+      .select(col("neighbor_id"), col("codes"))
+      .localCheckpoint()
+    try {
+      val kept = survivors.count()
+      survivors.write.mode("append").parquet(s"$dir/codes")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      offenders.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+      // the deletes bypass the Spark writer: drop any cached listing
+      StoreMaintenance.refreshPath(spark, s"$dir/codes")
+      (nTouched - kept, offenders.length)
+    } finally {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet diff persistedBefore)
+        .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** D11b (drift): the SQ store's rebuild trigger — the frozen affine

@@ -279,7 +279,13 @@ private[graft] object StoreMaintenance {
       writeLines(fs, new Path(tmp, "publish.list"), targets)
       fs.create(new Path(tmp, "staged.done"), true).close()
       parts.zip(targets).foreach { case (p, t) =>
-        fs.rename(p, new Path(dirPath, t))
+        // Hadoop FileSystem.rename reports most failures by returning
+        // false, not throwing — a silently-failed publish followed by
+        // the source deletion below would be unrecoverable row loss,
+        // so a false return must abort HERE, while recoverFlat's
+        // mid-publish rollback can still restore the store
+        require(fs.rename(p, new Path(dirPath, t)),
+          s"compactFlat publish rename failed: $p -> ${new Path(dirPath, t)}")
       }
       small.foreach(fs.delete(_, false))
       fs.delete(tmp, true)

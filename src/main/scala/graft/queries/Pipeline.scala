@@ -1201,9 +1201,10 @@ object Pipeline {
     * per doc under the frozen tokenizer, exploded to
     * (doc_id, pos, id) rows so the oracle can replay it column-wise
     * (ids follow the stable [[graft.operators.Bpe.vocab]] convention:
-    * ASCII base 0..127, merge i → 128+i, reserved `<unk>`). The
+    * byte-level base 0..255 — the UTF-8 byte values — merge i →
+    * 256+i first-wins, `<unk>` unreachable by construction). The
     * oracle extends the recursive-CTE segmentation replay with the
-    * same symbol→id CASE; docs with no words yield no rows in both
+    * same symbol→id CASE; docs with empty text yield no rows in both
     * engines.
     */
   def textBpeIds(documents: DataFrame): DataFrame = {
@@ -1219,14 +1220,15 @@ object Pipeline {
   /** E12 (decode): the loader-side DETOKENIZER round trip, oracle-
     * checked against GROUND TRUTH — encode each doc to ids under the
     * frozen vocab ([[graft.functions.bpe.encodeIds]]), decode the ids
-    * back ([[graft.functions.bpe.decodeIds]]: plan-constant id→hex
-    * map + `unhex`/`decode` builtins), and emit the decoded text. The
-    * oracle is NOT a replay of the same pipeline: it is simply the
-    * whitespace-stripped source text (whitespace carries no id), so a
-    * lossy step ANYWHERE in encode→vocab→decode hash-mismatches.
-    * Runs over documents UNION the multilingual slice (ids offset to
-    * keep keys distinct), so the round trip is pinned on 1-, 2- and
-    * 3-byte UTF-8 in the same row.
+    * back ([[graft.functions.bpe.decodeIds]] — the BpeDecodeIds
+    * codegen kernel: plan-constant id→hex-symbol table, corrupt
+    * stream → NULL), and emit the decoded text. The oracle is NOT a
+    * replay of the same pipeline: it is simply the RAW source text —
+    * pretokenization is whitespace-faithful, so the round trip must
+    * be EXACT and a lossy step ANYWHERE in encode→vocab→decode
+    * hash-mismatches. Runs over documents UNION the multilingual
+    * slice (ids offset to keep keys distinct), so the round trip is
+    * pinned on 1-, 2- and 3-byte UTF-8 in the same row.
     */
   def textBpeDecode(documents: DataFrame): DataFrame = {
     val merges = graft.operators.Bpe.frozenMerges

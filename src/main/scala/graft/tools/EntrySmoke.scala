@@ -3,9 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scratch main replaying the DRIVER's flagship smoke check:
-  * `SparkEntry.entry(spark)` at sf0.001 must return rows > 0
-  * (`runMain graft.tools.EntrySmoke [sfDir]`). Exit 1 on zero rows so
-  * a broken entry contract fails loudly before the driver sees it.
+  * `SparkEntry.entry(spark)` must return rows > 0
+  * (`runMain graft.tools.EntrySmoke`; the fixture is hard-wired to
+  * sf0.001 inside `entry` itself — the driver's contract — so no
+  * sfDir argument is accepted). Exit 1 on zero rows so a broken
+  * entry contract fails loudly before the driver sees it.
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {

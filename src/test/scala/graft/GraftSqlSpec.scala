@@ -325,18 +325,18 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("graft_bpe_decode: SQL detokenizer round-trips " +
-      "graft_bpe_ids to the whitespace-stripped text, ASCII and not") {
+      "graft_bpe_ids to the EXACT source text, ASCII and not") {
     sf("documents").createOrReplaceTempView("documents_dec_v")
+    // whitespace-faithful pretokenization: the round trip is exact
     val bad = spark.sql(
       "SELECT count(*) FROM documents_dec_v WHERE " +
-        "graft_bpe_decode(graft_bpe_ids(text)) <> " +
-        "regexp_replace(text, '\\\\s+', '')").as[Long].head()
+        "graft_bpe_decode(graft_bpe_ids(text)) <> text").as[Long].head()
     assert(bad == 0L, s"$bad docs failed the SQL round trip")
-    // non-ASCII literal through the same SQL surface
+    // non-ASCII literal through the same SQL surface — spacing kept
     val got = spark.sql(
       "SELECT graft_bpe_decode(graft_bpe_ids('héllo 数据 мир'))")
       .as[String].head()
-    assert(got == "héllo数据мир", s"got $got")
+    assert(got == "héllo 数据 мир", s"got $got")
     // artifact-dir variant decodes under the artifact's (shorter)
     // merge list and still round-trips
     val dir = java.nio.file.Files.createTempDirectory("bpe_dec").toString
@@ -345,7 +345,7 @@ class GraftSqlSpec extends SparkSpec {
     val gotArt = spark.sql(
       s"SELECT graft_bpe_decode(graft_bpe_ids('scan order', '$dir'), " +
         s"'$dir')").as[String].head()
-    assert(gotArt == "scanorder", s"got $gotArt")
+    assert(gotArt == "scan order", s"got $gotArt")
   }
 
   test("graft_dedup_recall / graft_tokenizer_stats / graft_packing_stats: " +
@@ -460,6 +460,17 @@ class GraftSqlSpec extends SparkSpec {
       s"SELECT * FROM graft_lsh_index_compact('$dir')").collect()
     assert(post.nonEmpty && post.forall(_.getAs[Int]("n_files") == 1),
       "CALL-style lsh compact must leave one file per band")
+    // CALL-style repair: inject a crashed-purge dup + torn doc, the
+    // TVF repairs and returns an all-green fsck
+    Seq((1234L, 8888L, 0), (4321L, 7777L, 1), (4321L, 7777L, 1))
+      .toDF("bkey", "corpus_id", "band")
+      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+    assert(!graft.operators.Dedup.fsckLshIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "the injection must corrupt")
+    val rep = spark.sql(
+      s"SELECT * FROM graft_lsh_index_repair('$dir')").collect()
+    assert(rep.length == 4 && rep.forall(_.getAs[Boolean]("ok")),
+      s"repair TVF must return an all-green fsck: ${rep.mkString(" | ")}")
   }
 
   test("graft_sq_index_*: the SQ store's lifecycle TVFs equal the " +
@@ -498,6 +509,16 @@ class GraftSqlSpec extends SparkSpec {
     // row set unchanged by the SQL-driven compaction
     assert(post.head.getAs[Long]("n_codes") ==
       s.head.getAs[Long]("n_codes"))
+    // CALL-style repair: inject a malformed row, the TVF repairs and
+    // returns an all-green fsck
+    Seq((9001L, Seq(1, 2))).toDF("neighbor_id", "codes")
+      .write.mode("append").parquet(s"$dir/codes")
+    assert(!graft.operators.Knn.fsckSqIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "the injection must corrupt")
+    val rep = spark.sql(
+      s"SELECT * FROM graft_sq_index_repair('$dir')").collect()
+    assert(rep.length == 4 && rep.forall(_.getAs[Boolean]("ok")),
+      s"repair TVF must return an all-green fsck: ${rep.mkString(" | ")}")
   }
 
   test("graft_{lsh,sq,knn}_index_merge: CALL-style shard merges from " +

@@ -19,12 +19,25 @@ class BpeSpec extends SparkSpec {
     * maintenance, occurrence index, or lazy heap — a count-level drift
     * in any of those breaks the parity assertions below.
     */
+  /** Independent whitespace-faithful pretokenizer: a straight Java
+    * regex matcher loop over [[Bpe.PretokenRegex]] — deliberately NOT
+    * the kernel's hand scanner, so the parity tests below also pin
+    * the scanner's semantics to the regex.
+    */
+  private def refPretokens(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+      .matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
   private def referenceTrain(texts: Seq[String],
                              nMerges: Int): Seq[(String, String)] = {
     implicit val byteOrd: Ordering[String] = (x: String, y: String) =>
       java.util.Arrays.compareUnsigned(
         x.getBytes("UTF-8"), y.getBytes("UTF-8"))
-    val freq = texts.flatMap(_.split("\\s+"))
+    val freq = texts.flatMap(refPretokens)
       .filter(_.getBytes("UTF-8").length > 1) // byte-level trainability
       .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
     val segs = scala.collection.mutable.LinkedHashMap.empty[String, Array[String]]
@@ -100,6 +113,28 @@ class BpeSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("好"),
       Array.empty, Array.empty)
     assert(cjk.numElements() == 2, "3-byte char yields 2 adjacent pairs")
+  }
+
+  test("pretokens: hand scanner equals the regex on every edge shape, " +
+      "and pretokens concatenate back to the exact source") {
+    val cases = Seq(
+      "", " ", "   ", "a", " a", "a ", "  a  b  ", "low low\tlow",
+      "tab\tmix \n newline\r\n crlf", "trail   \t ",
+      "vertical tab", "数据 数据", "x", "一 二\t三\n",
+      "no_ws_at_all", " \t\n\f\r mixed-run word", "a b", "a  b")
+    cases.foreach { s =>
+      val scanned = BpeKernel.pretokens(s).toSeq
+      assert(scanned == refPretokens(s),
+        s"scanner != regex on ${s.map(_.toInt).mkString("[", ",", "]")}")
+      assert(scanned.mkString == s,
+        "pretokens must concatenate back to the source")
+      assert(scanned.forall(_.nonEmpty), "pretokens are never empty")
+    }
+    // the space-prefix convention itself: separators fold FORWARD
+    assert(BpeKernel.pretokens("the cat  sat").toSeq ==
+      Seq("the", " cat", "  sat"))
+    assert(BpeKernel.pretokens(" lead trail ").toSeq ==
+      Seq(" lead", " trail", " "))
   }
 
   test("train: distributed merges equal the reference trainer on a " +
@@ -193,19 +228,19 @@ class BpeSpec extends SparkSpec {
     assert(joined.filter(size(col("ids")) =!= col("n_bpe")).count() == 0L,
       "size(ids) must equal n_bpe for every doc")
     // 2) decode ids through the persisted vocab and compare against
-    // the whitespace-stripped text — the round-trip a loader's
-    // detokenizer performs (hex symbols -> bytes -> UTF-8)
+    // the RAW text — pretokenization is whitespace-faithful, so the
+    // loader's detokenizer round trip (hex symbols -> bytes -> UTF-8)
+    // must be EXACT
     val id2tok = Bpe.vocab(merges).toMap
     val rows = docs.select(col("doc_id"), col("text"),
         graft.functions.bpe.encodeIds(col("text"), merges).as("ids"))
       .collect()
     rows.foreach { r =>
-      val want = r.getAs[String]("text").split("\\s+")
-        .filter(_.nonEmpty).mkString("")
+      val want = r.getAs[String]("text")
       val got = Bpe.decodeIds(
         r.getAs[scala.collection.Seq[Int]]("ids").toSeq, id2tok)
       assert(got == want, s"doc ${r.getLong(0)}: ids must decode back " +
-        "to the concatenated words")
+        "to the exact source text")
     }
   }
 
@@ -225,8 +260,7 @@ class BpeSpec extends SparkSpec {
       "no <unk> id may appear — byte-level base covers everything")
     val id2tok = Bpe.vocab(merges).toMap
     joined.select("doc_id", "text", "ids").collect().foreach { r =>
-      val want = r.getAs[String]("text").split("\\s+")
-        .filter(_.nonEmpty).mkString("")
+      val want = r.getAs[String]("text")
       val got = Bpe.decodeIds(
         r.getAs[scala.collection.Seq[Int]]("ids").toSeq, id2tok)
       assert(got == want,
@@ -263,9 +297,10 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((0L, "abc xé")).toDF("doc_id", "text")
     val ids = docs.select(graft.functions.bpe.encodeIds(col("text"), dup))
       .head().getAs[scala.collection.Seq[Int]](0)
-    // "abc" -> bc then abc (id 257); "xé" -> 'x' (0x78) + é's two
-    // UTF-8 bytes C3 A9 as base ids — NOT unk: byte-level covers it
-    assert(ids.toSeq == Seq(257, 0x78, 0xC3, 0xA9), s"got $ids")
+    // pretokens "abc" and " xé": "abc" -> bc then abc (id 257); the
+    // separator folds into " xé" -> space (0x20) + 'x' (0x78) + é's
+    // two UTF-8 bytes C3 A9 as base ids — NOT unk: byte-level covers it
+    assert(ids.toSeq == Seq(257, 0x20, 0x78, 0xC3, 0xA9), s"got $ids")
     // the artifact persists the same table encodeIds uses
     val dir = java.nio.file.Files.createTempDirectory("bpe_voc").toString
     Bpe.saveMerges(spark, dup, dir)
@@ -278,15 +313,16 @@ class BpeSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val none = Bpe.tokenStats(docs, "doc_id", "text", Seq.empty)
       .orderBy("doc_id").collect()
-    // no merges: every char of every word is a token
-    assert(none(0).getAs[Long]("n_bpe") == 19L)
+    // no merges: every byte is a token — 19 letters + 2 separator
+    // spaces (whitespace-faithful pretokens carry the spaces)
+    assert(none(0).getAs[Long]("n_bpe") == 21L)
     assert(none(1).getAs[Long]("n_bpe") == 0L &&
       none(1).isNullAt(none(1).fieldIndex("compression")))
     val merges = Bpe.train(docs, "text", nMerges = 6)
     assert(merges.nonEmpty)
     val trained = Bpe.tokenStats(docs, "doc_id", "text", merges)
       .orderBy("doc_id").collect()
-    assert(trained(0).getAs[Long]("n_bpe") < 19L,
+    assert(trained(0).getAs[Long]("n_bpe") < 21L,
       "merges must reduce the token count")
     assert(trained(0).getAs[Double]("compression") >
       none(0).getAs[Double]("compression"))

@@ -686,6 +686,78 @@ class DedupSpec extends SparkSpec {
       "params/band checks must stay green")
   }
 
+  test("repairLshIndex: each corruption class is surgically fixed — " +
+      "dups collapse, torn docs leave, orphan bands drop — untouched " +
+      "files stay byte-identical, idempotent, missing band refused") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_rep").toString
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val cleanProbe = Dedup.incrementalMinhashIndexed(dir, corpus, batch,
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    def files(): Map[String, (Long, Long)] = {
+      val root = new java.io.File(s"$dir/buckets")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    // a surviving doc's band-0 row, to duplicate (crashed purge on a
+    // doc that stays fully covered — the dup-collapse class alone)
+    val dupRow = spark.read.parquet(s"$dir/buckets")
+      .withColumn("_file", input_file_name())
+      .filter(col("band") === 0).head()
+    val dupSrcFile = new java.io.File(
+      new java.net.URI(dupRow.getAs[String]("_file"))).getPath
+    // torn doc 8888 (one band), crashed-purge dup for doc 7777 (also
+    // torn — one band), the covered-doc dup, and an out-of-range
+    // band=99 partition
+    Seq((1234L, 8888L, 0), (4321L, 7777L, 1), (4321L, 7777L, 1),
+        (dupRow.getAs[Long]("bkey"), dupRow.getAs[Long]("corpus_id"), 0),
+        (5555L, 6666L, 99), (5556L, 6666L, 99))
+      .toDF("bkey", "corpus_id", "band")
+      // one writer task -> exactly one injected file per band dir,
+      // so the filesRewritten expectation below is deterministic
+      .coalesce(1)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+    assert(!Dedup.fsckLshIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "the injection must corrupt")
+    val (dropped, rewritten) = Dedup.repairLshIndex(spark, dir)
+    // 2 orphan rows + torn 8888 (1) + torn-dup 7777 (2) + 1 dup copy
+    assert(dropped == 6L, s"dropped $dropped rows, want 6")
+    // the 2 injected band files + the build file holding the
+    // duplicated covered row's original copy
+    assert(rewritten == 3, s"rewrote $rewritten files, want 3")
+    val post = Dedup.fsckLshIndex(spark, dir).collect()
+    assert(post.forall(_.getAs[Boolean]("ok")),
+      s"post-repair fsck must be green: ${post.mkString(" | ")}")
+    // every clean pre-injection file is byte-identical (length+mtime);
+    // only the dup's source file was legitimately rewritten
+    val after = files()
+    before.foreach { case (p, sig) =>
+      if (p != dupSrcFile)
+        assert(after.get(p).contains(sig), s"clean file $p was touched")
+    }
+    // probe results are exactly the clean store's
+    val probe = Dedup.incrementalMinhashIndexed(dir, corpus, batch,
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(probe == cleanProbe, "repair must restore probe results")
+    // idempotent
+    assert(Dedup.repairLshIndex(spark, dir) == ((0L, 0)),
+      "second repair must be a no-op")
+    // a MISSING band partition is refused loudly — restore territory
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/buckets/band=3"), true)
+    graft.operators.StoreMaintenance.refreshPath(spark, s"$dir/buckets")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.repairLshIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("missing band"),
+      s"expected the missing-band guard: ${e.getMessage.take(120)}")
+  }
+
 
   test("lshRecall sampleFrac: the sampled report EQUALS the full " +
       "report over the pre-filtered slice, and the slice is the C8 " +
@@ -722,6 +794,16 @@ class DedupSpec extends SparkSpec {
     val all = Dedup.lshRecallSlice(docs, "doc_id", "text",
       sampleDocs = n * 2).collect()(0)
     assert(all.toString == base.toString)
+    // knownCount: a catalog-served count skips the corpus scan and
+    // yields the IDENTICAL report (same integer -> same IEEE fraction)
+    val viaKnown = Dedup.lshRecallSlice(docs, "doc_id", "text",
+      sampleDocs = n / 2, knownCount = Some(n)).collect()(0)
+    assert(viaKnown.toString == capped.toString,
+      s"knownCount report $viaKnown != counted report $capped")
+    intercept[IllegalArgumentException] {
+      Dedup.lshRecallSlice(docs, "doc_id", "text",
+        knownCount = Some(0L)).collect()
+    }
   }
 
   test("lshIndexRecall: report off the persisted store is exact, " +

@@ -640,6 +640,42 @@ class KnnSpec extends SparkSpec {
       s"expected the quantizer guard: ${e.getMessage.take(120)}")
   }
 
+  test("mergeIvfPqIndexes: sidecar identity is the TYPED key tuple — " +
+      "fold-colliding keys neither refuse an identical sidecar nor " +
+      "accept a different one") {
+    // (sub=0, k=1000003) and (sub=1, k=0) collide under the retired
+    // h*1000003+v fold; the typed tuple keeps them distinct
+    def store(dir: String, cbs: Seq[(Int, Int, Seq[Double])],
+              shuffle: Boolean): String = {
+      val cells = Seq((0, Seq(0.0))).toDF("cell_id", "centroid")
+      cells.write.parquet(s"$dir/coarse")
+      val rows = (if (shuffle) cbs.reverse else cbs)
+        .toDF("sub", "k", "cvec")
+      rows.coalesce(1).write.parquet(s"$dir/codebooks")
+      Seq((0L, 0, Seq(1, 2))).toDF("neighbor_id", "cell_id", "codes")
+        .write.partitionBy("cell_id").parquet(s"$dir/codes")
+      dir
+    }
+    val same = Seq((0, 1000003, Seq(1.0)), (1, 0, Seq(2.0)))
+    val a = store(java.nio.file.Files.createTempDirectory("sc_a").toString,
+      same, shuffle = false)
+    val b = store(java.nio.file.Files.createTempDirectory("sc_b").toString,
+      same, shuffle = true)
+    // identical content, different row order: must merge
+    assert(Knn.mergeIvfPqIndexes(spark, a, Seq(b)) > 0L,
+      "row order must not matter to sidecar identity")
+    // same fold-colliding keys but the VECTORS swapped across them:
+    // a real mismatch the fold could nondeterministically accept
+    val swapped = Seq((0, 1000003, Seq(2.0)), (1, 0, Seq(1.0)))
+    val c = store(java.nio.file.Files.createTempDirectory("sc_c").toString,
+      swapped, shuffle = false)
+    val e2 = intercept[IllegalArgumentException] {
+      Knn.mergeIvfPqIndexes(spark, a, Seq(c))
+    }
+    assert(e2.getMessage.contains("DIFFERENT"),
+      s"swapped-vector sidecar must refuse: ${e2.getMessage.take(120)}")
+  }
+
   test("fsckIvfPqIndex: a healthy store passes every check; replayed " +
       "appends, malformed code rows, and orphan cells are each flagged") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_fsck").toString
@@ -1050,6 +1086,74 @@ class KnnSpec extends SparkSpec {
     assert(r("codes_range") == ((false, 1L)), s"rng: ${r("codes_range")}")
     assert(r("ids_unique") == ((false, 5L)), s"dups: ${r("ids_unique")}")
     assert(r("grid_complete")._1, "grid check must stay green")
+  }
+
+  test("repairSqIndex: malformed rows drop, replayed-append dups " +
+      "collapse to one copy, clean files stay byte-identical, " +
+      "idempotent, empty grid refused") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_rep").toString
+    Knn.buildSqIndex(emb.filter($"vec_id" >= 10), "vec_id", "embedding",
+      dir, dim = 64)
+    val delta = emb.filter($"vec_id" < 5)
+    Knn.appendToSqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    def files(): Map[String, (Long, Long)] = {
+      new java.io.File(s"$dir/codes").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val cleanRows = spark.read.parquet(s"$dir/codes").collect()
+      .map(_.toString).sorted.toSeq
+    val before = files()
+    // a replayed append (5 duplicated ids, byte-identical copies) and
+    // two malformed rows (short array, out-of-range code)
+    Knn.appendToSqIndex(delta, "vec_id", "embedding", dir, dim = 64)
+    Seq((9001L, Seq(1, 2)), (9002L, Seq.fill(64)(300)))
+      .toDF("neighbor_id", "codes").coalesce(1)
+      .write.mode("append").parquet(s"$dir/codes")
+    assert(!Knn.fsckSqIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "the injection must corrupt")
+    // expected offender files: those holding a dup id's copy (both
+    // appends' files) or a malformed row — counted from the store
+    // itself so the expectation tracks the appends' file layout
+    val expOff = spark.read.parquet(s"$dir/codes")
+      .withColumn("_f", input_file_name())
+      .filter(col("neighbor_id") < 5 || col("neighbor_id") >= 9000L)
+      .select("_f").distinct().count().toInt
+    val (dropped, rewritten) = Knn.repairSqIndex(spark, dir)
+    // 5 dup copies + 2 malformed rows
+    assert(dropped == 7L, s"dropped $dropped rows, want 7")
+    assert(rewritten == expOff && expOff >= 2,
+      s"rewrote $rewritten files, want the $expOff offender files")
+    val post = Knn.fsckSqIndex(spark, dir).collect()
+    assert(post.forall(_.getAs[Boolean]("ok")),
+      s"post-repair fsck must be green: ${post.mkString(" | ")}")
+    // the row SET is exactly the clean store's (dups were identical)
+    val repaired = spark.read.parquet(s"$dir/codes").collect()
+      .map(_.toString).sorted.toSeq
+    assert(repaired == cleanRows, "repair must restore the clean rows")
+    // build files (no dup ids, no malformed rows) stay byte-identical;
+    // the first append's file was legitimately rewritten
+    val after = files()
+    val buildFiles = before.keySet.filter(after.contains)
+    assert(buildFiles.nonEmpty, "some clean build files must survive")
+    buildFiles.foreach { p =>
+      assert(after(p) == before(p), s"surviving file $p was modified")
+    }
+    // idempotent
+    assert(Knn.repairSqIndex(spark, dir) == ((0L, 0)),
+      "second repair must be a no-op")
+    // an empty grid sidecar is refused loudly — restore territory
+    val gdir = java.nio.file.Files.createTempDirectory("sq_rep_g").toString
+    Knn.buildSqIndex(emb.limit(20), "vec_id", "embedding", gdir, dim = 64)
+    val gschema = spark.read.parquet(s"$gdir/grid").schema
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], gschema)
+      .write.mode("overwrite").parquet(s"$gdir/grid")
+    val e = intercept[IllegalArgumentException] {
+      Knn.repairSqIndex(spark, gdir)
+    }
+    assert(e.getMessage.contains("grid sidecar is empty"),
+      s"expected the empty-grid guard: ${e.getMessage.take(120)}")
   }
 
 
