@@ -106,6 +106,10 @@ object SparkEntry {
       Pipeline.dedupNgramJaccard(t(s, d, "documents"))),
     "dedup_recall" -> ((s, d) =>
       Pipeline.dedupRecall(t(s, d, "documents"))),
+    // C35c: the banding knob's recall-vs-cost curve — one shared
+    // exact truth, one report row per bands setting
+    "dedup_recall_sweep" -> ((s, d) =>
+      Pipeline.dedupRecallSweep(t(s, d, "documents"))),
     // C35 at corpus scale: same report over a deterministic 20%
     // salted-hash doc slice (exact truth is duplicate-quadratic by
     // construction; the slice is the 100x-recordable posture)
@@ -186,6 +190,10 @@ object SparkEntry {
     "knn_maxsim" -> ((s, d) => Pipeline.knnMaxsim(t(s, d, "embeddings"))),
     "knn_filtered" -> ((s, d) => Pipeline.knnFiltered(t(s, d, "embeddings"))),
     "knn_recall" -> ((s, d) => Pipeline.knnRecall(t(s, d, "embeddings"))),
+    // D9b: the nProbe knob's recall-vs-cost curve over the D3
+    // geometry — one plan, per-(n_probe, query) report rows
+    "knn_recall_sweep" -> ((s, d) =>
+      Pipeline.knnRecallSweep(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_sq" -> ((s, d) => Pipeline.knnSq(t(s, d, "embeddings"))),
     "knn_sq_indexed" -> ((s, d) =>
@@ -406,7 +414,11 @@ object SparkEntry {
     * [[minhashCte]] so the fuzzy curation oracle can point it at a
     * prefixed k=3 chain beside its k=5 decontamination chain.
     */
-  private def minhashBody(src: String): String = {
+  /** The 128-perm MinHash signature chain over shingle rows `src`,
+    * ending in `sig(doc_id, j, mh)` — MATERIALIZED so multi-banding
+    * oracles (the C35c sweep) replay it once.
+    */
+  private def minhashSigCte(src: String): String = {
     val seeds = (0 until 128).map(j =>
       s"($j, ${java.lang.Long.toUnsignedString(
         graft.functions.TextHashes.permSeed(j))}::HUGEINT)").mkString(",")
@@ -421,14 +433,26 @@ object SparkEntry {
       |        + (((v >> 32) * 14181476777654086739::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT)
       |        & $M64 AS v FROM p3),
       |p5 AS (SELECT doc_id, j, xor(v, v >> 33) AS v FROM p4),
-      |sig AS (SELECT doc_id, j, MIN(v) AS mh FROM p5 GROUP BY doc_id, j),
-      |bandkeys AS MATERIALIZED (
-      |  SELECT doc_id, j // 8 AS band, list(mh ORDER BY j) AS bkey
-      |  FROM sig GROUP BY doc_id, j // 8),
-      |cand AS (
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, j, MIN(v) AS mh FROM p5 GROUP BY doc_id, j)""".stripMargin
+  }
+
+  /** One banding of the `sig` signature at `rowsPerBand` rows/band —
+    * CTEs `bandkeys$sfx` / `cand$sfx`, so several band settings can
+    * coexist in one sweep oracle.
+    */
+  private def minhashBandingCte(rowsPerBand: Int, sfx: String): String =
+    s"""bandkeys$sfx AS MATERIALIZED (
+      |  SELECT doc_id, j // $rowsPerBand AS band, list(mh ORDER BY j) AS bkey
+      |  FROM sig GROUP BY doc_id, j // $rowsPerBand),
+      |cand$sfx AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bandkeys a JOIN bandkeys b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |  FROM bandkeys$sfx a JOIN bandkeys$sfx b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def minhashBody(src: String): String = {
+    s"""${minhashSigCte(src)},
+      |${minhashBandingCte(8, "")},
       |sets AS MATERIALIZED (SELECT doc_id, list(v ORDER BY v) AS sh, COUNT(*) AS n FROM $src GROUP BY doc_id),
       |jac AS (
       |  SELECT c.doc_a, c.doc_b,
@@ -1495,6 +1519,57 @@ object SparkEntry {
         |  round(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall
         |FROM ex e LEFT JOIN ap a USING (query_id, neighbor_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // D9b: the knn_ivf coarse/assign/probe chain ranked to the WIDEST
+    // setting, each narrower setting a probe-rank filter (the
+    // nested-probe property), scored per (n_probe, query) against the
+    // knn_recall exact chain
+    "knn_recall_sweep" ->
+      s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
+        |  AS s FROM embeddings),
+        |anchor AS (SELECT MIN(vec_id % s) AS m FROM embeddings, strd),
+        |cent AS (SELECT vec_id AS cell_id, embedding AS ce
+        |         FROM embeddings, anchor, strd WHERE vec_id % s = anchor.m),
+        |assign0 AS (
+        |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
+        |         ${cosineSql("e.embedding", "c.ce")} AS csim
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT neighbor_id, cv, cell_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM assign0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |settings(n_probe) AS (VALUES (1), (2), (4), (8)),
+        |probes AS (
+        |  SELECT query_id, qe, cell_id, qrn FROM (
+        |    SELECT q.query_id, q.qe, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosineSql("q.qe", "c.ce")} DESC, c.cell_id) AS qrn
+        |    FROM q, cent c) WHERE qrn <= 8),
+        |d AS (
+        |  SELECT p.query_id, a.neighbor_id, p.qrn,
+        |    ${cosineSql("p.qe", "a.cv")} AS c
+        |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |r AS (SELECT s.n_probe, d.query_id, d.neighbor_id,
+        |  row_number() OVER (PARTITION BY s.n_probe, d.query_id
+        |    ORDER BY d.c DESC, d.neighbor_id) AS rank
+        |  FROM d JOIN settings s ON d.qrn <= s.n_probe),
+        |ap AS (SELECT n_probe, query_id, neighbor_id FROM r WHERE rank <= 5),
+        |bd AS (SELECT query_id, vec_id AS neighbor_id,
+        |    ${cosineSql("qe", "embedding")} AS c
+        |  FROM q, embeddings WHERE vec_id <> query_id),
+        |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM bd),
+        |ex AS (SELECT s.n_probe, b.query_id, b.neighbor_id
+        |  FROM br b, settings s WHERE b.rank <= 5)
+        |SELECT e.n_probe, e.query_id,
+        |  COUNT(a.neighbor_id)::BIGINT AS n_hits,
+        |  COUNT(*)::BIGINT AS n_exact,
+        |  round(COUNT(a.neighbor_id) / COUNT(*), 6) AS recall
+        |FROM ex e LEFT JOIN ap a USING (n_probe, query_id, neighbor_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // D7: knn_lsh's identical plane table and key chain, with the label
     // equality fused into the candidate join (pre-filtering)
     "knn_filtered" ->
@@ -1654,6 +1729,45 @@ object SparkEntry {
         |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
         |FROM truth t LEFT JOIN found f
         |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
+    // C35c: the banding sweep — ONE materialized signature + truth,
+    // one banding/verify chain per setting (j // rowsPerBand), one
+    // report row each
+    "dedup_recall_sweep" -> {
+      val legs = Seq(8, 16, 32).map { b =>
+        val rpb = 128 / b
+        s"""${minhashBandingCte(rpb, s"_$b")},
+          |jac_$b AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    length(list_intersect(sa.sh, sb.sh)) AS n_common,
+          |    sa.n AS na, sb.n AS nb
+          |  FROM cand_$b c JOIN sets sa ON c.doc_a = sa.doc_id
+          |                 JOIN sets sb ON c.doc_b = sb.doc_id),
+          |found_$b AS (SELECT doc_a, doc_b FROM jac_$b
+          |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7)""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(8, 16, 32).map { b =>
+        s"""SELECT $b AS bands, COUNT(*)::BIGINT AS n_truth,
+          |  COUNT(f.doc_a)::BIGINT AS n_found,
+          |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
+          |FROM truth t LEFT JOIN found_$b f
+          |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${shingleSetCte(3)},
+        |${minhashSigCte("f5")},
+        |sets AS MATERIALIZED (SELECT doc_id, list(v ORDER BY v) AS sh,
+        |  COUNT(*) AS n FROM f5 GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS c
+        |  FROM f5 a JOIN f5 b ON a.v = b.v AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS MATERIALIZED (SELECT s.doc_a, s.doc_b
+        |  FROM shared s JOIN sets sa ON s.doc_a = sa.doc_id
+        |                JOIN sets sb ON s.doc_b = sb.doc_id
+        |  WHERE s.c::DOUBLE / (sa.n + sb.n - s.c) >= 0.7),
+        |$legs
+        |$rows
+        |ORDER BY bands""".stripMargin
+    },
     // C35 sampled: the SAME naive-truth replay, every CTE pointed at a
     // deterministic ~300-doc salted-hash slice (the C8 hashKey
     // predicate; the threshold replays the engine's EXACT IEEE

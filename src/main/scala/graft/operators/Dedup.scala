@@ -954,6 +954,23 @@ object Dedup {
   private def lshRecallExact(docs: DataFrame, idCol: String,
                              textCol: String, k: Int, perms: Int,
                              bands: Int, threshold: Double): DataFrame = {
+    val truth = lshRecallTruth(docs, idCol, textCol, k, threshold)
+    val found = minhashLsh(docs, idCol, textCol, k, perms, bands,
+        threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("_hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_truth"), 6))
+  }
+
+  /** The exact threshold-τ near-dup pair TRUTH both recall reports
+    * score against — (doc_a, doc_b), doc_a < doc_b.
+    */
+  private def lshRecallTruth(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int,
+                             threshold: Double): DataFrame = {
     // TRUTH via prefix filtering (the SSJoin/PPJoin family): a naive
     // shingle-inverted-index join is Σ_v df(v)² — quadratic wherever
     // hot shingles exist (a small shared vocabulary, boilerplate
@@ -1002,7 +1019,7 @@ object Dedup {
           col("a.n") >= col("b.n") * lit(threshold) - lit(1e-9))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val truth = cand
+    cand
       .join(sets.select(col("id").as("doc_a"), col("sh").as("sha")),
         "doc_a")
       .join(sets.select(col("id").as("doc_b"), col("sh").as("shb")),
@@ -1012,14 +1029,44 @@ object Dedup {
       .filter(col("inter") /
         (size(col("sha")) + size(col("shb")) - col("inter")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    val found = minhashLsh(docs, idCol, textCol, k, perms, bands,
-        threshold)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("_hit"))
-    truth.join(found, Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_truth"),
-        sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
-      .withColumn("recall",
-        round(col("n_found").cast("double") / col("n_truth"), 6))
+  }
+
+  /** C35c: banding-recall TUNING SWEEP — [[lshRecall]] at several
+    * `bands` settings over ONE shared exact truth, the measured
+    * recall-vs-cost curve that turns the main LSH knob into an
+    * engineering decision (more bands = higher collision probability
+    * per true pair = higher recall, at proportionally more candidate
+    * verification; the S-curve P(collide) = 1−(1−J^(perms/b))^b makes
+    * the trade-off sharp around τ). The quadratic truth leg — the
+    * expensive part — is computed ONCE and localCheckpointed; each
+    * setting re-runs only the banding + verification. One row per
+    * setting: (bands, n_truth, n_found, recall); n_truth is identical
+    * across rows by construction (truth does not depend on banding),
+    * and recall is non-decreasing in bands on any corpus where the
+    * finer banding's buckets nest (spec pins monotonicity on the sf
+    * corpus and equality of each row with the single-setting
+    * [[lshRecall]]).
+    */
+  def lshRecallSweep(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, perms: Int = 128,
+                     bandsList: Seq[Int] = Seq(8, 16, 32),
+                     threshold: Double = 0.7): DataFrame = {
+    require(bandsList.nonEmpty, "bandsList must be non-empty")
+    bandsList.foreach(b => require(b >= 1 && perms % b == 0,
+      s"each bands setting must divide perms=$perms, got $b"))
+    val truth = lshRecallTruth(docs, idCol, textCol, k, threshold)
+      .localCheckpoint()
+    bandsList.distinct.sorted.map { b =>
+      val found = minhashLsh(docs, idCol, textCol, k, perms, b,
+          threshold)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("_hit"))
+      truth.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_found"))
+        .select(lit(b).as("bands"), col("n_truth"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy("bands")
   }
 
   // ---- decontamination -------------------------------------------------

@@ -932,6 +932,80 @@ object Knn {
       .orderBy("query_id")
   }
 
+  /** D9b: recall@k vs nProbe TUNING SWEEP over ONE IVF geometry — the
+    * measured recall-vs-cost curve that turns the main IVF knob into
+    * an engineering decision (each +1 probe scans ~1/cells more of
+    * the corpus; the question is what recall it buys ON THIS corpus).
+    * ONE plan, not |settings| searches: the corpus is cell-assigned
+    * once, each query's cells are ranked once to max(nProbes), exact
+    * cosine runs once per probed (query, candidate) pair at the
+    * WIDEST setting, and every narrower setting is a filter on the
+    * candidate's probe rank (probing p cells sees exactly the pairs
+    * with rank ≤ p — the nested-probe property) — so the sweep costs
+    * one max-setting search plus per-setting top-k windows. Truth is
+    * one [[bruteForce]] top-k. One row per (n_probe, query): (n_probe,
+    * query_id, n_hits, n_exact, recall); recall is non-decreasing in
+    * n_probe per query BY CONSTRUCTION (candidate sets nest), which
+    * the spec pins along with per-setting equality to the
+    * single-setting [[ivf]]+[[recall]] composition.
+    */
+  def recallSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                  stride: Int = 50, maxCells: Int = 256,
+                  coarse: Option[DataFrame] = scala.None): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"nProbes must be non-empty positive settings, got $nProbes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxProbe = nProbes.max
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val centroids = coarseTable(corpus, idCol, vecCol, stride, maxCells,
+      coarse, "recallSweep")
+    // the ivfCandidates assignment: broadcast argmax, partial-agg safe
+    val cells = c.join(centroids)
+      .withColumn("csim", cosineD(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cell_id"), col("cv")),
+        struct(col("csim"), -col("cell_id"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("neighbor_id"),
+        col("best.cv").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell_id"))
+    // ranked to the WIDEST setting; qrn is each cell's probe rank
+    val probes = broadcast(q.join(centroids)
+      .withColumn("qsim", cosineD(col("qv"), col("centroid")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= maxProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"), col("qrn")))
+    val cand = cells.join(probes, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("qrn"))
+    val settings = broadcast(
+      nProbes.distinct.sorted.toDF("n_probe"))
+    val wSet = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val approx = cand.join(settings, col("qrn") <= col("n_probe"))
+      .withColumn("rank", row_number().over(wSet))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("_hit"))
+    val exact = bruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .crossJoin(settings)
+    exact.join(approx, Seq("n_probe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))
+      .orderBy("n_probe", "query_id")
+  }
+
   /** D8 (build): persisted IVF×PQ index — the "build once, search
     * many" lifecycle production vector stores run, as a parquet layout
     * Spark can partition-prune:

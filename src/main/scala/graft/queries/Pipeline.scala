@@ -158,6 +158,17 @@ object Pipeline {
     Dedup.lshRecall(documents, "doc_id", "text",
       k = 3, perms = 128, bands = 16, threshold = 0.7)
 
+  /** C35c: the banding-recall TUNING SWEEP — the C35 report at bands
+    * ∈ {8, 16, 32} over ONE shared exact truth
+    * ([[Dedup.lshRecallSweep]]), the measured recall-vs-cost curve
+    * for the main LSH knob. One row per setting; n_truth identical
+    * across rows (truth is banding-independent), recall non-
+    * decreasing in bands (spec-pinned).
+    */
+  def dedupRecallSweep(documents: DataFrame): DataFrame =
+    Dedup.lshRecallSweep(documents, "doc_id", "text",
+      k = 3, perms = 128, bandsList = Seq(8, 16, 32), threshold = 0.7)
+
   /** The sampled-slice target size of [[dedupRecallSampled]] — ONE
     * constant shared with the oracle's slice predicate. */
   val recallSampleDocs = 300L
@@ -921,6 +932,17 @@ object Pipeline {
       Knn.lsh(embeddings, q, "vec_id", "embedding",
         dim = EmbeddingDim, k = 5, bands = 32, planesPerBand = 6))
   }
+
+  /** D9b: recall@5 vs nProbe ∈ {1, 2, 4, 8} over the D3 IVF geometry
+    * in ONE plan ([[Knn.recallSweep]] — assignment and exact cosine
+    * run once at the widest setting, narrower settings are probe-rank
+    * filters). The measured recall-vs-cost curve for the main IVF
+    * knob; recall per query is non-decreasing in n_probe by
+    * construction (candidate sets nest — spec-pinned).
+    */
+  def knnRecallSweep(embeddings: DataFrame): DataFrame =
+    Knn.recallSweep(embeddings, querySet(embeddings), "vec_id",
+      "embedding", k = 5, nProbes = Seq(1, 2, 4, 8), stride = 50)
 
   /** D6: token-level LSH candidates + exact MaxSim rescore; the score
     * is an integer-grid sum, so the only float op in the output is one

@@ -759,6 +759,35 @@ class DedupSpec extends SparkSpec {
   }
 
 
+  test("lshRecallSweep: one shared truth, per-setting rows equal the " +
+      "single-setting lshRecall, recall non-decreasing in bands") {
+    val sweep = Dedup.lshRecallSweep(docs, "doc_id", "text",
+      bandsList = Seq(8, 16, 32)).collect()
+    assert(sweep.map(_.getAs[Int]("bands")).toSeq == Seq(8, 16, 32))
+    // n_truth is banding-independent: identical across rows
+    assert(sweep.map(_.getAs[Long]("n_truth")).distinct.length == 1,
+      "truth must not depend on the bands setting")
+    // each row equals the single-setting report
+    sweep.foreach { r =>
+      val b = r.getAs[Int]("bands")
+      val single = Dedup.lshRecall(docs, "doc_id", "text",
+        bands = b).collect()(0)
+      assert((r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall")) ==
+        ((single.getAs[Long]("n_truth"), single.getAs[Long]("n_found"),
+          single.getAs[Double]("recall"))),
+        s"bands=$b sweep row drifted from lshRecall: $r vs $single")
+    }
+    // more bands = shorter band keys = more collisions: recall is
+    // non-decreasing on the sf corpus
+    val rec = sweep.map(_.getAs[Double]("recall")).toSeq
+    assert(rec == rec.sorted, s"recall not monotone in bands: $rec")
+    // a bands setting that does not divide perms is refused
+    intercept[IllegalArgumentException] {
+      Dedup.lshRecallSweep(docs, "doc_id", "text", bandsList = Seq(7))
+    }
+  }
+
   test("lshRecall sampleFrac: the sampled report EQUALS the full " +
       "report over the pre-filtered slice, and the slice is the C8 " +
       "salted-hash predicate") {

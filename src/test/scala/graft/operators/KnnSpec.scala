@@ -640,6 +640,44 @@ class KnnSpec extends SparkSpec {
       s"expected the quantizer guard: ${e.getMessage.take(120)}")
   }
 
+  test("recallSweep: per-query recall is non-decreasing in n_probe, " +
+      "and each setting's row equals the single-setting ivf+recall " +
+      "composition") {
+    val q = emb.filter($"vec_id" < 10)
+    val sweep = Knn.recallSweep(emb, q, "vec_id", "embedding", k = 5,
+      nProbes = Seq(1, 2, 4, 8)).collect()
+    assert(sweep.length == 40, s"4 settings x 10 queries, got ${sweep.length}")
+    // monotone per query: candidate sets nest as n_probe grows
+    sweep.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val byProbe = rows.sortBy(_.getAs[Int]("n_probe"))
+        .map(_.getAs[Double]("recall")).toSeq
+      assert(byProbe == byProbe.sorted,
+        s"query $qid recall not monotone in n_probe: $byProbe")
+    }
+    // the widest setting should find strictly more than the narrowest
+    // in aggregate on the sf corpus (otherwise the sweep measures
+    // nothing)
+    def total(p: Int) = sweep.filter(_.getAs[Int]("n_probe") == p)
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(total(8) > total(1),
+      s"probe 8 must beat probe 1 in total hits: ${total(8)} vs ${total(1)}")
+    // per-setting equality with the single-setting composition
+    for (p <- Seq(1, 8)) {
+      val single = Knn.recall(
+          Knn.bruteForce(emb, q, "vec_id", "embedding", k = 5),
+          Knn.ivf(emb, q, "vec_id", "embedding", k = 5, nProbe = p))
+        .collect().map(_.toString).toSeq
+      val fromSweep = sweep.filter(_.getAs[Int]("n_probe") == p)
+        .sortBy(_.getAs[Long]("query_id"))
+        .map(r => s"[${r.getAs[Long]("query_id")}," +
+          s"${r.getAs[Long]("n_hits")},${r.getAs[Long]("n_exact")}," +
+          s"${r.getAs[Double]("recall")}]").toSeq
+      assert(fromSweep == single,
+        s"nProbe=$p sweep rows drifted from ivf+recall:\n" +
+          s"$fromSweep\nvs\n$single")
+    }
+  }
+
   test("mergeIvfPqIndexes: sidecar identity is the TYPED key tuple — " +
       "fold-colliding keys neither refuse an identical sidecar nor " +
       "accept a different one") {
