@@ -119,6 +119,11 @@ object SparkEntry {
     // the D9-over-D8 twin for the dedup store (fixture index per sf)
     "dedup_recall_indexed" -> ((s, d) =>
       Pipeline.dedupRecallIndexed(t(s, d, "documents"), d)),
+    // C37 at probe scale: the same store report over an ABSOLUTE
+    // ~300-doc batch slice — the posture whose truth join stays
+    // corpus-linear x constant, recordable at 100x
+    "dedup_recall_indexed_abs" -> ((s, d) =>
+      Pipeline.dedupRecallIndexedAbs(t(s, d, "documents"), d)),
     "dedup_embedding" -> ((s, d) =>
       Pipeline.dedupEmbedding(t(s, d, "embeddings"))),
     "dedup_semantic" -> ((s, d) =>
@@ -1807,6 +1812,41 @@ object SparkEntry {
     // replay needs no store (the knn_range_indexed oracle pattern)
     "dedup_recall_indexed" ->
       s"""WITH $minhashCte,
+        |shared AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    COUNT(*) AS c
+        |  FROM f5 a JOIN f5 b ON a.v = b.v
+        |    AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT s.batch_id, s.corpus_id
+        |  FROM shared s JOIN sets sa ON s.corpus_id = sa.doc_id
+        |                JOIN sets sb ON s.batch_id = sb.doc_id
+        |  WHERE s.c::DOUBLE / (sa.n + sb.n - s.c) >= 0.7),
+        |found AS (SELECT
+        |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS batch_id,
+        |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id
+        |  FROM jac WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+        |    AND n_common::DOUBLE / (na + nb - n_common) >= 0.7)
+        |SELECT COUNT(*)::BIGINT AS n_truth,
+        |  COUNT(f.batch_id)::BIGINT AS n_found,
+        |  round(COUNT(f.batch_id)::DOUBLE / COUNT(*), 6) AS recall
+        |FROM truth t LEFT JOIN found f
+        |  ON t.batch_id = f.batch_id AND t.corpus_id = f.corpus_id"""
+        .stripMargin,
+    // C37 abs: the dedup_recall_indexed replay with the BATCH side cut
+    // to the absolute salted-hash slice (the dedup_recall_sampled sthr
+    // arithmetic, counted over batch docs only; corpus docs all pass)
+    "dedup_recall_indexed_abs" ->
+      s"""WITH sthr AS (SELECT CASE
+        |    WHEN ${_root_.graft.queries.Pipeline.recallSampleDocs}.0
+        |      / COUNT(*) >= 1 THEN 'g'
+        |    ELSE printf('%04x', CAST(floor(LEAST(1.0,
+        |      ${_root_.graft.queries.Pipeline.recallSampleDocs}.0
+        |        / COUNT(*)) * 65536) AS BIGINT)) END AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sdocs AS (SELECT d.* FROM documents d, sthr
+        |  WHERE d.doc_id % 10 <> 0
+        |     OR substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) < sthr.t),
+        |${minhashCteOver("sdocs")},
         |shared AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
         |    COUNT(*) AS c
         |  FROM f5 a JOIN f5 b ON a.v = b.v

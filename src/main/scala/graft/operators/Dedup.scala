@@ -475,6 +475,40 @@ object Dedup {
     ).toDF("check", "ok", "n_bad", "detail")
   }
 
+  /** [[lshIndexRecall]] with an ABSOLUTE-size probe batch — the C35b
+    * posture for the persisted-store report: the registered harness
+    * batch is PROPORTIONAL (10% of corpus), which at a duplicate-storm
+    * 100× replication makes even the batch-bounded cross-set truth
+    * quadratic in practice; a production probe batch is an
+    * absolute-sized crawl micro-batch, and a fixed ~`sampleDocs`
+    * salted-hash slice of the batch (the C8 predicate — membership
+    * depends only on (id, seed)) keeps the truth join corpus-linear ×
+    * constant, so the store-recall number is RECORDABLE at any scale.
+    * Both legs (exact truth and the index probe) see the same sliced
+    * batch, so the ratio is store recall over the sliced probes — an
+    * unbiased estimate of the full-batch number (spec-pinned: the
+    * sliced report EQUALS the full report over the pre-filtered
+    * batch; `sampleDocs` ≥ batch is byte-identical to
+    * [[lshIndexRecall]]). `knownCount` skips the batch count scan
+    * when the caller has a catalog count, identical report either
+    * way.
+    */
+  def lshIndexRecallSlice(dir: String, corpus: DataFrame,
+                          batch: DataFrame, idCol: String,
+                          textCol: String, threshold: Double = 0.7,
+                          sampleDocs: Long = 300L, seed: Long = 42L,
+                          knownCount: Option[Long] = None): DataFrame = {
+    require(sampleDocs > 0, s"sampleDocs must be positive, got $sampleDocs")
+    require(knownCount.forall(_ > 0),
+      s"knownCount must be positive when given, got $knownCount")
+    val n = knownCount.getOrElse(batch.count())
+    val p = math.min(1.0, sampleDocs.toDouble / n)
+    val batchIn = if (p >= 1.0) batch
+      else batch.filter(Sampling.hashKey(col(idCol), seed) <
+        lit(Sampling.hexThreshold(p)))
+    lshIndexRecall(dir, corpus, batchIn, idCol, textCol, threshold)
+  }
+
   /** C25 lifecycle (repair): fix what [[fsckLshIndex]] flags, without
     * a rebuild — the [[graft.operators.Knn.repairIvfPqIndex]]
     * discipline for the band-partitioned layout, per corruption

@@ -130,6 +130,24 @@ object Pipeline {
       documents.filter(col("doc_id") % 10 === 0),
       "doc_id", "text", threshold = 0.7)
 
+  /** C37 at probe scale: the same persisted-store recall report over
+    * an ABSOLUTE ~300-doc salted-hash slice of the batch
+    * ([[Dedup.lshIndexRecallSlice]]) — the production posture (a
+    * crawl micro-batch is absolute-sized, not 10% of the corpus),
+    * and the one that makes the store-recall number recordable at
+    * the 100× replication where the proportional batch's truth join
+    * storms. At the gate sf the batch is under the target so the
+    * row equals [[dedupRecallIndexed]] exactly — the C35b
+    * frac-saturation property, spec-pinned.
+    */
+  def dedupRecallIndexedAbs(documents: DataFrame,
+                            sfDir: String): DataFrame =
+    Dedup.lshIndexRecallSlice(ensureLshIndexDir(documents, sfDir),
+      documents.filter(col("doc_id") % 10 =!= 0),
+      documents.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", threshold = 0.7,
+      sampleDocs = recallSampleDocs, seed = 42L)
+
   /** C3: MinHash(128) + 16-band LSH, verified Jaccard ≥ 0.7. */
   def dedupMinhashLsh(documents: DataFrame): DataFrame =
     Dedup.minhashLsh(documents, "doc_id", "text",

@@ -85,7 +85,13 @@ object BenchScale {
     // makes the recall number recordable at 100x (see below) — and
     // the detokenizer round trip (output ~ corpus bytes, the
     // text_bpe_ids growth shape)
-    "dedup_recall_sampled", "text_bpe_decode")
+    "dedup_recall_sampled", "text_bpe_decode",
+    // round 15: the persisted-store recall at an ABSOLUTE ~300-doc
+    // probe batch (the C35b discipline applied to C37, closing the
+    // one row without a 100x record): the truth join is corpus-linear
+    // x a constant batch, so the cell records where the proportional
+    // batch's storm regime OOMs
+    "dedup_recall_indexed_abs")
   // dedup_recall (round 13, second half) is deliberately NOT in the
   // 100x set: the replication's CLOSED ~30k-shingle vocabulary gives
   // every doc hundreds of shingle-sharing partners at x100 (avg df
@@ -103,8 +109,11 @@ object BenchScale {
   // x100), but the harness batch is PROPORTIONAL (10% of corpus =
   // 50k probe docs against 450k on the closed vocabulary at x100 —
   // measured: the child OOMs), whereas a production probe batch is
-  // an absolute-sized crawl micro-batch; the scale-flat recall
-  // estimate at 100x is dedup_recall_sampled's recorded cell.
+  // an absolute-sized crawl micro-batch — which is exactly what
+  // dedup_recall_indexed_abs registers (round 15): the same store
+  // report over a fixed ~300-doc salted-hash batch slice, IN the
+  // 100x set, so the store-recall posture the operator scaladoc
+  // argues for is now the one the suite records.
 
   /** Queries re-run against the deliberately SKEWED 10x variant (one
     * duplicated document at ~10% of the corpus; one hot user at ~10% of

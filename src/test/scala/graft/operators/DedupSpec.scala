@@ -881,6 +881,41 @@ class DedupSpec extends SparkSpec {
       s"purged-store report $r2 != fresh-build report $rf")
   }
 
+  test("lshIndexRecallSlice: the sliced report equals the full report " +
+      "over the pre-filtered batch, saturates to lshIndexRecall, and " +
+      "knownCount yields the identical report") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_recs").toString
+    Dedup.buildLshIndex(corpus, "doc_id", "text", dir)
+    val nBatch = batch.count()
+    val target = nBatch / 2
+    val sliced = Dedup.lshIndexRecallSlice(dir, corpus, batch,
+      "doc_id", "text", sampleDocs = target).collect()(0)
+    // the C8 predicate applied by hand, then the FULL report
+    val p = math.min(1.0, target.toDouble / nBatch)
+    val batchSlice = batch.filter(
+      Sampling.hashKey(col("doc_id"), 42L) <
+        lit(Sampling.hexThreshold(p)))
+    assert(batchSlice.count() > 0 && batchSlice.count() < nBatch,
+      "the slice must be a real subset")
+    val full = Dedup.lshIndexRecall(dir, corpus, batchSlice,
+      "doc_id", "text").collect()(0)
+    assert(sliced.toString == full.toString,
+      s"sliced $sliced != full-over-slice $full")
+    // a target >= the batch is byte-identical to the full report
+    val sat = Dedup.lshIndexRecallSlice(dir, corpus, batch,
+      "doc_id", "text", sampleDocs = nBatch * 2).collect()(0)
+    val base = Dedup.lshIndexRecall(dir, corpus, batch,
+      "doc_id", "text").collect()(0)
+    assert(sat.toString == base.toString)
+    // knownCount: catalog-served batch count, identical report
+    val viaKnown = Dedup.lshIndexRecallSlice(dir, corpus, batch,
+      "doc_id", "text", sampleDocs = target,
+      knownCount = Some(nBatch)).collect()(0)
+    assert(viaKnown.toString == sliced.toString)
+  }
+
   test("lshRecall boundary: a pair at exactly J = 0.7 lands in truth — " +
       "the prefix length and tau-scaled filters never round it out") {
     // k=1 shingles (single words): |A| = |B| = 17, 14 shared ->
