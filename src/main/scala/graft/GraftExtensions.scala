@@ -376,6 +376,21 @@ object GraftExtensions {
         operators.Knn.repairIvfPqIndex(spark, dir)
         operators.Knn.fsckIvfPqIndex(spark, dir).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_knn_index_advise"),
+      info("graft_knn_index_advise",
+        "graft_knn_index_advise(dir, corpus_table, id_col, vec_col) - " +
+          "the maintenance advisor's runbook row for a persisted " +
+          "IVFxPQ index: (store, action in repair|rebuild|compact|ok, " +
+          "reason) joining fsck, drift-vs-corpus, and fragmentation"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_knn_index_advise")
+        val df = spark.table(strArg(args(1), "graft_knn_index_advise"))
+        val idCol = strArg(args(2), "graft_knn_index_advise")
+        val vecCol = strArg(args(3), "graft_knn_index_advise")
+        operators.Knn.adviseIvfPqIndex(spark, dir, df, idCol, vecCol)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_knn_index_drift"),
       info("graft_knn_index_drift",
         "graft_knn_index_drift(dir, corpus_table, id_col, vec_col) - " +
@@ -470,6 +485,20 @@ object GraftExtensions {
         operators.Dedup.repairLshIndex(spark, dir)
         operators.Dedup.fsckLshIndex(spark, dir).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_lsh_index_advise"),
+      info("graft_lsh_index_advise",
+        "graft_lsh_index_advise(dir[, max_files_per_band]) - the " +
+          "maintenance advisor's runbook row for a persisted LSH " +
+          "index: (store, action in repair|compact|ok, reason); decay " +
+          "measurement is graft_dedup_recall's territory"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_lsh_index_advise")
+        val maxFiles = if (args.length > 1)
+          numArg(args(1), "graft_lsh_index_advise").toInt else 1
+        operators.Dedup.adviseLshIndex(spark, dir, maxFiles)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_lsh_index_stats"),
       info("graft_lsh_index_stats",
         "graft_lsh_index_stats(dir) - per-band health of a persisted " +
@@ -534,6 +563,21 @@ object GraftExtensions {
         val dir = strArg(args(0), "graft_sq_index_repair")
         operators.Knn.repairSqIndex(spark, dir)
         operators.Knn.fsckSqIndex(spark, dir).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_sq_index_advise"),
+      info("graft_sq_index_advise",
+        "graft_sq_index_advise(dir, corpus_table, vec_col) - the " +
+          "maintenance advisor's runbook row for a persisted SQ8 " +
+          "store: (store, action in repair|rebuild|compact|ok, " +
+          "reason) joining fsck, grid drift-vs-corpus, and small-file " +
+          "fragmentation"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = strArg(args(0), "graft_sq_index_advise")
+        val df = spark.table(strArg(args(1), "graft_sq_index_advise"))
+        val vecCol = strArg(args(2), "graft_sq_index_advise")
+        operators.Knn.adviseSqIndex(spark, dir, df, vecCol)
+          .queryExecution.logical
       }),
     (FunctionIdentifier("graft_sq_index_drift"),
       info("graft_sq_index_drift",

@@ -475,6 +475,30 @@ object Dedup {
     ).toDF("check", "ok", "n_bad", "detail")
   }
 
+  /** C25 lifecycle (advise): the maintenance-advisor runbook row for
+    * the LSH store — [[graft.operators.Knn.adviseIvfPqIndex]]'s
+    * discipline under [[StoreMaintenance.adviseRow]]'s precedence.
+    * The LSH store has no drift number derivable from a listing (its
+    * decay metric is [[lshIndexRecall]], which needs a corpus + probe
+    * batch — C37's row, an eval cadence, not an advisor scan), so the
+    * rebuild slot stays empty here: actions are repair (fsck flags),
+    * compact (any `band=` partition over `maxFilesPerBand` files —
+    * [[compactLshIndex]]'s knob), or ok.
+    */
+  def adviseLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String,
+                     maxFilesPerBand: Int = 1): DataFrame = {
+    val fsckBad = fsckLshIndex(spark, dir).filter(!col("ok")).count()
+    val fragged = StoreMaintenance
+      .partitionFileStats(spark, s"$dir/buckets", "band")
+      .count(_._2 > maxFilesPerBand)
+    val compact = if (fragged > 0)
+      Some(s"$fragged band partition(s) over $maxFilesPerBand file(s) " +
+        "- compactLshIndex")
+    else scala.None
+    StoreMaintenance.adviseRow(spark, dir, fsckBad, scala.None, compact)
+  }
+
   /** [[lshIndexRecall]] with an ABSOLUTE-size probe batch — the C35b
     * posture for the persisted-store report: the registered harness
     * batch is PROPORTIONAL (10% of corpus), which at a duplicate-storm

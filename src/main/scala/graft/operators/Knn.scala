@@ -1611,6 +1611,48 @@ object Knn {
       .orderBy("cell_id")
   }
 
+  /** D8 (advise): the maintenance ADVISOR — one (store, action ∈
+    * repair|rebuild|compact|ok, reason) runbook row joining the
+    * store's fsck, drift, and fragmentation numbers under
+    * [[StoreMaintenance.adviseRow]]'s precedence: corruption beats
+    * drift beats fragmentation (corrupt rows pollute the other two
+    * numbers; a drifted quantizer makes compaction pointless).
+    * Rebuild triggers when the code-weighted mean of
+    * [[ivfPqIndexDrift]]'s `frac_misassigned` — the fraction of
+    * stored vectors whose CURRENT nearest coarse cell differs from
+    * their stored one, i.e. probes that now look in the wrong
+    * partition — crosses `maxMisassigned`. Compact triggers when any
+    * `cell_id=` partition holds more than `maxFilesPerCell` files
+    * ([[compactIvfPqIndex]]'s knob). Driver cost: the fsck + stats
+    * passes plus drift's one corpus join — the fsck cadence.
+    */
+  def adviseIvfPqIndex(spark: SparkSession, dir: String,
+                       corpus: DataFrame, idCol: String, vecCol: String,
+                       maxFilesPerCell: Int = 1,
+                       maxMisassigned: Double = 0.2): DataFrame = {
+    val fsckBad = fsckIvfPqIndex(spark, dir)
+      .filter(!col("ok")).count()
+    val rebuild = if (fsckBad > 0) scala.None else {
+      val d = ivfPqIndexDrift(spark, dir, corpus, idCol, vecCol)
+        .agg((sum(col("frac_misassigned") * col("n_codes")) /
+          sum(col("n_codes"))).as("w"))
+        .head().getAs[Double]("w")
+      if (d > maxMisassigned)
+        Some(f"$d%.4f of stored codes are coarse-misassigned vs the " +
+          f"current corpus (> $maxMisassigned%.2f) - the frozen " +
+          "quantizers no longer fit; rebuild")
+      else scala.None
+    }
+    val fragged = StoreMaintenance
+      .partitionFileStats(spark, s"$dir/codes", "cell_id")
+      .count(_._2 > maxFilesPerCell)
+    val compact = if (fragged > 0)
+      Some(s"$fragged cell partition(s) over $maxFilesPerCell file(s) " +
+        "- compactIvfPqIndex")
+    else scala.None
+    StoreMaintenance.adviseRow(spark, dir, fsckBad, rebuild, compact)
+  }
+
   /** D8 (search): probe a [[buildIvfPqIndex]] layout. Coarse +
     * codebooks are tiny reads (broadcast); each query's nProbe cells
     * become a `cell_id IN (...)` partition filter on the codes dir —
@@ -2224,6 +2266,41 @@ object Knn {
       (rdds.keySet diff persistedBefore)
         .foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
     }
+  }
+
+  /** D11b (advise): [[adviseIvfPqIndex]]'s runbook row for the flat
+    * SQ8 store — same precedence ([[StoreMaintenance.adviseRow]]).
+    * Rebuild triggers when the dim-averaged `frac_out_of_range` of
+    * [[sqIndexDrift]] — current corpus values clamping to the grid's
+    * edge codes, unbounded reconstruction error — crosses
+    * `maxOutOfRange`. Compact triggers when the store holds
+    * `minSmallFiles` or more files under `minBytes`
+    * ([[compactSqIndex]]'s knob; one small file is just the tail of
+    * the last append, two or more is an ingest pattern worth
+    * merging).
+    */
+  def adviseSqIndex(spark: SparkSession, dir: String, corpus: DataFrame,
+                    vecCol: String, minBytes: Long = 4L << 20,
+                    minSmallFiles: Int = 2,
+                    maxOutOfRange: Double = 0.05): DataFrame = {
+    val fsckBad = fsckSqIndex(spark, dir).filter(!col("ok")).count()
+    val rebuild = if (fsckBad > 0) scala.None else {
+      val d = sqIndexDrift(spark, dir, corpus, vecCol)
+        .agg(avg(col("frac_out_of_range")).as("w"))
+        .head().getAs[Double]("w")
+      if (d > maxOutOfRange)
+        Some(f"$d%.4f of current corpus values fall outside the " +
+          f"frozen affine grid (> $maxOutOfRange%.2f) - codes clamp; " +
+          "rebuild")
+      else scala.None
+    }
+    val small = StoreMaintenance.dataFiles(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      .count(_._2 < minBytes)
+    val compact = if (small >= minSmallFiles)
+      Some(s"$small files under $minBytes bytes - compactSqIndex")
+    else scala.None
+    StoreMaintenance.adviseRow(spark, dir, fsckBad, rebuild, compact)
   }
 
   /** D11b (drift): the SQ store's rebuild trigger — the frozen affine

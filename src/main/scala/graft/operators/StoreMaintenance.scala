@@ -350,4 +350,36 @@ private[graft] object StoreMaintenance {
       val fs = dataFiles(spark, p)
       (v, fs.size, fs.map(_._2).sum)
     }
+
+  /** The ONE advisor decision rule every per-store `advise*` verb
+    * feeds (Knn.adviseIvfPqIndex / Knn.adviseSqIndex /
+    * Dedup.adviseLshIndex) — the ops runbook as code, by precedence:
+    *
+    *   1. `repair`  — fsck flags failing checks: a corrupt store must
+    *      be repaired before any drift or fragmentation number can be
+    *      trusted (corrupt rows pollute both);
+    *   2. `rebuild` — the store's drift number crossed its threshold:
+    *      the frozen quantizer/signature no longer fits the data, and
+    *      no file surgery fixes that;
+    *   3. `compact` — fragmentation crossed its threshold: rows are
+    *      fine, the file layout taxes every read;
+    *   4. `ok`      — none of the above.
+    *
+    * One row: (store, action, reason) — reason carries the triggering
+    * numbers so the row IS the runbook entry.
+    */
+  def adviseRow(spark: SparkSession, store: String, fsckBad: Long,
+                rebuild: Option[String],
+                compact: Option[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (action, reason) =
+      if (fsckBad > 0)
+        ("repair", s"fsck flags $fsckBad failing check(s) - run the " +
+          "store's repair verb, then re-advise")
+      else rebuild.map(("rebuild", _))
+        .orElse(compact.map(("compact", _)))
+        .getOrElse(("ok",
+          "fsck clean, drift under thresholds, no fragmentation"))
+    Seq((store, action, reason)).toDF("store", "action", "reason")
+  }
 }

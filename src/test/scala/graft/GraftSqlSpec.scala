@@ -406,6 +406,13 @@ class GraftSqlSpec extends SparkSpec {
     val ed = graft.operators.Knn.ivfPqIndexDrift(spark, dir, emb,
       "vec_id", "embedding").collect().map(_.toString).toSeq
     assert(d == ed && d.nonEmpty, "drift TVF drifted")
+    // advisor TVF parity (healthy store scored vs its own corpus: ok)
+    val a = spark.sql(s"SELECT * FROM graft_knn_index_advise('$dir', " +
+      "'drift_corpus_v', 'vec_id', 'embedding')").collect()
+    val ea = graft.operators.Knn.adviseIvfPqIndex(spark, dir, emb,
+      "vec_id", "embedding").collect().map(_.toString).toSeq
+    assert(a.map(_.toString).toSeq == ea && a.length == 1 &&
+      a.head.getAs[String]("action") == "ok", "advise TVF drifted")
   }
 
 
@@ -460,6 +467,13 @@ class GraftSqlSpec extends SparkSpec {
       s"SELECT * FROM graft_lsh_index_compact('$dir')").collect()
     assert(post.nonEmpty && post.forall(_.getAs[Int]("n_files") == 1),
       "CALL-style lsh compact must leave one file per band")
+    // advisor TVF parity on the healthy compacted store
+    val adv = spark.sql(
+      s"SELECT * FROM graft_lsh_index_advise('$dir')").collect()
+    val eadv = graft.operators.Dedup.adviseLshIndex(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(adv.map(_.toString).toSeq == eadv && adv.length == 1 &&
+      adv.head.getAs[String]("action") == "ok", "lsh advise TVF drifted")
     // CALL-style repair: inject a crashed-purge dup + torn doc, the
     // TVF repairs and returns an all-green fsck
     Seq((1234L, 8888L, 0), (4321L, 7777L, 1), (4321L, 7777L, 1))
@@ -509,6 +523,14 @@ class GraftSqlSpec extends SparkSpec {
     // row set unchanged by the SQL-driven compaction
     assert(post.head.getAs[Long]("n_codes") ==
       s.head.getAs[Long]("n_codes"))
+    // advisor TVF parity on the healthy compacted store (drift scored
+    // against the store's own corpus)
+    val adv = spark.sql(s"SELECT * FROM graft_sq_index_advise('$dir', " +
+      "'sq_drift_corpus_v', 'embedding')").collect()
+    val eadv = graft.operators.Knn.adviseSqIndex(spark, dir, emb,
+      "embedding").collect().map(_.toString).toSeq
+    assert(adv.map(_.toString).toSeq == eadv && adv.length == 1,
+      "sq advise TVF drifted")
     // CALL-style repair: inject a malformed row, the TVF repairs and
     // returns an all-green fsck
     Seq((9001L, Seq(1, 2))).toDF("neighbor_id", "codes")

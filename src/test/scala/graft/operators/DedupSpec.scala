@@ -686,6 +686,28 @@ class DedupSpec extends SparkSpec {
       "params/band checks must stay green")
   }
 
+  test("adviseLshIndex: manufactured states fire ok, compact, and " +
+      "repair (precedence over fragmentation)") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_adv").toString
+    Dedup.buildLshIndex(docs, "doc_id", "text", dir)
+    assert(Dedup.adviseLshIndex(spark, dir).head()
+      .getAs[String]("action") == "ok", "fresh index must advise ok")
+    // an append fragments every band: compact
+    Dedup.appendToLshIndex(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+      "doc_id", "text", dir)
+    val cp = Dedup.adviseLshIndex(spark, dir).head()
+    assert(cp.getAs[String]("action") == "compact",
+      s"fragmented index must advise compact: $cp")
+    assert(cp.getAs[String]("reason").contains("compactLshIndex"))
+    // a torn append corrupts: repair wins over the fragmentation
+    Seq((1234L, 8888L, 0)).toDF("bkey", "corpus_id", "band")
+      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+    val rp = Dedup.adviseLshIndex(spark, dir).head()
+    assert(rp.getAs[String]("action") == "repair",
+      s"corrupt index must advise repair before compact: $rp")
+  }
+
   test("repairLshIndex: each corruption class is surgically fixed — " +
       "dups collapse, torn docs leave, orphan bands drop — untouched " +
       "files stay byte-identical, idempotent, missing band refused") {

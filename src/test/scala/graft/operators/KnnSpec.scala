@@ -1126,6 +1126,71 @@ class KnnSpec extends SparkSpec {
     assert(r("grid_complete")._1, "grid check must stay green")
   }
 
+  test("adviseIvfPqIndex / adviseSqIndex: each manufactured store " +
+      "state fires its trigger — ok, compact, rebuild, repair — in " +
+      "precedence order") {
+    // --- IVF x PQ ---
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_adv").toString
+    Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64)
+    def advise(corpus: org.apache.spark.sql.DataFrame) =
+      Knn.adviseIvfPqIndex(spark, dir, corpus, "vec_id", "embedding")
+        .head()
+    // fresh build scored against its own corpus: ok
+    assert(advise(emb).getAs[String]("action") == "ok",
+      s"fresh store must advise ok: ${advise(emb)}")
+    // drifted corpus (every id now carries its neighbor's vector, so
+    // stored coarse assignments are wrong for most ids): rebuild
+    val n = emb.count()
+    val drifted = emb.select(((col("vec_id") + 1) % n).as("vec_id"),
+      col("embedding"))
+    val rb = advise(drifted)
+    assert(rb.getAs[String]("action") == "rebuild",
+      s"drifted corpus must advise rebuild: $rb")
+    assert(rb.getAs[String]("reason").contains("misassigned"))
+    // fragmentation: an append of NEW ids (offset out of the id
+    // space, so fsck stays green and drift ignores them) adds a
+    // second file to the touched cells: compact
+    Knn.appendToIvfPqIndex(
+      emb.limit(30).select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")),
+      "vec_id", "embedding", dir, dim = 64)
+    val cp = advise(emb)
+    assert(cp.getAs[String]("action") == "compact",
+      s"fragmented store must advise compact: $cp")
+    // a replayed append duplicates ids: fsck flags, and repair WINS
+    // over the still-present fragmentation (precedence)
+    Knn.appendToIvfPqIndex(emb.limit(30), "vec_id", "embedding", dir,
+      dim = 64)
+    Knn.appendToIvfPqIndex(emb.limit(30), "vec_id", "embedding", dir,
+      dim = 64)
+    val rp = advise(emb)
+    assert(rp.getAs[String]("action") == "repair",
+      s"corrupt store must advise repair before compact: $rp")
+    // --- SQ8 (built from the even half; odd half appends later) ---
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val sdir = java.nio.file.Files.createTempDirectory("sq_adv").toString
+    Knn.buildSqIndex(evens, "vec_id", "embedding", sdir, dim = 64)
+    def adviseSq(corpus: org.apache.spark.sql.DataFrame,
+                 minBytes: Long = 1L) =
+      Knn.adviseSqIndex(spark, sdir, corpus, "embedding",
+        minBytes = minBytes).head()
+    assert(adviseSq(evens).getAs[String]("action") == "ok",
+      s"fresh SQ store must advise ok: ${adviseSq(evens)}")
+    // a uniformly shifted corpus leaves the frozen grid: rebuild
+    val shifted = evens.withColumn("embedding",
+      transform(col("embedding"), x => x + 10.0f))
+    val srb = adviseSq(shifted)
+    assert(srb.getAs[String]("action") == "rebuild",
+      s"shifted corpus must advise rebuild: $srb")
+    assert(srb.getAs[String]("reason").contains("grid"))
+    // an append of the odd half leaves small files: compact
+    Knn.appendToSqIndex(emb.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", sdir, dim = 64)
+    val scp = adviseSq(evens, minBytes = 4L << 20)
+    assert(scp.getAs[String]("action") == "compact",
+      s"small-file store must advise compact: $scp")
+  }
+
   test("repairSqIndex: malformed rows drop, replayed-append dups " +
       "collapse to one copy, clean files stay byte-identical, " +
       "idempotent, empty grid refused") {
