@@ -480,6 +480,129 @@ object Streams {
       }
   }
 
+  /** G19: streaming vector INGEST-append — the write half of the
+    * vector-store serving story (G16/G18 read the stores; this is the
+    * loop that continuously FEEDS them), [[dedupIngestStream]]'s G17
+    * shape for embeddings: each micro-batch of vectors probes the
+    * persisted store for near-dups (exact-rescored top-`probeK`
+    * against the full-precision `vecStoreDir` twin), every batch
+    * vector gets a verdict row `(id, is_dup, match_id, best_cosine)`,
+    * and the SURVIVORS (best exact cosine < `dupCosine`) append to
+    * BOTH the index (encode under the FROZEN quantizers — a pure
+    * file-add) and the vector store, so the next micro-batch dedups
+    * against them. `store` picks the layout: "ivfpq"
+    * ([[graft.operators.Knn.searchIvfPqIndex]] /
+    * [[graft.operators.Knn.appendToIvfPqIndex]]) or "sq"
+    * ([[graft.operators.Knn.searchSqIndex]] /
+    * [[graft.operators.Knn.appendToSqIndex]]). Caller bootstraps the
+    * two directories consistently (build the index from a corpus and
+    * write the same corpus' `(id, vec)` rows to `vecStoreDir`).
+    * `dim` is resolved ONCE at stream definition from the store's own
+    * sidecar (the G16/G18 no-per-batch-IO rule).
+    *
+    * G17's contract carries over verbatim: duplicates are judged vs
+    * HISTORY (two near-dup vectors inside one micro-batch both
+    * survive — corpus-level dedup is C6/C18's job); the probe result
+    * is localCheckpointed BEFORE the appends mutate the directories
+    * its plan reads; state lives in the directories, not the stream.
+    * At-least-once hardening is G17's marker set under
+    * `_epochs/<streamId>/<epoch>`: `.done` skips committed epochs,
+    * `.idx`/`.vec` make each append at-most-once across redeliveries,
+    * and the probe EXCLUDES matches whose history side is one of the
+    * batch's own ids so a retry over a half-committed append
+    * reproduces the original verdicts — here the exclusion trims the
+    * top-`probeK` candidate list, so `probeK` > 1 keeps a true
+    * history match visible behind a batch-self hit (the flat-append
+    * residual window is G17's, documented there).
+    */
+  def vectorIngestStream(vectors: DataFrame, idCol: String,
+                         vecCol: String, indexDir: String,
+                         vecStoreDir: String, store: String = "ivfpq",
+                         dupCosine: Double = 0.995, probeK: Int = 4,
+                         streamId: String = "default")
+                        (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] = {
+    require(store == "ivfpq" || store == "sq",
+      s"store must be 'ivfpq' or 'sq', got $store")
+    val spark0 = vectors.sparkSession
+    // the store's dim, resolved once at stream definition
+    val dim =
+      if (store == "sq")
+        graft.operators.Knn.sqIndexGrid(spark0, indexDir)._1.length
+      else spark0.read.parquet(s"$indexDir/coarse")
+        .select(size(col("centroid"))).head().getInt(0)
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: Dataset[Row], epochId: Long) =>
+        val batch = batch0.toDF()
+        val spark = batch0.sparkSession
+        val epochsRoot = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(indexDir, "_epochs"), streamId)
+        val fs = epochsRoot.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def marker(suffix: String) =
+          new org.apache.hadoop.fs.Path(epochsRoot, s"$epochId.$suffix")
+        def commit(suffix: String): Unit =
+          fs.create(marker(suffix), true).close()
+        if (fs.exists(marker("done"))) {
+          // redelivered fully-committed epoch: everything already ran
+        } else if (!batch.isEmpty) {
+          val vecStore = spark.read.parquet(vecStoreDir)
+          val hits =
+            if (store == "sq")
+              graft.operators.Knn.searchSqIndex(spark, indexDir, batch,
+                idCol, vecCol, dim, probeK, corpus = vecStore)
+            else
+              graft.operators.Knn.searchIvfPqIndex(spark, indexDir,
+                batch, idCol, vecCol, dim, probeK,
+                rescoreWith = Some(vecStore))
+          // G17 guard (2): drop candidates whose history side is a
+          // batch id (retry over a half-committed append)
+          val best = hits
+            .join(batch.select(batch(idCol).cast("long")
+                .as("neighbor_id")),
+              Seq("neighbor_id"), "left_anti")
+            .filter(col("cosine") >= dupCosine)
+            .groupBy(col("query_id"))
+            .agg(max_by(col("neighbor_id"),
+                struct(col("cosine"), -col("neighbor_id")))
+                .as("match_id"),
+              max(col("cosine")).as("best_cosine"))
+          // EAGER verdicts/survivors before the appends below mutate
+          // the directories the probe plan reads
+          val verdict = batch.select(col(idCol))
+            .join(best, batch(idCol).cast("long") === best("query_id"),
+              "left")
+            .select(col(idCol), col("match_id").isNotNull.as("is_dup"),
+              col("match_id"), col("best_cosine"))
+            .localCheckpoint()
+          val survivors = batch.select(col(idCol), col(vecCol))
+            .join(verdict.filter(col("is_dup"))
+                .select(col(idCol)),
+              Seq(idCol), "left_anti")
+            .localCheckpoint()
+          // G17 guard (3): each append at most once across retries
+          if (!fs.exists(marker("idx"))) {
+            if (store == "sq")
+              graft.operators.Knn.appendToSqIndex(survivors, idCol,
+                vecCol, indexDir, dim)
+            else
+              graft.operators.Knn.appendToIvfPqIndex(survivors, idCol,
+                vecCol, indexDir, dim)
+            commit("idx")
+          }
+          if (!fs.exists(marker("vec"))) {
+            survivors.write.mode("append").parquet(vecStoreDir)
+            commit("vec")
+          }
+          sink(verdict, epochId)
+          commit("done")
+        } else {
+          commit("done") // empty epoch: nothing to mutate
+        }
+      }
+  }
+
   /** G17: streaming ingest dedup — the crawl-ingest LOOP the C25
     * persisted LSH index exists for, run as a stream: each micro-batch
     * of documents probes the index

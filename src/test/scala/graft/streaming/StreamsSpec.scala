@@ -1274,4 +1274,123 @@ class StreamsSpec extends SparkSpec {
         s"${buf.size} vs ${batch.length}")
   }
 
+  test("G19 vectorIngestStream: verdicts and final store equal the " +
+      "sequential probe+append cycle, survivors feed history, " +
+      "redelivered epochs are skipped wholesale — both store layouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    // b1: 5 EXACT copies of corpus vectors (re-keyed 10000+) + 5
+    // genuinely new odd vectors (re-keyed 11000+); b2: copies of b1's
+    // SURVIVORS (20000+ — dup only if b1's appends became history) +
+    // 3 fresh odd vectors (13000+)
+    def rekey(src: org.apache.spark.sql.DataFrame, base: Long,
+              n: Int): Seq[(Long, Seq[Float])] =
+      src.orderBy("vec_id").limit(n)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])]
+        .collect().toSeq.zipWithIndex
+        .map { case ((_, v), i) => (base + i, v) }
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val b1 = rekey(corpus, 10000L, 5) ++ rekey(odds, 11000L, 5)
+    // fresh = NEGATED odd vectors: cosine -1 to their source and far
+    // from everything else (the fixture corpus has exact-dup classes,
+    // so an unseen fixture vector is NOT guaranteed fresh)
+    val b2 = rekey(odds, 20000L, 5) ++
+      rekey(odds, 13000L, 3).map { case (id, v) => (id, v.map(-_)) }
+    val wantDup1 = (10000L to 10004L).toSet
+    val wantDup2 = (20000L to 20004L).toSet
+    for (store <- Seq("ivfpq", "sq")) {
+      def bootstrap(): (String, String) = {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"g19_${store}_i").toString
+        val vst = java.nio.file.Files
+          .createTempDirectory(s"g19_${store}_v").toString
+        if (store == "sq")
+          graft.operators.Knn.buildSqIndex(corpus, "vec_id",
+            "embedding", idx, dim = 64)
+        else
+          graft.operators.Knn.buildIvfPqIndex(corpus, "vec_id",
+            "embedding", idx, dim = 64)
+        corpus.write.mode("overwrite").parquet(vst)
+        (idx, vst)
+      }
+      // sequential reference: the probe+threshold+append cycle via
+      // the operator verbs, no stream machinery
+      def refCycle(idx: String, vst: String,
+                   rows: Seq[(Long, Seq[Float])])
+          : Set[(Long, Boolean, Option[Long])] = {
+        val batch = rows.toDF("vec_id", "embedding")
+        val vecStore = spark.read.parquet(vst)
+        val hits = (if (store == "sq")
+            graft.operators.Knn.searchSqIndex(spark, idx, batch,
+              "vec_id", "embedding", 64, 4, corpus = vecStore)
+          else graft.operators.Knn.searchIvfPqIndex(spark, idx, batch,
+            "vec_id", "embedding", 64, 4, rescoreWith = Some(vecStore)))
+          .filter(col("cosine") >= 0.995).collect()
+        val best = hits.groupBy(_.getAs[Long]("query_id")).map {
+          case (q, rs) => q -> rs.maxBy(r =>
+            (r.getAs[Double]("cosine"), -r.getAs[Long]("neighbor_id")))
+            .getAs[Long]("neighbor_id")
+        }
+        val survivors = rows.filter(r => !best.contains(r._1))
+          .toDF("vec_id", "embedding").localCheckpoint()
+        if (store == "sq")
+          graft.operators.Knn.appendToSqIndex(survivors, "vec_id",
+            "embedding", idx, 64)
+        else graft.operators.Knn.appendToIvfPqIndex(survivors, "vec_id",
+          "embedding", idx, 64)
+        survivors.write.mode("append").parquet(vst)
+        rows.map(r => (r._1, best.contains(r._1), best.get(r._1))).toSet
+      }
+      val (refIdx, refVst) = bootstrap()
+      val want = refCycle(refIdx, refVst, b1) ++ refCycle(refIdx, refVst, b2)
+      // the fixture must actually exercise both classes
+      assert(want.filter(_._2).map(_._1) == wantDup1 ++ wantDup2,
+        s"$store: expected exactly the re-keyed copies to be dups: " +
+          want.filter(_._2))
+      // stream run
+      val (idx, vst) = bootstrap()
+      val input = MemoryStream[(Long, Seq[Float])]
+      val buf = scala.collection.mutable
+        .ArrayBuffer[(Long, Boolean, Option[Long])]()
+      val q = Streams.vectorIngestStream(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, vst, store = store) { (verdict, _) =>
+        val rows = verdict.collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)))
+        buf.synchronized { buf ++= rows }
+      }.start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        assert(buf.toSet == want,
+          s"$store: stream verdicts must equal the sequential cycle")
+        // the two stores hold the same code rows
+        def codeIds(d: String) = spark.read.parquet(s"$d/codes")
+          .select("neighbor_id").as[Long].collect().sorted.toSeq
+        assert(codeIds(idx) == codeIds(refIdx),
+          s"$store: stream index must grow exactly like the batch loop")
+        // redelivery: a second query with the SAME streamId restarts
+        // at epoch 0 — markers must skip it (no sink, no growth)
+        val before = codeIds(idx)
+        val sizeBefore = buf.size
+        val input2 = MemoryStream[(Long, Seq[Float])]
+        val q2 = Streams.vectorIngestStream(
+          input2.toDF().toDF("vec_id", "embedding"), "vec_id",
+          "embedding", idx, vst, store = store) { (verdict, _) =>
+          buf.synchronized { buf += ((verdict.count(), false, None)) }
+        }.start()
+        try {
+          input2.addData(b1: _*); q2.processAllAvailable()
+          assert(buf.size == sizeBefore,
+            s"$store: a redelivered committed epoch must not sink")
+          assert(codeIds(idx) == before,
+            s"$store: a redelivered committed epoch must not append")
+        } finally q2.stop()
+      } finally q.stop()
+    }
+  }
+
 }
