@@ -233,6 +233,24 @@ object GraftExtensions {
       s"$fn expects a literal numeric argument, got $other")
   }
 
+  /** Every CALL-style maintenance TVF accepts an optional trailing
+    * BOOLEAN `dry_run` (the SHOW-style escape hatch for the
+    * function-resolution TVF mechanism's one wart: the side effect
+    * runs at plan RESOLUTION, so a bare EXPLAIN triggers it).
+    * `dry_run=true` skips the mutation and returns the CURRENT-state
+    * report in the same schema — for merges the sidecar-admission
+    * check still runs, so an incompatible shard refuses loudly
+    * without a byte moving. The flag is positional-last and detected
+    * by TYPE (a boolean literal), so it composes with each TVF's own
+    * optional numeric knobs.
+    */
+  private def splitDryRun(args: Seq[Expression])
+      : (Seq[Expression], Boolean) = args.lastOption match {
+    case Some(Literal(b: Boolean, org.apache.spark.sql.types.BooleanType)) =>
+      (args.init, b)
+    case _ => (args, false)
+  }
+
   /** SQL entry points for the OPERATOR layer (the expression functions
     * above cover the kernels; these cover whole DataFrame→DataFrame
     * operators) — what a SQL-first user reaches for before learning the
@@ -350,30 +368,34 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_knn_index_compact"),
       info("graft_knn_index_compact",
-        "graft_knn_index_compact(dir[, max_files_per_cell]) - " +
+        "graft_knn_index_compact(dir[, max_files_per_cell][, dry_run]) - " +
           "CALL-style: coalesce fragmented cell partitions of a " +
           "persisted IVFxPQ index, return the post-compaction " +
           "per-cell stats. The maintenance side effect runs at plan " +
-          "RESOLUTION (EXPLAIN triggers it too)"),
-      (args: Seq[Expression]) => {
+          "RESOLUTION (EXPLAIN triggers it too); trailing dry_run=true " +
+          "skips it and returns the current stats"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dir = strArg(args(0), "graft_knn_index_compact")
         val maxFiles = if (args.length > 1)
           numArg(args(1), "graft_knn_index_compact").toInt else 1
-        operators.Knn.compactIvfPqIndex(spark, dir, maxFiles)
+        if (!dry) operators.Knn.compactIvfPqIndex(spark, dir, maxFiles)
         operators.Knn.ivfPqIndexStats(spark, dir).queryExecution.logical
       }),
     (FunctionIdentifier("graft_knn_index_repair"),
       info("graft_knn_index_repair",
-        "graft_knn_index_repair(dir) - CALL-style: drop duplicate / " +
-          "malformed / orphan code rows from a persisted IVFxPQ " +
-          "index, return the post-repair fsck report. The maintenance " +
-          "side effect runs at plan RESOLUTION (EXPLAIN triggers it " +
-          "too)"),
-      (args: Seq[Expression]) => {
+        "graft_knn_index_repair(dir[, dry_run]) - CALL-style: drop " +
+          "duplicate / malformed / orphan code rows from a persisted " +
+          "IVFxPQ index, return the post-repair fsck report. The " +
+          "maintenance side effect runs at plan RESOLUTION (EXPLAIN " +
+          "triggers it too); trailing dry_run=true skips it and " +
+          "returns the current fsck report"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dir = strArg(args(0), "graft_knn_index_repair")
-        operators.Knn.repairIvfPqIndex(spark, dir)
+        if (!dry) operators.Knn.repairIvfPqIndex(spark, dir)
         operators.Knn.fsckIvfPqIndex(spark, dir).queryExecution.logical
       }),
     (FunctionIdentifier("graft_knn_index_advise"),
@@ -417,34 +439,39 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_knn_index_merge"),
       info("graft_knn_index_merge",
-        "graft_knn_index_merge(dst, srcs_csv) - CALL-style: merge " +
-          "same-quantizer shard IVFxPQ indexes into dst (bytes move " +
-          "as a Spark job), return the post-merge fsck report " +
+        "graft_knn_index_merge(dst, srcs_csv[, dry_run]) - CALL-style: " +
+          "merge same-quantizer shard IVFxPQ indexes into dst (bytes " +
+          "move as a Spark job), return the post-merge fsck report " +
           "(ids_unique catches shard overlap). The maintenance side " +
-          "effect runs at plan RESOLUTION (EXPLAIN triggers it too)"),
-      (args: Seq[Expression]) => {
+          "effect runs at plan RESOLUTION (EXPLAIN triggers it too); " +
+          "trailing dry_run=true runs the quantizer-admission check " +
+          "(incompatible shards still refuse) but moves nothing"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dst = strArg(args(0), "graft_knn_index_merge")
         val srcs = strArg(args(1), "graft_knn_index_merge")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        operators.Knn.mergeIvfPqIndexes(spark, dst, srcs)
+        operators.Knn.mergeIvfPqIndexes(spark, dst, srcs, dryRun = dry)
         operators.Knn.fsckIvfPqIndex(spark, dst).queryExecution.logical
       }),
     // ---- LSH index lifecycle (the graft_knn_index_* symmetry for the
     // C25 bucket store) --------------------------------------------------
     (FunctionIdentifier("graft_lsh_index_merge"),
       info("graft_lsh_index_merge",
-        "graft_lsh_index_merge(dst, srcs_csv) - CALL-style: merge " +
-          "same-signature shard LSH indexes into dst (bytes move as " +
-          "a Spark job), return the post-merge fsck report. The " +
-          "maintenance side effect runs at plan RESOLUTION (EXPLAIN " +
-          "triggers it too)"),
-      (args: Seq[Expression]) => {
+        "graft_lsh_index_merge(dst, srcs_csv[, dry_run]) - CALL-style: " +
+          "merge same-signature shard LSH indexes into dst (bytes " +
+          "move as a Spark job), return the post-merge fsck report. " +
+          "The maintenance side effect runs at plan RESOLUTION " +
+          "(EXPLAIN triggers it too); trailing dry_run=true runs the " +
+          "signature-admission check but moves nothing"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dst = strArg(args(0), "graft_lsh_index_merge")
         val srcs = strArg(args(1), "graft_lsh_index_merge")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        operators.Dedup.mergeLshIndexes(spark, dst, srcs)
+        operators.Dedup.mergeLshIndexes(spark, dst, srcs, dryRun = dry)
         operators.Dedup.fsckLshIndex(spark, dst).queryExecution.logical
       }),
     (FunctionIdentifier("graft_lsh_index_fsck"),
@@ -458,31 +485,35 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_lsh_index_compact"),
       info("graft_lsh_index_compact",
-        "graft_lsh_index_compact(dir[, max_files_per_band]) - " +
+        "graft_lsh_index_compact(dir[, max_files_per_band][, dry_run]) - " +
           "CALL-style: coalesce fragmented band partitions of a " +
           "persisted LSH index, return the post-compaction per-band " +
           "stats. The maintenance side effect runs at plan RESOLUTION " +
-          "(EXPLAIN triggers it too)"),
-      (args: Seq[Expression]) => {
+          "(EXPLAIN triggers it too); trailing dry_run=true skips it " +
+          "and returns the current stats"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dir = strArg(args(0), "graft_lsh_index_compact")
         val maxFiles = if (args.length > 1)
           numArg(args(1), "graft_lsh_index_compact").toInt else 1
-        operators.Dedup.compactLshIndex(spark, dir, maxFiles)
+        if (!dry) operators.Dedup.compactLshIndex(spark, dir, maxFiles)
         operators.Dedup.lshIndexStats(spark, dir).queryExecution.logical
       }),
     (FunctionIdentifier("graft_lsh_index_repair"),
       info("graft_lsh_index_repair",
-        "graft_lsh_index_repair(dir) - CALL-style: drop duplicate " +
-          "bucket rows, torn-append docs, and out-of-range band " +
-          "partitions from a persisted LSH index (file surgery; " +
+        "graft_lsh_index_repair(dir[, dry_run]) - CALL-style: drop " +
+          "duplicate bucket rows, torn-append docs, and out-of-range " +
+          "band partitions from a persisted LSH index (file surgery; " +
           "refuses on a missing band partition), return the " +
           "post-repair fsck report. The maintenance side effect runs " +
-          "at plan RESOLUTION (EXPLAIN triggers it too)"),
-      (args: Seq[Expression]) => {
+          "at plan RESOLUTION (EXPLAIN triggers it too); trailing " +
+          "dry_run=true skips it and returns the current fsck report"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dir = strArg(args(0), "graft_lsh_index_repair")
-        operators.Dedup.repairLshIndex(spark, dir)
+        if (!dry) operators.Dedup.repairLshIndex(spark, dir)
         operators.Dedup.fsckLshIndex(spark, dir).queryExecution.logical
       }),
     (FunctionIdentifier("graft_lsh_index_advise"),
@@ -511,17 +542,19 @@ object GraftExtensions {
     // ---- SQ index lifecycle (the symmetry for the D11b flat store) -----
     (FunctionIdentifier("graft_sq_index_merge"),
       info("graft_sq_index_merge",
-        "graft_sq_index_merge(dst, srcs_csv) - CALL-style: merge " +
-          "same-grid shard SQ8 stores into dst (bytes move as a Spark " +
-          "job), return the post-merge fsck report. The maintenance " +
-          "side effect runs at plan RESOLUTION (EXPLAIN triggers it " +
-          "too)"),
-      (args: Seq[Expression]) => {
+        "graft_sq_index_merge(dst, srcs_csv[, dry_run]) - CALL-style: " +
+          "merge same-grid shard SQ8 stores into dst (bytes move as a " +
+          "Spark job), return the post-merge fsck report. The " +
+          "maintenance side effect runs at plan RESOLUTION (EXPLAIN " +
+          "triggers it too); trailing dry_run=true runs the " +
+          "grid-admission check but moves nothing"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dst = strArg(args(0), "graft_sq_index_merge")
         val srcs = strArg(args(1), "graft_sq_index_merge")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        operators.Knn.mergeSqIndexes(spark, dst, srcs)
+        operators.Knn.mergeSqIndexes(spark, dst, srcs, dryRun = dry)
         operators.Knn.fsckSqIndex(spark, dst).queryExecution.logical
       }),
     (FunctionIdentifier("graft_sq_index_fsck"),
@@ -536,32 +569,37 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_sq_index_compact"),
       info("graft_sq_index_compact",
-        "graft_sq_index_compact(dir[, min_bytes]) - CALL-style: merge " +
-          "the small files an append-per-batch ingest leaves in a " +
-          "persisted SQ8 store (crash-safe staged-rename journal), " +
-          "return the post-compaction stats. The maintenance side " +
-          "effect runs at plan RESOLUTION (EXPLAIN triggers it too)"),
-      (args: Seq[Expression]) => {
+        "graft_sq_index_compact(dir[, min_bytes][, dry_run]) - " +
+          "CALL-style: merge the small files an append-per-batch " +
+          "ingest leaves in a persisted SQ8 store (crash-safe " +
+          "staged-rename journal), return the post-compaction stats. " +
+          "The maintenance side effect runs at plan RESOLUTION " +
+          "(EXPLAIN triggers it too); trailing dry_run=true skips it " +
+          "and returns the current stats"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dir = strArg(args(0), "graft_sq_index_compact")
         val minBytes = if (args.length > 1)
           numArg(args(1), "graft_sq_index_compact").toLong else 4L << 20
-        operators.Knn.compactSqIndex(spark, dir, minBytes)
+        if (!dry) operators.Knn.compactSqIndex(spark, dir, minBytes)
         operators.Knn.sqIndexStats(spark, dir, minBytes)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_sq_index_repair"),
       info("graft_sq_index_repair",
-        "graft_sq_index_repair(dir) - CALL-style: drop malformed code " +
-          "rows and collapse duplicate neighbor_id rows in a " +
-          "persisted SQ8 store (file surgery; refuses on an empty " +
-          "grid sidecar), return the post-repair fsck report. The " +
-          "maintenance side effect runs at plan RESOLUTION (EXPLAIN " +
-          "triggers it too)"),
-      (args: Seq[Expression]) => {
+        "graft_sq_index_repair(dir[, dry_run]) - CALL-style: drop " +
+          "malformed code rows and collapse duplicate neighbor_id " +
+          "rows in a persisted SQ8 store (file surgery; refuses on an " +
+          "empty grid sidecar), return the post-repair fsck report. " +
+          "The maintenance side effect runs at plan RESOLUTION " +
+          "(EXPLAIN triggers it too); trailing dry_run=true skips it " +
+          "and returns the current fsck report"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val dir = strArg(args(0), "graft_sq_index_repair")
-        operators.Knn.repairSqIndex(spark, dir)
+        if (!dry) operators.Knn.repairSqIndex(spark, dir)
         operators.Knn.fsckSqIndex(spark, dir).queryExecution.logical
       }),
     (FunctionIdentifier("graft_sq_index_advise"),
@@ -608,17 +646,30 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_compact"),
       info("graft_compact",
-        "graft_compact(in_dir, out_dir[, versions]) - CALL-style: major-" +
-          "compact a bulk-load directory, return the compacted cells"),
-      (args: Seq[Expression]) => {
+        "graft_compact(in_dir, out_dir[, versions][, dry_run]) - " +
+          "CALL-style: major-compact a bulk-load directory, return the " +
+          "compacted cells; trailing dry_run=true writes nothing and " +
+          "returns the WOULD-BE compacted stream computed in-plan"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
         val inDir = strArg(args(0), "graft_compact")
         val outDir = strArg(args(1), "graft_compact")
         val versions =
           if (args.length > 2) numArg(args(2), "graft_compact").toInt else 1
-        operators.Compaction.compact(spark, inDir, outDir,
-          versions = versions)
-        operators.BulkLoad.readHFiles(spark, outDir).queryExecution.logical
+        if (dry) {
+          // the compaction's cell semantics without the rewrite:
+          // deletes resolved, versions retained — same rows the real
+          // call would hand back from outDir
+          operators.Compaction.retainVersions(
+            operators.Compaction.applyDeletes(
+              operators.BulkLoad.readHFiles(spark, inDir)), versions)
+            .queryExecution.logical
+        } else {
+          operators.Compaction.compact(spark, inDir, outDir,
+            versions = versions)
+          operators.BulkLoad.readHFiles(spark, outDir).queryExecution.logical
+        }
       }),
     (FunctionIdentifier("graft_zorder_ranges"),
       info("graft_zorder_ranges",

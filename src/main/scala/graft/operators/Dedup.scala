@@ -381,9 +381,12 @@ object Dedup {
     * missed-dup corruption), then pure file concatenation per `band=`
     * partition. No dedup across shards (run [[fsckLshIndex]] after;
     * its dup_rows check catches overlap). Returns files copied.
+    * `dryRun=true`: admission check + enumeration only, returns the
+    * would-copy count.
     */
   def mergeLshIndexes(spark: org.apache.spark.sql.SparkSession,
-                      dst: String, srcs: Seq[String]): Long = {
+                      dst: String, srcs: Seq[String],
+                      dryRun: Boolean = false): Long = {
     val want = lshIndexParams(spark, dst)
     srcs.foreach { s =>
       require(lshIndexParams(spark, s) == want,
@@ -404,7 +407,9 @@ object Dedup {
             }
           }
     }
-    StoreMaintenance.copyFilesDistributed(spark, pairs)
+    // dry run: signature admission ran above — count, don't copy
+    if (dryRun) pairs.size.toLong
+    else StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
   /** C25 lifecycle (stats): per-band health of a [[buildLshIndex]]

@@ -1396,9 +1396,13 @@ object Knn {
     * shards)) but the BYTES move as a Spark job
     * ([[StoreMaintenance.copyFilesDistributed]]) — merge bandwidth
     * scales with the cluster, the driver touches no data path.
+    * `dryRun=true` runs the full quantizer-admission check and file
+    * enumeration (incompatible shards still refuse loudly) but moves
+    * nothing — returns the would-copy count.
     */
   def mergeIvfPqIndexes(spark: SparkSession, dst: String,
-                        srcs: Seq[String]): Long = {
+                        srcs: Seq[String],
+                        dryRun: Boolean = false): Long = {
     // quantizer identity compared on TYPED values (integer key fields
     // + vector elements), not Row.toString renderings: string equality
     // is brittle (double formatting, -0.0 vs 0.0) and would refuse a
@@ -1450,7 +1454,10 @@ object Knn {
             }
           }
     }
-    StoreMaintenance.copyFilesDistributed(spark, pairs)
+    // dry run: the full admission check ran (incompatible quantizers
+    // refused loudly above) — report the would-copy count, move nothing
+    if (dryRun) pairs.size.toLong
+    else StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
   /** D8 (repair): fix what [[fsckIvfPqIndex]] flags, without a rebuild
@@ -2121,9 +2128,12 @@ object Knn {
     * driver-side, BYTES moved as a Spark job
     * ([[StoreMaintenance.copyFilesDistributed]]). Returns files
     * copied; run [[fsckSqIndex]] after for shard-overlap dups.
+    * `dryRun=true`: admission check + enumeration only, returns the
+    * would-copy count.
     */
   def mergeSqIndexes(spark: SparkSession, dst: String,
-                     srcs: Seq[String]): Long = {
+                     srcs: Seq[String],
+                     dryRun: Boolean = false): Long = {
     val (wlo, wsc) = sqIndexGrid(spark, dst)
     srcs.foreach { s =>
       val (lo, sc) = sqIndexGrid(spark, s)
@@ -2141,7 +2151,9 @@ object Knn {
               s"merge$i-${f.getName}").toString)
           }
     }
-    StoreMaintenance.copyFilesDistributed(spark, pairs)
+    // dry run: grid-identity admission ran above — count, don't copy
+    if (dryRun) pairs.size.toLong
+    else StoreMaintenance.copyFilesDistributed(spark, pairs)
   }
 
   /** D11b (fsck): [[fsckIvfPqIndex]]'s discipline for the flat SQ8

@@ -591,4 +591,113 @@ class GraftSqlSpec extends SparkSpec {
       s"no-op knn merge must return a green fsck: ${kr.mkString(" | ")}")
   }
 
+  test("dry_run=true on the CALL-style maintenance TVFs: EXPLAIN-safe " +
+      "(no mutation, current-state report), merge admission still " +
+      "refuses incompatible shards") {
+    def listing(dir: String): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString,
+          java.nio.file.Files.size(p))).toSeq.sorted
+      finally s.close()
+    }
+    val emb = sf("embeddings")
+    val docs = sf("documents")
+    // SQ: fragmented store — dry-run compact reports the CURRENT
+    // fragmentation and touches no file (EXPLAIN included)
+    val sq = java.nio.file.Files.createTempDirectory("dry_sq").toString
+    graft.operators.Knn.buildSqIndex(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", sq, 64)
+    graft.operators.Knn.appendToSqIndex(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", sq, 64)
+    val before = listing(sq)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_sq_index_compact('$sq', true)")
+      .collect()
+    val dryStats = spark.sql(
+      s"SELECT * FROM graft_sq_index_compact('$sq', true)").collect()
+    assert(dryStats.length == 1 &&
+      dryStats.head.getAs[Long]("n_small_files") >= 2,
+      s"dry-run compact must report the CURRENT state: ${dryStats.head}")
+    assert(listing(sq) == before,
+      "dry-run sq compact (and its EXPLAIN) must not touch a file")
+    // LSH: corrupted store — dry-run repair returns the failing fsck
+    // and leaves the corruption in place; the real call then fixes it
+    val lsh = java.nio.file.Files.createTempDirectory("dry_lsh").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", lsh)
+    Seq((4321L, 7777L, 1), (4321L, 7777L, 1))
+      .toDF("bkey", "corpus_id", "band")
+      .write.mode("append").partitionBy("band").parquet(s"$lsh/buckets")
+    val lshBefore = listing(lsh)
+    val dryRep = spark.sql(
+      s"SELECT * FROM graft_lsh_index_repair('$lsh', true)").collect()
+    assert(dryRep.exists(!_.getAs[Boolean]("ok")),
+      "dry-run repair must report the corruption, not fix it")
+    assert(listing(lsh) == lshBefore,
+      "dry-run lsh repair must not touch a file")
+    val realRep = spark.sql(
+      s"SELECT * FROM graft_lsh_index_repair('$lsh')").collect()
+    assert(realRep.forall(_.getAs[Boolean]("ok")),
+      "the real repair after a dry run must still fix the store")
+    // merge dry-run: compatible shards — dst row set unchanged;
+    // incompatible shards — the admission check still refuses
+    val l1 = java.nio.file.Files.createTempDirectory("dry_m1").toString
+    val l2 = java.nio.file.Files.createTempDirectory("dry_m2").toString
+    graft.operators.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", l1)
+    graft.operators.Dedup.buildLshIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", l2)
+    val m1Before = listing(l1)
+    val dryMerge = spark.sql(
+      s"SELECT * FROM graft_lsh_index_merge('$l1', '$l2', true)").collect()
+    assert(dryMerge.forall(_.getAs[Boolean]("ok")) &&
+      listing(l1) == m1Before,
+      "dry-run merge must verify and move nothing")
+    val l3 = java.nio.file.Files.createTempDirectory("dry_m3").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", l3,
+      bands = 8)
+    val refuse = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lsh_index_merge('$l1', '$l3', true)")
+    }
+    val chain = Iterator.iterate(refuse: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(chain.contains("DIFFERENT"),
+      s"dry-run merge must still refuse incompatible shards: $chain")
+    // graft_compact dry-run: same cell rows the real rewrite produces,
+    // and the out dir is never created
+    val bulkIn = java.nio.file.Files.createTempDirectory("dry_bk").toString
+    val rows = Seq(
+      (functions.BytesCodec.encodeLong(1L), "f", "q",
+        "old".getBytes("UTF-8"), 4, 100L),
+      (functions.BytesCodec.encodeLong(1L), "f", "q",
+        "new".getBytes("UTF-8"), 4, 200L),
+      (functions.BytesCodec.encodeLong(2L), "f", "q",
+        "solo".getBytes("UTF-8"), 4, 100L))
+      .toDF("rowkey", "family", "qualifier", "value", "key_type", "ts")
+    val prepared = operators.BulkLoad.prepare(rows, buckets = 2,
+      numPartitions = 2)
+    operators.BulkLoad.writeHFiles(prepared, bulkIn, tsCol = Some("ts"),
+      typeCol = Some("key_type"))
+    val outReal = java.nio.file.Files
+      .createTempDirectory("dry_bo").toString + "/real"
+    val outDry = java.nio.file.Files
+      .createTempDirectory("dry_bo2").toString + "/never"
+    val dryCells = spark.sql(s"SELECT qualifier, value, ts FROM " +
+        s"graft_compact('$bulkIn', '$outDry', 1, true)")
+      .as[(String, Array[Byte], Long)].collect()
+      .map(g => (g._1, new String(g._2, "UTF-8"), g._3)).toSet
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outDry)),
+      "dry-run graft_compact must not create the out dir")
+    val realCells = spark.sql(s"SELECT qualifier, value, ts FROM " +
+        s"graft_compact('$bulkIn', '$outReal', 1)")
+      .as[(String, Array[Byte], Long)].collect()
+      .map(g => (g._1, new String(g._2, "UTF-8"), g._3)).toSet
+    assert(dryCells == realCells && dryCells.nonEmpty,
+      s"dry-run graft_compact must return the WOULD-BE compacted " +
+        s"cells: dry=$dryCells real=$realCells")
+  }
+
 }
