@@ -233,16 +233,19 @@ object GraftExtensions {
       s"$fn expects a literal numeric argument, got $other")
   }
 
-  /** Every CALL-style maintenance TVF accepts an optional trailing
-    * BOOLEAN `dry_run` (the SHOW-style escape hatch for the
-    * function-resolution TVF mechanism's one wart: the side effect
-    * runs at plan RESOLUTION, so a bare EXPLAIN triggers it).
-    * `dry_run=true` skips the mutation and returns the CURRENT-state
-    * report in the same schema — for merges the sidecar-admission
-    * check still runs, so an incompatible shard refuses loudly
-    * without a byte moving. The flag is positional-last and detected
-    * by TYPE (a boolean literal), so it composes with each TVF's own
-    * optional numeric knobs.
+  /** Peel an optional trailing BOOLEAN literal off a TVF's argument
+    * list (positional-last, detected by TYPE, so it composes with
+    * each TVF's own optional numeric knobs; absent = false).
+    *
+    * Two uses: every CALL-style maintenance TVF reads it as `dry_run`
+    * — the SHOW-style escape hatch for the function-resolution TVF
+    * mechanism's one wart (the side effect runs at plan RESOLUTION,
+    * so a bare EXPLAIN triggers it): true skips the mutation and
+    * returns the CURRENT-state report in the same schema, while
+    * merges still run their sidecar-admission check so an
+    * incompatible shard refuses loudly without a byte moving.
+    * `graft_pack_ids` reads it as `with_eos` (append the EOS document
+    * separator before the layout).
     */
   private def splitDryRun(args: Seq[Expression])
       : (Seq[Expression], Boolean) = args.lastOption match {
@@ -778,12 +781,15 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_pack_ids"),
       info("graft_pack_ids",
-        "graft_pack_ids(table, id_col, text_col, budget) - the packed " +
-          "training sequences' frozen-BPE token-ID tensor rows (C32: " +
-          "seq_id, n_tokens, ids)"),
-      (args: Seq[Expression]) => {
+        "graft_pack_ids(table, id_col, text_col, budget[, with_eos]) - " +
+          "the packed training sequences' frozen-BPE token-ID tensor " +
+          "rows (C32: seq_id, n_tokens, ids); trailing with_eos=true " +
+          "appends the EOS document separator to every doc's stream " +
+          "before the layout (the GPT-2/NeoX packing convention)"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val n = "graft_pack_ids"
+        val (args, withEos) = splitDryRun(args0)
         val df = spark.table(strArg(args(0), n))
         val idCol = strArg(args(1), n)
         val textCol = strArg(args(2), n)
@@ -791,7 +797,10 @@ object GraftExtensions {
             df.select(col(idCol),
               functions.bpe.encodeIds(col(textCol),
                 operators.Bpe.frozenMerges).as("_ids")),
-            idCol, "_ids", numArg(args(3), n).toLong)
+            idCol, "_ids", numArg(args(3), n).toLong,
+            eosId = if (withEos)
+              Some(functions.bpe.eosId(operators.Bpe.frozenMerges))
+            else None)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_interleave"),

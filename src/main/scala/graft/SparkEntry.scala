@@ -152,6 +152,8 @@ object SparkEntry {
       Pipeline.corpusAnneal(t(s, d, "documents"))),
     "corpus_pack_ids" -> ((s, d) =>
       Pipeline.corpusPackIds(t(s, d, "documents"))),
+    "corpus_pack_ids_eos" -> ((s, d) =>
+      Pipeline.corpusPackIdsEos(t(s, d, "documents"))),
     "corpus_pack_annealed" -> ((s, d) =>
       Pipeline.corpusPackAnnealed(t(s, d, "documents"))),
     "corpus_interleave" -> ((s, d) =>
@@ -2785,6 +2787,39 @@ object SparkEntry {
         |  FROM cnum),
         |g AS (SELECT b.id, s.start_tok + b.pos AS gpos
         |  FROM bids b JOIN starts s USING (doc_id)),
+        |q AS (SELECT gpos // 2048 AS seq_id,
+        |    (gpos % 2048 + 1)::BIGINT AS p1, id FROM g)
+        |SELECT seq_id::BIGINT AS seq_id, COUNT(*)::BIGINT AS n_tokens,
+        |  arg_min(id, p1)::INT AS first_id,
+        |  arg_max(id, p1)::INT AS last_id,
+        |  SUM(p1 * id)::BIGINT AS id_wsum
+        |FROM q GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // C32c: the C32 replay with one EOS row unioned per DOCUMENT (at
+    // pos = that doc's token count — 0 for an empty doc: every doc,
+    // tokenless or not, emits its boundary), then the same global
+    // prefix sum over the separator-extended stream; the EOS id is
+    // the engine's own first-above-vocab slot, interpolated from ONE
+    // Scala constant so the two sides cannot drift
+    "corpus_pack_ids_eos" ->
+      s"""WITH RECURSIVE $bpeIdsCtes,
+        |cnum0 AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM bids GROUP BY doc_id),
+        |ebids AS (
+        |  SELECT doc_id, pos::BIGINT AS pos, id FROM bids
+        |  UNION ALL
+        |  SELECT d.doc_id, coalesce(c.n, 0) AS pos,
+        |    ${graft.functions.bpe.eosId(
+             graft.operators.Bpe.frozenMerges)}::INT AS id
+        |  FROM documents d LEFT JOIN cnum0 c USING (doc_id)),
+        |cnum AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM ebids GROUP BY doc_id),
+        |starts AS (SELECT doc_id,
+        |    coalesce(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM cnum),
+        |g AS (SELECT b.id, s.start_tok + b.pos AS gpos
+        |  FROM ebids b JOIN starts s USING (doc_id)),
         |q AS (SELECT gpos // 2048 AS seq_id,
         |    (gpos % 2048 + 1)::BIGINT AS p1, id FROM g)
         |SELECT seq_id::BIGINT AS seq_id, COUNT(*)::BIGINT AS n_tokens,

@@ -476,6 +476,13 @@ object bpe {
     */
   def unkId(merges: Seq[(String, String)]): Int = 256 + merges.length
 
+  /** Special-token ids live ABOVE the text vocab (base 256 + merges +
+    * unk), the deployed-tokenizer convention: they can never collide
+    * with a learned token, and [[decodeIds]] flags them as corrupt —
+    * strip specials before detokenizing, like a production loader. */
+  def eosId(merges: Seq[(String, String)]): Int = unkId(merges) + 1
+  def bosId(merges: Seq[(String, String)]): Int = unkId(merges) + 2
+
   def encodeIds(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeIds(ColumnBridge.expression(text),
       merges.map(_._1).toArray, merges.map(_._2).toArray,

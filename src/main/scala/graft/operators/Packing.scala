@@ -192,9 +192,38 @@ object Packing {
     * budget-token slices to many sequences, never one giant buffer.
     *
     * Output: (seq_id, n_tokens, ids).
+    *
+    * `eosId`/`bosId` inject DOCUMENT-SEPARATOR tokens before the
+    * layout — the convention every deployed packer follows (GPT-2/
+    * NeoX append `<|endoftext|>` per doc; Llama-style loaders prepend
+    * BOS), because a model trained on separator-free packing cannot
+    * learn document boundaries and attention-reset masks have nothing
+    * to key on. Each doc's stream becomes `[bos?] ++ ids ++ [eos?]`
+    * — an EMPTY doc still emits its separators (a crawl's empty page
+    * is a boundary, not a no-op) — and the separators then flow
+    * through the same prefix-sum layout, so n_tokens/seq_id/offset
+    * arithmetic needs no special-casing downstream. Map-side `concat`
+    * on the already-pinned arrays: zero extra shuffles vs the plain
+    * form. Separator ids live ABOVE the text vocab (the
+    * [[graft.functions.bpe.unkId]]+1 / +2 slots the registered rows
+    * use), so [[graft.functions.bpe.decodeIds]] treats them as
+    * corrupt-by-design: strip specials before detokenizing, exactly
+    * like a production loader.
     */
   def packTokenIds(df: DataFrame, idCol: String, idsCol: String,
-                   budget: Long, numPartitions: Int = 0): DataFrame = {
+                   budget: Long, numPartitions: Int = 0,
+                   bosId: Option[Int] = None,
+                   eosId: Option[Int] = None): DataFrame = {
+    val withEos = eosId.map(e => df.withColumn(idsCol,
+      concat(col(idsCol), array(lit(e))))).getOrElse(df)
+    val df1 = bosId.map(b => withEos.withColumn(idsCol,
+      concat(array(lit(b)), col(idsCol)))).getOrElse(withEos)
+    packTokenIdsPlain(df1, idCol, idsCol, budget, numPartitions)
+  }
+
+  private def packTokenIdsPlain(df: DataFrame, idCol: String,
+                                idsCol: String, budget: Long,
+                                numPartitions: Int): DataFrame = {
     // pin the id arrays ONCE (MEMORY_AND_DISK blocks — spills, frees
     // when the plan is GC'd): both consumers below — the span
     // manifest's size projection and the gather join — would

@@ -496,11 +496,34 @@ object Pipeline {
     */
   def corpusPackIds(documents: DataFrame, budget: Long = 2048L)
       : DataFrame =
+    packIdsReport(documents, budget, eos = false)
+
+  /** C32c: [[corpusPackIds]] under the GPT-2/NeoX packing convention —
+    * every document's id stream ends with an EOS separator
+    * ([[graft.functions.bpe.eosId]], the first id above the text
+    * vocab) BEFORE the concat-then-chunk layout, so packed sequences
+    * carry learnable document boundaries (the token
+    * attention-reset masking and loss-masking key on). Same plan as
+    * C32 — the separator is one map-side `concat` on the pinned id
+    * arrays — and the oracle replays it by unioning one EOS row per
+    * document (position = that doc's token count) into the id stream,
+    * so every boundary's placement is cross-engine-checked through
+    * first/last-id and the order-sensitive checksum.
+    */
+  def corpusPackIdsEos(documents: DataFrame, budget: Long = 2048L)
+      : DataFrame =
+    packIdsReport(documents, budget, eos = true)
+
+  private def packIdsReport(documents: DataFrame, budget: Long,
+                            eos: Boolean): DataFrame =
     Packing.packTokenIds(
       documents.select(col("doc_id"),
         graft.functions.bpe.encodeIds(col("text"),
           graft.operators.Bpe.frozenMerges).as("ids")),
-      "doc_id", "ids", budget)
+      "doc_id", "ids", budget,
+      eosId = if (eos)
+        Some(graft.functions.bpe.eosId(graft.operators.Bpe.frozenMerges))
+      else None)
       .select(col("seq_id"), col("n_tokens"),
         element_at(col("ids"), 1).as("first_id"),
         element_at(col("ids"), -1).as("last_id"),

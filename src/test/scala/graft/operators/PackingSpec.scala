@@ -159,6 +159,41 @@ class PackingSpec extends SparkSpec {
     assert(re.toSeq == out.toSeq)
   }
 
+  test("packTokenIds with eosId/bosId: separators wrap every doc's " +
+      "stream (empty docs included) before the layout, and the " +
+      "separator-free form is unchanged") {
+    val docs = Seq(
+      (1L, (1 to 60).toSeq),
+      (2L, (61 to 160).toSeq),
+      (3L, Seq.empty[Int]))
+    val df = docs.toDF("doc_id", "ids")
+    val EOS = 999
+    val BOS = 998
+    val out = Packing.packTokenIds(df, "doc_id", "ids", budget = 100L,
+        eosId = Some(EOS))
+      .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
+    val stream = out.flatMap(_._3).toSeq
+    // the packed stream IS the doc-order concatenation of
+    // (ids :+ EOS) per doc — the empty doc still emits its boundary
+    assert(stream ==
+      ((1 to 60) ++ Seq(EOS) ++ (61 to 160) ++ Seq(EOS, EOS)).toSeq)
+    assert(stream.count(_ == EOS) == docs.length,
+      "one boundary per document, empty docs included")
+    assert(out.map(_._2).sum == 160L + docs.length,
+      "token accounting includes the separators")
+    // BOS+EOS: every doc contributes [BOS] ++ ids ++ [EOS]
+    val both = Packing.packTokenIds(df, "doc_id", "ids", budget = 100L,
+        bosId = Some(BOS), eosId = Some(EOS))
+      .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
+      .flatMap(_._3).toSeq
+    assert(both == (Seq(BOS) ++ (1 to 60) ++ Seq(EOS, BOS) ++
+      (61 to 160) ++ Seq(EOS, BOS, EOS)).toSeq)
+    // None/None is byte-identical to the plain form
+    val plain = Packing.packTokenIds(df, "doc_id", "ids", budget = 100L)
+      .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
+    assert(plain.flatMap(_._3).toSeq == ((1 to 160)).toSeq)
+  }
+
   test("exportTokenShards: contiguous range shards reconcile file-for-" +
       "file with the packed rows, manifest numbers match the files, " +
       "and shard order concatenates to training order") {
