@@ -603,6 +603,94 @@ object Streams {
       }
   }
 
+  /** G20: streaming store MAINTENANCE — the babysitter loop that
+    * closes the advisor story: G19 ingests continuously, so
+    * fragmentation and corruption now ACCRUE continuously, and the
+    * runbook row the advisors emit (adviseIvfPqIndex / adviseSqIndex /
+    * adviseLshIndex under [[graft.operators.StoreMaintenance
+    * .adviseRow]]'s repair>rebuild>compact>ok precedence) is exactly
+    * the decision a cron'd operator would act on. Each tick of
+    * `ticks` (any trigger stream — a rate source in production; the
+    * tick ROWS are ignored, the trigger is the signal) runs the
+    * store's advise verb and APPLIES what it recommends: `repair` →
+    * the store's repair verb, `compact` → its compact verb,
+    * `rebuild` → reported but NEVER auto-applied (a rebuild retrains
+    * the frozen quantizers — a training decision with an owner, not
+    * file surgery a babysitter should fire). One action per tick, by
+    * design: the advisor's precedence means a corrupt-AND-fragmented
+    * store repairs on tick N and compacts on tick N+1, each action
+    * re-advised against the store's actual post-action state rather
+    * than a stale plan.
+    *
+    * No epoch markers, deliberately (contrast G17/G19): every
+    * maintenance verb here is idempotent and crash-safe on its own
+    * (repair converges, compaction journals through `_compact_tmp` /
+    * staged cell overwrites), so a redelivered tick re-advises the
+    * already-maintained store, gets `ok`, and applies nothing — the
+    * loop's state IS the store. Sink rows: (epoch, store, action,
+    * reason, applied) — the audit log of what the babysitter did and
+    * why, one row per tick.
+    *
+    * `corpus` feeds the drift leg of the ivfpq/sq advisors (required
+    * there, unused for lsh — its decay metric is an eval cadence, not
+    * an advisor scan). At 100 TB the tick cadence is the fsck cadence:
+    * every leg is driver-O(partitions) listings plus one drift join,
+    * nothing proportional to tick rate.
+    */
+  def maintenanceStream(ticks: DataFrame, store: String, dir: String,
+                        corpus: Option[DataFrame] = None,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxFilesPerCell: Int = 1,
+                        minBytes: Long = 4L << 20,
+                        maxFilesPerBand: Int = 1)
+                       (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] = {
+    require(Set("ivfpq", "sq", "lsh")(store),
+      s"store must be 'ivfpq', 'sq' or 'lsh', got $store")
+    require(store == "lsh" || corpus.nonEmpty,
+      s"the $store advisor needs a corpus= for its drift leg")
+    ticks.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val advice = (store match {
+          case "ivfpq" => graft.operators.Knn.adviseIvfPqIndex(spark,
+            dir, corpus.get, idCol, vecCol, maxFilesPerCell)
+          case "sq" => graft.operators.Knn.adviseSqIndex(spark, dir,
+            corpus.get, vecCol, minBytes)
+          case _ => graft.operators.Dedup.adviseLshIndex(spark, dir,
+            maxFilesPerBand)
+        }).collect().head // ONE runbook row by construction
+        val action = advice.getAs[String]("action")
+        val applied = action match {
+          case "repair" =>
+            store match {
+              case "ivfpq" => graft.operators.Knn.repairIvfPqIndex(spark, dir)
+              case "sq" => graft.operators.Knn.repairSqIndex(spark, dir)
+              case _ => graft.operators.Dedup.repairLshIndex(spark, dir)
+            }
+            true
+          case "compact" =>
+            store match {
+              case "ivfpq" => graft.operators.Knn.compactIvfPqIndex(
+                spark, dir, maxFilesPerCell)
+              case "sq" => graft.operators.Knn.compactSqIndex(spark,
+                dir, minBytes)
+              case _ => graft.operators.Dedup.compactLshIndex(spark,
+                dir, maxFilesPerBand)
+            }
+            true
+          case _ => false // ok / rebuild: report-only
+        }
+        sink(Seq((epochId, advice.getAs[String]("store"), action,
+          advice.getAs[String]("reason"), applied))
+          .toDF("epoch", "store", "action", "reason", "applied"),
+          epochId)
+      }
+  }
+
   /** G17: streaming ingest dedup — the crawl-ingest LOOP the C25
     * persisted LSH index exists for, run as a stream: each micro-batch
     * of documents probes the index

@@ -1393,4 +1393,75 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("G20 maintenanceStream: each tick applies the advisor's action " +
+      "(repair before compact), the loop converges to ok, and store " +
+      "contents survive the maintenance") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val docs = sf("documents")
+    // SQ: grid trained on the FULL corpus (zero drift), then a
+    // re-keyed append fragments the store with small files
+    val sq = java.nio.file.Files.createTempDirectory("g20_sq").toString
+    graft.operators.Knn.buildSqIndex(emb, "vec_id", "embedding", sq, 64)
+    graft.operators.Knn.appendToSqIndex(
+      emb.limit(20).withColumn("vec_id", col("vec_id") + 100000L),
+      "vec_id", "embedding", sq, 64)
+    val nCodes = spark.read.parquet(s"$sq/codes").count()
+    val sqLog = scala.collection.mutable
+      .ArrayBuffer[(Long, String, Boolean)]()
+    val sqTicks = MemoryStream[Int]
+    val sqQ = Streams.maintenanceStream(sqTicks.toDF(), "sq", sq,
+        corpus = Some(emb)) { (report, _) =>
+      val rows = report.select("epoch", "action", "applied")
+        .as[(Long, String, Boolean)].collect()
+      sqLog.synchronized { sqLog ++= rows }
+    }.start()
+    try {
+      sqTicks.addData(1); sqQ.processAllAvailable()
+      sqTicks.addData(2); sqQ.processAllAvailable()
+    } finally sqQ.stop()
+    assert(sqLog.map(r => (r._2, r._3)).toSeq ==
+      Seq(("compact", true), ("ok", false)),
+      s"sq babysitter must compact then idle: $sqLog")
+    assert(spark.read.parquet(s"$sq/codes").count() == nCodes,
+      "maintenance must not lose a code row")
+    // LSH: a crashed-purge dup injection — the advisor's precedence
+    // says repair FIRST (the injected files also fragment band=1, so
+    // a later tick may compact), then the loop idles at ok
+    val lsh = java.nio.file.Files.createTempDirectory("g20_lsh").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", lsh)
+    Seq((4321L, 7777L, 1), (4321L, 7777L, 1))
+      .toDF("bkey", "corpus_id", "band")
+      .write.mode("append").partitionBy("band").parquet(s"$lsh/buckets")
+    val lshLog = scala.collection.mutable
+      .ArrayBuffer[(Long, String, Boolean)]()
+    val lshTicks = MemoryStream[Int]
+    val lshQ = Streams.maintenanceStream(lshTicks.toDF(), "lsh", lsh) {
+      (report, _) =>
+        val rows = report.select("epoch", "action", "applied")
+          .as[(Long, String, Boolean)].collect()
+        lshLog.synchronized { lshLog ++= rows }
+    }.start()
+    try {
+      (1 to 4).foreach { i =>
+        lshTicks.addData(i); lshQ.processAllAvailable()
+      }
+    } finally lshQ.stop()
+    val actions = lshLog.map(r => (r._2, r._3)).toSeq
+    assert(actions.head == ("repair", true),
+      s"corruption must be repaired before anything else: $actions")
+    assert(actions.last == ("ok", false) &&
+      actions.forall { case (a, ap) =>
+        (a == "ok") == !ap && Set("repair", "compact", "ok")(a) },
+      s"the loop must converge to ok, applying only real actions: $actions")
+    assert(graft.operators.Dedup.fsckLshIndex(spark, lsh).collect()
+      .forall(_.getAs[Boolean]("ok")), "the babysat store must end green")
+    // the injected garbage is gone, every real doc's keys survive
+    assert(spark.read.parquet(s"$lsh/buckets")
+      .filter(col("corpus_id") === 7777L).count() == 0)
+    assert(spark.read.parquet(s"$lsh/buckets")
+      .select(countDistinct(col("corpus_id"))).as[Long].head() ==
+      docs.count())
+  }
+
 }
