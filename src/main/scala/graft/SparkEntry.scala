@@ -140,6 +140,8 @@ object SparkEntry {
       Pipeline.corpusDecontaminate(t(s, d, "documents"))),
     "corpus_decontaminate_bloom" -> ((s, d) =>
       Pipeline.corpusDecontaminateBloom(t(s, d, "documents"))),
+    "corpus_decontaminate_fuzzy" -> ((s, d) =>
+      Pipeline.corpusDecontaminateFuzzy(t(s, d, "documents"))),
     "corpus_mix" -> ((s, d) => Pipeline.corpusMix(t(s, d, "documents"))),
     "corpus_boilerplate" -> ((s, d) =>
       Pipeline.corpusBoilerplate(t(s, d, "documents"))),
@@ -2023,6 +2025,34 @@ object SparkEntry {
         |  round(h.h::DOUBLE / ng.n, 6) AS contamination
         |FROM hits h JOIN ng ON h.doc_id = ng.doc_id
         |ORDER BY h.doc_id""".stripMargin,
+    // C12c: the C3 MinHash chain (k=3 shingles, 128 perms, 16 bands)
+    // replayed ONCE over all documents, then the candidate join is
+    // CROSS-SET (train band keys vs eval band keys under the C12 %7
+    // split) instead of C3's a<b self-join; exact-Jaccard verify and
+    // per-train-doc roll-up replay the engine's aggregation
+    "corpus_decontaminate_fuzzy" ->
+      s"""WITH ${shingleSetCte(3)},
+        |${minhashSigCte("f5")},
+        |${minhashBandingCte(8, "")},
+        |sets AS MATERIALIZED (SELECT doc_id, list(v ORDER BY v) AS sh,
+        |    COUNT(*) AS n FROM f5 GROUP BY doc_id),
+        |xcand AS (
+        |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+        |  FROM bandkeys a JOIN bandkeys b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |  WHERE NOT (a.doc_id % 7 = 0 AND a.doc_id < 50000)
+        |    AND (b.doc_id % 7 = 0 AND b.doc_id < 50000)),
+        |xjac AS (SELECT c.train_id, c.eval_id,
+        |    length(list_intersect(sa.sh, sb.sh)) AS n_common,
+        |    sa.n AS na, sb.n AS nb
+        |  FROM xcand c JOIN sets sa ON c.train_id = sa.doc_id
+        |               JOIN sets sb ON c.eval_id = sb.doc_id),
+        |xhits AS (SELECT train_id,
+        |    n_common::DOUBLE / (na + nb - n_common) AS j
+        |  FROM xjac WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7)
+        |SELECT train_id AS doc_id, COUNT(*)::BIGINT AS n_eval_matches,
+        |  round(MAX(j), 6) AS max_jaccard
+        |FROM xhits GROUP BY train_id ORDER BY doc_id""".stripMargin,
     // C23: the Bloom prefilter has no false negatives and the exact
     // verify join removes its false positives, so the oracle is C12's
     // exact replay verbatim — bloom internals never affect the answer

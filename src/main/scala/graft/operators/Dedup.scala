@@ -1160,6 +1160,33 @@ object Dedup {
     * one-pass expression as the dedup family
     * ([[graft.functions.TextHashes.wordShingleHashes]]).
     */
+  /** C12c: NEAR-duplicate decontamination — the fuzzy companion to
+    * [[decontaminate]]: C12's exact-gram overlap catches VERBATIM
+    * benchmark leakage, but a lightly-edited copy (reworded stem,
+    * shuffled answer options, whitespace-normalized dump) shares few
+    * exact k-grams while its n-gram Jaccard stays high — the leakage
+    * class decontamination audits actually flag. This reuses the C25
+    * cross-set MinHash-LSH machinery ([[incrementalMinhash]]) with
+    * the EVAL set in the batch seat: benchmark band keys broadcast,
+    * the training corpus probed map-side (never reshuffled — the
+    * 100-TB posture: cost = one train scan + a collision-bounded
+    * verify join, both sized by the benchmark suite), candidates
+    * verified by exact shingle Jaccard. One row per contaminated
+    * train doc: (idCol, n_eval_matches, max_jaccard) — the row a
+    * curator drops or quarantines.
+    */
+  def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         perms: Int = 128, bands: Int = 16,
+                         threshold: Double = 0.7): DataFrame =
+    incrementalMinhash(train, evalSet, idCol, textCol, k, perms,
+        bands, threshold)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+      .select(col("corpus_id").as(idCol), col("n_eval_matches"),
+        col("max_jaccard"))
+
   def decontaminate(train: DataFrame, evalSet: DataFrame,
                     idCol: String, textCol: String,
                     k: Int = 5, minHits: Long = 1L): DataFrame = {

@@ -266,6 +266,19 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C12c: near-dup decontamination under the SAME train/eval split as
+    * C12 — the C25 cross-set LSH probe (k=3, 128 perms, 16 bands,
+    * τ=0.7, the C3 constants) with the eval slice in the broadcast
+    * batch seat; flags training docs a paraphrase-level copy of a
+    * benchmark doc would slip past C12's exact-gram overlap.
+    */
+  def corpusDecontaminateFuzzy(documents: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000
+    Dedup.decontaminateFuzzy(documents.filter(!isEval),
+        documents.filter(isEval), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** C23: Bloom-prefiltered decontamination — same split and params as
     * C12, same output (the oracle is C12's exact SQL); the map-side
     * probe is an eval-sized Bloom bitset (32 bits per distinct eval

@@ -91,7 +91,19 @@ object BenchScale {
     // one row without a 100x record): the truth join is corpus-linear
     // x a constant batch, so the cell records where the proportional
     // batch's storm regime OOMs
-    "dedup_recall_indexed_abs")
+    "dedup_recall_indexed_abs",
+    // round 15, second half: the EOS-separated packing (C32's growth
+    // shape plus one map-side concat), the nProbe recall sweep (4
+    // probe settings over ONE fixture index in one plan — the D9
+    // posture x4), and the cross-set fuzzy decontamination (the C25
+    // probe shape: eval side broadcast, train side scanned once,
+    // candidates bucket-capped)
+    "corpus_pack_ids_eos", "knn_recall_sweep",
+    "corpus_decontaminate_fuzzy")
+  // dedup_recall_sweep stays out of the 100x set for dedup_recall's
+  // reason (the sweep SHARES one exact truth across band settings —
+  // the closed-vocabulary storm regime at 100x); its 10x cells below
+  // record the linear-growth proof.
   // dedup_recall (round 13, second half) is deliberately NOT in the
   // 100x set: the replication's CLOSED ~30k-shingle vocabulary gives
   // every doc hundreds of shingle-sharing partners at x100 (avg df

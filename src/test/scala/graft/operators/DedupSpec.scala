@@ -140,6 +140,30 @@ class DedupSpec extends SparkSpec {
     assert(strict == Seq(13L), s"got $strict")
   }
 
+  test("decontaminateFuzzy equals the full minhashLsh run restricted " +
+      "to cross-set pairs, rolled up per train doc") {
+    val docs = sf("documents")
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000
+    val out = Dedup.decontaminateFuzzy(docs.filter(!isEval),
+        docs.filter(isEval), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: the C3 self-join over ALL docs, keep pairs with
+    // exactly one eval endpoint, aggregate per train doc
+    def eval_(c: org.apache.spark.sql.Column) =
+      c % 7 === 0 && c < 50000
+    val want = Dedup.minhashLsh(docs, "doc_id", "text")
+      .filter(eval_(col("doc_a")) =!= eval_(col("doc_b")))
+      .select(when(eval_(col("doc_a")), col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_id"),
+        col("jaccard"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), round(max(col("jaccard")), 6).as("mj"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == want && out.nonEmpty,
+      s"fuzzy decontamination drifted from the self-join reference: " +
+        s"out=${out.size} want=${want.size}")
+  }
+
   test("boilerplate: df-thresholded grams, zero-hit docs kept, short docs out") {
     val df = Seq(
       // "click here now" appears in docs 1,2,3 -> boilerplate at minDf=3
