@@ -208,6 +208,58 @@ object Streams {
       .drop("_sh", "_ev")
   }
 
+  /** G21: streaming FUZZY decontamination — the near-dup twin of G8
+    * ([[decontaminateStream]] catches VERBATIM benchmark leakage by
+    * exact gram overlap; this catches the paraphrase-level rest by
+    * MinHash-LSH Jaccard, [[graft.operators.Dedup.decontaminateFuzzy]]
+    * made streaming): the eval/benchmark set is pre-indexed ONCE into
+    * a [[graft.operators.Dedup.buildLshIndex]] layout, and each
+    * micro-batch probes it via
+    * [[graft.operators.Dedup.incrementalMinhashIndexed]] — the eval
+    * index in the corpus seat (its flat bucket table filtered
+    * map-side to the batch's colliding keys, eval TEXT served from
+    * `evalSet` only for the candidate verification join), the stream
+    * batch in the broadcast probe seat. Every batch doc gets a
+    * verdict row `(id, is_contaminated, n_eval_matches, max_jaccard)`
+    * — the gate a curation stream applies before anything reaches the
+    * sink.
+    *
+    * State-free like G8: the index is static (decontamination never
+    * appends — contrast G17, where survivors ENTER the history), so
+    * verdicts are independent across micro-batches, the union over
+    * batches equals one batch run over the same docs (spec-pinned),
+    * and no epoch markers are needed: a redelivered epoch recomputes
+    * identical rows.
+    */
+  def decontaminateFuzzyStream(docs: DataFrame, evalIndexDir: String,
+                               evalSet: DataFrame, idCol: String,
+                               textCol: String,
+                               threshold: Double = 0.7)
+                              (sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] = {
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: Dataset[Row], epochId: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = batch0.toDF()
+          val hits = graft.operators.Dedup.incrementalMinhashIndexed(
+            evalIndexDir, evalSet, batch, idCol, textCol, threshold)
+          val rolled = hits.groupBy(col("batch_id"))
+            .agg(count(lit(1)).as("n_eval_matches"),
+              round(max(col("jaccard")), 6).as("max_jaccard"))
+          val verdict = batch.select(col(idCol))
+            .join(rolled, batch(idCol).cast("long") === rolled("batch_id"),
+              "left")
+            .select(col(idCol),
+              col("n_eval_matches").isNotNull.as("is_contaminated"),
+              coalesce(col("n_eval_matches"), lit(0L))
+                .as("n_eval_matches"),
+              col("max_jaccard"))
+          sink(verdict, epochId)
+        }
+      }
+  }
+
   /** G9: streaming corpus-quality monitor — watermarked per-(window,
     * source) aggregates of the curation quality score over a document
     * stream: doc count, mean quality, how many fall below the curation

@@ -1393,6 +1393,47 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("G21 decontaminateFuzzyStream: per-doc verdicts equal the batch " +
+      "operator whatever the micro-batch split, clean docs annotated") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("documents")
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000
+    val evalSet = docs.filter(isEval)
+    val train = docs.filter(!isEval)
+    val idx = java.nio.file.Files.createTempDirectory("g21_idx").toString
+    graft.operators.Dedup.buildLshIndex(evalSet, "doc_id", "text", idx)
+    // batch reference: the C12c operator over the full train side
+    val want = graft.operators.Dedup.decontaminateFuzzy(train, evalSet,
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, true, r._2, Option(r._3))).toSet
+    assert(want.nonEmpty, "fixture must contain cross-set near-dups")
+    val rows = train.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val buf = scala.collection.mutable
+      .ArrayBuffer[(Long, Boolean, Long, Option[Double])]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateFuzzyStream(
+      input.toDF().toDF("doc_id", "text"), idx, evalSet, "doc_id",
+      "text") { (verdict, _) =>
+      val got = verdict.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("is_contaminated"),
+        r.getAs[Long]("n_eval_matches"),
+        Option(r.getAs[java.lang.Double]("max_jaccard")).map(_.toDouble)))
+      buf.synchronized { buf ++= got }
+    }.start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(buf.size == rows.size, "one verdict per streamed doc")
+    assert(buf.filter(_._2).toSet == want,
+      "streamed contamination verdicts must equal the batch operator")
+    assert(buf.filter(!_._2).forall(r => r._3 == 0L && r._4.isEmpty),
+      "clean docs carry a zero-match annotation")
+  }
+
   test("G20 maintenanceStream: each tick applies the advisor's action " +
       "(repair before compact), the loop converges to ok, and store " +
       "contents survive the maintenance") {
