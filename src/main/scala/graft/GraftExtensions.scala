@@ -298,6 +298,39 @@ object GraftExtensions {
         operators.Dedup.minhashLsh(df, idCol, textCol,
           threshold = threshold).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_decontaminate"),
+      info("graft_decontaminate",
+        "graft_decontaminate(train_table, eval_table, id_col, text_col" +
+          "[, k][, min_hits]) - exact k-gram benchmark-overlap report " +
+          "per contaminated train doc (C12: doc, n_grams, n_hits, " +
+          "contamination)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_decontaminate"
+        val train = spark.table(strArg(args(0), n))
+        val ev = spark.table(strArg(args(1), n))
+        val k = if (args.length > 4) numArg(args(4), n).toInt else 5
+        val minHits = if (args.length > 5) numArg(args(5), n).toLong else 1L
+        operators.Dedup.decontaminate(train, ev, strArg(args(2), n),
+          strArg(args(3), n), k, minHits).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_decontaminate_fuzzy"),
+      info("graft_decontaminate_fuzzy",
+        "graft_decontaminate_fuzzy(train_table, eval_table, id_col, " +
+          "text_col[, threshold]) - NEAR-duplicate benchmark leakage " +
+          "per contaminated train doc (C12c: doc, n_eval_matches, " +
+          "max_jaccard) via the cross-set MinHash-LSH probe (eval side " +
+          "broadcast, train side scanned once)"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = "graft_decontaminate_fuzzy"
+        val train = spark.table(strArg(args(0), n))
+        val ev = spark.table(strArg(args(1), n))
+        val threshold = if (args.length > 4) numArg(args(4), n) else 0.7
+        operators.Dedup.decontaminateFuzzy(train, ev, strArg(args(2), n),
+          strArg(args(3), n), threshold = threshold)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_dedup_recall"),
       info("graft_dedup_recall",
         "graft_dedup_recall(table, id_col, text_col[, threshold]) - " +

@@ -591,6 +591,30 @@ class GraftSqlSpec extends SparkSpec {
       s"no-op knn merge must return a green fsck: ${kr.mkString(" | ")}")
   }
 
+  test("graft_decontaminate / graft_decontaminate_fuzzy: SQL TVFs " +
+      "equal the Scala operators under the C12 split") {
+    val docs = sf("documents")
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 50000
+    docs.filter(!isEval).createOrReplaceTempView("deco_train_v")
+    docs.filter(isEval).createOrReplaceTempView("deco_eval_v")
+    val exact = spark.sql("SELECT * FROM graft_decontaminate(" +
+      "'deco_train_v', 'deco_eval_v', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val exactWant = operators.Dedup.decontaminate(docs.filter(!isEval),
+        docs.filter(isEval), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(exact == exactWant && exact.nonEmpty,
+      "graft_decontaminate drifted from the Scala operator")
+    val fuzzy = spark.sql("SELECT * FROM graft_decontaminate_fuzzy(" +
+      "'deco_train_v', 'deco_eval_v', 'doc_id', 'text') ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val fuzzyWant = operators.Dedup.decontaminateFuzzy(
+        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(fuzzy == fuzzyWant && fuzzy.nonEmpty,
+      "graft_decontaminate_fuzzy drifted from the Scala operator")
+  }
+
   test("dry_run=true on the CALL-style maintenance TVFs: EXPLAIN-safe " +
       "(no mutation, current-state report), merge admission still " +
       "refuses incompatible shards") {
