@@ -187,6 +187,10 @@ object SparkEntry {
       Pipeline.corpusExportIds(t(s, d, "documents"),
         s"${System.getProperty("java.io.tmpdir")}/" +
           s"graft_export_ids_${_root_.graft.queries.HModel.dirKey(d)}")),
+    "corpus_export_ids_eos" -> ((s, d) =>
+      Pipeline.corpusExportIdsEos(t(s, d, "documents"),
+        s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_export_ids_eos_${_root_.graft.queries.HModel.dirKey(d)}")),
     // ---- D. similarity search -------------------------------------------
     "knn_bruteforce" -> ((s, d) =>
       Pipeline.knnBruteforce(t(s, d, "embeddings"))),
@@ -2697,6 +2701,51 @@ object SparkEntry {
         |  FROM apos a LEFT JOIN bcnt c USING (doc_id)),
         |sg AS (SELECT b.id, st.start_tok + b.pos AS gpos
         |  FROM bids b JOIN sstarts st USING (doc_id)),
+        |stot AS (SELECT COUNT(*)::BIGINT AS t FROM sg),
+        |sper AS (SELECT greatest(1, ((t + 2047) // 2048 + 3) // 4)
+        |  AS per FROM stot),
+        |sq2 AS (SELECT gpos // 2048 AS seq_id,
+        |    (gpos % 2048 + 1)::BIGINT AS p1, id FROM sg),
+        |sseqs AS (SELECT seq_id, COUNT(*)::BIGINT AS n_tokens,
+        |    SUM(p1 * id)::BIGINT AS wsum FROM sq2 GROUP BY seq_id),
+        |ssh AS (SELECT (seq_id // per)::INT AS shard, seq_id, n_tokens,
+        |    wsum FROM sseqs, sper)
+        |SELECT shard, COUNT(*)::BIGINT AS n_seqs,
+        |  SUM(n_tokens)::BIGINT AS n_tokens,
+        |  MIN(seq_id)::BIGINT AS first_seq,
+        |  MAX(seq_id)::BIGINT AS last_seq,
+        |  SUM(wsum)::BIGINT AS ids_wsum
+        |FROM ssh GROUP BY shard ORDER BY shard""".stripMargin,
+    // C34b: the C34 replay with one EOS row unioned per SCHEDULED doc
+    // (apos — leftover survivors are never laid out, so they get no
+    // boundary), at pos = that doc's token count; the separator-
+    // extended stream then flows through the same pos-ordered offsets
+    // / window cut / range split, EOS id interpolated from the ONE
+    // Scala constant
+    "corpus_export_ids_eos" ->
+      s"""WITH RECURSIVE $curateFuzzySurvCtes,
+        |sdocs AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |${annealPosCtes("sdocs")},
+        |${bpeIdsCtes("sdocs")},
+        |bcnt0 AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM bids GROUP BY doc_id),
+        |ebids AS (
+        |  SELECT doc_id, pos::BIGINT AS pos, id FROM bids
+        |  UNION ALL
+        |  SELECT a.doc_id, coalesce(c.n, 0) AS pos,
+        |    ${graft.functions.bpe.eosId(
+             graft.operators.Bpe.frozenMerges)}::INT AS id
+        |  FROM apos a LEFT JOIN bcnt0 c USING (doc_id)),
+        |bcnt AS (SELECT doc_id, COUNT(*)::BIGINT AS n
+        |  FROM ebids GROUP BY doc_id),
+        |sstarts AS (SELECT a.doc_id,
+        |    coalesce(SUM(coalesce(c.n, 0)) OVER (ORDER BY a.pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM apos a LEFT JOIN bcnt c USING (doc_id)),
+        |sg AS (SELECT b.id, st.start_tok + b.pos AS gpos
+        |  FROM ebids b JOIN sstarts st USING (doc_id)),
         |stot AS (SELECT COUNT(*)::BIGINT AS t FROM sg),
         |sper AS (SELECT greatest(1, ((t + 2047) // 2048 + 3) // 4)
         |  AS per FROM stot),

@@ -831,7 +831,28 @@ object Pipeline {
     */
   def corpusExportIds(documents: DataFrame, outDir: String,
                       shards: Int = 4, budget: Long = 2048L)
-      : DataFrame = {
+      : DataFrame =
+    exportIdsReport(documents, outDir, shards, budget, eos = false)
+
+  /** C34b: [[corpusExportIds]] under the C32c packing convention —
+    * every scheduled document's id stream ends with the EOS separator
+    * before the layout, so the SHIPPED shard files carry learnable
+    * document boundaries (what a production pretokenized export
+    * actually contains). Same one-plan composition; the oracle
+    * extends the replayed survivor id stream with one EOS row per
+    * SCHEDULED doc (apos — leftover survivors stay boundary-free
+    * because they are never laid out) and re-derives the shard
+    * manifest, so boundary placement is checked through every
+    * shard's token count and order-sensitive checksum.
+    */
+  def corpusExportIdsEos(documents: DataFrame, outDir: String,
+                         shards: Int = 4, budget: Long = 2048L)
+      : DataFrame =
+    exportIdsReport(documents, outDir, shards, budget, eos = true)
+
+  private def exportIdsReport(documents: DataFrame, outDir: String,
+                              shards: Int, budget: Long,
+                              eos: Boolean): DataFrame = {
     val survivors = corpusCurate(documents, fuzzy = true)
       .select("doc_id").localCheckpoint()
     val sched = Sampling.annealOrder(
@@ -844,7 +865,10 @@ object Pipeline {
       .select(col("pos"),
         graft.functions.bpe.encodeIds(col("text"),
           graft.operators.Bpe.frozenMerges).as("ids"))
-    val packed = Packing.packTokenIds(withIds, "pos", "ids", budget)
+    val packed = Packing.packTokenIds(withIds, "pos", "ids", budget,
+      eosId = if (eos)
+        Some(graft.functions.bpe.eosId(graft.operators.Bpe.frozenMerges))
+      else None)
     Packing.exportTokenShards(packed, outDir, shards)
     documents.sparkSession.read.parquet(outDir)
       .groupBy(col("shard"))
