@@ -680,6 +680,59 @@ object GraftExtensions {
         operators.Knn.sqIndexStats(spark, dir, minBytes)
           .queryExecution.logical
       }),
+    (FunctionIdentifier("graft_store_backup"),
+      info("graft_store_backup",
+        "graft_store_backup(src_dir, dst_dir[, dry_run]) - CALL-style: " +
+          "point-in-time snapshot of a persisted store (ANY layout - " +
+          "IVFxPQ / LSH / SQ; every file copied as a Spark job + a " +
+          "_backup_manifest sidecar), return the snapshot's " +
+          "verification report. Refuses a non-empty destination. " +
+          "Trailing dry_run=true copies nothing and returns the " +
+          "SOURCE listing as (check, ok, n_bad, detail)"),
+      (args0: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
+        val src = strArg(args(0), "graft_store_backup")
+        val dst = strArg(args(1), "graft_store_backup")
+        if (dry) {
+          import spark.implicits._
+          val n = operators.StoreMaintenance.allFiles(spark,
+            new org.apache.hadoop.fs.Path(src)).size.toLong
+          Seq(("would_copy", n > 0, n, s"$n files under $src"))
+            .toDF("check", "ok", "n_bad", "detail")
+            .queryExecution.logical
+        } else {
+          operators.StoreMaintenance.backupStore(spark, src, dst)
+          operators.StoreMaintenance.verifyStoreBackup(spark, dst)
+            .queryExecution.logical
+        }
+      }),
+    (FunctionIdentifier("graft_store_verify"),
+      info("graft_store_verify",
+        "graft_store_verify(backup_dir) - integrity report over a " +
+          "graft_store_backup snapshot: manifest valid, every " +
+          "manifest file present at its recorded size, no stray files"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        operators.StoreMaintenance.verifyStoreBackup(spark,
+          strArg(args(0), "graft_store_verify")).queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_store_restore"),
+      info("graft_store_restore",
+        "graft_store_restore(backup_dir, dst_dir[, dry_run]) - " +
+          "CALL-style: restore a verified snapshot into an empty " +
+          "destination (refuses a failing backup or a non-empty " +
+          "target), return the backup's verification report. Trailing " +
+          "dry_run=true runs only the verification"),
+      (args0: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
+        val bk = strArg(args(0), "graft_store_restore")
+        val dst = strArg(args(1), "graft_store_restore")
+        if (!dry) operators.StoreMaintenance.restoreStore(spark, bk, dst)
+        operators.StoreMaintenance.verifyStoreBackup(spark, bk)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_compact"),
       info("graft_compact",
         "graft_compact(in_dir, out_dir[, versions][, dry_run]) - " +

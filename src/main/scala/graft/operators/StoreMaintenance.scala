@@ -382,4 +382,135 @@ private[graft] object StoreMaintenance {
           "fsck clean, drift under thresholds, no fragmentation"))
     Seq((store, action, reason)).toDF("store", "action", "reason")
   }
+
+  /** Every file under `root`, recursively, as (relative path, bytes) —
+    * the store-agnostic snapshot listing [[backupStore]] copies and
+    * its manifest records. Relative paths are computed against the
+    * qualified root URI so a restore into any scheme reproduces the
+    * layout. */
+  def allFiles(spark: SparkSession, root: Path): Seq[(String, Long)] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val q = fs.makeQualified(root)
+    val it = fs.listFiles(q, true)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile)
+        out += ((q.toUri.relativize(s.getPath.toUri).toString, s.getLen))
+    }
+    out.toSeq.sortBy(_._1)
+  }
+
+  /** Point-in-time BACKUP of a persisted store — the one lifecycle
+    * verb an operator wants BEFORE any file surgery (repair, compact,
+    * merge, purge), completing the ops loop the advisor/repair verbs
+    * opened. Store-AGNOSTIC by design: the snapshot is the directory
+    * (every file, recursively, including any in-flight `_compact_tmp`
+    * journal — the store formats' own open-path recovery is part of
+    * the format, so a restored journal replays exactly like a crash
+    * frame), copied as a Spark job ([[copyFilesDistributed]] — backup
+    * bandwidth scales with the cluster), plus an underscore-hidden
+    * `_backup_manifest` parquet of (rel_path, bytes) — the record
+    * [[verifyStoreBackup]] checks and [[restoreStore]] refuses
+    * without. Refuses a non-empty destination (a backup never
+    * overwrites — point-in-time snapshots are append-only ops
+    * artifacts). Returns files copied.
+    */
+  def backupStore(spark: SparkSession, srcDir: String,
+                  dstDir: String): Long = {
+    import spark.implicits._
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"backup source $srcDir does not exist")
+    val dst = new Path(dstDir)
+    require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
+      s"backup destination $dstDir is not empty - a backup never " +
+        "overwrites; pick a fresh snapshot dir")
+    val files = allFiles(spark, src)
+    require(files.nonEmpty, s"backup source $srcDir holds no files")
+    val qs = fs.makeQualified(src)
+    val qd = fs.makeQualified(dst)
+    copyFilesDistributed(spark,
+      files.map { case (rel, _) =>
+        (new Path(qs, rel).toString, new Path(qd, rel).toString) })
+    files.toDF("rel_path", "bytes").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dstDir/_backup_manifest")
+    files.size.toLong
+  }
+
+  /** Integrity report over a [[backupStore]] snapshot — (check, ok,
+    * n_bad, detail): the manifest parses non-empty, every manifest
+    * file exists at its recorded size, and no unmanifested data files
+    * appeared (a partial second backup or stray write — restore
+    * refuses rather than resurrect them). Driver cost: one recursive
+    * listing + the tiny manifest read.
+    */
+  def verifyStoreBackup(spark: SparkSession, backupDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val manifestE: Either[String, Seq[(String, Long)]] =
+      try {
+        val m = spark.read.parquet(s"$backupDir/_backup_manifest")
+          .select(col("rel_path"), col("bytes")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        if (m.isEmpty) Left("manifest is EMPTY") else Right(m)
+      } catch {
+        case e: Exception => Left(s"manifest unreadable: ${
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+      }
+    if (manifestE.isLeft) {
+      val skip = "skipped: manifest corrupt"
+      return Seq(
+        ("manifest_valid", false, 1L, manifestE.left.getOrElse("")),
+        ("files_present", false, 0L, skip),
+        ("no_stray_files", false, 0L, skip)
+      ).toDF("check", "ok", "n_bad", "detail")
+    }
+    val manifest = manifestE.toOption.get
+    val actual = allFiles(spark, new Path(backupDir))
+      .filterNot(_._1.startsWith("_backup_manifest/")).toMap
+    val missing = manifest.filter { case (rel, n) =>
+      !actual.get(rel).contains(n) }
+    val stray = actual.keySet diff manifest.map(_._1).toSet
+    Seq(
+      ("manifest_valid", true, 0L, s"${manifest.size} files recorded"),
+      ("files_present", missing.isEmpty, missing.size.toLong,
+        "manifest files missing or size-drifted: " +
+          missing.take(3).map(_._1).mkString(", ")),
+      ("no_stray_files", stray.isEmpty, stray.size.toLong,
+        s"unmanifested files: ${stray.take(3).mkString(", ")}")
+    ).toDF("check", "ok", "n_bad", "detail")
+  }
+
+  /** RESTORE a [[backupStore]] snapshot into `dstDir` — refuses
+    * loudly unless [[verifyStoreBackup]] is all-green (a tampered or
+    * torn snapshot must never silently become the store) and unless
+    * the destination is empty (restore-over-live is a delete
+    * decision the operator makes explicitly, not a default). Bytes
+    * move as a Spark job; the restored tree is byte-count-identical
+    * to the manifest by construction. Returns files restored.
+    */
+  def restoreStore(spark: SparkSession, backupDir: String,
+                   dstDir: String): Long = {
+    val report = verifyStoreBackup(spark, backupDir).collect()
+    require(report.forall(_.getAs[Boolean]("ok")),
+      s"backup $backupDir fails verification - refusing to restore: " +
+        report.filter(!_.getAs[Boolean]("ok")).mkString("; "))
+    val dst = new Path(dstDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
+      s"restore destination $dstDir is not empty - restoring over a " +
+        "live store is an explicit delete decision; clear it first")
+    val src = new Path(backupDir)
+    val qs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(src)
+    val qd = fs.makeQualified(dst)
+    val files = allFiles(spark, qs)
+      .filterNot(_._1.startsWith("_backup_manifest/"))
+    copyFilesDistributed(spark,
+      files.map { case (rel, _) =>
+        (new Path(qs, rel).toString, new Path(qd, rel).toString) })
+    files.size.toLong
+  }
 }

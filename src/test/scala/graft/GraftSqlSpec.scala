@@ -615,6 +615,37 @@ class GraftSqlSpec extends SparkSpec {
       "graft_decontaminate_fuzzy drifted from the Scala operator")
   }
 
+  test("graft_store_backup / graft_store_verify / graft_store_restore: " +
+      "snapshot lifecycle from SQL, dry_run copies nothing") {
+    val docs = sf("documents")
+    val store = java.nio.file.Files.createTempDirectory("sqlbk").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", store)
+    val bk = java.nio.file.Files.createTempDirectory("sqlbk_s")
+      .toString + "/snap"
+    // dry run: nothing lands, the would-copy listing comes back
+    val dry = spark.sql(
+      s"SELECT * FROM graft_store_backup('$store', '$bk', true)").collect()
+    assert(dry.length == 1 && dry.head.getAs[Boolean]("ok") &&
+      dry.head.getAs[Long]("n_bad") > 0, s"dry listing: ${dry.toSeq}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(bk)),
+      "dry-run backup must not create the snapshot dir")
+    val rep = spark.sql(
+      s"SELECT * FROM graft_store_backup('$store', '$bk')").collect()
+    assert(rep.length == 3 && rep.forall(_.getAs[Boolean]("ok")),
+      s"backup TVF must return a green verification: ${rep.toSeq}")
+    val viaScala = graft.operators.StoreMaintenance
+      .verifyStoreBackup(spark, bk).collect().map(_.toString).toSeq
+    assert(spark.sql(s"SELECT * FROM graft_store_verify('$bk')")
+      .collect().map(_.toString).toSeq == viaScala, "verify TVF drifted")
+    val dst = java.nio.file.Files.createTempDirectory("sqlbk_r")
+      .toString + "/store"
+    spark.sql(s"SELECT * FROM graft_store_restore('$bk', '$dst')")
+      .collect()
+    assert(spark.read.parquet(s"$dst/buckets").count() ==
+      spark.read.parquet(s"$store/buckets").count(),
+      "restored store must hold the snapshot's rows")
+  }
+
   test("dry_run=true on the CALL-style maintenance TVFs: EXPLAIN-safe " +
       "(no mutation, current-state report), merge admission still " +
       "refuses incompatible shards") {

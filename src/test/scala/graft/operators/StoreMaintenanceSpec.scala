@@ -212,4 +212,67 @@ class StoreMaintenanceSpec extends SparkSpec {
       "cell", maxFilesPerPartition = 1)
     assert(n2 == 0, "rerun reports nothing — the leak is closed")
   }
+
+  test("backup/verify/restore: a corrupted store restores byte-count-" +
+      "identical with search parity; tampered backups refuse; " +
+      "non-empty destinations refuse") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val store = java.nio.file.Files.createTempDirectory("bk_sq").toString
+    Knn.buildSqIndex(emb, "vec_id", "embedding", store, 64)
+    val q = emb.filter(col("vec_id") < 5)
+    def search(dir: String) = Knn.searchSqIndex(spark, dir, q,
+        "vec_id", "embedding", 64, 5, corpus = emb)
+      .collect().map(_.toString).sorted.toSeq
+    val wantSearch = search(store)
+    val wantFiles = StoreMaintenance.allFiles(spark, new Path(store))
+    // snapshot
+    val bk = java.nio.file.Files.createTempDirectory("bk_snap")
+      .toString + "/snap"
+    val nCopied = StoreMaintenance.backupStore(spark, store, bk)
+    assert(nCopied == wantFiles.size.toLong)
+    assert(StoreMaintenance.verifyStoreBackup(spark, bk).collect()
+      .forall(_.getAs[Boolean]("ok")), "fresh snapshot must verify")
+    // a second backup into the same dir refuses (never overwrites)
+    val again = intercept[IllegalArgumentException] {
+      StoreMaintenance.backupStore(spark, store, bk)
+    }
+    assert(again.getMessage.contains("not empty"))
+    // destroy the live store: drop a codes file + inject garbage
+    val f = StoreMaintenance.dataFiles(spark,
+      new Path(s"$store/codes")).head._1
+    fs(store).delete(f, false)
+    Seq((9999L, Seq(1, 2))).toDF("neighbor_id", "codes")
+      .write.mode("append").parquet(s"$store/codes")
+    spark.catalog.refreshByPath(s"$store/codes")
+    assert(!Knn.fsckSqIndex(spark, store).collect()
+      .forall(_.getAs[Boolean]("ok")), "the damage must register")
+    // restore into a fresh dir: same files, same sizes, same answers
+    val restored = java.nio.file.Files.createTempDirectory("bk_rest")
+      .toString + "/store"
+    assert(StoreMaintenance.restoreStore(spark, bk, restored) ==
+      wantFiles.size.toLong)
+    assert(StoreMaintenance.allFiles(spark, new Path(restored)) ==
+      wantFiles, "restored tree must list identically to the snapshot")
+    assert(search(restored) == wantSearch,
+      "the restored store must answer exactly like the original")
+    assert(Knn.fsckSqIndex(spark, restored).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    // restore refuses a non-empty destination
+    val overLive = intercept[IllegalArgumentException] {
+      StoreMaintenance.restoreStore(spark, bk, restored)
+    }
+    assert(overLive.getMessage.contains("not empty"))
+    // tamper with the snapshot: verification flags it, restore refuses
+    val victim = StoreMaintenance.dataFiles(spark,
+      new Path(s"$bk/codes")).head._1
+    fs(bk).delete(victim, false)
+    val report = StoreMaintenance.verifyStoreBackup(spark, bk).collect()
+    assert(report.exists(r => r.getAs[String]("check") == "files_present"
+      && !r.getAs[Boolean]("ok")), s"tamper must flag: ${report.toSeq}")
+    val refuse = intercept[IllegalArgumentException] {
+      StoreMaintenance.restoreStore(spark, bk,
+        java.nio.file.Files.createTempDirectory("bk_r2").toString + "/x")
+    }
+    assert(refuse.getMessage.contains("fails verification"))
+  }
 }
