@@ -99,7 +99,10 @@ object BenchScale {
     // probe shape: eval side broadcast, train side scanned once,
     // candidates bucket-capped)
     "corpus_pack_ids_eos", "knn_recall_sweep",
-    "corpus_decontaminate_fuzzy")
+    "corpus_decontaminate_fuzzy",
+    // the EOS-separated end-to-end export (C34b): corpus_export_ids'
+    // composed shape plus one map-side concat, same growth profile
+    "corpus_export_ids_eos")
   // dedup_recall_sweep stays out of the 100x set for dedup_recall's
   // reason (the sweep SHARES one exact truth across band settings —
   // the closed-vocabulary storm regime at 100x); its 10x cells below
@@ -150,7 +153,12 @@ object BenchScale {
       // the composed deliverable under a 10%-duplicated crawl: the
       // curation stage's LSH caps and unhinted anti join must absorb
       // the hot near-dup cluster inside the full composition
-      "corpus_export")
+      "corpus_export",
+      // round 15: the cross-set decontamination probe under the same
+      // 10%-duplicated corpus — the hot doc floods one bucket on the
+      // TRAIN side, and the maxBucket cap (shared with C3/C25) must
+      // absorb it without piling one task
+      "corpus_decontaminate_fuzzy")
 
   /** Round 12: the suite's three highest STRUCTURAL ratio100 rows
     * re-measured at 100x under a hot key (the 10x harness never
