@@ -687,8 +687,10 @@ object GraftExtensions {
           "IVFxPQ / LSH / SQ; every file copied as a Spark job + a " +
           "_backup_manifest sidecar), return the snapshot's " +
           "verification report. Refuses a non-empty destination. " +
-          "Trailing dry_run=true copies nothing and returns the " +
-          "SOURCE listing as (check, ok, n_bad, detail)"),
+          "Trailing dry_run=true copies nothing, runs the SAME " +
+          "admission checks (a call the real run would refuse still " +
+          "refuses), and returns the would-copy listing as (check, " +
+          "ok, n_bad, detail)"),
       (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val (args, dry) = splitDryRun(args0)
@@ -696,8 +698,8 @@ object GraftExtensions {
         val dst = strArg(args(1), "graft_store_backup")
         if (dry) {
           import spark.implicits._
-          val n = operators.StoreMaintenance.allFiles(spark,
-            new org.apache.hadoop.fs.Path(src)).size.toLong
+          val n = operators.StoreMaintenance
+            .backupAdmission(spark, src, dst).size.toLong
           Seq(("would_copy", n > 0, n, s"$n files under $src"))
             .toDF("check", "ok", "n_bad", "detail")
             .queryExecution.logical

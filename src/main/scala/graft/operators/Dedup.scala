@@ -1160,6 +1160,27 @@ object Dedup {
     * one-pass expression as the dedup family
     * ([[graft.functions.TextHashes.wordShingleHashes]]).
     */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 5, minHits: Long = 1L): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val evalGrams = broadcast(
+      evalSet.select(explode(shingleHashes(col(textCol), k)).as("g"))
+        .distinct())
+    train
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .join(evalGrams, "g")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** C12c: NEAR-duplicate decontamination — the fuzzy companion to
     * [[decontaminate]]: C12's exact-gram overlap catches VERBATIM
     * benchmark leakage, but a lightly-edited copy (reworded stem,
@@ -1186,27 +1207,6 @@ object Dedup {
         round(max(col("jaccard")), 6).as("max_jaccard"))
       .select(col("corpus_id").as(idCol), col("n_eval_matches"),
         col("max_jaccard"))
-
-  def decontaminate(train: DataFrame, evalSet: DataFrame,
-                    idCol: String, textCol: String,
-                    k: Int = 5, minHits: Long = 1L): DataFrame = {
-    require(k >= 1, s"shingle size k must be >= 1, got $k")
-    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
-    val evalGrams = broadcast(
-      evalSet.select(explode(shingleHashes(col(textCol), k)).as("g"))
-        .distinct())
-    train
-      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
-        explode(col("sh")).as("g"))
-      .join(evalGrams, "g")
-      .groupBy(col(idCol), col("n_grams"))
-      .agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= minHits)
-      .select(col(idCol), col("n_grams"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_grams"), 6)
-          .as("contamination"))
-  }
 
   /** C23: Bloom-prefiltered decontamination — identical OUTPUT to
     * [[decontaminate]], different broadcast economics. C12 broadcasts

@@ -420,23 +420,44 @@ private[graft] object StoreMaintenance {
   def backupStore(spark: SparkSession, srcDir: String,
                   dstDir: String): Long = {
     import spark.implicits._
+    val files = backupAdmission(spark, srcDir, dstDir)
+    val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(src), s"backup source $srcDir does not exist")
     val dst = new Path(dstDir)
-    require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
-      s"backup destination $dstDir is not empty - a backup never " +
-        "overwrites; pick a fresh snapshot dir")
-    val files = allFiles(spark, src)
-    require(files.nonEmpty, s"backup source $srcDir holds no files")
-    val qs = fs.makeQualified(src)
-    val qd = fs.makeQualified(dst)
+    val qs = src.getFileSystem(conf).makeQualified(src)
+    val qd = dst.getFileSystem(conf).makeQualified(dst)
     copyFilesDistributed(spark,
       files.map { case (rel, _) =>
         (new Path(qs, rel).toString, new Path(qd, rel).toString) })
     files.toDF("rel_path", "bytes").coalesce(1)
       .write.mode("overwrite").parquet(s"$dstDir/_backup_manifest")
     files.size.toLong
+  }
+
+  /** The admission checks [[backupStore]] enforces, shared with the
+    * TVF's dry-run branch so the preview refuses exactly when the
+    * real call would: source exists and holds files, destination
+    * empty or absent (each path resolved against ITS OWN FileSystem —
+    * backup-to-other-storage is the normal posture). Returns the
+    * source listing; a source's own `_backup_manifest` is excluded,
+    * because snapshotting a snapshot re-manifests it — copying the
+    * inner manifest files would be wiped by the outer manifest's
+    * overwrite write and leave the backup permanently unverifiable.
+    */
+  def backupAdmission(spark: SparkSession, srcDir: String,
+                      dstDir: String): Seq[(String, Long)] = {
+    val src = new Path(srcDir)
+    val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(sfs.exists(src), s"backup source $srcDir does not exist")
+    val dst = new Path(dstDir)
+    val dfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,
+      s"backup destination $dstDir is not empty - a backup never " +
+        "overwrites; pick a fresh snapshot dir")
+    val files = allFiles(spark, src)
+      .filterNot(_._1.startsWith("_backup_manifest/"))
+    require(files.nonEmpty, s"backup source $srcDir holds no files")
+    files
   }
 
   /** Integrity report over a [[backupStore]] snapshot — (check, ok,

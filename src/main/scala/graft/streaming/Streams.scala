@@ -247,9 +247,11 @@ object Streams {
           val rolled = hits.groupBy(col("batch_id"))
             .agg(count(lit(1)).as("n_eval_matches"),
               round(max(col("jaccard")), 6).as("max_jaccard"))
+          // join on the id's OWN type (incrementalMinhash carries it
+          // through untyped): a cast to long would NULL out string ids
+          // and silently mark every doc clean
           val verdict = batch.select(col(idCol))
-            .join(rolled, batch(idCol).cast("long") === rolled("batch_id"),
-              "left")
+            .join(rolled, batch(idCol) === rolled("batch_id"), "left")
             .select(col(idCol),
               col("n_eval_matches").isNotNull.as("is_contaminated"),
               coalesce(col("n_eval_matches"), lit(0L))
@@ -687,7 +689,9 @@ object Streams {
     * there, unused for lsh — its decay metric is an eval cadence, not
     * an advisor scan). At 100 TB the tick cadence is the fsck cadence:
     * every leg is driver-O(partitions) listings plus one drift join,
-    * nothing proportional to tick rate.
+    * nothing proportional to tick rate. An EMPTY micro-batch (the
+    * no-data trigger Spark fires after restart or watermark advance)
+    * is not a tick: no advise listings run, no audit row is emitted.
     */
   def maintenanceStream(ticks: DataFrame, store: String, dir: String,
                         corpus: Option[DataFrame] = None,
@@ -705,6 +709,10 @@ object Streams {
     ticks.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        // an empty micro-batch (no-data trigger after restart /
+        // watermark advance) is NOT a tick: skip the driver-side
+        // advise listings and emit no phantom audit row
+        if (!batch.isEmpty) {
         val spark = batch.sparkSession
         import spark.implicits._
         val advice = (store match {
@@ -740,6 +748,7 @@ object Streams {
           advice.getAs[String]("reason"), applied))
           .toDF("epoch", "store", "action", "reason", "applied"),
           epochId)
+        }
       }
   }
 

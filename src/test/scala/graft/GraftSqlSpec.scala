@@ -633,6 +633,16 @@ class GraftSqlSpec extends SparkSpec {
       s"SELECT * FROM graft_store_backup('$store', '$bk')").collect()
     assert(rep.length == 3 && rep.forall(_.getAs[Boolean]("ok")),
       s"backup TVF must return a green verification: ${rep.toSeq}")
+    // dry-run runs the SAME admission: a non-empty destination the
+    // real call would refuse refuses in the preview too
+    val dryRefuse = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_store_backup('$store', '$bk', true)")
+    }
+    assert(Iterator.iterate(dryRefuse: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+      .contains("not empty"),
+      "dry-run backup must refuse what the real call refuses")
     val viaScala = graft.operators.StoreMaintenance
       .verifyStoreBackup(spark, bk).collect().map(_.toString).toSeq
     assert(spark.sql(s"SELECT * FROM graft_store_verify('$bk')")

@@ -237,6 +237,18 @@ class StoreMaintenanceSpec extends SparkSpec {
       StoreMaintenance.backupStore(spark, store, bk)
     }
     assert(again.getMessage.contains("not empty"))
+    // backing up a SNAPSHOT works: the inner manifest is excluded
+    // (re-manifested by the outer backup), so the second-generation
+    // snapshot verifies green and restores the same store files
+    val bk2 = java.nio.file.Files.createTempDirectory("bk_snap2")
+      .toString + "/snap2"
+    StoreMaintenance.backupStore(spark, bk, bk2)
+    assert(StoreMaintenance.verifyStoreBackup(spark, bk2).collect()
+      .forall(_.getAs[Boolean]("ok")),
+      "a backup of a backup must verify green")
+    assert(StoreMaintenance.allFiles(spark, new Path(bk2))
+      .filterNot(_._1.startsWith("_backup_manifest/")) == wantFiles,
+      "the second-generation snapshot holds exactly the store files")
     // destroy the live store: drop a codes file + inject garbage
     val f = StoreMaintenance.dataFiles(spark,
       new Path(s"$store/codes")).head._1
