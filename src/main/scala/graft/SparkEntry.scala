@@ -207,6 +207,11 @@ object SparkEntry {
     // geometry — one plan, per-(n_probe, query) report rows
     "knn_recall_sweep" -> ((s, d) =>
       Pipeline.knnRecallSweep(t(s, d, "embeddings"))),
+    // D9c: the same curve off the PERSISTED fixture store (probed
+    // partitions only — the serving-side cost posture); answers equal
+    // D9b's because the fixture freezes the strideCoarse geometry
+    "knn_recall_sweep_indexed" -> ((s, d) =>
+      Pipeline.knnRecallSweepIndexed(t(s, d, "embeddings"), d)),
     "knn_ivf" -> ((s, d) => Pipeline.knnIvf(t(s, d, "embeddings"))),
     "knn_sq" -> ((s, d) => Pipeline.knnSq(t(s, d, "embeddings"))),
     "knn_sq_indexed" -> ((s, d) =>
@@ -1001,7 +1006,14 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, round(c, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlInline ++ Map(
+    // D9c: the D9b replay verbatim — the fixture store freezes the
+    // strideCoarse geometry, so the persisted sweep answers the
+    // in-plan formulation (the knn_range_indexed precedent)
+    "knn_recall_sweep_indexed" -> oracleSqlInline("knn_recall_sweep")
+  )
+
+  private lazy val oracleSqlInline: Map[String, String] = Map(
     "knn_ivf" ->
       s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
         |  AS s FROM embeddings),
@@ -1535,7 +1547,10 @@ object SparkEntry {
     // D9b: the knn_ivf coarse/assign/probe chain ranked to the WIDEST
     // setting, each narrower setting a probe-rank filter (the
     // nested-probe property), scored per (n_probe, query) against the
-    // knn_recall exact chain
+    // knn_recall exact chain. D9c reuses it VERBATIM (the
+    // knn_range_indexed precedent): the fixture store freezes the
+    // strideCoarse geometry, so the persisted sweep's answers are the
+    // in-plan formulation's
     "knn_recall_sweep" ->
       s"""WITH strd AS (SELECT GREATEST(50, CEIL(COUNT(*) / 256.0)::BIGINT)
         |  AS s FROM embeddings),

@@ -986,6 +986,20 @@ object Knn {
       .withColumn("cosine", cosineD(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("qrn"))
+    sweepScore(cand, corpus, queries, idCol, vecCol, k, nProbes)
+  }
+
+  /** The shared scoring tail of the nProbe sweeps: per-setting top-k
+    * windows over the rank-annotated candidate set (probing p cells
+    * sees exactly the pairs with `qrn` ≤ p — the nested-probe
+    * property), one [[bruteForce]] truth, recall per (n_probe, query).
+    */
+  private def sweepScore(cand: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int,
+                         nProbes: Seq[Int]): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     val settings = broadcast(
       nProbes.distinct.sorted.toDF("n_probe"))
     val wSet = Window.partitionBy(col("n_probe"), col("query_id"))
@@ -1004,6 +1018,59 @@ object Knn {
         count(lit(1)).as("n_exact"))
       .withColumn("recall", round(col("n_hits") / col("n_exact"), 6))
       .orderBy("n_probe", "query_id")
+  }
+
+  /** D9c: [[recallSweep]] off the PERSISTED IVF×PQ store — the
+    * serving-side twin: the in-plan sweep pays D3's per-call
+    * corpus→cell assignment (the suite's knn_ivf-shaped ratio100);
+    * here the stored layout IS the assignment, so a sweep reads only
+    * the probed `cell_id=` partitions (the [[rangeSearchIndexed]]
+    * partition-filter pattern) plus exact vectors for the candidate
+    * rescore — the amortized cost curve an operator actually sweeps
+    * against a production store. When the store was built under the
+    * frozen [[strideCoarse]] (the registered fixture), the stored
+    * assignment equals the in-plan argmax rule exactly, so answers
+    * equal [[recallSweep]]'s verbatim (spec-pinned) and the oracle
+    * replays the in-plan formulation with no store in sight.
+    */
+  def recallSweepIndexed(spark: SparkSession, dir: String,
+                         queries: DataFrame, idCol: String,
+                         vecCol: String, dim: Int, k: Int,
+                         corpus: DataFrame,
+                         nProbes: Seq[Int] = Seq(1, 2, 4, 8))
+      : DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"nProbes must be non-empty positive settings, got $nProbes")
+    val maxProbe = nProbes.max
+    val coarseRaw = spark.read.parquet(s"$dir/coarse")
+    requireIndexDim(coarseRaw, dir, dim)
+    val coarseDf = broadcast(coarseRaw
+      .select(col("cell_id"), asDouble(col("centroid")).as("centroid")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell_id"))
+    val probes = broadcast(q.join(coarseDf)
+      .withColumn("qsim", cosineD(col("qv"), col("centroid")))
+      .withColumn("qrn", row_number().over(wProbe))
+      .filter(col("qrn") <= maxProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"), col("qrn")))
+    // O(|queries|·maxProbe) driver-side cell list -> partition filter:
+    // only probed cells' FILES are read
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val cand = readCodes(spark, dir)
+      .filter(col("cell_id").isin(probedCells: _*))
+      .select(col("neighbor_id"), col("cell_id"))
+      .join(probes, "cell_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(cv, "neighbor_id")
+      .withColumn("cosine", cosineD(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("qrn"))
+    sweepScore(cand, corpus, queries, idCol, vecCol, k, nProbes)
   }
 
   /** D8 (build): persisted IVF×PQ index — the "build once, search

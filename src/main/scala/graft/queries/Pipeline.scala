@@ -1022,6 +1022,21 @@ object Pipeline {
     Knn.recallSweep(embeddings, querySet(embeddings), "vec_id",
       "embedding", k = 5, nProbes = Seq(1, 2, 4, 8), stride = 50)
 
+  /** D9c: the same sweep off the PERSISTED fixture index — the
+    * serving-side cost posture: the store's layout IS the corpus→cell
+    * assignment (the in-plan sweep's dominant term at scale), so a
+    * sweep reads only probed `cell_id=` partitions plus exact vectors
+    * for the rescore. The fixture is built under the frozen
+    * [[graft.operators.Knn.strideCoarse]], so answers equal D9b's
+    * verbatim and the oracle SQL is knn_recall_sweep's unchanged.
+    */
+  def knnRecallSweepIndexed(embeddings: DataFrame, sfDir: String)
+      : DataFrame =
+    Knn.recallSweepIndexed(embeddings.sparkSession,
+      ensureKnnIndexDir(embeddings, sfDir), querySet(embeddings),
+      "vec_id", "embedding", dim = EmbeddingDim, k = 5,
+      corpus = embeddings, nProbes = Seq(1, 2, 4, 8))
+
   /** D6: token-level LSH candidates + exact MaxSim rescore; the score
     * is an integer-grid sum, so the only float op in the output is one
     * exact division.

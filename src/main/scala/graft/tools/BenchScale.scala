@@ -102,7 +102,11 @@ object BenchScale {
     "corpus_decontaminate_fuzzy",
     // the EOS-separated end-to-end export (C34b): corpus_export_ids'
     // composed shape plus one map-side concat, same growth profile
-    "corpus_export_ids_eos")
+    "corpus_export_ids_eos",
+    // the persisted-store nProbe sweep (D9c): must measure the
+    // AMORTIZED curve — probed partitions + rescore only — against
+    // the in-plan sweep's knn_ivf-shaped per-call assignment
+    "knn_recall_sweep_indexed")
   // dedup_recall_sweep stays out of the 100x set for dedup_recall's
   // reason (the sweep SHARES one exact truth across band settings —
   // the closed-vocabulary storm regime at 100x); its 10x cells below

@@ -678,6 +678,29 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("recallSweepIndexed: the persisted-store sweep equals the " +
+      "in-plan sweep when the store freezes the stride geometry, and " +
+      "the probed-partition filter reaches the scan") {
+    val q = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("sweep_idx")
+      .toString
+    Knn.buildIvfPqIndex(emb, "vec_id", "embedding", dir, dim = 64,
+      coarse = Some(Knn.strideCoarse(emb, "vec_id", "embedding")))
+    val indexed = Knn.recallSweepIndexed(spark, dir, q, "vec_id",
+      "embedding", dim = 64, k = 5, corpus = emb,
+      nProbes = Seq(1, 2, 4, 8))
+    val inPlan = Knn.recallSweep(emb, q, "vec_id", "embedding", k = 5,
+      nProbes = Seq(1, 2, 4, 8)).collect().map(_.toString).toSeq
+    assert(indexed.collect().map(_.toString).toSeq == inPlan,
+      "persisted-store sweep must answer the in-plan formulation")
+    // the codes scan must be partition-pruned to the probed cells
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cell_id"),
+      s"probed-cell partition filter missing from the scan:\n" +
+        plan.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+  }
+
   test("mergeIvfPqIndexes: sidecar identity is the TYPED key tuple — " +
       "fold-colliding keys neither refuse an identical sidecar nor " +
       "accept a different one") {
