@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main: every SparkEntry query, median-of-3 wall seconds, ONE
-  * JSON line on stdout for the driver to parse.
+/** Benchmark main: every SparkEntry query, wall seconds, ONE JSON line
+  * on stdout for the driver to parse — and an artifact file rewritten
+  * incrementally so a timeout still yields a parseable majority result.
   *
   * Isolation, the hard-won version. Rounds 4-6 showed in-suite timings
   * drifting up to ~1.6x of the same query's isolated cost; clearCache +
@@ -10,18 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SparkContext per query in ONE JVM made it worse (51 contexts' worth
   * of heap churn, and `localCheckpoint`/persist blocks from a query's
   * own earlier runs degrade its later runs — ContextCleaner reclaims
-  * them only after the old Dataset is GC'd, i.e. asynchronously). So:
+  * them only after the old Dataset is GC'd, i.e. asynchronously). So
+  * HEAVY queries (prior median >= 1.5 s, or no prior) each run in their
+  * OWN FORKED JVM with 2 untimed warmups then median-of-3 timed runs,
+  * cache cleared between runs — unchanged from rounds 7-15, so those
+  * rows stay directly comparable across rounds.
   *
-  *   - each query runs in its OWN FORKED JVM (fresh heap, fresh
-  *     context): an in-suite number IS an isolated number by
-  *     construction, whatever ran before it;
-  *   - inside the child, untimed warmup runs absorb JIT / codegen /
-  *     parquet-footer / fixture-build cost, then 3 timed runs with
-  *     cache + persisted blocks cleared BETWEEN runs, so run N's leaked
-  *     blocks can't tax run N+1. Median of 3 reported.
-  *
-  * This measures warm steady-state latency per query — the quantity
-  * that is stable run-to-run and comparable round-to-round.
+  * Round 16 wall-budget fix (the r15 driver artifact was rc=124 with
+  * zero rows: 127 queries x fresh-JVM x 5 runs outgrew the harness
+  * timeout): the ~100 SUB-second rows are fork-floor-dominated, where
+  * per-query JVM isolation buys nothing and 5 runs oversample. Those
+  * rows now run BATCHED (8 per forked JVM, alphabetical), 1 untimed
+  * warmup + 2 timed runs, min of 2 reported (min suppresses one-off GC
+  * noise at this duration; drift risk that motivated per-query forks
+  * was only ever observed on multi-second rows). Cheap/heavy is decided
+  * from the PRIOR round's committed bench_out.json — self-maintaining,
+  * and a query with no prior defaults to the safe solo path. Batches
+  * run FIRST so an early kill still covers most of the inventory; the
+  * artifact file is rewritten after every fork and a shutdown hook
+  * prints the partial JSON line if the final one never ran.
   */
 object Bench {
 
@@ -46,15 +54,18 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
   }
 
-  /** In-process measurement (the child side): `warmups` untimed runs,
-    * then 3 timed runs with leftover cached/persisted blocks cleared
-    * between them; median of the 3, or None if any run failed — a
-    * failed query must never be timed as a (fast) success; that would
-    * make a broken round bench BETTER.
+  /** In-process measurement (the child side). `full = true`: 2 untimed
+    * warmups then median of 3 timed runs (the round-7..15 protocol,
+    * used for heavy rows and by [[tools.BenchScale]] so scale ratios
+    * keep one methodology across factors). `full = false`: 1 warmup +
+    * min of 2 — the batched sub-second path. Leftover cached/persisted
+    * blocks are cleared between every run either way. None if any run
+    * failed — a failed query must never be timed as a (fast) success;
+    * that would make a broken round bench BETTER.
     */
   def timeQuery(name: String, fn: (SparkSession, String) => DataFrame,
                 sfDir: String, spark: SparkSession,
-                warmups: Int = 2): Option[Double] = {
+                full: Boolean = true): Option[Double] = {
     var failed = false
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -71,28 +82,33 @@ object Bench {
           Console.err.println(s"bench $name FAILED: ${e.getMessage}")
           failed = true
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      clearLeftovers(spark)
+      t
     }
-    val warm = (1 to warmups).map { _ =>
-      val t = once(); clearLeftovers(spark); t
-    }
-    val times = (1 to 3).map { _ =>
-      val t = once(); clearLeftovers(spark); t
-    }
+    val warmups = if (full) 2 else 1
+    val runs = if (full) 3 else 2
+    val warm = (1 to warmups).map(_ => once())
+    if (failed) return None // don't burn timed runs on a broken query
+    val times = (1 to runs).map(_ => once())
     Console.err.println(
       f"bench $name warm=${warm.map(t => f"$t%.3f").mkString(",")} " +
         f"runs=${times.map(t => f"$t%.3f").mkString(",")}")
-    if (failed) None else Some(times.sorted.apply(1))
+    if (failed) None
+    else if (full) Some(times.sorted.apply(runs / 2))
+    else Some(times.min)
   }
 
-  /** Parent side: measure one query in a freshly forked JVM under the
+  /** Parent side: measure queries in a freshly forked JVM under the
     * SAME JVM configuration as this one — all parent input arguments
     * (heap sizing, GC choice, -XX: tuning, every -D system property,
     * module opens) are forwarded except flags that must not leak into a
     * child (debug/agent attachments, which would fight over ports or
-    * pause the child). Returns the child's median, or None on failure.
+    * pause the child). Returns per-query medians; a name absent from
+    * the result failed (or the child died before reaching it).
     */
-  def forkQuery(name: String, sfDir: String, cpus: String): Option[Double] = {
+  def forkBatch(names: Seq[String], sfDir: String, cpus: String,
+                full: Boolean): Map[String, Double] = {
     import scala.sys.process._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     def conflicts(a: String): Boolean =
@@ -118,61 +134,132 @@ object Bench {
       }
       buf.toSeq
     }
+    val mode = if (full) "full" else "fast"
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "--child", name, sfDir, cpus)
+        "graft.Bench", "--child", sfDir, cpus, mode, names.mkString(","))
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val code = Process(cmd).!(ProcessLogger(out += _, Console.err.println))
-    if (code != 0) { Console.err.println(s"bench $name child exit $code"); None }
-    else out.collectFirst { case ChildResult(t) => t.toDouble }
+    if (code != 0)
+      Console.err.println(s"bench child [${names.mkString(",")}] exit $code")
+    out.collect { case ChildResult(n, t) => n -> t.toDouble }.toMap
   }
 
-  private val ChildResult = """CHILD_RESULT ([0-9.]+)""".r
+  /** Single-query full-methodology fork — the round-7..15 shape, kept
+    * for [[tools.BenchScale]] and heavy rows.
+    */
+  def forkQuery(name: String, sfDir: String, cpus: String): Option[Double] =
+    forkBatch(Seq(name), sfDir, cpus, full = true).get(name)
 
-  private def childMain(name: String, sfDir: String, cpus: String): Unit = {
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name"))
+  private val ChildResult = """CHILD_RESULT (\S+) ([0-9.]+)""".r
+
+  private def childMain(sfDir: String, cpus: String, mode: String,
+                        names: Seq[String]): Unit = {
+    val full = mode == "full"
     val spark = newSession(cpus)
-    try timeQuery(name, fn, sfDir, spark) match {
-      case Some(t) => println(f"CHILD_RESULT $t%.6f")
-      case None    => sys.exit(3)
+    try names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      timeQuery(name, fn, sfDir, spark, full) match {
+        case Some(t) => println(f"CHILD_RESULT $name $t%.6f")
+        case None    => println(s"CHILD_FAILED $name")
+      }
     } finally spark.stop()
   }
 
+  /** Prior medians from the previous round's committed artifact — used
+    * only to sort queries into the cheap-batched vs heavy-solo paths.
+    * Absent/unreadable prior (or a query new this round) => solo.
+    */
+  private def loadPriors(path: String): Map[String, Double] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // Tolerate both this main's compact output and a re-serialized
+      // (space-after-colon) committed copy of it.
+      val obj = """"queries"\s*:\s*\{""".r.findFirstMatchIn(text)
+      obj match {
+        case None => Map.empty
+        case Some(m) =>
+          val body = text.substring(m.end, text.indexOf('}', m.end))
+          """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "--child")
-      return childMain(args(1), args(2), args(3))
+      return childMain(args(1), args(2), args(3),
+        args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=dedup_minhash_lsh,dedup_simhash
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = selected.flatMap { case (name, _) =>
-      forkQuery(name, sfDir, cpus) match {
-        case Some(t) => Some(name -> t)
-        case None    => failed += name; None
-      }
-    }.toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-sink write","queries":$qs,"failed":$failedJson,"sf":"$sfDir","methodology":"per-query forked JVM, 2 warmups, median of 3 with inter-run cache clear"}"""
-    println(json)
-    // The driver captures a BOUNDED stdout/stderr tail: with 70+ queries
-    // the single JSON line can outgrow it and the round artifact arrives
-    // truncated mid-object (BENCH_r09.json lost its own total). Persist
-    // the full result to a file as well so the artifact is complete
-    // regardless of output volume.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: Throwable =>
-      Console.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+    val priors = loadPriors(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outFile))
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val (cheap, heavy) = selected.partition(n =>
+      priors.get(n).exists(_ < 1.5))
+    val planned = cheap.size + heavy.size
+
+    val methodology =
+      "heavy rows (prior>=1.5s or new): per-query forked JVM, 2 warmups, " +
+        "median of 3; sub-second rows: 8 per forked JVM, 1 warmup, min of 2; " +
+        "inter-run cache clear throughout; artifact rewritten per fork"
+    val lock = new Object
+    val results = scala.collection.mutable.TreeMap[String, Double]()
+    val failed = scala.collection.mutable.TreeSet[String]()
+    @volatile var finalDone = false
+    def render(partial: Boolean): String = lock.synchronized {
+      val qs = results.toSeq
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${results.values.sum},"unit":"sec",""" +
+        s""""action":"noop-sink write","queries":$qs,"failed":$failedJson,""" +
+        s""""sf":"$sfDir","partial":$partial,"completed":${results.size + failed.size},""" +
+        s""""planned":$planned,"methodology":"$methodology"}"""
     }
+    def writeArtifact(partial: Boolean): Unit = {
+      val json = render(partial)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        Console.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+      }
+    }
+    // A driver timeout (SIGTERM) must still yield a parseable artifact:
+    // r15's official bench arrived rc=124 with zero rows. The hook
+    // prints whatever has finished so far as a partial JSON line.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalDone) { println(render(partial = true)); writeArtifact(partial = true) }
+    }))
+
+    def record(batch: Seq[String], got: Map[String, Double]): Seq[String] = {
+      val missing = batch.filterNot(got.contains)
+      lock.synchronized { results ++= got }
+      writeArtifact(partial = true)
+      missing
+    }
+    // Cheap batches first: max inventory coverage if the clock runs out.
+    val retry = cheap.grouped(8).toSeq.flatMap { batch =>
+      record(batch, forkBatch(batch, sfDir, cpus, full = false))
+    }
+    // A name missing from its batch's output either failed or was
+    // skipped because a batchmate killed the child JVM — re-run each
+    // solo (full methodology) so one bad query can't erase 7 rows.
+    (retry ++ heavy).foreach { name =>
+      val got = forkBatch(Seq(name), sfDir, cpus, full = true)
+      if (!got.contains(name)) lock.synchronized { failed += name }
+      record(Seq(name), got)
+    }
+    finalDone = true
+    println(render(partial = false))
+    writeArtifact(partial = false)
   }
 }

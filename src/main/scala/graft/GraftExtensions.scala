@@ -711,13 +711,22 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_store_verify"),
       info("graft_store_verify",
-        "graft_store_verify(backup_dir) - integrity report over a " +
-          "graft_store_backup snapshot: manifest valid, every " +
-          "manifest file present at its recorded size, no stray files"),
-      (args: Seq[Expression]) => {
+        "graft_store_verify(backup_dir[, deep]) - integrity report " +
+          "over a graft_store_backup snapshot: manifest valid, every " +
+          "manifest file present at its recorded size, no stray " +
+          "files, and (deep=true, the default) every file's bytes " +
+          "re-hashed against the manifest's CRC32C - the check that " +
+          "catches size-preserving corruption. deep=false is the " +
+          "listing-speed presence+size report"),
+      (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
+        // trailing bool absent => deep=true (restore-gate strictness
+        // is the default; deep=false is the explicit opt-out)
+        val (args, flag) = splitDryRun(args0)
+        val deep = if (args.length == args0.length) true else flag
         operators.StoreMaintenance.verifyStoreBackup(spark,
-          strArg(args(0), "graft_store_verify")).queryExecution.logical
+          strArg(args(0), "graft_store_verify"), deep)
+          .queryExecution.logical
       }),
     (FunctionIdentifier("graft_store_restore"),
       info("graft_store_restore",
@@ -733,6 +742,38 @@ object GraftExtensions {
         val dst = strArg(args(1), "graft_store_restore")
         if (!dry) operators.StoreMaintenance.restoreStore(spark, bk, dst)
         operators.StoreMaintenance.verifyStoreBackup(spark, bk)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_store_backups"),
+      info("graft_store_backups",
+        "graft_store_backups(parent_dir[, deep]) - catalog of the " +
+          "graft_store_backup snapshots under one parent: per " +
+          "snapshot (newest first) its completion stamp, file/byte " +
+          "census, and verify status. deep defaults FALSE here (a " +
+          "catalog sweep must not re-read every byte of every " +
+          "snapshot); deep=true re-hashes each one"),
+      (args0: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val (args, deep) = splitDryRun(args0)
+        operators.StoreMaintenance.listStoreBackups(spark,
+          strArg(args(0), "graft_store_backups"), deep)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_store_prune"),
+      info("graft_store_prune",
+        "graft_store_prune(parent_dir, keep[, dry_run]) - CALL-style " +
+          "retention sweep: keep the newest `keep` snapshots, delete " +
+          "the rest - except the last verify-green snapshot, which " +
+          "is never deleted (pruning must leave a restorable " +
+          "backup). Returns one (snapshot, completed_ms, verify_ok, " +
+          "action, reason) row per snapshot; trailing dry_run=true " +
+          "reports the decisions without deleting"),
+      (args0: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val (args, dry) = splitDryRun(args0)
+        operators.StoreMaintenance.pruneStoreBackups(spark,
+          strArg(args(0), "graft_store_prune"),
+          numArg(args(1), "graft_store_prune").toInt, dry)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_compact"),

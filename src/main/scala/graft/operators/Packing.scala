@@ -214,8 +214,16 @@ object Packing {
                    budget: Long, numPartitions: Int = 0,
                    bosId: Option[Int] = None,
                    eosId: Option[Int] = None): DataFrame = {
-    val withEos = eosId.map(e => df.withColumn(idsCol,
-      concat(col(idsCol), array(lit(e))))).getOrElse(df)
+    // A NULL ids array is emptiness too (a schema that nulls instead
+    // of []): coalesce BEFORE concat — concat(NULL, [eos]) is NULL,
+    // which would silently drop the doc's separator and contradict the
+    // "an empty doc still emits its separators" contract above.
+    val nn =
+      if (eosId.isEmpty && bosId.isEmpty) df
+      else df.withColumn(idsCol,
+        coalesce(col(idsCol), array().cast(df.schema(idsCol).dataType)))
+    val withEos = eosId.map(e => nn.withColumn(idsCol,
+      concat(col(idsCol), array(lit(e))))).getOrElse(nn)
     val df1 = bosId.map(b => withEos.withColumn(idsCol,
       concat(array(lit(b)), col(idsCol)))).getOrElse(withEos)
     packTokenIdsPlain(df1, idCol, idsCol, budget, numPartitions)

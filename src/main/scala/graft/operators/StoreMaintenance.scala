@@ -314,22 +314,47 @@ private[graft] object StoreMaintenance {
   def copyFilesDistributed(spark: SparkSession,
                            pairs: Seq[(String, String)],
                            filesPerTask: Int = 4): Long = {
-    if (pairs.isEmpty) return 0L
+    copyFilesChecksummed(spark, pairs, filesPerTask); pairs.size.toLong
+  }
+
+  /** [[copyFilesDistributed]] that also CRC32C-hashes every file's
+    * bytes inside the same stream copy (one read, zero extra IO) and
+    * returns src -> checksum. The hash travels into the backup
+    * manifest so [[verifyStoreBackup]] can catch size-preserving
+    * corruption — the tamper class a (rel_path, bytes) manifest is
+    * blind to. Copy semantics are unchanged: independent targets,
+    * last-writer-wins on retry with identical bytes.
+    */
+  def copyFilesChecksummed(spark: SparkSession,
+                           pairs: Seq[(String, String)],
+                           filesPerTask: Int = 4): Map[String, Long] = {
+    if (pairs.isEmpty) return Map.empty
     val bc = org.apache.spark.graftbridge.ConfBridge
       .broadcastConf(spark.sparkContext)
     val slices = math.max(1,
       (pairs.size + filesPerTask - 1) / filesPerTask)
-    spark.sparkContext.parallelize(pairs, slices)
-      .foreachPartition { it =>
+    // mapPartitions+collect, not foreachPartition: the per-file hash is
+    // the job's result. O(files) on the driver — the same bound as the
+    // manifest this feeds.
+    val sums = spark.sparkContext.parallelize(pairs, slices)
+      .mapPartitions { it =>
         val conf = org.apache.spark.graftbridge.ConfBridge.conf(bc)
-        it.foreach { case (s, d) =>
+        it.map { case (s, d) =>
           val sp = new Path(s)
           val dp = new Path(d)
-          org.apache.hadoop.fs.FileUtil.copy(
-            sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
-            false, true, conf)
+          val in = sp.getFileSystem(conf).open(sp)
+          val out = dp.getFileSystem(conf).create(dp, true)
+          val crc = new java.util.zip.CRC32C
+          try {
+            val buf = new Array[Byte](256 << 10)
+            var n = in.read(buf)
+            while (n >= 0) {
+              crc.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf)
+            }
+          } finally { in.close(); out.close() }
+          (s, crc.getValue)
         }
-      }
+      }.collect().toMap
     // the copies bypass the Spark writer: stale cached listings of the
     // destination would silently MISS the merged-in files (refresh the
     // leaf dirs AND their roots — partitioned stores are read at root)
@@ -337,7 +362,42 @@ private[graft] object StoreMaintenance {
       val parent = new Path(p._2).getParent
       Seq(Option(parent), Option(parent.getParent)).flatten
     }.map(_.toString).distinct.foreach(refreshPath(spark, _))
-    pairs.size.toLong
+    sums
+  }
+
+  /** CRC32C of each file's bytes, as a Spark job (same task shape as
+    * the copy) — [[verifyStoreBackup]]'s recompute side. A file whose
+    * READ throws maps to None rather than failing the job: on a
+    * checksummed FileSystem (LocalFS `.crc` sidecars, HDFS) the
+    * transport layer itself flags flipped bytes with a
+    * ChecksumException, and verify must report that file as corrupt,
+    * not die mid-report. */
+  def checksumFiles(spark: SparkSession, paths: Seq[String],
+                    filesPerTask: Int = 4): Map[String, Option[Long]] = {
+    if (paths.isEmpty) return Map.empty
+    val bc = org.apache.spark.graftbridge.ConfBridge
+      .broadcastConf(spark.sparkContext)
+    val slices = math.max(1,
+      (paths.size + filesPerTask - 1) / filesPerTask)
+    spark.sparkContext.parallelize(paths, slices)
+      .mapPartitions { it =>
+        val conf = org.apache.spark.graftbridge.ConfBridge.conf(bc)
+        it.map { p =>
+          val sum: Option[Long] =
+            try {
+              val pp = new Path(p)
+              val in = pp.getFileSystem(conf).open(pp)
+              val crc = new java.util.zip.CRC32C
+              try {
+                val buf = new Array[Byte](256 << 10)
+                var n = in.read(buf)
+                while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+              Some(crc.getValue)
+            } catch { case _: Throwable => scala.None }
+          (p, sum)
+        }
+      }.collect().toMap
   }
 
   /** Per-partition health report for a Hive-partitioned store:
@@ -394,10 +454,18 @@ private[graft] object StoreMaintenance {
     val q = fs.makeQualified(root)
     val it = fs.listFiles(q, true)
     val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    // relativize on the DECODED uri paths, not raw URI.toString: the
+    // latter percent-encodes special characters (space -> %20), and
+    // feeding that string back to `new Path(root, rel)` — which does
+    // NOT decode — would copy/restore such a file under a mangled
+    // name. Store-agnostic means arbitrary names must round-trip.
+    val rootPath = q.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile)
-        out += ((q.toUri.relativize(s.getPath.toUri).toString, s.getLen))
+      if (s.isFile) {
+        val p = s.getPath.toUri.getPath
+        out += ((p.stripPrefix(rootPath).stripPrefix("/"), s.getLen))
+      }
     }
     out.toSeq.sortBy(_._1)
   }
@@ -411,9 +479,11 @@ private[graft] object StoreMaintenance {
     * the format, so a restored journal replays exactly like a crash
     * frame), copied as a Spark job ([[copyFilesDistributed]] — backup
     * bandwidth scales with the cluster), plus an underscore-hidden
-    * `_backup_manifest` parquet of (rel_path, bytes) — the record
-    * [[verifyStoreBackup]] checks and [[restoreStore]] refuses
-    * without. Refuses a non-empty destination (a backup never
+    * `_backup_manifest` parquet of (rel_path, bytes, crc32c) — the
+    * checksum is computed INSIDE the copy's own byte stream (zero
+    * extra reads), and is the record that lets [[verifyStoreBackup]]
+    * catch size-preserving corruption, not just missing/truncated
+    * files. Refuses a non-empty destination (a backup never
     * overwrites — point-in-time snapshots are append-only ops
     * artifacts). Returns files copied.
     */
@@ -426,10 +496,13 @@ private[graft] object StoreMaintenance {
     val dst = new Path(dstDir)
     val qs = src.getFileSystem(conf).makeQualified(src)
     val qd = dst.getFileSystem(conf).makeQualified(dst)
-    copyFilesDistributed(spark,
+    val srcOf = files.map { case (rel, _) =>
+      rel -> new Path(qs, rel).toString }.toMap
+    val sums = copyFilesChecksummed(spark,
       files.map { case (rel, _) =>
-        (new Path(qs, rel).toString, new Path(qd, rel).toString) })
-    files.toDF("rel_path", "bytes").coalesce(1)
+        (srcOf(rel), new Path(qd, rel).toString) })
+    files.map { case (rel, n) => (rel, n, sums(srcOf(rel))) }
+      .toDF("rel_path", "bytes", "crc32c").coalesce(1)
       .write.mode("overwrite").parquet(s"$dstDir/_backup_manifest")
     files.size.toLong
   }
@@ -462,19 +535,32 @@ private[graft] object StoreMaintenance {
 
   /** Integrity report over a [[backupStore]] snapshot — (check, ok,
     * n_bad, detail): the manifest parses non-empty, every manifest
-    * file exists at its recorded size, and no unmanifested data files
+    * file exists at its recorded size, no unmanifested data files
     * appeared (a partial second backup or stray write — restore
-    * refuses rather than resurrect them). Driver cost: one recursive
-    * listing + the tiny manifest read.
+    * refuses rather than resurrect them), and every present file's
+    * bytes re-hash to the manifest's CRC32C — the check that catches
+    * a SIZE-PRESERVING bit-flip, which presence+size verification
+    * passes green. Cost: one recursive listing + the tiny manifest
+    * read on the driver, plus one distributed full read of the
+    * snapshot for the re-hash (`deep = false` skips the re-hash for a
+    * listing-speed report; restore always verifies deep). A manifest
+    * written before checksums existed has no `crc32c` column — the
+    * checksum row then reports ok with an explicit "legacy" detail
+    * rather than bricking restore of an otherwise-green snapshot.
     */
-  def verifyStoreBackup(spark: SparkSession, backupDir: String)
-      : DataFrame = {
+  def verifyStoreBackup(spark: SparkSession, backupDir: String,
+                        deep: Boolean = true): DataFrame = {
     import spark.implicits._
-    val manifestE: Either[String, Seq[(String, Long)]] =
+    val manifestE: Either[String, Seq[(String, Long, Option[Long])]] =
       try {
-        val m = spark.read.parquet(s"$backupDir/_backup_manifest")
-          .select(col("rel_path"), col("bytes")).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val raw = spark.read.parquet(s"$backupDir/_backup_manifest")
+        val hasCrc = raw.schema.fieldNames.contains("crc32c")
+        val m =
+          (if (hasCrc) raw.select(col("rel_path"), col("bytes"), col("crc32c"))
+           else raw.select(col("rel_path"), col("bytes"), lit(null).cast("long")))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
         if (m.isEmpty) Left("manifest is EMPTY") else Right(m)
       } catch {
         case e: Exception => Left(s"manifest unreadable: ${
@@ -485,22 +571,48 @@ private[graft] object StoreMaintenance {
       return Seq(
         ("manifest_valid", false, 1L, manifestE.left.getOrElse("")),
         ("files_present", false, 0L, skip),
-        ("no_stray_files", false, 0L, skip)
+        ("no_stray_files", false, 0L, skip),
+        ("checksums_match", false, 0L, skip)
       ).toDF("check", "ok", "n_bad", "detail")
     }
     val manifest = manifestE.toOption.get
-    val actual = allFiles(spark, new Path(backupDir))
+    val backupPath = new Path(backupDir)
+    val actual = allFiles(spark, backupPath)
       .filterNot(_._1.startsWith("_backup_manifest/")).toMap
-    val missing = manifest.filter { case (rel, n) =>
+    val missing = manifest.filter { case (rel, n, _) =>
       !actual.get(rel).contains(n) }
     val stray = actual.keySet diff manifest.map(_._1).toSet
+    val checksumRow: (String, Boolean, Long, String) = {
+      val withCrc = manifest.filter { case (rel, n, c) =>
+        c.isDefined && actual.get(rel).contains(n) }
+      if (!deep)
+        ("checksums_match", true, 0L,
+          "skipped: shallow verify (deep=false) - presence and size only")
+      else if (withCrc.isEmpty)
+        ("checksums_match", true, 0L,
+          "manifest has no checksums (legacy) - presence and size only")
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val q = backupPath.getFileSystem(conf).makeQualified(backupPath)
+        val absOf = withCrc.map { case (rel, _, _) =>
+          rel -> new Path(q, rel).toString }.toMap
+        val sums = checksumFiles(spark, withCrc.map(f => absOf(f._1)))
+        val bad = withCrc.filter { case (rel, _, c) =>
+          !sums.get(absOf(rel)).flatten.contains(c.get) }
+        ("checksums_match", bad.isEmpty, bad.size.toLong,
+          if (bad.isEmpty) s"${withCrc.size} files re-hashed clean"
+          else "content drift (CRC32C mismatch): " +
+            bad.take(3).map(_._1).mkString(", "))
+      }
+    }
     Seq(
       ("manifest_valid", true, 0L, s"${manifest.size} files recorded"),
       ("files_present", missing.isEmpty, missing.size.toLong,
         "manifest files missing or size-drifted: " +
           missing.take(3).map(_._1).mkString(", ")),
       ("no_stray_files", stray.isEmpty, stray.size.toLong,
-        s"unmanifested files: ${stray.take(3).mkString(", ")}")
+        s"unmanifested files: ${stray.take(3).mkString(", ")}"),
+      checksumRow
     ).toDF("check", "ok", "n_bad", "detail")
   }
 
@@ -533,5 +645,93 @@ private[graft] object StoreMaintenance {
       files.map { case (rel, _) =>
         (new Path(qs, rel).toString, new Path(qd, rel).toString) })
     files.size.toLong
+  }
+
+  /** Snapshot directories under `parentDir` — any child dir holding a
+    * `_backup_manifest` — with their completion stamp (the manifest's
+    * own modification time: the manifest is written LAST in
+    * [[backupStore]], so its mtime is "backup finished at"). */
+  private def snapshotDirs(spark: SparkSession,
+                           parent: Path): Seq[(Path, Long)] = {
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return Seq.empty
+    fs.listStatus(parent).toSeq.filter(_.isDirectory).flatMap { s =>
+      val m = new Path(s.getPath, "_backup_manifest")
+      if (fs.exists(m)) Some((s.getPath, fs.getFileStatus(m).getModificationTime))
+      else scala.None
+    }.sortBy(-_._2)
+  }
+
+  /** Catalog of the [[backupStore]] snapshots under one parent dir —
+    * the report that turns one-shot backups into a LIFECYCLE: per
+    * snapshot (newest first) its name, completion stamp, file/byte
+    * census, and whether it verifies green. `deep = false` (default)
+    * verifies presence+size only — O(listing) per snapshot, the
+    * posture a retention sweep wants; `deep = true` re-hashes every
+    * byte ([[verifyStoreBackup]]'s checksum row included), the
+    * posture a restore drill wants. Dirs without a `_backup_manifest`
+    * are not snapshots and are not listed.
+    */
+  def listStoreBackups(spark: SparkSession, parentDir: String,
+                       deep: Boolean = false): DataFrame = {
+    import spark.implicits._
+    snapshotDirs(spark, new Path(parentDir)).map { case (p, ts) =>
+      val files = allFiles(spark, p)
+        .filterNot(_._1.startsWith("_backup_manifest/"))
+      val report = verifyStoreBackup(spark, p.toString, deep).collect()
+      val ok = report.forall(_.getAs[Boolean]("ok"))
+      val badChecks = report.filter(!_.getAs[Boolean]("ok"))
+        .map(_.getAs[String]("check")).mkString(",")
+      (p.getName, ts, files.size.toLong, files.map(_._2).sum, ok,
+        if (ok) "" else badChecks)
+    }.toDF("snapshot", "completed_ms", "n_files", "bytes",
+      "verify_ok", "failed_checks")
+  }
+
+  /** Retention sweep over a [[backupStore]] snapshot dir: keep the
+    * newest `keep` snapshots, delete the rest — EXCEPT that the last
+    * verify-green snapshot is never deleted (if every retained
+    * snapshot fails verification and an older one is green, the
+    * newest green one is kept too: pruning must never convert "we
+    * have a restorable backup" into "we don't"). Verification here is
+    * the shallow (presence+size) report — a retention sweep over N
+    * snapshots must not re-read every byte of all of them; run
+    * [[verifyStoreBackup]] deep on the survivors separately for the
+    * restore-drill guarantee. `dryRun = true` reports the same
+    * decisions without deleting. Returns one row per snapshot:
+    * (snapshot, completed_ms, verify_ok, action, reason).
+    */
+  def pruneStoreBackups(spark: SparkSession, parentDir: String,
+                        keep: Int, dryRun: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(keep >= 1, s"keep must be >= 1, got $keep (a retention " +
+      "sweep that keeps nothing is a delete-all; do that explicitly)")
+    val snaps = snapshotDirs(spark, new Path(parentDir)) // newest first
+    val green = snaps.map { case (p, _) =>
+      p -> verifyStoreBackup(spark, p.toString, deep = false)
+        .collect().forall(_.getAs[Boolean]("ok"))
+    }.toMap
+    val retained = snaps.take(keep).map(_._1).toSet
+    val extraGreen: Set[Path] =
+      if (snaps.exists { case (p, _) => retained(p) && green(p) }) Set.empty
+      else snaps.collectFirst {
+        case (p, _) if !retained(p) && green(p) => p }.toSet
+    val fs = new Path(parentDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = snaps.map { case (p, ts) =>
+      val (action, reason) =
+        if (retained(p)) ("kept", s"within keep=$keep newest")
+        else if (extraGreen(p))
+          ("kept", "newest green snapshot - every retained snapshot " +
+            "fails verification; pruning must leave a restorable backup")
+        else if (dryRun) ("would_delete", s"older than keep=$keep newest")
+        else {
+          require(fs.delete(p, true), s"prune failed to delete $p")
+          refreshPath(spark, p.toString)
+          ("deleted", s"older than keep=$keep newest")
+        }
+      (p.getName, ts, green(p), action, reason)
+    }
+    rows.toDF("snapshot", "completed_ms", "verify_ok", "action", "reason")
   }
 }

@@ -692,6 +692,21 @@ object Streams {
     * nothing proportional to tick rate. An EMPTY micro-batch (the
     * no-data trigger Spark fires after restart or watermark advance)
     * is not a tick: no advise listings run, no audit row is emitted.
+    *
+    * `backupBefore = Some(parentDir)` is the advisor runbook's own
+    * snapshot-first discipline wired in: before a REPAIR is applied,
+    * the store is snapshotted ([[graft.operators.StoreMaintenance
+    * .backupStore]]) to `parentDir/pre_repair_epoch_<id>`, so a
+    * repair that goes wrong always leaves a restorable point-in-time
+    * copy of the pre-surgery state. Repair only, deliberately:
+    * compaction is journaled crash-safe and row-preserving on every
+    * store, but repair QUARANTINES rows it judges corrupt — the one
+    * babysitter action that destroys data on a wrong judgment. A
+    * redelivered epoch finds its snapshot dir already present and
+    * reuses it (backup never overwrites; the first attempt's snapshot
+    * IS the pre-repair state worth keeping). Retention under the
+    * parent is [[graft.operators.StoreMaintenance.pruneStoreBackups]]'
+    * job, on the operator's cadence, not the tick's.
     */
   def maintenanceStream(ticks: DataFrame, store: String, dir: String,
                         corpus: Option[DataFrame] = None,
@@ -699,7 +714,8 @@ object Streams {
                         vecCol: String = "embedding",
                         maxFilesPerCell: Int = 1,
                         minBytes: Long = 4L << 20,
-                        maxFilesPerBand: Int = 1)
+                        maxFilesPerBand: Int = 1,
+                        backupBefore: Option[String] = None)
                        (sink: (DataFrame, Long) => Unit)
       : DataStreamWriter[Row] = {
     require(Set("ivfpq", "sq", "lsh")(store),
@@ -726,6 +742,17 @@ object Streams {
         val action = advice.getAs[String]("action")
         val applied = action match {
           case "repair" =>
+            backupBefore.foreach { parent =>
+              val snap = s"$parent/pre_repair_epoch_$epochId"
+              val sp = new org.apache.hadoop.fs.Path(snap)
+              val fs = sp.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              // a redelivered epoch's snapshot already holds the
+              // pre-repair state — keep it, don't overwrite
+              if (!fs.exists(sp))
+                graft.operators.StoreMaintenance
+                  .backupStore(spark, dir, snap)
+            }
             store match {
               case "ivfpq" => graft.operators.Knn.repairIvfPqIndex(spark, dir)
               case "sq" => graft.operators.Knn.repairSqIndex(spark, dir)

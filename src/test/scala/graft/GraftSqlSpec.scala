@@ -631,8 +631,10 @@ class GraftSqlSpec extends SparkSpec {
       "dry-run backup must not create the snapshot dir")
     val rep = spark.sql(
       s"SELECT * FROM graft_store_backup('$store', '$bk')").collect()
-    assert(rep.length == 3 && rep.forall(_.getAs[Boolean]("ok")),
+    assert(rep.length == 4 && rep.forall(_.getAs[Boolean]("ok")),
       s"backup TVF must return a green verification: ${rep.toSeq}")
+    assert(rep.exists(_.getAs[String]("check") == "checksums_match"),
+      "the verification must include the CRC32C row")
     // dry-run runs the SAME admission: a non-empty destination the
     // real call would refuse refuses in the preview too
     val dryRefuse = intercept[Exception] {
@@ -654,6 +656,42 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dst/buckets").count() ==
       spark.read.parquet(s"$store/buckets").count(),
       "restored store must hold the snapshot's rows")
+  }
+
+  test("graft_store_backups / graft_store_prune: retention lifecycle " +
+      "from SQL, dry_run honored, TVF parity with the Scala verbs") {
+    val docs = sf("documents")
+    val store = java.nio.file.Files.createTempDirectory("sqlbkr").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", store)
+    val parent = java.nio.file.Files.createTempDirectory("sqlbkr_p")
+      .toString
+    spark.sql(s"SELECT * FROM graft_store_backup('$store', '$parent/g1')")
+      .collect()
+    Thread.sleep(20)
+    spark.sql(s"SELECT * FROM graft_store_backup('$store', '$parent/g2')")
+      .collect()
+    val cat = spark.sql(
+      s"SELECT * FROM graft_store_backups('$parent')").collect()
+    assert(cat.map(_.getAs[String]("snapshot")).toSeq == Seq("g2", "g1") &&
+      cat.forall(_.getAs[Boolean]("verify_ok")), s"catalog: ${cat.toSeq}")
+    val viaScala = graft.operators.StoreMaintenance
+      .listStoreBackups(spark, parent).collect().map(_.toString).toSeq
+    assert(cat.map(_.toString).toSeq == viaScala, "catalog TVF drifted")
+    // dry_run prune: decisions only
+    val dry = spark.sql(
+      s"SELECT * FROM graft_store_prune('$parent', 1, true)").collect()
+    assert(dry.exists(r => r.getAs[String]("snapshot") == "g1" &&
+      r.getAs[String]("action") == "would_delete"), s"${dry.toSeq}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/g1")), "dry_run must not delete")
+    val pruned = spark.sql(
+      s"SELECT * FROM graft_store_prune('$parent', 1)").collect()
+    assert(pruned.exists(r => r.getAs[String]("snapshot") == "g1" &&
+      r.getAs[String]("action") == "deleted"), s"${pruned.toSeq}")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/g1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parent/g2")))
   }
 
   test("dry_run=true on the CALL-style maintenance TVFs: EXPLAIN-safe " +

@@ -192,6 +192,19 @@ class PackingSpec extends SparkSpec {
     val plain = Packing.packTokenIds(df, "doc_id", "ids", budget = 100L)
       .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
     assert(plain.flatMap(_._3).toSeq == ((1 to 160)).toSeq)
+    // emptiness arriving as SQL NULL (a nulls-instead-of-[] schema) is
+    // the same boundary contract: concat(NULL, [eos]) must not eat the
+    // doc's separator
+    val withNull = spark.sql(
+      "SELECT 1L AS doc_id, array(1, 2) AS ids " +
+        "UNION ALL SELECT 2L, CAST(NULL AS ARRAY<INT>) " +
+        "UNION ALL SELECT 3L, array(3)")
+    val nullOut = Packing.packTokenIds(withNull, "doc_id", "ids",
+        budget = 100L, bosId = Some(BOS), eosId = Some(EOS))
+      .orderBy("seq_id").as[(Long, Long, Seq[Int])].collect()
+      .flatMap(_._3).toSeq
+    assert(nullOut == Seq(BOS, 1, 2, EOS, BOS, EOS, BOS, 3, EOS),
+      s"a NULL ids doc still emits its separators, got $nullOut")
   }
 
   test("exportTokenShards: contiguous range shards reconcile file-for-" +

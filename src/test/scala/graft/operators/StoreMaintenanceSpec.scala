@@ -287,4 +287,125 @@ class StoreMaintenanceSpec extends SparkSpec {
     }
     assert(refuse.getMessage.contains("fails verification"))
   }
+
+  test("verify checksums: a SIZE-PRESERVING bit-flip in a snapshot " +
+      "passes presence+size but fails the deep CRC32C check, and " +
+      "restore refuses it") {
+    val (store, _) = freshStore(batches = 2)
+    val bk = java.nio.file.Files.createTempDirectory("bk_crc")
+      .toString + "/snap"
+    StoreMaintenance.backupStore(spark, store, bk)
+    assert(StoreMaintenance.verifyStoreBackup(spark, bk).collect()
+      .forall(_.getAs[Boolean]("ok")), "fresh snapshot verifies deep")
+    // flip ONE byte in the middle of a data file, keeping its length —
+    // the tamper class a (rel_path, bytes) manifest cannot see
+    val victim = StoreMaintenance.dataFiles(spark, new Path(bk)).head._1
+    val local = java.nio.file.Paths.get(victim.toUri.getPath)
+    val bytes = java.nio.file.Files.readAllBytes(local)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xFF).toByte
+    java.nio.file.Files.write(local, bytes)
+    val shallow = StoreMaintenance
+      .verifyStoreBackup(spark, bk, deep = false).collect()
+    assert(shallow.forall(_.getAs[Boolean]("ok")),
+      s"shallow verify is blind to a same-size flip: ${shallow.toSeq}")
+    val deep = StoreMaintenance.verifyStoreBackup(spark, bk).collect()
+    val crcRow = deep.find(_.getAs[String]("check") == "checksums_match").get
+    assert(!crcRow.getAs[Boolean]("ok") && crcRow.getAs[Long]("n_bad") == 1L,
+      s"deep verify must flag the flipped file: ${deep.toSeq}")
+    assert(deep.filter(r => r.getAs[String]("check") != "checksums_match")
+      .forall(_.getAs[Boolean]("ok")),
+      "presence/size/stray rows stay green - the flip is content-only")
+    val refuse = intercept[IllegalArgumentException] {
+      StoreMaintenance.restoreStore(spark, bk,
+        java.nio.file.Files.createTempDirectory("bk_crc_r").toString + "/x")
+    }
+    assert(refuse.getMessage.contains("fails verification"))
+  }
+
+  test("backup round-trips file names with spaces and percent signs " +
+      "(the store-agnostic contract invites arbitrary names)") {
+    val store = java.nio.file.Files.createTempDirectory("bk_names")
+      .toString
+    val weird = Seq("with space.parquet", "pct%20name.parquet",
+      "plus+sign.parquet")
+    weird.foreach { n =>
+      val out = fs(store).create(new Path(store, n), true)
+      out.write(s"payload of $n".getBytes("UTF-8")); out.close()
+    }
+    val listed = StoreMaintenance.allFiles(spark, new Path(store))
+    assert(listed.map(_._1).sorted == weird.sorted,
+      s"listing must return DECODED names, got ${listed.map(_._1)}")
+    val bk = java.nio.file.Files.createTempDirectory("bk_names_s")
+      .toString + "/snap"
+    StoreMaintenance.backupStore(spark, store, bk)
+    assert(StoreMaintenance.verifyStoreBackup(spark, bk).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    val restored = java.nio.file.Files.createTempDirectory("bk_names_r")
+      .toString + "/store"
+    StoreMaintenance.restoreStore(spark, bk, restored)
+    weird.foreach { n =>
+      val p = new Path(restored, n)
+      assert(fs(restored).exists(p), s"restored name mangled: $n")
+      val in = fs(restored).open(p)
+      val buf = new Array[Byte](256)
+      val k = in.read(buf); in.close()
+      assert(new String(buf, 0, k, "UTF-8") == s"payload of $n",
+        s"restored content wrong for $n")
+    }
+  }
+
+  test("listStoreBackups + pruneStoreBackups: catalog newest-first; " +
+      "retention keeps the newest N but never deletes the last green " +
+      "snapshot; dry_run deletes nothing") {
+    val (store, _) = freshStore(batches = 2)
+    val parent = java.nio.file.Files.createTempDirectory("bk_ring")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent/s1")
+    Thread.sleep(20) // distinct manifest mtimes order the catalog
+    StoreMaintenance.backupStore(spark, store, s"$parent/s2")
+    Thread.sleep(20)
+    StoreMaintenance.backupStore(spark, store, s"$parent/s3")
+    fs(parent).mkdirs(new Path(parent, "not_a_snapshot"))
+    val cat = StoreMaintenance.listStoreBackups(spark, parent).collect()
+    assert(cat.map(_.getAs[String]("snapshot")).toSeq ==
+      Seq("s3", "s2", "s1"), s"newest first: ${cat.toSeq}")
+    assert(cat.forall(_.getAs[Boolean]("verify_ok")))
+    assert(cat.forall(_.getAs[Long]("n_files") > 0L))
+    // dry run: decisions reported, nothing deleted
+    val dry = StoreMaintenance
+      .pruneStoreBackups(spark, parent, keep = 1, dryRun = true).collect()
+    assert(dry.count(_.getAs[String]("action") == "would_delete") == 2)
+    assert(fs(parent).exists(new Path(parent, "s1")))
+    // tear the two NEWEST snapshots (delete a manifested file): the
+    // retained set would hold no green snapshot, so the sweep must
+    // ALSO keep the newest green one (s1)
+    Seq("s2", "s3").foreach { s =>
+      val victim = StoreMaintenance.dataFiles(spark,
+        new Path(s"$parent/$s")).head._1
+      fs(parent).delete(victim, false)
+    }
+    val pruned = StoreMaintenance
+      .pruneStoreBackups(spark, parent, keep = 1).collect()
+    val actionOf = pruned.map(r =>
+      r.getAs[String]("snapshot") -> r.getAs[String]("action")).toMap
+    assert(actionOf("s3") == "kept", "newest stays within keep=1")
+    assert(actionOf("s1") == "kept",
+      s"the only green snapshot must survive: ${pruned.toSeq}")
+    assert(actionOf("s2") == "deleted")
+    assert(!fs(parent).exists(new Path(parent, "s2")))
+    assert(fs(parent).exists(new Path(parent, "s1")))
+    // with a green snapshot retained, older green ones DO prune
+    val parent2 = java.nio.file.Files.createTempDirectory("bk_ring2")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent2/a")
+    Thread.sleep(20)
+    StoreMaintenance.backupStore(spark, store, s"$parent2/b")
+    val p2 = StoreMaintenance
+      .pruneStoreBackups(spark, parent2, keep = 1).collect()
+    assert(p2.map(r => r.getAs[String]("snapshot") ->
+      r.getAs[String]("action")).toMap == Map("b" -> "kept", "a" -> "deleted"))
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.pruneStoreBackups(spark, parent2, keep = 0)
+    }
+  }
 }

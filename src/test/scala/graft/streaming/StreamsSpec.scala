@@ -1505,4 +1505,53 @@ class StreamsSpec extends SparkSpec {
       docs.count())
   }
 
+  test("G20 backupBefore: a repair tick snapshots the PRE-repair store " +
+      "first, the snapshot verifies green and restores the pre-surgery " +
+      "state; non-repair ticks snapshot nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("documents")
+    val lsh = java.nio.file.Files.createTempDirectory("g20b_lsh").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", lsh)
+    // inject the crashed-purge dup the advisor flags as repair-worthy
+    Seq((4321L, 7777L, 1), (4321L, 7777L, 1))
+      .toDF("bkey", "corpus_id", "band")
+      .write.mode("append").partitionBy("band").parquet(s"$lsh/buckets")
+    val parent = java.nio.file.Files.createTempDirectory("g20b_snap")
+      .toString
+    val log = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    val ticks = MemoryStream[Int]
+    val q = Streams.maintenanceStream(ticks.toDF(), "lsh", lsh,
+        backupBefore = Some(parent)) { (report, _) =>
+      val rows = report.select("action", "applied")
+        .as[(String, Boolean)].collect()
+      log.synchronized { log ++= rows }
+    }.start()
+    try {
+      (1 to 3).foreach { i => ticks.addData(i); q.processAllAvailable() }
+    } finally q.stop()
+    assert(log.head == ("repair", true) && log.last == ("ok", false),
+      s"repair then converge: $log")
+    // exactly the repair ticks snapshotted — the ok ticks must not
+    val snaps = graft.operators.StoreMaintenance
+      .listStoreBackups(spark, parent).collect()
+    assert(snaps.length == log.count(_._1 == "repair"),
+      s"one snapshot per repair tick: ${snaps.toSeq} vs $log")
+    val snapName = snaps.head.getAs[String]("snapshot")
+    assert(snapName.startsWith("pre_repair_epoch_"))
+    assert(snaps.forall(_.getAs[Boolean]("verify_ok")),
+      "the pre-repair snapshot must verify green")
+    // the snapshot holds the PRE-repair state: restoring it brings the
+    // injected rows BACK — the escape hatch a wrong repair needs
+    val restored = java.nio.file.Files.createTempDirectory("g20b_rest")
+      .toString + "/store"
+    graft.operators.StoreMaintenance.restoreStore(spark,
+      s"$parent/$snapName", restored)
+    assert(spark.read.parquet(s"$restored/buckets")
+      .filter(col("corpus_id") === 7777L).count() == 2,
+      "snapshot must be the pre-surgery state, injected rows included")
+    assert(spark.read.parquet(s"$lsh/buckets")
+      .filter(col("corpus_id") === 7777L).count() == 0,
+      "the live store stays repaired")
+  }
+
 }
