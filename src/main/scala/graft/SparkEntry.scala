@@ -115,6 +115,11 @@ object SparkEntry {
     // construction; the slice is the 100x-recordable posture)
     "dedup_recall_sampled" -> ((s, d) =>
       Pipeline.dedupRecallSampled(t(s, d, "documents"))),
+    // C35c at corpus scale: the banding sweep over the SAME absolute
+    // ~300-doc slice — one sliced truth, three bandings, the
+    // 100x-recordable tuning curve
+    "dedup_recall_sweep_abs" -> ((s, d) =>
+      Pipeline.dedupRecallSweepAbs(t(s, d, "documents"))),
     // C37: recall of the PERSISTED LSH index on the incoming batch —
     // the D9-over-D8 twin for the dedup store (fixture index per sf)
     "dedup_recall_indexed" -> ((s, d) =>
@@ -577,18 +582,20 @@ object SparkEntry {
       .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
   }
 
-  /** The whitespace-faithful pretokenizer pattern as a SQL literal —
-    * THE shared constant ([[graft.operators.Bpe.PretokenRegex]]), so
-    * the Spark trainer, the encode kernels' scanner (semantics-pinned
-    * by spec), and every oracle replay pretokenize identically.
-    * DuckDB standard strings treat backslashes literally, so the
-    * pattern inlines verbatim; the guard is the literal-safety rule.
+  /** The category-aware pretokenizer pattern as a SQL literal — THE
+    * shared constant ([[graft.operators.Bpe.PretokenRegex]]), so the
+    * Spark trainer, the encode kernels' scanner (semantics-pinned by
+    * spec), and every oracle replay pretokenize identically. DuckDB
+    * standard strings treat backslashes literally, so the pattern
+    * inlines verbatim except quotes: the contraction alternatives
+    * contain `'`, which SQL escapes by doubling. The control-char
+    * guard is the remaining literal-safety rule.
     */
   private def pretokRegexSql: String = {
     val p = graft.operators.Bpe.PretokenRegex
-    require(!p.exists(c => c == '\'' || c < ' '),
-      "pretokenizer regex must be quote/control-free for SQL inlining")
-    p
+    require(!p.exists(_ < ' '),
+      "pretokenizer regex must be control-free for SQL inlining")
+    p.replace("'", "''")
   }
 
   /** The registered 3:2:1 mixture as SQL VALUES rows — derived from
@@ -1827,6 +1834,54 @@ object SparkEntry {
         |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
         |FROM truth t LEFT JOIN found f
         |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
+    // C35c abs: the sweep replay with every CTE pointed at the
+    // absolute ~300-doc salted-hash slice (the dedup_recall_sampled
+    // sthr arithmetic) — one sliced truth, three banding legs
+    "dedup_recall_sweep_abs" -> {
+      val legs = Seq(8, 16, 32).map { b =>
+        val rpb = 128 / b
+        s"""${minhashBandingCte(rpb, s"_$b")},
+          |jac_$b AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    length(list_intersect(sa.sh, sb.sh)) AS n_common,
+          |    sa.n AS na, sb.n AS nb
+          |  FROM cand_$b c JOIN sets sa ON c.doc_a = sa.doc_id
+          |                 JOIN sets sb ON c.doc_b = sb.doc_id),
+          |found_$b AS (SELECT doc_a, doc_b FROM jac_$b
+          |  WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.7)""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(8, 16, 32).map { b =>
+        s"""SELECT $b AS bands, COUNT(*)::BIGINT AS n_truth,
+          |  COUNT(f.doc_a)::BIGINT AS n_found,
+          |  round(COUNT(f.doc_a)::DOUBLE / COUNT(*), 6) AS recall
+          |FROM truth t LEFT JOIN found_$b f
+          |  ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sthr AS (SELECT CASE
+        |    WHEN ${_root_.graft.queries.Pipeline.recallSampleDocs}.0
+        |      / COUNT(*) >= 1 THEN 'g'
+        |    ELSE printf('%04x', CAST(floor(LEAST(1.0,
+        |      ${_root_.graft.queries.Pipeline.recallSampleDocs}.0
+        |        / COUNT(*)) * 65536) AS BIGINT)) END AS t
+        |  FROM documents),
+        |sdocs AS (SELECT d.* FROM documents d, sthr
+        |  WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 4) < sthr.t),
+        |${shingleSetCte(3, "sdocs")},
+        |${minhashSigCte("f5")},
+        |sets AS MATERIALIZED (SELECT doc_id, list(v ORDER BY v) AS sh,
+        |  COUNT(*) AS n FROM f5 GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS c
+        |  FROM f5 a JOIN f5 b ON a.v = b.v AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS MATERIALIZED (SELECT s.doc_a, s.doc_b
+        |  FROM shared s JOIN sets sa ON s.doc_a = sa.doc_id
+        |                JOIN sets sb ON s.doc_b = sb.doc_id
+        |  WHERE s.c::DOUBLE / (sa.n + sb.n - s.c) >= 0.7),
+        |$legs
+        |$rows
+        |ORDER BY bands""".stripMargin
+    },
     // C37: cross-set recall — exact batch×corpus threshold truth (the
     // dedup_recall shared/truth CTEs restricted cross-set) vs the
     // banded cross-set pairs (the dedup_fuzzy_incremental CASE over

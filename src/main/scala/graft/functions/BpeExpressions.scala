@@ -38,20 +38,39 @@ object BpeKernel {
 
   private val HexDigits = "0123456789ABCDEF".toCharArray
 
-  /** Java-regex `\s` char class — the one whitespace definition every
-    * kernel, the trainer, and the oracle's pretokenizer share.
+  /** 0 = whitespace (Java-regex `\s`, the one whitespace definition
+    * every kernel, the trainer, and the oracle's pretokenizer share),
+    * 1 = letter (`\p{L}`), 2 = digit (`\p{N}`),
+    * 3 = everything else — BY CODE POINT, so an SMP letter (a
+    * surrogate pair in UTF-16) classifies exactly as Java's and RE2's
+    * `\p{L}` do, not as two "other" chars. `Character.isLetter(int)`
+    * is precisely the Lu/Ll/Lt/Lm/Lo set `\p{L}` names, and
+    * `Character.isDigit` misses Nl/No, so digits go through getType.
     */
-  @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-      c == '\f' || c == '\r'
+  @inline private def catOf(cp: Int): Int =
+    if (cp < 128) {
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r') 0
+      else if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) 1
+      else if (cp >= '0' && cp <= '9') 2
+      else 3
+    } else if (Character.isLetter(cp)) 1
+    else {
+      val t = Character.getType(cp)
+      if (t == Character.DECIMAL_DIGIT_NUMBER ||
+        t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER) 2
+      else 3
+    }
 
-  /** WHITESPACE-FAITHFUL pretokenization (the GPT-2 space-prefix
-    * convention): each whitespace run folds into the FOLLOWING word
-    * (`" the"` is a different pretoken than `"the"`), and a trailing
-    * run with no following word stands alone — exactly the regex
-    * `\s*\S+|\s+` scanned left-to-right ([[graft.operators.Bpe
-    * .PretokenRegex]], the same pattern the trainer's Spark plan and
-    * the DuckDB oracle replay). Pretokens CONCATENATE BACK TO THE
+  /** WHITESPACE-FAITHFUL, CATEGORY-AWARE pretokenization — the hand
+    * scanner for [[graft.operators.Bpe.PretokenRegex]] (the
+    * tiktoken-style pattern under the space-prefix fold; spec-pinned
+    * equal to the compiled regex on every edge shape): the GPT-2
+    * contraction suffixes (`'s 't 're 've 'm 'll 'd`, lowercase) split
+    * off first, then each whitespace run folds into the FOLLOWING
+    * letter / digit / punctuation RUN (`" the"` ≠ `"the"`, and
+    * `"end."` is now `end` + `.`), and a trailing run with no
+    * following word stands alone. Pretokens CONCATENATE BACK TO THE
     * EXACT SOURCE, so whitespace carries token ids (0x20 is a base
     * byte symbol like any other) and `decode(encode(text)) == text`
     * byte-for-byte. Calls `f` once per pretoken; pretokens are never
@@ -62,9 +81,33 @@ object BpeKernel {
     var i = 0
     while (i < len) {
       val start = i
-      while (i < len && isWs(text.charAt(i))) i += 1
-      while (i < len && !isWs(text.charAt(i))) i += 1
-      f(text.substring(start, i))
+      // contraction first (regex alternative order): apostrophe + one
+      // of the lowercase GPT-2 suffixes, longest suffix wins within
+      // the group's own order (re/ve/ll before their prefixes never
+      // conflict: s,t,m,d are single chars, re/ve/ll distinct firsts)
+      if (text.charAt(i) == '\'' && i + 1 < len) {
+        val c1 = text.charAt(i + 1)
+        val c2 = if (i + 2 < len) text.charAt(i + 2) else ' '
+        val take =
+          if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') 2
+          else if ((c1 == 'r' && c2 == 'e') || (c1 == 'v' && c2 == 'e') ||
+            (c1 == 'l' && c2 == 'l')) 3
+          else 0
+        if (take > 0) {
+          i += take
+          f(text.substring(start, i))
+        }
+      }
+      if (i == start) {
+        while (i < len && catOf(text.codePointAt(i)) == 0) i += 1
+        if (i == len) f(text.substring(start, i)) // trailing `\s+`
+        else {
+          val cat = catOf(text.codePointAt(i))
+          while (i < len && catOf(text.codePointAt(i)) == cat)
+            i += Character.charCount(text.codePointAt(i))
+          f(text.substring(start, i))
+        }
+      }
     }
   }
 

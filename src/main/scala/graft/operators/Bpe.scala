@@ -28,17 +28,33 @@ import graft.functions.bpe
   */
 object Bpe {
 
-  /** THE whitespace-faithful pretokenizer pattern (GPT-2 space-prefix
-    * convention): `\s*\S+` folds each separator run into the FOLLOWING
-    * word; a trailing run with no following word matches the `\s+`
-    * branch alone. Matches concatenate back to the exact source. ONE
-    * constant shared by the trainer's Spark plan (Java regex), the
-    * DuckDB oracle replays (RE2 — `\s` differs only on U+000B, absent
-    * from the corpora), and — semantics-pinned by spec — the hand
-    * scanner [[graft.functions.BpeKernel.foreachPretoken]] the encode
-    * kernels use.
+  /** THE whitespace-faithful, CATEGORY-AWARE pretokenizer pattern —
+    * the tiktoken-style segmentation a deployed byte-level tokenizer
+    * family uses, under this engine's space-prefix fold:
+    *
+    *   - `'(s|t|re|ve|m|ll|d)` — the GPT-2 contraction suffixes split
+    *     off first (`don't` → `don` + `'t`), lowercase-only like the
+    *     original (`DON'T` → `DON`+`'`+`T`, the known GPT-2 quirk);
+    *   - `\s*\p{L}+` / `\s*\p{N}+` / `\s*[^\s\p{L}\p{N}]+` — a
+    *     whitespace run folds into the FOLLOWING letter, digit, or
+    *     punctuation run, and merges can no longer cross a word/
+    *     punctuation boundary (`end. Next` → `end`+`.`+` Next`, where
+    *     the old `\s*\S+` form glued `end.` into one pretoken);
+    *   - `\s+` — a trailing run with no following word stands alone.
+    *
+    * Matches concatenate back to the EXACT source (every character is
+    * consumed by exactly one alternative), so decode∘encode stays
+    * byte-identical. ONE constant shared by the trainer's Spark plan
+    * (Java regex), the DuckDB oracle replays (RE2 — identical output
+    * on the shared fixture battery; `\s` differs only on U+000B,
+    * absent from the corpora; leftmost-first alternation preference in
+    * both engines), and — semantics-pinned by spec against the
+    * compiled pattern — the hand scanner
+    * [[graft.functions.BpeKernel.foreachPretoken]] the encode kernels
+    * use.
     */
-  val PretokenRegex: String = "\\s*\\S+|\\s+"
+  val PretokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)|\\s*\\p{L}+|\\s*\\p{N}+|\\s*[^\\s\\p{L}\\p{N}]+|\\s+"
 
   /** A FROZEN 48-merge tokenizer artifact — [[train]]'s deterministic
     * output on the sf0.01 documents table, embedded as a constant

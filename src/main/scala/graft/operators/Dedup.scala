@@ -1132,6 +1132,37 @@ object Dedup {
     }.reduce(_ unionAll _).orderBy("bands")
   }
 
+  /** [[lshRecallSweep]] over the ABSOLUTE salted-hash doc slice of
+    * [[lshRecallSlice]] — the 100×-recordable posture for the tuning
+    * sweep: the shared exact truth is duplicate-QUADRATIC in whatever
+    * doc set it sees, so sweeping over the full corpus (or a fraction
+    * slice, whose pair space still grows as (f·N)²) is structurally
+    * unrecordable at scale, while a fixed ~`sampleDocs` slice keeps
+    * the truth work constant and pays only the corpus-linear count +
+    * filter scan — the C37b discipline applied to C35c. One count
+    * pass (or `knownCount` from the catalog) derives the fraction;
+    * the slice is salted-hash deterministic, so every banding sees
+    * the SAME docs and the rows remain one comparable curve.
+    * Spec-pinned: each row equals the single-setting
+    * [[lshRecallSlice]] at that banding.
+    */
+  def lshRecallSweepSlice(docs: DataFrame, idCol: String,
+                          textCol: String, k: Int = 3, perms: Int = 128,
+                          bandsList: Seq[Int] = Seq(8, 16, 32),
+                          threshold: Double = 0.7,
+                          sampleDocs: Long = 300L, seed: Long = 42L,
+                          knownCount: Option[Long] = None): DataFrame = {
+    require(sampleDocs > 0, s"sampleDocs must be positive, got $sampleDocs")
+    require(knownCount.forall(_ > 0),
+      s"knownCount must be positive when given, got $knownCount")
+    val n = knownCount.getOrElse(docs.count())
+    val p = math.min(1.0, sampleDocs.toDouble / n)
+    val sliced = if (p >= 1.0) docs
+      else docs.filter(Sampling.hashKey(col(idCol), seed) <
+        lit(Sampling.hexThreshold(p)))
+    lshRecallSweep(sliced, idCol, textCol, k, perms, bandsList, threshold)
+  }
+
   // ---- decontamination -------------------------------------------------
 
   /** Benchmark decontamination: flags every training document that

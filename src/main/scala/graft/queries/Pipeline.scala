@@ -211,6 +211,19 @@ object Pipeline {
       k = 3, perms = 128, bands = 16, threshold = 0.7,
       sampleDocs = recallSampleDocs, seed = 42L)
 
+  /** C35c at corpus scale: the banding sweep over the SAME absolute
+    * ~300-doc salted-hash slice as [[dedupRecallSampled]]
+    * ([[Dedup.lshRecallSweepSlice]]) — the recordable-at-100× posture
+    * for the tuning curve: ONE sliced exact truth shared across the
+    * three bandings, quadratic work constant in the corpus size. Each
+    * row equals [[Dedup.lshRecallSlice]] at that banding (spec-
+    * pinned); the full-corpus sweep row stays the gate's exact curve.
+    */
+  def dedupRecallSweepAbs(documents: DataFrame): DataFrame =
+    Dedup.lshRecallSweepSlice(documents, "doc_id", "text",
+      k = 3, perms = 128, bandsList = Seq(8, 16, 32), threshold = 0.7,
+      sampleDocs = recallSampleDocs, seed = 42L)
+
   /** C6: embedding-cosine near-dup pairs (θ ≥ 0.4 — the synthetic
     * embeddings top out near cosine 0.51) via hyperplane LSH blocking.
     * 12 bands × 6 planes: recall ~0.62–0.68 vs brute-force truth

@@ -121,7 +121,15 @@ class BpeSpec extends SparkSpec {
       "", " ", "   ", "a", " a", "a ", "  a  b  ", "low low\tlow",
       "tab\tmix \n newline\r\n crlf", "trail   \t ",
       "vertical tab", "数据 数据", "x", "一 二\t三\n",
-      "no_ws_at_all", " \t\n\f\r mixed-run word", "a b", "a  b")
+      "no_ws_at_all", " \t\n\f\r mixed-run word", "a b", "a  b",
+      // category-aware shapes: contractions, class boundaries,
+      // apostrophe edge cases, digits, SMP letters (surrogate pairs —
+      // \uD800\uDF30 is GOTHIC LETTER AHSA, \p{L} but non-BMP),
+      // Nl/No digits (Ⅻ ½), combining-mark scripts
+      "don't", "end. Next", "DON'T", "that 's odd", "I'll we've you're",
+      "he'd I'm it's", "x42y 3.14", "'", "a'", "'lx", "''quoted''",
+      "price: $5.99!", "emoji \uD83D\uDE00 here", "\uD800\uDF30word",
+      "e2.5e-3", "tail'", "'re", "a-b_c", "½¾ Ⅻ", "॥अनुच्छेद॥")
     cases.foreach { s =>
       val scanned = BpeKernel.pretokens(s).toSeq
       assert(scanned == refPretokens(s),
@@ -135,6 +143,19 @@ class BpeSpec extends SparkSpec {
       Seq("the", " cat", "  sat"))
     assert(BpeKernel.pretokens(" lead trail ").toSeq ==
       Seq(" lead", " trail", " "))
+    // category-aware segmentation, pinned to the deployed-tokenizer
+    // shapes: merges can never cross a word/punct boundary, and the
+    // GPT-2 contraction suffixes split off (lowercase-only, the
+    // original's known quirk on DON'T)
+    assert(BpeKernel.pretokens("end. Next").toSeq ==
+      Seq("end", ".", " Next"))
+    assert(BpeKernel.pretokens("don't stop").toSeq ==
+      Seq("don", "'t", " stop"))
+    assert(BpeKernel.pretokens("DON'T").toSeq == Seq("DON", "'", "T"))
+    assert(BpeKernel.pretokens("price: $5.99!").toSeq ==
+      Seq("price", ":", " $", "5", ".", "99", "!"))
+    assert(BpeKernel.pretokens("I'll we've").toSeq ==
+      Seq("I", "'ll", " we", "'ve"))
   }
 
   test("train: distributed merges equal the reference trainer on a " +

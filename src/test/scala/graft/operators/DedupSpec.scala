@@ -834,6 +834,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshRecallSweepSlice: each row equals the single-setting " +
+      "lshRecallSlice at that banding, the slice is real, and " +
+      "knownCount yields the identical curve") {
+    val target = 300L
+    val sweep = Dedup.lshRecallSweepSlice(docs, "doc_id", "text",
+      bandsList = Seq(8, 16, 32), sampleDocs = target).collect()
+    assert(sweep.map(_.getAs[Int]("bands")).toSeq == Seq(8, 16, 32))
+    assert(sweep.map(_.getAs[Long]("n_truth")).distinct.length == 1,
+      "one shared sliced truth across the bandings")
+    sweep.foreach { r =>
+      val b = r.getAs[Int]("bands")
+      val single = Dedup.lshRecallSlice(docs, "doc_id", "text",
+        bands = b, sampleDocs = target).collect()(0)
+      assert((r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall")) ==
+        ((single.getAs[Long]("n_truth"), single.getAs[Long]("n_found"),
+          single.getAs[Double]("recall"))),
+        s"bands=$b slice-sweep row drifted from lshRecallSlice: " +
+          s"$r vs $single")
+    }
+    // the slice is real at this target: sliced truth <= full truth
+    val fullTruth = Dedup.lshRecallSweep(docs, "doc_id", "text",
+      bandsList = Seq(16)).collect()(0).getAs[Long]("n_truth")
+    assert(sweep.head.getAs[Long]("n_truth") <= fullTruth)
+    // knownCount (catalog-served) reproduces the identical curve
+    val viaKnown = Dedup.lshRecallSweepSlice(docs, "doc_id", "text",
+      bandsList = Seq(8, 16, 32), sampleDocs = target,
+      knownCount = Some(docs.count())).collect()
+    assert(viaKnown.map(_.toString).toSeq ==
+      sweep.map(_.toString).toSeq,
+      "knownCount curve drifted from the counted curve")
+    // a target >= the corpus is the full sweep
+    val all = Dedup.lshRecallSweepSlice(docs, "doc_id", "text",
+      bandsList = Seq(16), sampleDocs = docs.count() * 2).collect()
+    val full = Dedup.lshRecallSweep(docs, "doc_id", "text",
+      bandsList = Seq(16)).collect()
+    assert(all.map(_.toString).toSeq == full.map(_.toString).toSeq)
+  }
+
   test("lshRecall sampleFrac: the sampled report EQUALS the full " +
       "report over the pre-filtered slice, and the slice is the C8 " +
       "salted-hash predicate") {
