@@ -347,6 +347,29 @@ object GraftExtensions {
         operators.Dedup.lshRecall(df, idCol, textCol,
           threshold = threshold).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_dedup_recall_sweep"),
+      info("graft_dedup_recall_sweep",
+        "graft_dedup_recall_sweep(table, id_col, text_col[, " +
+          "sample_docs]) - the banding TUNING SWEEP: the recall " +
+          "report at bands in {8,16,32} over ONE shared exact truth, " +
+          "one row per setting. sample_docs > 0 runs it over the " +
+          "absolute salted-hash doc slice of that size (the " +
+          "100x-recordable posture; truth cost stays flat as the " +
+          "corpus grows); omitted or 0 = the full-corpus curve"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val fn = "graft_dedup_recall_sweep"
+        val df = spark.table(strArg(args(0), fn))
+        val idCol = strArg(args(1), fn)
+        val textCol = strArg(args(2), fn)
+        val sampleDocs =
+          if (args.length > 3) numArg(args(3), fn).toLong else 0L
+        (if (sampleDocs > 0)
+          operators.Dedup.lshRecallSweepSlice(df, idCol, textCol,
+            sampleDocs = sampleDocs)
+        else operators.Dedup.lshRecallSweep(df, idCol, textCol))
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_tokenizer_stats"),
       info("graft_tokenizer_stats",
         "graft_tokenizer_stats(table, group_col, text_col) - tokenizer " +

@@ -380,6 +380,21 @@ class GraftSqlSpec extends SparkSpec {
     val e4 = graft.queries.Pipeline.corpusLengthStats(sf("documents"))
       .collect().map(_.toString).toSeq
     assert(r4 == e4, "length-stats TVF drifted")
+    // the banding sweep TVF: full curve, and the absolute-slice
+    // posture via the trailing sample_docs knob
+    val r5 = spark.sql(
+      "SELECT * FROM graft_dedup_recall_sweep('documents_v', 'doc_id', " +
+        "'text')").collect().map(_.toString).toSeq
+    val e5 = graft.operators.Dedup.lshRecallSweep(sf("documents"),
+      "doc_id", "text").collect().map(_.toString).toSeq
+    assert(r5 == e5, s"sweep TVF drifted: $r5 vs $e5")
+    val r6 = spark.sql(
+      "SELECT * FROM graft_dedup_recall_sweep('documents_v', 'doc_id', " +
+        "'text', 300)").collect().map(_.toString).toSeq
+    val e6 = graft.operators.Dedup.lshRecallSweepSlice(sf("documents"),
+      "doc_id", "text", sampleDocs = 300L).collect()
+      .map(_.toString).toSeq
+    assert(r6 == e6, s"slice-sweep TVF drifted: $r6 vs $e6")
   }
 
 
