@@ -225,11 +225,22 @@ object Bench {
         s""""sf":"$sfDir","partial":$partial,"completed":${results.size + failed.size},""" +
         s""""planned":$planned,"methodology":"$methodology"}"""
     }
-    def writeArtifact(partial: Boolean): Unit = {
+    def writeArtifact(partial: Boolean): Unit = lock.synchronized {
+      // temp-file + ATOMIC_MOVE, serialized on the same lock the
+      // shutdown hook takes: a SIGKILL mid-write (timeout -k, OOM
+      // killer) or a hook racing an in-flight record() must never
+      // leave the artifact torn mid-JSON — an unparseable file would
+      // also break the next round's cheap/heavy prior split
       val json = render(partial)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable =>
+      try {
+        val out = java.nio.file.Paths.get(outFile)
+        val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
         Console.err.println(s"bench: could not write $outFile: ${e.getMessage}")
       }
     }

@@ -364,6 +364,11 @@ object GraftExtensions {
         val textCol = strArg(args(2), fn)
         val sampleDocs =
           if (args.length > 3) numArg(args(3), fn).toLong else 0L
+        // only 0/omitted means the full-corpus sweep; a NEGATIVE value
+        // must error like the Scala API, not silently launch the
+        // duplicate-quadratic full truth the knob exists to avoid
+        require(sampleDocs >= 0,
+          s"$fn: sample_docs must be >= 0 (0 = full sweep), got $sampleDocs")
         (if (sampleDocs > 0)
           operators.Dedup.lshRecallSweepSlice(df, idCol, textCol,
             sampleDocs = sampleDocs)

@@ -344,15 +344,8 @@ private[graft] object StoreMaintenance {
           val dp = new Path(d)
           val in = sp.getFileSystem(conf).open(sp)
           val out = dp.getFileSystem(conf).create(dp, true)
-          val crc = new java.util.zip.CRC32C
-          try {
-            val buf = new Array[Byte](256 << 10)
-            var n = in.read(buf)
-            while (n >= 0) {
-              crc.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf)
-            }
-          } finally { in.close(); out.close() }
-          (s, crc.getValue)
+          try (s, crcStream(in, out))
+          finally { in.close(); out.close() }
         }
       }.collect().toMap
     // the copies bypass the Spark writer: stale cached listings of the
@@ -365,13 +358,33 @@ private[graft] object StoreMaintenance {
     sums
   }
 
+  /** The ONE CRC32C streaming loop both the hashing copy and the
+    * verify recompute share (two independent copies could drift —
+    * e.g. a hash change applied to one side would flag every healthy
+    * snapshot). Streams `in` to exhaustion, tees to `out` when given,
+    * returns the hash. Caller owns the closes. */
+  private def crcStream(in: java.io.InputStream,
+                        out: java.io.OutputStream = null): Long = {
+    val crc = new java.util.zip.CRC32C
+    val buf = new Array[Byte](256 << 10)
+    var n = in.read(buf)
+    while (n >= 0) {
+      crc.update(buf, 0, n)
+      if (out != null) out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    crc.getValue
+  }
+
   /** CRC32C of each file's bytes, as a Spark job (same task shape as
     * the copy) — [[verifyStoreBackup]]'s recompute side. A file whose
-    * READ throws maps to None rather than failing the job: on a
-    * checksummed FileSystem (LocalFS `.crc` sidecars, HDFS) the
-    * transport layer itself flags flipped bytes with a
-    * ChecksumException, and verify must report that file as corrupt,
-    * not die mid-report. */
+    * READ throws an IOException maps to None rather than failing the
+    * job: on a checksummed FileSystem (LocalFS `.crc` sidecars, HDFS)
+    * the transport layer itself flags flipped bytes with a
+    * ChecksumException (an IOException), and verify must report that
+    * file rather than die mid-report. Only IO failures are absorbed —
+    * OOM/interrupt propagate, so a killed job never masquerades as a
+    * corrupt file. */
   def checksumFiles(spark: SparkSession, paths: Seq[String],
                     filesPerTask: Int = 4): Map[String, Option[Long]] = {
     if (paths.isEmpty) return Map.empty
@@ -387,14 +400,8 @@ private[graft] object StoreMaintenance {
             try {
               val pp = new Path(p)
               val in = pp.getFileSystem(conf).open(pp)
-              val crc = new java.util.zip.CRC32C
-              try {
-                val buf = new Array[Byte](256 << 10)
-                var n = in.read(buf)
-                while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
-              } finally in.close()
-              Some(crc.getValue)
-            } catch { case _: Throwable => scala.None }
+              try Some(crcStream(in)) finally in.close()
+            } catch { case _: java.io.IOException => scala.None }
           (p, sum)
         }
       }.collect().toMap
@@ -551,6 +558,18 @@ private[graft] object StoreMaintenance {
   def verifyStoreBackup(spark: SparkSession, backupDir: String,
                         deep: Boolean = true): DataFrame = {
     import spark.implicits._
+    verifyStoreBackupRows(spark, backupDir, deep)._1
+      .toDF("check", "ok", "n_bad", "detail")
+  }
+
+  /** [[verifyStoreBackup]]'s body, also returning the snapshot's data
+    * file listing (rel_path, bytes) — one recursive listing serves
+    * both the report and [[listStoreBackups]]'s census (a catalog
+    * sweep over N snapshots on an object store must not pay 2N
+    * listings where N suffice). */
+  private def verifyStoreBackupRows(spark: SparkSession,
+                                    backupDir: String, deep: Boolean)
+      : (Seq[(String, Boolean, Long, String)], Seq[(String, Long)]) = {
     val manifestE: Either[String, Seq[(String, Long, Option[Long])]] =
       try {
         val raw = spark.read.parquet(s"$backupDir/_backup_manifest")
@@ -566,19 +585,20 @@ private[graft] object StoreMaintenance {
         case e: Exception => Left(s"manifest unreadable: ${
           Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
       }
+    val backupPath = new Path(backupDir)
+    val actualSeq = allFiles(spark, backupPath)
+      .filterNot(_._1.startsWith("_backup_manifest/"))
     if (manifestE.isLeft) {
       val skip = "skipped: manifest corrupt"
-      return Seq(
+      return (Seq(
         ("manifest_valid", false, 1L, manifestE.left.getOrElse("")),
         ("files_present", false, 0L, skip),
         ("no_stray_files", false, 0L, skip),
         ("checksums_match", false, 0L, skip)
-      ).toDF("check", "ok", "n_bad", "detail")
+      ), actualSeq)
     }
     val manifest = manifestE.toOption.get
-    val backupPath = new Path(backupDir)
-    val actual = allFiles(spark, backupPath)
-      .filterNot(_._1.startsWith("_backup_manifest/")).toMap
+    val actual = actualSeq.toMap
     val missing = manifest.filter { case (rel, n, _) =>
       !actual.get(rel).contains(n) }
     val stray = actual.keySet diff manifest.map(_._1).toSet
@@ -599,13 +619,28 @@ private[graft] object StoreMaintenance {
         val sums = checksumFiles(spark, withCrc.map(f => absOf(f._1)))
         val bad = withCrc.filter { case (rel, _, c) =>
           !sums.get(absOf(rel)).flatten.contains(c.get) }
-        ("checksums_match", bad.isEmpty, bad.size.toLong,
+        // unreadable (IO failure, incl. the FS's own checksum layer)
+        // and hash-mismatch are reported distinctly: an operator must
+        // not discard a healthy snapshot over one transient read
+        val unreadable = bad.filter { case (rel, _, _) =>
+          sums.get(absOf(rel)).flatten.isEmpty }.map(_._1).toSet
+        val detail =
           if (bad.isEmpty) s"${withCrc.size} files re-hashed clean"
-          else "content drift (CRC32C mismatch): " +
-            bad.take(3).map(_._1).mkString(", "))
+          else {
+            val drift = bad.map(_._1).filterNot(unreadable)
+            Seq(
+              if (drift.nonEmpty)
+                "content drift (CRC32C mismatch): " +
+                  drift.take(3).mkString(", ") else "",
+              if (unreadable.nonEmpty)
+                "unreadable (IO error - retry before discarding): " +
+                  unreadable.take(3).mkString(", ") else ""
+            ).filter(_.nonEmpty).mkString("; ")
+          }
+        ("checksums_match", bad.isEmpty, bad.size.toLong, detail)
       }
     }
-    Seq(
+    (Seq(
       ("manifest_valid", true, 0L, s"${manifest.size} files recorded"),
       ("files_present", missing.isEmpty, missing.size.toLong,
         "manifest files missing or size-drifted: " +
@@ -613,7 +648,7 @@ private[graft] object StoreMaintenance {
       ("no_stray_files", stray.isEmpty, stray.size.toLong,
         s"unmanifested files: ${stray.take(3).mkString(", ")}"),
       checksumRow
-    ).toDF("check", "ok", "n_bad", "detail")
+    ), actualSeq)
   }
 
   /** RESTORE a [[backupStore]] snapshot into `dstDir` — refuses
@@ -648,17 +683,26 @@ private[graft] object StoreMaintenance {
   }
 
   /** Snapshot directories under `parentDir` — any child dir holding a
-    * `_backup_manifest` — with their completion stamp (the manifest's
-    * own modification time: the manifest is written LAST in
-    * [[backupStore]], so its mtime is "backup finished at"). */
+    * `_backup_manifest` — with their completion stamp: the max mtime
+    * of the manifest's FILES (the manifest is written LAST in
+    * [[backupStore]], so that is "backup finished at"). File mtimes,
+    * not the directory's: object stores (S3A) synthesize directory
+    * entries with meaningless timestamps, and a retention sweep
+    * ordered by those would delete arbitrary snapshots. */
   private def snapshotDirs(spark: SparkSession,
                            parent: Path): Seq[(Path, Long)] = {
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parent)) return Seq.empty
     fs.listStatus(parent).toSeq.filter(_.isDirectory).flatMap { s =>
       val m = new Path(s.getPath, "_backup_manifest")
-      if (fs.exists(m)) Some((s.getPath, fs.getFileStatus(m).getModificationTime))
-      else scala.None
+      if (!fs.exists(m)) scala.None
+      else {
+        val fileTimes = fs.listStatus(m).toSeq.filter(_.isFile)
+          .map(_.getModificationTime)
+        val ts = if (fileTimes.nonEmpty) fileTimes.max
+          else fs.getFileStatus(m).getModificationTime
+        Some((s.getPath, ts))
+      }
     }.sortBy(-_._2)
   }
 
@@ -676,12 +720,11 @@ private[graft] object StoreMaintenance {
                        deep: Boolean = false): DataFrame = {
     import spark.implicits._
     snapshotDirs(spark, new Path(parentDir)).map { case (p, ts) =>
-      val files = allFiles(spark, p)
-        .filterNot(_._1.startsWith("_backup_manifest/"))
-      val report = verifyStoreBackup(spark, p.toString, deep).collect()
-      val ok = report.forall(_.getAs[Boolean]("ok"))
-      val badChecks = report.filter(!_.getAs[Boolean]("ok"))
-        .map(_.getAs[String]("check")).mkString(",")
+      // ONE recursive listing per snapshot serves both the verify
+      // report and the census
+      val (report, files) = verifyStoreBackupRows(spark, p.toString, deep)
+      val ok = report.forall(_._2)
+      val badChecks = report.filter(!_._2).map(_._1).mkString(",")
       (p.getName, ts, files.size.toLong, files.map(_._2).sum, ok,
         if (ok) "" else badChecks)
     }.toDF("snapshot", "completed_ms", "n_files", "bytes",
@@ -699,7 +742,11 @@ private[graft] object StoreMaintenance {
     * [[verifyStoreBackup]] deep on the survivors separately for the
     * restore-drill guarantee. `dryRun = true` reports the same
     * decisions without deleting. Returns one row per snapshot:
-    * (snapshot, completed_ms, verify_ok, action, reason).
+    * (snapshot, completed_ms, verify_ok, action, reason) — a delete
+    * that FAILS reports `delete_failed` on its row and the sweep
+    * continues, so the audit trail records exactly what was removed
+    * even when one removal errors (throwing mid-sweep would lose the
+    * report for snapshots already deleted).
     */
   def pruneStoreBackups(spark: SparkSession, parentDir: String,
                         keep: Int, dryRun: Boolean = false): DataFrame = {
@@ -708,8 +755,8 @@ private[graft] object StoreMaintenance {
       "sweep that keeps nothing is a delete-all; do that explicitly)")
     val snaps = snapshotDirs(spark, new Path(parentDir)) // newest first
     val green = snaps.map { case (p, _) =>
-      p -> verifyStoreBackup(spark, p.toString, deep = false)
-        .collect().forall(_.getAs[Boolean]("ok"))
+      p -> verifyStoreBackupRows(spark, p.toString, deep = false)
+        ._1.forall(_._2)
     }.toMap
     val retained = snaps.take(keep).map(_._1).toSet
     val extraGreen: Set[Path] =
@@ -726,9 +773,18 @@ private[graft] object StoreMaintenance {
             "fails verification; pruning must leave a restorable backup")
         else if (dryRun) ("would_delete", s"older than keep=$keep newest")
         else {
-          require(fs.delete(p, true), s"prune failed to delete $p")
-          refreshPath(spark, p.toString)
-          ("deleted", s"older than keep=$keep newest")
+          val deleted =
+            try fs.delete(p, true)
+            catch { case e: java.io.IOException =>
+              Console.err.println(s"prune: delete $p failed: ${e.getMessage}")
+              false
+            }
+          if (deleted) {
+            refreshPath(spark, p.toString)
+            ("deleted", s"older than keep=$keep newest")
+          } else ("delete_failed",
+            s"older than keep=$keep newest - delete returned false or " +
+              "threw; snapshot left in place, re-run the sweep")
         }
       (p.getName, ts, green(p), action, reason)
     }

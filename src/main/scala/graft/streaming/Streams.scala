@@ -747,11 +747,19 @@ object Streams {
               val sp = new org.apache.hadoop.fs.Path(snap)
               val fs = sp.getFileSystem(
                 spark.sparkContext.hadoopConfiguration)
-              // a redelivered epoch's snapshot already holds the
-              // pre-repair state — keep it, don't overwrite
-              if (!fs.exists(sp))
+              // completion test is the MANIFEST (written last in
+              // backupStore), not the bare dir: a crash mid-backup
+              // leaves a partial dir that must never be accepted as
+              // the pre-repair copy — sweep it and re-snapshot. A
+              // manifested snapshot from a redelivered epoch holds
+              // the first attempt's pre-repair state — keep it.
+              val manifested = fs.exists(
+                new org.apache.hadoop.fs.Path(sp, "_backup_manifest"))
+              if (!manifested) {
+                if (fs.exists(sp)) fs.delete(sp, true)
                 graft.operators.StoreMaintenance
                   .backupStore(spark, dir, snap)
+              }
             }
             store match {
               case "ivfpq" => graft.operators.Knn.repairIvfPqIndex(spark, dir)

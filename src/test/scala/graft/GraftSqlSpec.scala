@@ -395,6 +395,17 @@ class GraftSqlSpec extends SparkSpec {
       "doc_id", "text", sampleDocs = 300L).collect()
       .map(_.toString).toSeq
     assert(r6 == e6, s"slice-sweep TVF drifted: $r6 vs $e6")
+    // a negative sample_docs errors like the Scala API - it must not
+    // silently fall back to the full-corpus quadratic sweep
+    val neg = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dedup_recall_sweep('documents_v', " +
+        "'doc_id', 'text', -300)").collect()
+    }
+    assert(Iterator.iterate(neg: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+      .contains("sample_docs must be >= 0"),
+      s"negative sample_docs must refuse: ${neg.getMessage}")
   }
 
 

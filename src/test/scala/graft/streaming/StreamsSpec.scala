@@ -1518,6 +1518,15 @@ class StreamsSpec extends SparkSpec {
       .write.mode("append").partitionBy("band").parquet(s"$lsh/buckets")
     val parent = java.nio.file.Files.createTempDirectory("g20b_snap")
       .toString
+    // a PARTIAL snapshot (crashed mid-backup: files, no manifest) for
+    // the first epoch must be swept and re-snapshotted, never accepted
+    // as the pre-repair copy (completion test = the manifest, written
+    // last)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$parent/pre_repair_epoch_0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$parent/pre_repair_epoch_0/garbage.bin"),
+      "torn".getBytes("UTF-8"))
     val log = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     val ticks = MemoryStream[Int]
     val q = Streams.maintenanceStream(ticks.toDF(), "lsh", lsh,
@@ -1540,6 +1549,10 @@ class StreamsSpec extends SparkSpec {
     assert(snapName.startsWith("pre_repair_epoch_"))
     assert(snaps.forall(_.getAs[Boolean]("verify_ok")),
       "the pre-repair snapshot must verify green")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$parent/pre_repair_epoch_0/garbage.bin")),
+      "a partial (manifest-less) snapshot dir must be swept, not " +
+        "accepted as the pre-repair copy")
     // the snapshot holds the PRE-repair state: restoring it brings the
     // injected rows BACK — the escape hatch a wrong repair needs
     val restored = java.nio.file.Files.createTempDirectory("g20b_rest")
