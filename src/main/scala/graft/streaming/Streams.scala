@@ -704,9 +704,17 @@ object Streams {
     * babysitter action that destroys data on a wrong judgment. A
     * redelivered epoch finds its snapshot dir already present and
     * reuses it (backup never overwrites; the first attempt's snapshot
-    * IS the pre-repair state worth keeping). Retention under the
-    * parent is [[graft.operators.StoreMaintenance.pruneStoreBackups]]'
-    * job, on the operator's cadence, not the tick's.
+    * IS the pre-repair state worth keeping). Retention defaults to
+    * the operator's cadence ([[graft.operators.StoreMaintenance
+    * .pruneStoreBackups]] run separately; `keepBackups = 0`), but a
+    * long-running loop can bound its own accumulation with
+    * `keepBackups = N`: after a repair tick's snapshot+surgery, the
+    * parent is pruned to the newest N — under prune's own guard that
+    * the last verify-green snapshot is never deleted, so auto-
+    * retention can never leave the loop without a restorable copy.
+    * Prune runs AFTER the repair (never between snapshot and
+    * surgery): a prune failure must not strand an unsnapshotted
+    * repair.
     */
   def maintenanceStream(ticks: DataFrame, store: String, dir: String,
                         corpus: Option[DataFrame] = None,
@@ -715,7 +723,8 @@ object Streams {
                         maxFilesPerCell: Int = 1,
                         minBytes: Long = 4L << 20,
                         maxFilesPerBand: Int = 1,
-                        backupBefore: Option[String] = None)
+                        backupBefore: Option[String] = None,
+                        keepBackups: Int = 0)
                        (sink: (DataFrame, Long) => Unit)
       : DataStreamWriter[Row] = {
     require(Set("ivfpq", "sq", "lsh")(store),
@@ -765,6 +774,13 @@ object Streams {
               case "ivfpq" => graft.operators.Knn.repairIvfPqIndex(spark, dir)
               case "sq" => graft.operators.Knn.repairSqIndex(spark, dir)
               case _ => graft.operators.Dedup.repairLshIndex(spark, dir)
+            }
+            // auto-retention AFTER the surgery, never between snapshot
+            // and repair; prune's last-green guard keeps a restorable
+            // copy whatever this sweep decides
+            if (keepBackups > 0) backupBefore.foreach { parent =>
+              graft.operators.StoreMaintenance
+                .pruneStoreBackups(spark, parent, keepBackups).collect()
             }
             true
           case "compact" =>

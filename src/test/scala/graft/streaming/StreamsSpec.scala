@@ -1567,4 +1567,46 @@ class StreamsSpec extends SparkSpec {
       "the live store stays repaired")
   }
 
+  test("G20 keepBackups: auto-retention after each repair keeps the " +
+      "newest N snapshots; the survivor is green and restorable") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("documents")
+    val lsh = java.nio.file.Files.createTempDirectory("g20r_lsh").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", lsh)
+    val parent = java.nio.file.Files.createTempDirectory("g20r_snap")
+      .toString
+    def inject(): Unit = {
+      Seq((4321L, 7777L, 1), (4321L, 7777L, 1))
+        .toDF("bkey", "corpus_id", "band")
+        .write.mode("append").partitionBy("band").parquet(s"$lsh/buckets")
+      spark.catalog.refreshByPath(s"$lsh/buckets")
+    }
+    val log = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val ticks = MemoryStream[Int]
+    val q = Streams.maintenanceStream(ticks.toDF(), "lsh", lsh,
+        backupBefore = Some(parent), keepBackups = 1) { (report, _) =>
+      val rows = report.select("epoch", "action")
+        .as[(Long, String)].collect()
+      log.synchronized { log ++= rows }
+    }.start()
+    try {
+      inject()
+      ticks.addData(1); q.processAllAvailable() // repair 1 (+snapshot)
+      inject()
+      ticks.addData(2); q.processAllAvailable() // repair 2 (+snapshot)
+      ticks.addData(3); q.processAllAvailable() // converge
+    } finally q.stop()
+    val repairs = log.filter(_._2 == "repair").map(_._1)
+    assert(repairs.length == 2, s"two repair cycles expected: $log")
+    val snaps = graft.operators.StoreMaintenance
+      .listStoreBackups(spark, parent).collect()
+    assert(snaps.length == 1,
+      s"keepBackups=1 must retain exactly the newest snapshot: " +
+        s"${snaps.toSeq}")
+    assert(snaps.head.getAs[String]("snapshot") ==
+      s"pre_repair_epoch_${repairs.max}", "the survivor is the newest")
+    assert(snaps.head.getAs[Boolean]("verify_ok"),
+      "the retained snapshot must verify green")
+  }
+
 }
