@@ -158,6 +158,31 @@ class BpeSpec extends SparkSpec {
       Seq("I", "'ll", " we", "'ve"))
   }
 
+  test("pretokens fuzz: 3000 seeded random strings over a mixed " +
+      "alphabet (ws/letters/digits/punct/apostrophes/surrogates) — " +
+      "scanner equals the compiled regex, concatenation exact") {
+    // deterministic fuzzer: the hand-picked battery above pins the
+    // known shapes; this sweeps the combinatorial neighborhoods no
+    // battery enumerates (apostrophe runs against suffix prefixes,
+    // class flips inside ws folds, surrogate pairs at boundaries)
+    val alphabet: Array[String] = Array(
+      " ", " ", "\t", "\n", "a", "b", "e", "l", "r", "s", "t", "v",
+      "A", "Z", "é", "中", "𐌰" /* 𐌰 Lo */, "0", "7",
+      "٣" /* Nd */, "Ⅻ" /* Nl */, "½" /* No */, "'", "'", ".", "!",
+      "%", "+", "_", "😀" /* emoji So */)
+    val rnd = new java.util.Random(20260816L)
+    (1 to 3000).foreach { i =>
+      val len = rnd.nextInt(31)
+      val s = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      val scanned = BpeKernel.pretokens(s).toSeq
+      assert(scanned == refPretokens(s),
+        s"fuzz #$i scanner != regex on " +
+          s.map(_.toInt).mkString("[", ",", "]"))
+      assert(scanned.mkString == s, s"fuzz #$i lost characters")
+    }
+  }
+
   test("train: distributed merges equal the reference trainer on a " +
       "crafted corpus AND on the sf documents table") {
     val crafted = Seq(
