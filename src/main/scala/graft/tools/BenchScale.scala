@@ -106,7 +106,13 @@ object BenchScale {
     // the persisted-store nProbe sweep (D9c): must measure the
     // AMORTIZED curve — probed partitions + rescore only — against
     // the in-plan sweep's knn_ivf-shaped per-call assignment
-    "knn_recall_sweep_indexed")
+    "knn_recall_sweep_indexed",
+    // round 16: the banding sweep over the ABSOLUTE ~300-doc slice
+    // (C35d — the C35b/C37b discipline applied to C35c): ONE sliced
+    // truth across three bandings, quadratic work scale-invariant, so
+    // the tuning curve's 100x cell records where the full sweep's
+    // closed-vocabulary storm regime is unrecordable (ratio100 1.19)
+    "dedup_recall_sweep_abs")
   // dedup_recall_sweep stays out of the 100x set for dedup_recall's
   // reason (the sweep SHARES one exact truth across band settings —
   // the closed-vocabulary storm regime at 100x); its 10x cells below
@@ -162,7 +168,13 @@ object BenchScale {
       // 10%-duplicated corpus — the hot doc floods one bucket on the
       // TRAIN side, and the maxBucket cap (shared with C3/C25) must
       // absorb it without piling one task
-      "corpus_decontaminate_fuzzy")
+      "corpus_decontaminate_fuzzy",
+      // round 16: the absolute-slice banding sweep under the same
+      // duplicate storm — ~10% of the slice IS the hot doc, so the
+      // sliced truth's pair space is the storm bounded by the slice
+      // (quadratic-in-300, not in the corpus); the maxBucket cap
+      // guards the three banding legs
+      "dedup_recall_sweep_abs")
 
   /** Round 12: the suite's three highest STRUCTURAL ratio100 rows
     * re-measured at 100x under a hot key (the 10x harness never
