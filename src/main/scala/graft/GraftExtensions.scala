@@ -710,29 +710,36 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_store_backup"),
       info("graft_store_backup",
-        "graft_store_backup(src_dir, dst_dir[, dry_run]) - CALL-style: " +
-          "point-in-time snapshot of a persisted store (ANY layout - " +
-          "IVFxPQ / LSH / SQ; every file copied as a Spark job + a " +
-          "_backup_manifest sidecar), return the snapshot's " +
-          "verification report. Refuses a non-empty destination. " +
-          "Trailing dry_run=true copies nothing, runs the SAME " +
-          "admission checks (a call the real run would refuse still " +
-          "refuses), and returns the would-copy listing as (check, " +
-          "ok, n_bad, detail)"),
+        "graft_store_backup(src_dir, dst_dir[, base_dir][, dry_run]) - " +
+          "CALL-style: point-in-time snapshot of a persisted store " +
+          "(ANY layout - IVFxPQ / LSH / SQ; every file copied as a " +
+          "Spark job + a _backup_manifest sidecar), return the " +
+          "snapshot's verification report. With base_dir (a prior " +
+          "snapshot) the backup is INCREMENTAL: files unchanged since " +
+          "the base are manifest-referenced, not re-copied; verify/" +
+          "restore resolve them at the base, and graft_store_prune " +
+          "never deletes a referenced base. Refuses a non-empty " +
+          "destination. Trailing dry_run=true copies nothing, runs " +
+          "the SAME admission checks (a call the real run would " +
+          "refuse still refuses), and returns the would-copy listing " +
+          "as (check, ok, n_bad, detail)"),
       (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val (args, dry) = splitDryRun(args0)
         val src = strArg(args(0), "graft_store_backup")
         val dst = strArg(args(1), "graft_store_backup")
+        val base = if (args.length > 2)
+          Some(strArg(args(2), "graft_store_backup")) else None
         if (dry) {
           import spark.implicits._
           val n = operators.StoreMaintenance
             .backupAdmission(spark, src, dst).size.toLong
-          Seq(("would_copy", n > 0, n, s"$n files under $src"))
+          Seq(("would_copy", n > 0, n, s"$n files under $src" +
+            base.map(b => s" (incremental vs $b)").getOrElse("")))
             .toDF("check", "ok", "n_bad", "detail")
             .queryExecution.logical
         } else {
-          operators.StoreMaintenance.backupStore(spark, src, dst)
+          operators.StoreMaintenance.backupStore(spark, src, dst, base)
           operators.StoreMaintenance.verifyStoreBackup(spark, dst)
             .queryExecution.logical
         }

@@ -493,9 +493,25 @@ private[graft] object StoreMaintenance {
     * files. Refuses a non-empty destination (a backup never
     * overwrites — point-in-time snapshots are append-only ops
     * artifacts). Returns files copied.
+    *
+    * `base = Some(priorSnapshot)` makes the snapshot INCREMENTAL: a
+    * source file whose (rel_path, bytes) matches a row of the base's
+    * manifest is NOT re-copied — its manifest row records `src` = the
+    * base's PHYSICAL holder (chains flatten at backup time, so
+    * resolution is always one hop) and carries the base's CRC32C.
+    * Sound because every store this verb snapshots is pure-file-add
+    * (appends create new files; compaction/repair publish under NEW
+    * names and delete old ones — files never mutate in place), so
+    * same-name+same-size implies identical bytes; a name that shrank/
+    * grew re-copies. The babysitter's per-repair-tick snapshots stop
+    * paying a full store copy each tick — the HBase-era incremental-
+    * backup economics, manifest-chained instead of WAL-chained.
+    * [[verifyStoreBackup]] checks carried rows AT THEIR BASE, restore
+    * copies from both trees, and [[pruneStoreBackups]] never deletes
+    * a snapshot that retained snapshots still reference.
     */
-  def backupStore(spark: SparkSession, srcDir: String,
-                  dstDir: String): Long = {
+  def backupStore(spark: SparkSession, srcDir: String, dstDir: String,
+                  base: Option[String] = None): Long = {
     import spark.implicits._
     val files = backupAdmission(spark, srcDir, dstDir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -503,15 +519,37 @@ private[graft] object StoreMaintenance {
     val dst = new Path(dstDir)
     val qs = src.getFileSystem(conf).makeQualified(src)
     val qd = dst.getFileSystem(conf).makeQualified(dst)
-    val srcOf = files.map { case (rel, _) =>
+    val baseBy: Map[String, ManifestRow] = base match {
+      case scala.None => Map.empty
+      case Some(b) =>
+        require(new Path(b).getFileSystem(conf).makeQualified(new Path(b))
+          != qd, s"incremental base must differ from the destination")
+        val m = readManifest(spark, b)
+        require(m.isRight, s"incremental base $b has no readable " +
+          s"manifest - not a backupStore snapshot: ${m.left.getOrElse("")}")
+        val qb = new Path(b).getFileSystem(conf)
+          .makeQualified(new Path(b)).toString
+        m.toOption.get.map(r =>
+          r.rel -> r.copy(src = Some(r.src.getOrElse(qb)))).toMap
+    }
+    val (carried, toCopy) = files.partition { case (rel, n) =>
+      baseBy.get(rel).exists(_.bytes == n) }
+    val srcOf = toCopy.map { case (rel, _) =>
       rel -> new Path(qs, rel).toString }.toMap
     val sums = copyFilesChecksummed(spark,
-      files.map { case (rel, _) =>
+      toCopy.map { case (rel, _) =>
         (srcOf(rel), new Path(qd, rel).toString) })
-    files.map { case (rel, n) => (rel, n, sums(srcOf(rel))) }
-      .toDF("rel_path", "bytes", "crc32c").coalesce(1)
+    val rows =
+      toCopy.map { case (rel, n) =>
+        (rel, n, Some(sums(srcOf(rel))): Option[Long],
+          scala.None: Option[String]) } ++
+      carried.map { case (rel, n) =>
+        val b = baseBy(rel)
+        (rel, n, b.crc, b.src)
+      }
+    rows.toDF("rel_path", "bytes", "crc32c", "src").coalesce(1)
       .write.mode("overwrite").parquet(s"$dstDir/_backup_manifest")
-    files.size.toLong
+    toCopy.size.toLong
   }
 
   /** The admission checks [[backupStore]] enforces, shared with the
@@ -567,24 +605,48 @@ private[graft] object StoreMaintenance {
     * both the report and [[listStoreBackups]]'s census (a catalog
     * sweep over N snapshots on an object store must not pay 2N
     * listings where N suffice). */
+  /** One manifest entry: where the snapshot says a file LIVES. `src =
+    * None` means stored in this snapshot; `Some(dir)` means CARRIED
+    * from the base snapshot `dir` (an [[backupStore]] incremental —
+    * the bytes were not re-copied because the store's pure-file-add
+    * contract makes (rel_path, bytes) identity-sufficient). Chains
+    * are flattened at backup time: `src` always names the PHYSICAL
+    * holder, never an intermediate incremental. */
+  private final case class ManifestRow(rel: String, bytes: Long,
+                                       crc: Option[Long],
+                                       src: Option[String])
+
+  private def readManifest(spark: SparkSession, backupDir: String)
+      : Either[String, Seq[ManifestRow]] =
+    try {
+      val raw = spark.read.parquet(s"$backupDir/_backup_manifest")
+      val crcCol = if (raw.schema.fieldNames.contains("crc32c"))
+        col("crc32c") else lit(null).cast("long")
+      val srcCol = if (raw.schema.fieldNames.contains("src"))
+        col("src") else lit(null).cast("string")
+      val m = raw.select(col("rel_path"), col("bytes"), crcCol, srcCol)
+        .collect()
+        .map(r => ManifestRow(r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSeq
+      if (m.isEmpty) Left("manifest is EMPTY") else Right(m)
+    } catch {
+      case e: Exception => Left(s"manifest unreadable: ${
+        Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+    }
+
+  /** Absolute physical path of a manifest row — the snapshot's own
+    * tree for stored rows, the base snapshot's for carried rows. */
+  private def physicalPath(qSnap: Path, row: ManifestRow): String =
+    row.src match {
+      case Some(base) => new Path(new Path(base), row.rel).toString
+      case scala.None => new Path(qSnap, row.rel).toString
+    }
+
   private def verifyStoreBackupRows(spark: SparkSession,
                                     backupDir: String, deep: Boolean)
       : (Seq[(String, Boolean, Long, String)], Seq[(String, Long)]) = {
-    val manifestE: Either[String, Seq[(String, Long, Option[Long])]] =
-      try {
-        val raw = spark.read.parquet(s"$backupDir/_backup_manifest")
-        val hasCrc = raw.schema.fieldNames.contains("crc32c")
-        val m =
-          (if (hasCrc) raw.select(col("rel_path"), col("bytes"), col("crc32c"))
-           else raw.select(col("rel_path"), col("bytes"), lit(null).cast("long")))
-            .collect()
-            .map(r => (r.getString(0), r.getLong(1),
-              if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
-        if (m.isEmpty) Left("manifest is EMPTY") else Right(m)
-      } catch {
-        case e: Exception => Left(s"manifest unreadable: ${
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
-      }
+    val manifestE = readManifest(spark, backupDir)
     val backupPath = new Path(backupDir)
     val actualSeq = allFiles(spark, backupPath)
       .filterNot(_._1.startsWith("_backup_manifest/"))
@@ -599,12 +661,24 @@ private[graft] object StoreMaintenance {
     }
     val manifest = manifestE.toOption.get
     val actual = actualSeq.toMap
-    val missing = manifest.filter { case (rel, n, _) =>
-      !actual.get(rel).contains(n) }
-    val stray = actual.keySet diff manifest.map(_._1).toSet
+    // carried rows are checked at their BASE snapshot: one listing per
+    // distinct base (bounded by the chain's snapshot count, flattened
+    // to physical holders at backup time)
+    val baseFiles: Map[String, Map[String, Long]] =
+      manifest.flatMap(_.src).distinct.map { base =>
+        base -> allFiles(spark, new Path(base))
+          .filterNot(_._1.startsWith("_backup_manifest/")).toMap
+      }.toMap
+    def present(r: ManifestRow): Boolean = r.src match {
+      case Some(base) => baseFiles(base).get(r.rel).contains(r.bytes)
+      case scala.None => actual.get(r.rel).contains(r.bytes)
+    }
+    val missing = manifest.filterNot(present)
+    val carried = manifest.count(_.src.isDefined)
+    val stray = actual.keySet diff
+      manifest.filter(_.src.isEmpty).map(_.rel).toSet
     val checksumRow: (String, Boolean, Long, String) = {
-      val withCrc = manifest.filter { case (rel, n, c) =>
-        c.isDefined && actual.get(rel).contains(n) }
+      val withCrc = manifest.filter(r => r.crc.isDefined && present(r))
       if (!deep)
         ("checksums_match", true, 0L,
           "skipped: shallow verify (deep=false) - presence and size only")
@@ -614,20 +688,19 @@ private[graft] object StoreMaintenance {
       else {
         val conf = spark.sparkContext.hadoopConfiguration
         val q = backupPath.getFileSystem(conf).makeQualified(backupPath)
-        val absOf = withCrc.map { case (rel, _, _) =>
-          rel -> new Path(q, rel).toString }.toMap
-        val sums = checksumFiles(spark, withCrc.map(f => absOf(f._1)))
-        val bad = withCrc.filter { case (rel, _, c) =>
-          !sums.get(absOf(rel)).flatten.contains(c.get) }
+        val absOf = withCrc.map(r => r.rel -> physicalPath(q, r)).toMap
+        val sums = checksumFiles(spark, withCrc.map(r => absOf(r.rel)))
+        val bad = withCrc.filter(r =>
+          !sums.get(absOf(r.rel)).flatten.contains(r.crc.get))
         // unreadable (IO failure, incl. the FS's own checksum layer)
         // and hash-mismatch are reported distinctly: an operator must
         // not discard a healthy snapshot over one transient read
-        val unreadable = bad.filter { case (rel, _, _) =>
-          sums.get(absOf(rel)).flatten.isEmpty }.map(_._1).toSet
+        val unreadable = bad.filter(r =>
+          sums.get(absOf(r.rel)).flatten.isEmpty).map(_.rel).toSet
         val detail =
           if (bad.isEmpty) s"${withCrc.size} files re-hashed clean"
           else {
-            val drift = bad.map(_._1).filterNot(unreadable)
+            val drift = bad.map(_.rel).filterNot(unreadable)
             Seq(
               if (drift.nonEmpty)
                 "content drift (CRC32C mismatch): " +
@@ -641,10 +714,12 @@ private[graft] object StoreMaintenance {
       }
     }
     (Seq(
-      ("manifest_valid", true, 0L, s"${manifest.size} files recorded"),
+      ("manifest_valid", true, 0L, s"${manifest.size} files recorded" +
+        (if (carried > 0) s" ($carried carried from base snapshots)"
+         else "")),
       ("files_present", missing.isEmpty, missing.size.toLong,
-        "manifest files missing or size-drifted: " +
-          missing.take(3).map(_._1).mkString(", ")),
+        "manifest files missing or size-drifted (carried rows checked " +
+          "at their base): " + missing.take(3).map(_.rel).mkString(", ")),
       ("no_stray_files", stray.isEmpty, stray.size.toLong,
         s"unmanifested files: ${stray.take(3).mkString(", ")}"),
       checksumRow
@@ -656,8 +731,11 @@ private[graft] object StoreMaintenance {
     * torn snapshot must never silently become the store) and unless
     * the destination is empty (restore-over-live is a delete
     * decision the operator makes explicitly, not a default). Bytes
-    * move as a Spark job; the restored tree is byte-count-identical
-    * to the manifest by construction. Returns files restored.
+    * move as a Spark job, FROM THE MANIFEST's physical paths — an
+    * incremental snapshot's carried rows restore from their base
+    * snapshot's tree, stored rows from this one — so a restored store
+    * is always the complete point-in-time state whichever snapshots
+    * physically hold the bytes. Returns files restored.
     */
   def restoreStore(spark: SparkSession, backupDir: String,
                    dstDir: String): Long = {
@@ -674,12 +752,14 @@ private[graft] object StoreMaintenance {
     val qs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(src)
     val qd = fs.makeQualified(dst)
-    val files = allFiles(spark, qs)
-      .filterNot(_._1.startsWith("_backup_manifest/"))
+    // the manifest, not a directory listing, is the restore plan:
+    // verify above already proved every row present at its physical
+    // holder (and refused otherwise)
+    val rows = readManifest(spark, backupDir).toOption.get
     copyFilesDistributed(spark,
-      files.map { case (rel, _) =>
-        (new Path(qs, rel).toString, new Path(qd, rel).toString) })
-    files.size.toLong
+      rows.map(r =>
+        (physicalPath(qs, r), new Path(qd, r.rel).toString)))
+    rows.size.toLong
   }
 
   /** Snapshot directories under `parentDir` — any child dir holding a
@@ -765,12 +845,38 @@ private[graft] object StoreMaintenance {
         case (p, _) if !retained(p) && green(p) => p }.toSet
     val fs = new Path(parentDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a snapshot that PHYSICALLY HOLDS bytes for a kept incremental
+    // must survive too — deleting a base would corrupt every
+    // incremental chained on it. Refs are flattened-physical at
+    // backup time, but iterate to fixpoint anyway (defense against a
+    // hand-built chained manifest).
+    val baseRefs: Map[Path, Set[String]] = snaps.map { case (p, _) =>
+      p -> readManifest(spark, p.toString).toOption
+        .map(_.flatMap(_.src).toSet).getOrElse(Set.empty[String])
+    }.toMap
+    val qualifiedOf: Map[Path, String] = snaps.map { case (p, _) =>
+      p -> fs.makeQualified(p).toString }.toMap
+    var kept = retained ++ extraGreen
+    var changed = true
+    while (changed) {
+      changed = false
+      val referenced = kept.flatMap(baseRefs(_))
+      snaps.foreach { case (p, _) =>
+        if (!kept(p) && referenced.contains(qualifiedOf(p))) {
+          kept += p; changed = true
+        }
+      }
+    }
+    val keptBase = kept diff retained diff extraGreen
     val rows = snaps.map { case (p, ts) =>
       val (action, reason) =
         if (retained(p)) ("kept", s"within keep=$keep newest")
         else if (extraGreen(p))
           ("kept", "newest green snapshot - every retained snapshot " +
             "fails verification; pruning must leave a restorable backup")
+        else if (keptBase(p))
+          ("kept", "physical holder for a retained incremental " +
+            "snapshot - deleting the base would corrupt its chain")
         else if (dryRun) ("would_delete", s"older than keep=$keep newest")
         else {
           val deleted =

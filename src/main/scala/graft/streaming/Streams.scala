@@ -715,6 +715,18 @@ object Streams {
     * Prune runs AFTER the repair (never between snapshot and
     * surgery): a prune failure must not strand an unsnapshotted
     * repair.
+    *
+    * `incrementalBackups = true` chains each pre-repair snapshot on
+    * the newest GREEN existing snapshot under the parent
+    * ([[graft.operators.StoreMaintenance.backupStore]]'s `base=`):
+    * files unchanged since the base are manifest-referenced instead
+    * of re-copied, so a babysat store stops paying a full copy per
+    * repair tick. Green-only chaining, deliberately — carrying rows
+    * from a failing base would make the NEW snapshot unrestorable,
+    * defeating the verb's whole point; with no green base the
+    * snapshot is full. Composes with `keepBackups`: prune never
+    * deletes a base a retained incremental still references (it
+    * reports `kept` as the chain's physical holder instead).
     */
   def maintenanceStream(ticks: DataFrame, store: String, dir: String,
                         corpus: Option[DataFrame] = None,
@@ -724,7 +736,8 @@ object Streams {
                         minBytes: Long = 4L << 20,
                         maxFilesPerBand: Int = 1,
                         backupBefore: Option[String] = None,
-                        keepBackups: Int = 0)
+                        keepBackups: Int = 0,
+                        incrementalBackups: Boolean = false)
                        (sink: (DataFrame, Long) => Unit)
       : DataStreamWriter[Row] = {
     require(Set("ivfpq", "sq", "lsh")(store),
@@ -766,8 +779,17 @@ object Streams {
                 new org.apache.hadoop.fs.Path(sp, "_backup_manifest"))
               if (!manifested) {
                 if (fs.exists(sp)) fs.delete(sp, true)
+                // incremental chaining: base = the newest GREEN prior
+                // snapshot (a failing base would make THIS snapshot
+                // unrestorable); none green -> full snapshot
+                val base =
+                  if (!incrementalBackups) None
+                  else graft.operators.StoreMaintenance
+                    .listStoreBackups(spark, parent).collect()
+                    .find(_.getAs[Boolean]("verify_ok"))
+                    .map(r => s"$parent/${r.getAs[String]("snapshot")}")
                 graft.operators.StoreMaintenance
-                  .backupStore(spark, dir, snap)
+                  .backupStore(spark, dir, snap, base)
               }
             }
             store match {

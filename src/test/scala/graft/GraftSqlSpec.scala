@@ -718,6 +718,18 @@ class GraftSqlSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$parent/g1")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$parent/g2")))
+    // INCREMENTAL from SQL: base_dir as the optional third string arg
+    val inc = spark.sql(s"SELECT * FROM graft_store_backup('$store', " +
+      s"'$parent/g3', '$parent/g2')").collect()
+    assert(inc.forall(_.getAs[Boolean]("ok")),
+      s"incremental snapshot must verify green: ${inc.toSeq}")
+    assert(inc.find(_.getAs[String]("check") == "manifest_valid").get
+      .getAs[String]("detail").contains("carried"),
+      "the store is unchanged since g2 - every file must carry")
+    val viaScala2 = graft.operators.StoreMaintenance
+      .verifyStoreBackup(spark, s"$parent/g3").collect()
+      .map(_.toString).toSeq
+    assert(inc.map(_.toString).toSeq == viaScala2)
   }
 
   test("dry_run=true on the CALL-style maintenance TVFs: EXPLAIN-safe " +

@@ -354,6 +354,82 @@ class StoreMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("incremental backup: unchanged files carry by manifest " +
+      "reference (not re-copied), verify checks them at the base, " +
+      "restore reassembles the full state, a tampered base flags, " +
+      "and prune keeps referenced bases") {
+    val (store, want0) = freshStore(batches = 4)
+    val parent = java.nio.file.Files.createTempDirectory("bk_incr")
+      .toString
+    // s0: an old full snapshot nothing references (prune fodder)
+    StoreMaintenance.backupStore(spark, store, s"$parent/s0")
+    Thread.sleep(20)
+    // s1: the full base (4 data files + the writer's _SUCCESS marker)
+    assert(StoreMaintenance.backupStore(spark, store, s"$parent/s1")
+      == 5L)
+    Thread.sleep(20)
+    // mutate the store by pure file-add (the store contract), then s2
+    // incremental on s1: 5 carried (4 data + the 0-byte _SUCCESS), 1
+    // copied
+    Seq((9000L, "v-new")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(store)
+    val copied = StoreMaintenance.backupStore(spark, store,
+      s"$parent/s2", base = Some(s"$parent/s1"))
+    assert(copied == 1L, s"only the new file copies, got $copied")
+    // physically, s2 holds ONE data file; logically, five
+    val physical = StoreMaintenance.allFiles(spark, new Path(s"$parent/s2"))
+      .filterNot(_._1.startsWith("_backup_manifest/"))
+    assert(physical.size == 1, s"s2 must hold only the delta: $physical")
+    val manifest = spark.read.parquet(s"$parent/s2/_backup_manifest")
+    assert(manifest.count() == 6)
+    assert(manifest.filter(col("src").isNotNull).count() == 5,
+      "the five unchanged files carry by reference")
+    assert(StoreMaintenance.verifyStoreBackup(spark, s"$parent/s2")
+      .collect().forall(_.getAs[Boolean]("ok")),
+      "incremental snapshot verifies deep green via the base")
+    // restore reassembles the full point-in-time state
+    val restored = java.nio.file.Files.createTempDirectory("bk_incr_r")
+      .toString + "/store"
+    assert(StoreMaintenance.restoreStore(spark, s"$parent/s2", restored)
+      == 6L)
+    assert(spark.read.parquet(restored).select("id").as[Long]
+      .collect().toSet == want0 + 9000L,
+      "restored rows must be the live store's state at snapshot time")
+    // prune keep=1: s2 retained (newest), s1 kept as its physical
+    // holder, s0 deleted
+    val pruned = StoreMaintenance
+      .pruneStoreBackups(spark, parent, keep = 1).collect()
+    val actionOf = pruned.map(r =>
+      r.getAs[String]("snapshot") -> r.getAs[String]("action")).toMap
+    assert(actionOf == Map("s2" -> "kept", "s1" -> "kept",
+      "s0" -> "deleted"), s"prune decisions: ${pruned.toSeq}")
+    assert(pruned.find(_.getAs[String]("snapshot") == "s1").get
+      .getAs[String]("reason").contains("physical holder"))
+    // after pruning, the incremental still restores
+    val r2 = java.nio.file.Files.createTempDirectory("bk_incr_r2")
+      .toString + "/store"
+    assert(StoreMaintenance.restoreStore(spark, s"$parent/s2", r2) == 6L)
+    // tamper the BASE: the incremental's verify must flag and refuse
+    val victim = StoreMaintenance.dataFiles(spark,
+      new Path(s"$parent/s1")).head._1
+    fs(parent).delete(victim, false)
+    val rep = StoreMaintenance.verifyStoreBackup(spark, s"$parent/s2")
+      .collect()
+    assert(rep.exists(r => r.getAs[String]("check") == "files_present"
+      && !r.getAs[Boolean]("ok")),
+      s"a tampered base must flag the incremental: ${rep.toSeq}")
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.restoreStore(spark, s"$parent/s2",
+        java.nio.file.Files.createTempDirectory("bk_incr_r3")
+          .toString + "/x")
+    }
+    // a base that is not a snapshot refuses up front
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.backupStore(spark, store, s"$parent/s9",
+        base = Some(store))
+    }
+  }
+
   test("listStoreBackups + pruneStoreBackups: catalog newest-first; " +
       "retention keeps the newest N but never deletes the last green " +
       "snapshot; dry_run deletes nothing") {

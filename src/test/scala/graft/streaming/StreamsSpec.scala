@@ -1609,4 +1609,67 @@ class StreamsSpec extends SparkSpec {
       "the retained snapshot must verify green")
   }
 
+  test("G20 incrementalBackups: the second repair's snapshot chains " +
+      "on the first (delta copied, rest carried), retention keeps the " +
+      "base as the chain's physical holder, and the incremental " +
+      "restores the full pre-repair state") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("documents")
+    val lsh = java.nio.file.Files.createTempDirectory("g20i_lsh").toString
+    graft.operators.Dedup.buildLshIndex(docs, "doc_id", "text", lsh)
+    val parent = java.nio.file.Files.createTempDirectory("g20i_snap")
+      .toString
+    def inject(): Unit = {
+      Seq((4321L, 7777L, 1), (4321L, 7777L, 1))
+        .toDF("bkey", "corpus_id", "band")
+        .write.mode("append").partitionBy("band").parquet(s"$lsh/buckets")
+      spark.catalog.refreshByPath(s"$lsh/buckets")
+    }
+    val log = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val ticks = MemoryStream[Int]
+    val q = Streams.maintenanceStream(ticks.toDF(), "lsh", lsh,
+        backupBefore = Some(parent), keepBackups = 1,
+        incrementalBackups = true) { (report, _) =>
+      val rows = report.select("epoch", "action")
+        .as[(Long, String)].collect()
+      log.synchronized { log ++= rows }
+    }.start()
+    try {
+      inject()
+      ticks.addData(1); q.processAllAvailable() // repair 1: full snap
+      inject()
+      ticks.addData(2); q.processAllAvailable() // repair 2: incremental
+    } finally q.stop()
+    val repairs = log.filter(_._2 == "repair").map(_._1).sorted
+    assert(repairs.length == 2, s"two repair cycles expected: $log")
+    val snapA = s"$parent/pre_repair_epoch_${repairs.head}"
+    val snapB = s"$parent/pre_repair_epoch_${repairs.last}"
+    // snapshot B chained on A: carried rows present, strictly fewer
+    // physical files than manifested files
+    val mB = spark.read.parquet(s"$snapB/_backup_manifest")
+    val carried = mB.filter(col("src").isNotNull).count()
+    assert(carried > 0, "the unchanged bands must carry by reference")
+    // retention keep=1 ran inside the stream: A survives only as B's
+    // physical holder
+    val cat = graft.operators.StoreMaintenance
+      .listStoreBackups(spark, parent).collect()
+    assert(cat.map(_.getAs[String]("snapshot")).toSet ==
+      Set(s"pre_repair_epoch_${repairs.head}",
+        s"pre_repair_epoch_${repairs.last}"),
+      s"keep=1 retains the newest AND its physical holder: ${cat.toSeq}")
+    assert(cat.forall(_.getAs[Boolean]("verify_ok")),
+      "both chain members verify green")
+    // the incremental restores the full pre-repair-2 state: the
+    // injected rows are back, plus every real doc's keys
+    val restored = java.nio.file.Files.createTempDirectory("g20i_rest")
+      .toString + "/store"
+    graft.operators.StoreMaintenance.restoreStore(spark, snapB, restored)
+    assert(spark.read.parquet(s"$restored/buckets")
+      .filter(col("corpus_id") === 7777L).count() == 2,
+      "pre-repair-2 state restored from the chain")
+    assert(spark.read.parquet(s"$restored/buckets")
+      .select(countDistinct(col("corpus_id"))).as[Long].head() ==
+      docs.count() + 1)
+  }
+
 }
