@@ -567,6 +567,19 @@ private[graft] object StoreMaintenance {
     val src = new Path(srcDir)
     val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(sfs.exists(src), s"backup source $srcDir does not exist")
+    // backing up an INCREMENTAL snapshot would capture only its
+    // physical delta and silently lose the carried rows — the copy
+    // would verify green yet not be the logical state. Refuse; the
+    // operator restores first (materializing the chain) or backs up
+    // the live store.
+    if (sfs.exists(new Path(src, "_backup_manifest")))
+      readManifest(spark, srcDir).foreach { m =>
+        require(m.forall(_.src.isEmpty),
+          s"backup source $srcDir is an INCREMENTAL snapshot (" +
+            s"${m.count(_.src.isDefined)} rows carried from a base) - " +
+            "copying its delta alone would lose the carried files; " +
+            "restore it first, then back up the restored store")
+      }
     val dst = new Path(dstDir)
     val dfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,

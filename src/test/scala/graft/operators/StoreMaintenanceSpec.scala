@@ -428,6 +428,14 @@ class StoreMaintenanceSpec extends SparkSpec {
       StoreMaintenance.backupStore(spark, store, s"$parent/s9",
         base = Some(store))
     }
+    // backing up an INCREMENTAL snapshot refuses: copying its physical
+    // delta alone would silently lose the carried rows
+    val e = intercept[IllegalArgumentException] {
+      StoreMaintenance.backupStore(spark, s"$parent/s2",
+        java.nio.file.Files.createTempDirectory("bk_incr_o")
+          .toString + "/outer")
+    }
+    assert(e.getMessage.contains("INCREMENTAL snapshot"), e.getMessage)
   }
 
   test("listStoreBackups + pruneStoreBackups: catalog newest-first; " +
