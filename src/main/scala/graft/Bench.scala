@@ -189,9 +189,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 4 && args(0) == "--child")
+    if (args.length >= 1 && args(0) == "--child") {
+      // a hand-invoked child missing an operand gets a usage line,
+      // not an ArrayIndexOutOfBoundsException (the parent always
+      // passes all five)
+      require(args.length >= 5, "usage: --child <sfDir> <cpus> " +
+        s"<outPath> <name[,name...]> - got ${args.length - 1} operands")
       return childMain(args(1), args(2), args(3),
         args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated filter for local iteration, e.g.

@@ -783,10 +783,14 @@ object GraftExtensions {
       info("graft_store_backups",
         "graft_store_backups(parent_dir[, deep]) - catalog of the " +
           "graft_store_backup snapshots under one parent: per " +
-          "snapshot (newest first) its completion stamp, file/byte " +
-          "census, and verify status. deep defaults FALSE here (a " +
-          "catalog sweep must not re-read every byte of every " +
-          "snapshot); deep=true re-hashes each one"),
+          "snapshot (newest first) its completion stamp, LOGICAL " +
+          "file/byte census, the incremental-chain split " +
+          "(carried_files/carried_bytes referenced at base snapshots " +
+          "vs physical_bytes stored here; full snapshots report zero " +
+          "carried), base dir(s), chain_ok (every carried row " +
+          "present at its base), and verify status. deep defaults " +
+          "FALSE here (a catalog sweep must not re-read every byte " +
+          "of every snapshot); deep=true re-hashes each one"),
       (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val (args, deep) = splitDryRun(args0)
@@ -796,19 +800,25 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_store_prune"),
       info("graft_store_prune",
-        "graft_store_prune(parent_dir, keep[, dry_run]) - CALL-style " +
-          "retention sweep: keep the newest `keep` snapshots, delete " +
-          "the rest - except the last verify-green snapshot, which " +
-          "is never deleted (pruning must leave a restorable " +
-          "backup). Returns one (snapshot, completed_ms, verify_ok, " +
-          "action, reason) row per snapshot; trailing dry_run=true " +
-          "reports the decisions without deleting"),
+        "graft_store_prune(parent_dir, keep[, older_than_ms][, " +
+          "dry_run]) - CALL-style retention sweep: keep the newest " +
+          "`keep` snapshots, delete the rest - except the last " +
+          "verify-green snapshot (pruning must leave a restorable " +
+          "backup) and any base a retained incremental references. " +
+          "With older_than_ms, deletion also requires the snapshot's " +
+          "completion stamp to be older than that many milliseconds " +
+          "(the 'keep 7 days plus the last N' policy: beyond-count " +
+          "AND beyond-age). Returns one (snapshot, completed_ms, " +
+          "verify_ok, action, reason) row per snapshot; trailing " +
+          "dry_run=true reports the decisions without deleting"),
       (args0: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         val (args, dry) = splitDryRun(args0)
+        val age = if (args.length > 2)
+          Some(numArg(args(2), "graft_store_prune").toLong) else None
         operators.StoreMaintenance.pruneStoreBackups(spark,
           strArg(args(0), "graft_store_prune"),
-          numArg(args(1), "graft_store_prune").toInt, dry)
+          numArg(args(1), "graft_store_prune").toInt, dry, age)
           .queryExecution.logical
       }),
     (FunctionIdentifier("graft_compact"),

@@ -343,7 +343,11 @@ private[graft] object StoreMaintenance {
           val sp = new Path(s)
           val dp = new Path(d)
           val in = sp.getFileSystem(conf).open(sp)
-          val out = dp.getFileSystem(conf).create(dp, true)
+          // if opening the target throws, the already-open source
+          // stream must not leak with it
+          val out =
+            try dp.getFileSystem(conf).create(dp, true)
+            catch { case e: Throwable => in.close(); throw e }
           try (s, crcStream(in, out))
           finally { in.close(); out.close() }
         }
@@ -455,12 +459,20 @@ private[graft] object StoreMaintenance {
     * its manifest records. Relative paths are computed against the
     * qualified root URI so a restore into any scheme reproduces the
     * layout. */
-  def allFiles(spark: SparkSession, root: Path): Seq[(String, Long)] = {
+  def allFiles(spark: SparkSession, root: Path): Seq[(String, Long)] =
+    allFilesTimed(spark, root).map { case (rel, n, _) => (rel, n) }
+
+  /** [[allFiles]] plus each file's modification time — the third
+    * identity component [[backupStore]]'s incremental carry check
+    * uses: (rel_path, bytes) alone is blind to a same-name same-size
+    * in-place rewrite, and the mtime is free from the same listing. */
+  def allFilesTimed(spark: SparkSession,
+                    root: Path): Seq[(String, Long, Long)] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val q = fs.makeQualified(root)
     val it = fs.listFiles(q, true)
-    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     // relativize on the DECODED uri paths, not raw URI.toString: the
     // latter percent-encodes special characters (space -> %20), and
     // feeding that string back to `new Path(root, rel)` — which does
@@ -471,7 +483,8 @@ private[graft] object StoreMaintenance {
       val s = it.next()
       if (s.isFile) {
         val p = s.getPath.toUri.getPath
-        out += ((p.stripPrefix(rootPath).stripPrefix("/"), s.getLen))
+        out += ((p.stripPrefix(rootPath).stripPrefix("/"), s.getLen,
+          s.getModificationTime))
       }
     }
     out.toSeq.sortBy(_._1)
@@ -495,15 +508,22 @@ private[graft] object StoreMaintenance {
     * artifacts). Returns files copied.
     *
     * `base = Some(priorSnapshot)` makes the snapshot INCREMENTAL: a
-    * source file whose (rel_path, bytes) matches a row of the base's
-    * manifest is NOT re-copied — its manifest row records `src` = the
-    * base's PHYSICAL holder (chains flatten at backup time, so
-    * resolution is always one hop) and carries the base's CRC32C.
-    * Sound because every store this verb snapshots is pure-file-add
-    * (appends create new files; compaction/repair publish under NEW
-    * names and delete old ones — files never mutate in place), so
-    * same-name+same-size implies identical bytes; a name that shrank/
-    * grew re-copies. The babysitter's per-repair-tick snapshots stop
+    * source file whose (rel_path, bytes, mtime) matches a row of the
+    * base's manifest is NOT re-copied — its manifest row records
+    * `src` = the base's PHYSICAL holder (chains flatten at backup
+    * time, so resolution is always one hop) and carries the base's
+    * CRC32C and recorded mtime. Sound because every store this verb
+    * snapshots is pure-file-add (appends create new files;
+    * compaction/repair publish under NEW names and delete old ones —
+    * files never mutate in place), so same-name+same-size implies
+    * identical bytes; the mtime equality is the free cross-check that
+    * catches an in-place same-size rewrite anyway (it re-copies
+    * rather than silently carrying stale bytes). A name that shrank/
+    * grew re-copies. The base must live under the DESTINATION'S
+    * parent directory: [[pruneStoreBackups]]'s never-delete-a-
+    * referenced-base guard scans one parent dir, so a base elsewhere
+    * would sit outside the guard and could be pruned out from under
+    * this snapshot. The babysitter's per-repair-tick snapshots stop
     * paying a full store copy each tick — the HBase-era incremental-
     * backup economics, manifest-chained instead of WAL-chained.
     * [[verifyStoreBackup]] checks carried rows AT THEIR BASE, restore
@@ -522,32 +542,42 @@ private[graft] object StoreMaintenance {
     val baseBy: Map[String, ManifestRow] = base match {
       case scala.None => Map.empty
       case Some(b) =>
-        require(new Path(b).getFileSystem(conf).makeQualified(new Path(b))
-          != qd, s"incremental base must differ from the destination")
+        val qb = new Path(b).getFileSystem(conf)
+          .makeQualified(new Path(b))
+        require(qb != qd, "incremental base must differ from the destination")
         val m = readManifest(spark, b)
         require(m.isRight, s"incremental base $b has no readable " +
           s"manifest - not a backupStore snapshot: ${m.left.getOrElse("")}")
-        val qb = new Path(b).getFileSystem(conf)
-          .makeQualified(new Path(b)).toString
+        // same-parent constraint: prune's chain-holder guard protects
+        // bases under ONE parent dir — a base elsewhere would be
+        // referenced but unguarded (pruning ITS parent could delete it,
+        // silently losing this snapshot's carried rows)
+        require(qb.getParent == qd.getParent,
+          s"incremental base $b must live under the destination's " +
+            s"parent (${qd.getParent}) - pruneStoreBackups protects " +
+            "referenced bases within one parent dir only")
         m.toOption.get.map(r =>
-          r.rel -> r.copy(src = Some(r.src.getOrElse(qb)))).toMap
+          r.rel -> r.copy(src = Some(r.src.getOrElse(qb.toString)))).toMap
     }
-    val (carried, toCopy) = files.partition { case (rel, n) =>
-      baseBy.get(rel).exists(_.bytes == n) }
-    val srcOf = toCopy.map { case (rel, _) =>
+    val (carried, toCopy) = files.partition { case (rel, n, mt) =>
+      baseBy.get(rel).exists(r => r.bytes == n && r.mtime.contains(mt)) }
+    val srcOf = toCopy.map { case (rel, _, _) =>
       rel -> new Path(qs, rel).toString }.toMap
     val sums = copyFilesChecksummed(spark,
-      toCopy.map { case (rel, _) =>
+      toCopy.map { case (rel, _, _) =>
         (srcOf(rel), new Path(qd, rel).toString) })
     val rows =
-      toCopy.map { case (rel, n) =>
-        (rel, n, Some(sums(srcOf(rel))): Option[Long],
+      toCopy.map { case (rel, n, mt) =>
+        (rel, n, mt, Some(sums(srcOf(rel))): Option[Long],
           scala.None: Option[String]) } ++
-      carried.map { case (rel, n) =>
+      carried.map { case (rel, n, _) =>
         val b = baseBy(rel)
-        (rel, n, b.crc, b.src)
+        // the carried row keeps the BASE's recorded mtime (the live
+        // file's stamp when the bytes were physically copied) — the
+        // identity the NEXT incremental compares against
+        (rel, n, b.mtime.get, b.crc, b.src)
       }
-    rows.toDF("rel_path", "bytes", "crc32c", "src").coalesce(1)
+    rows.toDF("rel_path", "bytes", "mtime_ms", "crc32c", "src").coalesce(1)
       .write.mode("overwrite").parquet(s"$dstDir/_backup_manifest")
     toCopy.size.toLong
   }
@@ -557,13 +587,14 @@ private[graft] object StoreMaintenance {
     * real call would: source exists and holds files, destination
     * empty or absent (each path resolved against ITS OWN FileSystem —
     * backup-to-other-storage is the normal posture). Returns the
-    * source listing; a source's own `_backup_manifest` is excluded,
-    * because snapshotting a snapshot re-manifests it — copying the
-    * inner manifest files would be wiped by the outer manifest's
-    * overwrite write and leave the backup permanently unverifiable.
+    * source listing as (rel_path, bytes, mtime); a source's own
+    * `_backup_manifest` is excluded, because snapshotting a snapshot
+    * re-manifests it — copying the inner manifest files would be
+    * wiped by the outer manifest's overwrite write and leave the
+    * backup permanently unverifiable.
     */
   def backupAdmission(spark: SparkSession, srcDir: String,
-                      dstDir: String): Seq[(String, Long)] = {
+                      dstDir: String): Seq[(String, Long, Long)] = {
     val src = new Path(srcDir)
     val sfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(sfs.exists(src), s"backup source $srcDir does not exist")
@@ -585,7 +616,7 @@ private[graft] object StoreMaintenance {
     require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,
       s"backup destination $dstDir is not empty - a backup never " +
         "overwrites; pick a fresh snapshot dir")
-    val files = allFiles(spark, src)
+    val files = allFilesTimed(spark, src)
       .filterNot(_._1.startsWith("_backup_manifest/"))
     require(files.nonEmpty, s"backup source $srcDir holds no files")
     files
@@ -609,9 +640,19 @@ private[graft] object StoreMaintenance {
   def verifyStoreBackup(spark: SparkSession, backupDir: String,
                         deep: Boolean = true): DataFrame = {
     import spark.implicits._
-    verifyStoreBackupRows(spark, backupDir, deep)._1
+    verifyStoreBackupRows(spark, backupDir, deep).report
       .toDF("check", "ok", "n_bad", "detail")
   }
+
+  /** Everything one verify pass learns about a snapshot — the report,
+    * the physical listing, the parsed manifest, and how many CARRIED
+    * rows failed their base check — so [[listStoreBackups]]'s chain
+    * census pays no second read. */
+  private final case class VerifyOutcome(
+      report: Seq[(String, Boolean, Long, String)],
+      files: Seq[(String, Long)],
+      manifest: Either[String, Seq[ManifestRow]],
+      carriedBad: Long)
 
   /** [[verifyStoreBackup]]'s body, also returning the snapshot's data
     * file listing (rel_path, bytes) — one recursive listing serves
@@ -627,21 +668,24 @@ private[graft] object StoreMaintenance {
     * holder, never an intermediate incremental. */
   private final case class ManifestRow(rel: String, bytes: Long,
                                        crc: Option[Long],
-                                       src: Option[String])
+                                       src: Option[String],
+                                       mtime: Option[Long])
 
   private def readManifest(spark: SparkSession, backupDir: String)
       : Either[String, Seq[ManifestRow]] =
     try {
       val raw = spark.read.parquet(s"$backupDir/_backup_manifest")
-      val crcCol = if (raw.schema.fieldNames.contains("crc32c"))
-        col("crc32c") else lit(null).cast("long")
-      val srcCol = if (raw.schema.fieldNames.contains("src"))
-        col("src") else lit(null).cast("string")
-      val m = raw.select(col("rel_path"), col("bytes"), crcCol, srcCol)
+      def opt(name: String, typ: String) =
+        if (raw.schema.fieldNames.contains(name)) col(name)
+        else lit(null).cast(typ)
+      val m = raw.select(col("rel_path"), col("bytes"),
+          opt("crc32c", "long"), opt("src", "string"),
+          opt("mtime_ms", "long"))
         .collect()
         .map(r => ManifestRow(r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSeq
+          if (r.isNullAt(3)) None else Some(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
       if (m.isEmpty) Left("manifest is EMPTY") else Right(m)
     } catch {
       case e: Exception => Left(s"manifest unreadable: ${
@@ -658,19 +702,19 @@ private[graft] object StoreMaintenance {
 
   private def verifyStoreBackupRows(spark: SparkSession,
                                     backupDir: String, deep: Boolean)
-      : (Seq[(String, Boolean, Long, String)], Seq[(String, Long)]) = {
+      : VerifyOutcome = {
     val manifestE = readManifest(spark, backupDir)
     val backupPath = new Path(backupDir)
     val actualSeq = allFiles(spark, backupPath)
       .filterNot(_._1.startsWith("_backup_manifest/"))
     if (manifestE.isLeft) {
       val skip = "skipped: manifest corrupt"
-      return (Seq(
+      return VerifyOutcome(Seq(
         ("manifest_valid", false, 1L, manifestE.left.getOrElse("")),
         ("files_present", false, 0L, skip),
         ("no_stray_files", false, 0L, skip),
         ("checksums_match", false, 0L, skip)
-      ), actualSeq)
+      ), actualSeq, manifestE, 0L)
     }
     val manifest = manifestE.toOption.get
     val actual = actualSeq.toMap
@@ -726,7 +770,7 @@ private[graft] object StoreMaintenance {
         ("checksums_match", bad.isEmpty, bad.size.toLong, detail)
       }
     }
-    (Seq(
+    VerifyOutcome(Seq(
       ("manifest_valid", true, 0L, s"${manifest.size} files recorded" +
         (if (carried > 0) s" ($carried carried from base snapshots)"
          else "")),
@@ -736,7 +780,7 @@ private[graft] object StoreMaintenance {
       ("no_stray_files", stray.isEmpty, stray.size.toLong,
         s"unmanifested files: ${stray.take(3).mkString(", ")}"),
       checksumRow
-    ), actualSeq)
+    ), actualSeq, manifestE, missing.count(_.src.isDefined).toLong)
   }
 
   /** RESTORE a [[backupStore]] snapshot into `dstDir` — refuses
@@ -801,27 +845,53 @@ private[graft] object StoreMaintenance {
 
   /** Catalog of the [[backupStore]] snapshots under one parent dir —
     * the report that turns one-shot backups into a LIFECYCLE: per
-    * snapshot (newest first) its name, completion stamp, file/byte
-    * census, and whether it verifies green. `deep = false` (default)
-    * verifies presence+size only — O(listing) per snapshot, the
-    * posture a retention sweep wants; `deep = true` re-hashes every
-    * byte ([[verifyStoreBackup]]'s checksum row included), the
-    * posture a restore drill wants. Dirs without a `_backup_manifest`
-    * are not snapshots and are not listed.
+    * snapshot (newest first) its name, completion stamp, LOGICAL
+    * file/byte census (what a restore reproduces — carried rows
+    * included), the chain-structure split an operator needs before
+    * pruning a parent or estimating restore cost (`carried_files` /
+    * `carried_bytes` referenced at base snapshots vs `physical_bytes`
+    * stored in this snapshot's own tree; a FULL snapshot reports zero
+    * carried), `base` (the distinct base dir(s) its carried rows
+    * resolve to, null for a full snapshot), `chain_ok` (every carried
+    * row present at its base — false means a restore would refuse),
+    * and whether it verifies green. `deep = false` (default) verifies
+    * presence+size only — O(listing) per snapshot, the posture a
+    * retention sweep wants; `deep = true` re-hashes every byte
+    * ([[verifyStoreBackup]]'s checksum row included), the posture a
+    * restore drill wants. Dirs without a `_backup_manifest` are not
+    * snapshots and are not listed; a snapshot whose manifest is
+    * corrupt falls back to its physical listing census (chain_ok
+    * false — nothing about its chain is knowable).
     */
   def listStoreBackups(spark: SparkSession, parentDir: String,
                        deep: Boolean = false): DataFrame = {
     import spark.implicits._
     snapshotDirs(spark, new Path(parentDir)).map { case (p, ts) =>
-      // ONE recursive listing per snapshot serves both the verify
-      // report and the census
-      val (report, files) = verifyStoreBackupRows(spark, p.toString, deep)
-      val ok = report.forall(_._2)
-      val badChecks = report.filter(!_._2).map(_._1).mkString(",")
-      (p.getName, ts, files.size.toLong, files.map(_._2).sum, ok,
-        if (ok) "" else badChecks)
+      // ONE recursive listing per snapshot serves the verify report,
+      // the census, and the chain split (the manifest read is shared
+      // through VerifyOutcome, not repeated)
+      val v = verifyStoreBackupRows(spark, p.toString, deep)
+      val ok = v.report.forall(_._2)
+      val badChecks = v.report.filter(!_._2).map(_._1).mkString(",")
+      val (nFiles, bytes, carriedN, carriedB, physB, base, chainOk) =
+        v.manifest match {
+          case Right(m) =>
+            val carried = m.filter(_.src.isDefined)
+            val bases = carried.flatMap(_.src).distinct.sorted
+            (m.size.toLong, m.map(_.bytes).sum,
+              carried.size.toLong, carried.map(_.bytes).sum,
+              m.filter(_.src.isEmpty).map(_.bytes).sum,
+              if (bases.isEmpty) null else bases.mkString(","),
+              v.carriedBad == 0L)
+          case Left(_) =>
+            (v.files.size.toLong, v.files.map(_._2).sum, 0L, 0L,
+              v.files.map(_._2).sum, null, false)
+        }
+      (p.getName, ts, nFiles, bytes, carriedN, carriedB, physB,
+        base, chainOk, ok, if (ok) "" else badChecks)
     }.toDF("snapshot", "completed_ms", "n_files", "bytes",
-      "verify_ok", "failed_checks")
+      "carried_files", "carried_bytes", "physical_bytes", "base",
+      "chain_ok", "verify_ok", "failed_checks")
   }
 
   /** Retention sweep over a [[backupStore]] snapshot dir: keep the
@@ -829,29 +899,47 @@ private[graft] object StoreMaintenance {
     * verify-green snapshot is never deleted (if every retained
     * snapshot fails verification and an older one is green, the
     * newest green one is kept too: pruning must never convert "we
-    * have a restorable backup" into "we don't"). Verification here is
-    * the shallow (presence+size) report — a retention sweep over N
-    * snapshots must not re-read every byte of all of them; run
-    * [[verifyStoreBackup]] deep on the survivors separately for the
-    * restore-drill guarantee. `dryRun = true` reports the same
-    * decisions without deleting. Returns one row per snapshot:
-    * (snapshot, completed_ms, verify_ok, action, reason) — a delete
-    * that FAILS reports `delete_failed` on its row and the sweep
-    * continues, so the audit trail records exactly what was removed
-    * even when one removal errors (throwing mid-sweep would lose the
-    * report for snapshots already deleted).
+    * have a restorable backup" into "we don't"). `olderThanMs =
+    * Some(age)` adds the AGE axis of the usual ops policy ("keep 7
+    * days plus the last N"): a snapshot beyond the keep-count is
+    * still kept while its completion stamp is younger than `age`
+    * milliseconds — deletion requires BOTH beyond-count AND
+    * beyond-age; the last-green and chain-holder guards apply
+    * unchanged. Verification here is the shallow (presence+size)
+    * report — a retention sweep over N snapshots must not re-read
+    * every byte of all of them; run [[verifyStoreBackup]] deep on the
+    * survivors separately for the restore-drill guarantee. `dryRun =
+    * true` reports the same decisions without deleting. Returns one
+    * row per snapshot: (snapshot, completed_ms, verify_ok, action,
+    * reason) — a delete that FAILS reports `delete_failed` on its row
+    * and the sweep continues, so the audit trail records exactly what
+    * was removed even when one removal errors (throwing mid-sweep
+    * would lose the report for snapshots already deleted).
     */
   def pruneStoreBackups(spark: SparkSession, parentDir: String,
-                        keep: Int, dryRun: Boolean = false): DataFrame = {
+                        keep: Int, dryRun: Boolean = false,
+                        olderThanMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     require(keep >= 1, s"keep must be >= 1, got $keep (a retention " +
       "sweep that keeps nothing is a delete-all; do that explicitly)")
+    olderThanMs.foreach(a => require(a >= 0,
+      s"olderThanMs must be >= 0, got $a"))
+    val nowMs = System.currentTimeMillis()
     val snaps = snapshotDirs(spark, new Path(parentDir)) // newest first
     val green = snaps.map { case (p, _) =>
       p -> verifyStoreBackupRows(spark, p.toString, deep = false)
-        ._1.forall(_._2)
+        .report.forall(_._2)
     }.toMap
-    val retained = snaps.take(keep).map(_._1).toSet
+    // age guard: a snapshot younger than the cutoff joins the
+    // retained set outright — the downstream last-green/chain-holder
+    // logic then treats it exactly like a keep-count survivor
+    val youngOf: Set[Path] = olderThanMs match {
+      case Some(age) => snaps.collect {
+        case (p, ts) if nowMs - ts < age => p }.toSet
+      case scala.None => Set.empty
+    }
+    val byCount = snaps.take(keep).map(_._1).toSet
+    val retained = byCount ++ youngOf
     val extraGreen: Set[Path] =
       if (snaps.exists { case (p, _) => retained(p) && green(p) }) Set.empty
       else snaps.collectFirst {
@@ -881,28 +969,38 @@ private[graft] object StoreMaintenance {
       }
     }
     val keptBase = kept diff retained diff extraGreen
+    val beyond = s"older than keep=$keep newest" +
+      olderThanMs.map(a => s" and beyond the ${a}ms age cutoff")
+        .getOrElse("")
     val rows = snaps.map { case (p, ts) =>
       val (action, reason) =
-        if (retained(p)) ("kept", s"within keep=$keep newest")
+        if (byCount(p)) ("kept", s"within keep=$keep newest")
+        else if (youngOf(p))
+          ("kept", s"younger than the ${olderThanMs.getOrElse(0L)}ms " +
+            "age cutoff - deletion requires beyond-count AND beyond-age")
         else if (extraGreen(p))
           ("kept", "newest green snapshot - every retained snapshot " +
             "fails verification; pruning must leave a restorable backup")
         else if (keptBase(p))
           ("kept", "physical holder for a retained incremental " +
             "snapshot - deleting the base would corrupt its chain")
-        else if (dryRun) ("would_delete", s"older than keep=$keep newest")
+        else if (dryRun) ("would_delete", beyond)
         else {
           val deleted =
+            // NonFatal, not just IOException: object-store client
+            // wrappers throw RuntimeExceptions, and one mid-sweep
+            // failure must degrade to THIS row's delete_failed, not
+            // abort the sweep and lose the audit rows already earned
             try fs.delete(p, true)
-            catch { case e: java.io.IOException =>
+            catch { case scala.util.control.NonFatal(e) =>
               Console.err.println(s"prune: delete $p failed: ${e.getMessage}")
               false
             }
           if (deleted) {
             refreshPath(spark, p.toString)
-            ("deleted", s"older than keep=$keep newest")
+            ("deleted", beyond)
           } else ("delete_failed",
-            s"older than keep=$keep newest - delete returned false or " +
+            s"$beyond - delete returned false or " +
               "threw; snapshot left in place, re-run the sweep")
         }
       (p.getName, ts, green(p), action, reason)

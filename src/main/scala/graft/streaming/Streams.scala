@@ -714,7 +714,12 @@ object Streams {
     * retention can never leave the loop without a restorable copy.
     * Prune runs AFTER the repair (never between snapshot and
     * surgery): a prune failure must not strand an unsnapshotted
-    * repair.
+    * repair. `keepBackupsDays = D` adds the AGE axis ("keep D days
+    * plus the last N"): the sweep deletes only snapshots BOTH beyond
+    * the keep-count and older than D days
+    * ([[graft.operators.StoreMaintenance.pruneStoreBackups]]'s
+    * `olderThanMs`); with `keepBackups = 0` it implies keep=1, the
+    * pure-age policy.
     *
     * `incrementalBackups = true` chains each pre-repair snapshot on
     * the newest GREEN existing snapshot under the parent
@@ -737,6 +742,7 @@ object Streams {
                         maxFilesPerBand: Int = 1,
                         backupBefore: Option[String] = None,
                         keepBackups: Int = 0,
+                        keepBackupsDays: Double = 0.0,
                         incrementalBackups: Boolean = false)
                        (sink: (DataFrame, Long) => Unit)
       : DataStreamWriter[Row] = {
@@ -800,10 +806,14 @@ object Streams {
             // auto-retention AFTER the surgery, never between snapshot
             // and repair; prune's last-green guard keeps a restorable
             // copy whatever this sweep decides
-            if (keepBackups > 0) backupBefore.foreach { parent =>
-              graft.operators.StoreMaintenance
-                .pruneStoreBackups(spark, parent, keepBackups).collect()
-            }
+            if (keepBackups > 0 || keepBackupsDays > 0)
+              backupBefore.foreach { parent =>
+                graft.operators.StoreMaintenance.pruneStoreBackups(
+                  spark, parent, math.max(keepBackups, 1),
+                  olderThanMs = if (keepBackupsDays > 0)
+                    Some((keepBackupsDays * 86400000L).toLong)
+                  else None).collect()
+              }
             true
           case "compact" =>
             store match {

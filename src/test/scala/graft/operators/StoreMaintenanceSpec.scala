@@ -369,21 +369,25 @@ class StoreMaintenanceSpec extends SparkSpec {
       == 5L)
     Thread.sleep(20)
     // mutate the store by pure file-add (the store contract), then s2
-    // incremental on s1: 5 carried (4 data + the 0-byte _SUCCESS), 1
-    // copied
+    // incremental on s1: 4 untouched data files carry; the new data
+    // file AND the _SUCCESS marker copy (Spark's committer REWRITES
+    // _SUCCESS in place on append — its mtime moves, and the carry
+    // identity is (rel_path, bytes, mtime), so an in-place rewrite
+    // re-copies instead of silently carrying stale bytes)
     Seq((9000L, "v-new")).toDF("id", "payload")
       .coalesce(1).write.mode("append").parquet(store)
     val copied = StoreMaintenance.backupStore(spark, store,
       s"$parent/s2", base = Some(s"$parent/s1"))
-    assert(copied == 1L, s"only the new file copies, got $copied")
-    // physically, s2 holds ONE data file; logically, five
+    assert(copied == 2L,
+      s"the new file + rewritten _SUCCESS copy, got $copied")
+    // physically, s2 holds the delta; logically, six
     val physical = StoreMaintenance.allFiles(spark, new Path(s"$parent/s2"))
       .filterNot(_._1.startsWith("_backup_manifest/"))
-    assert(physical.size == 1, s"s2 must hold only the delta: $physical")
+    assert(physical.size == 2, s"s2 must hold only the delta: $physical")
     val manifest = spark.read.parquet(s"$parent/s2/_backup_manifest")
     assert(manifest.count() == 6)
-    assert(manifest.filter(col("src").isNotNull).count() == 5,
-      "the five unchanged files carry by reference")
+    assert(manifest.filter(col("src").isNotNull).count() == 4,
+      "the four unchanged data files carry by reference")
     assert(StoreMaintenance.verifyStoreBackup(spark, s"$parent/s2")
       .collect().forall(_.getAs[Boolean]("ok")),
       "incremental snapshot verifies deep green via the base")
@@ -436,6 +440,268 @@ class StoreMaintenanceSpec extends SparkSpec {
           .toString + "/outer")
     }
     assert(e.getMessage.contains("INCREMENTAL snapshot"), e.getMessage)
+  }
+
+  test("listStoreBackups chain census: a full snapshot reports zero " +
+      "carried; an incremental splits carried vs physical bytes, " +
+      "names its base, and chain_ok goes false when the base loses " +
+      "a carried file") {
+    val (store, _) = freshStore(batches = 3)
+    val parent = java.nio.file.Files.createTempDirectory("bk_census")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent/f1")
+    Thread.sleep(20)
+    Seq((9100L, "v-x")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(store)
+    StoreMaintenance.backupStore(spark, store, s"$parent/f2",
+      base = Some(s"$parent/f1"))
+    val cat = StoreMaintenance.listStoreBackups(spark, parent).collect()
+      .map(r => r.getAs[String]("snapshot") -> r).toMap
+    val full = cat("f1")
+    assert(full.getAs[Long]("carried_files") == 0L &&
+      full.getAs[Long]("carried_bytes") == 0L,
+      s"a full snapshot reports zero carried: $full")
+    assert(full.isNullAt(full.fieldIndex("base")), "full has no base")
+    assert(full.getAs[Boolean]("chain_ok") && full.getAs[Boolean]("verify_ok"))
+    assert(full.getAs[Long]("physical_bytes") == full.getAs[Long]("bytes"),
+      "a full snapshot stores every logical byte itself")
+    val inc = cat("f2")
+    // the census is LOGICAL: 3 carried data files + the re-copied
+    // _SUCCESS + the new data file
+    assert(inc.getAs[Long]("n_files") == 5L, s"logical census: $inc")
+    assert(inc.getAs[Long]("carried_files") == 3L)
+    assert(inc.getAs[Long]("carried_bytes") +
+      inc.getAs[Long]("physical_bytes") == inc.getAs[Long]("bytes"),
+      "carried + physical must partition the logical bytes")
+    assert(inc.getAs[Long]("carried_bytes") > 0L &&
+      inc.getAs[Long]("physical_bytes") > 0L)
+    val qf1 = fs(parent).makeQualified(new Path(s"$parent/f1")).toString
+    assert(inc.getAs[String]("base") == qf1,
+      s"base must name the physical holder: ${inc.getAs[String]("base")}")
+    assert(inc.getAs[Boolean]("chain_ok"))
+    // delete a carried file at the base: the incremental's chain
+    // breaks — chain_ok false is the column an operator reads BEFORE
+    // deleting a parent dir
+    val victim = StoreMaintenance.dataFiles(spark,
+      new Path(s"$parent/f1")).head._1
+    fs(parent).delete(victim, false)
+    val cat2 = StoreMaintenance.listStoreBackups(spark, parent).collect()
+      .map(r => r.getAs[String]("snapshot") -> r).toMap
+    assert(!cat2("f2").getAs[Boolean]("chain_ok") &&
+      !cat2("f2").getAs[Boolean]("verify_ok"),
+      s"a broken chain must surface in the census: ${cat2("f2")}")
+    assert(cat2("f1").getAs[Boolean]("chain_ok"),
+      "a full snapshot's chain_ok stays true (nothing to chain) even " +
+        "when its own files_present fails")
+  }
+
+  test("pruneStoreBackups age axis: deletion requires beyond-count " +
+      "AND beyond-age; age-only keeps everything young; dry_run " +
+      "honored; TVF passthrough") {
+    val (store, _) = freshStore(batches = 2)
+    val parent = java.nio.file.Files.createTempDirectory("bk_age")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent/a1")
+    Thread.sleep(20)
+    StoreMaintenance.backupStore(spark, store, s"$parent/a2")
+    Thread.sleep(20)
+    StoreMaintenance.backupStore(spark, store, s"$parent/a3")
+    val hour = 3600L * 1000L
+    // age-only posture (keep=1 + cutoff): everything is younger than
+    // an hour, so nothing beyond the count may be deleted
+    val young = StoreMaintenance.pruneStoreBackups(spark, parent,
+      keep = 1, olderThanMs = Some(hour)).collect()
+    assert(young.forall(_.getAs[String]("action") == "kept"),
+      s"young snapshots survive the count axis: ${young.toSeq}")
+    assert(young.filter(_.getAs[String]("snapshot") != "a3")
+      .forall(_.getAs[String]("reason").contains("younger")),
+      s"the age guard must say why: ${young.toSeq}")
+    // age a1 beyond the cutoff (completion stamp = manifest FILE
+    // mtimes — the object-store-safe ordering listStoreBackups uses)
+    val old = System.currentTimeMillis() - 2 * hour
+    val mdir = new Path(s"$parent/a1/_backup_manifest")
+    fs(parent).listStatus(mdir).filter(_.isFile)
+      .foreach(st => fs(parent).setTimes(st.getPath, old, -1))
+    // dry_run first: decision reported, nothing deleted
+    val dry = StoreMaintenance.pruneStoreBackups(spark, parent,
+      keep = 1, dryRun = true, olderThanMs = Some(hour)).collect()
+    assert(dry.find(_.getAs[String]("snapshot") == "a1").get
+      .getAs[String]("action") == "would_delete", s"${dry.toSeq}")
+    assert(fs(parent).exists(new Path(parent, "a1")))
+    // both axes: a1 (beyond count AND age) deletes; a2 (beyond count,
+    // young) survives; a3 within count
+    val both = StoreMaintenance.pruneStoreBackups(spark, parent,
+      keep = 1, olderThanMs = Some(hour)).collect()
+    val actionOf = both.map(r =>
+      r.getAs[String]("snapshot") -> r.getAs[String]("action")).toMap
+    assert(actionOf == Map("a3" -> "kept", "a2" -> "kept",
+      "a1" -> "deleted"), s"${both.toSeq}")
+    assert(!fs(parent).exists(new Path(parent, "a1")))
+    // SQL surface: older_than_ms as the optional third numeric arg
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_store_prune('$parent', 1, ${hour}, true)")
+      .collect()
+    assert(viaSql.find(_.getAs[String]("snapshot") == "a2").get
+      .getAs[String]("reason").contains("younger"),
+      s"TVF must thread the age cutoff: ${viaSql.toSeq}")
+  }
+
+  test("incremental carry identity includes mtime: a same-name " +
+      "same-size in-place rewrite between base and snapshot is " +
+      "RE-COPIED, never carried as stale bytes") {
+    val store = java.nio.file.Files.createTempDirectory("bk_mt").toString
+    def put(name: String, payload: String): Unit = {
+      val out = fs(store).create(new Path(store, name), true)
+      out.write(payload.getBytes("UTF-8")); out.close()
+    }
+    put("stable.bin", "payload-A-0123456789")
+    put("mutant.bin", "payload-B-0123456789")
+    val parent = java.nio.file.Files.createTempDirectory("bk_mt_p")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent/m1")
+    // the in-place rewrite the pure-file-add contract forbids: same
+    // name, SAME byte count, different content (mtime moved past the
+    // local FS's stamp granularity so the clock actually ticks)
+    Thread.sleep(20)
+    put("mutant.bin", "payload-C-9876543210")
+    val copied = StoreMaintenance.backupStore(spark, store,
+      s"$parent/m2", base = Some(s"$parent/m1"))
+    assert(copied == 1L,
+      s"the rewritten file must re-copy, the stable one carries: $copied")
+    val manifest = spark.read.parquet(s"$parent/m2/_backup_manifest")
+      .collect().map(r => r.getAs[String]("rel_path") ->
+        (r.getAs[String]("src") == null)).toMap
+    assert(manifest("mutant.bin") && !manifest("stable.bin"),
+      s"mutant stored physically, stable carried: $manifest")
+    // restore serves the REWRITTEN content, not the base's stale copy
+    val restored = java.nio.file.Files.createTempDirectory("bk_mt_r")
+      .toString + "/store"
+    StoreMaintenance.restoreStore(spark, s"$parent/m2", restored)
+    val in = fs(restored).open(new Path(restored, "mutant.bin"))
+    val buf = new Array[Byte](64)
+    val k = in.read(buf); in.close()
+    assert(new String(buf, 0, k, "UTF-8") == "payload-C-9876543210",
+      "restore must carry the rewrite, not the stale base bytes")
+  }
+
+  test("incremental base must share the destination's parent dir — " +
+      "a base elsewhere sits outside prune's chain-holder guard and " +
+      "refuses up front") {
+    val (store, _) = freshStore(batches = 1)
+    val parentA = java.nio.file.Files.createTempDirectory("bk_xp_a")
+      .toString
+    val parentB = java.nio.file.Files.createTempDirectory("bk_xp_b")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parentB/base")
+    val e = intercept[IllegalArgumentException] {
+      StoreMaintenance.backupStore(spark, store, s"$parentA/inc",
+        base = Some(s"$parentB/base"))
+    }
+    assert(e.getMessage.contains("parent"), e.getMessage)
+    // same parent admits (the control)
+    StoreMaintenance.backupStore(spark, store, s"$parentB/inc",
+      base = Some(s"$parentB/base"))
+    assert(StoreMaintenance.verifyStoreBackup(spark, s"$parentB/inc")
+      .collect().forall(_.getAs[Boolean]("ok")))
+  }
+
+  test("hand-chained 3-hop manifests: prune keeps the WHOLE chain " +
+      "while any head is retained (fixpoint, not one hop); a hop " +
+      "whose claimed holder lacks the bytes verifies red and refuses " +
+      "restore") {
+    val (store, _) = freshStore(batches = 2)
+    val parent = java.nio.file.Files.createTempDirectory("bk_chain")
+      .toString
+    // s0: prune fodder. s1: a REAL full snapshot.
+    StoreMaintenance.backupStore(spark, store, s"$parent/s0")
+    Thread.sleep(20)
+    StoreMaintenance.backupStore(spark, store, s"$parent/s1")
+    Thread.sleep(20)
+    val q = (n: String) =>
+      fs(parent).makeQualified(new Path(s"$parent/$n")).toString
+    // s2, s3: HAND-BUILT multi-hop manifests (backupStore itself
+    // always flattens; prune's fixpoint defends against exactly this
+    // shape): s2's rows claim s1 holds the bytes (true), s3's rows
+    // claim s2 does (false — s2 is pure manifest)
+    def handChain(name: String, src: String): Unit =
+      spark.read.parquet(s"$parent/s1/_backup_manifest")
+        .withColumn("src", lit(src))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$parent/$name/_backup_manifest")
+    handChain("s2", q("s1"))
+    Thread.sleep(20)
+    handChain("s3", q("s2"))
+    // s2 verifies green (bytes present at s1); s3 red (s2 holds none)
+    assert(StoreMaintenance.verifyStoreBackup(spark, s"$parent/s2")
+      .collect().forall(_.getAs[Boolean]("ok")))
+    val rep3 = StoreMaintenance.verifyStoreBackup(spark, s"$parent/s3")
+      .collect()
+    assert(rep3.exists(r => r.getAs[String]("check") == "files_present"
+      && !r.getAs[Boolean]("ok")),
+      s"a hop whose holder lacks the bytes must flag: ${rep3.toSeq}")
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.restoreStore(spark, s"$parent/s3",
+        java.nio.file.Files.createTempDirectory("bk_chain_r")
+          .toString + "/x")
+    }
+    // prune keep=1 retains s3 (newest); the fixpoint must then hold
+    // s2 (s3's claimed holder) AND s1 (s2's), while s0 deletes
+    val pruned = StoreMaintenance
+      .pruneStoreBackups(spark, parent, keep = 1).collect()
+    val actionOf = pruned.map(r =>
+      r.getAs[String]("snapshot") -> r.getAs[String]("action")).toMap
+    assert(actionOf == Map("s3" -> "kept", "s2" -> "kept",
+      "s1" -> "kept", "s0" -> "deleted"), s"${pruned.toSeq}")
+    assert(fs(parent).exists(new Path(parent, "s1")) &&
+      fs(parent).exists(new Path(parent, "s2")))
+    // the chain's green member still restores after the sweep
+    val r = java.nio.file.Files.createTempDirectory("bk_chain_r2")
+      .toString + "/store"
+    StoreMaintenance.restoreStore(spark, s"$parent/s2", r)
+    assert(spark.read.parquet(r).count() ==
+      spark.read.parquet(store).count())
+  }
+
+  test("an incremental whose base is itself incremental flattens to " +
+      "one hop at backup time: every carried row's src physically " +
+      "holds the bytes") {
+    val (store, _) = freshStore(batches = 2)
+    val parent = java.nio.file.Files.createTempDirectory("bk_flat")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent/h1")
+    Thread.sleep(20)
+    Seq((9200L, "v-h2")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(store)
+    StoreMaintenance.backupStore(spark, store, s"$parent/h2",
+      base = Some(s"$parent/h1"))
+    Thread.sleep(20)
+    Seq((9300L, "v-h3")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(store)
+    // base = h2, an INCREMENTAL: h3's carried rows must resolve to
+    // the snapshot that PHYSICALLY holds each file (h1 for the
+    // originals, h2 for its own delta) — never a second indirection
+    StoreMaintenance.backupStore(spark, store, s"$parent/h3",
+      base = Some(s"$parent/h2"))
+    val rows = spark.read.parquet(s"$parent/h3/_backup_manifest")
+      .filter(col("src").isNotNull)
+      .select("rel_path", "src").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.nonEmpty, "h3 must carry something")
+    val srcs = rows.map(_._2).distinct.toSet
+    val qOf = (n: String) =>
+      fs(parent).makeQualified(new Path(s"$parent/$n")).toString
+    assert(srcs == Set(qOf("h1"), qOf("h2")),
+      s"one-hop srcs must be the physical holders: $srcs")
+    rows.foreach { case (rel, src) =>
+      assert(fs(parent).exists(new Path(new Path(src), rel)),
+        s"src $src must PHYSICALLY hold $rel (no chained indirection)")
+    }
+    // and the flattened chain restores the full point-in-time state
+    val restored = java.nio.file.Files.createTempDirectory("bk_flat_r")
+      .toString + "/store"
+    StoreMaintenance.restoreStore(spark, s"$parent/h3", restored)
+    assert(spark.read.parquet(restored).count() ==
+      spark.read.parquet(store).count())
   }
 
   test("listStoreBackups + pruneStoreBackups: catalog newest-first; " +
