@@ -1672,4 +1672,90 @@ class StreamsSpec extends SparkSpec {
       docs.count() + 1)
   }
 
+  test("G20 restore drill: babysitter ticks snapshot (incremental, " +
+      "green-chained) then repair quarantines; restoring the newest " +
+      "pre-repair snapshot serves searchIvfPqIndex results " +
+      "byte-identical to the pre-corruption run — the whole 3am loop") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("g20d_idx")
+      .toString
+    graft.operators.Knn.buildIvfPqIndex(emb, "vec_id", "embedding",
+      dir, dim = 64)
+    val queries = emb.filter(col("vec_id") < 8)
+    def search(d: String): Seq[String] =
+      graft.operators.Knn.searchIvfPqIndex(spark, d, queries, "vec_id",
+          "embedding", dim = 64, k = 5, rescoreWith = Some(emb))
+        .collect().map(_.toString).sorted.toSeq
+    val want = search(dir)
+    assert(want.nonEmpty, "bad fixture: no search results")
+    // orphan-cell corruption (a torn append's partition with no coarse
+    // centroid): fsck-visible, search-INVISIBLE — no probe ever opens
+    // an unknown cell — but repair QUARANTINES it, which is exactly
+    // why the babysitter snapshots first. Re-append a real code row
+    // under a new id so the injected file matches the store's schema.
+    def inject(cell: Int): Unit = {
+      spark.read.parquet(s"$dir/codes").limit(1)
+        .withColumn("neighbor_id", lit(990000L + cell))
+        .drop("cell_id")
+        .write.mode("append").parquet(s"$dir/codes/cell_id=$cell")
+      spark.catalog.refreshByPath(s"$dir/codes")
+    }
+    inject(9999)
+    assert(!graft.operators.Knn.fsckIvfPqIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "the damage must register")
+    assert(search(dir) == want,
+      "premise: an orphan cell must not change any answer")
+    val parent = java.nio.file.Files.createTempDirectory("g20d_snap")
+      .toString
+    val log = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    val ticks = MemoryStream[Int]
+    val q = Streams.maintenanceStream(ticks.toDF(), "ivfpq", dir,
+        corpus = Some(emb), maxFilesPerCell = 64,
+        backupBefore = Some(parent), incrementalBackups = true) {
+      (report, _) =>
+        val rows = report.select("action", "applied")
+          .as[(String, Boolean)].collect()
+        log.synchronized { log ++= rows }
+    }.start()
+    try {
+      ticks.addData(1); q.processAllAvailable() // repair 1: full snap
+      inject(9998)
+      ticks.addData(2); q.processAllAvailable() // repair 2: incremental
+      ticks.addData(3); q.processAllAvailable() // converge
+    } finally q.stop()
+    assert(log.toSeq == Seq(("repair", true), ("repair", true),
+      ("ok", false)), s"two repairs then convergence: $log")
+    // the live store is green and still serves the original answers
+    assert(graft.operators.Knn.fsckIvfPqIndex(spark, dir).collect()
+      .forall(_.getAs[Boolean]("ok")), "babysat store ends green")
+    assert(search(dir) == want, "repair must not change answers")
+    // the catalog an operator reads at 3am: newest snapshot is a
+    // green-chained incremental whose chain is intact
+    val cat = graft.operators.StoreMaintenance
+      .listStoreBackups(spark, parent).collect()
+    assert(cat.length == 2, s"one snapshot per repair tick: ${cat.toSeq}")
+    val newest = cat.head
+    assert(newest.getAs[Long]("carried_files") > 0L,
+      s"the second snapshot must chain on the first: $newest")
+    assert(newest.getAs[Boolean]("chain_ok") &&
+      newest.getAs[Boolean]("verify_ok"), s"restorable: $newest")
+    // restore it elsewhere: the pre-repair state serves BYTE-IDENTICAL
+    // results to the pre-corruption run (the quarantined orphan was
+    // unreachable by any probe)
+    val restored = java.nio.file.Files.createTempDirectory("g20d_rest")
+      .toString + "/store"
+    graft.operators.StoreMaintenance.restoreStore(spark,
+      s"$parent/${newest.getAs[String]("snapshot")}", restored)
+    assert(search(restored) == want,
+      "the restored pre-repair store must answer exactly like the " +
+        "pre-corruption store")
+    // and the drill's last mile: repairing the restored copy
+    // re-converges it to a green store with the same answers
+    graft.operators.Knn.repairIvfPqIndex(spark, restored)
+    assert(graft.operators.Knn.fsckIvfPqIndex(spark, restored).collect()
+      .forall(_.getAs[Boolean]("ok")))
+    assert(search(restored) == want)
+  }
+
 }
