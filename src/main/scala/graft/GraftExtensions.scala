@@ -150,21 +150,26 @@ object GraftExtensions {
           .toAggregateExpression()),
     (FunctionIdentifier("graft_bpe_ids"),
       info("graft_bpe_ids",
-        "graft_bpe_ids(text[, artifact_dir]) - frozen-vocab BPE " +
-          "token-ID array (E12's encode kernel); with a dir, encode " +
-          "under a saveMerges artifact's merges instead"),
-      (args: Seq[Expression]) => {
+        "graft_bpe_ids(text[, artifact_dir][, gpt2_ws]) - " +
+          "frozen-vocab BPE token-ID array (E12's encode kernel); " +
+          "with a dir, encode under a saveMerges artifact's merges " +
+          "instead. Trailing gpt2_ws=true segments with the " +
+          "GPT-2-exact whitespace rule (single-space fold) instead " +
+          "of the default whole-run fold"),
+      (args0: Seq[Expression]) => {
+        val (args, gpt2Ws) = splitDryRun(args0)
         val merges = mergesArg(args, "graft_bpe_ids")
         BpeEncodeIds(args(0), merges.map(_._1).toArray,
           merges.map(_._2).toArray, functions.bpe.mergeIdMap(merges),
-          functions.bpe.unkId(merges))
+          functions.bpe.unkId(merges), gpt2Ws)
       }),
     (FunctionIdentifier("graft_bpe_decode"),
       info("graft_bpe_decode",
         "graft_bpe_decode(ids[, artifact_dir]) - detokenize a " +
           "frozen-vocab BPE id array back to text (the loader-side " +
-          "inverse of graft_bpe_ids; whitespace carries no id, so " +
-          "decode(graft_bpe_ids(t)) is t without whitespace)"),
+          "inverse of graft_bpe_ids; pretokens are whitespace-" +
+          "faithful, so decode(graft_bpe_ids(t)) == t byte-exactly " +
+          "in either whitespace mode)"),
       (args: Seq[Expression]) => {
         val merges = mergesArg(args, "graft_bpe_decode")
         functions.BpeDecodeIds(args(0),
@@ -172,13 +177,15 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_bpe_count"),
       info("graft_bpe_count",
-        "graft_bpe_count(text[, artifact_dir]) - frozen-vocab BPE " +
-          "token count (the loader's own units; equals " +
-          "size(graft_bpe_ids(text)))"),
-      (args: Seq[Expression]) => {
+        "graft_bpe_count(text[, artifact_dir][, gpt2_ws]) - " +
+          "frozen-vocab BPE token count (the loader's own units; " +
+          "equals size(graft_bpe_ids(text))). Trailing gpt2_ws=true " +
+          "counts under the GPT-2-exact whitespace rule"),
+      (args0: Seq[Expression]) => {
+        val (args, gpt2Ws) = splitDryRun(args0)
         val merges = mergesArg(args, "graft_bpe_count")
         BpeTokenCount(args(0), merges.map(_._1).toArray,
-          merges.map(_._2).toArray)
+          merges.map(_._2).toArray, gpt2Ws)
       }),
     (FunctionIdentifier("graft_zorder"),
       info("graft_zorder",

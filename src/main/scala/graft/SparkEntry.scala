@@ -255,6 +255,11 @@ object SparkEntry {
     // E12 encode half: frozen tokenizer artifact, fully oracle-checked
     "text_bpe_encode" ->
       ((s, d) => Pipeline.textBpeEncode(t(s, d, "documents"))),
+    // E12 GPT-2-exact whitespace mode: the opt-in single-space fold +
+    // \s+(?!\S) run split, oracle-replayed WITHOUT lookahead via the
+    // two-pass boundary-insertion rewrite
+    "text_bpe_gpt2ws" ->
+      ((s, d) => Pipeline.textBpeGpt2Ws(t(s, d, "documents"))),
     // E12 encode-to-ids: the loader-facing token-ID stream, oracle-checked
     "text_bpe_ids" ->
       ((s, d) => Pipeline.textBpeIds(t(s, d, "documents"))),
@@ -621,15 +626,47 @@ object SparkEntry {
     */
   private def bpeTokCtes: String = bpeTokCtes("documents")
 
+  /** The gpt2Ws pretokenizer as a LOOKAHEAD-FREE DuckDB expression —
+    * RE2 cannot run [[graft.operators.Bpe.Gpt2WsPretokenRegex]]'s
+    * `\s+(?!\S)` directly, so the oracle replays it as the equivalent
+    * two-pass rewrite: (1) insert a chr(31) boundary between the last
+    * two whitespace chars of every >=2 whitespace run that precedes a
+    * word (`(\s)(\s\S)` is non-overlapping-safe: each such run
+    * contains exactly one match, ending at its last two chars), then
+    * (2) split on the boundary and extract per segment with the plain
+    * [[graft.operators.Bpe.Gpt2WsSegmentRegex]] — inside a segment no
+    * >=2 ws run precedes a word anymore, so bare `\s+` is exactly the
+    * lookahead's residue. Spec-pinned equal to the Java lookahead
+    * pattern (and the hand scanner) on the fixture battery; chr(31)
+    * is safe as a boundary because the corpus is control-char-free
+    * (the same guard the fenced hex replay relies on). Evaluates to a
+    * LIST over the column `text`.
+    */
+  private def gpt2WsPretokSql: String = {
+    val seg = graft.operators.Bpe.Gpt2WsSegmentRegex
+    require(!seg.exists(_ < ' '),
+      "gpt2Ws segment regex must be control-free for SQL inlining")
+    val segSql = seg.replace("'", "''")
+    "flatten(list_transform(string_split(regexp_replace(text, " +
+      s"'(\\s)(\\s\\S)', '\\1' || chr(31) || '\\2', 'g'), chr(31)), " +
+      s"seg -> regexp_extract_all(seg, '$segSql')))"
+  }
+
   /** [[bpeTokCtes]] over an arbitrary docs CTE/table `src` — the
     * non-ASCII coverage rows replay token counts over the derived
-    * multilingual slice. */
-  private def bpeTokCtes(src: String): String = {
+    * multilingual slice — with the pretokenizer pluggable: `pretok`
+    * is a SQL LIST expression over `text` (default = the shared
+    * whole-run-fold pattern; the gpt2Ws row passes
+    * [[gpt2WsPretokSql]]'s two-pass rewrite). */
+  private def bpeTokCtes(src: String): String =
+    bpeTokCtes(src, s"regexp_extract_all(text, '$pretokRegexSql')")
+
+  private def bpeTokCtes(src: String, pretok: String): String = {
     val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
     s"""bmg(m, a, b) AS (VALUES $mergeVals),
       |bdw AS (SELECT doc_id,
-      |    unnest(regexp_extract_all(text, '$pretokRegexSql')) AS w
+      |    unnest($pretok) AS w
       |  FROM $src),
       |bdist AS (SELECT DISTINCT w FROM bdw WHERE strlen(w) > 1),
       |binit AS (SELECT w, chr(31) ||
@@ -667,10 +704,22 @@ object SparkEntry {
     */
   private def bpeTrainOracleSql(src: String,
                                 prelude: String = ""): String =
+    bpeTrainOracleSql(src, prelude,
+      s"regexp_extract_all(text, '$pretokRegexSql')")
+
+  /** [[bpeTrainOracleSql]] with the pretokenizer pluggable (`pretok`
+    * = a SQL LIST expression over `text`) — the gpt2Ws training row
+    * passes [[gpt2WsPretokSql]]'s lookahead-free rewrite, making the
+    * LEARNED MERGES whitespace-mode-sensitive: multi-space pretokens
+    * ("  ", "   ") enter the vocab and train ("20","20")-class
+    * merges, so a pretokenizer drift on either side changes the
+    * merge list itself and every count after it. */
+  private def bpeTrainOracleSql(src: String, prelude: String,
+                                pretok: String): String =
     s"""WITH RECURSIVE
       |$prelude""".stripMargin.stripTrailing() + "\n" +
     s"""bdw AS (SELECT doc_id,
-      |    unnest(regexp_extract_all(text, '$pretokRegexSql')) AS w
+      |    unnest($pretok) AS w
       |  FROM $src),
       |vocab AS (SELECT w, count(*)::BIGINT AS f FROM bdw
       |  WHERE strlen(w) > 1 GROUP BY 1),
@@ -3357,6 +3406,23 @@ object SparkEntry {
         |       ELSE round(length(doc.text) / t.n_bpe, 6) END AS compression
         |FROM documents doc LEFT JOIN btok t USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
+    // E12 GPT-2-exact whitespace mode: the FULL training-loop replay
+    // with the pretokenizer swapped for the lookahead-free two-pass
+    // rewrite (gpt2WsPretokSql) — RE2 reproduces the `\s+(?!\S)` /
+    // single-space-fold segmentation without a lookahead. Trained (not
+    // frozen-vocab) deliberately: under ws-free merges the two modes
+    // are COUNT-identical by construction, but training on the derived
+    // multi-space/indented slice (same derivation as the engine side)
+    // learns ("20","20")-class merges, so a whitespace-mode drift on
+    // either side changes the learned list and hash-mismatches
+    "text_bpe_gpt2ws" ->
+      bpeTrainOracleSql("gdocs",
+        s"""wsdocs AS (SELECT doc_id + 20000000 AS doc_id,
+          |    '    ' || replace(text, ' ', '   ') || '  ' AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |gdocs AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM wsdocs),""".stripMargin,
+        gpt2WsPretokSql),
     // E12 encode-to-ids: the same recursive-CTE segmentation replay,
     // extended with the stable-vocab symbol→id CASE (ASCII base =
     // ord(sym), merge output = 128 + FIRST producing merge index —

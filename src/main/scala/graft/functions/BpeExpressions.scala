@@ -76,7 +76,20 @@ object BpeKernel {
     * byte-for-byte. Calls `f` once per pretoken; pretokens are never
     * empty.
     */
-  def foreachPretoken(text: String)(f: String => Unit): Unit = {
+  def foreachPretoken(text: String)(f: String => Unit): Unit =
+    foreachPretoken(text, gpt2Ws = false)(f)
+
+  /** [[foreachPretoken]] with the whitespace mode explicit: `gpt2Ws =
+    * true` is the hand scanner for [[graft.operators.Bpe
+    * .Gpt2WsPretokenRegex]] — at most ONE literal space folds into the
+    * following run, `\s+(?!\S)` claims a whitespace run minus its last
+    * char before a word, and a last non-space whitespace char stands
+    * alone (bare `\s+`) — deployed-tiktoken segmentation on
+    * multi-space / indented text. Both modes partition the source
+    * exactly.
+    */
+  def foreachPretoken(text: String, gpt2Ws: Boolean)
+                     (f: String => Unit): Unit = {
     val len = text.length
     var i = 0
     while (i < len) {
@@ -99,22 +112,47 @@ object BpeKernel {
         }
       }
       if (i == start) {
-        while (i < len && catOf(text.codePointAt(i)) == 0) i += 1
-        if (i == len) f(text.substring(start, i)) // trailing `\s+`
-        else {
+        // j = end of the whitespace prefix (may be empty)
+        var j = i
+        while (j < len && catOf(text.codePointAt(j)) == 0) j += 1
+        if (j == len) { f(text.substring(i, j)); i = j } // trailing `\s+`
+        else if (!gpt2Ws || j == i) {
+          // default fold (the whole run joins the following category
+          // run), or no whitespace at all: scan the run and emit once
+          i = j
           val cat = catOf(text.codePointAt(i))
           while (i < len && catOf(text.codePointAt(i)) == cat)
             i += Character.charCount(text.codePointAt(i))
           f(text.substring(start, i))
+        } else {
+          // gpt2Ws, ws prefix before a word: `\s+(?!\S)` stands the
+          // run minus its last char alone...
+          if (j - i >= 2) f(text.substring(i, j - 1))
+          if (text.charAt(j - 1) == ' ') {
+            // ...and ` ?<run>` folds the remaining literal space
+            i = j
+            val cat = catOf(text.codePointAt(i))
+            while (i < len && catOf(text.codePointAt(i)) == cat)
+              i += Character.charCount(text.codePointAt(i))
+            f(text.substring(j - 1, i))
+          } else {
+            // a last non-space whitespace char matches bare `\s+`
+            // alone; the following run restarts the loop (so a
+            // contraction there keeps its alternation priority)
+            f(text.substring(j - 1, j))
+            i = j
+          }
         }
       }
     }
   }
 
   /** [[foreachPretoken]] materialized — spec/driver convenience. */
-  def pretokens(text: String): Array[String] = {
+  def pretokens(text: String): Array[String] = pretokens(text, gpt2Ws = false)
+
+  def pretokens(text: String, gpt2Ws: Boolean): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    foreachPretoken(text)(out += _)
+    foreachPretoken(text, gpt2Ws)(out += _)
     out.toArray
   }
 
@@ -183,9 +221,10 @@ object BpeKernel {
     * rule; the non-overlap rule applies at merge time, not count time.
     */
   def adjacentPairs(text: UTF8String, ma: Array[String],
-                    mb: Array[String]): ArrayData = {
+                    mb: Array[String],
+                    gpt2Ws: Boolean = false): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-    foreachPretoken(text.toString) { w =>
+    foreachPretoken(text.toString, gpt2Ws) { w =>
       if (!singleByte(w)) {
         val s = segment(w, ma, mb)
         var i = 0
@@ -263,7 +302,7 @@ object BpeKernel {
     */
   def encodeIds(text: UTF8String, ma: Array[String], mb: Array[String],
                 idMap: java.util.HashMap[String, Integer],
-                unk: Int): ArrayData = {
+                unk: Int, gpt2Ws: Boolean = false): ArrayData = {
     val m = idMemo.get()
     if (!(m.ma eq ma) || !(m.mb eq mb)) {
       m.ma = ma; m.mb = mb; m.chars = 0L; m.ids.clear()
@@ -290,7 +329,10 @@ object BpeKernel {
           math.max(buf.length << 1, n + ids.length))
       System.arraycopy(ids, 0, buf, n, ids.length); n += ids.length
     }
-    foreachPretoken(text.toString) { w =>
+    // the memo is whitespace-MODE-SAFE: entries are keyed by the
+    // pretoken STRING, and a given word segments identically whichever
+    // mode produced its boundaries
+    foreachPretoken(text.toString, gpt2Ws) { w =>
       if (singleByte(w)) push(w.charAt(0)) // one ASCII byte = its id
       else {
         val hit = m.ids.get(w)
@@ -357,13 +399,14 @@ object BpeKernel {
     * goes through the segmenter like any other pretoken).
     */
   def tokenCount(text: UTF8String, ma: Array[String],
-                 mb: Array[String]): Long = {
+                 mb: Array[String], gpt2Ws: Boolean = false): Long = {
     val m = memo.get()
     if (!(m.ma eq ma) || !(m.mb eq mb)) {
       m.ma = ma; m.mb = mb; m.chars = 0L; m.counts.clear()
     }
     var n = 0L
-    foreachPretoken(text.toString) { w =>
+    // mode-safe memo: keyed by pretoken string (see encodeIds)
+    foreachPretoken(text.toString, gpt2Ws) { w =>
       if (singleByte(w)) n += 1
       else {
         val hit = m.counts.get(w)
@@ -396,15 +439,17 @@ private[graft] trait BpeStringInput
 
 /** Adjacent BPE pair keys of a text under the merge-list constant. */
 case class BpeAdjacentPairs(child: Expression, ma: Array[String],
-                            mb: Array[String]) extends BpeStringInput {
+                            mb: Array[String],
+                            gpt2Ws: Boolean = false)
+    extends BpeStringInput {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    BpeKernel.adjacentPairs(input.asInstanceOf[UTF8String], ma, mb)
+    BpeKernel.adjacentPairs(input.asInstanceOf[UTF8String], ma, mb, gpt2Ws)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ra = ctx.addReferenceObj("bpeMa", ma, "java.lang.String[]")
     val rb = ctx.addReferenceObj("bpeMb", mb, "java.lang.String[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeKernel.adjacentPairs($c, $ra, $rb)")
+      s"graft.functions.BpeKernel.adjacentPairs($c, $ra, $rb, $gpt2Ws)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeAdjacentPairs =
     copy(child = newChild)
@@ -412,15 +457,16 @@ case class BpeAdjacentPairs(child: Expression, ma: Array[String],
 
 /** Total BPE token count of a text under the merge-list constant. */
 case class BpeTokenCount(child: Expression, ma: Array[String],
-                         mb: Array[String]) extends BpeStringInput {
+                         mb: Array[String],
+                         gpt2Ws: Boolean = false) extends BpeStringInput {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
-    BpeKernel.tokenCount(input.asInstanceOf[UTF8String], ma, mb)
+    BpeKernel.tokenCount(input.asInstanceOf[UTF8String], ma, mb, gpt2Ws)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ra = ctx.addReferenceObj("bpeMa", ma, "java.lang.String[]")
     val rb = ctx.addReferenceObj("bpeMb", mb, "java.lang.String[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeKernel.tokenCount($c, $ra, $rb)")
+      s"graft.functions.BpeKernel.tokenCount($c, $ra, $rb, $gpt2Ws)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
@@ -432,18 +478,21 @@ case class BpeTokenCount(child: Expression, ma: Array[String],
 case class BpeEncodeIds(child: Expression, ma: Array[String],
                         mb: Array[String],
                         idMap: java.util.HashMap[String, Integer],
-                        unk: Int) extends BpeStringInput {
+                        unk: Int,
+                        gpt2Ws: Boolean = false) extends BpeStringInput {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    BpeKernel.encodeIds(input.asInstanceOf[UTF8String], ma, mb, idMap, unk)
+    BpeKernel.encodeIds(input.asInstanceOf[UTF8String], ma, mb, idMap,
+      unk, gpt2Ws)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ra = ctx.addReferenceObj("bpeMa", ma, "java.lang.String[]")
     val rb = ctx.addReferenceObj("bpeMb", mb, "java.lang.String[]")
     val rm = ctx.addReferenceObj("bpeIds", idMap,
       "java.util.HashMap<java.lang.String, java.lang.Integer>")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeKernel.encodeIds($c, $ra, $rb, $rm, $unk)")
+      s"graft.functions.BpeKernel.encodeIds($c, $ra, $rb, $rm, $unk, " +
+        s"$gpt2Ws)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
     copy(child = newChild)
@@ -490,12 +539,14 @@ case class BpeDecodeIds(child: Expression, toks: Array[String])
 
 /** Column-API entry points for the BPE kernels. */
 object bpe {
-  def adjacentPairs(text: Column, merges: Seq[(String, String)]): Column =
+  def adjacentPairs(text: Column, merges: Seq[(String, String)],
+                    gpt2Ws: Boolean = false): Column =
     ColumnBridge.column(BpeAdjacentPairs(ColumnBridge.expression(text),
-      merges.map(_._1).toArray, merges.map(_._2).toArray))
-  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+      merges.map(_._1).toArray, merges.map(_._2).toArray, gpt2Ws))
+  def tokenCount(text: Column, merges: Seq[(String, String)],
+                 gpt2Ws: Boolean = false): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text),
-      merges.map(_._1).toArray, merges.map(_._2).toArray))
+      merges.map(_._1).toArray, merges.map(_._2).toArray, gpt2Ws))
 
   /** Merge-output→id map (id = 256 + first merge index producing the
     * symbol — the byte-level base vocab owns 0..255) — the non-base
@@ -526,10 +577,11 @@ object bpe {
   def eosId(merges: Seq[(String, String)]): Int = unkId(merges) + 1
   def bosId(merges: Seq[(String, String)]): Int = unkId(merges) + 2
 
-  def encodeIds(text: Column, merges: Seq[(String, String)]): Column =
+  def encodeIds(text: Column, merges: Seq[(String, String)],
+                gpt2Ws: Boolean = false): Column =
     ColumnBridge.column(BpeEncodeIds(ColumnBridge.expression(text),
       merges.map(_._1).toArray, merges.map(_._2).toArray,
-      mergeIdMap(merges), unkId(merges)))
+      mergeIdMap(merges), unkId(merges), gpt2Ws))
 
   /** The id-indexed hex-symbol table [[BpeDecodeIds]] decodes under —
     * slot = id, base 0..255 then merge outputs (first-wins via

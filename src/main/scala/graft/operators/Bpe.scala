@@ -56,6 +56,36 @@ object Bpe {
   val PretokenRegex: String =
     "'(?:s|t|re|ve|m|ll|d)|\\s*\\p{L}+|\\s*\\p{N}+|\\s*[^\\s\\p{L}\\p{N}]+|\\s+"
 
+  /** The GPT-2-EXACT whitespace variant (opt-in `gpt2Ws = true`
+    * across the tokenizer surface; [[PretokenRegex]]'s whole-run fold
+    * stays the default): at most ONE literal space folds into the
+    * following run (` ?<run>` — a space, not any whitespace), and
+    * `\s+(?!\S)` claims a whitespace run up to but NOT including its
+    * last character when a word follows — the published GPT-2 /
+    * tiktoken pattern, so token counts on multi-space and indented
+    * text match a deployed tokenizer exactly (`"a   b"` →
+    * `a` + `␣␣` + `␣b`, where the default fold gives `a` + `␣␣␣b`).
+    * Both patterns partition every string, so `decode∘encode` stays
+    * byte-exact in either mode. Java-regex only (RE2 has no
+    * lookahead); the DuckDB oracle replays it lookahead-FREE as a
+    * two-pass rewrite — insert a boundary between the last two
+    * whitespace chars of every >=2-run that precedes a word
+    * (`regexp_replace(text, '(\s)(\s\S)', '\1'||chr(31)||'\2', 'g')`),
+    * split on the boundary, then extract with
+    * [[Gpt2WsSegmentRegex]] per segment — spec-pinned equal to this
+    * pattern on the fixture battery.
+    */
+  val Gpt2WsPretokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** The lookahead-free per-SEGMENT pattern of [[Gpt2WsPretokenRegex]]'s
+    * two-pass oracle rewrite: after the boundary insertion, no segment
+    * contains a >=2 whitespace run followed by a word, so plain `\s+`
+    * (last alternative) is exactly the lookahead's residue. RE2-safe.
+    */
+  val Gpt2WsSegmentRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   /** A FROZEN 48-merge tokenizer artifact — [[train]]'s deterministic
     * output on the sf0.01 documents table, embedded as a constant
     * (regenerate with `runMain graft.tools.BpeFreeze`). Symbols are
@@ -119,15 +149,19 @@ object Bpe {
     * reference trainer).
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int = 32,
-            maxVocab: Int = 1 << 21): Seq[(String, String)] = {
+            maxVocab: Int = 1 << 21,
+            gpt2Ws: Boolean = false): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val vocab = docs
       // whitespace-faithful pretokens ([[PretokenRegex]]): separators
       // fold into the following word, so " the" and "the" train as
-      // distinct vocab entries — the GPT-2 convention
+      // distinct vocab entries — the GPT-2 convention. gpt2Ws swaps
+      // in [[Gpt2WsPretokenRegex]] (single-space fold — Spark compiles
+      // Java regex, so the lookahead runs natively here)
       .select(explode(regexp_extract_all(col(textCol),
-        lit(PretokenRegex), lit(0))).as("w"))
+        lit(if (gpt2Ws) Gpt2WsPretokenRegex else PretokenRegex),
+        lit(0))).as("w"))
       // byte-level: a pretoken is trainable iff it has >= 2 base
       // symbols, i.e. >= 2 UTF-8 BYTES — a single non-ASCII char
       // qualifies
@@ -386,10 +420,11 @@ object Bpe {
     * and the chars-per-token compression ratio (null for empty docs).
     */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String,
-                 merges: Seq[(String, String)]): DataFrame =
+                 merges: Seq[(String, String)],
+                 gpt2Ws: Boolean = false): DataFrame =
     docs.select(col(idCol),
         length(col(textCol)).cast("long").as("n_chars"),
-        bpe.tokenCount(col(textCol), merges).as("n_bpe"))
+        bpe.tokenCount(col(textCol), merges, gpt2Ws).as("n_bpe"))
       .withColumn("compression",
         when(col("n_bpe") === 0, lit(null).cast("double"))
           .otherwise(round(col("n_chars") / col("n_bpe"), 6)))

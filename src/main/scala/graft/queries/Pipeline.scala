@@ -1324,6 +1324,42 @@ object Pipeline {
         graft.operators.Bpe.frozenMerges)
       .orderBy("doc_id")
 
+  /** E12 (encode, GPT-2-exact whitespace): [[textBpeEncode]] under the
+    * opt-in `gpt2Ws` pretokenizer ([[graft.operators.Bpe
+    * .Gpt2WsPretokenRegex]] — at most one literal space folds, the
+    * `\s+(?!\S)` run split), so token counts on multi-space / indented
+    * text match deployed tiktoken rather than this engine's default
+    * whole-run fold. Same frozen merges — the merge list is whitespace-
+    * mode-independent byte surgery; only pretoken boundaries move. The
+    * oracle replays the lookahead-free two-pass rewrite (boundary
+    * insertion + per-segment extraction), pinning that a plain-RE2
+    * engine can reproduce the mode exactly.
+    */
+  def textBpeGpt2Ws(documents: DataFrame): DataFrame = {
+    // the fixture corpus is single-spaced, where the two whitespace
+    // modes agree trivially — union a DERIVED multi-space/indented
+    // slice (every 7th doc: 4-space indent, inter-word runs widened
+    // to 3, 2-space trailer; one derivation shared with the oracle,
+    // the mlDocs posture) and TRAIN on it under the gpt2 pretokens:
+    // multi-space pretokens enter the vocab and learn ("20","20")-
+    // class merges, making the learned list — and every count after
+    // it — whitespace-mode-sensitive (under ws-free merges the modes
+    // are count-identical by construction, which would leave the
+    // oracle row unable to catch a pretokenizer drift)
+    val ws = documents.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(lit("    "),
+          regexp_replace(col("text"), lit(" "), lit("   ")),
+          lit("  ")).as("text"))
+    val src = documents.select(col("doc_id"), col("text"))
+      .unionByName(ws)
+    val merges = graft.operators.Bpe.train(src, "text",
+      nMerges = 1024, gpt2Ws = true)
+    graft.operators.Bpe.tokenStats(src, "doc_id", "text", merges,
+        gpt2Ws = true)
+      .orderBy("doc_id")
+  }
+
   /** E12 (encode-to-ids): the token-ID stream a training loader
     * actually consumes — one `encode(text) → array<int>` kernel call
     * per doc under the frozen tokenizer, exploded to

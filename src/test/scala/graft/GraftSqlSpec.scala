@@ -322,6 +322,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaArt == expArt)
     assert(viaArt > viaSql.map(_._3).sum,
       "fewer merges must mean more tokens")
+    // trailing gpt2_ws=true: the GPT-2-exact whitespace mode through
+    // SQL equals the kernel flag and the round trip stays exact.
+    // Count sensitivity needs a WHITESPACE merge in the vocab (under
+    // ws-free merges the modes are count-identical by construction —
+    // byte-level symbols never cross the boundary either way), so pin
+    // divergence under a ("20","20") artifact: a 4-space indent
+    // segments [2020,2020] in the default fold but [2020,20]+[20,..]
+    // under gpt2's run-minus-last split
+    val wsDir = java.nio.file.Files.createTempDirectory("bpe_ws").toString
+    operators.Bpe.saveMerges(spark, Seq(("20", "20")), wsDir)
+    val gVia = spark.sql(
+      s"SELECT graft_bpe_count('a    b', '$wsDir', true), " +
+        s"graft_bpe_count('a    b', '$wsDir'), " +
+        "graft_bpe_decode(graft_bpe_ids('    x = 1', true))")
+      .as[(Long, Long, String)].head()
+    assert(gVia._3 == "    x = 1", "gpt2 SQL round trip must be exact")
+    val gScala = Seq("a    b").toDF("t")
+      .select(functions.bpe.tokenCount(col("t"),
+          Seq(("20", "20")), gpt2Ws = true),
+        functions.bpe.tokenCount(col("t"), Seq(("20", "20"))))
+      .as[(Long, Long)].head()
+    assert((gVia._1, gVia._2) == gScala,
+      s"SQL flag must reach the kernel: $gVia vs $gScala")
+    assert(gVia._1 == 5L && gVia._2 == 4L,
+      s"the two whitespace modes must differ under a ws merge: $gVia")
   }
 
   test("graft_bpe_decode: SQL detokenizer round-trips " +

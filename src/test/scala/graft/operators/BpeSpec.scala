@@ -158,6 +158,139 @@ class BpeSpec extends SparkSpec {
       Seq("I", "'ll", " we", "'ve"))
   }
 
+  /** Independent gpt2Ws pretokenizer: the compiled lookahead pattern
+    * itself ([[Bpe.Gpt2WsPretokenRegex]]), so the hand scanner's
+    * gpt2Ws mode is pinned to the published GPT-2 regex semantics.
+    */
+  private def refGpt2Pretokens(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(Bpe.Gpt2WsPretokenRegex)
+      .matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** The oracle's lookahead-FREE two-pass rewrite, in Java regex (the
+    * exact transformation gpt2WsPretokSql inlines into DuckDB):
+    * boundary insertion between the last two whitespace chars of every
+    * >=2 run before a word, split, per-segment extraction with the
+    * plain [[Bpe.Gpt2WsSegmentRegex]]. Pinned equal to the lookahead
+    * pattern below, so the SQL replay's math is proven independently
+    * of DuckDB's execution of it (which the text_bpe_gpt2ws oracle
+    * row then pins cross-engine).
+    */
+  private def twoPassGpt2Pretokens(text: String): Seq[String] = {
+    val boundary = java.util.regex.Pattern.compile("(\\s)(\\s\\S)")
+      .matcher(text).replaceAll("$1\u001F$2")
+    val seg = java.util.regex.Pattern.compile(Bpe.Gpt2WsSegmentRegex)
+    // -1: keep trailing empty segments out (none are produced — the
+    // boundary never lands at the ends), match String.split semantics
+    boundary.split("\u001F", -1).toSeq.flatMap { s =>
+      val m = seg.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out
+    }
+  }
+
+  test("gpt2Ws pretokens: hand scanner equals the compiled lookahead " +
+      "regex AND the two-pass rewrite on every edge shape; " +
+      "multi-space / indentation fixtures match the published GPT-2 " +
+      "segmentation; concatenation stays exact") {
+    val cases = Seq(
+      "", " ", "   ", "a", " a", "a ", "  a  b  ", "low low\tlow",
+      "tab\tmix \n newline\r\n crlf", "trail   \t ",
+      "vertical tab", "数据 数据", "x", "一 二\t三\n",
+      "no_ws_at_all", " \t\n\f\r mixed-run word", "a b", "a  b",
+      "a   b", "a    b", "don't  stop", "x \n b", "a \n\n b",
+      "\t\ta", "\ta", " \t a", "a \t", "  \t", "    indent(x)",
+      "def f():\n    return 1", "x   'll", "  'quoted'  ",
+      "don't", "end. Next", "DON'T", "that 's odd", "I'll we've you're",
+      "he'd I'm it's", "x42y 3.14", "'", "a'", "'lx", "''quoted''",
+      "price: $5.99!", "emoji 😀 here", "𐌰word",
+      "e2.5e-3", "tail'", "'re", "a-b_c", "½¾ Ⅻ", "॥अनुच्छेद॥")
+    cases.foreach { s =>
+      val scanned = BpeKernel.pretokens(s, gpt2Ws = true).toSeq
+      assert(scanned == refGpt2Pretokens(s),
+        s"gpt2 scanner != lookahead regex on " +
+          s.map(_.toInt).mkString("[", ",", "]") + s": $scanned")
+      assert(scanned == twoPassGpt2Pretokens(s),
+        s"two-pass rewrite != lookahead regex on " +
+          s.map(_.toInt).mkString("[", ",", "]"))
+      assert(scanned.mkString == s,
+        "gpt2 pretokens must concatenate back to the source")
+      assert(scanned.forall(_.nonEmpty))
+    }
+    // the published GPT-2 whitespace semantics, pinned by value: ONE
+    // optional space folds (` ?<run>`), `\s+(?!\S)` claims the run
+    // minus its last char before a word, a non-space last ws char
+    // stands alone, a trailing run stands whole
+    assert(BpeKernel.pretokens("a   b", gpt2Ws = true).toSeq ==
+      Seq("a", "  ", " b"))
+    assert(BpeKernel.pretokens("    indent(x)", gpt2Ws = true).toSeq ==
+      Seq("   ", " indent", "(", "x", ")"))
+    assert(BpeKernel.pretokens("def f():\n    return 1",
+        gpt2Ws = true).toSeq ==
+      Seq("def", " f", "():", "\n   ", " return", " 1"))
+    assert(BpeKernel.pretokens("tab\tsep", gpt2Ws = true).toSeq ==
+      Seq("tab", "\t", "sep"))
+    assert(BpeKernel.pretokens("trail  ", gpt2Ws = true).toSeq ==
+      Seq("trail", "  "))
+    assert(BpeKernel.pretokens("x   'll", gpt2Ws = true).toSeq ==
+      Seq("x", "  ", " '", "ll"),
+      "a space-folded punct run consumes the apostrophe - the " +
+        "contraction only wins at a fresh match position")
+    assert(BpeKernel.pretokens("don't  stop", gpt2Ws = true).toSeq ==
+      Seq("don", "'t", " ", " stop"))
+    // the DEFAULT mode is unchanged: whole-run fold (the engine's
+    // documented variant) — the same inputs segment differently
+    assert(BpeKernel.pretokens("a   b").toSeq == Seq("a", "   b"))
+    assert(BpeKernel.pretokens("    indent(x)").toSeq ==
+      Seq("    indent", "(", "x", ")"))
+  }
+
+  test("gpt2Ws fuzz: 3000 seeded random strings — scanner equals the " +
+      "compiled lookahead regex equals the two-pass rewrite; " +
+      "round-trip ids stay byte-exact; counts equal id lengths") {
+    val alphabet: Array[String] = Array(
+      " ", " ", " ", "\t", "\n", "a", "b", "e", "l", "r", "s", "t", "v",
+      "A", "Z", "é", "中", "𐌰", "0", "7",
+      "٣", "Ⅻ", "½", "'", "'", ".", "!",
+      "%", "+", "_", "😀")
+    val rnd = new java.util.Random(20260817L)
+    val merges = Bpe.frozenMerges
+    val ma = merges.map(_._1).toArray
+    val mb = merges.map(_._2).toArray
+    val idMap = graft.functions.bpe.mergeIdMap(merges)
+    val unk = graft.functions.bpe.unkId(merges)
+    val toks = graft.functions.bpe.decodeTokTable(merges)
+    (1 to 3000).foreach { i =>
+      val len = rnd.nextInt(31)
+      val s = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      val scanned = BpeKernel.pretokens(s, gpt2Ws = true).toSeq
+      assert(scanned == refGpt2Pretokens(s),
+        s"fuzz #$i gpt2 scanner != regex on " +
+          s.map(_.toInt).mkString("[", ",", "]"))
+      assert(scanned == twoPassGpt2Pretokens(s),
+        s"fuzz #$i two-pass != regex on " +
+          s.map(_.toInt).mkString("[", ",", "]"))
+      assert(scanned.mkString == s, s"fuzz #$i lost characters")
+      // round-trip byte-exactness and count == ids.length under the
+      // gpt2 mode (both modes partition the source, so decode∘encode
+      // must stay the identity)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val ids = BpeKernel.encodeIds(u, ma, mb, idMap, unk, gpt2Ws = true)
+      assert(ids.numElements().toLong ==
+        BpeKernel.tokenCount(u, ma, mb, gpt2Ws = true),
+        s"fuzz #$i count != ids length")
+      val back = BpeKernel.decodeIds(ids, toks)
+      assert(back != null && back.toString == s,
+        s"fuzz #$i gpt2 round-trip drifted on " +
+          s.map(_.toInt).mkString("[", ",", "]"))
+    }
+  }
+
   test("pretokens fuzz: 3000 seeded random strings over a mixed " +
       "alphabet (ws/letters/digits/punct/apostrophes/surrogates) — " +
       "scanner equals the compiled regex, concatenation exact") {
