@@ -66,6 +66,20 @@ object Bench {
   def timeQuery(name: String, fn: (SparkSession, String) => DataFrame,
                 sfDir: String, spark: SparkSession,
                 full: Boolean = true): Option[Double] = {
+    val warmups = if (full) 2 else 1
+    val runs = if (full) 3 else 2
+    timeRuns(name, fn, sfDir, spark, warmups, runs).map { times =>
+      if (full) times.sorted.apply(runs / 2) else times.min
+    }
+  }
+
+  /** The raw timed-run vector behind [[timeQuery]] — the calibration
+    * mode reads it directly so one batched session can report BOTH
+    * statistics (min-of-2 and median-of-3) side by side.
+    */
+  def timeRuns(name: String, fn: (SparkSession, String) => DataFrame,
+               sfDir: String, spark: SparkSession,
+               warmups: Int, runs: Int): Option[Seq[Double]] = {
     var failed = false
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -86,17 +100,13 @@ object Bench {
       clearLeftovers(spark)
       t
     }
-    val warmups = if (full) 2 else 1
-    val runs = if (full) 3 else 2
     val warm = (1 to warmups).map(_ => once())
     if (failed) return None // don't burn timed runs on a broken query
     val times = (1 to runs).map(_ => once())
     Console.err.println(
       f"bench $name warm=${warm.map(t => f"$t%.3f").mkString(",")} " +
         f"runs=${times.map(t => f"$t%.3f").mkString(",")}")
-    if (failed) None
-    else if (full) Some(times.sorted.apply(runs / 2))
-    else Some(times.min)
+    if (failed) None else Some(times)
   }
 
   /** Parent side: measure queries in a freshly forked JVM under the
@@ -108,7 +118,15 @@ object Bench {
     * the result failed (or the child died before reaching it).
     */
   def forkBatch(names: Seq[String], sfDir: String, cpus: String,
-                full: Boolean): Map[String, Double] = {
+                full: Boolean): Map[String, Double] =
+    forkBatchMode(names, sfDir, cpus, if (full) "full" else "fast")._1
+
+  /** [[forkBatch]] with the child mode explicit; the second map is the
+    * calibration statistic (median-of-3), non-empty only in "calib"
+    * mode. */
+  def forkBatchMode(names: Seq[String], sfDir: String, cpus: String,
+                    mode: String)
+      : (Map[String, Double], Map[String, Double]) = {
     import scala.sys.process._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     def conflicts(a: String): Boolean =
@@ -134,7 +152,6 @@ object Bench {
       }
       buf.toSeq
     }
-    val mode = if (full) "full" else "fast"
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
         "graft.Bench", "--child", sfDir, cpus, mode, names.mkString(","))
@@ -142,7 +159,8 @@ object Bench {
     val code = Process(cmd).!(ProcessLogger(out += _, Console.err.println))
     if (code != 0)
       Console.err.println(s"bench child [${names.mkString(",")}] exit $code")
-    out.collect { case ChildResult(n, t) => n -> t.toDouble }.toMap
+    (out.collect { case ChildResult(n, t) => n -> t.toDouble }.toMap,
+      out.collect { case ChildCalib(n, t) => n -> t.toDouble }.toMap)
   }
 
   /** Single-query full-methodology fork — the round-7..15 shape, kept
@@ -152,15 +170,26 @@ object Bench {
     forkBatch(Seq(name), sfDir, cpus, full = true).get(name)
 
   private val ChildResult = """CHILD_RESULT (\S+) ([0-9.]+)""".r
+  private val ChildCalib = """CHILD_CALIB (\S+) ([0-9.]+)""".r
 
   private def childMain(sfDir: String, cpus: String, mode: String,
                         names: Seq[String]): Unit = {
-    val full = mode == "full"
     val spark = newSession(cpus)
     try names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
-      timeQuery(name, fn, sfDir, spark, full) match {
+      if (mode == "calib")
+        // calibration shape (VERDICT r16 #4): batched like the fast
+        // path (1 warmup) but THREE timed runs, reporting BOTH the
+        // shipping statistic (min of the first two — exactly what the
+        // fast path would have seen) and the median of all three
+        timeRuns(name, fn, sfDir, spark, warmups = 1, runs = 3) match {
+          case Some(ts) =>
+            println(f"CHILD_RESULT $name ${ts.take(2).min}%.6f")
+            println(f"CHILD_CALIB $name ${ts.sorted.apply(1)}%.6f")
+          case None => println(s"CHILD_FAILED $name")
+        }
+      else timeQuery(name, fn, sfDir, spark, mode == "full") match {
         case Some(t) => println(f"CHILD_RESULT $name $t%.6f")
         case None    => println(s"CHILD_FAILED $name")
       }
@@ -171,7 +200,7 @@ object Bench {
     * only to sort queries into the cheap-batched vs heavy-solo paths.
     * Absent/unreadable prior (or a query new this round) => solo.
     */
-  private def loadPriors(path: String): Map[String, Double] =
+  private[graft] def loadPriors(path: String): Map[String, Double] =
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),

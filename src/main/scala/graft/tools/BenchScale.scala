@@ -112,7 +112,12 @@ object BenchScale {
     // truth across three bandings, quadratic work scale-invariant, so
     // the tuning curve's 100x cell records where the full sweep's
     // closed-vocabulary storm regime is unrecordable (ratio100 1.19)
-    "dedup_recall_sweep_abs")
+    "dedup_recall_sweep_abs",
+    // round 17: the GPT-2-exact whitespace mode (E12e) — text_bpe's
+    // in-plan train shape over the ws-injected slice; the vocab pass
+    // is corpus-linear and the merge loop driver-bounded, so the row
+    // must scale like text_bpe
+    "text_bpe_gpt2ws")
   // dedup_recall_sweep stays out of the 100x set for dedup_recall's
   // reason (the sweep SHARES one exact truth across band settings —
   // the closed-vocabulary storm regime at 100x); its 10x cells below

@@ -4,7 +4,17 @@ committed per-query medians, and emit the raw-run audit artifact.
 
 Usage:
   python3 tools/fold_bench.py --out bench_out.json \
-      --runs-out BENCH_r14_runs.json runA.json runB.json [rerec.json ...]
+      --runs-out BENCH_r14_runs.json [--prior prior_bench_out.json] \
+      [--calibration bench_calib.json] runA.json runB.json [rerec.json ...]
+
+--prior enables the CROSS-ROUND quiet-box rule (VERDICT r16 Next #1):
+every query whose folded median moved >= 1.25x in either direction vs
+the prior round's committed median is listed in the runs-out artifact
+under "cross_round_movers" and printed, so movers on UNTOUCHED
+operators get isolated re-record sessions before the fold is final
+(re-run this script with the iso inputs appended until the list holds
+only rows whose code actually changed, or rows reconciled by the iso
+samples). --calibration embeds a tools/BenchCalib table verbatim.
 
 Every input is a graft.Bench output line ({"queries": {name: sec}, ...}).
 Full runs and isolated re-records are treated identically: a query's
@@ -29,6 +39,11 @@ def main():
         i = argv.index("--out"); out = argv[i + 1]; del argv[i:i + 2]
     if "--runs-out" in argv:
         i = argv.index("--runs-out"); runs_out = argv[i + 1]; del argv[i:i + 2]
+    prior = calib = None
+    if "--prior" in argv:
+        i = argv.index("--prior"); prior = argv[i + 1]; del argv[i:i + 2]
+    if "--calibration" in argv:
+        i = argv.index("--calibration"); calib = argv[i + 1]; del argv[i:i + 2]
     if not argv or not out:
         sys.exit("usage: fold_bench.py --out <medians.json> "
                  "[--runs-out <raw.json>] run1.json run2.json ...")
@@ -43,6 +58,26 @@ def main():
         failed.update(r.get("failed", []))
     medians = {n: statistics.median(v) for n, v in sorted(samples.items())}
     total = sum(medians.values())
+    movers = {}
+    if prior:
+        with open(prior) as fh:
+            prev = json.load(fh).get("queries", {})
+        for n, m in medians.items():
+            p = prev.get(n)
+            if p and p > 0 and max(m / p, p / m) >= 1.25:
+                movers[n] = {"prior": p, "folded": round(m, 6),
+                             "ratio": round(m / p, 4),
+                             "n_samples": len(samples[n])}
+        if movers:
+            print(f"cross-round movers >=1.25x vs {prior} "
+                  f"({len(movers)}):")
+            for n, v in sorted(movers.items(),
+                               key=lambda kv: -max(kv[1]["ratio"],
+                                                   1 / kv[1]["ratio"])):
+                print(f"  {n}: {v['prior']:.3f}s -> {v['folded']:.3f}s "
+                      f"(x{v['ratio']:.2f}, {v['n_samples']} samples)")
+        else:
+            print(f"cross-round check vs {prior}: no movers >=1.25x")
     base = runs[0][1]
     folded = {
         "metric": "total", "value": total, "unit": "sec",
@@ -63,6 +98,14 @@ def main():
                 "inputs": [f for f, _ in runs],
                 "samples": {n: v for n, v in sorted(samples.items())},
                 "medians": medians,
+                "cross_round_rule": "any query whose folded median "
+                    "moved >=1.25x vs the prior round's committed "
+                    "median gets an isolated re-record session "
+                    "(movers listed below reflect the FINAL fold, "
+                    "iso inputs included)",
+                "cross_round_prior": prior,
+                "cross_round_movers": movers,
+                "calibration": (json.load(open(calib)) if calib else None),
             }, fh, indent=1, sort_keys=True)
             fh.write("\n")
     print(f"folded {len(runs)} inputs -> {out} "
