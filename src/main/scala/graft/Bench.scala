@@ -33,6 +33,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  /** The cheap/heavy split (prior median under this many seconds runs
+    * batched) and the batch size — ONE definition shared with
+    * [[tools.BenchCalib]], so the calibration can never quietly
+    * measure a different query population / batching than the
+    * shipping fast path. */
+  private[graft] val CheapPriorSec = 1.5
+  private[graft] val CheapBatch = 8
+
   /** Fresh local session. Callers own the stop(). */
   def newSession(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
@@ -174,6 +182,10 @@ object Bench {
 
   private def childMain(sfDir: String, cpus: String, mode: String,
                         names: Seq[String]): Unit = {
+    // an unrecognized mode must die loudly, not silently run the fast
+    // methodology under a full-methodology caller's assumptions
+    require(Set("full", "fast", "calib")(mode),
+      s"unknown child mode '$mode' - want full|fast|calib")
     val spark = newSession(cpus)
     try names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
@@ -223,7 +235,8 @@ object Bench {
       // not an ArrayIndexOutOfBoundsException (the parent always
       // passes all five)
       require(args.length >= 5, "usage: --child <sfDir> <cpus> " +
-        s"<outPath> <name[,name...]> - got ${args.length - 1} operands")
+        s"<full|fast|calib> <name[,name...]> - got ${args.length - 1} " +
+        "operands")
       return childMain(args(1), args(2), args(3),
         args(4).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
@@ -239,7 +252,7 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val (cheap, heavy) = selected.partition(n =>
-      priors.get(n).exists(_ < 1.5))
+      priors.get(n).exists(_ < CheapPriorSec))
     val planned = cheap.size + heavy.size
 
     val methodology =
@@ -293,7 +306,7 @@ object Bench {
       missing
     }
     // Cheap batches first: max inventory coverage if the clock runs out.
-    val retry = cheap.grouped(8).toSeq.flatMap { batch =>
+    val retry = cheap.grouped(CheapBatch).toSeq.flatMap { batch =>
       record(batch, forkBatch(batch, sfDir, cpus, full = false))
     }
     // A name missing from its batch's output either failed or was

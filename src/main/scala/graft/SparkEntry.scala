@@ -654,19 +654,16 @@ object SparkEntry {
 
   /** [[bpeTokCtes]] over an arbitrary docs CTE/table `src` — the
     * non-ASCII coverage rows replay token counts over the derived
-    * multilingual slice — with the pretokenizer pluggable: `pretok`
-    * is a SQL LIST expression over `text` (default = the shared
-    * whole-run-fold pattern; the gpt2Ws row passes
-    * [[gpt2WsPretokSql]]'s two-pass rewrite). */
-  private def bpeTokCtes(src: String): String =
-    bpeTokCtes(src, s"regexp_extract_all(text, '$pretokRegexSql')")
-
-  private def bpeTokCtes(src: String, pretok: String): String = {
+    * multilingual slice. (The gpt2Ws whitespace-mode row does NOT go
+    * through here: it is a TRAINING replay, so its pluggable
+    * pretokenizer seam is [[bpeTrainOracleSql]]'s `pretok` overload.)
+    */
+  private def bpeTokCtes(src: String): String = {
     val mergeVals = frozenMergeSqlValues
     val nm = graft.operators.Bpe.frozenMerges.length
     s"""bmg(m, a, b) AS (VALUES $mergeVals),
       |bdw AS (SELECT doc_id,
-      |    unnest($pretok) AS w
+      |    unnest(regexp_extract_all(text, '$pretokRegexSql')) AS w
       |  FROM $src),
       |bdist AS (SELECT DISTINCT w FROM bdw WHERE strlen(w) > 1),
       |binit AS (SELECT w, chr(31) ||

@@ -561,6 +561,17 @@ private[graft] object StoreMaintenance {
     }
     val (carried, toCopy) = files.partition { case (rel, n, mt) =>
       baseBy.get(rel).exists(r => r.bytes == n && r.mtime.contains(mt)) }
+    // a PRE-mtime base manifest can never satisfy the carry identity,
+    // so the "incremental" degrades to a full copy — correct but
+    // expensive; say so loudly instead of silently paying the full
+    // transfer the feature exists to avoid (take one fresh full
+    // snapshot, then chain on it)
+    if (baseBy.nonEmpty && carried.isEmpty &&
+        baseBy.values.forall(_.mtime.isEmpty))
+      Console.err.println(s"backupStore: base ${base.get} has a " +
+        "legacy manifest without mtime_ms - nothing can carry and " +
+        "this snapshot copies the FULL store; re-base on a snapshot " +
+        "taken under the current format")
     val srcOf = toCopy.map { case (rel, _, _) =>
       rel -> new Path(qs, rel).toString }.toMap
     val sums = copyFilesChecksummed(spark,
@@ -926,10 +937,14 @@ private[graft] object StoreMaintenance {
       s"olderThanMs must be >= 0, got $a"))
     val nowMs = System.currentTimeMillis()
     val snaps = snapshotDirs(spark, new Path(parentDir)) // newest first
-    val green = snaps.map { case (p, _) =>
+    // ONE verify pass per snapshot serves both the green map and the
+    // chain-holder refs below (VerifyOutcome carries the parsed
+    // manifest precisely so a sweep never pays a second read)
+    val outcomes: Map[Path, VerifyOutcome] = snaps.map { case (p, _) =>
       p -> verifyStoreBackupRows(spark, p.toString, deep = false)
-        .report.forall(_._2)
     }.toMap
+    val green = outcomes.map { case (p, v) =>
+      p -> v.report.forall(_._2) }
     // age guard: a snapshot younger than the cutoff joins the
     // retained set outright — the downstream last-green/chain-holder
     // logic then treats it exactly like a keep-count survivor
@@ -951,10 +966,10 @@ private[graft] object StoreMaintenance {
     // incremental chained on it. Refs are flattened-physical at
     // backup time, but iterate to fixpoint anyway (defense against a
     // hand-built chained manifest).
-    val baseRefs: Map[Path, Set[String]] = snaps.map { case (p, _) =>
-      p -> readManifest(spark, p.toString).toOption
+    val baseRefs: Map[Path, Set[String]] = outcomes.map { case (p, v) =>
+      p -> v.manifest.toOption
         .map(_.flatMap(_.src).toSet).getOrElse(Set.empty[String])
-    }.toMap
+    }
     val qualifiedOf: Map[Path, String] = snaps.map { case (p, _) =>
       p -> fs.makeQualified(p).toString }.toMap
     var kept = retained ++ extraGreen

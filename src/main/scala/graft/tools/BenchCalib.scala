@@ -41,7 +41,7 @@ object BenchCalib {
     val priors = Bench.loadPriors(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_out.json"))
     val cheap = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => priors.get(n).exists(_ < 1.5))
+      .filter(n => priors.get(n).exists(_ < Bench.CheapPriorSec))
     require(cheap.nonEmpty, "no cheap rows under the prior artifact - " +
       "set SPARK_GRAFT_BENCH_PRIOR to a committed bench_out.json")
     // deterministic ~10-row solo sample spanning the cheap duration
@@ -56,7 +56,7 @@ object BenchCalib {
 
     val min2 = scala.collection.mutable.Map[String, Double]()
     val med3 = scala.collection.mutable.Map[String, Double]()
-    cheap.grouped(8).foreach { batch =>
+    cheap.grouped(Bench.CheapBatch).foreach { batch =>
       val (m2, m3) = Bench.forkBatchMode(batch, sfDir, cpus, "calib")
       min2 ++= m2; med3 ++= m3
       Console.err.println(s"calib batch done: ${batch.mkString(",")}")
@@ -68,11 +68,14 @@ object BenchCalib {
       Console.err.println(s"calib solo done: $n")
     }
 
-    def ratios(pairs: Seq[(Double, Double)]): (Double, Double) =
-      if (pairs.isEmpty) (Double.NaN, Double.NaN)
+    // an empty pair set (every sample row failed) must emit JSON null,
+    // never a bare NaN — `%.4f` on NaN would render invalid JSON and
+    // block the whole fold step downstream
+    def ratios(pairs: Seq[(Double, Double)]): (String, String) =
+      if (pairs.isEmpty) ("null", "null")
       else {
         val rs = pairs.map { case (a, b) => a / b }.sorted
-        (rs(rs.size / 2), rs.last)
+        (f"${rs(rs.size / 2)}%.4f", f"${rs.last}%.4f")
       }
     val both = cheap.filter(n => min2.contains(n) && med3.contains(n))
     val (mmMed, mmMax) = ratios(both.map(n => (min2(n), med3(n))))
@@ -86,11 +89,11 @@ object BenchCalib {
       f""""$n":{"min2":${min2(n)}%.6f,"med3":${med3(n)}%.6f$soloPart}"""
     }.mkString("{", ",", "}")
     val json =
-      f"""{"protocol":"calib batched 8/JVM, 1 warmup, 3 timed runs: min2 = shipping fast-path statistic (min of first 2), med3 = median of 3; solo = per-query fork, 2 warmups, median of 3 (round-7..15 methodology)",""" +
-        f""""sf":"$sfDir","rows":$rows,""" +
-        f""""min2_over_med3_median":$mmMed%.4f,"min2_over_med3_max":$mmMax%.4f,""" +
-        f""""min2_over_solo_median":$bsMed%.4f,"min2_over_solo_max":$bsMax%.4f,""" +
-        f""""solo_sample":${soloSample.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"protocol":"calib batched 8/JVM, 1 warmup, 3 timed runs: min2 = shipping fast-path statistic (min of first 2), med3 = median of 3; solo = per-query fork, 2 warmups, median of 3 (round-7..15 methodology)",""" +
+        s""""sf":"$sfDir","rows":$rows,""" +
+        s""""min2_over_med3_median":$mmMed,"min2_over_med3_max":$mmMax,""" +
+        s""""min2_over_solo_median":$bsMed,"min2_over_solo_max":$bsMax,""" +
+        s""""solo_sample":${soloSample.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val pw = new PrintWriter(new File(outPath))
     try pw.println(json) finally pw.close()
     println(json)
