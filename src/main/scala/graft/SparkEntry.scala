@@ -3412,13 +3412,26 @@ object SparkEntry {
     // multi-space/indented slice (same derivation as the engine side)
     // learns ("20","20")-class merges, so a whitespace-mode drift on
     // either side changes the learned list and hash-mismatches
+    // The corpus guard (`error(...)` on any [\x00-\x1f] doc) makes the
+    // rewrite's soundness precondition CHECKED, not a comment: the
+    // two-pass boundary insertion uses chr(31) as its separator and
+    // Java-\s/RE2-\s diverge on \x0B, so a future fixture change that
+    // introduces control chars must fail with this message instead of
+    // a confusing parity mismatch (ADVICE r17).
     "text_bpe_gpt2ws" ->
       bpeTrainOracleSql("gdocs",
         s"""wsdocs AS (SELECT doc_id + 20000000 AS doc_id,
           |    '    ' || replace(text, ' ', '   ') || '  ' AS text
           |  FROM documents WHERE doc_id % 7 = 0),
-          |gdocs AS (SELECT doc_id, text FROM documents
-          |  UNION ALL SELECT doc_id, text FROM wsdocs),""".stripMargin,
+          |gdocs0 AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id, text FROM wsdocs),
+          |gdocs AS (SELECT doc_id,
+          |    CASE WHEN regexp_matches(text, '[\\x00-\\x1f]')
+          |      THEN error('text_bpe_gpt2ws oracle: control char in ' ||
+          |        'corpus - the lookahead-free rewrite is only sound ' ||
+          |        'on control-free text')
+          |      ELSE text END AS text
+          |  FROM gdocs0),""".stripMargin,
         gpt2WsPretokSql),
     // E12 encode-to-ids: the same recursive-CTE segmentation replay,
     // extended with the stable-vocab symbol→id CASE (ASCII base =

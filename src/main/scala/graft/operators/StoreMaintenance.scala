@@ -516,10 +516,19 @@ private[graft] object StoreMaintenance {
     * snapshots is pure-file-add (appends create new files;
     * compaction/repair publish under NEW names and delete old ones —
     * files never mutate in place), so same-name+same-size implies
-    * identical bytes; the mtime equality is the free cross-check that
-    * catches an in-place same-size rewrite anyway (it re-copies
-    * rather than silently carrying stale bytes). A name that shrank/
-    * grew re-copies. The base must live under the DESTINATION'S
+    * identical bytes; the mtime equality is a BEST-EFFORT extra
+    * defense that catches an in-place same-size rewrite anyway (it
+    * re-copies rather than silently carrying stale bytes) — best-
+    * effort because a filesystem with coarse mtime granularity (1 s
+    * on some local/object-store FS) cannot distinguish a rewrite
+    * landing inside the granularity window; soundness still rests on
+    * the pure-file-add contract, not on the mtime. Callers that
+    * cannot assume that contract pass `verifyCarryCrc = true`: every
+    * carry candidate's LIVE bytes are then re-hashed (a read, but no
+    * copy/transfer — rsync's checksum mode) and compared to the base
+    * row's CRC32C; a mismatch, an unreadable file, or a base row
+    * without a CRC demotes the candidate to a re-copy. A name that
+    * shrank/grew re-copies. The base must live under the DESTINATION'S
     * parent directory: [[pruneStoreBackups]]'s never-delete-a-
     * referenced-base guard scans one parent dir, so a base elsewhere
     * would sit outside the guard and could be pruned out from under
@@ -531,7 +540,8 @@ private[graft] object StoreMaintenance {
     * a snapshot that retained snapshots still reference.
     */
   def backupStore(spark: SparkSession, srcDir: String, dstDir: String,
-                  base: Option[String] = None): Long = {
+                  base: Option[String] = None,
+                  verifyCarryCrc: Boolean = false): Long = {
     import spark.implicits._
     val files = backupAdmission(spark, srcDir, dstDir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -559,8 +569,32 @@ private[graft] object StoreMaintenance {
         m.toOption.get.map(r =>
           r.rel -> r.copy(src = Some(r.src.getOrElse(qb.toString)))).toMap
     }
-    val (carried, toCopy) = files.partition { case (rel, n, mt) =>
+    val (carryCand, toCopy0) = files.partition { case (rel, n, mt) =>
       baseBy.get(rel).exists(r => r.bytes == n && r.mtime.contains(mt)) }
+    // verifyCarryCrc: re-hash each candidate's LIVE bytes against the
+    // base CRC — the rsync-checksum posture for stores whose pure-
+    // file-add contract the caller does not trust. Demotions re-copy
+    // (and re-manifest with their fresh CRC/mtime) instead of carrying.
+    val (carried, demoted) =
+      if (!verifyCarryCrc || carryCand.isEmpty) (carryCand, Nil)
+      else {
+        val liveOf = carryCand.map { case (rel, _, _) =>
+          rel -> new Path(qs, rel).toString }.toMap
+        val sums = checksumFiles(spark,
+          carryCand.map { case (rel, _, _) => liveOf(rel) })
+        carryCand.partition { case (rel, _, _) =>
+          val b = baseBy(rel)
+          b.crc.isDefined &&
+            sums.get(liveOf(rel)).flatten == b.crc
+        }
+      }
+    if (demoted.nonEmpty)
+      Console.err.println(s"backupStore: verifyCarryCrc demoted " +
+        s"${demoted.size} carry candidate(s) to re-copies (live bytes " +
+        "no longer match the base CRC32C despite identical " +
+        "(rel_path, bytes, mtime) - in-place rewrite inside the mtime " +
+        s"granularity window): ${demoted.take(3).map(_._1).mkString(", ")}")
+    val toCopy = toCopy0 ++ demoted
     // a PRE-mtime base manifest can never satisfy the carry identity,
     // so the "incremental" degrades to a full copy — correct but
     // expensive; say so loudly instead of silently paying the full

@@ -70,18 +70,23 @@ object BenchCalib {
 
     // an empty pair set (every sample row failed) must emit JSON null,
     // never a bare NaN — `%.4f` on NaN would render invalid JSON and
-    // block the whole fold step downstream
-    def ratios(pairs: Seq[(Double, Double)]): (String, String) =
-      if (pairs.isEmpty) ("null", "null")
+    // block the whole fold step downstream. (median, min, max): for
+    // min2/med3 the ratio is <= 1 BY CONSTRUCTION (min of 2 <= median
+    // of the same 3), so the worst-case fast bias of the shipping
+    // statistic is the MIN, not the max — the max is pinned at 1.0 and
+    // reading it as "bias zero" misreads the table (ADVICE r17).
+    def ratios(pairs: Seq[(Double, Double)])
+        : (String, String, String) =
+      if (pairs.isEmpty) ("null", "null", "null")
       else {
         val rs = pairs.map { case (a, b) => a / b }.sorted
-        (f"${rs(rs.size / 2)}%.4f", f"${rs.last}%.4f")
+        (f"${rs(rs.size / 2)}%.4f", f"${rs.head}%.4f", f"${rs.last}%.4f")
       }
     val both = cheap.filter(n => min2.contains(n) && med3.contains(n))
-    val (mmMed, mmMax) = ratios(both.map(n => (min2(n), med3(n))))
+    val (mmMed, mmMin, mmMax) = ratios(both.map(n => (min2(n), med3(n))))
     val soloBoth = soloSample.filter(n =>
       min2.contains(n) && solo.contains(n))
-    val (bsMed, bsMax) = ratios(soloBoth.map(n => (min2(n), solo(n))))
+    val (bsMed, bsMin, bsMax) = ratios(soloBoth.map(n => (min2(n), solo(n))))
 
     val rows = cheap.filter(min2.contains).map { n =>
       val soloPart = solo.get(n)
@@ -91,8 +96,13 @@ object BenchCalib {
     val json =
       s"""{"protocol":"calib batched 8/JVM, 1 warmup, 3 timed runs: min2 = shipping fast-path statistic (min of first 2), med3 = median of 3; solo = per-query fork, 2 warmups, median of 3 (round-7..15 methodology)",""" +
         s""""sf":"$sfDir","rows":$rows,""" +
-        s""""min2_over_med3_median":$mmMed,"min2_over_med3_max":$mmMax,""" +
-        s""""min2_over_solo_median":$bsMed,"min2_over_solo_max":$bsMax,""" +
+        // min2_over_med3_min is THE headline bias stat: min2 <= med3 by
+        // construction, so the max is always 1.0 and only the min (the
+        // worst fast-bias row) carries information
+        s""""min2_over_med3_median":$mmMed,"min2_over_med3_min":$mmMin,""" +
+        s""""min2_over_med3_max":$mmMax,""" +
+        s""""min2_over_solo_median":$bsMed,"min2_over_solo_min":$bsMin,""" +
+        s""""min2_over_solo_max":$bsMax,""" +
         s""""solo_sample":${soloSample.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val pw = new PrintWriter(new File(outPath))
     try pw.println(json) finally pw.close()

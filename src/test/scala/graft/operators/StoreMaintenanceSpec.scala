@@ -584,6 +584,56 @@ class StoreMaintenanceSpec extends SparkSpec {
       "restore must carry the rewrite, not the stale base bytes")
   }
 
+  test("verifyCarryCrc: an in-place rewrite hidden INSIDE the mtime " +
+      "granularity window (same name, size, and stamp) carries stale " +
+      "bytes by default — the documented best-effort gap — and is " +
+      "demoted to a re-copy under the CRC cross-check") {
+    val store = java.nio.file.Files.createTempDirectory("bk_crc").toString
+    def put(name: String, payload: String): Unit = {
+      val out = fs(store).create(new Path(store, name), true)
+      out.write(payload.getBytes("UTF-8")); out.close()
+    }
+    put("stable.bin", "payload-A-0123456789")
+    put("mutant.bin", "payload-B-0123456789")
+    val parent = java.nio.file.Files.createTempDirectory("bk_crc_p")
+      .toString
+    StoreMaintenance.backupStore(spark, store, s"$parent/c1")
+    // the worst case a coarse-mtime FS can produce: rewrite the file
+    // and PIN its stamp back to the base's recorded value, so the
+    // (rel_path, bytes, mtime) identity matches despite new bytes
+    val baseMt = spark.read.parquet(s"$parent/c1/_backup_manifest")
+      .collect().map(r => r.getAs[String]("rel_path") ->
+        r.getAs[Long]("mtime_ms")).toMap
+    put("mutant.bin", "payload-C-9876543210")
+    fs(store).setTimes(new Path(store, "mutant.bin"),
+      baseMt("mutant.bin"), -1)
+    // default: identity matches, the rewrite carries STALE bytes —
+    // exactly the gap the scaladoc documents (soundness rests on the
+    // pure-file-add contract, mtime is best-effort)
+    val carried = StoreMaintenance.backupStore(spark, store,
+      s"$parent/c2", base = Some(s"$parent/c1"))
+    assert(carried == 0L,
+      s"pinned-mtime rewrite must carry under the default: $carried")
+    // verifyCarryCrc: the live re-hash catches it and re-copies
+    val recopied = StoreMaintenance.backupStore(spark, store,
+      s"$parent/c3", base = Some(s"$parent/c1"), verifyCarryCrc = true)
+    assert(recopied == 1L,
+      s"CRC cross-check must demote exactly the rewrite: $recopied")
+    val m3 = spark.read.parquet(s"$parent/c3/_backup_manifest")
+      .collect().map(r => r.getAs[String]("rel_path") ->
+        (r.getAs[String]("src") == null)).toMap
+    assert(m3("mutant.bin") && !m3("stable.bin"),
+      s"mutant stored physically, stable still carries: $m3")
+    // and the demoted copy serves the REWRITTEN bytes on restore
+    val restored = java.nio.file.Files.createTempDirectory("bk_crc_r")
+      .toString + "/store"
+    StoreMaintenance.restoreStore(spark, s"$parent/c3", restored)
+    val in = fs(restored).open(new Path(restored, "mutant.bin"))
+    val buf = new Array[Byte](64)
+    val k = in.read(buf); in.close()
+    assert(new String(buf, 0, k, "UTF-8") == "payload-C-9876543210")
+  }
+
   test("incremental base must share the destination's parent dir — " +
       "a base elsewhere sits outside prune's chain-holder guard and " +
       "refuses up front") {
