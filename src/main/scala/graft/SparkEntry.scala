@@ -282,7 +282,15 @@ object SparkEntry {
     // ---- F. multimodal --------------------------------------------------
     "mm_manifest" -> ((s, d) => Pipeline.mmManifest(t(s, d, "documents"))),
     "mm_dedup" -> ((s, d) => Pipeline.mmDedup(t(s, d, "documents"))),
-    "mm_phash" -> ((s, d) => Pipeline.mmPhash(t(s, d, "documents")))
+    "mm_phash" -> ((s, d) => Pipeline.mmPhash(t(s, d, "documents"))),
+    // F2 REAL decode rows: in-plan closed-form PNG/WAV containers →
+    // the production ImageIO / AudioSystem decode path → features the
+    // oracle replays codec-free from the closed form
+    "mm_decode" -> ((s, d) => Pipeline.mmDecode(t(s, d, "documents"))),
+    "mm_decode_audio" ->
+      ((s, d) => Pipeline.mmDecodeAudio(t(s, d, "documents"))),
+    "mm_phash_image" ->
+      ((s, d) => Pipeline.mmPhashImage(t(s, d, "documents")))
   )
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
@@ -3573,6 +3581,109 @@ object SparkEntry {
         |  bit_count(xor(a.sig, b.sig))::INT AS hamming
         |FROM sig a JOIN sig b ON a.kind = b.kind AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-        |ORDER BY a.kind, doc_a, doc_b""".stripMargin
+        |ORDER BY a.kind, doc_a, doc_b""".stripMargin,
+    // F2 REAL image decode: the engine renders a REAL PNG per image-
+    // kind doc (pixel = (doc_id*31 + 7x + 13y) mod 256, dims
+    // 16+id%17 x 16+(id//17)%13 — MediaCodec's closed form) and
+    // decodes it with ImageIO; the oracle replays the DECODED
+    // statistics (dims + 4x2 mean-luma grid) from the closed form —
+    // a hash match proves the production decode path end-to-end,
+    // codec-free on the oracle side. Means are exact integer sums
+    // with one final IEEE division on both sides.
+    "mm_decode" ->
+      """WITH img AS (SELECT doc_id,
+        |    16 + doc_id % 17 AS w, 16 + (doc_id // 17) % 13 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, w, h, x.i AS x, y.i AS y,
+        |    (doc_id * 31 + 7 * x.i + 13 * y.i) % 256 AS p
+        |  FROM img, unnest(range(0, w)) AS x(i),
+        |    unnest(range(0, h)) AS y(i)),
+        |cells AS (SELECT doc_id,
+        |    ((y * 2) // h) * 4 + (x * 4) // w AS g,
+        |    SUM(p)::BIGINT AS s, COUNT(*)::BIGINT AS c
+        |  FROM px GROUP BY 1, 2)
+        |SELECT i.doc_id, i.w::INT AS width, i.h::INT AS height,
+        |  MAX(CASE WHEN g = 0 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 0 THEN c END) AS f0,
+        |  MAX(CASE WHEN g = 1 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 1 THEN c END) AS f1,
+        |  MAX(CASE WHEN g = 2 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 2 THEN c END) AS f2,
+        |  MAX(CASE WHEN g = 3 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 3 THEN c END) AS f3,
+        |  MAX(CASE WHEN g = 4 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 4 THEN c END) AS f4,
+        |  MAX(CASE WHEN g = 5 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 5 THEN c END) AS f5,
+        |  MAX(CASE WHEN g = 6 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 6 THEN c END) AS f6,
+        |  MAX(CASE WHEN g = 7 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 7 THEN c END) AS f7
+        |FROM img i JOIN cells c ON i.doc_id = c.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY i.doc_id""".stripMargin,
+    // F2 REAL audio decode: a REAL RIFF/WAVE container per audio-kind
+    // doc (16-bit mono 8kHz PCM, sample(i) = (id*131 + 17i) mod 4096
+    // - 2048, n = 64 + id%64), decoded by AudioSystem; the oracle
+    // replays the container-parsed format and the 8 segment-mean
+    // amplitudes from the closed form.
+    "mm_decode_audio" ->
+      """WITH aud AS (SELECT doc_id, 64 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT doc_id, n, t.i AS i,
+        |    (doc_id * 131 + 17 * t.i) % 4096 - 2048 AS v
+        |  FROM aud, unnest(range(0, n)) AS t(i)),
+        |seg AS (SELECT doc_id, (i * 8) // n AS g,
+        |    SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS c
+        |  FROM smp GROUP BY 1, 2)
+        |SELECT a.doc_id, 8000::INT AS sample_rate, 16::INT AS bits,
+        |  a.n::INT AS n_samples,
+        |  MAX(CASE WHEN g = 0 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 0 THEN c END) AS s0,
+        |  MAX(CASE WHEN g = 1 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 1 THEN c END) AS s1,
+        |  MAX(CASE WHEN g = 2 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 2 THEN c END) AS s2,
+        |  MAX(CASE WHEN g = 3 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 3 THEN c END) AS s3,
+        |  MAX(CASE WHEN g = 4 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 4 THEN c END) AS s4,
+        |  MAX(CASE WHEN g = 5 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 5 THEN c END) AS s5,
+        |  MAX(CASE WHEN g = 6 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 6 THEN c END) AS s6,
+        |  MAX(CASE WHEN g = 7 THEN s END)::DOUBLE
+        |    / MAX(CASE WHEN g = 7 THEN c END) AS s7
+        |FROM aud a JOIN seg s ON a.doc_id = s.doc_id
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.doc_id""".stripMargin,
+    // F5 over REAL pixels: aHash of the DECODED image (8x8 mean-luma
+    // grid, bit g set iff s_g*N > T*c_g — exact integer
+    // cross-multiplication, N = w*h, T = total luma), replayed from
+    // the closed-form pixels with the signed-64 HUGEINT wrap of the
+    // mm_phash replay.
+    "mm_phash_image" ->
+      """WITH img AS (SELECT doc_id,
+        |    16 + doc_id % 17 AS w, 16 + (doc_id // 17) % 13 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, w, h, x.i AS x, y.i AS y,
+        |    (doc_id * 31 + 7 * x.i + 13 * y.i) % 256 AS p
+        |  FROM img, unnest(range(0, w)) AS x(i),
+        |    unnest(range(0, h)) AS y(i)),
+        |cells AS (SELECT doc_id,
+        |    ((y * 8) // h) * 8 + (x * 8) // w AS g,
+        |    SUM(p)::BIGINT AS s, COUNT(*)::BIGINT AS c
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(s)::BIGINT AS total,
+        |    SUM(c)::BIGINT AS n
+        |  FROM cells GROUP BY 1),
+        |sigh AS (SELECT c.doc_id,
+        |    SUM(CASE WHEN c.s * t.n > t.total * c.c
+        |        THEN (1::HUGEINT << c.g::INT) ELSE 0::HUGEINT END) AS sh
+        |  FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+        |  GROUP BY 1)
+        |SELECT doc_id,
+        |  (CASE WHEN sh >= 9223372036854775808::HUGEINT
+        |    THEN sh - 18446744073709551616::HUGEINT ELSE sh END)::BIGINT
+        |    AS sig
+        |FROM sigh ORDER BY doc_id""".stripMargin
   )
 }

@@ -10,19 +10,17 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 /** Perceptual-hash kernels for media payloads (SURVEY F5). */
 object MediaHashes {
 
-  /** Average-hash (aHash) 64-bit perceptual fingerprint. The real
-    * algorithm is intact — 64 cells, each thresholded against the
-    * global mean, exact integer cross-multiplied comparisons
-    * (`sums(j)·len > total·cnts(j)`, no float) — while the "decoded
-    * 8×8 luminance grid" follows the F2 STUB RULE (the container has
-    * no codecs): cell j is the mean of the j-th of 64 equal byte
-    * windows of the raw payload, a pure function of the bytes. That
-    * keeps aHash's defining behavior byte-level-local — payloads
-    * sharing most bytes hash within a few bits, exactly how aHash
-    * behaves on visually similar images — and swapping the windows
-    * for real resized pixels changes nothing downstream. Payloads
-    * must be < 128 MiB (the exact integer comparison needs
-    * 255·len² < 2⁶³); empty payloads hash to 0.
+  /** Average-hash (aHash) 64-bit perceptual fingerprint over raw
+    * payload BYTES: 64 cells (equal byte windows), each thresholded
+    * against the global mean, exact integer cross-multiplied
+    * comparisons (`sums(j)·len > total·cnts(j)`, no float). This is
+    * the format-agnostic pass — it needs no codec, so it applies to
+    * ANY opaque payload (video included) and catches
+    * mostly-same-bytes near-dups; its pixel-level sibling
+    * [[MediaCodec.imageAHash64]] decodes real images first and
+    * additionally catches re-encoded copies (different bytes, same
+    * pixels). Payloads must be < 128 MiB (the exact integer
+    * comparison needs 255·len² < 2⁶³); empty payloads hash to 0.
     */
   def avgHash64(payload: Array[Byte]): Long = {
     val len = payload.length
@@ -66,8 +64,75 @@ case class AvgHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Closed-form REAL PNG payload of a doc id ([[MediaCodec.pngPayload]]
+  * — real container bytes, pixels a pure integer function of the id,
+  * so the decode oracle can replay the decoded statistics without a
+  * codec). Codegen'd: the kernel call is static and never null. */
+case class PngPayload(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodec.pngPayload(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaCodec.pngPayload($c)")
+  override protected def withNewChildInternal(newChild: Expression): PngPayload =
+    copy(child = newChild)
+}
+
+/** Closed-form REAL WAV payload of a doc id ([[MediaCodec.wavPayload]]). */
+case class WavPayload(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodec.wavPayload(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaCodec.wavPayload($c)")
+  override protected def withNewChildInternal(newChild: Expression): WavPayload =
+    copy(child = newChild)
+}
+
+/** aHash of an image payload's REAL DECODED PIXELS
+  * ([[MediaCodec.imageAHash64]]): null when the bytes do not decode —
+  * a corrupt payload filters out instead of killing the job. Hand-
+  * written null-aware codegen (defineCodeGen cannot express a
+  * null-producing kernel); the codec call dominates the row's cost
+  * either way. */
+case class ImageAHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodec.imageAHash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}Box = graft.functions.MediaCodec.imageAHash64($c);
+      if (${ev.value}Box == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Box.longValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ImageAHash64 =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the media kernels. */
 object media {
   def avgHash64(payload: Column): Column =
     ColumnBridge.column(AvgHash64(ColumnBridge.expression(payload)))
+  def pngPayload(docId: Column): Column =
+    ColumnBridge.column(PngPayload(ColumnBridge.expression(docId)))
+  def wavPayload(docId: Column): Column =
+    ColumnBridge.column(WavPayload(ColumnBridge.expression(docId)))
+  def imageAHash64(payload: Column): Column =
+    ColumnBridge.column(ImageAHash64(ColumnBridge.expression(payload)))
 }

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * batch-decode/feature-extract plumbing a training pipeline hangs off
   * them.
   *
-  * The container has no image/audio codecs, so [[decodeFeatures]]'s
-  * decoder is a clearly-marked deterministic stub — the Spark-side
-  * contract (schema, batching, partition preservation) is real and
-  * tested, and swapping the stub for a JNI/codec call changes nothing
-  * upstream.
+  * [[decodeFeatures]]'s decode is REAL for images and audio — the JDK
+  * ships working headless codecs (`javax.imageio`: PNG/JPEG/BMP/GIF/
+  * TIFF; `javax.sound.sampled`: WAV/AIFF/AU), wrapped by
+  * [[graft.functions.MediaCodec]] and oracle-checked end-to-end by the
+  * mm_decode / mm_decode_audio / mm_phash_image rows. Only VIDEO falls
+  * back to a clearly-marked deterministic stub (the JDK has no video
+  * codec), as does any payload the real decoders cannot parse — a
+  * corrupt file must yield a quarantinable row, not kill a 100 TB job.
   */
 object Multimodal {
 
@@ -60,8 +63,11 @@ object Multimodal {
     * pipeline, after F4's exact byte dedup: re-encoded / slightly
     * edited copies of the same asset that md5 can never group. Each
     * payload gets a 64-bit average-hash
-    * ([[graft.functions.MediaHashes.avgHash64]] — real aHash
-    * thresholding over the F2-stub "decoded grid"), and pairs within
+    * ([[graft.functions.MediaHashes.avgHash64]] — aHash thresholding
+    * over raw byte windows, the format-agnostic pass that needs no
+    * codec; the pixel-level sibling over REAL decoded images is
+    * [[graft.functions.MediaCodec.imageAHash64]], exercised by the
+    * mm_phash_image row), and pairs within
     * `maxHamming` bits surface per kind via the C4 pigeonhole-exact
     * banding (no near pair can be missed; buckets scoped by kind and
     * capped at `maxBucket`). Output: (kind, doc_a, doc_b, hamming) —
@@ -97,7 +103,14 @@ object Multimodal {
   def kindOf(idCol: String): org.apache.spark.sql.Column =
     element_at(typedLit(Kinds), (pmod(col(idCol), lit(3)) + 1).cast("int"))
 
-  /** Feature row produced per media payload by the decode stub. */
+  /** Feature row produced per media payload. Column semantics are
+    * per-kind: images — (width, height) = real decoded pixel dims,
+    * n_frames = 1, features = the 4x2 mean-luma grid; audio —
+    * width = sample rate (Hz), height = bits per sample, n_frames =
+    * sample count, features = 8 segment-mean amplitudes; video /
+    * undecodable — the deterministic stub's values. One fixed schema
+    * rather than per-kind structs so the frame keeps a single
+    * columnar layout through shuffles at any modality mix. */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -117,8 +130,10 @@ object Multimodal {
     * preserved (no shuffle); each partition is processed in
     * [[DecodeBatchSize]] groups.
     *
-    * STUB: `decodeBatch` fabricates deterministic dimensions/features
-    * from the payload bytes instead of invoking a codec.
+    * Decode is REAL for kind=image (ImageIO) and kind=audio
+    * (AudioSystem) via [[graft.functions.MediaCodec]]; kind=video and
+    * undecodable payloads take the deterministic stub path
+    * ([[stubRow]]) — total over corrupt inputs by design.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -148,14 +163,39 @@ object Multimodal {
           .as("frame_idx"))
   }
 
-  /** Deterministic decode STUB — replace with a real codec binding.
-    * Dimensions and features are pure functions of the payload bytes,
-    * so tests can assert exact values.
+  /** Per-batch decode: real codecs first, stub fallback. The batch
+    * grouping exists for codecs that amortize per-batch setup (model
+    * load, GPU transfer); the JDK codecs are per-payload, so the
+    * grouping is pure plumbing here — but it is the contract a
+    * heavier decoder slots into.
     */
   private def decodeBatch(batch: Seq[Row]): Seq[Row] = batch.map { r =>
     val id = r.getLong(0)
     val kind = r.getString(1)
     val payload = r.getAs[Array[Byte]](2)
+    import graft.functions.MediaCodec
+    kind match {
+      case "image" => MediaCodec.decodeImage(payload) match {
+        case Some(f) =>
+          Row(id, kind, f.width, f.height, 1, f.features.toSeq)
+        case scala.None => stubRow(id, kind, payload)
+      }
+      case "audio" => MediaCodec.decodeWav(payload) match {
+        case Some(a) =>
+          Row(id, kind, a.sampleRate, a.bits, a.nSamples, a.features.toSeq)
+        case scala.None => stubRow(id, kind, payload)
+      }
+      case _ => stubRow(id, kind, payload)
+    }
+  }
+
+  /** Deterministic decode STUB — the VIDEO path (the JDK has no video
+    * codec; a real binding replaces exactly this function) and the
+    * quarantine row for payloads the real decoders cannot parse.
+    * Dimensions and features are pure functions of the payload bytes,
+    * so tests can assert exact values.
+    */
+  private def stubRow(id: Long, kind: String, payload: Array[Byte]): Row = {
     val h = graft.functions.BytesCodec.javaArraysHashCode(payload)
     val width = 64 + math.floorMod(h, 64)
     val height = 64 + math.floorMod(h >> 8, 64)

@@ -1448,4 +1448,62 @@ object Pipeline {
     documents.select(col("doc_id"),
       Multimodal.kindOf("doc_id").as("kind"), payload.as("payload"))
   }
+
+  /** F2 REAL image decode, end-to-end oracle-checked: each image-kind
+    * doc (doc_id % 3 == 0, the manifest's kind cycle) gets a REAL PNG
+    * rendered in-plan from the doc_id closed form
+    * ([[graft.functions.MediaCodec.pngPayload]] — the test corpus has
+    * no binary column, so payloads are synthesized in-plan like
+    * [[mmDedup]]'s), then [[Multimodal.decodeFeatures]] decodes it
+    * with the production ImageIO path. The DuckDB oracle replays the
+    * DECODED statistics (dims + the 4x2 mean-luma grid) from the
+    * closed form without any codec, so a hash match proves
+    * encode → real decode → features, not a stub. Scale shape: one
+    * narrow map stage, no shuffle; codec cost is per-row and
+    * partition-parallel.
+    */
+  def mmDecode(documents: DataFrame): DataFrame = {
+    val imgs = documents
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), lit("image").as("kind"),
+        graft.functions.media.pngPayload(col("doc_id")).as("payload"))
+    val cols = Seq(col("doc_id"), col("width"), col("height")) ++
+      (0 until 8).map(i =>
+        element_at(col("features"), i + 1).as(s"f$i"))
+    Multimodal.decodeFeatures(imgs).select(cols: _*).orderBy("doc_id")
+  }
+
+  /** F2 REAL audio decode: each audio-kind doc (doc_id % 3 == 1) gets
+    * a REAL RIFF/WAVE container rendered in-plan from the doc_id
+    * closed form, decoded by [[Multimodal.decodeFeatures]]'s
+    * production AudioSystem path — the oracle replays sample rate,
+    * PCM frame count, and the 8 segment-mean amplitudes from the
+    * closed form. */
+  def mmDecodeAudio(documents: DataFrame): DataFrame = {
+    val auds = documents
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), lit("audio").as("kind"),
+        graft.functions.media.wavPayload(col("doc_id")).as("payload"))
+    val cols = Seq(col("doc_id"), col("width").as("sample_rate"),
+      col("height").as("bits"), col("n_frames").as("n_samples")) ++
+      (0 until 8).map(i =>
+        element_at(col("features"), i + 1).as(s"s$i"))
+    Multimodal.decodeFeatures(auds).select(cols: _*).orderBy("doc_id")
+  }
+
+  /** F5 over REAL PIXELS: the perceptual signature of each image-kind
+    * doc computed from its DECODED image
+    * ([[graft.functions.MediaCodec.imageAHash64]] — 8x8 mean-luma
+    * grid, exact integer thresholding), not its container bytes, so a
+    * re-encoded copy (different bytes, same pixels) hashes identically.
+    * Per-doc signatures rather than pairs: the pairing machinery is
+    * [[mmPhash]]'s (kind-scoped pigeonhole banding), shared unchanged;
+    * this row pins that the signature itself comes from a real decode
+    * (the oracle replays the closed-form pixels). */
+  def mmPhashImage(documents: DataFrame): DataFrame =
+    documents.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"),
+        graft.functions.media.imageAHash64(
+          graft.functions.media.pngPayload(col("doc_id"))).as("sig"))
+      .orderBy("doc_id")
 }

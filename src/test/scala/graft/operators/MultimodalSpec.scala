@@ -58,6 +58,115 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
   }
 
+  test("REAL image decode: pngPayload renders a decodable PNG whose " +
+      "raster round-trips the closed form exactly; features are the " +
+      "exact 4x2 integer cell means") {
+    import graft.functions.MediaCodec
+    Seq(0L, 12345L, 999999L).foreach { id =>
+      val png = MediaCodec.pngPayload(id)
+      // real container: PNG signature bytes
+      assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte &&
+        png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val (w, h) = (MediaCodec.imageWidth(id), MediaCodec.imageHeight(id))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          MediaCodec.imagePixel(id, x, y), s"id=$id px($x,$y)")
+      // features = exact integer cell means of the closed form
+      val f = MediaCodec.decodeImage(png).get
+      assert(f.width == w && f.height == h)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (y * 2 / h) * 4 + (x * 4 / w)
+        sums(g) += MediaCodec.imagePixel(id, x, y); cnts(g) += 1
+      }
+      (0 until 8).foreach(g =>
+        assert(f.features(g) == sums(g).toDouble / cnts(g), s"id=$id g=$g"))
+    }
+    // undecodable bytes are None, not an exception
+    assert(MediaCodec.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("REAL audio decode: wavPayload writes a RIFF/WAVE container " +
+      "whose parsed format and PCM frames round-trip the closed form") {
+    import graft.functions.MediaCodec
+    Seq(1L, 777L, 424242L).foreach { id =>
+      val wav = MediaCodec.wavPayload(id)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val a = MediaCodec.decodeWav(wav).get
+      val n = MediaCodec.audioSamples(id)
+      assert(a.sampleRate == MediaCodec.AudioRateHz && a.bits == 16 &&
+        a.nSamples == n)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      (0 until n).foreach { i =>
+        val g = (i.toLong * 8 / n).toInt
+        sums(g) += MediaCodec.audioSample(id, i); cnts(g) += 1
+      }
+      (0 until 8).foreach(g =>
+        assert(a.features(g) == sums(g).toDouble / cnts(g), s"id=$id g=$g"))
+    }
+    assert(MediaCodec.decodeWav("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageAHash64 hashes what the image LOOKS like: a re-encoded " +
+      "copy lands at hamming 0, a small local edit within a few bits, " +
+      "different content far, undecodable bytes null") {
+    import graft.functions.MediaCodec
+    val id = 54321L
+    val (w, h) = (MediaCodec.imageWidth(id), MediaCodec.imageHeight(id))
+    val orig = MediaCodec.pngPayload(id)
+    val a = MediaCodec.imageAHash64(orig)
+    assert(a != null)
+    // re-encode the SAME pixels (fresh encoder run): different bytes
+    // are possible, identical pixels are certain -> hamming 0
+    val reenc = MediaCodec.pngOf(w, h, MediaCodec.imagePixel(id, _, _))
+    assert(MediaCodec.imageAHash64(reenc) == a)
+    // a small local edit (one corner cell brightened) moves few bits
+    val edited = MediaCodec.pngOf(w, h, (x, y) =>
+      if (x < w / 8 && y < h / 8) 255 else MediaCodec.imagePixel(id, x, y))
+    val e = MediaCodec.imageAHash64(edited)
+    val d = java.lang.Long.bitCount(a ^ e)
+    assert(d >= 1 && d <= 8, s"local edit moved $d bits")
+    // structurally different content is far
+    val other = MediaCodec.pngOf(w, h, (x, y) =>
+      if ((x + y) % 2 == 0) 255 else 0)
+    assert(java.lang.Long.bitCount(
+      a ^ MediaCodec.imageAHash64(other)) > 8)
+    assert(MediaCodec.imageAHash64("junk".getBytes("UTF-8")) == null)
+  }
+
+  test("decodeFeatures takes the REAL codec path for decodable image/" +
+      "audio payloads and the stub path for video and undecodable " +
+      "bytes") {
+    import graft.functions.MediaCodec
+    val rows = Seq(
+      (3L, "image", MediaCodec.pngPayload(3L)),            // real PNG
+      (4L, "audio", MediaCodec.wavPayload(4L)),            // real WAV
+      (5L, "video", "fake video bytes".getBytes("UTF-8")), // no JDK codec
+      (6L, "image", "corrupt".getBytes("UTF-8")))          // quarantine
+    val media = spark.createDataFrame(rows).toDF("doc_id", "kind", "payload")
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // image: real decoded dims (16..32 by construction, below the
+    // stub's 64..128 band) and the closed-form cell means
+    assert(got(3L).getAs[Int]("width") == MediaCodec.imageWidth(3L))
+    assert(got(3L).getAs[Int]("height") == MediaCodec.imageHeight(3L))
+    assert(got(3L).getAs[Int]("n_frames") == 1)
+    // audio: container-parsed rate/bits/frame-count
+    assert(got(4L).getAs[Int]("width") == MediaCodec.AudioRateHz)
+    assert(got(4L).getAs[Int]("height") == 16)
+    assert(got(4L).getAs[Int]("n_frames") == MediaCodec.audioSamples(4L))
+    // video + corrupt image: the deterministic stub band
+    Seq(5L, 6L).foreach { id =>
+      val wd = got(id).getAs[Int]("width")
+      assert(wd >= 64 && wd < 128, s"doc $id must take the stub path")
+    }
+  }
+
   test("payload dedup: the placeholder asset collapses per kind with " +
       "exact copy counts; unique payloads stay singletons") {
     val docs = sf("documents")
