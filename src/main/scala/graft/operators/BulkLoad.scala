@@ -451,17 +451,36 @@ object BulkLoad {
   }
 
   /** Distributed, validating backup of a bulk-load directory — the
-    * reference's backup/restore admin ops (HBaseManager.java:186,293)
-    * re-expressed as a Spark job over the FileSystem API. Each task runs
-    * the FULL structural audit on its file (trailer, checksums, index
-    * descent, blooms, cell order) and only then copies it byte-for-byte,
-    * preserving the `bucket=N/` layout; the copy's length is verified.
-    * Returns a per-file report `(file, bucket, n_cells, bytes)`. Restore
-    * is the same operation with the directions swapped. Fails loudly on
-    * the first corrupt source file — a backup of bad bytes is worse than
-    * no backup.
+    * reference's backup admin op (HBaseManager.java:186,293), ONE
+    * SUBSYSTEM with the store-maintenance backup lifecycle: this verb
+    * contributes the HFile-specific STRUCTURAL AUDIT as a pre-copy
+    * validation gate — every hfile under `bucket=N/` gets the full audit
+    * (trailer, checksums, index descent, blooms, cell order) as a
+    * Spark job, failing loudly on the first corrupt file BEFORE any
+    * byte is copied (a backup of bad bytes is worse than no backup) —
+    * and then delegates the snapshot itself to
+    * [[StoreMaintenance.backupStore]]. A bulkload backup is therefore
+    * a first-class snapshot: `_backup_manifest` (rel_path, bytes,
+    * CRC32C hashed inside the copy stream, mtime),
+    * [[StoreMaintenance.verifyStoreBackup]] deep verification,
+    * [[StoreMaintenance.restoreStore]] /[[restore]],
+    * [[StoreMaintenance.pruneStoreBackups]] retention, and the
+    * `graft_store_backups` catalog TVF all work on it unchanged.
+    * `base = Some(priorSnapshot)` chains an INCREMENTAL snapshot —
+    * unchanged files carry by (rel_path, bytes, mtime) identity,
+    * sound here because bulkload dirs are pure-file-add (writers roll
+    * new files; compaction publishes under new names) — the audit
+    * still validates EVERY current hfile (validation is this verb's
+    * point; incrementality saves the transfer/write, which is the
+    * expensive half against remote backup storage). The snapshot
+    * carries the whole directory — sidecars (`_manifest`) included,
+    * so a restored dir is the complete point-in-time state — and the
+    * destination must be empty (snapshots are append-only artifacts).
+    * Returns the per-file audit report `(file, bucket, n_cells,
+    * bytes)` over the hfiles.
     */
-  def backup(spark: SparkSession, srcDir: String, dstDir: String): DataFrame = {
+  def backup(spark: SparkSession, srcDir: String, dstDir: String,
+             base: Option[String] = None): DataFrame = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(srcDir)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -474,63 +493,68 @@ object BulkLoad {
     val confMap = broadcastHadoopConf(spark)
     val par = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
-    spark.createDataset(files).repartition(par).map { f =>
+    // the audit job runs (and materializes) BEFORE the copy job: a
+    // corrupt source file must fail the backup before any byte moves
+    val audit = spark.createDataset(files).repartition(par).map { f =>
       val conf = hadoopConfOf(confMap.value)
       val src = new org.apache.hadoop.fs.Path(f)
-      val sfs = src.getFileSystem(conf)
       val stats = {
         val rr = openRead(f, conf)
         try HFileReader.validate(rr) finally rr.close()
       }
       val rel = s"${src.getParent.getName}/${src.getName}"
-      val dst = new org.apache.hadoop.fs.Path(dstDir, rel)
-      val dfs = dst.getFileSystem(conf)
-      dfs.mkdirs(dst.getParent)
-      val in = sfs.open(src)
-      val outS = dfs.create(dst, true)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, outS, 1 << 16)
-      finally { in.close(); outS.close() }
-      val srcLen = sfs.getFileStatus(src).getLen
-      val dstLen = dfs.getFileStatus(dst).getLen
-      require(srcLen == dstLen, s"backup length mismatch for $f")
-      (rel, graft.sources.HFileSource.bucketOf(f), stats.nCells, dstLen)
-    }
-      // run the copy job exactly ONCE and return the materialized report
-      // (one row per file) — a lazy frame would redo the IO per action
-      .collect().toSeq
-      .toDF("file", "bucket", "n_cells", "bytes")
+      val len = src.getFileSystem(conf).getFileStatus(src).getLen
+      (rel, graft.sources.HFileSource.bucketOf(f), stats.nCells, len)
+    }.collect().toSeq
+    StoreMaintenance.backupStore(spark, srcDir, dstDir, base)
+    audit.toDF("file", "bucket", "n_cells", "bytes")
   }
 
   /** Recovery verb (the reference exposes restore endpoints next to
-    * backup, HBaseController.java:148-178; HBaseManager.java:293): a
-    * restore IS a validating [[backup]] with the directions swapped —
-    * every file in `backupDir` gets the full structural audit, then is
-    * copied back under `dir` with the `bucket=N/` layout preserved and
-    * its length verified. Files in `dir` with the same name (e.g. the
-    * corrupt originals being recovered) are overwritten in place. A
-    * corrupt BACKUP file fails the job loudly before any byte is copied
-    * from it — restoring bad bytes is worse than not restoring.
+    * backup, HBaseController.java:148-178; HBaseManager.java:293),
+    * unified with the store-maintenance lifecycle: the refusal gate is
+    * [[StoreMaintenance.requireVerified]] — the snapshot must verify
+    * DEEP green (every manifest row present, every byte re-hashing to
+    * the backup-time CRC32C; carried rows checked at their base), so
+    * a tampered or truncated backup refuses before a byte moves. No
+    * structural re-audit is needed: [[backup]] audited the bytes when
+    * the snapshot was taken, and CRC equality proves the restored
+    * bytes ARE those audited bytes. The copy is the manifest plan
+    * ([[StoreMaintenance.restorePlan]] — an incremental's carried
+    * rows restore from their base snapshot's tree), overwriting
+    * same-name files under `dir` in place — the overlay semantics a
+    * disaster recovery wants: a file under `dir` absent from the
+    * backup (written after the snapshot — possibly itself corrupt) is
+    * left untouched, a newer same-name file is rolled back without
+    * warning. Run [[repair]] afterwards if unbackuped files may also
+    * be damaged; use [[StoreMaintenance.restoreStore]] to restore
+    * into an empty dir instead.
     *
-    * Overwrite semantics are same-name-only, deliberately blunt: a file
-    * present under `dir` but absent from the backup (e.g. written after
-    * the backup was taken — possibly itself corrupt) is left untouched,
-    * and a `dir` file NEWER than its backup counterpart is rolled back
-    * without warning. Restore recovers the backed-up state of the names
-    * the backup knows; run [[repair]] afterwards if unbackuped files may
-    * also be damaged.
-    *
-    * The destination's `_manifest` sidecar is dropped: restore rewrites
-    * file contents under unchanged names, the one mutation the sidecar's
-    * (path, bytes) freshness check cannot detect. The next planner read
-    * falls back to pooled trailer reads, and the next bulk write rebuilds
-    * the sidecar.
+    * The destination's `_manifest` sidecar is dropped after the
+    * overlay: restore rewrites contents under unchanged names — the
+    * one mutation the sidecar's (path, bytes) freshness check cannot
+    * detect — and the snapshot's own sidecar copy may be stale
+    * against post-backup files the overlay leaves in place. The next
+    * planner read falls back to pooled trailer reads; the next bulk
+    * write rebuilds it. Returns the restore plan `(file, bucket,
+    * bytes)` (cell counts live in [[backup]]'s audit report — restore
+    * moves verified bytes, it does not re-parse them).
     */
   def restore(spark: SparkSession, backupDir: String, dir: String): DataFrame = {
-    val report = backup(spark, backupDir, dir)
+    import spark.implicits._
+    StoreMaintenance.requireVerified(spark, backupDir)
+    val plan = StoreMaintenance.restorePlan(spark, backupDir)
     val root = new org.apache.hadoop.fs.Path(dir)
-    graft.sources.HFileManifest.delete(
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
-    report
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rfs = root.getFileSystem(hconf)
+    val qd = rfs.makeQualified(root)
+    StoreMaintenance.copyFilesDistributed(spark,
+      plan.map { case (rel, _, phys) =>
+        (phys, new org.apache.hadoop.fs.Path(qd, rel).toString) })
+    graft.sources.HFileManifest.delete(rfs, root)
+    plan.map { case (rel, n, _) =>
+      (rel, graft.sources.HFileSource.bucketOf(rel), n) }
+      .toDF("file", "bucket", "bytes")
   }
 
   /** Distributed integrity repair sweep (HbaseRepairRunner.java:41

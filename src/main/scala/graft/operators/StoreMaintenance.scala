@@ -841,27 +841,54 @@ private[graft] object StoreMaintenance {
     */
   def restoreStore(spark: SparkSession, backupDir: String,
                    dstDir: String): Long = {
-    val report = verifyStoreBackup(spark, backupDir).collect()
-    require(report.forall(_.getAs[Boolean]("ok")),
-      s"backup $backupDir fails verification - refusing to restore: " +
-        report.filter(!_.getAs[Boolean]("ok")).mkString("; "))
+    requireVerified(spark, backupDir)
     val dst = new Path(dstDir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
       s"restore destination $dstDir is not empty - restoring over a " +
         "live store is an explicit delete decision; clear it first")
-    val src = new Path(backupDir)
-    val qs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(src)
     val qd = fs.makeQualified(dst)
     // the manifest, not a directory listing, is the restore plan:
     // verify above already proved every row present at its physical
     // holder (and refused otherwise)
-    val rows = readManifest(spark, backupDir).toOption.get
+    val plan = restorePlan(spark, backupDir)
     copyFilesDistributed(spark,
-      rows.map(r =>
-        (physicalPath(qs, r), new Path(qd, r.rel).toString)))
-    rows.size.toLong
+      plan.map { case (rel, _, phys) =>
+        (phys, new Path(qd, rel).toString) })
+    plan.size.toLong
+  }
+
+  /** The deep-verify REFUSAL GATE every restore verb shares: throws
+    * unless [[verifyStoreBackup]] is all-green on `backupDir` — a
+    * tampered, truncated, or chain-broken snapshot must never
+    * silently become the store, whichever restore entry point runs. */
+  def requireVerified(spark: SparkSession, backupDir: String): Unit = {
+    val report = verifyStoreBackup(spark, backupDir).collect()
+    require(report.forall(_.getAs[Boolean]("ok")),
+      s"backup $backupDir fails verification - refusing to restore: " +
+        report.filter(!_.getAs[Boolean]("ok")).mkString("; "))
+  }
+
+  /** The restore COPY PLAN of a snapshot: one (rel_path, bytes,
+    * physical_src) row per manifest entry, `physical_src` resolved to
+    * the holding tree — this snapshot for stored rows, the base
+    * snapshot for carried rows (chains flatten at backup time, so
+    * resolution is one hop). Exposed so format-specific restore verbs
+    * ([[graft.operators.BulkLoad.restore]]'s same-name overlay onto a
+    * live bulkload dir) reuse the ONE manifest-driven plan instead of
+    * growing a second restore subsystem; callers gate on
+    * [[requireVerified]] first, exactly like [[restoreStore]]. */
+  def restorePlan(spark: SparkSession, backupDir: String)
+      : Seq[(String, Long, String)] = {
+    val src = new Path(backupDir)
+    val qs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(src)
+    readManifest(spark, backupDir) match {
+      case Right(rows) =>
+        rows.map(r => (r.rel, r.bytes, physicalPath(qs, r)))
+      case Left(err) => throw new IllegalArgumentException(
+        s"backup $backupDir has no readable manifest: $err")
+    }
   }
 
   /** Snapshot directories under `parentDir` — any child dir holding a

@@ -226,6 +226,58 @@ class BulkLoadSpec extends SparkSpec {
     assert(after.collect().toSet == beforeRows)
   }
 
+  test("backup is a first-class store-maintenance snapshot: manifest + " +
+      "deep verify; tamper flags checksums_match; restore refuses; " +
+      "incremental chains carry and the catalog TVF lists both") {
+    val events = sf("events")
+    val cells = events.select(
+      concat(hb.encode(col("user_id")), hb.encode(col("event_id")))
+        .as("rowkey"),
+      lit("f").as("family"), lit("v").as("qualifier"),
+      hb.encode(col("value")).as("value"))
+    val prepared = BulkLoad.prepare(cells, buckets = 3, numPartitions = 3)
+    val dir = Files.createTempDirectory("bk_life_src").toString
+    BulkLoad.writeHFiles(prepared, dir, blockSize = 2048)
+
+    // snapshots live under ONE parent so retention/catalog see the chain
+    val parent = Files.createTempDirectory("bk_life_snaps").toString
+    val full = s"$parent/snap_full"
+    BulkLoad.backup(spark, dir, full)
+
+    // the snapshot is a backupStore snapshot: deep verify is all-green
+    val v1 = StoreMaintenance.verifyStoreBackup(spark, full).collect()
+    assert(v1.forall(_.getAs[Boolean]("ok")),
+      v1.filter(!_.getAs[Boolean]("ok")).mkString("; "))
+
+    // incremental chain on an unchanged store: everything carries
+    val incr = s"$parent/snap_incr"
+    BulkLoad.backup(spark, dir, incr, base = Some(full))
+    val cat = StoreMaintenance.listStoreBackups(spark, parent).collect()
+      .map(r => r.getAs[String]("snapshot") -> r).toMap
+    assert(cat("snap_full").getAs[Long]("carried_files") == 0L)
+    assert(cat("snap_incr").getAs[Long]("carried_files") > 0L)
+    assert(cat("snap_incr").getAs[String]("base") != null)
+    assert(cat.values.forall(_.getAs[Boolean]("chain_ok")))
+
+    // tamper a backed-up hfile mid-data: deep verify flags EXACTLY the
+    // checksum row, and restore refuses before a byte moves
+    val victim = new java.io.File(full).listFiles
+      .filter(_.getName.startsWith("bucket=")).head.listFiles
+      .filter(_.getName.endsWith(".hfile")).head
+    new java.io.File(victim.getParent, s".${victim.getName}.crc").delete()
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    raf.seek(60); val b = raf.read(); raf.seek(60); raf.write(b ^ 0x5a)
+    raf.close()
+    val v2 = StoreMaintenance.verifyStoreBackup(spark, full).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Boolean]("ok")).toMap
+    assert(v2("files_present"), "size-preserving tamper passes presence")
+    assert(!v2("checksums_match"), "deep verify must flag the bit flip")
+    val err = intercept[IllegalArgumentException] {
+      BulkLoad.restore(spark, full, dir)
+    }
+    assert(err.getMessage.contains("refusing to restore"))
+  }
+
   test("prepare plan: range exchange + in-partition sort, no global sort") {
     val prepared = BulkLoad.prepare(cellStream, buckets = 8, numPartitions = 8)
     val plan = prepared.queryExecution.executedPlan.toString
