@@ -41,15 +41,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   /** Merge-list resolution shared by the BPE scalar functions: the
-    * engine's frozen merges, or a saveMerges artifact dir given as the
-    * optional second literal arg (resolved once at plan time).
+    * engine's frozen merges, or an artifact given as the optional
+    * second literal arg (resolved once at plan time) — a saveMerges
+    * parquet dir, or (path ending `.txt`) a PUBLISHED-format
+    * merges.txt ([[operators.Bpe.loadMergesTxt]]), so SQL callers can
+    * count/encode under a real released tokenizer's merge table:
+    * `graft_bpe_count(body, '/models/merges.txt', true)`.
     */
   private def mergesArg(args: Seq[Expression],
                         fn: String): Seq[(String, String)] =
-    if (args.length > 1)
-      operators.Bpe.loadMerges(
-        org.apache.spark.sql.SparkSession.active, strArg(args(1), fn))
-    else operators.Bpe.frozenMerges
+    if (args.length > 1) {
+      val path = strArg(args(1), fn)
+      if (path.endsWith(".txt"))
+        operators.Bpe.loadMergesTxt(
+          org.apache.spark.sql.SparkSession.active, path)
+      else operators.Bpe.loadMerges(
+        org.apache.spark.sql.SparkSession.active, path)
+    } else operators.Bpe.frozenMerges
 
   /** `'web:3,books:2'` → weight list, loud on malformed entries. */
   private def parseWeights(spec: String,

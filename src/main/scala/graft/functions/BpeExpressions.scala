@@ -583,6 +583,16 @@ object bpe {
       merges.map(_._1).toArray, merges.map(_._2).toArray,
       mergeIdMap(merges), unkId(merges), gpt2Ws))
 
+  /** Remap an engine id stream through an
+    * [[graft.operators.Bpe.externalIds]] table — plain builtin
+    * `transform` + `element_at` over a plan-constant array (codegen'd,
+    * no custom kernel), so [[encodeIds]] composed with this emits a
+    * DEPLOYED tokenizer's id space. */
+  def remapIds(ids: Column, table: Array[Int]): Column =
+    org.apache.spark.sql.functions.transform(ids,
+      x => org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(table.toSeq), x + 1))
+
   /** The id-indexed hex-symbol table [[BpeDecodeIds]] decodes under —
     * slot = id, base 0..255 then merge outputs (first-wins via
     * [[mergeIdMap]], dead duplicate slots and the unk sentinel stay

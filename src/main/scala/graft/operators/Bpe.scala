@@ -415,6 +415,203 @@ object Bpe {
     spark.read.parquet(s"$dir/vocab").collect()
       .map(r => r.getAs[Int]("id") -> r.getAs[String]("token")).toMap
 
+  /** The PUBLISHED byte-level tokenizer alphabet (the `bytes_to_
+    * unicode` table of the public GPT-2 encoder, reproduced from its
+    * published rule — every byte-level BPE release renders its
+    * merges.txt/vocab.json over it): the 188 "printable" bytes
+    * (`!`..`~`, `¡`..`¬`, `®`..`ÿ`) stand for themselves; the other
+    * 68 (controls, space, DEL, 0xAD …) map — in byte order — to
+    * codepoints 256, 257, … so every byte gets a VISIBLE single
+    * character and a merges.txt line can be split on plain spaces
+    * (byte 0x20 itself renders as `Ġ` = U+0120 = 256+32, which is why
+    * published vocabularies are full of `Ġword` entries; newline is
+    * `Ċ`). Index = byte value, entry = codepoint.
+    */
+  val ByteToUnicode: Array[Int] = {
+    // '!'..'~', '¡'..'¬', '®'..'ÿ'
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Int](256)
+    var next = 256
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = b
+      else { out(b) = next; next += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse of [[ByteToUnicode]] — codepoint → byte value. Total on
+    * exactly the 256 alphabet codepoints (the mapping is bijective). */
+  val UnicodeToByte: Map[Int, Int] =
+    ByteToUnicode.zipWithIndex.map { case (cp, b) => cp -> b }.toMap
+
+  /** Parse the PUBLISHED merges.txt format — one `left right` pair
+    * per line in rank order, tokens rendered in the
+    * [[ByteToUnicode]] alphabet, an optional `#version:` header —
+    * into this engine's hex-symbol merge list, directly usable by
+    * [[tokenStats]] / [[graft.functions.bpe.encodeIds]] / the
+    * `graft_bpe_*` TVFs (with `gpt2Ws = true` for counts that match
+    * the deployed tokenizer's segmentation exactly). Strict by
+    * design: a malformed line (not exactly two space-separated
+    * fields) or a character outside the alphabet fails with its line
+    * number — a truncated or wrong-encoding artifact must not load
+    * as a silently different tokenizer.
+    */
+  /** An alphabet-rendered token → this engine's hex-symbol string
+    * (`where` names the artifact position for the error message). */
+  private def alphabetTokenToHex(tok: String, where: => String): String = {
+    val sb = new java.lang.StringBuilder(tok.length * 2)
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      UnicodeToByte.get(cp) match {
+        case Some(b) => sb.append(f"$b%02X")
+        case scala.None => throw new IllegalArgumentException(
+          s"$where: character U+${cp.toHexString.toUpperCase} in " +
+            s"token '$tok' is outside the byte-level tokenizer " +
+            "alphabet - not a byte-to-unicode artifact")
+      }
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** A hex-symbol string → its alphabet rendering (inverse of
+    * [[alphabetTokenToHex]]). */
+  private def hexToAlphabetToken(sym: String): String = {
+    val sb = new java.lang.StringBuilder(sym.length / 2)
+    var i = 0
+    while (i < sym.length) {
+      sb.appendCodePoint(ByteToUnicode(
+        Integer.parseInt(sym.substring(i, i + 2), 16)))
+      i += 2
+    }
+    sb.toString
+  }
+
+  def parseMergesTxt(lines: Iterator[String]): Vector[(String, String)] =
+    lines.zipWithIndex.flatMap { case (raw, i) =>
+      val line = raw.stripSuffix("\r")
+      if (line.isEmpty || (i == 0 && line.startsWith("#"))) scala.None
+      else line.split(" ", -1) match {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty =>
+          Some((alphabetTokenToHex(a, s"merges.txt line ${i + 1}"),
+            alphabetTokenToHex(b, s"merges.txt line ${i + 1}")))
+        case _ => throw new IllegalArgumentException(
+          s"merges.txt line ${i + 1}: expected 'left right' (exactly " +
+            s"two space-separated fields), got '$line'")
+      }
+    }.toVector
+
+  /** Render a merge list back in the published merges.txt format —
+    * the exact inverse of [[parseMergesTxt]] (round-trip spec-pinned),
+    * so a tokenizer trained HERE can ship to any loader of the public
+    * format. */
+  def renderMergesTxt(merges: Seq[(String, String)]): String =
+    ("#version: 0.2" +: merges.map { case (a, b) =>
+      s"${hexToAlphabetToken(a)} ${hexToAlphabetToken(b)}" })
+      .mkString("", "\n", "\n")
+
+  /** Parse a PUBLISHED-format vocab.json — the flat
+    * `{"token": id, …}` map a released byte-level tokenizer ships
+    * next to its merges.txt, tokens rendered in the
+    * [[ByteToUnicode]] alphabet — into hex-symbol → external id.
+    * Jackson (on every Spark classpath) does the JSON; the alphabet
+    * conversion is strict exactly like [[parseMergesTxt]]'s. */
+  def parseVocabJson(json: Array[Byte]): Map[String, Int] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    require(root != null && root.isObject,
+      "vocab.json must be one flat JSON object of token -> id")
+    val out = Map.newBuilder[String, Int]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.getValue.isIntegralNumber,
+        s"vocab.json: id of token '${e.getKey}' is not an integer")
+      out += alphabetTokenToHex(e.getKey,
+        s"vocab.json token '${e.getKey}'") -> e.getValue.asInt()
+    }
+    out.result()
+  }
+
+  /** [[parseVocabJson]] from any Hadoop-visible path (driver-side,
+    * like [[loadMergesTxt]] — the artifact is sub-MB). */
+  def loadVocabJson(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parseVocabJson(in.readAllBytes()) finally in.close()
+  }
+
+  /** ENGINE id → EXTERNAL id table under a published vocab.json —
+    * the remap that makes the id STREAM (not just the count)
+    * comparable with a deployed tokenizer: published vocabs assign
+    * base-byte ids by alphabet sort order (`!` = 0 in the GPT-2
+    * family), not byte value, so engine ids need one table lookup.
+    * Slot = engine id (base byte b at b, merge i's output at 256+i),
+    * value = the vocab's id for that token's alphabet rendering.
+    * STRICT: a reachable engine token absent from the vocab throws
+    * (merges.txt and vocab.json from different releases must not
+    * half-work); dead duplicate merge slots and the unreachable unk
+    * sentinel get -1. Apply with
+    * [[graft.functions.bpe.remapIds]] — a codegen'd array lookup, so
+    * the remap rides the encode plan with zero extra kernels. */
+  def externalIds(merges: Seq[(String, String)],
+                  vocab: Map[String, Int]): Array[Int] = {
+    val m = graft.functions.bpe.mergeIdMap(merges)
+    val out = Array.fill(graft.functions.bpe.unkId(merges) + 1)(-1)
+    def resolve(sym: String, what: String): Int =
+      vocab.getOrElse(sym, throw new IllegalArgumentException(
+        s"vocab.json has no id for $what '${hexToAlphabetToken(sym)}' " +
+          "- merges and vocab are from different releases"))
+    (0 until 256).foreach(b => out(b) = resolve(f"$b%02X", s"byte $b"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      if (m.get(a + b).intValue == 256 + i)
+        out(256 + i) = resolve(a + b, s"merge ${i}'s output")
+    }
+    out
+  }
+
+  /** Load a PUBLISHED-format merges.txt from any Hadoop-visible path
+    * (local, HDFS, object store) — the step that makes token counts
+    * comparable against a DEPLOYED tokenizer end-to-end: a real
+    * released merge table (tens of thousands of rank-ordered pairs,
+    * sub-MB of text) loads here, travels into the encode kernels as a
+    * plan constant exactly like [[frozenMerges]], and `gpt2Ws = true`
+    * reproduces the published pretokenization. Driver-side sequential
+    * read on purpose: rank order IS the file's line order (a
+    * distributed text read would shuffle it), and the artifact is
+    * KB-to-MB scale at any corpus size.
+    */
+  def loadMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Vector[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8))
+      parseMergesTxt(Iterator.continually(rd.readLine()).takeWhile(_ != null))
+    } finally in.close()
+  }
+
+  /** Write a merge list as a published-format merges.txt ([[
+    * renderMergesTxt]]) at any Hadoop-visible path — the export half
+    * of the interop. */
+  def saveMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(renderMergesTxt(merges)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Per-doc token statistics under a trained merge list: char count,
     * BPE token count (one fused kernel call per doc — zero shuffles),
     * and the chars-per-token compression ratio (null for empty docs).

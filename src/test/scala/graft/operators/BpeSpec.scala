@@ -506,4 +506,149 @@ class BpeSpec extends SparkSpec {
     assert(trained(0).getAs[Double]("compression") >
       none(0).getAs[Double]("compression"))
   }
+
+  test("external vocab: the published byte-to-unicode alphabet is " +
+      "reproduced exactly and is bijective") {
+    // the two famous remaps every published vocab makes visible
+    assert(Bpe.ByteToUnicode(0x20) == 0x120, "space must render as Ġ")
+    assert(Bpe.ByteToUnicode(0x0A) == 0x10A, "newline must render as Ċ")
+    // printable bytes stand for themselves
+    assert(Bpe.ByteToUnicode('A'.toInt) == 'A'.toInt)
+    assert(Bpe.ByteToUnicode(0xC3) == 0xC3) // 'Ã' — kept range
+    assert(Bpe.ByteToUnicode(0xA9) == 0xA9) // '©' — kept range
+    // 0xAD (soft hyphen) is NOT printable: remapped past 255
+    assert(Bpe.ByteToUnicode(0xAD) > 255)
+    // bijective: 256 distinct codepoints, inverse total
+    assert(Bpe.ByteToUnicode.distinct.length == 256)
+    (0 until 256).foreach(b =>
+      assert(Bpe.UnicodeToByte(Bpe.ByteToUnicode(b)) == b))
+  }
+
+  /** A merges.txt sample in the PUBLISHED format (rank-ordered pairs
+    * over the byte-to-unicode alphabet, `#version` header) whose
+    * leading ranks follow a GPT-2-family table, plus one multi-byte
+    * rank (Ã © = the UTF-8 bytes of 'é') to pin the non-ASCII path. */
+  private val mergesTxtSample =
+    "#version: 0.2\n" +
+    "Ġ t\n" + "Ġ a\n" + "h e\n" + "i n\n" + "r e\n" +
+    "o n\n" + "Ġt he\n" + "e r\n" + "Ġ s\n" + "a t\n" +
+    "Ã ©\n"
+
+  test("external vocab: parseMergesTxt reads the published format " +
+      "into rank-ordered hex merges; render round-trips; ranks apply " +
+      "in order under gpt2Ws so counts match a deployed tokenizer") {
+    val merges = Bpe.parseMergesTxt(mergesTxtSample.linesIterator)
+    assert(merges == Vector(
+      ("20", "74"), ("20", "61"), ("68", "65"), ("69", "6E"),
+      ("72", "65"), ("6F", "6E"), ("2074", "6865"), ("65", "72"),
+      ("20", "73"), ("61", "74"), ("C3", "A9")))
+    // exact inverse — a tokenizer trained here ships in the format
+    assert(Bpe.renderMergesTxt(merges) == mergesTxtSample)
+
+    // hand-derived segmentation under the real ranks, gpt2Ws mode:
+    // " the" = 20 74 68 65 → rank0 [2074,68,65] → rank2 [2074,6865]
+    // → rank6 [20746865] = one token "Ġthe", id 256+6
+    val ids = graft.functions.bpe.encodeIds(lit("in the"), merges,
+      gpt2Ws = true)
+    val got = Seq(1).toDF("x").select(ids.as("ids")).head()
+      .getAs[collection.Seq[Int]]("ids").toSeq
+    // "in" → rank3 one token id 256+3; " the" → id 256+6
+    assert(got == Seq(259, 262), s"got $got")
+    // non-ASCII rank: "café" = 63 61 66 C3 A9 → rank10 merges é's two
+    // bytes → [63,61,66,C3A9] = 4 tokens, last id 256+10
+    val cafe = Seq(1).toDF("x").select(
+      graft.functions.bpe.encodeIds(lit("café"), merges,
+        gpt2Ws = true).as("ids")).head().getAs[collection.Seq[Int]]("ids").toSeq
+    assert(cafe == Seq(0x63, 0x61, 0x66, 266), s"got $cafe")
+    // gpt2Ws segmentation is live under the external table: "a   b"
+    // → "a" + "  " (run minus last) + " b" → 1 + 2 + 2 = 5 tokens
+    val multi = Seq(1).toDF("x").select(
+      graft.functions.bpe.tokenCount(lit("a   b"), merges,
+        gpt2Ws = true).as("n")).head().getLong(0)
+    assert(multi == 5L, s"got $multi")
+
+    // malformed artifacts refuse with a line number, never half-load
+    val bad1 = intercept[IllegalArgumentException] {
+      Bpe.parseMergesTxt(Iterator("#version: 0.2", "a b c")) }
+    assert(bad1.getMessage.contains("line 2"))
+    val bad2 = intercept[IllegalArgumentException] {
+      Bpe.parseMergesTxt(Iterator("\u0001 x")) } // U+0001 not in alphabet
+    assert(bad2.getMessage.contains("alphabet"))
+  }
+
+  test("external vocab: merges.txt loads from a path into tokenStats " +
+      "and the SQL TVFs (.txt arg), and saveMergesTxt exports back") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_txt")
+    val path = dir.resolve("merges.txt").toString
+    java.nio.file.Files.write(dir.resolve("merges.txt"),
+      mergesTxtSample.getBytes("UTF-8"))
+    val merges = Bpe.loadMergesTxt(spark, path)
+    assert(merges.size == 11 && merges(6) == ("2074", "6865"))
+    // tokenStats under the external table, gpt2Ws mode
+    val docs = Seq((0L, "in the"), (1L, "café")).toDF("doc_id", "text")
+    val stats = Bpe.tokenStats(docs, "doc_id", "text", merges,
+      gpt2Ws = true).orderBy("doc_id").collect()
+    assert(stats(0).getAs[Long]("n_bpe") == 2L)
+    assert(stats(1).getAs[Long]("n_bpe") == 4L)
+    // SQL surface: a .txt second arg loads the published format
+    val sql = spark.sql(
+      s"SELECT graft_bpe_count('in the', '$path', true) AS n, " +
+        s"graft_bpe_ids('in the', '$path', true) AS ids").head()
+    assert(sql.getAs[Long]("n") == 2L)
+    assert(sql.getAs[collection.Seq[Int]]("ids").toSeq == Seq(259, 262))
+    // decode∘encode stays byte-exact under an external table
+    val rt = spark.sql(
+      s"SELECT graft_bpe_decode(graft_bpe_ids(t, '$path', true), " +
+        s"'$path') AS back FROM (SELECT 'in the café  x' AS t)")
+      .head().getString(0)
+    assert(rt == "in the café  x")
+    // export half: round-trip through a written file
+    val out = dir.resolve("exported.txt").toString
+    Bpe.saveMergesTxt(spark, merges, out)
+    assert(Bpe.loadMergesTxt(spark, out) == merges)
+  }
+
+  test("external vocab: vocab.json id remap — encode emits the " +
+      "DEPLOYED tokenizer's id space under merges.txt + vocab.json") {
+    val merges = Bpe.parseMergesTxt(mergesTxtSample.linesIterator)
+    def render(hex: String): String = {
+      val sb = new java.lang.StringBuilder
+      hex.grouped(2).foreach(h =>
+        sb.appendCodePoint(Bpe.ByteToUnicode(Integer.parseInt(h, 16))))
+      sb.toString
+    }
+    // a vocab.json consistent with the sample merges, written by
+    // Jackson so alphabet chars escape exactly as a publisher's
+    // serializer would: byte b -> 1000+b, merge rank i -> 2000+i
+    // (formulaic ids keep the hand-derivation below readable; real
+    // vocabs assign base ids by alphabet sort order — either way the
+    // remap is a pure table)
+    val vm = new java.util.LinkedHashMap[String, Integer]()
+    (0 until 256).foreach(b => vm.put(render(f"$b%02X"), 1000 + b))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      vm.put(render(a + b), 2000 + i) }
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(vm)
+    val vocab = Bpe.parseVocabJson(json)
+    assert(vocab(f"${0x20}%02X") == 1000 + 0x20) // "Ġ" parsed back
+    assert(vocab("2074") == 2000)                // "Ġt"
+    val table = Bpe.externalIds(merges, vocab)
+    assert(table(0x69) == 1000 + 0x69)  // base byte 'i'
+    assert(table(256 + 6) == 2006)      // merge 6 = "Ġthe"
+    assert(table(graft.functions.bpe.unkId(merges)) == -1)
+    // the remapped stream IS the deployed id space: "in the" →
+    // engine [259, 262] → external [2003, 2006]
+    val ext = Seq(1).toDF("x").select(
+      graft.functions.bpe.remapIds(
+        graft.functions.bpe.encodeIds(lit("in the"), merges,
+          gpt2Ws = true), table).as("ids")).head()
+      .getAs[collection.Seq[Int]]("ids").toSeq
+    assert(ext == Seq(2003, 2006), s"got $ext")
+    // mixed releases refuse loudly: a vocab missing a reachable
+    // token cannot half-load
+    val missing = vocab - "2074"
+    val err = intercept[IllegalArgumentException] {
+      Bpe.externalIds(merges, missing) }
+    assert(err.getMessage.contains("different releases"))
+  }
 }
