@@ -755,6 +755,49 @@ class GraftSqlSpec extends SparkSpec {
       .verifyStoreBackup(spark, s"$parent/g3").collect()
       .map(_.toString).toSeq
     assert(inc.map(_.toString).toSeq == viaScala2)
+
+    // chain census at TVF parity (VERDICT r17 #7): the catalog's
+    // carried/physical/chain split is queryable from SQL over the
+    // full+incremental pair
+    def census() = spark.sql(
+      s"SELECT snapshot, carried_files, carried_bytes, " +
+        s"physical_bytes, base, chain_ok FROM " +
+        s"graft_store_backups('$parent')").collect()
+      .map(r => r.getAs[String]("snapshot") -> r).toMap
+    val cat2 = census()
+    assert(cat2("g2").getAs[Long]("carried_files") == 0L &&
+      cat2("g2").getAs[String]("base") == null &&
+      cat2("g2").getAs[Boolean]("chain_ok"),
+      s"full snapshot census: ${cat2("g2")}")
+    assert(cat2("g3").getAs[Long]("carried_files") > 0L &&
+      cat2("g3").getAs[Long]("carried_bytes") > 0L &&
+      cat2("g3").getAs[String]("base").endsWith("/g2") &&
+      cat2("g3").getAs[Boolean]("chain_ok"),
+      s"incremental census: ${cat2("g3")}")
+    // logical census = carried + physical: a restore reproduces the
+    // whole store whichever tree holds the bytes
+    assert(cat2("g3").getAs[Long]("carried_bytes") +
+      cat2("g3").getAs[Long]("physical_bytes") ==
+      cat2("g2").getAs[Long]("carried_bytes") +
+      cat2("g2").getAs[Long]("physical_bytes"))
+    // break the chain: delete one physical holder file from the base —
+    // the CATALOG must flag the dependent snapshot (chain_ok false,
+    // the restore-would-refuse signal), not just the base itself
+    import scala.jdk.CollectionConverters._
+    val victim = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$parent/g2"))
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.toString.contains("_backup_manifest"))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .next()
+      finally s.close()
+    }
+    java.nio.file.Files.delete(victim)
+    val cat3 = census()
+    assert(!cat3("g3").getAs[Boolean]("chain_ok"),
+      s"broken chain must flag the dependent snapshot: ${cat3("g3")}")
   }
 
   test("dry_run=true on the CALL-style maintenance TVFs: EXPLAIN-safe " +
