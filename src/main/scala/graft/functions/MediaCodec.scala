@@ -3,15 +3,17 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
-  AudioSystem}
 
-/** REAL media codecs over the JDK's built-in decoders (SURVEY F2):
-  * images via `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF readers ship in
-  * the JDK and run headless) and audio via `javax.sound.sampled`
-  * (WAV/AIFF/AU containers). No external codec library — the one
-  * modality the JDK genuinely cannot decode is VIDEO, which is the
-  * only place [[graft.operators.Multimodal]] still stubs.
+/** REAL media codecs (SURVEY F2): images via the JDK's `javax.imageio`
+  * (PNG/JPEG/BMP/GIF/TIFF readers ship in the JDK and run headless),
+  * audio via a conformant RIFF/WAVE chunk parser/writer in this file —
+  * hand-rolled because `javax.sound.sampled.AudioSystem`'s provider
+  * registry serializes concurrent callers (measured ~10 ms/row across
+  * 32 executor threads; ratio100 65 vs the ImageIO row's 6 before the
+  * switch), and spec-pinned conformant in BOTH directions against
+  * `javax.sound` itself. No external codec library — the one modality
+  * the JDK genuinely cannot decode is VIDEO, which is the only place
+  * [[graft.operators.Multimodal]] still stubs.
   *
   * Two kinds of entry points live here:
   *
@@ -192,25 +194,38 @@ object MediaCodec {
   val AudioRateHz = 8000
 
   /** A REAL RIFF/WAVE container whose PCM frames follow
-    * [[audioSample]] — written by `javax.sound.sampled`, so the
-    * decode under test parses a production WAV header. */
+    * [[audioSample]]: the canonical 44-byte header (RIFF size, `fmt `
+    * PCM/mono/16-bit/8kHz, `data`) + little-endian PCM — written
+    * directly, NOT through `javax.sound.sampled.AudioSystem.write`:
+    * AudioSystem's provider registry serializes concurrent callers
+    * (a measured 10 ms/row across 32 executor threads — the
+    * mm_decode_audio scale run hit ratio100 65 where the ImageIO row
+    * sat at 6), and a per-row synthesis kernel cannot afford a global
+    * lock. Conformance is spec-pinned the strong way: `AudioSystem`
+    * itself parses these bytes back to the exact format and samples. */
   def wavPayload(docId: Long): Array[Byte] = {
     val n = audioSamples(docId)
-    val pcm = new Array[Byte](n * 2)
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(off: Int, v: Int): Unit = { le16(off, v); le16(off + 2, v >>> 16) }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) /* PCM */ ; le16(22, 1) /* mono */
+    le32(24, AudioRateHz); le32(28, AudioRateHz * 2) /* byte rate */
+    le16(32, 2) /* block align */ ; le16(34, 16) /* bits */
+    tag(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < n) {
-      val v = audioSample(docId, i)
-      pcm(2 * i) = (v & 0xFF).toByte
-      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      le16(44 + 2 * i, audioSample(docId, i) & 0xFFFF)
       i += 1
     }
-    val fmt = new AudioFormat(AudioRateHz.toFloat, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
-      n.toLong)
-    val bos = new ByteArrayOutputStream()
-    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
-    bos.toByteArray
+    out
   }
 
   /** Decoded audio: container-parsed format plus 8 segment-mean
@@ -219,40 +234,71 @@ object MediaCodec {
   final case class AudioFeatures(sampleRate: Int, bits: Int,
                                  nSamples: Int, features: Array[Double])
 
-  /** REAL audio decode via AudioSystem. Accepts the 16-bit signed
-    * mono little-endian PCM profile (what [[wavPayload]] writes and
-    * the common interchange profile); anything else — or undecodable
-    * bytes — is None. */
+  /** REAL RIFF/WAVE container decode — a conformant chunk walker
+    * (RIFF/WAVE magic, `fmt ` parsed wherever it sits, unknown chunks
+    * skipped by their declared size with word padding, `data` bounded
+    * by both its declared size and the physical payload). Accepts the
+    * 16-bit signed mono PCM interchange profile (WAV PCM is
+    * little-endian by definition); anything else — or undecodable
+    * bytes — is None. Hand-rolled instead of
+    * `AudioSystem.getAudioInputStream` for the same reason
+    * [[wavPayload]] writes its own header: AudioSystem's provider
+    * probing serializes across threads (measured 10 ms/row on 32
+    * threads — a decode kernel with a global lock is not a 100 TB
+    * operator). The spec cross-validates BOTH directions against
+    * `javax.sound.sampled`: this parser decodes an
+    * AudioSystem-written WAV identically, and AudioSystem parses
+    * [[wavPayload]]'s bytes back to the same format and samples. */
   def decodeWav(payload: Array[Byte]): Option[AudioFeatures] =
     try {
-      val in = AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
-      try {
-        val f = in.getFormat
-        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-            f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-            f.isBigEndian) None
-        else {
-          val bytes = in.readAllBytes()
-          val n = bytes.length / 2
-          if (n == 0) None
-          else {
-            val sums = new Array[Long](8)
-            val cnts = new Array[Long](8)
-            var i = 0
-            while (i < n) {
-              val v = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8))
-                .toShort.toInt
-              val g = (i.toLong * 8 / n).toInt
-              sums(g) += v
-              cnts(g) += 1
-              i += 1
-            }
-            val feats = Array.tabulate(8)(g =>
-              if (cnts(g) == 0) 0.0 else sums(g).toDouble / cnts(g))
-            Some(AudioFeatures(f.getSampleRate.toInt, 16, n, feats))
+      if (payload.length < 12) return None
+      def tag(off: Int): String = new String(payload, off, 4, "US-ASCII")
+      def le16(off: Int): Int =
+        (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8)
+      def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var fmtOk = false
+      var rate = 0
+      var dataOff = -1
+      var dataLen = 0
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val id = tag(off)
+        val len = le32(off + 4)
+        if (len < 0 || off + 8 + len > payload.length) {
+          // declared size overruns the physical payload: tolerate it
+          // ONLY for a final data chunk (truncated tail tools emit);
+          // truncate to what is actually there
+          if (id == "data") { dataOff = off + 8; dataLen = payload.length - dataOff }
+          off = payload.length
+        } else {
+          if (id == "fmt " && len >= 16) {
+            // PCM(1), mono, 16-bit — the interchange profile
+            fmtOk = le16(off + 8) == 1 && le16(off + 10) == 1 &&
+              le16(off + 22) == 16
+            rate = le32(off + 12)
+          } else if (id == "data") {
+            dataOff = off + 8; dataLen = len
           }
+          off += 8 + len + (len & 1) // chunks are word-aligned
         }
-      } finally in.close()
+      }
+      val n = dataLen / 2
+      if (!fmtOk || rate <= 0 || dataOff < 0 || n == 0) None
+      else {
+        val sums = new Array[Long](8)
+        val cnts = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val v = le16(dataOff + 2 * i).toShort.toInt
+          val g = (i.toLong * 8 / n).toInt
+          sums(g) += v
+          cnts(g) += 1
+          i += 1
+        }
+        val feats = Array.tabulate(8)(g =>
+          if (cnts(g) == 0) 0.0 else sums(g).toDouble / cnts(g))
+        Some(AudioFeatures(rate, 16, n, feats))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * batch-decode/feature-extract plumbing a training pipeline hangs off
   * them.
   *
-  * [[decodeFeatures]]'s decode is REAL for images and audio — the JDK
-  * ships working headless codecs (`javax.imageio`: PNG/JPEG/BMP/GIF/
-  * TIFF; `javax.sound.sampled`: WAV/AIFF/AU), wrapped by
-  * [[graft.functions.MediaCodec]] and oracle-checked end-to-end by the
+  * [[decodeFeatures]]'s decode is REAL for images and audio: images
+  * via the JDK's headless `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF),
+  * audio via [[graft.functions.MediaCodec]]'s conformant RIFF/WAVE
+  * chunk parser (hand-rolled — `AudioSystem`'s provider registry
+  * serializes concurrent callers, a global lock a 32-thread decode
+  * kernel cannot afford; conformance spec-pinned both ways against
+  * `javax.sound` itself) — oracle-checked end-to-end by the
   * mm_decode / mm_decode_audio / mm_phash_image rows. Only VIDEO falls
   * back to a clearly-marked deterministic stub (the JDK has no video
   * codec), as does any payload the real decoders cannot parse — a

@@ -91,8 +91,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("REAL audio decode: wavPayload writes a RIFF/WAVE container " +
-      "whose parsed format and PCM frames round-trip the closed form") {
+      "whose parsed format and PCM frames round-trip the closed form, " +
+      "CONFORMANT both ways against javax.sound itself") {
     import graft.functions.MediaCodec
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
     Seq(1L, 777L, 424242L).foreach { id =>
       val wav = MediaCodec.wavPayload(id)
       assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
@@ -108,8 +111,59 @@ class MultimodalSpec extends SparkSpec {
       }
       (0 until 8).foreach(g =>
         assert(a.features(g) == sums(g).toDouble / cnts(g), s"id=$id g=$g"))
+      // conformance, direction 1: javax.sound parses OUR container
+      // back to the exact format and PCM frames (the writer is a real
+      // WAV, not a private format that only our parser accepts)
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val f = ais.getFormat
+        assert(f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleRate.toInt == MediaCodec.AudioRateHz &&
+          f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian, s"javax.sound disagrees on format: $f")
+        val pcm = ais.readAllBytes()
+        assert(pcm.length == n * 2)
+        (0 until n).foreach { i =>
+          val v = (((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)))
+            .toShort.toInt
+          assert(v == MediaCodec.audioSample(id, i), s"id=$id pcm[$i]")
+        }
+      } finally ais.close()
+    }
+    // conformance, direction 2: our parser decodes a WAV that
+    // javax.sound WROTE (provider header layout, not ours) identically
+    locally {
+      val n = 96
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = MediaCodec.audioSample(5L, i)
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(MediaCodec.AudioRateHz.toFloat, 16, 1,
+        true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      val a = MediaCodec.decodeWav(bos.toByteArray).get
+      assert(a.sampleRate == MediaCodec.AudioRateHz && a.nSamples == n)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      (0 until n).foreach { i =>
+        val g = (i.toLong * 8 / n).toInt
+        sums(g) += MediaCodec.audioSample(5L, i); cnts(g) += 1
+      }
+      (0 until 8).foreach(g =>
+        assert(a.features(g) == sums(g).toDouble / cnts(g)))
     }
     assert(MediaCodec.decodeWav("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decodeWav(Array.empty[Byte]).isEmpty)
+    // a stereo/8-bit/non-PCM fmt is rejected, not mis-decoded
+    val stereo = MediaCodec.wavPayload(1L).clone()
+    stereo(22) = 2 // channels = 2
+    assert(MediaCodec.decodeWav(stereo).isEmpty)
   }
 
   test("imageAHash64 hashes what the image LOOKS like: a re-encoded " +
