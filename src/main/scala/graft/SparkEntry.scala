@@ -452,7 +452,19 @@ object SparkEntry {
     */
   /** The 128-perm MinHash signature chain over shingle rows `src`,
     * ending in `sig(doc_id, j, mh)` — MATERIALIZED so multi-banding
-    * oracles (the C35c sweep) replay it once.
+    * oracles (the C35c sweep) replay it once. The per-permutation MIN
+    * replays the engine's SIGNED long comparison
+    * ([[graft.functions.TextHashes.minhashSig]] `v < out(j)` on Long):
+    * the CTE's values live in the unsigned HUGEINT domain, where the
+    * signed order is the unsigned order with the sign bit flipped, so
+    * the min is taken over `xor(v, 2^63)` and flipped back. Unsigned
+    * MIN(v) is a DIFFERENT total order that picks a different
+    * signature element whenever a doc's permuted hashes span both
+    * signs — any valid MinHash scheme, but NOT the engine's: on
+    * marginal pairs (0.7 ≤ J < 1) the two schemes' band collisions
+    * diverge (first seen as a 3-pair n_found mismatch in the sf0.001
+    * bands=8 sweep row; exact-dup pairs collide under any order, which
+    * is why sf0.01 never caught it).
     */
   private def minhashSigCte(src: String): String = {
     val seeds = (0 until 128).map(j =>
@@ -470,7 +482,10 @@ object SparkEntry {
       |        & $M64 AS v FROM p3),
       |p5 AS (SELECT doc_id, j, xor(v, v >> 33) AS v FROM p4),
       |sig AS MATERIALIZED (
-      |  SELECT doc_id, j, MIN(v) AS mh FROM p5 GROUP BY doc_id, j)""".stripMargin
+      |  SELECT doc_id, j,
+      |    xor(MIN(xor(v, 9223372036854775808::HUGEINT)),
+      |        9223372036854775808::HUGEINT) AS mh
+      |  FROM p5 GROUP BY doc_id, j)""".stripMargin
   }
 
   /** One banding of the `sig` signature at `rowsPerBand` rows/band —
