@@ -370,25 +370,29 @@ object Knn {
     *    (`orderBy(id).limit(ksub)` — a distributed top-k, no global
     *    sort), codebook slot = rank, so ANY id space yields codes
     *    0..ksub-1;
-    *  - assign: broadcast centroids + partial-agg `min_by` argmin —
-    *    the same shape as the encode step, never a shuffled n×ksub
-    *    stream;
+    *  - assign: `l2sqD` argmin with ties to the smallest cell — the
+    *    (dist, cell_id) struct-min rule, identical to the encode step;
     *  - update: per-component means computed from QUANTIZED integer
     *    sums (`floor(v·2²⁰ + 0.5)` summed as longs): integer addition
-    *    is associative, so the result is bit-identical however Spark
-    *    partitions the sum — and a SQL oracle replays it exactly.
+    *    is associative, so the result is bit-identical however the sum
+    *    is ordered or partitioned — a SQL oracle replays it exactly,
+    *    and (since r18) the Lloyd loop itself runs DRIVER-LOCAL on the
+    *    one collected sample: the cap bounds driver state at ~maxTrain
+    *    vectors (MBs) at ANY corpus size, and the former
+    *    per-iteration broadcast-join + partial-agg + collect cycle
+    *    paid distributed-job scheduling for microseconds of ALU work.
     *    The ≤2⁻²⁰ quantization nudge is far below any clustering
-    *    signal. Empty clusters keep their previous centroid;
-    *  - per iteration the m·ksub·(dim/m) = `dim·ksub` centroid doubles
-    *    are collected and re-broadcast — the standard distributed
-    *    k-means cycle (centroids are tiny; the corpus never moves).
+    *    signal. Empty clusters keep their previous centroid. The ONLY
+    *    distributed work is the capped sample collect (plus the count
+    *    unless `knownCount` supplies it) — the corpus never moves.
     *
     * Returns `(sub, cell_id, cvec)` with cell_id 0..ksub-1, the
     * codebook shape [[pqSearch]] consumes.
     */
   def kmeansSubCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                          dim: Int, m: Int, ksub: Int, iters: Int = 2,
-                         trainMod: Int = 4, maxTrain: Int = 8192)
+                         trainMod: Int = 4, maxTrain: Int = 8192,
+                         knownCount: Option[Long] = scala.None)
       : DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -398,57 +402,102 @@ object Knn {
     import spark.implicits._
     val S = 1048576.0 // 2^20 quantization scale for associative sums
     // parquet-metadata-cheap count; raises the modulus so the sample
-    // stays ~maxTrain however large the corpus grows
-    val n = corpus.count()
+    // stays ~maxTrain however large the corpus grows. `knownCount`
+    // skips the pass when the caller already holds the input's row
+    // count (the C13 knownCounts precedent): [[ivfpqResidualTrained]]'s
+    // residual frame has EXACTLY one row per corpus vector, so counting
+    // it would re-run the full coarse-assign lineage for one constant.
+    val n = knownCount.getOrElse(corpus.count())
     val em = math.max(trainMod.toLong, (n + maxTrain - 1) / maxTrain)
-    val samp = corpus
+    // ONE distributed action: collect the count-capped sample
+    // (≤ ~maxTrain vectors — MBs at any corpus size, the cap exists
+    // precisely so training state is constant). Every Lloyd iteration
+    // then runs DRIVER-LOCAL, reproducing the former distributed plan
+    // bit-for-bit: the update sums were already QUANTIZED-INTEGER
+    // (associative ⇒ partitioning-invariant), the assignment argmin
+    // replays l2sqD's sequential fold and min_by's (dist, cell_id)
+    // struct order, and the mean replays the exact
+    // `sq.toDouble / cnt / S` division chain. The former shape — one
+    // broadcast-join + partial-agg + collect action PER iteration over
+    // a persisted ~8k-row sample — paid per-iteration job scheduling
+    // for work that is microseconds of ALU; at bench sf that overhead
+    // was 60-80% of every trained query's wall time (guide §1.2: fix
+    // the algorithm's pass structure before per-task tuning).
+    val sampRows = corpus
       .filter(pmod(col(idCol).cast("long"), lit(em)) === 0)
       .select(col(idCol).cast("long").as("_id"),
         asDouble(col(vecCol)).as("v"))
-    val init = samp.orderBy(col("_id")).limit(ksub).collect()
-    require(init.length == ksub,
-      s"k-means needs >= $ksub training vectors, found ${init.length} " +
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sampRows.length >= ksub,
+      s"k-means needs >= $ksub training vectors, found " +
+        s"${math.min(sampRows.length, ksub)} " +
         s"(training sample = ids with id % $em == 0)")
-    // cent(sub)(cell)(component), driver-side between iterations
+    // cent(sub)(cell)(component); init = the ksub smallest-id sample
+    // vectors' subvectors (the former orderBy(_id).limit(ksub))
     var cent: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
-      (j, c) =>
-        init(c).getSeq[Double](1).slice(j * d, (j + 1) * d).toArray
+      (j, c) => sampRows(c)._2.slice(j * d, (j + 1) * d)
     }
     def centDf = cent.zipWithIndex.flatMap { case (byCell, j) =>
       byCell.zipWithIndex.map { case (cv, c) => (j, c.toLong, cv.toSeq) }
     }.toSeq.toDF("sub", "cell_id", "cvec")
-    // each Lloyd iteration is one action over the subvector stream —
-    // persist it so iteration N doesn't re-scan and re-slice the corpus
-    // sample (LRU-evictable, O(sample) ≪ corpus; freed before return)
-    val sampSubs = samp.select(col("_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("v"), j * d + 1, lit(d)))))
-      .toDF("_id", "sub", "sv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      for (_ <- 1 to iters) {
-        val assigned = sampSubs.join(broadcast(centDf), "sub")
-          .withColumn("dist", l2sqD(col("sv"), col("cvec")))
-          .groupBy(col("_id"), col("sub"))
-          .agg(min_by(col("cell_id"), struct(col("dist"), col("cell_id")))
-            .as("code"),
-            first(col("sv")).as("sv")) // sv is a function of (_id, sub)
-        val upd = assigned
-          .select(col("sub"), col("code"), posexplode(col("sv")))
-          .toDF("sub", "code", "i", "comp")
-          .withColumn("q", floor(col("comp") * S + lit(0.5)).cast("long"))
-          .groupBy("sub", "code", "i")
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-          .collect()
-        val next = cent.map(_.map(_.clone()))
-        upd.foreach { r =>
-          val j = r.getInt(0); val c = r.getLong(1).toInt; val i = r.getInt(2)
-          next(j)(c)(i) = r.getLong(3).toDouble / r.getLong(4) / S
+    for (_ <- 1 to iters) {
+      val sq = Array.ofDim[Long](m, ksub, d)
+      val cnt = Array.ofDim[Long](m, ksub)
+      sampRows.foreach { case (_, v) =>
+        var j = 0
+        while (j < m) {
+          // argmin over (dist, cell_id): ascending cell order + strict
+          // `<` keeps the smallest cell on ties, the min_by struct rule;
+          // Double.compare is Spark's double ordering (NaN greatest)
+          var best = 0
+          var bestDist = java.lang.Double.MAX_VALUE
+          var c = 0
+          while (c < ksub) {
+            val cv = cent(j)(c)
+            var acc = 0.0 // l2sqD: sequential fold in component order
+            var i = 0
+            while (i < d) {
+              val diff = v(j * d + i) - cv(i)
+              acc += diff * diff
+              i += 1
+            }
+            if (c == 0 || java.lang.Double.compare(acc, bestDist) < 0) {
+              best = c; bestDist = acc
+            }
+            c += 1
+          }
+          var i = 0
+          while (i < d) {
+            // floor(comp·S + 0.5) summed as longs — the associative
+            // integer sum the distributed update used
+            sq(j)(best)(i) += math.floor(v(j * d + i) * S + 0.5).toLong
+            i += 1
+          }
+          cnt(j)(best) += 1L
+          j += 1
         }
-        cent = next
       }
-      centDf
-    } finally sampSubs.unpersist(blocking = false)
+      val next = cent.map(_.map(_.clone()))
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          if (cnt(j)(c) > 0L) { // empty clusters keep their centroid
+            var i = 0
+            while (i < d) {
+              next(j)(c)(i) = sq(j)(c)(i).toDouble / cnt(j)(c) / S
+              i += 1
+            }
+          }
+          c += 1
+        }
+        j += 1
+      }
+      cent = next
+    }
+    centDf
   }
 
   /** [[pq]] with TRAINED k-means sub-codebooks instead of the
@@ -802,13 +851,19 @@ object Knn {
                            nCells: Int = 16, iters: Int = 2,
                            trainMod: Int = 4, maxTrain: Int = 8192,
                            overscan: Int = 4, salts: Int = 32): DataFrame = {
+    // one corpus count serves BOTH trainings: the residual frame has
+    // exactly one row per corpus vector (assign emits one winning cell
+    // per id, both re-attach joins are key-preserving), so counting it
+    // would re-run the full coarse-assign lineage for the same number
+    val n = corpus.count()
     val coarseCb = kmeansSubCodebooks(corpus, idCol, vecCol, dim,
         m = 1, ksub = nCells, iters = iters, trainMod = trainMod,
-        maxTrain = maxTrain)
+        maxTrain = maxTrain, knownCount = Some(n))
       .select(col("cell_id"), col("cvec").as("centroid"))
     val res = residuals(corpus, idCol, vecCol, coarseCb)
     val cbs = kmeansSubCodebooks(res, "neighbor_id", "rv", dim, m, ksub,
-      iters = iters, trainMod = trainMod, maxTrain = maxTrain)
+      iters = iters, trainMod = trainMod, maxTrain = maxTrain,
+      knownCount = Some(n))
     ivfpqResidual(corpus, queries, idCol, vecCol, dim, k,
       nProbe = nProbe, m = m, ksub = ksub, overscan = overscan,
       salts = salts, codebooks = Some(cbs), coarse = Some(coarseCb))

@@ -329,6 +329,34 @@ class KnnSpec extends SparkSpec {
     assert(capped.except(byHand).isEmpty && byHand.except(capped).isEmpty)
   }
 
+  test("driver-local Lloyd reproduces the quantized-integer update " +
+      "by hand, and knownCount changes nothing but the count pass") {
+    // 4 vectors, dim 2, m=1, ksub=2, iters=1, trainMod=1 -> sample =
+    // all four; init = ids 0,1. Assignment under l2sq from init
+    // centroids (1,1) and (9,1): ids 0,1 -> cells 0,1 by identity;
+    // (2,2) is 2 from (1,1) vs 50 from (9,1) -> cell 0; (8,0) is
+    // 50 vs 2 -> cell 1. Updated means under floor(v*2^20+0.5) long
+    // sums: cell0 = ((1+2)/2, (1+2)/2) = (1.5, 1.5) exactly (the
+    // quantization is exact on these integers), cell1 = (8.5, 0.5).
+    val tiny = Seq(
+      (0L, Seq(1.0, 1.0)), (1L, Seq(9.0, 1.0)),
+      (2L, Seq(2.0, 2.0)), (3L, Seq(8.0, 0.0))).toDF("vec_id", "embedding")
+    val cb = Knn.kmeansSubCodebooks(tiny, "vec_id", "embedding",
+        dim = 2, m = 1, ksub = 2, iters = 1, trainMod = 1)
+      .orderBy("cell_id")
+      .select("cvec").as[Seq[Double]].collect()
+    assert(cb.toSeq == Seq(Seq(1.5, 1.5), Seq(8.5, 0.5)),
+      s"hand-derived Lloyd update, got ${cb.toSeq}")
+    // knownCount: same centroids from the same formula, no count pass
+    val viaKnown = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 2,
+      knownCount = Some(emb.count()))
+    val counted = Knn.kmeansSubCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2, trainMod = 2)
+    assert(viaKnown.except(counted).isEmpty &&
+      counted.except(viaKnown).isEmpty)
+  }
+
   test("IVF assign step is a partial aggregation, not a window sort") {
     val plan = Knn.ivf(emb, queries, "vec_id", "embedding", k = 5)
       .queryExecution.executedPlan.toString
