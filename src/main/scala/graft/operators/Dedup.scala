@@ -913,7 +913,19 @@ object Dedup {
       shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shPlan
     val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
-    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, perms / bands)
+    lshVerifiedPairsFrom(sh, sigs, idCol, bands, perms / bands)
+  }
+
+  /** One banding + exact-Jaccard verification leg over PRECOMPUTED
+    * `(id, sh)` / `(id, sig)` frames — split from [[lshVerifiedPairs]]
+    * so a multi-banding sweep shares ONE shingle + signature pass
+    * across every leg (the signature is banding-independent: banding
+    * only re-slices it).
+    */
+  private def lshVerifiedPairsFrom(sh: DataFrame, sigs: DataFrame,
+                                   idCol: String, bands: Int,
+                                   rowsPerBand: Int): DataFrame = {
+    val cand = lshCandidatePairs(sigs, idCol, "sig", bands, rowsPerBand)
     withJaccard(joinPayload(cand, sh, idCol, "sh"))
   }
 
@@ -1119,9 +1131,22 @@ object Dedup {
       s"each bands setting must divide perms=$perms, got $b"))
     val truth = lshRecallTruth(docs, idCol, textCol, k, threshold)
       .localCheckpoint()
+    // ONE shingle pass and ONE 128-perm signature pass shared by every
+    // banding leg (r18): the signature is banding-INDEPENDENT — a leg
+    // only re-slices it — so recomputing the minhash kernel per leg
+    // (what per-leg [[minhashLsh]] calls did) paid the O(perms·|sh|)
+    // kernel bandsList.size times for identical bits. Both frames are
+    // MEMORY_AND_DISK like [[lshVerifiedPairs]]'s shingle cache:
+    // LRU-evictable, O(corpus sets), caller-owned.
+    val sh = docs
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col(idCol), txt.minhash(col("sh"), perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandsList.distinct.sorted.map { b =>
-      val found = minhashLsh(docs, idCol, textCol, k, perms, b,
-          threshold)
+      val found = lshVerifiedPairsFrom(sh, sigs, idCol, b, perms / b)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+        .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("_hit"))
       truth.join(found, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_truth"),
