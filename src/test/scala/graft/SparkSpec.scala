@@ -17,6 +17,7 @@ object SparkSpec {
     .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.optimizer.excludedRules", Bench.ExcludedOptimizerRules)
     .config("spark.sql.timeType.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
