@@ -40,10 +40,6 @@ object Bloom {
     ColumnBridge.column(ShiftLeft(ColumnBridge.expression(v),
       ColumnBridge.expression(n)))
 
-  private def shr(v: Column, n: Column): Column =
-    ColumnBridge.column(ShiftRight(ColumnBridge.expression(v),
-      ColumnBridge.expression(n)))
-
   /** The two probe positions of hash column `g` in a `2^logBits`-bit
     * space (both in [0, bits) — `pmod` handles negative hashes).
     */
@@ -94,15 +90,73 @@ object Bloom {
 
   /** Membership probe: true iff both positions of `g` are set. False
     * positives at the configured rate; false negatives never.
+    *
+    * The bitset rides the expression as a PLAIN `Array[Long]` reference
+    * ([[BloomProbe]], `ctx.addReferenceObj` in codegen), NOT a
+    * `typedLit` array literal. The literal form was measured as a
+    * driver-side tax the whole query paid: a 2^lb-bit filter is a
+    * 2^(lb-6)-element literal (65k longs at the sf0.1 eval set, up to
+    * 2^24 at the cap) that CatalystTypeConverters boxes element by
+    * element, every optimizer pass re-canonicalizes, constraint
+    * propagation COPIES onto the other join side, and the explain
+    * string renders in full. Probe semantics are bit-identical:
+    * [[probeWords]] replays pmod(g, bits) / pmod(xxhash64(g), bits)
+    * (same XXH64 seed 42 as the SQL function) and the same
+    * shift-and-mask word test.
     */
   def probe(words: Array[Long], g: Column, logBits: Int = 20): Column = {
     require(words.length == 1 << (logBits - 6),
       s"bitset has ${words.length} words, logBits $logBits needs " +
         s"${1 << (logBits - 6)}")
-    val arr = typedLit(words.toSeq)
-    positions(g, logBits).map { p =>
-      val w = element_at(arr, ((p / 64).cast("long") + 1).cast("int"))
-      shr(w, (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    ColumnBridge.column(BloomProbe(ColumnBridge.expression(g), words, logBits))
   }
+
+  /** The probe kernel behind [[BloomProbe]]: both positions of `g`
+    * (pmod into the bit space; second position from XXH64 at the SQL
+    * `xxhash64` seed) tested with the same word/shift arithmetic the
+    * old expression tree compiled to.
+    */
+  def probeWords(words: Array[Long], logBits: Int, g: Long): Boolean = {
+    val bits = 1L << logBits
+    var p = g % bits; if (p < 0) p += bits
+    if (((words((p >>> 6).toInt) >> (p & 63L).toInt) & 1L) != 1L)
+      return false
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(g, 42L)
+    p = h % bits; if (p < 0) p += bits
+    ((words((p >>> 6).toInt) >> (p & 63L).toInt) & 1L) == 1L
+  }
+}
+
+/** BOOLEAN membership probe of a 64-bit hash column against a
+  * driver-held Bloom bitset — the words array is attached by reference
+  * (a codegen reference object / a closure field in interpreted eval),
+  * so megabyte bitsets never enter the Catalyst expression tree as
+  * literals. Equality is reference equality on `words` (case-class
+  * array semantics): probes built from the same `build` call compare
+  * equal, which is the only dedup the optimizer needs here.
+  */
+case class BloomProbe(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                      words: Array[Long], logBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+  override def prettyName: String = "bloom_probe"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT, got $other")
+  }
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    Bloom.probeWords(words, logBits, input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Bloom.probeWords($ref, $logBits, $c)")
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): BloomProbe =
+    copy(child = newChild)
 }

@@ -1305,8 +1305,15 @@ object Dedup {
         explode(col("sh")).as("g"))
       // eval-sized map-side kill: non-members never leave the scan
       .filter(graft.functions.Bloom.probe(bits, col("g"), lb))
-      // exact verify at survivor scale — removes Bloom false positives
-      .join(evalGrams, "g")
+      // exact verify at survivor scale — removes Bloom false positives.
+      // The eval side carries the broadcast hint: it is the bounded
+      // side by construction (the filter was BUILT from it — an exact
+      // HashedRelation of the same grams is the same order of memory
+      // as the bitset), and without the hint the static planner's
+      // selectivity guess broadcast the SURVIVOR stream instead
+      // (BuildLeft of the probe-filtered train grams in the r18
+      // before-plan) — corpus-scale rows collected to the driver.
+      .join(broadcast(evalGrams), "g")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
