@@ -12,6 +12,11 @@ object ExplainOne {
     val spark = SparkSession.builder.master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match the engine sessions (Bench/Verify) so captured plans are
+      // the plans the driver actually runs
+      .config("spark.sql.optimizer.excludedRules",
+        graft.Bench.ExcludedOptimizerRules)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
