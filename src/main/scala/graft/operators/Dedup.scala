@@ -115,7 +115,9 @@ object Dedup {
                          maxBucket: Int = 1000,
                          cacheShingles: Boolean = true,
                          broadcastBatch: Boolean = true,
-                         bucketIndex: Option[DataFrame] = scala.None)
+                         bucketIndex: Option[DataFrame] = scala.None,
+                         shingledCorpus: Option[DataFrame] = scala.None,
+                         shingledBatch: Option[DataFrame] = scala.None)
       : DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     val rpb = perms / bands
@@ -129,6 +131,11 @@ object Dedup {
     // either way (spec-pinned).
     def bc(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
+    // pre-shingled `(batch_id|corpus_id, sh)` frames (caller-owned
+    // persistence) replace the internal projections when given — a
+    // caller that already computed the identical kernel for another
+    // leg of its plan (the [[lshIndexRecall]] truth leg) shares ONE
+    // cached pass instead of paying the kernel + a second cache entry
     def shingled(df: DataFrame, out: String) = {
       val p = df.select(col(idCol).as(out),
         shingleHashes(col(textCol), k).as("sh"))
@@ -136,7 +143,7 @@ object Dedup {
         p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else p
     }
-    val bs = shingled(batch, "batch_id")
+    val bs = shingledBatch.getOrElse(shingled(batch, "batch_id"))
     val batchKeys = bandKeysOf(bs, "batch_id", perms, rpb, bands)
       .select(col("band"), col("bkey"), col("batch_id")).distinct()
     // the per-(band, key) corpus bucket table: either built in-plan
@@ -151,7 +158,7 @@ object Dedup {
     // the in-plan form shingles the corpus ONCE (persisted) and feeds
     // both the band keys and the verification join; the indexed form
     // never touches corpus text until the candidate set is known
-    lazy val cs = shingled(corpus, "corpus_id")
+    lazy val cs = shingledCorpus.getOrElse(shingled(corpus, "corpus_id"))
     val index = bucketIndex match {
       case Some(flat) =>
         flat.join(bc(batchKeys.select(col("band"), col("bkey")).distinct()),
@@ -200,18 +207,27 @@ object Dedup {
     val verifySh = bucketIndex match {
       case Some(_) =>
         val candIds = cand.select(col("corpus_id")).distinct()
+        // coverage check against the pre-shingled frame when given (its
+        // id set IS the corpus', and the scan reads the caller's cache
+        // instead of re-running the corpus lineage)
+        val coverage = shingledCorpus.map(_.select(col("corpus_id")))
+          .getOrElse(corpus.select(col(idCol).as("corpus_id")))
         val missing = candIds
-          .join(corpus.select(col(idCol).as("corpus_id")),
-            Seq("corpus_id"), "left_anti")
+          .join(coverage, Seq("corpus_id"), "left_anti")
           .limit(1).collect()
         require(missing.isEmpty,
           s"LSH index corpus_id ${if (missing.nonEmpty) missing.head.get(0) else ""} " +
             "is absent from the passed corpus DataFrame — index and " +
             "corpus have drifted (probe with the corpus the index was " +
             "built/appended from)")
-        shingled(corpus.select(col(idCol), col(textCol))
-          .join(bc(candIds.select(col("corpus_id").as(idCol))), Seq(idCol)),
-          "corpus_id")
+        shingledCorpus match {
+          case Some(sc) => sc.join(bc(candIds), Seq("corpus_id"))
+          case scala.None =>
+            shingled(corpus.select(col(idCol), col(textCol))
+              .join(bc(candIds.select(col("corpus_id").as(idCol))),
+                Seq(idCol)),
+              "corpus_id")
+        }
       case scala.None => cs
     }
     withJaccard(verifySh.select(col("corpus_id"), col("sh").as("pa"))
@@ -644,14 +660,19 @@ object Dedup {
                                 textCol: String, threshold: Double = 0.7,
                                 maxBucket: Int = 1000,
                                 cacheShingles: Boolean = true,
-                                broadcastBatch: Boolean = true)
+                                broadcastBatch: Boolean = true,
+                                shingledCorpus: Option[DataFrame] =
+                                  scala.None,
+                                shingledBatch: Option[DataFrame] =
+                                  scala.None)
       : DataFrame = {
     val spark = batch.sparkSession
     val (k, perms, bands) = lshIndexParams(spark, dir)
     incrementalMinhash(corpus, batch, idCol, textCol, k, perms, bands,
       threshold, maxBucket, cacheShingles, broadcastBatch,
       bucketIndex = Some(spark.read.parquet(s"$dir/buckets")
-        .select(col("band"), col("bkey"), col("corpus_id"))))
+        .select(col("band"), col("bkey"), col("corpus_id"))),
+      shingledCorpus = shingledCorpus, shingledBatch = shingledBatch)
   }
 
   /** C37: recall of the PERSISTED LSH index on an incoming batch —
@@ -693,21 +714,40 @@ object Dedup {
     val corpusIn = corpus
       .withColumn("_cid", col(idCol).cast("long"))
       .join(indexed, col("_cid") === col("corpus_id"), "left_semi")
-    val csets = corpusIn.select(col("_cid").as("corpus_id"),
-      shingleHashes(col(textCol), k).as("shc"))
-    val bsets = batch.select(col(idCol).cast("long").as("batch_id"),
-      shingleHashes(col(textCol), k).as("shb"))
-    val csh = csets.select(col("corpus_id"), explode(col("shc")).as("v"))
-    val bsh = bsets.select(col("batch_id"), explode(col("shb")).as("v"))
+    // ONE shingle pass per side (r19): the truth leg used to project the
+    // kernel under its own names (shc/shb) and re-evaluate it in BOTH its
+    // inverted-join branch and its size-attach branch, while the probe
+    // leg cached its own third copy of each side — 4 kernel evaluations
+    // over corpus + batch and 2 extra cache entries for identical bits.
+    // Both legs now share these two persisted projections (the
+    // [[lshRecallSweep]] pattern: MEMORY_AND_DISK, caller-owned —
+    // Bench/Verify clearCache() between runs). The truth sizes attach
+    // from a `size(sh)` projection of the cached frame, so the arrays
+    // never re-shuffle for the size join.
+    val csets = corpusIn
+      .select(col("_cid").as("corpus_id"),
+        shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsets = batch
+      .select(col(idCol).cast("long").as("batch_id"),
+        shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csh = csets.select(col("corpus_id"), explode(col("sh")).as("v"))
+    val bsh = bsets.select(col("batch_id"), explode(col("sh")).as("v"))
     val shared = csh.join(bsh, "v")
       .groupBy(col("corpus_id"), col("batch_id"))
       .agg(count(lit(1)).as("c"))
-    val truth = shared.join(csets, "corpus_id").join(bsets, "batch_id")
+    val truth = shared
+      .join(csets.select(col("corpus_id"), size(col("sh")).as("_nc")),
+        "corpus_id")
+      .join(bsets.select(col("batch_id"), size(col("sh")).as("_nb")),
+        "batch_id")
       .filter(col("c").cast("double") /
-        (size(col("shc")) + size(col("shb")) - col("c")) >= threshold)
+        (col("_nc") + col("_nb") - col("c")) >= threshold)
       .select(col("batch_id"), col("corpus_id"))
     val found = incrementalMinhashIndexed(dir, corpusIn.drop("_cid"),
-        batch, idCol, textCol, threshold)
+        batch, idCol, textCol, threshold,
+        shingledCorpus = Some(csets), shingledBatch = Some(bsets))
       .select(col("batch_id"), col("corpus_id"), lit(1L).as("_hit"))
     truth.join(found, Seq("batch_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_truth"),
@@ -1029,6 +1069,14 @@ object Dedup {
   private def lshRecallExact(docs: DataFrame, idCol: String,
                              textCol: String, k: Int, perms: Int,
                              bands: Int, threshold: Double): DataFrame = {
+    // Sharing ONE persisted (id, sh) frame between the truth leg and
+    // the LSH leg (the [[lshIndexRecall]] r19 pattern) was tried here
+    // and MEASURED SLOWER: dedup_recall 1.44 → 1.84–2.43 s across three
+    // iso re-records (sampled/sweep_abs flat). The truth leg's three
+    // kernel consumers run fully pipelined inside scan-stage codegen;
+    // replacing them with columnar-cache reads trades a cheap fused
+    // recompute for cache build + three deserializing scans. Kept the
+    // r18 shape: truth recomputes, the LSH leg caches its own pass.
     val truth = lshRecallTruth(docs, idCol, textCol, k, threshold)
     val found = minhashLsh(docs, idCol, textCol, k, perms, bands,
         threshold)
@@ -1137,7 +1185,9 @@ object Dedup {
     // (what per-leg [[minhashLsh]] calls did) paid the O(perms·|sh|)
     // kernel bandsList.size times for identical bits. Both frames are
     // MEMORY_AND_DISK like [[lshVerifiedPairs]]'s shingle cache:
-    // LRU-evictable, O(corpus sets), caller-owned.
+    // LRU-evictable, O(corpus sets), caller-owned. (r19: feeding the
+    // TRUTH leg from the same persisted frame was tried and measured
+    // slower — see [[lshRecallExact]]; truth deliberately recomputes.)
     val sh = docs
       .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1355,8 +1405,13 @@ object Dedup {
                   persistShingles: Boolean = true): DataFrame = {
     require(k >= 1, s"shingle size k must be >= 1, got $k")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // EvalOnce: the `n_grams >= 1` filter would otherwise be pushed
+    // below this projection with the shingle kernel INLINED into the
+    // condition — two kernel evaluations per row in the cache-build
+    // stage (r19; guide §4.4)
     val sh = docs
-      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .select(col(idCol),
+        graft.functions.EvalOnce(shingleHashes(col(textCol), k)).as("sh"))
       .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
         col("sh"))
       .filter(col("n_grams") >= 1)
