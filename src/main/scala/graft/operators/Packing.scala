@@ -152,7 +152,11 @@ object Packing {
     require(chunkTok > 0, s"chunkTok must be positive, got $chunkTok")
     require(stride > 0 && stride <= chunkTok,
       s"stride must be in [1, chunkTok], got $stride (chunkTok=$chunkTok)")
-    df.select(col(idCol), col(idsCol).as("_ids"))
+    // EvalOnce: the `_n > 0` filter would otherwise push below the
+    // CALLER's projection computing the ids column (for corpus_chunk
+    // that is the BPE encode — the engine's most expensive kernel) and
+    // evaluate it twice per row (r19; guide §4.4)
+    df.select(col(idCol), graft.functions.EvalOnce(col(idsCol)).as("_ids"))
       .withColumn("_n", size(col("_ids")))
       .filter(col("_n") > 0)
       .select(col(idCol), col("_ids"),

@@ -688,7 +688,12 @@ object Pipeline {
       documents.filter(!isEval), documents.filter(isEval),
       "doc_id", "text", k = 5, minHits = 1L).select("doc_id")
     val base = documents.filter(!isEval)
-      .withColumn("quality", TextOps.qualityScore(col("text")))
+      // EvalOnce: without the barrier PushDownPredicates inlines the
+      // quality kernel into a filter BELOW this projection and the scan
+      // stage evaluates it twice per row (r19; guide §4.4) — the barrier
+      // pins it to one evaluation, the filter runs on the attribute
+      .withColumn("quality",
+        graft.functions.EvalOnce(TextOps.qualityScore(col("text"))))
       .filter(col("quality") >= 0.7)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .groupBy(md5(Dedup.normalized(col("text"))).as("fp"))
