@@ -554,8 +554,34 @@ object Knn {
             coarse: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    val coarseDf = coarseTable(corpus, idCol, vecCol, stride, maxCells,
-      coarse, "ivfpq")
+    // systematic-path constants in ONE eager pass (r19): with neither a
+    // trained coarse table nor trained codebooks, this used to run three
+    // separate jobs inside the timed query — count(n) for the effective
+    // stride, a min(pmod) aggregate for the stride anchor, and a
+    // pushed-down filter count for the codebook contiguity check. The
+    // anchor and the check now ride one combined aggregate over the same
+    // id-column scan (one fewer corpus pass at any scale).
+    val (coarseDf, nCentOpt): (DataFrame, Option[Long]) = coarse match {
+      case Some(_) =>
+        (coarseTable(corpus, idCol, vecCol, stride, maxCells, coarse,
+          "ivfpq"),
+          if (codebooks.isEmpty)
+            Some(corpus.filter(col(idCol) < ksub).count())
+          else scala.None)
+      case scala.None =>
+        val n = corpus.count()
+        require(n > 0, "ivfpq needs a non-empty corpus")
+        val effStride = math.max(stride.toLong,
+          math.ceil(n / maxCells.toDouble).toLong)
+        val row = corpus.agg(
+          min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"),
+          count(when(col(idCol) < ksub, lit(1))).as("nc")).head()
+        val cd = broadcast(corpus
+          .filter(pmod(col(idCol), lit(effStride)) === row.getLong(0))
+          .select(col(idCol).as("cell_id"),
+            asDouble(col(vecCol)).as("centroid")))
+        (cd, if (codebooks.isEmpty) Some(row.getLong(1)) else scala.None)
+    }
     // coarse assign: partial-agg argmax, no cv carried (re-rank joins
     // the corpus again); ties toward the smallest cell_id
     val cells = corpus
@@ -582,7 +608,7 @@ object Knn {
             j => slice(asDouble(col(vecCol)), j * d + 1, lit(d)))))
         .toDF(id, "sub", "subvec")
     val pqCent = broadcast(codebooks.getOrElse {
-      val nCent = corpus.filter(col(idCol) < ksub).count()
+      val nCent = nCentOpt.get
       require(nCent == ksub,
         s"ivfpq's systematic codebook needs contiguous ids 0..${ksub - 1}" +
           s" in the corpus, found $nCent of $ksub — pass " +
@@ -725,8 +751,30 @@ object Knn {
                     coarse: Option[DataFrame] = scala.None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val d = dim / m
-    val coarseDf = coarseTable(corpus, idCol, vecCol, stride, maxCells,
-      coarse, "ivfpqResidual")
+    // systematic-path constants in ONE eager pass — the [[ivfpq]] r19
+    // shape: stride anchor and codebook contiguity check share one
+    // combined aggregate instead of two separate jobs
+    val (coarseDf, nCentOpt): (DataFrame, Option[Long]) = coarse match {
+      case Some(_) =>
+        (coarseTable(corpus, idCol, vecCol, stride, maxCells, coarse,
+          "ivfpqResidual"),
+          if (codebooks.isEmpty)
+            Some(corpus.filter(col(idCol) < ksub).count())
+          else scala.None)
+      case scala.None =>
+        val n = corpus.count()
+        require(n > 0, "ivfpqResidual needs a non-empty corpus")
+        val effStride = math.max(stride.toLong,
+          math.ceil(n / maxCells.toDouble).toLong)
+        val row = corpus.agg(
+          min(pmod(col(idCol).cast("long"), lit(effStride))).as("m"),
+          count(when(col(idCol) < ksub, lit(1))).as("nc")).head()
+        val cd = broadcast(corpus
+          .filter(pmod(col(idCol), lit(effStride)) === row.getLong(0))
+          .select(col(idCol).as("cell_id"),
+            asDouble(col(vecCol)).as("centroid")))
+        (cd, if (codebooks.isEmpty) Some(row.getLong(1)) else scala.None)
+    }
     // coarse assign with a SCALAR aggregate only (see scaladoc), then
     // re-attach the vector and the winning centroid to form residuals
     val cells = residuals(corpus, idCol, vecCol, coarseDf)
@@ -754,7 +802,7 @@ object Knn {
       .map(_.select(col("sub"), col("cell_id").cast("long").as("slot"),
         col("cvec")))
       .getOrElse {
-        val nCent = corpus.filter(col(idCol) < ksub).count()
+        val nCent = nCentOpt.get
         require(nCent == ksub,
           s"ivfpqResidual's systematic codebook needs contiguous ids " +
             s"0..${ksub - 1} in the corpus, found $nCent of $ksub — pass " +
@@ -1105,14 +1153,17 @@ object Knn {
       asDouble(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell_id"))
-    val probes = broadcast(q.join(coarseDf)
+    val probes0 = q.join(coarseDf)
       .withColumn("qsim", cosineD(col("qv"), col("centroid")))
       .withColumn("qrn", row_number().over(wProbe))
       .filter(col("qrn") <= maxProbe)
-      .select(col("query_id"), col("qv"), col("cell_id"), col("qrn")))
+      .select(col("query_id"), col("qv"), col("cell_id"), col("qrn"))
+    val probes = broadcast(probes0)
     // O(|queries|·maxProbe) driver-side cell list -> partition filter:
-    // only probed cells' FILES are read
-    val probedCells = probes.select(col("cell_id")).distinct()
+    // only probed cells' FILES are read. Collected from the UNHINTED
+    // frame: a broadcast hint atop a collected aggregate is not part of
+    // any join and only trips HintErrorLogger (r19 hygiene).
+    val probedCells = probes0.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
@@ -1817,13 +1868,15 @@ object Knn {
       asDouble(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell_id"))
-    val probes = broadcast(q.join(coarseDf)
+    val probes0 = q.join(coarseDf)
       .withColumn("qsim", cosineD(col("qv"), col("centroid")))
       .withColumn("qrn", row_number().over(wProbe))
       .filter(col("qrn") <= nProbe)
-      .select(col("query_id"), col("cell_id")))
-    // O(|queries|·nProbe) driver-side cell list -> a partition filter
-    val probedCells = probes.select(col("cell_id")).distinct()
+      .select(col("query_id"), col("cell_id"))
+    val probes = broadcast(probes0)
+    // O(|queries|·nProbe) driver-side cell list -> a partition filter.
+    // Collected from the UNHINTED frame (see recallSweepIndexed).
+    val probedCells = probes0.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = readCodes(spark, dir)
       .filter(col("cell_id").isin(probedCells: _*))
@@ -2541,14 +2594,16 @@ object Knn {
       asDouble(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell_id"))
-    val probes = broadcast(q.join(coarseDf)
+    val probes0 = q.join(coarseDf)
       .withColumn("qsim", cosineD(col("qv"), col("centroid")))
       .withColumn("qrn", row_number().over(wProbe))
       .filter(col("qrn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell_id")))
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    val probes = broadcast(probes0)
     // O(|queries|·nProbe) driver-side cell list -> a partition filter
-    // ([[searchIvfPqIndex]]'s pattern): only probed cells' FILES read
-    val probedCells = probes.select(col("cell_id")).distinct()
+    // ([[searchIvfPqIndex]]'s pattern): only probed cells' FILES read.
+    // Collected from the UNHINTED frame (see recallSweepIndexed).
+    val probedCells = probes0.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cand = readCodes(spark, dir)
       .filter(col("cell_id").isin(probedCells: _*))
