@@ -361,8 +361,13 @@ object Bench {
     val failed = scala.collection.mutable.TreeSet[String]()
     @volatile var finalDone = false
     def render(partial: Boolean): String = lock.synchronized {
+      // per-query seconds at 3 decimals (1 ms — below the noise floor of
+      // any row here): the one-line JSON must stay small enough that the
+      // driver's tail-buffer parse can never truncate it (the r17 PERF
+      // diff was lost to exactly that). Measurement unchanged — only the
+      // rendered precision. The total keeps full precision.
       val qs = results.toSeq
-        .map { case (k, v) => "\"" + k + "\":" + v }
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${results.values.sum},"unit":"sec",""" +
