@@ -155,27 +155,45 @@ object HModel {
       cellsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else cellsPlan
     val noValue = lit(null).cast("double").as("value")
-    val famDel = cells.filter(pmod(col("user_id"), lit(5)) === 0)
-      .groupBy(col("rowkey"), col("user_id"))
-      .agg(expr("(min(ts) + max(ts)) DIV 2").as("ts"))
+    // ONE threshold aggregation for all three marker classes (r19): the
+    // per-class groupBys each shuffled their filtered slice of the
+    // cached cells separately — three exchanges and three cache scans
+    // for one logical pass. The union of the class predicates now feeds
+    // ONE (rowkey, user) aggregation computing every threshold
+    // (conditional aggs are null for absent qualifiers, filtered below
+    // exactly where the old per-class pre-filter dropped the group);
+    // the three marker branches are filters over the SAME aggregation
+    // subtree, so the planner reuses one exchange for all of them.
+    // Equivalence: a %5 user's `marked` rows are ALL its cells (the
+    // first disjunct keeps everything), so `_mid` is the same
+    // min/max-over-all-cells midpoint; `_maxclick`/`_maxview` only ever
+    // aggregate click/view rows regardless of which disjunct admitted
+    // the user.
+    val marked = cells.filter(
+      pmod(col("user_id"), lit(5)) === 0 ||
+        (pmod(col("user_id"), lit(7)) === 0 &&
+          col("qualifier") === "click") ||
+        (pmod(col("user_id"), lit(11)) === 0 &&
+          col("qualifier") === "view"))
+    val thr = marked.groupBy(col("rowkey"), col("user_id"))
+      .agg(expr("(min(ts) + max(ts)) DIV 2").as("_mid"),
+        max(when(col("qualifier") === "click", col("ts"))).as("_maxclick"),
+        max(when(col("qualifier") === "view", col("ts"))).as("_maxview"))
+    val famDel = thr.filter(pmod(col("user_id"), lit(5)) === 0)
       .select(col("rowkey"), lit("m").as("family"), lit("").as("qualifier"),
-        col("ts"), noValue,
+        col("_mid").as("ts"), noValue,
         lit(HFile.KeyTypeDeleteFamily.toInt).as("key_type"), col("user_id"))
-    val colDel = cells
+    val colDel = thr
       .filter(pmod(col("user_id"), lit(7)) === 0 &&
-        col("qualifier") === "click")
-      .groupBy(col("rowkey"), col("user_id"))
-      .agg(max(col("ts")).as("ts"))
+        col("_maxclick").isNotNull)
       .select(col("rowkey"), lit("m").as("family"),
-        lit("click").as("qualifier"), col("ts"), noValue,
+        lit("click").as("qualifier"), col("_maxclick").as("ts"), noValue,
         lit(HFile.KeyTypeDeleteColumn.toInt).as("key_type"), col("user_id"))
-    val exactDel = cells
+    val exactDel = thr
       .filter(pmod(col("user_id"), lit(11)) === 0 &&
-        col("qualifier") === "view")
-      .groupBy(col("rowkey"), col("user_id"))
-      .agg(max(col("ts")).as("ts"))
+        col("_maxview").isNotNull)
       .select(col("rowkey"), lit("m").as("family"),
-        lit("view").as("qualifier"), col("ts"), noValue,
+        lit("view").as("qualifier"), col("_maxview").as("ts"), noValue,
         lit(HFile.KeyTypeDelete.toInt).as("key_type"), col("user_id"))
     cells.unionByName(famDel).unionByName(colDel)
       .unionByName(exactDel).drop("user_id")
