@@ -175,10 +175,20 @@ object HModel {
           col("qualifier") === "click") ||
         (pmod(col("user_id"), lit(11)) === 0 &&
           col("qualifier") === "view"))
-    val thr = marked.groupBy(col("rowkey"), col("user_id"))
+    // the threshold frame is PERSISTED (same cacheCells flag): the three
+    // marker filters are on the grouping key, so without a cache barrier
+    // PushDownPredicates splits them back below the aggregation into
+    // three separate shuffles — each now of the WHOLE marked set
+    // (measured at the x100 scale cell: compact_cells_ttl ratio100 3.1 →
+    // 6.7 before this persist). The frame is one row per marked user —
+    // tiny at any scale.
+    val thrPlan = marked.groupBy(col("rowkey"), col("user_id"))
       .agg(expr("(min(ts) + max(ts)) DIV 2").as("_mid"),
         max(when(col("qualifier") === "click", col("ts"))).as("_maxclick"),
         max(when(col("qualifier") === "view", col("ts"))).as("_maxview"))
+    val thr = if (cacheCells)
+      thrPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else thrPlan
     val famDel = thr.filter(pmod(col("user_id"), lit(5)) === 0)
       .select(col("rowkey"), lit("m").as("family"), lit("").as("qualifier"),
         col("_mid").as("ts"), noValue,
