@@ -57,6 +57,37 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("probeWords matches both eval paths, incl. negative hashes and word edges") {
+    // ADVICE r18: unit-pin the BloomProbe expression's codegen AND
+    // interpreted eval against the probeWords kernel, beyond the
+    // end-to-end oracle pinning. Negative hashes exercise the pmod
+    // branch; inserted values near word boundaries (multiples of 64±1
+    // land across word edges after hashing) exercise the shift-mask.
+    val raw = Seq(-1L, Long.MinValue, Long.MinValue + 63, -64L, -63L,
+      0L, 1L, 63L, 64L, 65L, 127L, 128L, Long.MaxValue,
+      -987654321987L, 123456789123L)
+    val ins = raw.toDF("g")
+    val logBits = 12
+    val words = Bloom.build(ins, col("g"), logBits)
+    // absent candidates: a disjoint value set
+    val absent = (1000L to 1200L).map(_ * 7919L + 3L).filterNot(raw.contains)
+    val all = (raw ++ absent).toDF("g")
+    // interpreted path: filter with codegen disabled vs enabled
+    def probed(codegen: String): Set[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try all.filter(Bloom.probe(words, col("g"), logBits))
+        .as[Long].collect().toSet
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val viaCodegen = probed("CODEGEN_ONLY")
+    val viaEval = probed("NO_CODEGEN")
+    val viaKernel = (raw ++ absent)
+      .filter(g => Bloom.probeWords(words, logBits, g)).toSet
+    assert(viaCodegen == viaKernel && viaEval == viaKernel)
+    // no false negatives on the inserted set, under every path
+    assert(raw.toSet.subsetOf(viaKernel))
+  }
+
   test("bitset size is fixed by logBits, independent of input size") {
     val small = Bloom.build(
       spark.range(0, 10).select(xxhash64(col("id")).as("g")), col("g"), 16)
